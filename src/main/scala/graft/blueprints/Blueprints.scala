@@ -1,0 +1,117 @@
+package graft.blueprints
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.operators.FileOps
+import graft.sources.FileManifest
+
+/** The four reference pipelines (download / upload / move / remove),
+  * re-expressed as manifest-plan builders + executor-parallel sinks.
+  * Lifecycle mapping: SURVEY §3.4. Each returns the number of files acted
+  * on, and throws [[graft.core.BlueprintError]] for the reference's coded
+  * failures (exit_codes.py:1-3).
+  */
+object Blueprints {
+
+  /** GCS -> local (download_file.py:228-277). `bucket` is a URI root;
+    * `destRoot` a local directory URI (the reference's cwd).
+    */
+  def download(spark: SparkSession, cfg: DownloadConfig, destRoot: String): Long =
+    transfer(spark, cfg.bucket, cfg.sourceFolderName, cfg.sourceFileName,
+      cfg.matchType, destRoot, cfg.destinationFolderName,
+      cfg.destinationFileName, EnumeratePolicy.Always, deleteSource = false)
+
+  /** local -> GCS (upload_file.py:221-267). `srcRoot` is the local root.
+    * Directories returned by the reference's `glob('**')` (which would crash
+    * `upload_from_filename`, SURVEY §2A-O6) are excluded by the manifest's
+    * files-only contract.
+    */
+  def upload(spark: SparkSession, cfg: UploadConfig, srcRoot: String): Long =
+    transfer(spark, srcRoot, cfg.sourceFolderName, cfg.sourceFileName,
+      cfg.matchType, cfg.bucket, cfg.destinationFolderName,
+      cfg.destinationFileName, EnumeratePolicy.Always, deleteSource = false)
+
+  /** GCS -> GCS cross-bucket move = copy + verify + delete
+    * (move_file.py:158-214). Enumerates only when >1 match
+    * (move_file.py:185-191 — the canonical policy, SURVEY §2A-O4).
+    */
+  def move(spark: SparkSession, cfg: MoveConfig): Long =
+    transfer(spark, cfg.sourceBucket, cfg.sourceFolderName, cfg.sourceFileName,
+      cfg.matchType, cfg.destinationBucket, cfg.destinationFolderName,
+      cfg.destinationFileName, EnumeratePolicy.IfMultiple, deleteSource = true)
+
+  /** Delete matching objects (remove_file.py:138-166). */
+  def remove(spark: SparkSession, cfg: RemoveConfig): Long = cfg.matchType match {
+    case MatchType.ExactMatch =>
+      val e = FileManifest.lookup(spark, cfg.bucket, cfg.sourceFolderName,
+        cfg.sourceFileName)
+      FileOps.deleteOne(spark, cfg.bucket, e.path)
+      1L
+    case MatchType.RegexMatch =>
+      val manifest = FileManifest.scan(spark, cfg.bucket, cfg.sourceFolderName)
+      val matched = FileManifest.regexFilter(manifest, cfg.sourceFileName)
+      val n = FileOps.delete(matched.toDF())
+      if (n == 0) throw BlueprintError.FileNotFound(cfg.sourceFileName)
+      n
+  }
+
+  /** Shared download/upload/move skeleton: branch on match type
+    * (access-path selection, SURVEY §4-R2), build manifest plan, sink.
+    */
+  private def transfer(
+      spark: SparkSession,
+      srcRoot: String,
+      srcFolder: String,
+      srcFile: String,
+      matchType: MatchType,
+      dstRoot: String,
+      dstFolder: String,
+      dstFile: Option[String],
+      policy: EnumeratePolicy,
+      deleteSource: Boolean): Long = matchType match {
+    case MatchType.ExactMatch =>
+      val entry = FileManifest.lookup(spark, srcRoot, srcFolder, srcFile)
+      val dest = PathAlg.determineFullPath(dstFolder, dstFile, entry.path, None)
+      FileOps.copyOne(spark, srcRoot, entry.path, dstRoot, dest, deleteSource)
+      1L
+    case MatchType.RegexMatch =>
+      val manifest = FileManifest.scan(spark, srcRoot, srcFolder)
+      val matched = FileManifest.regexFilter(manifest, srcFile)
+      val planned = FileManifest.withDestination(matched, dstFolder, dstFile, policy)
+      val n = FileOps.copy(planned, Some(dstRoot), deleteSource)
+      if (n == 0) throw BlueprintError.FileNotFound(srcFile)
+      n
+  }
+
+  /** Credential injection (download_file.py:44-62 `set_environment_variables`):
+    * the value is either inline JSON or a keyfile path, sniffed by parse
+    * attempt. Inline JSON is written to a temp keyfile (deleted on JVM exit
+    * ≙ the reference's end-of-main cleanup, download_file.py:274-276); both
+    * forms configure the GCS Hadoop connector.
+    */
+  def configureCredentials(spark: SparkSession, serviceAccount: String): Unit = {
+    val keyfile =
+      if (looksLikeJson(serviceAccount)) {
+        val tmp = java.nio.file.Files.createTempFile("graft-sa", ".json")
+        java.nio.file.Files.writeString(tmp, serviceAccount)
+        tmp.toFile.deleteOnExit()
+        tmp.toString
+      } else {
+        if (!new java.io.File(serviceAccount).canRead)
+          throw BlueprintError.InvalidCredentials(
+            s"keyfile not readable: $serviceAccount")
+        serviceAccount
+      }
+    val hc = FileManifest.hadoopConf(spark)
+    hc.set("google.cloud.auth.service.account.enable", "true")
+    hc.set("google.cloud.auth.service.account.json.keyfile", keyfile)
+    // 128 MiB resumable-upload chunks, matching upload_file.py:12
+    hc.set("fs.gs.outputstream.upload.chunk.size", (128 * 1024 * 1024).toString)
+  }
+
+  private def looksLikeJson(s: String): Boolean = {
+    val t = s.trim
+    t.startsWith("{") && t.endsWith("}")
+  }
+}

@@ -1,0 +1,116 @@
+package graft.blueprints
+
+import org.apache.spark.sql.SparkSession
+import graft.core._
+
+/** CLI edge for the four blueprints — same flag surface as the reference's
+  * argparse (download_file.py:11-41, upload_file.py:15-44, move_file.py:16-47,
+  * remove_file.py:16-36) with uniform exit-code mapping (SURVEY §2A-O12).
+  * Flags use the reference's `--kebab-names`; buckets accept full URIs so
+  * `file:///tmp/bucket-a` tests the same code path as `gs://bucket`.
+  */
+object Cli {
+
+  def parseFlags(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def session(): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-blueprints")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def common(spark: SparkSession, f: Map[String, String]): Unit =
+    f.get("service-account").foreach(Blueprints.configureCredentials(spark, _))
+
+  private def matchType(f: Map[String, String]): MatchType =
+    MatchType.parse(f.getOrElse("source-file-name-match-type", "exact_match"))
+}
+
+object DownloadFile {
+  def main(args: Array[String]): Unit = BlueprintError.exitOnError {
+    val f = Cli.parseFlags(args)
+    val spark = Cli.session()
+    f.get("service-account").foreach(Blueprints.configureCredentials(spark, _))
+    val n = Blueprints.download(spark,
+      DownloadConfig(
+        bucket = f("bucket-name"),
+        sourceFolderName = f.getOrElse("source-folder-name", ""),
+        sourceFileName = f("source-file-name"),
+        matchType = MatchType.parse(
+          f.getOrElse("source-file-name-match-type", "exact_match")),
+        destinationFolderName = f.getOrElse("destination-folder-name", ""),
+        destinationFileName = f.get("destination-file-name")),
+      destRoot = f.getOrElse("local-root",
+        s"file://${System.getProperty("user.dir")}"))
+    println(s"downloaded $n file(s)")
+    spark.stop()
+  }
+}
+
+object UploadFile {
+  def main(args: Array[String]): Unit = BlueprintError.exitOnError {
+    val f = Cli.parseFlags(args)
+    val spark = Cli.session()
+    f.get("service-account").foreach(Blueprints.configureCredentials(spark, _))
+    val n = Blueprints.upload(spark,
+      UploadConfig(
+        bucket = f("bucket-name"),
+        sourceFolderName = f.getOrElse("source-folder-name", ""),
+        sourceFileName = f("source-file-name"),
+        matchType = MatchType.parse(
+          f.getOrElse("source-file-name-match-type", "exact_match")),
+        destinationFolderName = f.getOrElse("destination-folder-name", ""),
+        destinationFileName = f.get("destination-file-name")),
+      srcRoot = f.getOrElse("local-root",
+        s"file://${System.getProperty("user.dir")}"))
+    println(s"uploaded $n file(s)")
+    spark.stop()
+  }
+}
+
+object MoveFile {
+  def main(args: Array[String]): Unit = BlueprintError.exitOnError {
+    val f = Cli.parseFlags(args)
+    val spark = Cli.session()
+    f.get("service-account").foreach(Blueprints.configureCredentials(spark, _))
+    val n = Blueprints.move(spark,
+      MoveConfig(
+        sourceBucket = f("source-bucket-name"),
+        destinationBucket =
+          f.getOrElse("destination-bucket-name", f("source-bucket-name")),
+        sourceFolderName = f.getOrElse("source-folder-name", ""),
+        sourceFileName = f("source-file-name"),
+        matchType = MatchType.parse(
+          f.getOrElse("source-file-name-match-type", "exact_match")),
+        destinationFolderName = f.getOrElse("destination-folder-name", ""),
+        destinationFileName = f.get("destination-file-name")))
+    println(s"moved $n file(s)")
+    spark.stop()
+  }
+}
+
+object RemoveFile {
+  def main(args: Array[String]): Unit = BlueprintError.exitOnError {
+    val f = Cli.parseFlags(args)
+    val spark = Cli.session()
+    f.get("service-account").foreach(Blueprints.configureCredentials(spark, _))
+    val n = Blueprints.remove(spark,
+      RemoveConfig(
+        bucket = f("bucket-name"),
+        sourceFolderName = f.getOrElse("source-folder-name", ""),
+        sourceFileName = f("source-file-name"),
+        matchType = MatchType.parse(
+          f.getOrElse("source-file-name-match-type", "exact_match"))))
+    println(s"removed $n file(s)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,35 @@
+package graft.core
+
+/** Typed error ADT with uniform numeric exit codes.
+  *
+  * Codes from /root/reference/googlecloudstorage_blueprints/exit_codes.py:1-3
+  * (200 invalid credentials, 201 invalid bucket, 205 file not found). The
+  * reference is inconsistent (download/upload raise raw tracebacks where
+  * move/remove exit with codes — SURVEY §2A-O12); we use codes uniformly.
+  */
+sealed abstract class BlueprintError(val exitCode: Int, msg: String)
+    extends RuntimeException(msg)
+
+object BlueprintError {
+  final case class InvalidCredentials(detail: String)
+      extends BlueprintError(200, s"Invalid credentials: $detail")
+  final case class InvalidBucket(bucket: String)
+      extends BlueprintError(201, s"Bucket does not exist: $bucket")
+  final case class FileNotFound(path: String)
+      extends BlueprintError(205, s"File not found: $path")
+  final case class BadRegex(pattern: String, detail: String)
+      extends BlueprintError(205, s"Invalid regex '$pattern': $detail")
+
+  val ExitInvalidCredentials = 200
+  val ExitInvalidBucket = 201
+  val ExitFileNotFound = 205
+
+  /** Run `body`; on BlueprintError exit with its code (CLI edge only). */
+  def exitOnError[A](body: => A): A =
+    try body
+    catch {
+      case e: BlueprintError =>
+        System.err.println(e.getMessage)
+        sys.exit(e.exitCode)
+    }
+}

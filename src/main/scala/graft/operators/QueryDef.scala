@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared engine capability: a Spark plan builder plus (when the
+  * semantics are SQL-expressible) an equivalent DuckDB oracle query. The
+  * driver hash-compares the two at sf0.01 (SURVEY §5 tier 4).
+  */
+final case class QueryDef(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Shared helpers for the declared query surface. */
+object Q {
+  /** Load a test table. The driver's `events` table stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark only reads as a nanosecond Long (via
+    * `spark.sql.legacy.parquet.nanosAsLong`) — normalize it back to a
+    * microsecond TimestampType here so every query sees TimestampType.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+    else df
+  }
+
+  /** Exact, order-independent sum of a floating column: cast every value to
+    * DECIMAL(18,scale) first. Decimal addition is associative, so partial
+    * aggregation order (which differs between Spark partial/final agg and
+    * DuckDB's scan order) cannot change the result — the key to stable
+    * oracle hashes (SURVEY §7 "float hash-stability" risk).
+    */
+  def dsum(c: Column, scale: Int = 4): Column = sum(c.cast(DecimalType(18, scale)))
+
+  /** ROUND(exact decimal sum, 2) surfaced as DOUBLE (both engines produce
+    * the identical nearest double for a 2-decimal value).
+    */
+  def money(c: Column, scale: Int = 4): Column =
+    round(dsum(c, scale), 2).cast("double")
+
+  /** Exact decimal-sum-based average, surfaced as DOUBLE. */
+  def davg(c: Column, scale: Int = 4): Column =
+    round(dsum(c, scale).cast("double") / count(lit(1)), 2)
+}
