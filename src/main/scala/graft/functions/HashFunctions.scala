@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Self-contained deterministic 64-bit string hashing used by the sketch
+  * expressions. FNV-1a over UTF-8 bytes: stable across JVMs and sessions,
+  * no dependency on Spark-internal hash implementations.
+  */
+object Fnv64 {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= Prime
+      i += 1
+    }
+    h
+  }
+}
+
+/** MinHash signature of a set of string shingles — a native Catalyst
+  * expression (preference order (b) of the build brief: no Scala UDF
+  * serialization overhead; interpreted eval via CodegenFallback since the
+  * per-row loop dominates anyway).
+  *
+  * Each of the `k` hash slots applies an affine permutation
+  * `a_i * h + b_i` (wrapping 64-bit arithmetic) to the FNV-1a hash of each
+  * shingle and keeps the minimum. Coefficients come from
+  * `java.util.Random(seed)` whose LCG sequence is specified by the JDK —
+  * deterministic everywhere. Input: array<string>; output: array<long> of
+  * length k (empty input ⇒ all Long.MaxValue).
+  */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val coeffs: (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(seed)
+    val a = Array.fill(k)(rnd.nextLong() | 1L) // odd ⇒ bijective mod 2^64
+    val b = Array.fill(k)(rnd.nextLong())
+    (a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val (a, b) = coeffs
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = Fnv64.hashBytes(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < k) {
+          val v = a(j) * h + b(j)
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash fingerprint of a bag of tokens (near-dup detection by
+  * Hamming distance). Per token: FNV-1a hash; each of the 64 fingerprint
+  * bits accumulates +1/-1 by the token's corresponding hash bit; the sign
+  * of the accumulator decides the output bit. Input: array<string>;
+  * output: long.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = Fnv64.hashBytes(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (acc(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Session registration for the sketch expressions. Call `register` once
+  * (idempotent), then use `expr("graft_minhash(col)")` /
+  * `expr("graft_simhash(col)")` on a named array<string> column.
+  */
+object HashFunctions {
+  final val MinHashK = 128
+  final val Seed = 42L
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashSignature(exprs.head, k = MinHashK, seed = Seed),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
+  }
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Text-analysis operators over the `documents` table (LLM-data-pipeline
+  * extension surface): whitespace/BPE-ish tokenization, n-gram-lexicon
+  * language ID, quality scoring, and md5 document fingerprinting. All are
+  * pure `functions._` column pipelines (codegen'd, no UDFs) and each has a
+  * DuckDB oracle. Shared helpers ([[TextAnalysis.tokens]]) are reused by
+  * the dedup operators.
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens of `text` — the canonical tokenizer for
+    * the whole text surface (same regex mirrored in every oracle).
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles from a token array: guards `size < n`, where
+    * Spark's `sequence(1, size-n+1)` would go descending instead of empty.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Tiny per-language stopword lexicons for the n-gram-heuristic language
+    * ID. Deliberately drawn from the synthetic corpus vocabulary so the
+    * classifier exercises real score competition; the algorithm (token ∩
+    * lexicon counts → argmax with lexicographic tie-break, no hits →
+    * 'und') is what's under test, not linguistics.
+    */
+  val lexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "is", "en" -> "of", "en" -> "to",
+    "db" -> "table", "db" -> "scan", "db" -> "join", "db" -> "merge",
+    "db" -> "hash", "db" -> "filter", "db" -> "sort", "db" -> "group",
+    "ml" -> "vector", "ml" -> "batch", "ml" -> "stream", "ml" -> "window",
+    "ml" -> "spark")
+
+  private val lexiconSqlValues =
+    lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** BPE-ish token regex: letter runs, single digits, single punctuation —
+    * a deterministic stand-in for a learned BPE vocabulary's fertility
+    * behavior (letters merge, digits don't).
+    */
+  private val bpeRegex = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Q24 token counting: whitespace tokenize, global top-20.
+    "q24_text_tokens" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("token"))
+        .limit(20),
+      Some("""SELECT token, COUNT(*) AS n FROM (
+                SELECT UNNEST(string_split_regex(text, '\s+')) AS token
+                FROM documents) t
+              WHERE token <> '' GROUP BY token
+              ORDER BY n DESC, token LIMIT 20""")),
+
+    // Language ID: lexicon-hit argmax per document, per-language counts.
+    "q30_text_langid" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val lex = s.createDataFrame(lexicon).toDF("lex_lang", "word")
+        val toks = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("word"))
+        val scores = toks.join(broadcast(lex), "word")
+          .groupBy("doc_id", "lex_lang").agg(count(lit(1)).as("hits"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("hits"), col("lex_lang"))
+        val best = scores.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("doc_id", "lex_lang")
+        docs.select("doc_id").join(best, Seq("doc_id"), "left")
+          .withColumn("lang_pred", coalesce(col("lex_lang"), lit("und")))
+          .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang_pred")
+      },
+      Some(s"""WITH lex(lex_lang, word) AS (VALUES $lexiconSqlValues),
+                toks AS (SELECT doc_id,
+                  UNNEST(string_split_regex(text, '\\s+')) AS word
+                  FROM documents),
+                scores AS (SELECT doc_id, lex_lang, COUNT(*) AS hits
+                  FROM toks JOIN lex USING (word)
+                  WHERE word <> '' GROUP BY doc_id, lex_lang),
+                best AS (SELECT doc_id, lex_lang FROM (
+                  SELECT doc_id, lex_lang, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY hits DESC, lex_lang) AS rn
+                  FROM scores) z WHERE rn = 1)
+              SELECT COALESCE(b.lex_lang, 'und') AS lang_pred,
+                COUNT(*) AS n_docs
+              FROM documents d LEFT JOIN best b USING (doc_id)
+              GROUP BY 1 ORDER BY lang_pred""")),
+
+    // Quality scoring: length/stopword-ratio/avg-token-length features +
+    // a length bucket, one row per document.
+    "q31_text_quality" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_chars_ns",
+          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+        .withColumn("n_stop",
+          size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars_ns"),
+          when(col("n_tokens") === 0, 0.0)
+            .otherwise(round(col("n_chars_ns") * 1.0 / col("n_tokens"), 2))
+            .as("avg_tok_len"),
+          when(col("n_tokens") === 0, 0.0)
+            .otherwise(round(col("n_stop") * 1.0 / col("n_tokens"), 4))
+            .as("stop_ratio"),
+          when(col("n_tokens") >= 40, "long")
+            .when(col("n_tokens") >= 10, "mid")
+            .otherwise("short").as("bucket"))
+        .orderBy("doc_id"),
+      Some(s"""WITH f AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS toks,
+                  CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+                    AS n_chars_ns
+                FROM documents)
+              SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens, n_chars_ns,
+                CASE WHEN LEN(toks) = 0 THEN 0.0
+                  ELSE ROUND(CAST(n_chars_ns AS DOUBLE) / LEN(toks), 2) END AS avg_tok_len,
+                CASE WHEN LEN(toks) = 0 THEN 0.0
+                  ELSE ROUND(CAST(LEN(list_filter(toks,
+                    x -> x IN ($stopwordsSql))) AS DOUBLE) / LEN(toks), 4)
+                  END AS stop_ratio,
+                CASE WHEN LEN(toks) >= 40 THEN 'long'
+                  WHEN LEN(toks) >= 10 THEN 'mid'
+                  ELSE 'short' END AS bucket
+              FROM f ORDER BY doc_id""")),
+
+    // Token counting, whitespace vs BPE-ish regex, per document.
+    "q32_text_token_count" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .withColumn("ws_tokens", size(tokens(col("text"))).cast("long"))
+        .withColumn("bpe_tokens",
+          size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0)))
+            .cast("long"))
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+          when(col("bpe_tokens") === 0, 0.0)
+            .otherwise(round(length(col("text")) * 1.0 / col("bpe_tokens"), 2))
+            .as("chars_per_token"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+                CAST(LEN(list_filter(string_split_regex(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS ws_tokens,
+                CAST(LEN(regexp_extract_all(text, '$bpeRegex')) AS BIGINT)
+                  AS bpe_tokens,
+                CASE WHEN LEN(regexp_extract_all(text, '$bpeRegex')) = 0 THEN 0.0
+                  ELSE ROUND(CAST(LENGTH(text) AS DOUBLE) /
+                    LEN(regexp_extract_all(text, '$bpeRegex')), 2)
+                  END AS chars_per_token
+              FROM documents ORDER BY doc_id""")),
+
+    // Document fingerprinting: md5 content hash + duplicate-group size
+    // (the exact-dedup primitive at fingerprint granularity).
+    "q33_text_fingerprint" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .withColumn("fp", md5(col("text").cast("binary")))
+        .withColumn("dup_count",
+          count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
+        .select("doc_id", "fp", "dup_count")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS fp,
+                CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                  AS dup_count
+              FROM documents ORDER BY doc_id"""))
+  )
+}
