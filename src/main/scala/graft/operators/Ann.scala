@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate nearest-neighbor search — the 100 TB scale path behind
+  * the exact cosine baselines in [[Similarity]].
+  *
+  * Random-hyperplane LSH (sign-of-projection, the classic SimHash-for-
+  * cosine scheme): each vector gets an integer bucket from the signs of
+  * `nPlanes` dot products against deterministic hyperplanes
+  * (`java.util.Random(seed)` Gaussians). Neighbor candidates come from a
+  * **bucket equi-join** — the corpus shuffles once on a scalar bucket
+  * key, queries broadcast or shuffle likewise, and no n² pair set ever
+  * materializes. Exact cosine re-ranks candidates inside each bucket.
+  *
+  * Contract (proved in AnnSpec, which has no SQL oracle because bucket
+  * membership isn't SQL-expressible): candidates ⊆ brute-force pairs,
+  * per-pair sims equal the exact ones bitwise, and any corpus vector
+  * used as a query retrieves itself (identical vector ⇒ identical
+  * bucket). Recall tuning is multi-probe (probe Hamming-1 buckets) —
+  * `probes > 0` explodes each query into its bit-flip neighborhood.
+  */
+object Ann {
+
+  /** Deterministic unit-free Gaussian hyperplanes. */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def litArray(a: Array[Double]): Column = array(a.map(lit): _*)
+
+  /** Sign-bucket of an embedding column against the given planes. */
+  def signBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(emb, litArray(p)) >= 0d, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Buckets within Hamming distance `probes` of `bucket` (multi-probe
+    * expansion; probes=0 ⇒ just the bucket itself).
+    */
+  def probeBuckets(bucket: Column, nPlanes: Int, probes: Int): Column = {
+    require(probes <= 1, "only 0- and 1-probe supported")
+    if (probes == 0) array(bucket)
+    else array(bucket +: (0 until nPlanes).map(i =>
+      bucket.bitwiseXOR(lit(1 << i))): _*)
+  }
+
+  /** ANN top-k: bucket-join candidates, exact cosine re-rank.
+    * `corpus`/`queries`: (vec_id, embedding). Output: (q_id, vec_id, sim)
+    * with per-query rank ≤ k, self-matches excluded.
+    */
+  def annTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nPlanes: Int = 12,
+      seed: Long = 7L,
+      probes: Int = 1): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      normSq(col("embedding")).as("nsq"),
+      signBucket(col("embedding"), planes).as("bucket"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      normSq(col("embedding")).as("q_nsq"),
+      explode(probeBuckets(signBucket(col("embedding"), planes),
+        nPlanes, probes)).as("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    c.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("sim", cosineWithNorms(
+        dot(col("embedding"), col("q_emb")), col("nsq"), col("q_nsq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
+  /** Exact brute-force top-k with the same output contract — the recall
+    * baseline (broadcast the query side; map-only over the corpus).
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      normSq(col("embedding")).as("nsq"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), normSq(col("embedding")).as("q_nsq"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosineWithNorms(
+        dot(col("embedding"), col("q_emb")), col("nsq"), col("q_nsq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions
+import Q._
+
+/** Deduplication operators over the `documents` table (LLM-data-pipeline
+  * extension surface, SURVEY §2B Q22 + the near-dup family):
+  *
+  *  - exact dedup: one survivor per distinct `text` (deterministic: the
+  *    row with the minimum `doc_id`), a single hash-shuffle on the text —
+  *    never an all-pairs comparison;
+  *  - MinHash + LSH near-dup: 3-gram shingles → 128-slot MinHash
+  *    signature ([[graft.functions.MinHashSignature]]) → 32 bands × 4
+  *    rows → candidate pairs join **on band hash** (bucket join, no
+  *    cartesian) → exact-Jaccard verification of candidates only;
+  *  - SimHash near-dup: 64-bit fingerprint ([[graft.functions.SimHash64]])
+  *    → 4 × 16-bit bands; by pigeonhole any pair within Hamming distance 3
+  *    shares at least one band, so the band join is *exhaustive* for the
+  *    declared distance, not approximate.
+  *
+  * Scale notes (100 TB): every join here shuffles on a hash key (band
+  * hash / fingerprint band) whose bucket sizes are bounded by collision
+  * rates, so the plans survive a 1000-executor scale-up; the only O(n²)
+  * work is the exact-Jaccard check *within* candidate buckets, which is
+  * the standard LSH contract. The q25 oracle is the brute-force exact
+  * Jaccard join — the LSH margin on this corpus (min true-pair Jaccard
+  * 0.90 vs next pair 0.07, recall 1-(1-0.9⁴)³² ≈ 1-2e-15) makes the
+  * approximate pipeline's output equal the exact answer.
+  */
+object Dedup {
+
+  private val Bands = 32
+  private val RowsPerBand = HashFunctions.MinHashK / Bands // 4
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Q22 exact dedup on text: survivors = min-doc_id row per distinct
+    // text (one shuffle, partial agg), then per-lang survivor counts.
+    "q22_dedup" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .groupBy("text")
+        .agg(min_by(col("lang"), col("doc_id")).as("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs FROM (
+                SELECT arg_min(lang, doc_id) AS lang
+                FROM documents GROUP BY text) t
+              GROUP BY lang ORDER BY lang""")),
+
+    // MinHash-LSH near-dup: banded bucket join for candidates, exact
+    // Jaccard (ratio of exact ints — bitwise engine-identical) on the
+    // candidates only. Oracle is the brute-force exact join.
+    "q25_neardup_minhash" -> QueryDef(
+      (s, dir) => {
+        HashFunctions.register(s)
+        val sh = table(s, dir, "documents")
+          .select(col("doc_id"),
+            array_distinct(
+              TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))
+              .as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sig = sh.withColumn("sig", expr("graft_minhash(sh)"))
+        // 32 band hashes per doc: xxhash64 over (band idx, 4 signature
+        // slots) — a long key, so the candidate join shuffles on a scalar.
+        val bandCols = (0 until Bands).map { b =>
+          xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
+            element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
+        }
+        val banded = sig
+          .select(col("doc_id"), col("sh"),
+            explode(array(bandCols: _*)).as("band"))
+        val cand = banded.select(col("doc_id").as("da"), col("sh").as("sha"),
+            col("band"))
+          .join(banded.select(col("doc_id").as("db"), col("sh").as("shb"),
+            col("band")), Seq("band"))
+          .filter(col("da") < col("db"))
+          .dropDuplicates("da", "db")
+        val inter = size(array_intersect(col("sha"), col("shb")))
+        val union = size(col("sha")) + size(col("shb")) - inter
+        cand
+          .withColumn("j", inter.cast("double") / union)
+          .filter(col("j") >= 0.8)
+          .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+          .orderBy("da", "db")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+              SELECT da, db, ROUND(j, 4) AS jaccard FROM p
+              WHERE j >= 0.8 ORDER BY da, db""")),
+
+    // SimHash near-dup: 64-bit fingerprints, 4×16-bit band buckets —
+    // exhaustive for Hamming ≤ 3 by pigeonhole. FNV-based fingerprints
+    // aren't SQL-expressible, so the driver check is rows-only; the
+    // brute-force-equivalence proof lives in DedupSpec.
+    "q26_neardup_simhash" -> QueryDef(
+      (s, dir) => {
+        HashFunctions.register(s)
+        val fp = table(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("graft_simhash(filter(split(text, '\\\\s+'), t -> t != ''))")
+              .as("fp"))
+        val bandCols = (0 until 4).map { b =>
+          struct(lit(b).as("b"),
+            shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("v"))
+        }
+        val banded = fp.select(col("doc_id"), col("fp"),
+          explode(array(bandCols: _*)).as("band"))
+        banded.select(col("doc_id").as("da"), col("fp").as("fpa"), col("band"))
+          .join(banded.select(col("doc_id").as("db"), col("fp").as("fpb"),
+            col("band")), Seq("band"))
+          .filter(col("da") < col("db"))
+          .dropDuplicates("da", "db")
+          .withColumn("hamming",
+            bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast("long"))
+          .filter(col("hamming") <= 3)
+          .select("da", "db", "hamming")
+          .orderBy("da", "db")
+      },
+      None)
+  )
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fnv64
+import Q._
+
+/** A binary media asset: opaque `content` bytes plus typed metadata —
+  * the multimodal column model (image/audio/video payloads ride through
+  * the engine as `binary` columns, never parsed by the engine itself).
+  */
+final case class MediaAsset(
+    asset_id: Long,
+    modality: String,
+    content: Array[Byte],
+    source: String)
+
+/** Deterministic stand-in for decoded media features. The decode step
+  * itself (JPEG/PNG/WAV parsing) is STUBBED — media codecs are not in
+  * this environment — but the Spark-side plumbing (schema, typed
+  * encoders, per-partition batching, feature-vector shape) is real and
+  * tested (MultiModalSpec).
+  */
+final case class MediaFeatures(
+    asset_id: Long,
+    modality: String,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    features: Array[Float])
+
+/** Multimodal-column operators (LLM-data-pipeline extension surface).
+  *
+  *  - [[ingestBinary]]: Spark's `binaryFile` source → asset DataFrame
+  *    (path/length/modificationTime metadata + `content` binary column);
+  *    modality inferred from the file extension, never from a decode.
+  *  - [[decodeFeatures]]: the decode/feature-extract stage as
+  *    `mapPartitions` over the typed Dataset — one decoder instance per
+  *    partition (the Spark idiom for per-batch model/codec reuse), with
+  *    the codec call replaced by [[stubDecode]], a deterministic fake
+  *    keyed on the content bytes (FNV-1a) so tests are exact.
+  *  - q28: per-modality byte statistics over synthetic binary payloads
+  *    derived from `documents.text` (UTF-8 bytes), giving the modality
+  *    path a DuckDB-checkable CORRECTNESS entry.
+  *
+  * Scale notes (100 TB): `binaryFile` splits listing across the driver's
+  * file index but each asset is one row — partition count follows
+  * `spark.sql.files.maxPartitionBytes`, so a 100 TB corpus fans out to
+  * executor-parallel decode with no shuffle at all (map-only stage);
+  * the per-partition decoder amortizes codec init across a batch.
+  */
+object MultiModal {
+
+  private val FeatureDim = 8
+
+  /** Read a directory of media files as an asset manifest with content.
+    * Modality = lowercased file extension class (decode-free sniff).
+    */
+  def ingestBinary(spark: SparkSession, pathGlob: String): DataFrame = {
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(
+        col("path"), col("length"), col("modificationTime"), col("content"),
+        when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), "image")
+          .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+          .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+          .otherwise("other").as("modality"))
+  }
+
+  /** Deterministic fake decode: derives stable pseudo-dimensions and an
+    * 8-float feature vector from the content hash. Replace the body with
+    * a real codec call when the libraries exist; the signature and the
+    * batch shape are the contract.
+    */
+  def stubDecode(a: MediaAsset): MediaFeatures = {
+    val h = Fnv64.hashBytes(a.content)
+    val feats = Array.tabulate(FeatureDim) { i =>
+      // spread the 64-bit hash into [0,1) floats, slot-salted
+      val hi = Fnv64.hashBytes(Array((h >>> (8 * (i % 8))).toByte, i.toByte))
+      ((hi >>> 11).toDouble / (1L << 53).toDouble).toFloat
+    }
+    MediaFeatures(a.asset_id, a.modality, a.content.length.toLong,
+      width = (math.abs(h) % 1920 + 1).toInt,
+      height = (math.abs(h >>> 32) % 1080 + 1).toInt,
+      features = feats)
+  }
+
+  /** The decode/feature-extract stage: executor-parallel, one decoder
+    * per partition, no shuffle.
+    */
+  def decodeFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition decoder init would go here (codec/model handle)
+      it.map(stubDecode)
+    }
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // q28: multimodal byte stats. Payload = UTF-8 bytes of documents.text
+    // (the container has no media files; byte semantics are identical),
+    // modality = deterministic byte-length class, stats per modality.
+    "q28_multimodal_stats" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .withColumn("modality",
+          when(col("n_bytes") % 3 === 0, "image")
+            .when(col("n_bytes") % 3 === 1, "audio")
+            .otherwise("video"))
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(sum(col("n_bytes")) * 1.0 / count(lit(1)), 2).as("avg_bytes"),
+          min(col("n_bytes")).as("min_bytes"),
+          max(col("n_bytes")).as("max_bytes"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("modality"),
+      Some("""WITH a AS (SELECT doc_id, lang,
+                  CAST(strlen(text) AS BIGINT) AS n_bytes,
+                  CASE WHEN strlen(text) % 3 = 0 THEN 'image'
+                       WHEN strlen(text) % 3 = 1 THEN 'audio'
+                       ELSE 'video' END AS modality
+                FROM documents)
+              SELECT modality, COUNT(*) AS n_assets,
+                CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                ROUND(CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*), 2) AS avg_bytes,
+                MIN(n_bytes) AS min_bytes, MAX(n_bytes) AS max_bytes,
+                COUNT(DISTINCT lang) AS n_langs
+              FROM a GROUP BY modality ORDER BY modality"""))
+  )
+}

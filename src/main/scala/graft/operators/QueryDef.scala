@@ -23,7 +23,9 @@ object Q {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+      // integer division: double division on nanosecond longs (~1.7e18)
+      // exceeds 2^53 and silently loses up to ~256 ns
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

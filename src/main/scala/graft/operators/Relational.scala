@@ -360,8 +360,8 @@ object Relational {
                 CAST(ROUND(SUM(CAST(row_sum AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_all
               FROM per_row GROUP BY label ORDER BY label""")),
 
-    // Q21 tumbling time window, batch-checkable form (streaming variant
-    // lives in graft.streaming with watermarks).
+    // Q21 tumbling time window, batch-checkable form (the streaming
+    // variant with watermarks is graft.streaming.StreamingOps.tumbling).
     "q21_time_window" -> QueryDef(
       (s, dir) => table(s, dir, "events")
         .groupBy(col("event_type"),

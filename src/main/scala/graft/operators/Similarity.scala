@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import Q._
+
+/** Similarity search over the `embeddings` table (SURVEY §2B Q23 + the
+  * embedding near-dup pair query). Both queries are the *exact* cosine
+  * baselines, built from codegen'd higher-order functions
+  * ([[graft.functions.VectorFunctions]]) — per-row folds are sequential,
+  * so the IEEE doubles match the oracle's in-order sums bitwise.
+  *
+  * Arithmetic is staged exactly as declared (dot / (√Σa²·√Σb²)) with
+  * per-vector norms computed once (never per candidate pair).
+  *
+  * Scale notes (100 TB): q23 broadcasts the single query vector — the big
+  * side streams map-only, no shuffle; that plan is right at any scale.
+  * q27's all-pairs join is the exact baseline only — the scale path is
+  * the LSH-bucketed ANN in [[graft.operators.Ann]], which shuffles on
+  * hyperplane-sign buckets instead of forming n² pairs.
+  */
+object Similarity {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Q23: exact cosine top-5 neighbors of vec_id=1. Plan: broadcast the
+    // 1-row query side; TakeOrderedAndProject for the top-k.
+    "q23_similarity" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 1)
+          .select(col("embedding").as("q_emb"))
+        emb.filter(col("vec_id") =!= 1)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(5)
+      },
+      Some("""WITH q AS (SELECT embedding AS q_emb FROM embeddings
+                         WHERE vec_id = 1),
+              c AS (SELECT e.vec_id, e.embedding, q.q_emb
+                    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 1),
+              s AS (SELECT vec_id,
+                  (SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                   FROM (SELECT UNNEST(embedding) AS x,
+                                UNNEST(q_emb) AS y) z) AS dotab,
+                  (SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                   FROM UNNEST(embedding) AS u(x)) AS na,
+                  (SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                   FROM UNNEST(q_emb) AS u(x)) AS nb
+                FROM c)
+              SELECT vec_id, ROUND(dotab / (SQRT(na) * SQRT(nb)), 4) AS sim
+              FROM s ORDER BY sim DESC, vec_id LIMIT 5""")),
+
+    // Embedding-cosine near-dup: global top-20 most-similar pairs.
+    // Norms precomputed per vector; pair join broadcasts one side (the
+    // exact baseline — see Ann for the bucketed scale path).
+    "q27_embedding_pairs" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            normSq(col("embedding")).as("nsq"))
+        val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+          col("nsq").as("na"))
+        val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+          col("nsq").as("nb"))
+        a.join(broadcast(b), col("va") < col("vb"))
+          .select(col("va"), col("vb"),
+            round(cosineWithNorms(dot(col("ea"), col("eb")),
+              col("na"), col("nb")), 4).as("sim"))
+          .orderBy(desc("sim"), col("va"), col("vb"))
+          .limit(20)
+      },
+      Some("""WITH n AS (SELECT vec_id, embedding,
+                  (SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                   FROM UNNEST(embedding) AS u(x)) AS nsq
+                FROM embeddings),
+              p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                  (SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                   FROM (SELECT UNNEST(a.embedding) AS x,
+                                UNNEST(b.embedding) AS y) z) AS dotab,
+                  a.nsq AS na, b.nsq AS nb
+                FROM n a JOIN n b ON a.vec_id < b.vec_id)
+              SELECT va, vb, ROUND(dotab / (SQRT(na) * SQRT(nb)), 4) AS sim
+              FROM p ORDER BY sim DESC, va, vb LIMIT 20"""))
+  )
+}

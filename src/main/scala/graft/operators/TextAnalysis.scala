@@ -104,7 +104,11 @@ object TextAnalysis {
               GROUP BY 1 ORDER BY lang_pred""")),
 
     // Quality scoring: length/stopword-ratio/avg-token-length features +
-    // a length bucket, one row per document.
+    // a length bucket, one row per document. Ratio rounding is exact
+    // integer half-up — round(a/b, s) = (10^s·2·a + b) div (2·b) / 10^s —
+    // because round(double, s) diverges between engines when the double's
+    // shortest decimal form lands exactly on a half (Spark rounds the
+    // string form, DuckDB the binary value: 4.725 → 4.73 vs 4.72).
     "q31_text_quality" -> QueryDef(
       (s, dir) => table(s, dir, "documents")
         .withColumn("toks", tokens(col("text")))
@@ -115,10 +119,12 @@ object TextAnalysis {
           size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("long"))
         .select(col("doc_id"), col("n_tokens"), col("n_chars_ns"),
           when(col("n_tokens") === 0, 0.0)
-            .otherwise(round(col("n_chars_ns") * 1.0 / col("n_tokens"), 2))
+            .otherwise(expr("(200*n_chars_ns + n_tokens) div (2*n_tokens)")
+              .cast("double") / 100.0)
             .as("avg_tok_len"),
           when(col("n_tokens") === 0, 0.0)
-            .otherwise(round(col("n_stop") * 1.0 / col("n_tokens"), 4))
+            .otherwise(expr("(20000*n_stop + n_tokens) div (2*n_tokens)")
+              .cast("double") / 10000.0)
             .as("stop_ratio"),
           when(col("n_tokens") >= 40, "long")
             .when(col("n_tokens") >= 10, "mid")
@@ -129,41 +135,51 @@ object TextAnalysis {
                     x -> x <> '') AS toks,
                   CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
                     AS n_chars_ns
-                FROM documents)
-              SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens, n_chars_ns,
-                CASE WHEN LEN(toks) = 0 THEN 0.0
-                  ELSE ROUND(CAST(n_chars_ns AS DOUBLE) / LEN(toks), 2) END AS avg_tok_len,
-                CASE WHEN LEN(toks) = 0 THEN 0.0
-                  ELSE ROUND(CAST(LEN(list_filter(toks,
-                    x -> x IN ($stopwordsSql))) AS DOUBLE) / LEN(toks), 4)
+                FROM documents),
+              g AS (SELECT doc_id, n_chars_ns,
+                  CAST(LEN(toks) AS BIGINT) AS n_tokens,
+                  CAST(LEN(list_filter(toks,
+                    x -> x IN ($stopwordsSql))) AS BIGINT) AS n_stop
+                FROM f)
+              SELECT doc_id, n_tokens, n_chars_ns,
+                CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE ((200*n_chars_ns + n_tokens) // (2*n_tokens)) / 100.0
+                  END AS avg_tok_len,
+                CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE ((20000*n_stop + n_tokens) // (2*n_tokens)) / 10000.0
                   END AS stop_ratio,
-                CASE WHEN LEN(toks) >= 40 THEN 'long'
-                  WHEN LEN(toks) >= 10 THEN 'mid'
+                CASE WHEN n_tokens >= 40 THEN 'long'
+                  WHEN n_tokens >= 10 THEN 'mid'
                   ELSE 'short' END AS bucket
-              FROM f ORDER BY doc_id""")),
+              FROM g ORDER BY doc_id""")),
 
-    // Token counting, whitespace vs BPE-ish regex, per document.
+    // Token counting, whitespace vs BPE-ish regex, per document. Same
+    // exact integer half-up rounding as q31 (see comment there).
     "q32_text_token_count" -> QueryDef(
       (s, dir) => table(s, dir, "documents")
         .withColumn("ws_tokens", size(tokens(col("text"))).cast("long"))
         .withColumn("bpe_tokens",
           size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0)))
             .cast("long"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
         .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
           when(col("bpe_tokens") === 0, 0.0)
-            .otherwise(round(length(col("text")) * 1.0 / col("bpe_tokens"), 2))
+            .otherwise(expr("(200*n_chars + bpe_tokens) div (2*bpe_tokens)")
+              .cast("double") / 100.0)
             .as("chars_per_token"))
         .orderBy("doc_id"),
-      Some(s"""SELECT doc_id,
-                CAST(LEN(list_filter(string_split_regex(text, '\\s+'),
-                  x -> x <> '')) AS BIGINT) AS ws_tokens,
-                CAST(LEN(regexp_extract_all(text, '$bpeRegex')) AS BIGINT)
-                  AS bpe_tokens,
-                CASE WHEN LEN(regexp_extract_all(text, '$bpeRegex')) = 0 THEN 0.0
-                  ELSE ROUND(CAST(LENGTH(text) AS DOUBLE) /
-                    LEN(regexp_extract_all(text, '$bpeRegex')), 2)
+      Some(s"""WITH f AS (SELECT doc_id,
+                  CAST(LEN(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '')) AS BIGINT) AS ws_tokens,
+                  CAST(LEN(regexp_extract_all(text, '$bpeRegex')) AS BIGINT)
+                    AS bpe_tokens,
+                  CAST(LENGTH(text) AS BIGINT) AS n_chars
+                FROM documents)
+              SELECT doc_id, ws_tokens, bpe_tokens,
+                CASE WHEN bpe_tokens = 0 THEN 0.0
+                  ELSE ((200*n_chars + bpe_tokens) // (2*bpe_tokens)) / 100.0
                   END AS chars_per_token
-              FROM documents ORDER BY doc_id""")),
+              FROM f ORDER BY doc_id""")),
 
     // Document fingerprinting: md5 content hash + duplicate-group size
     // (the exact-dedup primitive at fingerprint granularity).
