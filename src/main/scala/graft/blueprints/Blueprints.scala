@@ -25,12 +25,15 @@ object Blueprints {
   /** local -> GCS (upload_file.py:221-267). `srcRoot` is the local root.
     * Directories returned by the reference's `glob('**')` (which would crash
     * `upload_from_filename`, SURVEY §2A-O6) are excluded by the manifest's
-    * files-only contract.
+    * files-only contract. The regex matches the ABSOLUTE local path
+    * (upload_file.py:159-174), unlike download/move/remove which match the
+    * bucket-relative name — SURVEY §2A-O3 preserves both behaviors per-op.
     */
   def upload(spark: SparkSession, cfg: UploadConfig, srcRoot: String): Long =
     transfer(spark, srcRoot, cfg.sourceFolderName, cfg.sourceFileName,
       cfg.matchType, cfg.bucket, cfg.destinationFolderName,
-      cfg.destinationFileName, EnumeratePolicy.Always, deleteSource = false)
+      cfg.destinationFileName, EnumeratePolicy.Always, deleteSource = false,
+      matchAbsolute = true)
 
   /** GCS -> GCS cross-bucket move = copy + verify + delete
     * (move_file.py:158-214). Enumerates only when >1 match
@@ -69,7 +72,8 @@ object Blueprints {
       dstFolder: String,
       dstFile: Option[String],
       policy: EnumeratePolicy,
-      deleteSource: Boolean): Long = matchType match {
+      deleteSource: Boolean,
+      matchAbsolute: Boolean = false): Long = matchType match {
     case MatchType.ExactMatch =>
       val entry = FileManifest.lookup(spark, srcRoot, srcFolder, srcFile)
       val dest = PathAlg.determineFullPath(dstFolder, dstFile, entry.path, None)
@@ -77,7 +81,9 @@ object Blueprints {
       1L
     case MatchType.RegexMatch =>
       val manifest = FileManifest.scan(spark, srcRoot, srcFolder)
-      val matched = FileManifest.regexFilter(manifest, srcFile)
+      val matched =
+        if (matchAbsolute) FileManifest.regexFilterAbsolute(manifest, srcFile)
+        else FileManifest.regexFilter(manifest, srcFile)
       val planned = FileManifest.withDestination(matched, dstFolder, dstFile, policy)
       val n = FileOps.copy(planned, Some(dstRoot), deleteSource)
       if (n == 0) throw BlueprintError.FileNotFound(srcFile)

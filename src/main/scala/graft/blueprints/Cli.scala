@@ -11,10 +11,21 @@ import graft.core._
   */
 object Cli {
 
+  /** argparse-style strictness: every token must be a `--flag value`
+    * pair; a dangling flag or a bare value is a usage error (exit 2),
+    * not a silent drop.
+    */
   def parseFlags(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
+    args.grouped(2).map {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+      case Array(k, _) => throw BlueprintError.UsageError(s"expected --flag, got '$k'")
+      case Array(k) => throw BlueprintError.UsageError(s"flag $k is missing a value")
     }.toMap
+
+  /** Required flag lookup with an argparse-style error. */
+  def required(f: Map[String, String], key: String): String =
+    f.getOrElse(key,
+      throw BlueprintError.UsageError(s"the following argument is required: --$key"))
 
   def session(): SparkSession = {
     val spark = SparkSession.builder()
@@ -42,9 +53,9 @@ object DownloadFile {
     f.get("service-account").foreach(Blueprints.configureCredentials(spark, _))
     val n = Blueprints.download(spark,
       DownloadConfig(
-        bucket = f("bucket-name"),
+        bucket = Cli.required(f, "bucket-name"),
         sourceFolderName = f.getOrElse("source-folder-name", ""),
-        sourceFileName = f("source-file-name"),
+        sourceFileName = Cli.required(f, "source-file-name"),
         matchType = MatchType.parse(
           f.getOrElse("source-file-name-match-type", "exact_match")),
         destinationFolderName = f.getOrElse("destination-folder-name", ""),
@@ -63,9 +74,9 @@ object UploadFile {
     f.get("service-account").foreach(Blueprints.configureCredentials(spark, _))
     val n = Blueprints.upload(spark,
       UploadConfig(
-        bucket = f("bucket-name"),
+        bucket = Cli.required(f, "bucket-name"),
         sourceFolderName = f.getOrElse("source-folder-name", ""),
-        sourceFileName = f("source-file-name"),
+        sourceFileName = Cli.required(f, "source-file-name"),
         matchType = MatchType.parse(
           f.getOrElse("source-file-name-match-type", "exact_match")),
         destinationFolderName = f.getOrElse("destination-folder-name", ""),
@@ -84,11 +95,11 @@ object MoveFile {
     f.get("service-account").foreach(Blueprints.configureCredentials(spark, _))
     val n = Blueprints.move(spark,
       MoveConfig(
-        sourceBucket = f("source-bucket-name"),
+        sourceBucket = Cli.required(f, "source-bucket-name"),
         destinationBucket =
-          f.getOrElse("destination-bucket-name", f("source-bucket-name")),
+          f.getOrElse("destination-bucket-name", Cli.required(f, "source-bucket-name")),
         sourceFolderName = f.getOrElse("source-folder-name", ""),
-        sourceFileName = f("source-file-name"),
+        sourceFileName = Cli.required(f, "source-file-name"),
         matchType = MatchType.parse(
           f.getOrElse("source-file-name-match-type", "exact_match")),
         destinationFolderName = f.getOrElse("destination-folder-name", ""),
@@ -105,9 +116,9 @@ object RemoveFile {
     f.get("service-account").foreach(Blueprints.configureCredentials(spark, _))
     val n = Blueprints.remove(spark,
       RemoveConfig(
-        bucket = f("bucket-name"),
+        bucket = Cli.required(f, "bucket-name"),
         sourceFolderName = f.getOrElse("source-folder-name", ""),
-        sourceFileName = f("source-file-name"),
+        sourceFileName = Cli.required(f, "source-file-name"),
         matchType = MatchType.parse(
           f.getOrElse("source-file-name-match-type", "exact_match"))))
     println(s"removed $n file(s)")

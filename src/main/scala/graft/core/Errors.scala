@@ -19,10 +19,20 @@ object BlueprintError {
       extends BlueprintError(205, s"File not found: $path")
   final case class BadRegex(pattern: String, detail: String)
       extends BlueprintError(205, s"Invalid regex '$pattern': $detail")
+  /** Extension (no reference analog): two planned rows map to the same
+    * destination object — the reference's sequential loop overwrote
+    * last-wins; executor-parallel execution must reject instead.
+    */
+  final case class DestinationCollision(dest: String)
+      extends BlueprintError(210, s"Destination collision: $dest")
+  /** argparse-style bad/missing CLI flag (exit 2, argparse's code). */
+  final case class UsageError(detail: String)
+      extends BlueprintError(2, s"usage error: $detail")
 
   val ExitInvalidCredentials = 200
   val ExitInvalidBucket = 201
   val ExitFileNotFound = 205
+  val ExitDestinationCollision = 210
 
   /** Run `body`; on BlueprintError exit with its code (CLI edge only). */
   def exitOnError[A](body: => A): A =

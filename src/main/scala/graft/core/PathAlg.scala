@@ -12,11 +12,21 @@ package graft.core
   */
 object PathAlg {
 
-  /** Strip leading/trailing slashes and collapse duplicate slashes.
-    * Reference: download_file.py:109-116 (`clean_folder_name`).
+  /** Strip leading/trailing slashes, collapse duplicate slashes, and
+    * normalize dot segments the way `os.path.normpath` does (drop `.`,
+    * resolve `a/..`, keep leading `..` of a relative path).
+    * Reference: download_file.py:109-116 (`clean_folder_name`) composed
+    * with the normpath inside download_file.py:119-127.
     */
-  def cleanFolderName(folder: String): String =
-    folder.trim.split("/").filter(_.nonEmpty).mkString("/")
+  def cleanFolderName(folder: String): String = {
+    val segs = folder.trim.split("/").filter(s => s.nonEmpty && s != ".")
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    segs.foreach {
+      case ".." if out.nonEmpty && out.last != ".." => out.remove(out.length - 1)
+      case s => out += s
+    }
+    out.mkString("/")
+  }
 
   /** Join folder and file into a normalized relative path.
     * Reference: download_file.py:119-127 (`combine_folder_and_file_name`).

@@ -2,10 +2,10 @@ package graft.sources
 
 import java.net.URI
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
 import graft.core.{BlueprintError, EnumeratePolicy, PathAlg}
 
 /** One object in a bucket-like store. `path` is the bucket-relative object
@@ -22,18 +22,18 @@ final case class FileEntry(
   *
   * Replaces the reference's driver-side blob listing
   * (download_file.py:147-152 `find_google_cloud_storage_file_names`) with a
-  * lazy manifest `Dataset[FileEntry]` over Hadoop `FileSystem`, so that
+  * manifest `Dataset[FileEntry]` over Hadoop `FileSystem`, so that
   * filters/projections/sinks compose as Spark plans and the copy/delete
   * actions run executor-parallel (SURVEY §4-P1). Prefix pushdown (the
   * reference's server-side `list_blobs(prefix=…)`, download_file.py:248-249)
   * maps to scoping the listing root to `bucket/prefix`.
   *
-  * Scale note (100 TB / 10^8 objects): listing runs on the driver through a
-  * `RemoteIterator` (streamed, not materialized) and becomes a distributed
-  * Dataset immediately; for object stores the listing itself is the GCS/S3
-  * List API, which is already server-side paginated. Manifests of ~10^7
-  * entries are a few GB of rows — comfortably a Spark dataset, never a
-  * driver array of file contents.
+  * Scale (100 TB / 10^8 objects): the driver lists only the FIRST level
+  * under the prefix; every subdirectory is listed recursively on the
+  * executors (`parallelize(dirs).flatMap(listOnExecutor)`) — the same
+  * fan-out Spark's own InMemoryFileIndex uses for parallel partition
+  * discovery. The driver never materializes the deep listing; its memory
+  * is bounded by the first-level fan-out, not the object count.
   */
 object FileManifest {
 
@@ -53,30 +53,45 @@ object FileManifest {
     val rootPath = new Path(root)
     if (!fs.exists(rootPath))
       throw BlueprintError.InvalidBucket(bucketUri)
+    val rootStr = fs.makeQualified(rootPath).toString.stripSuffix("/")
     val listPath = new Path(listRoot)
-    val entries =
-      if (!fs.exists(listPath)) Seq.empty[FileEntry]
-      else {
-        val it = fs.listFiles(listPath, recursive)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
-        val rootStr = fs.makeQualified(rootPath).toString.stripSuffix("/")
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile) {
-            val full = st.getPath.toString
-            val rel = full.stripPrefix(rootStr).stripPrefix("/")
-            buf += FileEntry(
-              bucket = root,
-              path = rel,
-              name = st.getPath.getName,
-              size = st.getLen,
-              modificationTime =
-                new java.sql.Timestamp(st.getModificationTime))
+    if (!fs.exists(listPath)) return spark.emptyDataset[FileEntry]
+
+    // Shallow first level on the driver: files become entries directly,
+    // directories fan out to the executors.
+    val shallow = fs.listStatus(listPath)
+    val files = shallow.filter(_.isFile).map(toEntry(_, root, rootStr)).toSeq
+    val dirs = shallow.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    val shallowDs = spark.createDataset(files)
+    if (dirs.isEmpty || !recursive) shallowDs
+    else {
+      val conf = new SerializableConfiguration(hadoopConf(spark))
+      val slices = math.max(1,
+        math.min(dirs.length, spark.sparkContext.defaultParallelism))
+      val deep = spark.sparkContext
+        .parallelize(dirs, slices)
+        .flatMap { d =>
+          val c = conf.value
+          val dirPath = new Path(d)
+          val dirFs = FileSystem.get(dirPath.toUri, c)
+          val it = dirFs.listFiles(dirPath, true)
+          new Iterator[FileEntry] {
+            def hasNext: Boolean = it.hasNext
+            def next(): FileEntry = toEntry(it.next(), root, rootStr)
           }
         }
-        buf.toSeq
-      }
-    spark.createDataset(entries)
+      shallowDs.union(spark.createDataset(deep))
+    }
+  }
+
+  private def toEntry(st: FileStatus, root: String, rootStr: String): FileEntry = {
+    val rel = st.getPath.toString.stripPrefix(rootStr).stripPrefix("/")
+    FileEntry(
+      bucket = root,
+      path = rel,
+      name = st.getPath.getName,
+      size = st.getLen,
+      modificationTime = new java.sql.Timestamp(st.getModificationTime))
   }
 
   /** Exact-match point lookup (no listing, no Spark job) — the reference's
@@ -106,22 +121,41 @@ object FileManifest {
     * subset (SURVEY §2A-O3). Pattern validity is checked eagerly so a bad
     * pattern maps to a typed error (move_file.py:174-183 behavior).
     */
-  def regexFilter(manifest: Dataset[FileEntry], pattern: String): Dataset[FileEntry] = {
+  def regexFilter(manifest: Dataset[FileEntry], pattern: String): Dataset[FileEntry] =
+    manifest.filter(compiled(pattern))
+
+  /** Regex predicate over the ABSOLUTE local path — upload's divergent
+    * semantics (upload_file.py:159-174 builds `cwd/...` strings via glob
+    * and matches those): a pattern anchored on the absolute prefix must
+    * match for upload, and must NOT implicitly match for the
+    * bucket-relative ops. Scheme is stripped so the matched string is the
+    * OS path the reference saw (`/tmp/src/folder/file`).
+    */
+  def regexFilterAbsolute(manifest: Dataset[FileEntry], pattern: String): Dataset[FileEntry] = {
+    val abs = concat(
+      regexp_replace(col("bucket"), "^file:(//)?", ""), lit("/"), col("path"))
+    manifest.filter(compiled(pattern, abs))
+  }
+
+  private def compiled(pattern: String, target: Column = col("path")): Column = {
     try java.util.regex.Pattern.compile(pattern)
     catch {
       case e: java.util.regex.PatternSyntaxException =>
         throw BlueprintError.BadRegex(pattern, e.getMessage)
     }
-    manifest.filter(col("path").rlike(pattern))
+    target.rlike(pattern)
   }
 
   /** Project destination object names onto a manifest.
     *
     * Mirrors `determine_destination_file_name` + enumeration
     * (download_file.py:74-106): explicit name, enumerated `name_{i}.ext`, or
-    * basename of the source. The running counter is `row_number()` ordered
-    * by `path` — explicit and deterministic where the reference implicitly
-    * relied on GCS's lexicographic listing order (SURVEY §4-P5).
+    * basename of the source. The running counter is a `zipWithIndex` over
+    * the path-sorted manifest — explicit and deterministic where the
+    * reference implicitly relied on GCS's lexicographic listing order
+    * (SURVEY §4-P5), and distributed: the sort is a range-partitioned
+    * shuffle and zipWithIndex a per-partition offset job, so no
+    * single-task global window exists anywhere in the plan.
     *
     * Output columns: manifest columns + `dest` (bucket-relative destination).
     */
@@ -130,28 +164,34 @@ object FileManifest {
       destinationFolderName: String,
       destinationFileName: Option[String],
       policy: EnumeratePolicy): DataFrame = {
+    val spark = manifest.sparkSession
+    import spark.implicits._
     val folder = PathAlg.cleanFolderName(destinationFolderName)
-    val n = row_number().over(Window.orderBy("path"))
-    val total = count(lit(1)).over(Window.partitionBy())
+    val total = manifest.count()
+    val indexed = spark.createDataset(
+      manifest.orderBy("path").as[FileEntry].rdd
+        .zipWithIndex().map { case (e, i) => (e, i + 1) })
+      .select(col("_1.*"), col("_2").as("file_number"))
+    val n = col("file_number")
     val baseName = element_at(split(col("path"), "/"), -1)
     val destName = destinationFileName match {
       case None => baseName
       case Some(dest) =>
         val dotIdx = dest.indexOf('.')
-        def enumerated(i: org.apache.spark.sql.Column) =
+        def enumerated(i: Column) =
           if (dotIdx < 0) concat(lit(dest + "_"), i)
           else concat(lit(dest.substring(0, dotIdx) + "_"), i,
             lit(dest.substring(dotIdx)))
         policy match {
           case EnumeratePolicy.Always => enumerated(n)
           case EnumeratePolicy.IfMultiple =>
-            when(total > 1, enumerated(n)).otherwise(lit(dest))
+            if (total > 1) enumerated(n) else lit(dest)
         }
     }
     val dest =
       if (folder.isEmpty) destName
       else concat(lit(folder + "/"), destName)
-    manifest.withColumn("dest", dest)
+    indexed.withColumn("dest", dest).drop("file_number")
   }
 
   private[graft] def fileSystemFor(spark: SparkSession, uri: String): FileSystem =

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Q}
+
+/** LSH-bucketed ANN contract (no SQL oracle — bucket membership isn't
+  * SQL-expressible): candidate sims are the exact cosines, candidates
+  * are a subset of the brute-force pair set, self-queries retrieve
+  * themselves, and the plan contains no cartesian product.
+  */
+class AnnSpec extends SparkSpec {
+
+  private lazy val emb = Q.table(spark, sfDir, "embeddings")
+    .select("vec_id", "embedding")
+
+  test("ann sims equal brute-force sims on shared pairs") {
+    val queries = emb.filter(col("vec_id") <= 5)
+    val ann = Ann.annTopK(emb, queries, k = 10)
+      .select("q_id", "vec_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val brute = Ann.bruteTopK(emb, queries, k = emb.count().toInt)
+      .select("q_id", "vec_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(ann.nonEmpty)
+    ann.foreach { case (k, sim) =>
+      assert(brute.contains(k), s"ann pair $k missing from brute force")
+      assert(sim == brute(k), s"sim mismatch for $k")
+    }
+  }
+
+  test("a corpus vector used as query retrieves its duplicate bucket-mates deterministically") {
+    // duplicate vec 1 as a query with a different id: identical vector ⇒
+    // identical sign bucket ⇒ the original must appear with sim 1.0
+    val q = emb.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val res = Ann.annTopK(emb, q, k = 3).collect()
+    assert(res.nonEmpty)
+    val top = res.minBy(_.getAs[Int]("rank"))
+    assert(top.getAs[Long]("vec_id") == 1L)
+    assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
+  test("ann plan has no cartesian product") {
+    val queries = emb.filter(col("vec_id") <= 5)
+    val plan = Ann.annTopK(emb, queries, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

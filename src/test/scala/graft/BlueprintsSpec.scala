@@ -1,0 +1,217 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import graft.blueprints.Blueprints
+import graft.core._
+
+/** End-to-end tests of the four blueprint pipelines over `file://`
+  * fixtures standing in for buckets (SURVEY §5 item 2): exit-code
+  * mapping (exit_codes.py:1-3), the divergent enumerate policies
+  * (download_file.py:254-258 vs move_file.py:185-191), directory
+  * exclusion (upload_file.py:154-162), upload's absolute-path regex
+  * semantics (upload_file.py:159-174), and the collision guard.
+  */
+class BlueprintsSpec extends SparkSpec {
+
+  private var root: Path = _
+  private def uri(p: Path): String = s"file://$p"
+
+  private def write(p: Path, content: String): Unit = {
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  private def names(dir: Path): Set[String] =
+    if (!Files.exists(dir)) Set.empty
+    else Files.walk(dir).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(dir.relativize(_).toString).toSet
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    root = Files.createTempDirectory("graft-bp")
+  }
+
+  private def freshBucket(files: (String, String)*): Path = {
+    val b = Files.createTempDirectory(root, "bkt")
+    files.foreach { case (rel, c) => write(b.resolve(rel), c) }
+    b
+  }
+
+  // --- download: regex path ALWAYS enumerates (download_file.py:254-258) ---
+
+  test("download regex multi-match enumerates _1 _2 into dest folder") {
+    val src = freshBucket("logs/a.csv" -> "a", "logs/b.csv" -> "b")
+    val dst = Files.createTempDirectory(root, "dl")
+    val n = Blueprints.download(spark,
+      DownloadConfig(uri(src), "logs", ".*[.]csv", MatchType.RegexMatch,
+        "out", Some("data.csv")),
+      uri(dst))
+    assert(n == 2)
+    assert(names(dst) == Set("out/data_1.csv", "out/data_2.csv"))
+  }
+
+  test("download regex SINGLE match still enumerates _1 (Always policy)") {
+    val src = freshBucket("only.csv" -> "x")
+    val dst = Files.createTempDirectory(root, "dl")
+    Blueprints.download(spark,
+      DownloadConfig(uri(src), "", "only.*", MatchType.RegexMatch,
+        "", Some("got.csv")),
+      uri(dst))
+    assert(names(dst) == Set("got_1.csv"))
+  }
+
+  test("download exact match copies one file under its chosen name") {
+    val src = freshBucket("f/data.csv" -> "hello")
+    val dst = Files.createTempDirectory(root, "dl")
+    val n = Blueprints.download(spark,
+      DownloadConfig(uri(src), "f", "data.csv", MatchType.ExactMatch,
+        "", None),
+      uri(dst))
+    assert(n == 1)
+    assert(Files.readString(dst.resolve("data.csv")) == "hello")
+  }
+
+  // --- move: enumerate only when >1 match (move_file.py:185-191) ---
+
+  test("move regex single match keeps the explicit name (IfMultiple)") {
+    val src = freshBucket("a/x.txt" -> "1")
+    val dst = Files.createTempDirectory(root, "mv")
+    val n = Blueprints.move(spark,
+      MoveConfig(uri(src), uri(dst), "a", "x.*", MatchType.RegexMatch,
+        "", Some("moved.txt")))
+    assert(n == 1)
+    assert(names(dst) == Set("moved.txt"))
+    assert(names(src) == Set.empty) // source deleted after verified copy
+  }
+
+  test("move regex multi-match enumerates and deletes sources") {
+    val src = freshBucket("a/x1.txt" -> "1", "a/x2.txt" -> "2")
+    val dst = Files.createTempDirectory(root, "mv")
+    val n = Blueprints.move(spark,
+      MoveConfig(uri(src), uri(dst), "a", "x.*", MatchType.RegexMatch,
+        "", Some("m.txt")))
+    assert(n == 2)
+    assert(names(dst) == Set("m_1.txt", "m_2.txt"))
+    assert(names(src) == Set.empty)
+  }
+
+  test("move is cross-bucket capable with exact match") {
+    val src = freshBucket("k.bin" -> "k")
+    val dst = Files.createTempDirectory(root, "mv")
+    Blueprints.move(spark,
+      MoveConfig(uri(src), uri(dst), "", "k.bin", MatchType.ExactMatch,
+        "arch", None))
+    assert(names(dst) == Set("arch/k.bin"))
+    assert(!Files.exists(src.resolve("k.bin")))
+  }
+
+  // --- remove (remove_file.py:138-166) ---
+
+  test("remove regex deletes all matches, leaves the rest") {
+    val b = freshBucket("l/old_1.log" -> "", "l/old_2.log" -> "", "l/keep.txt" -> "")
+    val n = Blueprints.remove(spark,
+      RemoveConfig(uri(b), "l", "old_.*[.]log", MatchType.RegexMatch))
+    assert(n == 2)
+    assert(names(b) == Set("l/keep.txt"))
+  }
+
+  test("remove exact deletes exactly one object") {
+    val b = freshBucket("x.txt" -> "", "x.txt.bak" -> "")
+    Blueprints.remove(spark, RemoveConfig(uri(b), "", "x.txt", MatchType.ExactMatch))
+    assert(names(b) == Set("x.txt.bak"))
+  }
+
+  // --- exit codes (exit_codes.py:1-3, uniform per SURVEY §2A-O12) ---
+
+  test("missing bucket raises InvalidBucket with exit code 201") {
+    val e = intercept[BlueprintError.InvalidBucket] {
+      Blueprints.download(spark,
+        DownloadConfig(s"file://$root/nope", "", "x", MatchType.ExactMatch, "", None),
+        uri(root))
+    }
+    assert(e.exitCode == BlueprintError.ExitInvalidBucket)
+  }
+
+  test("missing file raises FileNotFound with exit code 205 (exact)") {
+    val b = freshBucket("real.txt" -> "")
+    val e = intercept[BlueprintError.FileNotFound] {
+      Blueprints.remove(spark, RemoveConfig(uri(b), "", "ghost.txt", MatchType.ExactMatch))
+    }
+    assert(e.exitCode == BlueprintError.ExitFileNotFound)
+  }
+
+  test("zero regex matches raises FileNotFound with exit code 205") {
+    val b = freshBucket("real.txt" -> "")
+    val e = intercept[BlueprintError.FileNotFound] {
+      Blueprints.remove(spark, RemoveConfig(uri(b), "", "zzz.*", MatchType.RegexMatch))
+    }
+    assert(e.exitCode == BlueprintError.ExitFileNotFound)
+  }
+
+  test("invalid regex raises BadRegex with exit code 205 (move_file.py:174-183)") {
+    val b = freshBucket("real.txt" -> "")
+    val e = intercept[BlueprintError.BadRegex] {
+      Blueprints.remove(spark, RemoveConfig(uri(b), "", "[unclosed", MatchType.RegexMatch))
+    }
+    assert(e.exitCode == BlueprintError.ExitFileNotFound)
+  }
+
+  test("unreadable credentials keyfile raises InvalidCredentials (200)") {
+    val e = intercept[BlueprintError.InvalidCredentials] {
+      Blueprints.configureCredentials(spark, "/no/such/keyfile.json")
+    }
+    assert(e.exitCode == BlueprintError.ExitInvalidCredentials)
+  }
+
+  test("inline-JSON credentials write a keyfile into hadoop conf") {
+    Blueprints.configureCredentials(spark, """{"type":"service_account"}""")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val kf = hc.get("google.cloud.auth.service.account.json.keyfile")
+    assert(kf != null && Files.readString(Paths.get(kf)).contains("service_account"))
+    assert(hc.get("fs.gs.outputstream.upload.chunk.size") ==
+      (128 * 1024 * 1024).toString) // upload_file.py:12
+  }
+
+  // --- upload semantics (upload_file.py:154-174) ---
+
+  test("upload regex matches the ABSOLUTE local path, not the relative one") {
+    val src = freshBucket("in/report.csv" -> "r")
+    val dst = Files.createTempDirectory(root, "up")
+    // pattern anchored on the absolute tmp prefix: the reference matches
+    // it (glob builds cwd-absolute strings); relative-only matching would
+    // find nothing
+    val n = Blueprints.upload(spark,
+      UploadConfig(uri(dst), "", s"^$src/in/.*[.]csv", MatchType.RegexMatch,
+        "", Some("up.csv")),
+      uri(src))
+    assert(n == 1)
+    assert(names(dst) == Set("up_1.csv"))
+  }
+
+  test("upload excludes directories from the manifest (SURVEY §2A-O6)") {
+    val src = freshBucket("d1/f.txt" -> "x")
+    Files.createDirectories(src.resolve("d1/empty-subdir"))
+    val dst = Files.createTempDirectory(root, "up")
+    val n = Blueprints.upload(spark,
+      UploadConfig(uri(dst), "", ".*", MatchType.RegexMatch, "", None),
+      uri(src))
+    assert(n == 1) // only the file; the directories never enter the manifest
+    assert(names(dst) == Set("f.txt"))
+  }
+
+  // --- collision guard (executor-parallel last-wins is data loss) ---
+
+  test("duplicate basenames without explicit name raise DestinationCollision") {
+    val src = freshBucket("a/same.txt" -> "1", "b/same.txt" -> "2")
+    val dst = Files.createTempDirectory(root, "dl")
+    val e = intercept[BlueprintError.DestinationCollision] {
+      Blueprints.download(spark,
+        DownloadConfig(uri(src), "", "same", MatchType.RegexMatch, "", None),
+        uri(dst))
+    }
+    assert(e.exitCode == BlueprintError.ExitDestinationCollision)
+    // and nothing was copied before the failure
+    assert(names(dst) == Set.empty)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions
+import graft.operators.{Dedup, Q, TextAnalysis}
+
+/** Near-dup pipeline guarantees that the SQL oracle can't express:
+  * LSH banding finds every pair the brute-force exact computation finds
+  * (at the declared thresholds, on the driver corpus), and the SimHash
+  * band join is *exhaustive* for Hamming ≤ 3 by pigeonhole.
+  */
+class DedupSpec extends SparkSpec {
+
+  test("minhash LSH candidates cover all exact-Jaccard>=0.8 pairs") {
+    // brute force: exact jaccard over all shingle-set pairs
+    val sh = Q.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("da"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("db"), col("sh").as("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val uni = size(col("sha")) + size(col("shb")) - inter
+    val brute = a.join(b, col("da") < col("db"))
+      .withColumn("j", inter.cast("double") / uni)
+      .filter(col("j") >= 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val lsh = Dedup.defs.toMap.apply("q25_neardup_minhash")
+      .build(spark, sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(lsh == brute)
+    assert(brute.nonEmpty, "corpus should contain near-dup pairs")
+  }
+
+  test("simhash banding equals brute-force Hamming<=3 pairs (pigeonhole)") {
+    HashFunctions.register(spark)
+    val fp = Q.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("graft_simhash(filter(split(text, '\\\\s+'), t -> t != ''))").as("fp"))
+    val a = fp.select(col("doc_id").as("da"), col("fp").as("fpa"))
+    val b = fp.select(col("doc_id").as("db"), col("fp").as("fpb"))
+    val brute = a.join(b, col("da") < col("db"))
+      .withColumn("h", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+      .filter(col("h") <= 3)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val banded = Dedup.defs.toMap.apply("q26_neardup_simhash")
+      .build(spark, sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(banded == brute)
+  }
+
+  test("exact dedup survivor counts sum to the distinct-text count") {
+    val docs = Q.table(spark, sfDir, "documents")
+    val distinctTexts = docs.select("text").distinct().count()
+    val out = Dedup.defs.toMap.apply("q22_dedup").build(spark, sfDir)
+    assert(out.agg(sum("n_docs")).collect().head.getLong(0) == distinctTexts)
+  }
+
+  test("minhash signature is deterministic and length-k") {
+    HashFunctions.register(spark)
+    val sig = spark.sql(
+      "SELECT graft_minhash(array('a b c', 'b c d')) AS s").collect().head
+      .getSeq[Long](0)
+    assert(sig.length == HashFunctions.MinHashK)
+    val sig2 = spark.sql(
+      "SELECT graft_minhash(array('a b c', 'b c d')) AS s").collect().head
+      .getSeq[Long](0)
+    assert(sig == sig2)
+    // identical sets ⇒ identical signatures; disjoint sets ⇒ different
+    val other = spark.sql(
+      "SELECT graft_minhash(array('x y z')) AS s").collect().head.getSeq[Long](0)
+    assert(other != sig)
+  }
+}

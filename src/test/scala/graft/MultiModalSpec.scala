@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{MediaAsset, MultiModal}
+
+/** Multimodal plumbing: binaryFile ingestion with extension-sniffed
+  * modality, and the stubbed decode stage's schema/determinism contract.
+  */
+class MultiModalSpec extends SparkSpec {
+
+  test("ingestBinary reads bytes and sniffs modality from extension") {
+    val d = Files.createTempDirectory("graft-media")
+    Files.write(d.resolve("a.jpg"), Array[Byte](1, 2, 3))
+    Files.write(d.resolve("b.wav"), Array[Byte](4, 5))
+    Files.write(d.resolve("c.mp4"), Array[Byte](6))
+    Files.write(d.resolve("notes.txt"), "t".getBytes)
+    val df = MultiModal.ingestBinary(spark, s"file://$d/*")
+    val got = df.select("modality", "length").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("image", 3L), ("audio", 2L), ("video", 1L), ("other", 1L)))
+    // content bytes round-trip
+    val img = df.filter(col("modality") === "image")
+      .select("content").collect().head.getAs[Array[Byte]](0)
+    assert(img.toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("decodeFeatures is deterministic, executor-side, and shaped") {
+    import spark.implicits._
+    val assets = Seq(
+      MediaAsset(1L, "image", Array[Byte](10, 20, 30), "s1"),
+      MediaAsset(2L, "audio", Array[Byte](40), "s2")).toDS()
+    val f1 = MultiModal.decodeFeatures(assets).collect().sortBy(_.asset_id)
+    val f2 = MultiModal.decodeFeatures(assets).collect().sortBy(_.asset_id)
+    assert(f1.length == 2)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.features.toSeq == b.features.toSeq) // deterministic stub
+    }
+    val img = f1.head
+    assert(img.n_bytes == 3 && img.features.length == 8)
+    assert(img.width >= 1 && img.width <= 1920 && img.height >= 1 && img.height <= 1080)
+    assert(img.features.forall(v => v >= 0f && v < 1f))
+  }
+
+  test("decode stage plans as a map-only stage (no shuffle)") {
+    import spark.implicits._
+    val assets = Seq(MediaAsset(1L, "image", Array[Byte](1), "s")).toDS()
+    val plan = MultiModal.decodeFeatures(assets).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
