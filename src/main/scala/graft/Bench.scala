@@ -1,5 +1,14 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one warmup pass (JVM/codegen/IO cache), then a timed
+  * pass per query. Every query is fully materialized via `collect()` —
+  * `count()` would let Catalyst prune unreferenced projections (q16's
+  * string work, q20's array math would be optimized away before timing).
+  * Failures are reported per-query and excluded from the total rather
+  * than silently recorded as fast.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,15 +22,36 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // warmup: full evaluation, untimed
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).collect()
+      catch { case _: Throwable => () }
+    }
+
+    var errors = List.empty[(String, String)]
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).collect()
+      catch {
+        case e: Throwable =>
+          errors ::= (name -> e.toString.takeWhile(_ != '\n').take(200))
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val ok = results.filterNot { case (n, _) => errors.exists(_._1 == n) }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    errors.foreach { case (n, e) => System.err.println(s"[bench] $n FAILED: $e") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.length},"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -116,9 +116,57 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles of a text column — tokenize on
+  * whitespace, join each n consecutive tokens with a single space, drop
+  * duplicates — as ONE native expression. The composable form
+  * (`filter(split(...))` → `transform(sequence(...), concat_ws…)` →
+  * `array_distinct`) computes the identical value but costs ~40µs per
+  * shingle: higher-order lambdas are interpreted per element and each
+  * step materializes an intermediate array. This loop is the difference
+  * between the near-dup pipeline being shingle-bound or hash-bound.
+  * Input: string; output: array<string> (fewer than n tokens ⇒ empty).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session registration for the sketch expressions. Call `register` once
   * (idempotent), then use `expr("graft_minhash(col)")` /
-  * `expr("graft_simhash(col)")` on a named array<string> column.
+  * `expr("graft_simhash(col)")` on a named array<string> column, or
+  * `expr("graft_shingles(text, 3)")` on a string column.
   */
 object HashFunctions {
   final val MinHashK = 128
@@ -131,5 +179,10 @@ object HashFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      exprs => WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
   }
 }

@@ -1,21 +1,83 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Vector math over ArrayType(FloatType) embedding columns, built from
-  * Spark's codegen'd higher-order functions (`zip_with` + `aggregate`) —
-  * no UDFs, so the whole similarity pipeline stays inside whole-stage
-  * codegen. Folds are sequential per row, which keeps results bitwise
-  * deterministic and oracle-comparable.
+/** Σ aᵢ·bᵢ over two numeric arrays as a native Catalyst expression —
+  * a tight sequential loop over the unsafe array data. Spark's
+  * higher-order `zip_with` + `aggregate` compute the same value but
+  * allocate an intermediate array per row and evaluate the lambda
+  * interpreted (higher-order functions don't join whole-stage codegen),
+  * which dominates brute-force similarity scans. The accumulation order
+  * here is exactly the left-to-right fold the declared oracle arithmetic
+  * uses, so results stay bitwise identical (CodegenFallback: the per-row
+  * loop dominates, interpreted dispatch does not).
+  *
+  * Null elements contribute 0 (the embeddings schema declares
+  * non-null elements; this is belt-and-braces, not semantics).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val (at, bt) = (elemType(left), elemType(right))
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = at match {
+          case FloatType => a.getFloat(i).toDouble
+          case DoubleType => a.getDouble(i)
+          case _ => throw new IllegalArgumentException(s"graft_dot: $at")
+        }
+        val y = bt match {
+          case FloatType => b.getFloat(i).toDouble
+          case DoubleType => b.getDouble(i)
+          case _ => throw new IllegalArgumentException(s"graft_dot: $bt")
+        }
+        sum += x * y
+      }
+      i += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Vector math over ArrayType(FloatType) embedding columns. The dot
+  * product is the native [[DotProduct]] expression (registered as
+  * `graft_dot` by [[VectorFunctions.register]]); derived forms are plain
+  * column arithmetic, so the whole similarity pipeline stays deterministic
+  * and oracle-comparable (sequential per-row folds, IEEE doubles).
   */
 object VectorFunctions {
 
+  /** Idempotent session registration of `graft_dot`. Every caller that
+    * builds columns through [[dot]] must register first (the query
+    * builders and [[graft.operators.Ann]] do).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+
   /** Σ aᵢ·bᵢ as double (elements cast up before multiplying). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Σ aᵢ² as double. */
   def normSq(a: Column): Column = dot(a, a)

@@ -60,6 +60,7 @@ object Ann {
       nPlanes: Int = 12,
       seed: Long = 7L,
       probes: Int = 1): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     val dim = 64
     val planes = hyperplanes(dim, nPlanes, seed)
     val c = corpus.select(col("vec_id"), col("embedding"),
@@ -85,6 +86,7 @@ object Ann {
     * baseline (broadcast the query side; map-only over the corpus).
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id"), col("embedding"),
       normSq(col("embedding")).as("nsq"))
     val q = queries.select(col("vec_id").as("q_id"),

@@ -55,11 +55,15 @@ object Dedup {
     "q25_neardup_minhash" -> QueryDef(
       (s, dir) => {
         HashFunctions.register(s)
+        // repartition before the CPU-bound sketch stage: a small parquet
+        // input arrives as ONE split, which would serialize shingling +
+        // minhash on a single core (at 100 TB the file count provides
+        // the fan-out; the explicit repartition makes it unconditional).
+        // graft_shingles ≡ array_distinct(shingles(tokens(text), 3)) —
+        // equivalence proved in DedupSpec against the composable form.
         val sh = table(s, dir, "documents")
-          .select(col("doc_id"),
-            array_distinct(
-              TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))
-              .as("sh"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
           .filter(size(col("sh")) > 0)
         val sig = sh.withColumn("sig", expr("graft_minhash(sh)"))
         // 32 band hashes per doc: xxhash64 over (band idx, 4 signature
@@ -68,15 +72,21 @@ object Dedup {
           xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
             element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
         }
+        // SKINNY candidate join: only (doc_id, band) rides through the
+        // 32×-exploded self-join — shipping the shingle payloads here
+        // multiplies the shuffle by band count × shingle bytes (the
+        // 100 TB killer); the arrays join back on the surviving pairs.
         val banded = sig
-          .select(col("doc_id"), col("sh"),
-            explode(array(bandCols: _*)).as("band"))
-        val cand = banded.select(col("doc_id").as("da"), col("sh").as("sha"),
-            col("band"))
-          .join(banded.select(col("doc_id").as("db"), col("sh").as("shb"),
-            col("band")), Seq("band"))
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        val pairs = banded.select(col("doc_id").as("da"), col("band"))
+          .join(banded.select(col("doc_id").as("db"), col("band")),
+            Seq("band"))
           .filter(col("da") < col("db"))
-          .dropDuplicates("da", "db")
+          .select("da", "db")
+          .distinct()
+        val cand = pairs
+          .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
         val inter = size(array_intersect(col("sha"), col("shb")))
         val union = size(col("sha")) + size(col("shb")) - inter
         cand
@@ -107,6 +117,7 @@ object Dedup {
       (s, dir) => {
         HashFunctions.register(s)
         val fp = table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
             expr("graft_simhash(filter(split(text, '\\\\s+'), t -> t != ''))")
               .as("fp"))

@@ -27,6 +27,7 @@ object Similarity {
     // 1-row query side; TakeOrderedAndProject for the top-k.
     "q23_similarity" -> QueryDef(
       (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
         val emb = table(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") === 1)
           .select(col("embedding").as("q_emb"))
@@ -58,6 +59,7 @@ object Similarity {
     // exact baseline — see Ann for the bucketed scale path).
     "q27_embedding_pairs" -> QueryDef(
       (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
         val e = table(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
             normSq(col("embedding")).as("nsq"))

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured-Streaming windowed aggregations over the `events` stream
+  * (SURVEY §2B closing paragraph / §5 item 5). Each builder takes any
+  * events DataFrame — batch or `readStream` — with `ts: timestamp`,
+  * `event_type: string`, `value: double`, so the batch-checked Q21
+  * semantics and the streaming variants share one definition.
+  *
+  * Watermarks bound state (late rows beyond the watermark are dropped
+  * and windows older than it are finalized + evicted); the shuffle key
+  * is `(window, event_type)`, so state is hash-partitioned across
+  * executors — the plan scales the same way the batch aggregate does.
+  */
+object StreamingOps {
+
+  private def sumValue: Column =
+    round(sum(col("value").cast(DecimalType(18, 4))), 2)
+      .cast("double").as("sum_value")
+
+  /** Q21's streaming form: tumbling 1-hour windows, 10-minute watermark. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValue)
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding windows: 10-minute length every 5 minutes (each event lands
+    * in two windows).
+    */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValue)
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows: events closer than the 30-minute gap merge into one
+    * session per event_type.
+    */
+  def session(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValue)
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("event_type"),
+        col("n"), col("sum_value"))
+}

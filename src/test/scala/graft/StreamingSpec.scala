@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+
+final case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+/** MemoryStream behavior tests for the streaming surface (SURVEY §5
+  * item 5): tumbling/sliding/session window contents, watermark-driven
+  * finalization in append mode, and late-data dropping.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def t(minutes: Int): Timestamp =
+    new Timestamp(minutes * 60L * 1000L) // epoch-based, UTC session
+
+  private def runBatches(
+      mode: OutputMode,
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      batches: Seq[Seq[Ev]]): Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = build(input.toDF())
+      .writeStream.format("memory").outputMode(mode)
+      .queryName("sink_" + System.nanoTime()).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      spark.table(q.name).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("tumbling windows aggregate per (hour, event_type) in update mode") {
+    val rows = runBatches(OutputMode.Update(), StreamingOps.tumbling, Seq(Seq(
+      Ev(t(5), "click", 1.0), Ev(t(20), "click", 2.0), Ev(t(70), "click", 4.0),
+      Ev(t(10), "view", 8.0))))
+    val byKey = rows.map(r => (r.getTimestamp(0), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    assert(byKey((t(0), "click")) == (2L, 3.0))
+    assert(byKey((t(60), "click")) == (1L, 4.0))
+    assert(byKey((t(0), "view")) == (1L, 8.0))
+  }
+
+  test("append mode finalizes a window only after the watermark passes") {
+    val rows1 = runBatches(OutputMode.Append(), StreamingOps.tumbling, Seq(
+      Seq(Ev(t(5), "click", 1.0)))) // watermark still inside hour 0
+    assert(rows1.isEmpty)
+
+    val rows2 = runBatches(OutputMode.Append(), StreamingOps.tumbling, Seq(
+      Seq(Ev(t(5), "click", 1.0)),
+      // 130min − 10min watermark = 120min ≥ hour-0 end ⇒ hour 0 finalized
+      Seq(Ev(t(130), "click", 2.0))))
+    assert(rows2.map(r => (r.getTimestamp(0), r.getLong(2))) ==
+      Seq((t(0), 1L)))
+  }
+
+  test("late events beyond the watermark are dropped") {
+    val rows = runBatches(OutputMode.Append(), StreamingOps.tumbling, Seq(
+      Seq(Ev(t(5), "click", 1.0)),
+      Seq(Ev(t(130), "click", 2.0)), // advances watermark to 120min
+      Seq(Ev(t(6), "click", 100.0)), // hour-0 event, 114min late: dropped
+      Seq(Ev(t(260), "click", 4.0)))) // finalize hour 2
+    val hour0 = rows.filter(_.getTimestamp(0) == t(0))
+    assert(hour0.map(r => (r.getLong(2), r.getDouble(3))) == Seq((1L, 1.0)))
+  }
+
+  test("sliding windows place one event in two windows") {
+    val rows = runBatches(OutputMode.Update(), StreamingOps.sliding, Seq(
+      Seq(Ev(t(7), "click", 1.0))))
+    val starts = rows.map(_.getTimestamp(0)).toSet
+    assert(starts == Set(t(0), t(5)))
+  }
+
+  test("session windows merge events within the gap and split beyond it") {
+    // session aggregation streams in append mode only: sessions emit once
+    // the watermark passes their end, so push it forward with a sentinel
+    val rows = runBatches(OutputMode.Append(), StreamingOps.session, Seq(
+      Seq(Ev(t(0), "click", 1.0), Ev(t(20), "click", 2.0), // gap 20 < 30: merge
+        Ev(t(120), "click", 4.0)), // separate session
+      Seq(Ev(t(500), "flush", 0.0)))) // watermark 490min > both session ends
+    val sessions = rows.filter(_.getString(2) == "click")
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1.getTime)
+    assert(sessions == Seq(
+      (t(0), t(50), 2L, 3.0),    // merged session ends 20min+30min gap
+      (t(120), t(150), 1L, 4.0)))
+  }
+
+  test("the same builders run in batch mode (one definition, two modes)") {
+    import spark.implicits._
+    val batch = Seq(Ev(t(5), "click", 1.0), Ev(t(20), "click", 2.0)).toDF()
+    val out = StreamingOps.tumbling(batch).collect()
+    assert(out.map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq((t(0), 2L, 3.0)))
+  }
+}
