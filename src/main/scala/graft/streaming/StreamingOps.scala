@@ -1,8 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
+
+/** Typed event for the stateful operators. */
+final case class UserEvent(
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** Arbitrary per-key state output: running totals per user. */
+final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured-Streaming windowed aggregations over the `events` stream
   * (SURVEY §2B closing paragraph / §5 item 5). Each builder takes any
@@ -52,4 +63,26 @@ object StreamingOps {
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Arbitrary keyed state (`flatMapGroupsWithState`, SURVEY §2B closing
+    * paragraph): running per-user event count + value total, updated per
+    * micro-batch. State is hash-partitioned on `user_id` across
+    * executors and carried by the state store — the per-key footprint is
+    * one [[UserStat]], so state size scales with |users|, not |events|.
+    */
+  def userRunningStats(events: Dataset[UserEvent]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          it.foreach { e => n += 1; tot += e.value }
+          val next = UserStat(uid, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 }

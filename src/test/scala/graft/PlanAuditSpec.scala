@@ -1,0 +1,83 @@
+package graft
+
+/** Physical-plan audits: the 100 TB properties the oracle can't see.
+  * Each assertion pins a plan shape that would silently regress into a
+  * scale problem — scans must prune and push down, dim joins must
+  * broadcast, top-k must not globally sort, LSH must never go cartesian,
+  * and the hot path must stay inside whole-stage codegen.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q01: column pruning reaches the parquet scan (3 of 11 columns)") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema"))
+    assert(p.contains("l_quantity"))
+    assert(!p.contains("l_extendedprice"), "unprojected column read from parquet")
+  }
+
+  test("q02: all three predicates push down to the scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters"))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_discount.*"))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity.*"))
+  }
+
+  test("q04/q05: dimension joins broadcast (no shuffle of the fact side)") {
+    assert(plan("q04_join_inner").contains("BroadcastHashJoin"))
+    val p5 = plan("q05_join_multiway")
+    assert(p5.contains("BroadcastHashJoin"))
+    assert(!p5.contains("SortMergeJoin"))
+  }
+
+  test("q07/q08: semi and anti joins plan as join types, not subquery loops") {
+    assert(plan("q07_join_semi").contains("LeftSemi"))
+    assert(plan("q08_join_anti").contains("LeftAnti"))
+  }
+
+  test("q09: theta join is broadcast nested-loop (the only correct non-equi plan)") {
+    val p = plan("q09_join_theta")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q14: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q14_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q03: aggregation is partial+final (map-side combine before shuffle)") {
+    val p = plan("q03_agg_tpchq1")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"), "no partial aggregation before the shuffle")
+  }
+
+  test("q25: LSH near-dup join has no cartesian product anywhere") {
+    val p = plan("q25_neardup_minhash")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q23: the query vector broadcasts; the corpus side never shuffles") {
+    val p = plan("q23_similarity")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("relational hot paths stay inside whole-stage codegen") {
+    // execute first: AQE only materializes its final plan (with `*(n)`
+    // codegen stage markers) after the job runs. (q02 is absent: its
+    // filter pushes fully into the columnar scan and the residual plan
+    // is scan→sort, with nothing left to codegen.)
+    Seq("q01_scan_project", "q03_agg_tpchq1", "q16_strings", "q18_conditional")
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        df.collect()
+        val s = df.queryExecution.executedPlan.toString
+        assert("""\*\(\d+\)""".r.findFirstIn(s).nonEmpty,
+          s"$q left whole-stage codegen")
+      }
+  }
+}

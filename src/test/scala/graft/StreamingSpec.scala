@@ -88,6 +88,32 @@ class StreamingSpec extends SparkSpec {
       (t(120), t(150), 1L, 4.0)))
   }
 
+  test("flatMapGroupsWithState carries per-user state across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.UserEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.userRunningStats(input.toDS())
+      .writeStream.format("memory").outputMode(OutputMode.Update())
+      .queryName("state_" + System.nanoTime()).start()
+    try {
+      input.addData(
+        UserEvent(t(1), 7L, "click", 1.0), UserEvent(t(2), 7L, "click", 2.0),
+        UserEvent(t(3), 9L, "view", 10.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(t(4), 7L, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table(q.name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // batch 1 emissions
+      assert(rows.contains((7L, 2L, 3.0)))
+      assert(rows.contains((9L, 1L, 10.0)))
+      // batch 2: state for user 7 accumulated, user 9 untouched
+      assert(rows.contains((7L, 3L, 7.0)))
+      assert(rows.count(_._1 == 9L) == 1)
+    } finally q.stop()
+  }
+
   test("the same builders run in batch mode (one definition, two modes)") {
     import spark.implicits._
     val batch = Seq(Ev(t(5), "click", 1.0), Ev(t(20), "click", 2.0)).toDF()
