@@ -163,10 +163,74 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprint (the MOSS rolling-hash scheme):
+  * character k-grams → per-gram hash → minimum hash of each window of w
+  * consecutive grams → sorted distinct selected hashes. Guarantees any
+  * shared substring of length ≥ k+w-1 contributes a shared fingerprint.
+  *
+  * The per-gram hash is the first 16 hex chars of md5 over the gram's
+  * UTF-8 bytes — deliberately, so a SQL oracle can mirror the value
+  * exactly (`substring(md5(gram), 1, 16)`); lexicographic min on the
+  * fixed-width hex = numeric min. Input: string; output: array<string>.
+  * Fewer than w grams ⇒ single global-min fingerprint; empty/too-short
+  * text ⇒ empty array.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val nGrams = s.length - k + 1
+    if (nGrams <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hashes = new Array[String](nGrams)
+      var i = 0
+      while (i < nGrams) {
+        md.reset()
+        val d = md.digest(s.substring(i, i + k)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val sb = new java.lang.StringBuilder(16)
+        var b = 0
+        while (b < 8) { // 8 bytes = 16 hex chars
+          sb.append(Character.forDigit((d(b) >> 4) & 0xf, 16))
+          sb.append(Character.forDigit(d(b) & 0xf, 16))
+          b += 1
+        }
+        hashes(i) = sb.toString
+        i += 1
+      }
+      val selected = new java.util.TreeSet[String]()
+      val lastWindow = math.max(0, nGrams - w)
+      var j = 0
+      while (j <= lastWindow) {
+        var m = hashes(j)
+        var t = j + 1
+        val end = math.min(j + w, nGrams)
+        while (t < end) { if (hashes(t) < m) m = hashes(t); t += 1 }
+        selected.add(m)
+        j += 1
+      }
+      val out = new Array[Any](selected.size)
+      val it = selected.iterator()
+      var p = 0
+      while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session registration for the sketch expressions. Call `register` once
   * (idempotent), then use `expr("graft_minhash(col)")` /
   * `expr("graft_simhash(col)")` on a named array<string> column, or
-  * `expr("graft_shingles(text, 3)")` on a string column.
+  * `expr("graft_shingles(text, 3)")` / `expr("graft_winnow(text, 5, 4)")`
+  * on a string column.
   */
 object HashFunctions {
   final val MinHashK = 128
@@ -184,5 +248,36 @@ object HashFunctions {
       exprs => WordShingles(exprs.head,
         exprs(1).eval().asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow",
+      exprs => WinnowFingerprint(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
+  }
+
+  /** MinHash sketch union as a typed Aggregator: the elementwise minimum
+    * of signatures IS the signature of the unioned shingle sets (each
+    * slot is a min over the union) — so group-level sketches compose
+    * from row-level ones with one partial-aggregating shuffle, never by
+    * materializing group shingle sets. Estimated Jaccard between two
+    * sketches = fraction of equal slots (±1/√k ≈ 0.09 at k=128).
+    */
+  object MinHashUnionAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.fill(MinHashK)(Long.MaxValue)
+    override def reduce(b: Array[Long], a: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < MinHashK) { if (a(i) < b(i)) b(i) = a(i); i += 1 }
+      b
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+      reduce(b1, b2)
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 }

@@ -109,6 +109,92 @@ object Dedup {
               SELECT da, db, ROUND(j, 4) AS jaccard FROM p
               WHERE j >= 0.8 ORDER BY da, db""")),
 
+    // Winnowing (rolling-hash) fingerprint dedup: docs sharing ≥ 5 RARE
+    // selected fingerprints (document frequency ≤ 64). The join shuffles
+    // on the fingerprint value (inverted-index bucket join, never
+    // all-pairs); the df cap bounds each bucket's pair fan-out at 64² —
+    // without it a template 5-gram shared by m documents emits m² pair
+    // rows (the standard df-capped design for fingerprint dedup at
+    // scale; common fingerprints carry no dedup signal anyway). The
+    // md5-based gram hash makes the whole pipeline SQL-mirrorable.
+    "q29_winnow_fingerprint" -> QueryDef(
+      (s, dir) => {
+        HashFunctions.register(s)
+        val fp = table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"),
+            explode(expr("graft_winnow(text, 5, 4)")).as("fp"))
+        val rare = fp
+          .groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 64)
+          .select("fp")
+        val rareFp = fp.join(rare, Seq("fp"))
+        rareFp.select(col("doc_id").as("da"), col("fp"))
+          .join(rareFp.select(col("doc_id").as("db"), col("fp")), Seq("fp"))
+          .filter(col("da") < col("db"))
+          .groupBy("da", "db")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 5)
+          .orderBy("da", "db")
+      },
+      Some("""WITH grams AS (SELECT doc_id,
+                  [substring(md5(substring(text, i, 5)), 1, 16)
+                   for i in range(1, LENGTH(text) - 5 + 2)] AS hs
+                FROM documents WHERE LENGTH(text) >= 5),
+              fps AS (SELECT doc_id, UNNEST(list_distinct(
+                  [list_aggregate(hs[j:j+3], 'min')
+                   for j in range(1, GREATEST(LEN(hs) - 3, 1) + 1)])) AS fp
+                FROM grams),
+              rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64),
+              rfps AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+              FROM rfps a JOIN rfps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 5
+              ORDER BY da, db""")),
+
+    // Corpus-level dedup analysis: exact Jaccard between SOURCE-level
+    // 3-gram shingle sets. Set union is distributed ((source, shingle)
+    // distinct — one shuffle on the pair), intersections come from a
+    // shingle-keyed equi-join; only pairs sharing ≥1 shingle emit.
+    // The sketch-based alternative for when exact sets are too big is
+    // HashFunctions.MinHashUnionAgg (estimate tested in DedupSpec).
+    "q34_source_jaccard" -> QueryDef(
+      (s, dir) => {
+        HashFunctions.register(s)
+        val sh = table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("source"), explode(expr("graft_shingles(text, 3)")).as("sh"))
+          .distinct()
+        val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        val common = sh.select(col("source").as("sa"), col("sh"))
+          .join(sh.select(col("source").as("sb"), col("sh")), Seq("sh"))
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb")
+          .agg(count(lit(1)).as("c"))
+        common
+          .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+          .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+          .select(col("sa"), col("sb"),
+            (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+              .as("jaccard"))
+          .orderBy("sa", "sb")
+      },
+      Some("""WITH sh AS (SELECT DISTINCT source, UNNEST(list_distinct(
+                  [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])) AS s
+                FROM (SELECT source,
+                    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                  FROM documents) z WHERE len(t) >= 3),
+              sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+              common AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+                GROUP BY 1, 2)
+              SELECT sa, sb,
+                CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+              FROM common
+              JOIN sizes x ON x.source = sa
+              JOIN sizes y ON y.source = sb
+              ORDER BY sa, sb""")),
+
     // SimHash near-dup: 64-bit fingerprints, 4×16-bit band buckets —
     // exhaustive for Hamming ≤ 3 by pigeonhole. FNV-based fingerprints
     // aren't SQL-expressible, so the driver check is rows-only; the

@@ -61,6 +61,56 @@ class DedupSpec extends SparkSpec {
     assert(out.agg(sum("n_docs")).collect().head.getLong(0) == distinctTexts)
   }
 
+  test("MinHashUnionAgg: elementwise-min union equals the signature of the unioned set") {
+    import spark.implicits._
+    HashFunctions.register(spark)
+    // doc-level signatures per source, union-aggregated
+    val docs = Q.table(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        expr("graft_minhash(graft_shingles(text, 3))").as("sig"))
+      .filter(expr("size(graft_shingles(text, 3)) > 0"))
+    val unioned = docs.select(col("source"), col("sig"))
+      .as[(String, Array[Long])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(HashFunctions.MinHashUnionAgg.toColumn.name("usig"))
+      .collect().toMap
+    // ground truth: signature of the concatenated distinct shingle text
+    val direct = Q.table(spark, sfDir, "documents")
+      .select(col("source"), explode(expr("graft_shingles(text, 3)")).as("sh"))
+      .distinct()
+      .groupBy("source").agg(collect_list("sh").as("shs"))
+      .withColumn("sig", expr("graft_minhash(shs)"))
+      .select("source", "sig")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(unioned.nonEmpty && unioned.keySet == direct.keySet)
+    unioned.foreach { case (src, u) =>
+      assert(u.toSeq == direct(src), s"union signature mismatch for $src")
+    }
+  }
+
+  test("sketch-estimated source Jaccard tracks the exact q34 values") {
+    import spark.implicits._
+    HashFunctions.register(spark)
+    val exact = Dedup.defs.toMap.apply("q34_source_jaccard").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val sigs = Q.table(spark, sfDir, "documents")
+      .select(col("source"),
+        expr("graft_minhash(graft_shingles(text, 3))").as("sig"))
+      .as[(String, Array[Long])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(HashFunctions.MinHashUnionAgg.toColumn.name("usig"))
+      .collect().toMap
+    val eps = 3.0 / math.sqrt(HashFunctions.MinHashK) // 3σ ≈ 0.27
+    exact.foreach { case ((sa, sb), j) =>
+      val est = sigs(sa).zip(sigs(sb)).count { case (x, y) => x == y }
+        .toDouble / HashFunctions.MinHashK
+      assert(math.abs(est - j) <= eps,
+        s"estimate $est vs exact $j for ($sa,$sb)")
+    }
+  }
+
   test("minhash signature is deterministic and length-k") {
     HashFunctions.register(spark)
     val sig = spark.sql(
