@@ -34,12 +34,22 @@ object BlueprintError {
   val ExitFileNotFound = 205
   val ExitDestinationCollision = 210
 
-  /** Run `body`; on BlueprintError exit with its code (CLI edge only). */
+  /** Run `body`; on BlueprintError exit with its code (CLI edge only).
+    * Errors thrown inside executor tasks surface wrapped in
+    * SparkException — walk the cause chain so a mid-copy FileNotFound
+    * still maps to its exit code instead of a raw stack trace.
+    */
   def exitOnError[A](body: => A): A =
     try body
     catch {
-      case e: BlueprintError =>
-        System.err.println(e.getMessage)
-        sys.exit(e.exitCode)
+      case e: Throwable =>
+        var c: Throwable = e
+        while (c != null && !c.isInstanceOf[BlueprintError]) c = c.getCause
+        c match {
+          case b: BlueprintError =>
+            System.err.println(b.getMessage)
+            sys.exit(b.exitCode)
+          case _ => throw e
+        }
     }
 }

@@ -138,12 +138,16 @@ object FileManifest {
   }
 
   private def compiled(pattern: String, target: Column = col("path")): Column = {
-    try java.util.regex.Pattern.compile(pattern)
+    // accept the reference's Python-re dialect (SURVEY §2A-O3):
+    // translate Python-only spellings, then validate eagerly so a bad
+    // pattern maps to a typed error instead of failing inside a task
+    val jpat = graft.core.RegexCompat.toJava(pattern)
+    try java.util.regex.Pattern.compile(jpat)
     catch {
       case e: java.util.regex.PatternSyntaxException =>
         throw BlueprintError.BadRegex(pattern, e.getMessage)
     }
-    target.rlike(pattern)
+    target.rlike(jpat)
   }
 
   /** Project destination object names onto a manifest.
