@@ -31,7 +31,8 @@ object Ann {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  private def litArray(a: Array[Double]): Column = array(a.map(lit): _*)
+  private def litArray(a: Array[Double]): Column =
+    array(a.toIndexedSeq.map(lit): _*)
 
   /** Sign-bucket of an embedding column against the given planes. */
   def signBucket(emb: Column, planes: Array[Array[Double]]): Column =

@@ -200,6 +200,45 @@ class BlueprintsSpec extends SparkSpec {
     assert(names(dst) == Set("f.txt"))
   }
 
+  // --- CLI flag parsing (argparse parity) ---
+
+  test("parseFlags: strict --flag value pairs; dangling or bare tokens are usage errors") {
+    import graft.blueprints.Cli
+    assert(Cli.parseFlags(Array("--a", "1", "--b", "x y")) ==
+      Map("a" -> "1", "b" -> "x y"))
+    val e1 = intercept[BlueprintError.UsageError] {
+      Cli.parseFlags(Array("--a", "1", "--dangling"))
+    }
+    assert(e1.exitCode == 2)
+    intercept[BlueprintError.UsageError] {
+      Cli.parseFlags(Array("bare", "value"))
+    }
+    val e2 = intercept[BlueprintError.UsageError] {
+      Cli.required(Map.empty, "bucket-name")
+    }
+    assert(e2.getMessage.contains("--bucket-name"))
+  }
+
+  // --- exact-match rename + same-bucket move ---
+
+  test("download exact match with explicit destination name renames (no enumeration)") {
+    val src = freshBucket("in/raw.bin" -> "z")
+    val dst = Files.createTempDirectory(root, "dl")
+    Blueprints.download(spark,
+      DownloadConfig(uri(src), "in", "raw.bin", MatchType.ExactMatch,
+        "nest/ed", Some("renamed.bin")),
+      uri(dst))
+    assert(names(dst) == Set("nest/ed/renamed.bin"))
+  }
+
+  test("move within one bucket relocates between folders") {
+    val b = freshBucket("a/f.txt" -> "m")
+    Blueprints.move(spark,
+      MoveConfig(uri(b), uri(b), "a", "f.txt", MatchType.ExactMatch,
+        "b", None))
+    assert(names(b) == Set("b/f.txt"))
+  }
+
   // --- collision guard (executor-parallel last-wins is data loss) ---
 
   test("duplicate basenames without explicit name raise DestinationCollision") {

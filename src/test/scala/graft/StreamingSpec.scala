@@ -114,6 +114,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tumbling over the events table equals the batch result") {
+    // one definition, two modes, same data: write the driver's events
+    // table (normalized to micros), stream it back with readStream, and
+    // the update-mode output must equal the batch aggregation exactly
+    import graft.operators.Q
+    val events = Q.table(spark, sfDir, "events")
+      .select("ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-eq")
+    // one file ⇒ one micro-batch ⇒ update mode emits each window exactly once
+    events.coalesce(1).write.mode("overwrite").parquet(s"$dir/events")
+    val streamed = spark.readStream
+      .schema(events.schema)
+      .parquet(s"$dir/events")
+    val q = StreamingOps.tumbling(streamed)
+      .writeStream.format("memory").outputMode(OutputMode.Update())
+      .queryName("eq_" + System.nanoTime()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(q.name).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1.getTime, x._2))
+      val want = StreamingOps.tumbling(events).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1.getTime, x._2))
+      assert(got.nonEmpty && got.toSeq == want.toSeq)
+    } finally q.stop()
+  }
+
   test("the same builders run in batch mode (one definition, two modes)") {
     import spark.implicits._
     val batch = Seq(Ev(t(5), "click", 1.0), Ev(t(20), "click", 2.0)).toDF()
