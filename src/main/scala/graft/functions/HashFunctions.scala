@@ -77,45 +77,6 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash fingerprint of a bag of tokens (near-dup detection by
-  * Hamming distance). Per token: FNV-1a hash; each of the 64 fingerprint
-  * bits accumulates +1/-1 by the token's corresponding hash bit; the sign
-  * of the accumulator decides the output bit. Input: array<string>;
-  * output: long.
-  */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val acc = new Array[Int](64)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val h = Fnv64.hashBytes(arr.getUTF8String(i).getBytes)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
-          j += 1
-        }
-      }
-      i += 1
-    }
-    var fp = 0L
-    var j = 0
-    while (j < 64) {
-      if (acc(j) > 0) fp |= (1L << j)
-      j += 1
-    }
-    java.lang.Long.valueOf(fp)
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
 /** Distinct word n-gram shingles of a text column — tokenize on
   * whitespace, join each n consecutive tokens with a single space, drop
   * duplicates — as ONE native expression. The composable form
@@ -157,6 +118,51 @@ case class WordShingles(child: Expression, n: Int)
       while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
       new GenericArrayData(out)
     }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a token bag with an md5-derived per-token hash
+  * (first 8 md5 bytes, big-endian) instead of [[Fnv64]] — deliberately,
+  * so a SQL oracle can reproduce every bit: bit `j` (LSB numbering) of
+  * the token hash is bit `j%4` of hex digit `16 - j/4` of `md5(token)`.
+  * Accumulate-sign construction; banding/Hamming operators consume the
+  * fingerprint. Input: array<string>; output: long.
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (acc(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(fp)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -242,7 +248,7 @@ object HashFunctions {
       exprs => MinHashSignature(exprs.head, k = MinHashK, seed = Seed),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
+      "graft_simhash_md5", exprs => SimHashMd5(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
       exprs => WordShingles(exprs.head,

@@ -196,16 +196,18 @@ object Dedup {
               ORDER BY sa, sb""")),
 
     // SimHash near-dup: 64-bit fingerprints, 4×16-bit band buckets —
-    // exhaustive for Hamming ≤ 3 by pigeonhole. FNV-based fingerprints
-    // aren't SQL-expressible, so the driver check is rows-only; the
-    // brute-force-equivalence proof lives in DedupSpec.
+    // exhaustive for Hamming ≤ 3 by pigeonhole (banding equals brute
+    // force: proved in DedupSpec). The per-token hash is md5-derived
+    // (SimHashMd5) so the oracle reproduces every bit in SQL; the
+    // banding itself is unverifiable in SQL, which is fine — the oracle
+    // states the brute-force answer and the banded plan must equal it.
     "q26_neardup_simhash" -> QueryDef(
       (s, dir) => {
         HashFunctions.register(s)
         val fp = table(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
-            expr("graft_simhash(filter(split(text, '\\\\s+'), t -> t != ''))")
+            expr("graft_simhash_md5(filter(split(text, '\\\\s+'), t -> t != ''))")
               .as("fp"))
         val bandCols = (0 until 4).map { b =>
           struct(lit(b).as("b"),
@@ -224,6 +226,27 @@ object Dedup {
           .select("da", "db", "hamming")
           .orderBy("da", "db")
       },
-      None)
+      // brute-force md5-bit simhash: bit j (LSB) of a token's hash is
+      // bit j%4 of hex digit 16 - j/4 of md5(token)
+      Some("""WITH toks AS (SELECT doc_id, UNNEST(list_filter(
+                  string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+                FROM documents),
+              bitsum AS (SELECT doc_id, r.j,
+                  SUM(CASE WHEN
+                    ((strpos('0123456789abcdef',
+                        substring(md5(tok), CAST(16 - r.j // 4 AS INT), 1)) - 1)
+                      >> (r.j % 4)) & 1 = 1
+                    THEN 1 ELSE -1 END) AS s
+                FROM toks CROSS JOIN range(0, 64) AS r(j)
+                GROUP BY doc_id, r.j),
+              bits AS (SELECT doc_id, j,
+                  CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit
+                FROM bitsum),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                  SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h
+                FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT da, db, CAST(h AS BIGINT) AS hamming
+              FROM p WHERE h <= 3 ORDER BY da, db"""))
   )
 }

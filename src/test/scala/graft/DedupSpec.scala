@@ -39,7 +39,7 @@ class DedupSpec extends SparkSpec {
     HashFunctions.register(spark)
     val fp = Q.table(spark, sfDir, "documents")
       .select(col("doc_id"),
-        expr("graft_simhash(filter(split(text, '\\\\s+'), t -> t != ''))").as("fp"))
+        expr("graft_simhash_md5(filter(split(text, '\\\\s+'), t -> t != ''))").as("fp"))
     val a = fp.select(col("doc_id").as("da"), col("fp").as("fpa"))
     val b = fp.select(col("doc_id").as("db"), col("fp").as("fpb"))
     val brute = a.join(b, col("da") < col("db"))
