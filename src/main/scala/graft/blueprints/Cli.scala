@@ -39,11 +39,6 @@ object Cli {
     spark
   }
 
-  private def common(spark: SparkSession, f: Map[String, String]): Unit =
-    f.get("service-account").foreach(Blueprints.configureCredentials(spark, _))
-
-  private def matchType(f: Map[String, String]): MatchType =
-    MatchType.parse(f.getOrElse("source-file-name-match-type", "exact_match"))
 }
 
 object DownloadFile {

@@ -91,9 +91,11 @@ object FileOps {
               // leaves dest present and source gone — skip, don't fail
               if (!(deleteSource && dstFs.exists(dstPath)))
                 throw BlueprintError.FileNotFound(srcPath.toString)
+            } else if (!overwrite && dstFs.exists(dstPath)) {
+              // overwrite=false: an existing destination wins; skip
             } else {
               dstFs.mkdirs(dstPath.getParent)
-              if (overwrite && dstFs.exists(dstPath)) dstFs.delete(dstPath, false)
+              if (dstFs.exists(dstPath)) dstFs.delete(dstPath, false)
               FileUtil.copy(srcFs, srcPath, dstFs, dstPath, false, c)
               if (deleteSource) {
                 // verify-then-delete: never drop the source unless the copy landed

@@ -103,6 +103,41 @@ class FileManifestSpec extends SparkSpec {
     assert(m2.count() == 0)
   }
 
+  test("scan with recursive=false lists only the first level") {
+    val b = mkTree(nDirs = 3, filesPerDir = 2)
+    Files.writeString(b.resolve("top.txt"), "t")
+    val m = FileManifest.scan(spark, s"file://$b", recursive = false).collect()
+    assert(m.map(_.path).toSet == Set("top.txt"))
+  }
+
+  test("copy honors a per-row destBucket column") {
+    import spark.implicits._
+    val b = mkTree(nDirs = 1, filesPerDir = 2)
+    val d1 = Files.createTempDirectory("graft-d1")
+    val d2 = Files.createTempDirectory("graft-d2")
+    val m = FileManifest.scan(spark, s"file://$b")
+      .withColumn(
+        "dest", org.apache.spark.sql.functions.col("name"))
+      .withColumn("destBucket",
+        org.apache.spark.sql.functions
+          .when(org.apache.spark.sql.functions.col("name") === "f000.dat",
+            s"file://$d1")
+          .otherwise(s"file://$d2"))
+    assert(FileOps.copy(m.toDF()) == 2)
+    assert(Files.exists(d1.resolve("f000.dat")))
+    assert(Files.exists(d2.resolve("f001.dat")))
+  }
+
+  test("copy with overwrite=false leaves an existing destination intact") {
+    val b = mkTree(nDirs = 1, filesPerDir = 1)
+    val dst = Files.createTempDirectory("graft-ow")
+    Files.writeString(dst.resolve("f000.dat"), "KEEP-ME-LONGER")
+    val m = FileManifest.scan(spark, s"file://$b")
+      .withColumn("dest", org.apache.spark.sql.functions.col("name"))
+    FileOps.copy(m.toDF(), Some(s"file://$dst"), overwrite = false)
+    assert(Files.readString(dst.resolve("f000.dat")) == "KEEP-ME-LONGER")
+  }
+
   test("scan of a missing bucket raises InvalidBucket") {
     intercept[graft.core.BlueprintError.InvalidBucket] {
       FileManifest.scan(spark, "file:///definitely/not/here")
