@@ -116,8 +116,13 @@ object Blueprints {
     hc.set("fs.gs.outputstream.upload.chunk.size", (128 * 1024 * 1024).toString)
   }
 
-  private def looksLikeJson(s: String): Boolean = {
-    val t = s.trim
-    t.startsWith("{") && t.endsWith("}")
-  }
+  /** The reference sniffs by attempting `json.loads`
+    * (download_file.py:49-55) — a `{`-prefixed but malformed value must
+    * fall through to the path branch, so parse for real (Jackson ships
+    * with Spark).
+    */
+  private def looksLikeJson(s: String): Boolean =
+    scala.util.Try {
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    }.toOption.exists(n => n != null && n.isObject)
 }

@@ -173,6 +173,15 @@ class BlueprintsSpec extends SparkSpec {
       (128 * 1024 * 1024).toString) // upload_file.py:12
   }
 
+  test("malformed brace-wrapped credentials are treated as a path, not JSON") {
+    // reference behavior: json.loads fails -> value is a keyfile path
+    // (download_file.py:49-55); '{not json}' is an unreadable path => 200
+    val e = intercept[BlueprintError.InvalidCredentials] {
+      Blueprints.configureCredentials(spark, "{not json}")
+    }
+    assert(e.exitCode == BlueprintError.ExitInvalidCredentials)
+  }
+
   // --- upload semantics (upload_file.py:154-174) ---
 
   test("upload regex matches the ABSOLUTE local path, not the relative one") {
