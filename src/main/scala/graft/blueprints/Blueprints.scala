@@ -85,7 +85,12 @@ object Blueprints {
         if (matchAbsolute) FileManifest.regexFilterAbsolute(manifest, srcFile)
         else FileManifest.regexFilter(manifest, srcFile)
       val planned = FileManifest.withDestination(matched, dstFolder, dstFile, policy)
-      val n = FileOps.copy(planned, Some(dstRoot), deleteSource)
+      // Always-enumerated explicit names are unique by construction —
+      // skip the collision aggregation (a full-manifest shuffle at scale)
+      val provablyUnique =
+        dstFile.isDefined && policy == EnumeratePolicy.Always
+      val n = FileOps.copy(planned, Some(dstRoot), deleteSource,
+        checkCollisions = !provablyUnique)
       if (n == 0) throw BlueprintError.FileNotFound(srcFile)
       n
   }

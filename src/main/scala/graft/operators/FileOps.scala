@@ -37,6 +37,40 @@ object FileOps {
   private def parallelism(spark: SparkSession, rows: Long): Int =
     math.max(1, math.min(rows, 4L * spark.sparkContext.defaultParallelism).toInt)
 
+  private def isLocal(fs: FileSystem): Boolean = fs.getScheme == "file"
+
+  private def nioPath(p: Path): java.nio.file.Path =
+    java.nio.file.Paths.get(p.toUri.getPath)
+
+  /** One file copy. Local→local takes a `java.nio` fast path:
+    * Hadoop's checksum-wrapped local filesystem costs ~4 ms per file
+    * (permission handling falls back to forked `chmod` without
+    * native-hadoop, ~100× slower than nio) — ruinous for
+    * many-small-files manifests. Non-local schemes (gs://, hdfs://)
+    * stream through `FileUtil.copy` as before.
+    */
+  private def copyFile(
+      srcFs: FileSystem, srcPath: Path,
+      dstFs: FileSystem, dstPath: Path,
+      c: org.apache.hadoop.conf.Configuration): Unit =
+    if (isLocal(srcFs) && isLocal(dstFs)) {
+      val d = nioPath(dstPath)
+      java.nio.file.Files.createDirectories(d.getParent)
+      java.nio.file.Files.copy(nioPath(srcPath), d,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      dstFs.mkdirs(dstPath.getParent)
+      FileUtil.copy(srcFs, srcPath, dstFs, dstPath, false, c)
+    }
+
+  /** Existence check — nio for local (Hadoop getFileStatus may fork). */
+  private def fileExists(fs: FileSystem, p: Path): Boolean =
+    if (isLocal(fs)) java.nio.file.Files.exists(nioPath(p)) else fs.exists(p)
+
+  private def fileLen(fs: FileSystem, p: Path): Long =
+    if (isLocal(fs)) java.nio.file.Files.size(nioPath(p))
+    else fs.getFileStatus(p).getLen
+
   /** Copy each manifest row `bucket/path` -> `destBucket|bucket` / `dest`.
     * `deleteSource=true` turns copy into move (copy-then-delete, same
     * non-atomicity as the reference's copy_blob+delete, move_file.py:147-153,
@@ -49,11 +83,16 @@ object FileOps {
     * winner nondeterministic — and for a move BOTH sources get deleted
     * with one surviving copy — so collisions are rejected up front.
     */
+  /** @param checkCollisions pass false only when the caller proves dest
+    *   uniqueness by construction (e.g. Always-enumerated explicit
+    *   names) — skips one full-manifest aggregation job.
+    */
   def copy(
       df: DataFrame,
       destBucketDefault: Option[String] = None,
       deleteSource: Boolean = false,
-      overwrite: Boolean = true): Long = {
+      overwrite: Boolean = true,
+      checkCollisions: Boolean = true): Long = {
     val spark = df.sparkSession
     val conf = new SerializableConfiguration(FileManifest.hadoopConf(spark))
     val hasDestBucket = df.columns.contains("destBucket")
@@ -63,16 +102,30 @@ object FileOps {
     try {
       val n = rows.count()
       if (n == 0) return 0L
-      val destKey = if (hasDestBucket) Seq("destBucket", "dest") else Seq("dest")
-      val collision = rows.groupBy(destKey.map(col): _*)
-        .agg(count(lit(1)).as("w"), min(col("path")).as("p"))
-        .filter(col("w") > 1).limit(1).collect()
-      if (collision.nonEmpty)
-        throw BlueprintError.DestinationCollision(
-          collision.head.getAs[String]("dest"))
+      if (checkCollisions) {
+        val destKey = if (hasDestBucket) Seq("destBucket", "dest") else Seq("dest")
+        val collision = rows.groupBy(destKey.map(col): _*)
+          .agg(count(lit(1)).as("w"), min(col("path")).as("p"))
+          .filter(col("w") > 1).limit(1).collect()
+        if (collision.nonEmpty)
+          throw BlueprintError.DestinationCollision(
+            collision.head.getAs[String]("dest"))
+      }
       rows.repartition(parallelism(spark, n)).foreachPartition {
         (it: Iterator[org.apache.spark.sql.Row]) =>
           val c = conf.value
+          // resolve each FileSystem once per partition, not per row:
+          // FileSystem.get goes through a synchronized cache + UGI
+          // lookup, which serializes 32 copy threads on tiny files
+          val fsCache = scala.collection.mutable.HashMap.empty[String, FileSystem]
+          def fsFor(bucket: String): FileSystem =
+            fsCache.getOrElseUpdate(bucket, {
+              val fs = FileSystem.get(new URI(bucket), c)
+              // no .crc sidecars: object stores don't have them, and the
+              // reference's byte copy writes exactly one object per file
+              fs.setWriteChecksum(false)
+              fs
+            })
           it.foreach { r =>
             val srcBucket = r.getString(0)
             val srcPath = new Path(s"$srcBucket/${r.getString(1)}")
@@ -80,28 +133,22 @@ object FileOps {
               if (hasDestBucket && !r.isNullAt(3)) r.getString(3)
               else destBucketDefault.getOrElse(srcBucket)
             val dstPath = new Path(s"$dstBucket/${r.getString(2)}")
-            val srcFs = FileSystem.get(new URI(srcBucket), c)
-            val dstFs = FileSystem.get(new URI(dstBucket), c)
-            // no .crc sidecars: object stores don't have them, and the
-            // reference's byte copy writes exactly one object per file
-            dstFs.setWriteChecksum(false)
-            val srcExists = srcFs.exists(srcPath)
+            val srcFs = fsFor(srcBucket)
+            val dstFs = fsFor(dstBucket)
+            val srcExists = fileExists(srcFs, srcPath)
             if (!srcExists) {
               // idempotent retry: a completed move from a previous attempt
               // leaves dest present and source gone — skip, don't fail
-              if (!(deleteSource && dstFs.exists(dstPath)))
+              if (!(deleteSource && fileExists(dstFs, dstPath)))
                 throw BlueprintError.FileNotFound(srcPath.toString)
-            } else if (!overwrite && dstFs.exists(dstPath)) {
+            } else if (!overwrite && fileExists(dstFs, dstPath)) {
               // overwrite=false: an existing destination wins; skip
             } else {
-              dstFs.mkdirs(dstPath.getParent)
-              if (dstFs.exists(dstPath)) dstFs.delete(dstPath, false)
-              FileUtil.copy(srcFs, srcPath, dstFs, dstPath, false, c)
+              copyFile(srcFs, srcPath, dstFs, dstPath, c)
               if (deleteSource) {
                 // verify-then-delete: never drop the source unless the copy landed
-                if (dstFs.exists(dstPath) &&
-                    dstFs.getFileStatus(dstPath).getLen ==
-                      srcFs.getFileStatus(srcPath).getLen)
+                if (fileExists(dstFs, dstPath) &&
+                    fileLen(dstFs, dstPath) == fileLen(srcFs, srcPath))
                   srcFs.delete(srcPath, false)
               }
             }
@@ -124,8 +171,10 @@ object FileOps {
     rows.repartition(parallelism(spark, n)).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val c = conf.value
+        val fsCache = scala.collection.mutable.HashMap.empty[String, FileSystem]
         it.foreach { r =>
-          val fs = FileSystem.get(new URI(r.getString(0)), c)
+          val fs = fsCache.getOrElseUpdate(r.getString(0),
+            FileSystem.get(new URI(r.getString(0)), c))
           fs.delete(new Path(s"${r.getString(0)}/${r.getString(1)}"), false)
         }
     }
@@ -148,12 +197,9 @@ object FileOps {
     val srcFs = FileSystem.get(new URI(srcBucket), c)
     val dstFs = FileSystem.get(new URI(dstBucket), c)
     dstFs.setWriteChecksum(false)
-    if (!srcFs.exists(src)) throw BlueprintError.FileNotFound(srcPath)
-    dstFs.mkdirs(dst.getParent)
-    if (dstFs.exists(dst)) dstFs.delete(dst, false)
-    FileUtil.copy(srcFs, src, dstFs, dst, false, c)
-    if (deleteSource &&
-        dstFs.getFileStatus(dst).getLen == srcFs.getFileStatus(src).getLen)
+    if (!fileExists(srcFs, src)) throw BlueprintError.FileNotFound(srcPath)
+    copyFile(srcFs, src, dstFs, dst, c)
+    if (deleteSource && fileLen(dstFs, dst) == fileLen(srcFs, src))
       srcFs.delete(src, false)
   }
 
