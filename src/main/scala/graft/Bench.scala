@@ -50,8 +50,42 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     errors.foreach { case (n, e) => System.err.println(s"[bench] $n FAILED: $e") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.length},"sf":"$sfDir"}""")
+    val fileOps = benchFileOps(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.length},"fileops":$fileOps,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
+
+  /** Blueprint file-movement throughput (the reference's core workload —
+    * its loop is one sequential file at a time, download_file.py:254-262).
+    * 2000 files: regex download with enumeration, then regex remove.
+    * Reported as extra keys; never added to the query total.
+    */
+  private def benchFileOps(spark: SparkSession): String =
+    try {
+      import graft.blueprints.Blueprints
+      import graft.core._
+      val n = 2000
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-fs")
+      val data = root.resolve("bkt/data")
+      java.nio.file.Files.createDirectories(data)
+      (0 until n).foreach { i =>
+        java.nio.file.Files.writeString(data.resolve(f"f$i%05d.dat"), s"payload-$i")
+      }
+      val t0 = System.nanoTime()
+      Blueprints.download(spark,
+        DownloadConfig(s"file://$root/bkt", "data", "f.*[.]dat",
+          MatchType.RegexMatch, "out", Some("x.dat")),
+        s"file://$root/dl")
+      val dlSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      Blueprints.remove(spark,
+        RemoveConfig(s"file://$root/dl", "out", ".*", MatchType.RegexMatch))
+      val rmSec = (System.nanoTime() - t1) / 1e9
+      s"""{"n_files":$n,"download_sec":$dlSec,"remove_sec":$rmSec}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] fileops FAILED: ${e.toString.take(200)}")
+        """{"n_files":0}"""
+    }
 }

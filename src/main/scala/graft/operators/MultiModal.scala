@@ -96,6 +96,35 @@ object MultiModal {
     }
   }
 
+  /** Resize stage (images): clamps the decoded dimensions to fit inside
+    * `maxW × maxH` preserving aspect ratio — pure metadata arithmetic on
+    * the decoded features; the pixel resample itself is part of the
+    * stubbed codec. Map-only, composes after [[decodeFeatures]].
+    */
+  def resize(feats: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+      f.copy(
+        width = math.max(1, math.floor(f.width * scale).toInt),
+        height = math.max(1, math.floor(f.height * scale).toInt))
+    }
+  }
+
+  /** Frame-sample stage (video): deterministically keeps every
+    * `1/rate`-th asset of a modality by content hash — the Spark shape
+    * of sampling frames from decoded video (stable under retries, no
+    * RNG). Non-video assets pass through untouched.
+    */
+  def frameSample(assets: Dataset[MediaAsset], rate: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.filter { a =>
+      a.modality != "video" ||
+        math.floorMod(Fnv64.hashBytes(a.content), rate.toLong) == 0L
+    }
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // q28: multimodal byte stats. Payload = UTF-8 bytes of documents.text

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.operators.{MediaAsset, MultiModal}
+import graft.operators.{MediaAsset, MediaFeatures, MultiModal}
 
 /** Multimodal plumbing: binaryFile ingestion with extension-sniffed
   * modality, and the stubbed decode stage's schema/determinism contract.
@@ -40,6 +40,30 @@ class MultiModalSpec extends SparkSpec {
     assert(img.n_bytes == 3 && img.features.length == 8)
     assert(img.width >= 1 && img.width <= 1920 && img.height >= 1 && img.height <= 1080)
     assert(img.features.forall(v => v >= 0f && v < 1f))
+  }
+
+  test("resize clamps dimensions preserving aspect ratio; never upscales") {
+    import spark.implicits._
+    val feats = Seq(
+      MediaFeatures(1L, "image", 10L, 1920, 1080, Array(0f)),
+      MediaFeatures(2L, "image", 10L, 100, 50, Array(0f))).toDS()
+    val out = MultiModal.resize(feats, 640, 480).collect().sortBy(_.asset_id)
+    assert(out(0).width == 640 && out(0).height == 360) // 1920x1080 -> fit 640
+    assert(out(1).width == 100 && out(1).height == 50) // small: untouched
+  }
+
+  test("frameSample keeps a deterministic subset of video, all non-video") {
+    import spark.implicits._
+    val assets = (1 to 100).map(i =>
+      MediaAsset(i.toLong, if (i % 2 == 0) "video" else "image",
+        s"frame-payload-$i".getBytes, "s")).toDS()
+    val once = MultiModal.frameSample(assets, 4).collect().map(_.asset_id).toSet
+    val again = MultiModal.frameSample(assets, 4).collect().map(_.asset_id).toSet
+    assert(once == again) // deterministic
+    val images = assets.collect().filter(_.modality == "image").map(_.asset_id).toSet
+    assert(images.subsetOf(once)) // non-video passes through
+    val videosKept = once.size - images.size
+    assert(videosKept > 0 && videosKept < 50) // sampled, not all/none
   }
 
   test("decode stage plans as a map-only stage (no shuffle)") {
