@@ -64,6 +64,18 @@ object StreamingOps {
         col("session_window.end").as("sess_end"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup on an id column: duplicates arriving within
+    * the watermark delay are dropped; state for ids older than the
+    * watermark is evicted, so state size is bounded by the id arrival
+    * rate × delay — the streaming half of the Q22 dedup operator (an
+    * at-least-once source in front of a training-data ingest emits
+    * exactly-once records out).
+    */
+  def dedupWithinWatermark(events: DataFrame, idCol: String): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Arbitrary keyed state (`flatMapGroupsWithState`, SURVEY §2B closing
     * paragraph): running per-user event count + value total, updated per
     * micro-batch. State is hash-partitioned on `user_id` across

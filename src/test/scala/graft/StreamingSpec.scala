@@ -114,6 +114,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups re-sent events across batches") {
+    import spark.implicits._
+    import graft.streaming.UserEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    // id = (user_id): re-sent rows for the same user within the
+    // watermark window must come out exactly once
+    val q = StreamingOps.dedupWithinWatermark(input.toDF(), "user_id")
+      .writeStream.format("memory").outputMode(OutputMode.Append())
+      .queryName("dedup_" + System.nanoTime()).start()
+    try {
+      input.addData(UserEvent(t(1), 1L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        UserEvent(t(2), 1L, "click", 1.0), // duplicate id within watermark
+        UserEvent(t(3), 2L, "view", 2.0))
+      q.processAllAvailable()
+      val users = spark.table(q.name).collect().map(_.getLong(1)).sorted
+      assert(users.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming tumbling over the events table equals the batch result") {
     // one definition, two modes, same data: write the driver's events
     // table (normalized to micros), stream it back with readStream, and
