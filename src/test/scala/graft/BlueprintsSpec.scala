@@ -248,6 +248,17 @@ class BlueprintsSpec extends SparkSpec {
     assert(names(b) == Set("b/f.txt"))
   }
 
+  test("filenames with spaces and unicode survive the whole pipeline") {
+    val src = freshBucket("dir/my file (1).csv" -> "s", "dir/ünïcode.dat" -> "u")
+    val dst = Files.createTempDirectory(root, "dl")
+    val n = Blueprints.download(spark,
+      DownloadConfig(uri(src), "dir", ".*", MatchType.RegexMatch, "", None),
+      uri(dst))
+    assert(n == 2)
+    assert(names(dst) == Set("my file (1).csv", "ünïcode.dat"))
+    assert(Files.readString(dst.resolve("ünïcode.dat")) == "u")
+  }
+
   // --- collision guard (executor-parallel last-wins is data loss) ---
 
   test("duplicate basenames without explicit name raise DestinationCollision") {
