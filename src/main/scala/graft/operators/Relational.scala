@@ -372,6 +372,34 @@ object Relational {
       Some("""SELECT event_type, DATE_TRUNC('hour', ts) AS hour_start,
                 COUNT(*) AS n,
                 CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
-              FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start"""))
+              FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""")),
+
+    // Q35 batch sessionization: session_window with a 30-minute gap per
+    // event_type. Spark closes a session when the next event is ≥ gap
+    // after the last one; the oracle states the same semantics as a
+    // gaps-and-islands window (break when ts − prev ≥ 30 min).
+    "q35_sessionize" -> QueryDef(
+      (s, dir) => table(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(dsum(col("value")), 2).cast("double").as("sum_value"))
+        .select(col("session_window.start").as("sess_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("event_type", "sess_start"),
+      Some("""WITH e AS (SELECT event_type, event_id, ts, value,
+                  CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+              g AS (SELECT event_type, ts, value,
+                  SUM(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM e)
+              SELECT MIN(ts) AS sess_start, event_type, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                  AS sum_value
+              FROM g GROUP BY event_type, sid
+              ORDER BY event_type, sess_start"""))
   )
 }
