@@ -14,7 +14,7 @@ import Q._
   *    signature ([[graft.functions.MinHashSignature]]) → 32 bands × 4
   *    rows → candidate pairs join **on band hash** (bucket join, no
   *    cartesian) → exact-Jaccard verification of candidates only;
-  *  - SimHash near-dup: 64-bit fingerprint ([[graft.functions.SimHash64]])
+  *  - SimHash near-dup: 64-bit fingerprint ([[graft.functions.SimHashMd5]])
   *    → 4 × 16-bit bands; by pigeonhole any pair within Hamming distance 3
   *    shares at least one band, so the band join is *exhaustive* for the
   *    declared distance, not approximate.
@@ -206,6 +206,9 @@ object Dedup {
         HashFunctions.register(s)
         val fp = table(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          // token-less docs are excluded (the oracle's UNNEST drops them;
+          // an all-zero fingerprint would otherwise pair empty docs)
+          .filter(col("text").rlike("\\S"))
           .select(col("doc_id"),
             expr("graft_simhash_md5(filter(split(text, '\\\\s+'), t -> t != ''))")
               .as("fp"))

@@ -38,6 +38,7 @@ class DedupSpec extends SparkSpec {
   test("simhash banding equals brute-force Hamming<=3 pairs (pigeonhole)") {
     HashFunctions.register(spark)
     val fp = Q.table(spark, sfDir, "documents")
+      .filter(col("text").rlike("\\S")) // mirror q26's token-less exclusion
       .select(col("doc_id"),
         expr("graft_simhash_md5(filter(split(text, '\\\\s+'), t -> t != ''))").as("fp"))
     val a = fp.select(col("doc_id").as("da"), col("fp").as("fpa"))
