@@ -321,9 +321,11 @@ object Relational {
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k"),
+      // NULLS FIRST pins DuckDB to Spark's ASC null ordering in case a
+      // row ever lacks the key (none do today; latent-divergence guard)
       Some("""SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k,
                 COUNT(*) AS n
-              FROM events GROUP BY k ORDER BY k""")),
+              FROM events GROUP BY k ORDER BY k NULLS FIRST""")),
 
     // Q20 array functions over embeddings: size / element_at / per-row
     // sequential fold (deterministic in both engines), then exact decimal
