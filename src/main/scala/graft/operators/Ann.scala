@@ -83,6 +83,58 @@ object Ann {
       .select("q_id", "vec_id", "sim", "rank")
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer buckets the
+    * corpus by nearest centroid (`nlist` cells, distributed training via
+    * spark-mllib); each query probes its `nprobe` nearest cells and
+    * exact cosine re-ranks the candidates. Same scale shape as the LSH
+    * path — one corpus shuffle on the cell id, a tiny broadcast centroid
+    * table, never n² pairs — but data-adaptive: cells follow the
+    * embedding distribution instead of fixed hyperplanes.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.withColumn("features", array_to_vector(col("embedding")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .fit(featured)
+    val c = model.transform(featured)
+      .select(col("vec_id"), col("embedding"),
+        normSq(col("embedding")).as("nsq"), col("prediction").as("cell"))
+    // tiny centroid table (nlist rows) broadcasts; per-query cell ranking
+    // via exact L2: |q-c|² = |q|² - 2·q·c + |c|²
+    val centroids = broadcast(spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (v, i) =>
+        (i, v.toArray)
+      }.toIndexedSeq).toDF("cell", "centroid"))
+    val wCell = Window.partitionBy("q_id").orderBy("dist", "cell")
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normSq(col("embedding")).as("q_nsq"))
+      .crossJoin(centroids)
+      .withColumn("dist",
+        col("q_nsq") - lit(2.0) * dot(col("q_emb"), col("centroid")) +
+          dot(col("centroid"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nprobe)
+      .select("q_id", "q_emb", "q_nsq", "cell")
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    c.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosineWithNorms(
+        dot(col("embedding"), col("q_emb")), col("nsq"), col("q_nsq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
   /** Exact brute-force top-k with the same output contract — the recall
     * baseline (broadcast the query side; map-only over the corpus).
     */

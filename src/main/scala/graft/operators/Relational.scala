@@ -402,6 +402,46 @@ object Relational {
                 CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
                   AS sum_value
               FROM g GROUP BY event_type, sid
-              ORDER BY event_type, sess_start"""))
+              ORDER BY event_type, sess_start""")),
+
+    // Q36 as-of join: each purchase joined to the user's most recent
+    // click at-or-before it. Spark form is the scalable union+window
+    // trick — tag both streams, one shuffle on user_id, running
+    // last(click_ts) — no range-join explosion and no custom Catalyst;
+    // clicks sort before purchases at equal ts (tag order) to match
+    // ASOF's `>=`. Oracle is DuckDB's native ASOF LEFT JOIN.
+    "q36_asof_join" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(0).as("tag"),
+            lit(null).cast("long").as("event_id"), col("ts").as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("tag"),
+            col("event_id"), lit(null).cast("timestamp").as("click_ts"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "tag")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("last_click_ts",
+            last(col("click_ts"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("last_click_ts"),
+            expr("(unix_micros(ts) - unix_micros(last_click_ts)) div 1000000")
+              .as("wait_sec"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+                         WHERE event_type = 'purchase'),
+              c AS (SELECT DISTINCT user_id, ts AS click_ts FROM events
+                    WHERE event_type = 'click')
+              SELECT p.event_id, p.user_id, p.ts,
+                c.click_ts AS last_click_ts,
+                (epoch_us(p.ts) - epoch_us(c.click_ts)) // 1000000 AS wait_sec
+              FROM p ASOF LEFT JOIN c
+                ON p.user_id = c.user_id AND p.ts >= c.click_ts
+              ORDER BY event_id"""))
   )
 }

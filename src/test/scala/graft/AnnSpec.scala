@@ -40,6 +40,40 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-9)
   }
 
+  test("ivf sims are exact, candidates come from probed cells only") {
+    val queries = emb.filter(col("vec_id") <= 5)
+    val ivf = Ann.ivfTopK(emb, queries, k = 10)
+      .select("q_id", "vec_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val brute = Ann.bruteTopK(emb, queries, k = emb.count().toInt)
+      .select("q_id", "vec_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (key, sim) =>
+      assert(brute.contains(key) && sim == brute(key), s"ivf sim mismatch $key")
+    }
+  }
+
+  test("ivf self-query retrieves the duplicated vector at sim 1.0") {
+    val q = emb.filter(col("vec_id") === 2)
+      .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+    val res = Ann.ivfTopK(emb, q, k = 3).collect()
+    assert(res.nonEmpty)
+    val top = res.minBy(_.getAs[Int]("rank"))
+    assert(top.getAs[Long]("vec_id") == 2L)
+    assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
+  test("ivf recall against brute-force top-10 is nontrivial") {
+    val queries = emb.filter(col("vec_id") <= 20)
+    val ivf = Ann.ivfTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Ann.bruteTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"ivf recall collapsed: $recall")
+  }
+
   test("ann plan has no cartesian product") {
     val queries = emb.filter(col("vec_id") <= 5)
     val plan = Ann.annTopK(emb, queries, k = 10)
