@@ -442,6 +442,46 @@ object Relational {
                 (epoch_us(p.ts) - epoch_us(c.click_ts)) // 1000000 AS wait_sec
               FROM p ASOF LEFT JOIN c
                 ON p.user_id = c.user_id AND p.ts >= c.click_ts
-              ORDER BY event_id"""))
+              ORDER BY event_id""")),
+
+    // Q37 range (interval-proximity) join: click/view pairs of the same
+    // user within one hour of each other. The naive plan is an
+    // inequality join (nested loop over every same-user pair); the scale
+    // form used here is TIME-BUCKET BANDING — the build side buckets
+    // once at the gap width, the probe side explodes to its bucket ±1,
+    // and the join is a plain equi-join on (user, bucket) with an exact
+    // residual filter. Each qualifying pair lands in exactly one probed
+    // bucket (the view's), so no dedup is needed.
+    "q37_range_join" -> QueryDef(
+      (s, dir) => {
+        val gapUs = 3600L * 1000000L
+        val ev = table(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            unix_micros(col("ts")).as("vus"))
+          .withColumn("bucket", expr(s"vus div ${gapUs}L"))
+        val probes = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("cus"))
+          .withColumn("b0", expr(s"cus div ${gapUs}L"))
+          .withColumn("bucket",
+            explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+        probes.join(views, Seq("user_id", "bucket"))
+          .filter(abs(col("cus") - col("vus")) <= gapUs)
+          .select(col("click_id"), col("view_id"),
+            expr("abs(cus - vus) div 1000000").as("diff_sec"))
+          .orderBy("click_id", "view_id")
+      },
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id,
+                    epoch_us(ts) AS cus
+                  FROM events WHERE event_type = 'click'),
+              v AS (SELECT event_id AS view_id, user_id,
+                    epoch_us(ts) AS vus
+                  FROM events WHERE event_type = 'view')
+              SELECT click_id, view_id,
+                ABS(cus - vus) // 1000000 AS diff_sec
+              FROM c JOIN v USING (user_id)
+              WHERE ABS(cus - vus) <= 3600000000
+              ORDER BY click_id, view_id"""))
   )
 }

@@ -60,6 +60,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q37: the range join plans as an equi-join on buckets, not a nested loop") {
+    val p = plan("q37_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "time-bucket banding failed: inequality join fell back to a nested loop")
+  }
+
   test("q23: the query vector broadcasts; the corpus side never shuffles") {
     val p = plan("q23_similarity")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
