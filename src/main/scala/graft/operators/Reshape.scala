@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Reshaping + order-statistics operators: pivot (long→wide), unpivot
+  * (wide→long), and exact percentiles. All pure `org.apache.spark.sql`;
+  * pivot compiles to conditional aggregation (one shuffle, partial
+  * aggs), unpivot to a generator projection (map-only), and exact
+  * `percentile` to a sort-based aggregate per group.
+  */
+object Reshape {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Pivot: per event hour-of-day, one count column per event_type.
+    // Explicit value list keeps the plan single-pass (no distinct scan).
+    "q38_pivot" -> QueryDef(
+      (s, dir) => table(s, dir, "events")
+        .withColumn("hour_of_day", hour(col("ts")).cast("long"))
+        .groupBy("hour_of_day")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("hour_of_day"),
+      Some("""SELECT CAST(HOUR(ts) AS BIGINT) AS hour_of_day,
+                COUNT(*) FILTER (event_type = 'click') AS click,
+                COUNT(*) FILTER (event_type = 'view') AS view,
+                COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                COUNT(*) FILTER (event_type = 'signup') AS signup,
+                COUNT(*) FILTER (event_type = 'error') AS error
+              FROM events GROUP BY 1 ORDER BY hour_of_day""")),
+
+    // Unpivot (wide→long): lineitem per-row charge components melted to
+    // (measure, value) rows, then aggregated per measure.
+    "q39_unpivot" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"),
+          round(dsum(col("val"), 6), 2).cast("double").as("total"))
+        .orderBy("measure"),
+      Some("""SELECT measure, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(val AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+              FROM (SELECT l_orderkey, l_linenumber, measure, val
+                    FROM lineitem
+                    UNPIVOT (val FOR measure IN
+                      (l_extendedprice, l_discount, l_tax))) u
+              GROUP BY measure ORDER BY measure""")),
+
+    // Exact order statistics per order priority: median and p90 via the
+    // sort-based exact percentile (both engines interpolate linearly on
+    // the same exact doubles; results surfaced rounded).
+    "q40_percentiles" -> QueryDef(
+      (s, dir) => table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("med"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+                ROUND(quantile_cont(o_totalprice, 0.5), 2) AS med,
+                ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
+              FROM orders GROUP BY 1 ORDER BY o_orderpriority"""))
+  )
+}
