@@ -195,6 +195,63 @@ object Dedup {
               JOIN sizes y ON y.source = sb
               ORDER BY sa, sb""")),
 
+    // Edit-distance verification of near-dup candidates: the LSH bucket
+    // join proposes pairs (exactly as q25), exact Jaccard ≥ 0.8 gates
+    // them, and levenshtein (identical integer DP in both engines)
+    // quantifies the character-level damage. Edit distance is O(len²)
+    // per pair — running it ONLY on LSH survivors is the point; the
+    // oracle brute-forces the same pair set.
+    "q41_neardup_editdist" -> QueryDef(
+      (s, dir) => {
+        HashFunctions.register(s)
+        val docs = table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        val sh = docs
+          .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sig = sh.withColumn("sig", expr("graft_minhash(sh)"))
+        val bandCols = (0 until Bands).map { b =>
+          xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
+            element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
+        }
+        val banded = sig
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        val pairs = banded.select(col("doc_id").as("da"), col("band"))
+          .join(banded.select(col("doc_id").as("db"), col("band")),
+            Seq("band"))
+          .filter(col("da") < col("db"))
+          .select("da", "db")
+          .distinct()
+        val texts = docs.select(col("doc_id"), col("text"))
+        val cand = pairs
+          .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+          .join(texts.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+          .join(texts.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+        val inter = size(array_intersect(col("sha"), col("shb")))
+        val union = size(col("sha")) + size(col("shb")) - inter
+        cand
+          .withColumn("j", inter.cast("double") / union)
+          .filter(col("j") >= 0.8)
+          .select(col("da"), col("db"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+          .orderBy("da", "db")
+      },
+      Some("""WITH toks AS (SELECT doc_id, text,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id, text,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                  a.text AS ta, b.text AS tb,
+                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+              SELECT da, db, CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
+              FROM p WHERE j >= 0.8 ORDER BY da, db""")),
+
     // SimHash near-dup: 64-bit fingerprints, 4×16-bit band buckets —
     // exhaustive for Hamming ≤ 3 by pigeonhole (banding equals brute
     // force: proved in DedupSpec). The per-token hash is md5-derived
