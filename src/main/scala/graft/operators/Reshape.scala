@@ -53,6 +53,49 @@ object Reshape {
                       (l_extendedprice, l_discount, l_tax))) u
               GROUP BY measure ORDER BY measure""")),
 
+    // Cube: all grouping combinations of (status, priority) with
+    // GROUPING_ID distinguishing the aggregation level; ordering leads
+    // with gid so the NULL super-aggregate rows sort identically in
+    // both engines.
+    "q42_cube" -> QueryDef(
+      (s, dir) => table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+        .orderBy("gid", "o_orderstatus", "o_orderpriority"),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                COUNT(*) AS n
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              ORDER BY gid, o_orderstatus, o_orderpriority""")),
+
+    // Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicities (vs q15's distinct-set variants).
+    "q43_setops_all" -> QueryDef(
+      (s, dir) => {
+        val sup = table(s, dir, "supplier")
+          .select(col("s_nationkey").as("nationkey"))
+        val cust = table(s, dir, "customer")
+          .select(col("c_nationkey").as("nationkey"))
+        val i = sup.intersectAll(cust).withColumn("op", lit("intersect_all"))
+        val e = cust.exceptAll(sup).withColumn("op", lit("except_all"))
+        i.union(e)
+          .groupBy("op", "nationkey")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("op", "nationkey")
+      },
+      Some("""WITH s AS (SELECT s_nationkey AS nationkey FROM supplier),
+                   c AS (SELECT c_nationkey AS nationkey FROM customer),
+                   i AS (SELECT nationkey FROM s INTERSECT ALL
+                         SELECT nationkey FROM c),
+                   e AS (SELECT nationkey FROM c EXCEPT ALL
+                         SELECT nationkey FROM s)
+              SELECT op, nationkey, COUNT(*) AS n FROM (
+                SELECT 'intersect_all' AS op, nationkey FROM i
+                UNION ALL SELECT 'except_all', nationkey FROM e) t
+              GROUP BY op, nationkey ORDER BY op, nationkey""")),
+
     // Exact order statistics per order priority: median and p90 via the
     // sort-based exact percentile (both engines interpolate linearly on
     // the same exact doubles; results surfaced rounded).
