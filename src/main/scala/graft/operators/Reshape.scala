@@ -96,6 +96,28 @@ object Reshape {
                 UNION ALL SELECT 'except_all', nationkey FROM e) t
               GROUP BY op, nationkey ORDER BY op, nationkey""")),
 
+    // Array higher-order functions over embeddings: per-row filter
+    // count + extrema (float→double widening is exact, so no rounding
+    // is needed anywhere), aggregated per label.
+    "q44_array_hof" -> QueryDef(
+      (s, dir) => table(s, dir, "embeddings")
+        .withColumn("n_pos",
+          size(filter(col("embedding"), x => x > 0f)).cast("long"))
+        .withColumn("e_max", array_max(col("embedding")).cast("double"))
+        .withColumn("e_min", array_min(col("embedding")).cast("double"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_pos")).as("total_pos"),
+          max(col("e_max")).as("lab_max"),
+          min(col("e_min")).as("lab_min"))
+        .orderBy("label"),
+      Some("""SELECT label, COUNT(*) AS n,
+                CAST(SUM(LEN(list_filter(embedding, x -> x > 0))) AS BIGINT)
+                  AS total_pos,
+                MAX(CAST(list_max(embedding) AS DOUBLE)) AS lab_max,
+                MIN(CAST(list_min(embedding) AS DOUBLE)) AS lab_min
+              FROM embeddings GROUP BY label ORDER BY label""")),
+
     // Exact order statistics per order priority: median and p90 via the
     // sort-based exact percentile (both engines interpolate linearly on
     // the same exact doubles; results surfaced rounded).
