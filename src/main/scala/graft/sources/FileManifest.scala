@@ -59,9 +59,7 @@ object FileManifest {
 
     // Shallow first level on the driver: files become entries directly,
     // directories fan out to the executors.
-    val shallow = fs.listStatus(listPath)
-    val files = shallow.filter(_.isFile).map(toEntry(_, root, rootStr)).toSeq
-    val dirs = shallow.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    val (files, dirs) = listShallow(fs, listPath, root, rootStr)
     val shallowDs = spark.createDataset(files)
     if (dirs.isEmpty || !recursive) shallowDs
     else {
@@ -70,19 +68,75 @@ object FileManifest {
         math.min(dirs.length, spark.sparkContext.defaultParallelism))
       val deep = spark.sparkContext
         .parallelize(dirs, slices)
-        .flatMap { d =>
-          val c = conf.value
-          val dirPath = new Path(d)
-          val dirFs = FileSystem.get(dirPath.toUri, c)
-          val it = dirFs.listFiles(dirPath, true)
-          new Iterator[FileEntry] {
-            def hasNext: Boolean = it.hasNext
-            def next(): FileEntry = toEntry(it.next(), root, rootStr)
-          }
-        }
+        .flatMap(d => listDeep(d, root, rootStr, conf.value))
       shallowDs.union(spark.createDataset(deep))
     }
   }
+
+  /** First-level listing. `file:` goes through java.nio: Hadoop's local
+    * status objects fork a shell per entry for permissions (no
+    * native-hadoop), ~30 ms/file — ruinous for large flat directories.
+    */
+  private def listShallow(
+      fs: FileSystem, listPath: Path, root: String, rootStr: String)
+      : (Seq[FileEntry], Seq[String]) =
+    if (fs.getScheme == "file") {
+      val dir = java.nio.file.Paths.get(listPath.toUri.getPath)
+      val rootOs = java.nio.file.Paths.get(new Path(root).toUri.getPath)
+      val files = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+      val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val ds = java.nio.file.Files.newDirectoryStream(dir)
+      try ds.forEach { p =>
+        if (java.nio.file.Files.isDirectory(p)) dirs += s"file://$p"
+        else files += nioEntry(p, root, rootOs)
+      } finally ds.close()
+      (files.toSeq, dirs.toSeq)
+    } else {
+      val shallow = fs.listStatus(listPath)
+      (shallow.filter(_.isFile).map(toEntry(_, root, rootStr)).toSeq,
+        shallow.filter(_.isDirectory).map(_.getPath.toString).toSeq)
+    }
+
+  /** Executor-side recursive listing of one subtree (nio for `file:`). */
+  private def listDeep(
+      d: String, root: String, rootStr: String,
+      c: Configuration): Iterator[FileEntry] = {
+    val dirPath = new Path(d)
+    if (dirPath.toUri.getScheme == "file") {
+      val rootOs = java.nio.file.Paths.get(new Path(root).toUri.getPath)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+      java.nio.file.Files.walkFileTree(
+        java.nio.file.Paths.get(dirPath.toUri.getPath),
+        new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+          override def visitFile(
+              p: java.nio.file.Path,
+              attrs: java.nio.file.attribute.BasicFileAttributes)
+              : java.nio.file.FileVisitResult = {
+            buf += FileEntry(root, rootOs.relativize(p).toString,
+              p.getFileName.toString, attrs.size(),
+              new java.sql.Timestamp(attrs.lastModifiedTime.toMillis))
+            java.nio.file.FileVisitResult.CONTINUE
+          }
+        })
+      buf.iterator
+    } else {
+      val dirFs = FileSystem.get(dirPath.toUri, c)
+      val it = dirFs.listFiles(dirPath, true)
+      new Iterator[FileEntry] {
+        def hasNext: Boolean = it.hasNext
+        def next(): FileEntry = toEntry(it.next(), root, rootStr)
+      }
+    }
+  }
+
+  private def nioEntry(
+      p: java.nio.file.Path, root: String,
+      rootOs: java.nio.file.Path): FileEntry =
+    FileEntry(root, rootOs.relativize(p).toString,
+      p.getFileName.toString,
+      java.nio.file.Files.size(p),
+      new java.sql.Timestamp(
+        java.nio.file.Files.getLastModifiedTime(p).toMillis))
 
   private def toEntry(st: FileStatus, root: String, rootStr: String): FileEntry = {
     val rel = st.getPath.toString.stripPrefix(rootStr).stripPrefix("/")
@@ -171,11 +225,22 @@ object FileManifest {
     val spark = manifest.sparkSession
     import spark.implicits._
     val folder = PathAlg.cleanFolderName(destinationFolderName)
-    val total = manifest.count()
+    // persist across the three consumers (count, sort sampling, sort
+    // exec) — without it each action re-executes the whole listing
+    // lineage; the indexed result is persisted + materialized so the
+    // caller's downstream actions reuse it too (manifests are
+    // metadata-sized; the cache is released when the session ends or
+    // the caller unpersists)
+    val cached = manifest.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = cached.count()
     val indexed = spark.createDataset(
-      manifest.orderBy("path").as[FileEntry].rdd
+      cached.orderBy("path").as[FileEntry].rdd
         .zipWithIndex().map { case (e, i) => (e, i + 1) })
       .select(col("_1.*"), col("_2").as("file_number"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    indexed.count()
+    cached.unpersist(blocking = false)
     val n = col("file_number")
     val baseName = element_at(split(col("path"), "/"), -1)
     val destName = destinationFileName match {
