@@ -8,16 +8,18 @@ import graft.sources.FileManifest
 
 /** The four reference pipelines (download / upload / move / remove),
   * re-expressed as manifest-plan builders + executor-parallel sinks.
-  * Lifecycle mapping: SURVEY §3.4. Each returns the number of files acted
-  * on, and throws [[graft.core.BlueprintError]] for the reference's coded
-  * failures (exit_codes.py:1-3).
+  * Lifecycle mapping: SURVEY §3.4. Copy-shaped ops return
+  * [[FileOps.CopyStats]] (planned vs actually-transferred vs skipped);
+  * remove returns the planned row count. All throw
+  * [[graft.core.BlueprintError]] for the reference's coded failures
+  * (exit_codes.py:1-3).
   */
 object Blueprints {
 
   /** GCS -> local (download_file.py:228-277). `bucket` is a URI root;
     * `destRoot` a local directory URI (the reference's cwd).
     */
-  def download(spark: SparkSession, cfg: DownloadConfig, destRoot: String): Long =
+  def download(spark: SparkSession, cfg: DownloadConfig, destRoot: String): FileOps.CopyStats =
     transfer(spark, cfg.bucket, cfg.sourceFolderName, cfg.sourceFileName,
       cfg.matchType, destRoot, cfg.destinationFolderName,
       cfg.destinationFileName, EnumeratePolicy.Always, deleteSource = false)
@@ -29,7 +31,7 @@ object Blueprints {
     * (upload_file.py:159-174), unlike download/move/remove which match the
     * bucket-relative name — SURVEY §2A-O3 preserves both behaviors per-op.
     */
-  def upload(spark: SparkSession, cfg: UploadConfig, srcRoot: String): Long =
+  def upload(spark: SparkSession, cfg: UploadConfig, srcRoot: String): FileOps.CopyStats =
     transfer(spark, srcRoot, cfg.sourceFolderName, cfg.sourceFileName,
       cfg.matchType, cfg.bucket, cfg.destinationFolderName,
       cfg.destinationFileName, EnumeratePolicy.Always, deleteSource = false,
@@ -39,7 +41,7 @@ object Blueprints {
     * (move_file.py:158-214). Enumerates only when >1 match
     * (move_file.py:185-191 — the canonical policy, SURVEY §2A-O4).
     */
-  def move(spark: SparkSession, cfg: MoveConfig): Long =
+  def move(spark: SparkSession, cfg: MoveConfig): FileOps.CopyStats =
     transfer(spark, cfg.sourceBucket, cfg.sourceFolderName, cfg.sourceFileName,
       cfg.matchType, cfg.destinationBucket, cfg.destinationFolderName,
       cfg.destinationFileName, EnumeratePolicy.IfMultiple, deleteSource = true)
@@ -73,12 +75,12 @@ object Blueprints {
       dstFile: Option[String],
       policy: EnumeratePolicy,
       deleteSource: Boolean,
-      matchAbsolute: Boolean = false): Long = matchType match {
+      matchAbsolute: Boolean = false): FileOps.CopyStats = matchType match {
     case MatchType.ExactMatch =>
       val entry = FileManifest.lookup(spark, srcRoot, srcFolder, srcFile)
       val dest = PathAlg.determineFullPath(dstFolder, dstFile, entry.path, None)
       FileOps.copyOne(spark, srcRoot, entry.path, dstRoot, dest, deleteSource)
-      1L
+      FileOps.CopyStats(1L, 1L, 0L)
     case MatchType.RegexMatch =>
       val manifest = FileManifest.scan(spark, srcRoot, srcFolder)
       val matched =
@@ -89,10 +91,10 @@ object Blueprints {
       // skip the collision aggregation (a full-manifest shuffle at scale)
       val provablyUnique =
         dstFile.isDefined && policy == EnumeratePolicy.Always
-      val n = FileOps.copy(planned, Some(dstRoot), deleteSource,
+      val st = FileOps.copy(planned, Some(dstRoot), deleteSource,
         checkCollisions = !provablyUnique)
-      if (n == 0) throw BlueprintError.FileNotFound(srcFile)
-      n
+      if (st.planned == 0) throw BlueprintError.FileNotFound(srcFile)
+      st
   }
 
   /** Credential injection (download_file.py:44-62 `set_environment_variables`):
@@ -124,10 +126,14 @@ object Blueprints {
   /** The reference sniffs by attempting `json.loads`
     * (download_file.py:49-55) — a `{`-prefixed but malformed value must
     * fall through to the path branch, so parse for real (Jackson ships
-    * with Spark).
+    * with Spark). `json.loads` rejects trailing content after the value
+    * (`'{"a":1}garbage'` is NOT JSON), so trailing tokens must fail too.
     */
   private def looksLikeJson(s: String): Boolean =
     scala.util.Try {
-      new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .enable(com.fasterxml.jackson.databind.DeserializationFeature
+          .FAIL_ON_TRAILING_TOKENS)
+        .readTree(s)
     }.toOption.exists(n => n != null && n.isObject)
 }

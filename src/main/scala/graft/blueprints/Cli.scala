@@ -39,6 +39,13 @@ object Cli {
     spark
   }
 
+  /** "verbed N file(s)" with transferred (not planned) as N, so skipped
+    * rows (overwrite=false, idempotent retries) are never overstated.
+    */
+  def report(verb: String, st: graft.operators.FileOps.CopyStats): Unit = {
+    val suffix = if (st.skipped > 0) s" (${st.skipped} skipped)" else ""
+    println(s"$verb ${st.transferred} file(s)$suffix")
+  }
 }
 
 object DownloadFile {
@@ -57,7 +64,7 @@ object DownloadFile {
         destinationFileName = f.get("destination-file-name")),
       destRoot = f.getOrElse("local-root",
         s"file://${System.getProperty("user.dir")}"))
-    println(s"downloaded $n file(s)")
+    Cli.report("downloaded", n)
     spark.stop()
   }
 }
@@ -78,7 +85,7 @@ object UploadFile {
         destinationFileName = f.get("destination-file-name")),
       srcRoot = f.getOrElse("local-root",
         s"file://${System.getProperty("user.dir")}"))
-    println(s"uploaded $n file(s)")
+    Cli.report("uploaded", n)
     spark.stop()
   }
 }
@@ -99,7 +106,7 @@ object MoveFile {
           f.getOrElse("source-file-name-match-type", "exact_match")),
         destinationFolderName = f.getOrElse("destination-folder-name", ""),
         destinationFileName = f.get("destination-file-name")))
-    println(s"moved $n file(s)")
+    Cli.report("moved", n)
     spark.stop()
   }
 }

@@ -19,11 +19,16 @@ import org.apache.spark.sql.types._
   *
   * Null elements contribute 0 (the embeddings schema declares
   * non-null elements; this is belt-and-braces, not semantics).
+  *
+  * Mismatched lengths produce NULL, never a silently-truncated partial
+  * sum: a dimension bug upstream must surface as a null similarity (and
+  * null-rejecting downstream filters), not as a plausible wrong number.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   private def elemType(e: Expression): DataType =
@@ -32,7 +37,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     val (at, bt) = (elemType(left), elemType(right))
     var sum = 0.0
     var i = 0

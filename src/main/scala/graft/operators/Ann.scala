@@ -62,7 +62,9 @@ object Ann {
       seed: Long = 7L,
       probes: Int = 1): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
-    val dim = 64
+    // hyperplane dimension must match the data (graft_dot nulls out on
+    // mismatch rather than truncating) — read it from one corpus row
+    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
     val planes = hyperplanes(dim, nPlanes, seed)
     val c = corpus.select(col("vec_id"), col("embedding"),
       normSq(col("embedding")).as("nsq"),

@@ -21,13 +21,24 @@ import graft.sources.FileManifest
   * Retry/speculation safety: per-file work is idempotent — a retried
   * partition that finds the source already gone but the destination
   * present (a completed move from the first attempt) skips the file
-  * instead of failing, and the returned count is the planned row count,
-  * not a task-retry-inflated accumulator.
+  * instead of failing. Skips are counted via an action-scoped
+  * accumulator (exactly-once for actions) so [[CopyStats]] separates
+  * planned vs actually-transferred rows.
   *
   * Expected columns: `bucket`, `path` (+ `dest` for copy/move; `destBucket`
   * optional — defaults to the source bucket).
   */
 object FileOps {
+
+  /** Outcome of a bulk copy/move. `planned` is the manifest row count;
+    * `transferred` the rows whose bytes actually moved this run; `skipped`
+    * the rows passed over (existing destination under `overwrite=false`,
+    * or an idempotent-retry skip of an already-completed move). The
+    * reference's sequential loop had no skip paths, so its printed count
+    * was always the transfer count — reporting `planned` as "downloaded
+    * N" would overstate when rows skip.
+    */
+  final case class CopyStats(planned: Long, transferred: Long, skipped: Long)
 
   /** Upper bound on copy tasks. One file per task would drown in task
     * overhead for millions of small files; fewer tasks than cores wastes
@@ -92,7 +103,7 @@ object FileOps {
       destBucketDefault: Option[String] = None,
       deleteSource: Boolean = false,
       overwrite: Boolean = true,
-      checkCollisions: Boolean = true): Long = {
+      checkCollisions: Boolean = true): CopyStats = {
     val spark = df.sparkSession
     val conf = new SerializableConfiguration(FileManifest.hadoopConf(spark))
     val hasDestBucket = df.columns.contains("destBucket")
@@ -101,16 +112,27 @@ object FileOps {
     val rows = df.selectExpr(cols: _*).cache()
     try {
       val n = rows.count()
-      if (n == 0) return 0L
+      if (n == 0) return CopyStats(0L, 0L, 0L)
       if (checkCollisions) {
-        val destKey = if (hasDestBucket) Seq("destBucket", "dest") else Seq("dest")
-        val collision = rows.groupBy(destKey.map(col): _*)
+        // group by the EFFECTIVE destination bucket (the same resolution
+        // the copy loop applies): a null destBucket falls back to the
+        // default, then to the row's source bucket — so rows from
+        // different source buckets never falsely collide, and a null row
+        // colliding with an explicitly-equal resolved bucket is caught
+        val effDestBucket = {
+          val default = destBucketDefault.map(lit).getOrElse(col("bucket"))
+          if (hasDestBucket) coalesce(col("destBucket"), default) else default
+        }
+        val collision = rows.groupBy(effDestBucket.as("effBucket"), col("dest"))
           .agg(count(lit(1)).as("w"), min(col("path")).as("p"))
           .filter(col("w") > 1).limit(1).collect()
         if (collision.nonEmpty)
           throw BlueprintError.DestinationCollision(
             collision.head.getAs[String]("dest"))
       }
+      // foreachPartition is an action, so accumulator updates from
+      // retried/speculative tasks are applied exactly once
+      val skippedAcc = spark.sparkContext.longAccumulator("graft.copy.skipped")
       rows.repartition(parallelism(spark, n)).foreachPartition {
         (it: Iterator[org.apache.spark.sql.Row]) =>
           val c = conf.value
@@ -141,8 +163,10 @@ object FileOps {
               // leaves dest present and source gone — skip, don't fail
               if (!(deleteSource && fileExists(dstFs, dstPath)))
                 throw BlueprintError.FileNotFound(srcPath.toString)
+              skippedAcc.add(1L)
             } else if (!overwrite && fileExists(dstFs, dstPath)) {
               // overwrite=false: an existing destination wins; skip
+              skippedAcc.add(1L)
             } else {
               copyFile(srcFs, srcPath, dstFs, dstPath, c)
               if (deleteSource) {
@@ -154,7 +178,7 @@ object FileOps {
             }
           }
       }
-      n
+      CopyStats(n, n - skippedAcc.value, skippedAcc.value)
     } finally rows.unpersist()
   }
 

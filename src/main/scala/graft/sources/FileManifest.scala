@@ -73,9 +73,19 @@ object FileManifest {
     }
   }
 
+  /** Hadoop's ChecksumFileSystem hides its own `.name.crc` sidecars from
+    * listings; the nio fast path must preserve that contract so manifests
+    * over dirs written by checksumming Hadoop clients stay identical.
+    */
+  private def isChecksumSidecar(name: String): Boolean =
+    name.startsWith(".") && name.endsWith(".crc")
+
   /** First-level listing. `file:` goes through java.nio: Hadoop's local
     * status objects fork a shell per entry for permissions (no
     * native-hadoop), ~30 ms/file — ruinous for large flat directories.
+    * Entries that are neither a directory nor a regular file (broken
+    * symlinks, fifos — which the old `listStatus.filter(_.isFile)` path
+    * also excluded) are skipped, not crashed on.
     */
   private def listShallow(
       fs: FileSystem, listPath: Path, root: String, rootStr: String)
@@ -88,7 +98,9 @@ object FileManifest {
       val ds = java.nio.file.Files.newDirectoryStream(dir)
       try ds.forEach { p =>
         if (java.nio.file.Files.isDirectory(p)) dirs += s"file://$p"
-        else files += nioEntry(p, root, rootOs)
+        else if (java.nio.file.Files.isRegularFile(p) &&
+            !isChecksumSidecar(p.getFileName.toString))
+          files += nioEntry(p, root, rootOs)
       } finally ds.close()
       (files.toSeq, dirs.toSeq)
     } else {
@@ -112,11 +124,18 @@ object FileManifest {
               p: java.nio.file.Path,
               attrs: java.nio.file.attribute.BasicFileAttributes)
               : java.nio.file.FileVisitResult = {
-            buf += FileEntry(root, rootOs.relativize(p).toString,
-              p.getFileName.toString, attrs.size(),
-              new java.sql.Timestamp(attrs.lastModifiedTime.toMillis))
+            if (attrs.isRegularFile &&
+                !isChecksumSidecar(p.getFileName.toString))
+              buf += FileEntry(root, rootOs.relativize(p).toString,
+                p.getFileName.toString, attrs.size(),
+                new java.sql.Timestamp(attrs.lastModifiedTime.toMillis))
             java.nio.file.FileVisitResult.CONTINUE
           }
+          // broken symlink: stat fails — skip like the Hadoop path did
+          override def visitFileFailed(
+              p: java.nio.file.Path, e: java.io.IOException)
+              : java.nio.file.FileVisitResult =
+            java.nio.file.FileVisitResult.CONTINUE
         })
       buf.iterator
     } else {

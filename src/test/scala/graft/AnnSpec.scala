@@ -13,6 +13,18 @@ class AnnSpec extends SparkSpec {
   private lazy val emb = Q.table(spark, sfDir, "embeddings")
     .select("vec_id", "embedding")
 
+  test("graft_dot nulls out on mismatched dimensions (no silent truncation)") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(graft.functions.VectorFunctions.dot(col("a"), col("b")).as("d"))
+      .collect()
+    assert(df(0).getDouble(0) == 14.0)
+    assert(df(1).isNullAt(0)) // dimension bug surfaces as null, not 5.0
+  }
+
   test("ann sims equal brute-force sims on shared pairs") {
     val queries = emb.filter(col("vec_id") <= 5)
     val ann = Ann.annTopK(emb, queries, k = 10)

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import graft.blueprints.Blueprints
 import graft.core._
+import graft.operators.FileOps
 
 /** End-to-end tests of the four blueprint pipelines over `file://`
   * fixtures standing in for buckets (SURVEY §5 item 2): exit-code
@@ -47,7 +48,7 @@ class BlueprintsSpec extends SparkSpec {
       DownloadConfig(uri(src), "logs", ".*[.]csv", MatchType.RegexMatch,
         "out", Some("data.csv")),
       uri(dst))
-    assert(n == 2)
+    assert(n == FileOps.CopyStats(2, 2, 0))
     assert(names(dst) == Set("out/data_1.csv", "out/data_2.csv"))
   }
 
@@ -68,7 +69,7 @@ class BlueprintsSpec extends SparkSpec {
       DownloadConfig(uri(src), "f", "data.csv", MatchType.ExactMatch,
         "", None),
       uri(dst))
-    assert(n == 1)
+    assert(n == FileOps.CopyStats(1, 1, 0))
     assert(Files.readString(dst.resolve("data.csv")) == "hello")
   }
 
@@ -80,7 +81,7 @@ class BlueprintsSpec extends SparkSpec {
     val n = Blueprints.move(spark,
       MoveConfig(uri(src), uri(dst), "a", "x.*", MatchType.RegexMatch,
         "", Some("moved.txt")))
-    assert(n == 1)
+    assert(n == FileOps.CopyStats(1, 1, 0))
     assert(names(dst) == Set("moved.txt"))
     assert(names(src) == Set.empty) // source deleted after verified copy
   }
@@ -91,7 +92,7 @@ class BlueprintsSpec extends SparkSpec {
     val n = Blueprints.move(spark,
       MoveConfig(uri(src), uri(dst), "a", "x.*", MatchType.RegexMatch,
         "", Some("m.txt")))
-    assert(n == 2)
+    assert(n == FileOps.CopyStats(2, 2, 0))
     assert(names(dst) == Set("m_1.txt", "m_2.txt"))
     assert(names(src) == Set.empty)
   }
@@ -182,6 +183,17 @@ class BlueprintsSpec extends SparkSpec {
     assert(e.exitCode == BlueprintError.ExitInvalidCredentials)
   }
 
+  test("JSON credentials with trailing garbage are a path, not JSON") {
+    // json.loads rejects trailing content after the value, so the
+    // reference falls through to the path branch; Jackson's default
+    // readTree would stop at '}' and accept — FAIL_ON_TRAILING_TOKENS
+    // restores parity
+    val e = intercept[BlueprintError.InvalidCredentials] {
+      Blueprints.configureCredentials(spark, """{"a":1}garbage""")
+    }
+    assert(e.exitCode == BlueprintError.ExitInvalidCredentials)
+  }
+
   // --- upload semantics (upload_file.py:154-174) ---
 
   test("upload regex matches the ABSOLUTE local path, not the relative one") {
@@ -194,7 +206,7 @@ class BlueprintsSpec extends SparkSpec {
       UploadConfig(uri(dst), "", s"^$src/in/.*[.]csv", MatchType.RegexMatch,
         "", Some("up.csv")),
       uri(src))
-    assert(n == 1)
+    assert(n == FileOps.CopyStats(1, 1, 0))
     assert(names(dst) == Set("up_1.csv"))
   }
 
@@ -205,7 +217,7 @@ class BlueprintsSpec extends SparkSpec {
     val n = Blueprints.upload(spark,
       UploadConfig(uri(dst), "", ".*", MatchType.RegexMatch, "", None),
       uri(src))
-    assert(n == 1) // only the file; the directories never enter the manifest
+    assert(n == FileOps.CopyStats(1, 1, 0)) // only the file; the directories never enter the manifest
     assert(names(dst) == Set("f.txt"))
   }
 
@@ -254,7 +266,7 @@ class BlueprintsSpec extends SparkSpec {
     val n = Blueprints.download(spark,
       DownloadConfig(uri(src), "dir", ".*", MatchType.RegexMatch, "", None),
       uri(dst))
-    assert(n == 2)
+    assert(n == FileOps.CopyStats(2, 2, 0))
     assert(names(dst) == Set("my file (1).csv", "ünïcode.dat"))
     assert(Files.readString(dst.resolve("ünïcode.dat")) == "u")
   }

@@ -96,7 +96,7 @@ class FileManifestSpec extends SparkSpec {
     val planned = FileManifest
       .withDestination(m, "", Some("r.txt"), EnumeratePolicy.Always)
     val n1 = FileOps.copy(planned, Some(s"file://$dst"), deleteSource = true)
-    assert(n1 == 2)
+    assert(n1 == FileOps.CopyStats(2, 2, 0))
     // re-running the same plan: sources are gone, dests exist — the
     // retried work must skip, not throw (speculation/retry semantics)
     val m2 = FileManifest.scan(spark, s"file://$b")
@@ -123,7 +123,7 @@ class FileManifestSpec extends SparkSpec {
           .when(org.apache.spark.sql.functions.col("name") === "f000.dat",
             s"file://$d1")
           .otherwise(s"file://$d2"))
-    assert(FileOps.copy(m.toDF()) == 2)
+    assert(FileOps.copy(m.toDF()).planned == 2)
     assert(Files.exists(d1.resolve("f000.dat")))
     assert(Files.exists(d2.resolve("f001.dat")))
   }
@@ -134,8 +134,59 @@ class FileManifestSpec extends SparkSpec {
     Files.writeString(dst.resolve("f000.dat"), "KEEP-ME-LONGER")
     val m = FileManifest.scan(spark, s"file://$b")
       .withColumn("dest", org.apache.spark.sql.functions.col("name"))
-    FileOps.copy(m.toDF(), Some(s"file://$dst"), overwrite = false)
+    val st = FileOps.copy(m.toDF(), Some(s"file://$dst"), overwrite = false)
     assert(Files.readString(dst.resolve("f000.dat")) == "KEEP-ME-LONGER")
+    // the skipped row is reported as skipped, not silently counted as moved
+    assert(st == FileOps.CopyStats(1, 0, 1))
+  }
+
+  test("collision check resolves null destBucket to its effective bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val b1 = mkTree(nDirs = 1, filesPerDir = 1)
+    val b2 = mkTree(nDirs = 1, filesPerDir = 1)
+    val d1 = Files.createTempDirectory("graft-cb1")
+    val d2 = Files.createTempDirectory("graft-cb2")
+    // same dest name, null destBucket, DIFFERENT source buckets and no
+    // default: effective buckets differ — must NOT be a collision
+    val across = FileManifest.scan(spark, s"file://$b1")
+      .unionByName(FileManifest.scan(spark, s"file://$b2"))
+      .withColumn("dest", col("name"))
+      .withColumn("destBucket",
+        when(col("bucket") === s"file://$b1", s"file://$d1")
+          .otherwise(lit(null: String)))
+    // row 1 routes to d1 explicitly; row 2 falls back to its own bucket
+    assert(FileOps.copy(across.toDF()).planned == 2)
+    assert(Files.exists(d1.resolve("f000.dat")))
+    assert(Files.exists(b2.resolve("f000.dat"))) // fell back to its own bucket
+    // null destBucket resolving to the SAME bucket as an explicit one,
+    // same dest: a real collision that raw-column grouping would miss
+    val m1 = FileManifest.scan(spark, s"file://$b1")
+    val clash = m1.unionByName(m1)
+      .withColumn("dest", lit("same.dat"))
+      .withColumn("file_number",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+      .withColumn("destBucket",
+        when(col("file_number") === 0, s"file://$d2")
+          .otherwise(lit(null: String)))
+      .drop("file_number")
+    intercept[graft.core.BlueprintError.DestinationCollision] {
+      FileOps.copy(clash.toDF(), Some(s"file://$d2"))
+    }
+  }
+
+  test("nio listing hides .crc sidecars and skips broken symlinks") {
+    val b = mkTree(nDirs = 1, filesPerDir = 2)
+    // Hadoop ChecksumFileSystem-style sidecars, shallow and deep
+    Files.writeString(b.resolve(".top.txt.crc"), "crc")
+    Files.writeString(b.resolve("d000/.f000.dat.crc"), "crc")
+    Files.writeString(b.resolve("top.txt"), "t")
+    // broken symlinks at both levels: previously Files.size threw
+    Files.createSymbolicLink(b.resolve("dangling"), b.resolve("no-such"))
+    Files.createSymbolicLink(b.resolve("d000/dangling"), b.resolve("gone"))
+    val m = FileManifest.scan(spark, s"file://$b").collect()
+    assert(m.map(_.path).toSet ==
+      Set("top.txt", "d000/f000.dat", "d000/f001.dat"))
   }
 
   test("scan of a missing bucket raises InvalidBucket") {
