@@ -34,10 +34,15 @@ object Ann {
   private def litArray(a: Array[Double]): Column =
     array(a.toIndexedSeq.map(lit): _*)
 
-  /** Sign-bucket of an embedding column against the given planes. */
+  /** Sign-bucket of an embedding column against the given planes. A null
+    * dot product (ragged/mismatched embedding dim) propagates to a null
+    * bucket — the row drops out of the bucket equi-join instead of
+    * landing in a plausible-looking bucket 0.
+    */
   def signBucket(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(emb, litArray(p)) >= 0d, lit(1 << i)).otherwise(lit(0))
+      val d = dot(emb, litArray(p))
+      when(d >= 0d, lit(1 << i)).when(d < 0d, lit(0))
     }.reduce(_ + _)
 
   /** Buckets within Hamming distance `probes` of `bucket` (multi-probe
@@ -48,6 +53,16 @@ object Ann {
     if (probes == 0) array(bucket)
     else array(bucket +: (0 until nPlanes).map(i =>
       bucket.bitwiseXOR(lit(1 << i))): _*)
+  }
+
+  /** Empty (q_id, vec_id, sim, rank) frame matching the top-k contract. */
+  private def emptyResult(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("q_id", LongType), StructField("vec_id", LongType),
+        StructField("sim", DoubleType), StructField("rank", IntegerType))))
   }
 
   /** ANN top-k: bucket-join candidates, exact cosine re-rank.
@@ -63,8 +78,13 @@ object Ann {
       probes: Int = 1): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     // hyperplane dimension must match the data (graft_dot nulls out on
-    // mismatch rather than truncating) — read it from one corpus row
-    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    // mismatch rather than truncating) — read it from one corpus row;
+    // an empty corpus (or null sampled embedding) yields an empty result
+    val sampled = corpus
+      .filter(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("dim")).head(1)
+    if (sampled.isEmpty) return emptyResult(corpus.sparkSession)
+    val dim = sampled(0).getInt(0)
     val planes = hyperplanes(dim, nPlanes, seed)
     val c = corpus.select(col("vec_id"), col("embedding"),
       normSq(col("embedding")).as("nsq"),

@@ -117,8 +117,14 @@ object FileManifest {
     if (dirPath.toUri.getScheme == "file") {
       val rootOs = java.nio.file.Paths.get(new Path(root).toUri.getPath)
       val buf = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+      // FOLLOW_LINKS matches the shallow path (Files.isRegularFile) and the
+      // Hadoop listStatus path, which both resolve symlinks; broken links
+      // still land in visitFileFailed and are skipped, and walkFileTree
+      // detects link cycles (reported as failures) rather than looping.
       java.nio.file.Files.walkFileTree(
         java.nio.file.Paths.get(dirPath.toUri.getPath),
+        java.util.EnumSet.of(java.nio.file.FileVisitOption.FOLLOW_LINKS),
+        Int.MaxValue,
         new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
           override def visitFile(
               p: java.nio.file.Path,

@@ -52,6 +52,34 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-9)
   }
 
+  test("empty corpus yields an empty result, not an exception") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") <= 2)
+    val res = Ann.annTopK(empty, queries, k = 5)
+    assert(res.count() == 0)
+    assert(res.columns.toSeq == Seq("q_id", "vec_id", "sim", "rank"))
+    // all-null embeddings behave like empty (no NPE on the sampled row)
+    val nulls = Seq((1L, null: Array[Float]), (2L, null: Array[Float]))
+      .toDF("vec_id", "embedding")
+    assert(Ann.annTopK(nulls, queries, k = 5).count() == 0)
+  }
+
+  test("ragged embedding gets a null bucket and drops out (no bucket-0 alias)") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val planes = Ann.hyperplanes(dim = 3, nPlanes = 4, seed = 7L)
+    val buckets = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 2.0f))) // ragged: dot nulls out
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Ann.signBucket(col("embedding"), planes).as("bucket"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(buckets(1L).isDefined)
+    assert(buckets(2L).isEmpty, "ragged row must not land in a plausible bucket")
+  }
+
   test("ivf sims are exact, candidates come from probed cells only") {
     val queries = emb.filter(col("vec_id") <= 5)
     val ivf = Ann.ivfTopK(emb, queries, k = 10)

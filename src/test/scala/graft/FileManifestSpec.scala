@@ -189,6 +189,21 @@ class FileManifestSpec extends SparkSpec {
       Set("top.txt", "d000/f000.dat", "d000/f001.dat"))
   }
 
+  test("valid symlinks to files are listed at every depth (FOLLOW_LINKS)") {
+    val b = mkTree(nDirs = 1, filesPerDir = 1)
+    val target = Files.createTempFile("graft-link-target", ".dat")
+    Files.writeString(target, "linked")
+    // depth 1 (shallow path, Files.isRegularFile follows links) and
+    // depth 2 (walkFileTree — needs FOLLOW_LINKS to agree)
+    Files.createSymbolicLink(b.resolve("top-link.dat"), target)
+    Files.createSymbolicLink(b.resolve("d000/deep-link.dat"), target)
+    val m = FileManifest.scan(spark, s"file://$b").collect()
+    assert(m.map(_.path).toSet ==
+      Set("d000/f000.dat", "top-link.dat", "d000/deep-link.dat"))
+    // linked entries carry the target's metadata
+    assert(m.filter(_.path.endsWith("link.dat")).forall(_.size == 6))
+  }
+
   test("scan of a missing bucket raises InvalidBucket") {
     intercept[graft.core.BlueprintError.InvalidBucket] {
       FileManifest.scan(spark, "file:///definitely/not/here")
