@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Analytic / SQL-surface extensions beyond the core relational set
+  * (SURVEY §2B q47–q54): ordered string aggregation, correlated scalar
+  * subqueries, distribution window functions, calendar densification,
+  * MapType construction + generators, JSON key introspection, skew-safe
+  * salted aggregation, and explicit GROUPING SETS.
+  *
+  * Scale notes: every aggregate here shuffles once on its real group
+  * key with partial aggregation; the salted variant (q53) demonstrates
+  * the two-stage shuffle that bounds any single reducer's load under
+  * key skew — the pattern to reach for when one group key carries a
+  * disproportionate share of a 100 TB input.
+  */
+object Analytic {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Ordered string aggregation: deterministic comma-joined sorted
+    // distinct sources per language. collect_set shuffles once (partial
+    // sets merge map-side); the sort happens per-row on the final
+    // bounded array, never as a global order.
+    "q47_string_agg" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(array_sort(collect_set(col("source"))), ",")
+            .as("sources"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+                string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Correlated scalar subquery: customers with a balance above every
+    // same-nation supplier's. Catalyst decorrelates the MAX subquery
+    // into an aggregate + join (one shuffle on the correlation key) —
+    // the subquery never executes per-row. MAX keeps the comparison
+    // exact (no float summation); a supplier-less nation yields a NULL
+    // bound, which both engines filter identically.
+    "q48_corr_subquery" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("g_customer")
+        table(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+        table(s, dir, "nation").createOrReplaceTempView("g_nation")
+        s.sql("""SELECT n_name, COUNT(*) AS n_above
+                 FROM g_customer c JOIN g_nation n
+                   ON c.c_nationkey = n.n_nationkey
+                 WHERE c.c_acctbal > (SELECT MAX(s.s_acctbal)
+                                      FROM g_supplier s
+                                      WHERE s.s_nationkey = c.c_nationkey)
+                 GROUP BY n_name ORDER BY n_name""")
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_above
+              FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+              WHERE c.c_acctbal > (SELECT MAX(s.s_acctbal) FROM supplier s
+                                   WHERE s.s_nationkey = c.c_nationkey)
+              GROUP BY n_name ORDER BY n_name""")),
+
+    // Distribution window functions: quartile (ntile), percent_rank and
+    // cume_dist per order priority. The unique (o_totalprice,
+    // o_orderkey) sort key makes every rank deterministic; the ratios
+    // are integer divisions evaluated identically by both engines.
+    // High-cardinality partition key ⇒ the window parallelizes.
+    "q49_window_dist" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        table(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice"),
+            col("o_orderkey"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .groupBy("o_orderpriority", "quartile")
+          .agg(count(lit(1)).as("n"),
+            round(min(col("pr")), 4).as("min_pr"),
+            round(max(col("cd")), 4).as("max_cd"))
+          .orderBy("o_orderpriority", "quartile")
+      },
+      Some("""WITH t AS (SELECT o_orderpriority,
+                  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+                  PERCENT_RANK() OVER w AS pr,
+                  CUME_DIST() OVER w AS cd
+                FROM orders
+                WINDOW w AS (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey))
+              SELECT o_orderpriority, quartile, COUNT(*) AS n,
+                ROUND(MIN(pr), 4) AS min_pr, ROUND(MAX(cd), 4) AS max_cd
+              FROM t GROUP BY 1, 2 ORDER BY o_orderpriority, quartile""")),
+
+    // Calendar densification: explode a generated month series between
+    // the data's bounds and left-join the per-month counts so empty
+    // months surface as zero (the gap-filling primitive time-series
+    // reporting needs). The series is generated from a 1-row aggregate
+    // — no driver-side loop, no cross join against data rows.
+    "q50_date_series" -> QueryDef(
+      (s, dir) => {
+        val m = table(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n"))
+        val series = m.agg(min("month").as("lo"), max("month").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 month"))).as("month"))
+        series.join(m, Seq("month"), "left")
+          .select(col("month"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("month")
+      },
+      Some("""WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+                  COUNT(*) AS n
+                FROM orders GROUP BY 1),
+              b AS (SELECT MIN(month) AS lo, MAX(month) AS hi FROM m),
+              s AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 MONTH))
+                      AS month FROM b)
+              SELECT s.month AS month, CAST(COALESCE(m.n, 0) AS BIGINT) AS n
+              FROM s LEFT JOIN m ON s.month = m.month ORDER BY month""")),
+
+    // MapType end-to-end: build a map<string,string> from columns,
+    // explode it to (key, value) rows (generator projection, map-only),
+    // aggregate per entry. Exercises map construction + the map
+    // generator without any engine-specific map encoding in the output.
+    "q51_map_explode" -> QueryDef(
+      (s, dir) => table(s, dir, "events")
+        .select(explode(map(
+          lit("event_type"), col("event_type"),
+          lit("value_bucket"),
+          when(col("value") >= 50d, lit("high")).otherwise(lit("low")))))
+        .groupBy("key", "value")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("key", "value"),
+      Some("""SELECT key, value, COUNT(*) AS n FROM (
+                SELECT 'event_type' AS key, event_type AS value FROM events
+                UNION ALL
+                SELECT 'value_bucket',
+                  CASE WHEN value >= 50 THEN 'high' ELSE 'low' END
+                FROM events) t
+              GROUP BY key, value ORDER BY key, value""")),
+
+    // JSON key introspection: top-level key frequency across the event
+    // props blobs — the schema-discovery scan you run before declaring
+    // a from_json schema over semi-structured data.
+    "q52_json_keys" -> QueryDef(
+      (s, dir) => table(s, dir, "events")
+        .select(explode(expr("json_object_keys(props)")).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+      Some("""SELECT k, COUNT(*) AS n FROM (
+                SELECT UNNEST(json_keys(props)) AS k FROM events) t
+              GROUP BY k ORDER BY k""")),
+
+    // Skew-safe salted aggregation: stage 1 groups on (key, salt) so a
+    // hot key spreads across `Salt` reducers; stage 2 merges the ≤Salt
+    // partials per key. Deterministic salt (hash of the row key, not
+    // rand()) keeps the plan replayable. Result is provably identical
+    // to the direct groupBy — the oracle is the plain GROUP BY.
+    "q53_salted_agg" -> QueryDef(
+      (s, dir) => {
+        val Salt = 8
+        table(s, dir, "lineitem")
+          .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(Salt)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(count(lit(1)).as("pn"), dsum(col("l_quantity")).as("pq"))
+          .groupBy("l_returnflag")
+          .agg(sum(col("pn")).as("n"),
+            round(sum(col("pq")), 2).cast("double").as("qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS qty
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // Explicit GROUPING SETS (beyond q10's rollup / q42's cube): the
+    // (nation, segment) detail, per-nation subtotal, and grand total in
+    // one pass. gid leads the ordering so the NULL super-aggregate rows
+    // sort identically in both engines.
+    "q54_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("g_customer")
+        table(s, dir, "nation").createOrReplaceTempView("g_nation")
+        s.sql("""SELECT n_name, c_mktsegment,
+                   CAST(grouping_id(n_name, c_mktsegment) AS BIGINT) AS gid,
+                   COUNT(*) AS n
+                 FROM g_customer JOIN g_nation ON c_nationkey = n_nationkey
+                 GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+                 ORDER BY gid, n_name, c_mktsegment""")
+      },
+      Some("""SELECT n_name, c_mktsegment,
+                CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid,
+                COUNT(*) AS n
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+              ORDER BY gid, n_name, c_mktsegment"""))
+  )
+}

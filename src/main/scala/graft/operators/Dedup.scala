@@ -33,6 +33,58 @@ object Dedup {
   private val Bands = 32
   private val RowsPerBand = HashFunctions.MinHashK / Bands // 4
 
+  /** Documents shingled into distinct 3-gram sets (the near-dup unit).
+    * Repartition before the CPU-bound sketch stage: a small parquet
+    * input arrives as ONE split, which would serialize shingling +
+    * minhash on a single core (at 100 TB the file count provides the
+    * fan-out; the explicit repartition makes it unconditional).
+    */
+  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    HashFunctions.register(s)
+    table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
+      .filter(size(col("sh")) > 0)
+  }
+
+  /** MinHash-LSH verified near-dup pairs (da < db, exact jaccard `j` ≥
+    * `minJ`): 128-slot signature → 32 band hashes → SKINNY (doc_id,
+    * band) self-join for candidates — shipping the shingle payloads
+    * through the 32×-exploded join would multiply the shuffle by band
+    * count × shingle bytes (the 100 TB killer); the arrays join back on
+    * the surviving pairs only, where exact Jaccard (ratio of exact ints,
+    * bitwise engine-identical) verifies. Shared by q25 / q41 / q45.
+    */
+  private def neardupPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      minJ: Double = 0.8): org.apache.spark.sql.DataFrame = {
+    val sh = shingled(s, dir)
+    val sig = sh.withColumn("sig", expr("graft_minhash(sh)"))
+    // 32 band hashes per doc: xxhash64 over (band idx, 4 signature
+    // slots) — a long key, so the candidate join shuffles on a scalar.
+    val bandCols = (0 until Bands).map { b =>
+      xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    val pairs = banded.select(col("doc_id").as("da"), col("band"))
+      .join(banded.select(col("doc_id").as("db"), col("band")),
+        Seq("band"))
+      .filter(col("da") < col("db"))
+      .select("da", "db")
+      .distinct()
+    val cand = pairs
+      .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val union = size(col("sha")) + size(col("shb")) - inter
+    cand
+      .withColumn("j", inter.cast("double") / union)
+      .filter(col("j") >= minJ)
+      .select("da", "db", "j")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q22 exact dedup on text: survivors = min-doc_id row per distinct
@@ -52,49 +104,12 @@ object Dedup {
     // MinHash-LSH near-dup: banded bucket join for candidates, exact
     // Jaccard (ratio of exact ints — bitwise engine-identical) on the
     // candidates only. Oracle is the brute-force exact join.
+    // graft_shingles ≡ array_distinct(shingles(tokens(text), 3)) —
+    // equivalence proved in DedupSpec against the composable form.
     "q25_neardup_minhash" -> QueryDef(
-      (s, dir) => {
-        HashFunctions.register(s)
-        // repartition before the CPU-bound sketch stage: a small parquet
-        // input arrives as ONE split, which would serialize shingling +
-        // minhash on a single core (at 100 TB the file count provides
-        // the fan-out; the explicit repartition makes it unconditional).
-        // graft_shingles ≡ array_distinct(shingles(tokens(text), 3)) —
-        // equivalence proved in DedupSpec against the composable form.
-        val sh = table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
-          .filter(size(col("sh")) > 0)
-        val sig = sh.withColumn("sig", expr("graft_minhash(sh)"))
-        // 32 band hashes per doc: xxhash64 over (band idx, 4 signature
-        // slots) — a long key, so the candidate join shuffles on a scalar.
-        val bandCols = (0 until Bands).map { b =>
-          xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
-            element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
-        }
-        // SKINNY candidate join: only (doc_id, band) rides through the
-        // 32×-exploded self-join — shipping the shingle payloads here
-        // multiplies the shuffle by band count × shingle bytes (the
-        // 100 TB killer); the arrays join back on the surviving pairs.
-        val banded = sig
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-        val pairs = banded.select(col("doc_id").as("da"), col("band"))
-          .join(banded.select(col("doc_id").as("db"), col("band")),
-            Seq("band"))
-          .filter(col("da") < col("db"))
-          .select("da", "db")
-          .distinct()
-        val cand = pairs
-          .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
-          .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
-        val inter = size(array_intersect(col("sha"), col("shb")))
-        val union = size(col("sha")) + size(col("shb")) - inter
-        cand
-          .withColumn("j", inter.cast("double") / union)
-          .filter(col("j") >= 0.8)
-          .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
-          .orderBy("da", "db")
-      },
+      (s, dir) => neardupPairs(s, dir)
+        .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+        .orderBy("da", "db"),
       Some("""WITH toks AS (SELECT doc_id,
                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
                 FROM documents),
@@ -203,36 +218,10 @@ object Dedup {
     // oracle brute-forces the same pair set.
     "q41_neardup_editdist" -> QueryDef(
       (s, dir) => {
-        HashFunctions.register(s)
-        val docs = table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        val sh = docs
-          .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
-          .filter(size(col("sh")) > 0)
-        val sig = sh.withColumn("sig", expr("graft_minhash(sh)"))
-        val bandCols = (0 until Bands).map { b =>
-          xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
-            element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
-        }
-        val banded = sig
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-        val pairs = banded.select(col("doc_id").as("da"), col("band"))
-          .join(banded.select(col("doc_id").as("db"), col("band")),
-            Seq("band"))
-          .filter(col("da") < col("db"))
-          .select("da", "db")
-          .distinct()
-        val texts = docs.select(col("doc_id"), col("text"))
-        val cand = pairs
-          .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
-          .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+        val texts = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        neardupPairs(s, dir)
           .join(texts.select(col("doc_id").as("da"), col("text").as("ta")), "da")
           .join(texts.select(col("doc_id").as("db"), col("text").as("tb")), "db")
-        val inter = size(array_intersect(col("sha"), col("shb")))
-        val union = size(col("sha")) + size(col("shb")) - inter
-        cand
-          .withColumn("j", inter.cast("double") / union)
-          .filter(col("j") >= 0.8)
           .select(col("da"), col("db"),
             levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
           .orderBy("da", "db")
@@ -307,6 +296,73 @@ object Dedup {
                 FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
               SELECT da, db, CAST(h AS BIGINT) AS hamming
-              FROM p WHERE h <= 3 ORDER BY da, db"""))
+              FROM p WHERE h <= 3 ORDER BY da, db""")),
+
+    // Duplicate-cluster formation: connected components over the
+    // verified near-dup pair graph (the step a training pipeline runs
+    // after pair detection — keep one survivor per component). Labels
+    // propagate by iterative hash-min: label(v) ← min(label(v),
+    // min(label(neighbor))) until fixpoint, i.e. the standard
+    // min-label-propagation / small-star style CC that converges in
+    // O(component diameter) rounds — near-dup clusters are shallow
+    // (chains of revisions), so a handful of rounds suffice. Every round
+    // is one shuffle of the skinny (vertex, label) frame joined against
+    // the edge list; nothing is ever collected to the driver, and the
+    // fixpoint test is a scalar aggregate (label sum is monotonically
+    // decreasing, so equal sums ⇒ converged).
+    "q45_dup_clusters" -> QueryDef(
+      (s, dir) => {
+        val pairs = neardupPairs(s, dir).select("da", "db").persist()
+        val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+          .union(pairs.select(col("db").as("a"), col("da").as("b")))
+          .persist()
+        def labelSum(df: org.apache.spark.sql.DataFrame): Long = df
+          .agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
+        var cur = edges.groupBy("a").agg(min("b").as("mn"))
+          .select(col("a").as("v"), least(col("a"), col("mn")).as("lbl"))
+          .persist()
+        var curSum = labelSum(cur)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 20) {
+          val next = edges.join(cur, edges("b") === cur("v"))
+            .select(edges("a").as("v"), col("lbl"))
+            .union(cur.select(col("v"), col("lbl")))
+            .groupBy("v").agg(min("lbl").as("lbl"))
+            .persist()
+          val nextSum = labelSum(next)
+          converged = nextSum == curSum
+          cur.unpersist()
+          cur = next; curSum = nextSum; rounds += 1
+        }
+        edges.unpersist(); pairs.unpersist()
+        cur.groupBy("lbl").agg(count(lit(1)).as("csize"))
+          .select(col("lbl").as("cluster_id"), col("csize"))
+          .orderBy("cluster_id")
+      },
+      // transitive closure via recursive CTE over the same verified pairs
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.8),
+              edges AS (SELECT da AS a, db AS b FROM p
+                        UNION SELECT db, da FROM p),
+              reach AS (SELECT a, a AS b
+                          FROM (SELECT DISTINCT a FROM edges) n
+                        UNION
+                        SELECT r.a, e.b
+                          FROM reach r JOIN edges e ON r.b = e.a),
+              labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+                         FROM reach GROUP BY a)
+              SELECT cluster_id, COUNT(*) AS csize FROM labels
+              GROUP BY cluster_id ORDER BY cluster_id"""))
   )
 }

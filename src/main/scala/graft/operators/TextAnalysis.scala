@@ -193,6 +193,33 @@ object TextAnalysis {
       Some("""SELECT doc_id, md5(text) AS fp,
                 CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT)
                   AS dup_count
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // Deterministic train/val/test corpus split: bucket on the first hex
+    // digit of md5(doc_id) — 12/16 train, 2/16 val, 2/16 test. This is
+    // the hash-split every training pipeline needs at 100 TB: stateless,
+    // reproducible across runs/engines (no RNG, no sampling), stable
+    // under repartitioning, and trivially codegen'd (a string compare on
+    // a hash). Holdout membership of any document is decidable anywhere
+    // from its id alone.
+    "q46_hash_split" -> QueryDef(
+      (s, dir) => {
+        val hex = substring(md5(col("doc_id").cast("string")), 1, 1)
+        table(s, dir, "documents")
+          .withColumn("split",
+            when(hex.isin("c", "d"), "val")
+              .when(hex.isin("e", "f"), "test")
+              .otherwise("train"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("split", "lang")
+      },
+      Some("""SELECT CASE
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  IN ('c', 'd') THEN 'val'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  IN ('e', 'f') THEN 'test'
+                ELSE 'train' END AS split, lang, COUNT(*) AS n
+              FROM documents GROUP BY 1, 2 ORDER BY split, lang"""))
   )
 }

@@ -72,6 +72,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q45: cluster formation never goes cartesian (CC over the LSH graph)") {
+    val p = plan("q45_dup_clusters")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q48: the correlated scalar subquery decorrelates into an aggregate+join") {
+    val p = plan("q48_corr_subquery")
+    // Catalyst rewrites the per-row MAX subquery into agg + join; a
+    // surviving per-row subquery would show as a ScalarSubquery node
+    assert(!p.contains("ScalarSubquery"),
+      "correlated subquery executed per-row instead of decorrelating")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q53: salted aggregation is two exchanges — (key,salt) then key") {
+    val df = SparkEntry.queries("q53_salted_agg")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges >= 2,
+      s"expected the two-stage salted shuffle, saw $exchanges exchange(s)")
+    assert(p.contains("salt"), "salt column missing from the plan")
+  }
+
+  test("q50: the month series comes from a 1-row aggregate, not a per-row join") {
+    val p = plan("q50_date_series")
+    assert(p.contains("Generate"), "series explode missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("relational hot paths stay inside whole-stage codegen") {
     // execute first: AQE only materializes its final plan (with `*(n)`
     // codegen stage markers) after the job runs. (q02 is absent: its
