@@ -85,6 +85,29 @@ object Similarity {
                   a.nsq AS na, b.nsq AS nb
                 FROM n a JOIN n b ON a.vec_id < b.vec_id)
               SELECT va, vb, ROUND(dotab / (SQRT(na) * SQRT(nb)), 4) AS sim
-              FROM p ORDER BY sim DESC, va, vb LIMIT 20"""))
+              FROM p ORDER BY sim DESC, va, vb LIMIT 20""")),
+
+    // Elementwise vector aggregation: per-(label, position) count and
+    // exact component sum — the centroid numerator (divide by n
+    // downstream) behind label prototypes and IVF coarse-quantizer
+    // seeding. posexplode is a generator projection (map-only); the one
+    // shuffle groups on (label, pos) with partial aggregation, so width
+    // × labels bounds the reducer count, not the row count. Decimal
+    // sums keep the result independent of partition order.
+    "q55_vector_agg" -> QueryDef(
+      (s, dir) => table(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          round(dsum(col("col").cast("double"), 6), 4).cast("double")
+            .as("csum"))
+        .orderBy("label", "pos"),
+      Some("""SELECT label, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))), 4)
+                  AS DOUBLE) AS csum
+              FROM (SELECT label, UNNEST(embedding) AS v,
+                      UNNEST(range(len(embedding))) AS pos
+                    FROM embeddings) t
+              GROUP BY 1, 2 ORDER BY label, pos"""))
   )
 }

@@ -220,6 +220,49 @@ object TextAnalysis {
                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                   IN ('e', 'f') THEN 'test'
                 ELSE 'train' END AS split, lang, COUNT(*) AS n
-              FROM documents GROUP BY 1, 2 ORDER BY split, lang"""))
+              FROM documents GROUP BY 1, 2 ORDER BY split, lang""")),
+
+    // TF-IDF term scoring: top-3 terms per document (first 20 docs) by
+    // the rational score tf · N / df — the log-free variant keeps every
+    // score an exact integer ratio, so ordering is engine-identical
+    // (identical longs → identical IEEE division results) and the
+    // output needs no rounding at all (tf, df, rank are integers).
+    // Plan shape: token explode (generator), two hash aggregations
+    // (term-level df is corpus-wide), a term-keyed join, the 1-row N
+    // broadcast, and a per-doc window — each shuffle is on a real key
+    // with partial aggregation, so the pipeline survives a corpus-scale
+    // dictionary.
+    "q56_tfidf" -> QueryDef(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val n = toks.agg(countDistinct("doc_id").as("nd"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("score"), col("term"))
+        tf.join(df, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            (col("tf") * col("nd")).cast("double") / col("df"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3 && col("doc_id") <= 20)
+          .select("doc_id", "term", "tf", "df", "rnk")
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH toks AS (SELECT doc_id, UNNEST(list_filter(
+                  string_split_regex(text, '\s+'), x -> x <> '')) AS term
+                FROM documents),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                     FROM toks GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                     FROM toks GROUP BY 1),
+              n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM toks),
+              r AS (SELECT doc_id, term, tf, df,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY CAST(tf * nd AS DOUBLE) / df DESC, term) AS rnk
+                FROM tf JOIN df USING (term) CROSS JOIN n)
+              SELECT doc_id, term, tf, df, rnk FROM r
+              WHERE rnk <= 3 AND doc_id <= 20 ORDER BY doc_id, rnk"""))
   )
 }
