@@ -194,6 +194,29 @@ object Analytic {
                 COUNT(*) AS n
               FROM customer JOIN nation ON c_nationkey = n_nationkey
               GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
-              ORDER BY gid, n_name, c_mktsegment"""))
+              ORDER BY gid, n_name, c_mktsegment""")),
+
+    // HLL sketch contract: exact distinct count alongside an assertion
+    // that Spark's HLL++ estimate (rsd 2%) lands within 5% of it. The
+    // estimate itself is deterministic — sketch merge is register-wise
+    // max, so partition order can't change it — but its VALUE is
+    // Spark-implementation-specific, so the oracle can't reproduce it;
+    // instead the oracle states the error contract (within_5pct = 1)
+    // and the hash compare FAILS if the sketch ever drifts outside
+    // tolerance. At 100 TB the sketch is the only affordable distinct
+    // count: fixed-size state, map-side partials, no distinct shuffle
+    // of the key universe.
+    "q57_sketch_distinct" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_nd"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("est"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("est") - col("exact_nd")) <=
+            col("exact_nd") * 0.05).cast("long").as("within_5pct"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                COUNT(DISTINCT l_partkey) AS exact_nd, 1 AS within_5pct
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }
