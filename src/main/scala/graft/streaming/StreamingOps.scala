@@ -76,6 +76,31 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join: each purchase pairs with the same
+    * user's clicks from the preceding hour (the streaming counterpart
+    * of the q36/q37 temporal joins). BOTH sides carry watermarks and
+    * the join condition bounds event time on both sides, so the state
+    * store evicts rows once they can no longer match — state is
+    * O(arrival rate × (interval + watermark)), not unbounded. The join
+    * shuffles both streams on `user_id`, the same key-partitioned shape
+    * as the batch plan.
+    */
+  def clickPurchaseJoin(
+      clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    p.join(c, expr(
+      """c_user = p_user AND
+         click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"""))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("click_ts"), col("value"))
+  }
+
   /** Arbitrary keyed state (`flatMapGroupsWithState`, SURVEY §2B closing
     * paragraph): running per-user event count + value total, updated per
     * micro-batch. State is hash-partitioned on `user_id` across

@@ -136,6 +136,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with in-window clicks only") {
+    import spark.implicits._
+    import graft.streaming.UserEvent
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val purchases = MemoryStream[UserEvent]
+    val q = StreamingOps.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").outputMode(OutputMode.Append())
+      .queryName("ssjoin_" + System.nanoTime()).start()
+    try {
+      clicks.addData(
+        UserEvent(t(10), 1L, "click", 0.0),   // in window for t(30) purchase
+        UserEvent(t(20), 2L, "click", 0.0),   // other user
+        UserEvent(t(200), 1L, "click", 0.0))  // after the purchase
+      purchases.addData(UserEvent(t(30), 1L, "purchase", 9.5))
+      q.processAllAvailable()
+      val rows = spark.table(q.name).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getDouble(3))).toSeq
+      // only user 1's click at t(10) is within [purchase-1h, purchase]
+      assert(rows == Seq((1L, t(30), t(10), 9.5)))
+    } finally q.stop()
+  }
+
   test("streaming tumbling over the events table equals the batch result") {
     // one definition, two modes, same data: write the driver's events
     // table (normalized to micros), stream it back with readStream, and
