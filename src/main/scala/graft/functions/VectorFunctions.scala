@@ -2,20 +2,22 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Σ aᵢ·bᵢ over two numeric arrays as a native Catalyst expression —
-  * a tight sequential loop over the unsafe array data. Spark's
-  * higher-order `zip_with` + `aggregate` compute the same value but
-  * allocate an intermediate array per row and evaluate the lambda
-  * interpreted (higher-order functions don't join whole-stage codegen),
-  * which dominates brute-force similarity scans. The accumulation order
-  * here is exactly the left-to-right fold the declared oracle arithmetic
-  * uses, so results stay bitwise identical (CodegenFallback: the per-row
-  * loop dominates, interpreted dispatch does not).
+  * a tight sequential loop over the unsafe array data, with a
+  * `doGenCode` implementation so the loop compiles INTO the enclosing
+  * whole-stage-codegen function (no per-row virtual dispatch, no
+  * boxing). Spark's higher-order `zip_with` + `aggregate` compute the
+  * same value but allocate an intermediate array per row and evaluate
+  * the lambda interpreted (higher-order functions don't join
+  * whole-stage codegen), which dominates brute-force similarity scans.
+  * The accumulation order in both the compiled and interpreted paths is
+  * exactly the left-to-right fold the declared oracle arithmetic uses,
+  * so results stay bitwise identical.
   *
   * Null elements contribute 0 (the embeddings schema declares
   * non-null elements; this is belt-and-braces, not semantics).
@@ -25,7 +27,7 @@ import org.apache.spark.sql.types._
   * null-rejecting downstream filters), not as a plausible wrong number.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -60,6 +62,34 @@ case class DotProduct(left: Expression, right: Expression)
     }
     sum
   }
+
+  private def accessor(e: Expression, arr: String, i: String): String =
+    elemType(e) match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case t => throw new IllegalArgumentException(s"graft_dot: $t")
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      $acc += ${accessor(left, a, i)} * ${accessor(right, b, i)};
+         |    }
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -52,6 +52,26 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-9)
   }
 
+  test("codegen'd graft_dot equals the interpreted HOF fold bitwise") {
+    graft.functions.VectorFunctions.register(spark)
+    // same left-to-right accumulation: zip_with + aggregate interpreted
+    val hof = expr(
+      """aggregate(zip_with(embedding, embedding, (x, y) ->
+         CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),
+         (acc, v) -> acc + v)""")
+    val df = emb.select(
+      graft.functions.VectorFunctions.normSq(col("embedding")).as("native"),
+      hof.as("interpreted"))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // the native expression joins whole-stage codegen (no fallback)
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(p).nonEmpty,
+      "graft_dot fell out of whole-stage codegen")
+  }
+
   test("empty corpus yields an empty result, not an exception") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
