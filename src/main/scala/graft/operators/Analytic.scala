@@ -196,6 +196,56 @@ object Analytic {
               GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
               ORDER BY gid, n_name, c_mktsegment""")),
 
+    // Correlated LATERAL subquery: top-2 customers per nation, written
+    // as the per-row subquery a SQL user reaches for. Catalyst
+    // decorrelates the correlated ORDER BY ... LIMIT into a window
+    // (rank-per-nation) plan — one shuffle on the correlation key, no
+    // per-nation re-execution (the decorrelated shape is exactly q12's
+    // top-k-per-group plan).
+    "q58_lateral_topk" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("g_customer")
+        table(s, dir, "nation").createOrReplaceTempView("g_nation")
+        s.sql("""SELECT n_name, c.c_custkey, c.c_acctbal
+                 FROM g_nation n,
+                 LATERAL (SELECT c_custkey, c_acctbal FROM g_customer
+                          WHERE c_nationkey = n_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+                 ORDER BY n_name, c_acctbal DESC, c_custkey""")
+      },
+      Some("""SELECT n_name, c.c_custkey, c.c_acctbal
+              FROM nation n,
+              LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                       WHERE c_nationkey = n_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+              ORDER BY n_name, c_acctbal DESC, c_custkey""")),
+
+    // Map higher-order functions: per-user event-type histogram as a
+    // map column (map_from_entries over collected pairs), doubled with
+    // transform_values, thresholded with map_filter, exploded back to
+    // rows. Map entry order is whatever collect_list produced — the
+    // total ORDER BY makes the output deterministic, and the oracle is
+    // the equivalent flat GROUP BY ... HAVING.
+    "q59_map_hof" -> QueryDef(
+      (s, dir) => table(s, dir, "events")
+        .filter(col("user_id") <= 50)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(
+          collect_list(struct(col("event_type"), col("n")))).as("m"))
+        .select(col("user_id"),
+          explode(map_filter(
+            transform_values(col("m"), (_, v) => v * 2),
+            (_, v) => v >= 4)))
+        .select(col("user_id"), col("key").as("event_type"),
+          col("value").as("n2"))
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, COUNT(*) * 2 AS n2
+              FROM events WHERE user_id <= 50
+              GROUP BY 1, 2 HAVING COUNT(*) * 2 >= 4
+              ORDER BY user_id, event_type""")),
+
     // HLL sketch contract: exact distinct count alongside an assertion
     // that Spark's HLL++ estimate (rsd 2%) lands within 5% of it. The
     // estimate itself is deterministic — sketch merge is register-wise
