@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{HashFunctions, MinHashSignature, SimHashMd5,
+  WinnowFingerprint, WordShingles}
+import graft.functions.DotProduct
+
+/** Session-extension entry point: makes every graft SQL function
+  * available in any session built with
+  *
+  * {{{
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)`), so pure-SQL users get
+  * the sketch/vector surface without touching the Scala API. The
+  * injected builders are the same ones the programmatic `register`
+  * methods install — one definition, two wiring paths.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(
+        builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+        builder))
+
+    inject("graft_dot",
+      "graft_dot(a, b) - dot product of two float/double arrays") {
+      exprs => DotProduct(exprs(0), exprs(1))
+    }
+    inject("graft_minhash",
+      "graft_minhash(shingles) - 128-slot MinHash signature") {
+      exprs => MinHashSignature(exprs.head,
+        k = HashFunctions.MinHashK, seed = HashFunctions.Seed)
+    }
+    inject("graft_simhash_md5",
+      "graft_simhash_md5(tokens) - 64-bit md5-derived SimHash") {
+      exprs => SimHashMd5(exprs.head)
+    }
+    inject("graft_shingles",
+      "graft_shingles(text, n) - distinct word n-gram shingles") {
+      exprs => WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Int])
+    }
+    inject("graft_winnow",
+      "graft_winnow(text, k, w) - MOSS winnowing fingerprints") {
+      exprs => WinnowFingerprint(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int])
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The spark.sql.extensions wiring: a session built with
+  * GraftExtensions can use every graft function from pure SQL without
+  * any programmatic register call.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("a session with graft.GraftExtensions resolves every graft function in SQL") {
+    spark // force the shared session (and its SparkContext) first
+    // getOrCreate returns the existing default session (ignoring new
+    // extensions), so clear it, build an extended session over the SAME
+    // SparkContext, and restore afterwards
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // withExtensions is the programmatic form of
+    // --conf spark.sql.extensions=graft.GraftExtensions (the conf is a
+    // static one, read only at SparkContext-backed first construction —
+    // this suite reuses the context, so hand the object over directly)
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = s.sql(
+        """SELECT
+             graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                       array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+             size(graft_minhash(array('a b c', 'b c d'))) AS mh,
+             graft_simhash_md5(array('tok')) IS NOT NULL AS sh,
+             graft_shingles('a b c d', 3) AS sg,
+             size(graft_winnow('abcdefghij', 5, 4)) > 0 AS wn""").head()
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getInt(1) == 128)
+      assert(r.getBoolean(2))
+      assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
+      assert(r.getBoolean(4))
+    } finally {
+      // shared SparkContext: restore the suite session, don't stop
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}
