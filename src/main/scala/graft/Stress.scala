@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe (not part of the bench contract): inflate the test
+  * tables N× IN the plan (explode over a replica sequence — no
+  * inflated data ever hits disk) and time the operators whose scale
+  * behavior matters most. Run at increasing factors to check the
+  * scaling exponent — a plan that survives 100 TB shows near-linear
+  * wall-clock here; anything quadratic (an LSH bucket degenerating, a
+  * window collapsing to one partition) shows immediately.
+  *
+  *   SPARK_GRAFT_STRESS_X=10 sbt 'runMain graft.Stress'
+  *
+  * Document text is salted per replica by rewriting EVERY token with a
+  * replica suffix, so replicas of one document share no shingles —
+  * dup-group sizes stay constant instead of growing N×, and candidate
+  * pair counts scale linearly, matching how a real 100 TB corpus grows
+  * (more documents, not N near-copies of each document).
+  */
+object Stress {
+
+  private def inflate(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("replica",
+        explode(sequence(lit(0), lit(n - 1))))
+
+  def main(args: Array[String]): Unit = {
+    val factor = sys.env.getOrElse("SPARK_GRAFT_STRESS_X", "10").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors() - 2).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.HashFunctions.register(spark)
+
+    import graft.operators.Q
+    val lineitem = inflate(Q.table(spark, sfDir, "lineitem"), factor)
+      // distinct order keys per replica keep group cardinality realistic
+      .withColumn("l_orderkey",
+        col("l_orderkey") * factor + col("replica"))
+    val orders = inflate(Q.table(spark, sfDir, "orders"), factor)
+      .withColumn("o_orderkey", col("o_orderkey") * factor + col("replica"))
+      .withColumn("o_custkey", col("o_custkey") * factor + col("replica"))
+    val documents = inflate(Q.table(spark, sfDir, "documents"), factor)
+      .withColumn("doc_id", col("doc_id") * factor + col("replica"))
+      .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
+        concat(lit("$1r"), col("replica").cast("string"))))
+
+    def timed(name: String)(body: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = body
+      (name, (System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val results = Seq(
+      // partial+final hash agg over the inflated fact table
+      timed("agg_tpchq1") {
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), Q.dsum(col("l_quantity")).as("q"))
+          .collect().length.toLong
+      },
+      // per-key window over a high-cardinality partition key
+      timed("window_rank") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        orders.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3).count()
+      },
+      // two-stage salted aggregation under deliberate key skew
+      timed("salted_agg") {
+        lineitem
+          .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(32)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(count(lit(1)).as("pn"))
+          .groupBy("l_returnflag").agg(sum("pn"))
+          .collect().length.toLong
+      },
+      // the full minhash-LSH near-dup pipeline on the salted corpus
+      timed("neardup_minhash") {
+        val sh = documents
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sig = sh.withColumn("sig", expr("graft_minhash(sh)"))
+        val bandCols = (0 until 32).map { b =>
+          xxhash64(lit(b) +: (0 until 4).map(r =>
+            element_at(col("sig"), b * 4 + r + 1)): _*)
+        }
+        val banded = sig.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("band"))
+        banded.select(col("doc_id").as("da"), col("band"))
+          .join(banded.select(col("doc_id").as("db"), col("band")),
+            Seq("band"))
+          .filter(col("da") < col("db"))
+          .select("da", "db").distinct().count()
+      },
+      // exact dedup shuffle on the full text key
+      timed("exact_dedup") {
+        documents.groupBy("text")
+          .agg(min_by(col("lang"), col("doc_id")).as("lang"))
+          .groupBy("lang").agg(count(lit(1)))
+          .collect().length.toLong
+      })
+
+    val qs = results.map { case (k, v, _) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    val rows = results.map { case (k, _, r) => s""""$k":$r""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"stress","factor":$factor,"sf":"$sfDir",""" +
+      s""""sec":$qs,"rows":$rows}""")
+    spark.stop()
+  }
+}
