@@ -246,6 +246,37 @@ object Analytic {
               GROUP BY 1, 2 HAVING COUNT(*) * 2 >= 4
               ORDER BY user_id, event_type""")),
 
+    // Time-based RANGE window frame: per event, the count and exact sum
+    // of the same type's events in the trailing hour — the sliding
+    // aggregation behind rate limits / rolling metrics. Frame
+    // membership is VALUE-based (epoch seconds ± 3600), so ties and
+    // evaluation order can't change it, and the decimal sum keeps the
+    // result order-independent. The window partitions on event_type and
+    // slides in O(n) per partition.
+    "q60_range_frame" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("epoch"))
+          .rangeBetween(-3600L, Window.currentRow)
+        table(s, dir, "events")
+          .withColumn("epoch", unix_timestamp(col("ts")))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h",
+            round(sum(col("value").cast("decimal(18,4)")).over(w), 2)
+              .cast("double"))
+          .select("event_id", "event_type", "n_1h", "sum_1h")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type,
+                COUNT(*) OVER w AS n_1h,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 2)
+                  AS DOUBLE) AS sum_1h
+              FROM (SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e
+                    FROM events) t
+              WINDOW w AS (PARTITION BY event_type ORDER BY e
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id""")),
+
     // HLL sketch contract: exact distinct count alongside an assertion
     // that Spark's HLL++ estimate (rsd 2%) lands within 5% of it. The
     // estimate itself is deterministic — sketch merge is register-wise

@@ -47,6 +47,34 @@ class SourcesSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("malformed CSV rows: PERMISSIVE quarantines, DROPMALFORMED drops, FAILFAST raises") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft-corrupt")
+    Files.writeString(tmp.resolve("data.csv"),
+      "1,10.5\n2,not_a_number\n3,30.0\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val path = s"$tmp/data.csv"
+    val permissive = spark.read.schema(schema).csv(path)
+    assert(permissive.count() == 3)
+    val bad = permissive.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad(0).getAs[String]("_corrupt_record")
+      .contains("not_a_number"))
+    // DROPMALFORMED/FAILFAST judge malformedness against the DATA
+    // schema — the corrupt-record column must not be declared there
+    val dataSchema = StructType(schema.dropRight(1))
+    val dropped = spark.read.schema(dataSchema)
+      .option("mode", "DROPMALFORMED").csv(path)
+    // collect, not count: a CSV count() skips value parsing entirely
+    // (column pruning), so malformed rows would never be judged
+    assert(dropped.collect().length == 2)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(dataSchema).option("mode", "FAILFAST").csv(path)
+        .collect()
+    }
+  }
+
   test("partitioned parquet write prunes directories on a partition filter") {
     val tmp = Files.createTempDirectory("graft-part")
     events.write.mode("overwrite")
