@@ -58,7 +58,13 @@ object Dedup {
   private def neardupPairs(
       s: org.apache.spark.sql.SparkSession, dir: String,
       minJ: Double = 0.8): org.apache.spark.sql.DataFrame = {
+    // the shingle table feeds three plan branches (signatures + both
+    // sides of the verify join) — cache it so the CPU-bound shingling
+    // runs once per query, not three times (MEMORY_AND_DISK: at corpus
+    // scale the executor-local spill is still far cheaper than
+    // recomputing the sketch stage)
     val sh = shingled(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.withColumn("sig", expr("graft_minhash(sh)"))
     // 32 band hashes per doc: xxhash64 over (band idx, 4 signature
     // slots) — a long key, so the candidate join shuffles on a scalar.
@@ -135,10 +141,12 @@ object Dedup {
     "q29_winnow_fingerprint" -> QueryDef(
       (s, dir) => {
         HashFunctions.register(s)
+        // feeds the df count and both join sides — winnow once
         val fp = table(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
             explode(expr("graft_winnow(text, 5, 4)")).as("fp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val rare = fp
           .groupBy("fp").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 64)
@@ -176,10 +184,12 @@ object Dedup {
     "q34_source_jaccard" -> QueryDef(
       (s, dir) => {
         HashFunctions.register(s)
+        // feeds the size agg and both join sides — shingle once
         val sh = table(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("source"), explode(expr("graft_shingles(text, 3)")).as("sh"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
         val common = sh.select(col("source").as("sa"), col("sh"))
           .join(sh.select(col("source").as("sb"), col("sh")), Seq("sh"))
