@@ -101,6 +101,30 @@ object StreamingOps {
         col("click_ts"), col("value"))
   }
 
+  /** Left-outer variant: every purchase emits, with a NULL click when
+    * no same-user click landed in the trailing hour. The null-matched
+    * row can only be emitted once the watermark proves no matching
+    * click can still arrive — so unmatched purchases surface with
+    * watermark latency, and state stays bounded exactly as in the
+    * inner join.
+    */
+  def clickPurchaseJoinOuter(
+      clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    p.join(c, expr(
+      """c_user = p_user AND
+         click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"""),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("click_ts"), col("value"))
+  }
+
   /** Arbitrary keyed state (`flatMapGroupsWithState`, SURVEY §2B closing
     * paragraph): running per-user event count + value total, updated per
     * micro-batch. State is hash-partitioned on `user_id` across

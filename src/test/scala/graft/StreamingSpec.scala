@@ -160,6 +160,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits null-matched purchases after the watermark") {
+    import spark.implicits._
+    import graft.streaming.UserEvent
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val purchases = MemoryStream[UserEvent]
+    val q = StreamingOps.clickPurchaseJoinOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").outputMode(OutputMode.Append())
+      .queryName("ssouter_" + System.nanoTime()).start()
+    try {
+      clicks.addData(UserEvent(t(10), 1L, "click", 0.0))
+      purchases.addData(
+        UserEvent(t(30), 1L, "purchase", 9.5),   // matched
+        UserEvent(t(30), 2L, "purchase", 4.0))   // no click: null-matched
+      q.processAllAvailable()
+      // the null-matched row needs the watermark to pass the join
+      // window: advance both streams far beyond it
+      clicks.addData(UserEvent(t(500), 9L, "click", 0.0))
+      purchases.addData(UserEvent(t(500), 9L, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table(q.name).collect()
+        .filter(_.getTimestamp(1) == t(30))
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(2)) null else r.getTimestamp(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set((1L, t(10), 9.5), (2L, null, 4.0)))
+    } finally q.stop()
+  }
+
   test("streaming tumbling over the events table equals the batch result") {
     // one definition, two modes, same data: write the driver's events
     // table (normalized to micros), stream it back with readStream, and
