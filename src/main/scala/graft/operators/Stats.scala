@@ -1,0 +1,338 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q._
+
+/** Statistical / data-quality extensions (SURVEY §2B q61–q69): exact
+  * correlation from decimal sums, deterministic mode, calendar
+  * functions, stratified hash sampling, PMI collocations, z-score
+  * outlier detection, an approx-quantile sketch contract, character
+  * n-gram profiles, and kNN majority-vote label classification.
+  *
+  * Float discipline (SURVEY §7 risk): every aggregate that feeds a
+  * double computation is first an exact decimal sum rounded to ≤2
+  * decimals — the rounded decimal's integer mantissa is far below 2^53,
+  * so the decimal→double conversion is a single correctly-rounded step
+  * in both engines and all downstream IEEE arithmetic is bitwise
+  * identical. Outputs are rounded; orderings use integer or
+  * identically-derived double keys with total tie-breaks.
+  *
+  * Scale notes (100 TB): every aggregation here shuffles once on its
+  * real key with map-side partials; the per-group moment sketches
+  * (q61/q66) are fixed-size per group — the two-pass z-score join
+  * broadcasts the tiny per-group stats table back onto the fact scan.
+  */
+object Stats {
+
+  /** Exact decimal sum rounded to 2 decimals, surfaced as a double whose
+    * conversion is exact-representable-mantissa safe (see class doc).
+    */
+  private def dsum2(c: org.apache.spark.sql.Column) =
+    round(sum(c.cast(DecimalType(18, 4))), 2).cast("double")
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Pearson correlation per group, computed from exact decimal sums
+    // (n, Σx, Σy, Σxy, Σx², Σy²) — a fixed-size moment sketch per group,
+    // merged associatively by partial aggregation, so partition order
+    // can't change the result (Spark's builtin `corr` streams doubles
+    // and is order-dependent — unusable against an oracle). The final
+    // scalar formula runs in IEEE doubles identically in both engines.
+    "q61_stats_corr" -> QueryDef(
+      (s, dir) => {
+        val x = col("l_quantity")
+        val y = col("l_discount")
+        val xy = col("l_quantity") * col("l_discount")
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            dsum2(x).as("sx"), dsum2(y).as("sy"), dsum2(xy).as("sxy"),
+            dsum2(x * x).as("sxx"), dsum2(y * y).as("syy"))
+          .select(col("l_returnflag"), col("n").cast("long").as("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)
+              .as("corr"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS sx,
+                  CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS sy,
+                  CAST(ROUND(SUM(CAST(l_quantity * l_discount
+                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS sxy,
+                  CAST(ROUND(SUM(CAST(l_quantity * l_quantity
+                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS sxx,
+                  CAST(ROUND(SUM(CAST(l_discount * l_discount
+                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS syy
+                FROM lineitem GROUP BY 1)
+              SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                ROUND((n * sxy - sx * sy) /
+                  (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 4)
+                  AS corr
+              FROM m ORDER BY l_returnflag""")),
+
+    // Deterministic mode: most frequent p_type per brand, ties broken
+    // lexicographically (builtin `mode()` leaves ties engine-defined —
+    // the argmax-window form pins them). One count shuffle + one window
+    // on the same key; high-cardinality partition key parallelizes.
+    "q62_mode" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("p_brand")
+          .orderBy(desc("n"), col("p_type"))
+        table(s, dir, "part")
+          .groupBy("p_brand", "p_type").agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("p_brand"), col("p_type").as("mode_type"), col("n"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH c AS (SELECT p_brand, p_type, COUNT(*) AS n
+                FROM part GROUP BY 1, 2),
+              r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+                  ORDER BY n DESC, p_type) AS rk FROM c)
+              SELECT p_brand, p_type AS mode_type, n
+              FROM r WHERE rk = 1 ORDER BY p_brand""")),
+
+    // Calendar functions per row (first 50 orders): end-of-month
+    // clamping add_months, last_day, day-of-week, quarter. DuckDB's
+    // dayofweek is 0-based Sunday, Spark's 1-based — the oracle shifts.
+    "q63_calendar" -> QueryDef(
+      (s, dir) => table(s, dir, "orders")
+        .filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          add_months(col("o_orderdate"), 3).as("plus_3m"),
+          last_day(col("o_orderdate")).as("month_end"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderdate,
+                CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+                last_day(o_orderdate) AS month_end,
+                CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+                CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+              FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""")),
+
+    // Stratified deterministic sampling: per-language keep rates
+    // (en 8/16, db 4/16, else 2/16) decided by the first hex digit of
+    // md5(doc_id) — reproducible across runs, engines, and
+    // repartitioning (no RNG), the downsampling primitive for balancing
+    // a training corpus. Map-only except the final count shuffle.
+    "q64_stratified_sample" -> QueryDef(
+      (s, dir) => {
+        val hexDig = conv(
+          substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+          .cast("long")
+        table(s, dir, "documents")
+          .withColumn("keep_lim",
+            when(col("lang") === "en", 8L)
+              .when(col("lang") === "db", 4L).otherwise(2L))
+          .filter(hexDig < col("keep_lim"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (SELECT *,
+                  strpos('0123456789abcdef',
+                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                    AS hexdig,
+                  CASE WHEN lang = 'en' THEN 8
+                       WHEN lang = 'db' THEN 4 ELSE 2 END AS keep_lim
+                FROM documents)
+              SELECT lang, COUNT(*) AS n_kept,
+                MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+              FROM d WHERE hexdig < keep_lim
+              GROUP BY lang ORDER BY lang""")),
+
+    // Bigram collocations by log-free PMI: score = c_xy·N / (c_x·c_y),
+    // an exact integer ratio (identical longs ⇒ identical IEEE division
+    // in both engines — the q56 trick), c_xy ≥ 5 support floor, top 20.
+    // Plan: one generator explode per granularity, three count shuffles
+    // on real keys, two broadcast-able word-keyed joins, one 1-row N
+    // broadcast — no all-pairs anything at any corpus size.
+    "q65_pmi_bigrams" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val toks = docs.select(TextAnalysis.tokens(col("text")).as("tl"))
+        val uni = toks.select(explode(col("tl")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val n = toks.select(sum(size(col("tl"))).as("n_tok"))
+        val big = toks
+          .select(explode(TextAnalysis.shingles(col("tl"), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+          .withColumn("wx", split(col("bg"), " ").getItem(0))
+          .withColumn("wy", split(col("bg"), " ").getItem(1))
+        big
+          .join(broadcast(uni.withColumnRenamed("w", "wx")
+            .withColumnRenamed("cw", "c_x")), "wx")
+          .join(broadcast(uni.withColumnRenamed("w", "wy")
+            .withColumnRenamed("cw", "c_y")), "wy")
+          .crossJoin(broadcast(n))
+          .select(col("bg"), col("c_xy"), col("c_x"), col("c_y"),
+            round((col("c_xy") * col("n_tok")).cast("double") /
+              (col("c_x") * col("c_y")).cast("double"), 4).as("pmi"))
+          .orderBy(desc("pmi"), col("bg"))
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT list_filter(string_split_regex(text,
+                  '\s+'), x -> x <> '') AS tl FROM documents),
+              uni AS (SELECT UNNEST(tl) AS w FROM d),
+              u AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY w),
+              n AS (SELECT SUM(len(tl)) AS n_tok FROM d),
+              bgl AS (SELECT UNNEST(list_transform(range(1, len(tl)),
+                  i -> tl[i] || ' ' || tl[i + 1])) AS bg FROM d),
+              b AS (SELECT bg, COUNT(*) AS c_xy FROM bgl GROUP BY bg
+                    HAVING COUNT(*) >= 5)
+              SELECT bg, c_xy, ux.cw AS c_x, uy.cw AS c_y,
+                ROUND(CAST(c_xy * n.n_tok AS DOUBLE) /
+                  CAST(ux.cw * uy.cw AS DOUBLE), 4) AS pmi
+              FROM b CROSS JOIN n
+              JOIN u ux ON ux.w = string_split(b.bg, ' ')[1]
+              JOIN u uy ON uy.w = string_split(b.bg, ' ')[2]
+              ORDER BY pmi DESC, bg LIMIT 20""")),
+
+    // Z-score outlier counts per event type: two-pass — a fixed-size
+    // (n, Σv, Σv²) moment sketch per group, then the tiny stats table
+    // broadcasts back onto the fact scan and each row tests
+    // |v − mean| > 2σ. Exactly the shape that scales: the fact table is
+    // read twice map-only with one small-key aggregation each.
+    "q66_zscore_outliers" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val stats = ev.groupBy("event_type")
+          .agg(count(lit(1)).cast("double").as("n"),
+            dsum2(col("value")).as("s"),
+            dsum2(col("value") * col("value")).as("ss"))
+          .select(col("event_type"),
+            (col("s") / col("n")).as("mean"),
+            sqrt(col("ss") / col("n") -
+              (col("s") / col("n")) * (col("s") / col("n"))).as("std"))
+        ev.join(broadcast(stats), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("value") - col("mean")) >
+              lit(2.0) * col("std"), 1L).otherwise(0L)).as("n_outlier"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (SELECT event_type,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS s,
+                  CAST(ROUND(SUM(CAST(value * value AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS ss
+                FROM events GROUP BY 1),
+              st AS (SELECT event_type, s / n AS mean,
+                  SQRT(ss / n - (s / n) * (s / n)) AS std FROM m)
+              SELECT e.event_type, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN ABS(e.value - st.mean) > 2.0 * st.std
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier
+              FROM events e JOIN st ON e.event_type = st.event_type
+              GROUP BY 1 ORDER BY e.event_type""")),
+
+    // Approx-quantile sketch contract (q57's pattern for quantiles):
+    // exact median alongside an assertion that approx_percentile's
+    // estimate lands within 1%. The sketch (KLL-style, fixed size,
+    // mergeable) is the only affordable quantile at 100 TB — the oracle
+    // states the error contract and the compare fails on drift.
+    "q67_quantile_sketch" -> QueryDef(
+      (s, dir) => table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("med"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("est"))
+        .select(col("o_orderpriority"), col("med"),
+          (abs(col("est") - col("med")) <= col("med") * 0.01)
+            .cast("long").as("within_1pct"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                ROUND(quantile_cont(o_totalprice, 0.5), 2) AS med,
+                1 AS within_1pct
+              FROM orders GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    // Character trigram profile: top-5 trigrams per language — the
+    // classic byte/char n-gram language fingerprint. Generator explode
+    // (map-only) + one (lang, gram) count shuffle + a per-lang top-k
+    // window over the small aggregated frame.
+    "q68_char_ngrams" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy(desc("n"), col("gram"))
+        table(s, dir, "documents")
+          .select(col("lang"),
+            explode(when(length(col("text")) >= 3,
+              transform(sequence(lit(1), length(col("text")) - 2),
+                i => col("text").substr(i, lit(3))))
+              .otherwise(array().cast("array<string>"))).as("gram"))
+          .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("gram"), col("n"),
+            col("rk").cast("long").as("rk"))
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH g AS (SELECT lang,
+                  UNNEST(list_transform(range(1, length(text) - 1),
+                    i -> substr(text, i, 3))) AS gram
+                FROM documents),
+              c AS (SELECT lang, gram, COUNT(*) AS n FROM g GROUP BY 1, 2),
+              r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY n DESC, gram) AS rk FROM c)
+              SELECT lang, gram, n, CAST(rk AS BIGINT) AS rk
+              FROM r WHERE rk <= 5 ORDER BY lang, rk""")),
+
+    // kNN majority-vote label classification: each query vector (the
+    // first 10) takes the majority label of its 5 exact-cosine nearest
+    // corpus neighbors (ties → higher vote count then smaller label).
+    // The query side broadcasts; the corpus streams map-only through
+    // the sim computation and one per-query window — the brute-force
+    // baseline whose bucketed scale path is Ann.annTopK.
+    "q69_knn_label" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        import graft.functions.VectorFunctions.{cosineWithNorms, dot, normSq}
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            normSq(col("embedding")).as("nsq"))
+        val q = e.filter(col("vec_id") <= 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nsq").as("q_nsq"))
+        val wNn = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+        val wVote = Window.partitionBy("q_id")
+          .orderBy(desc("votes"), col("label"))
+        e.filter(col("vec_id") > 10)
+          .crossJoin(broadcast(q))
+          .select(col("q_id"), col("vec_id"), col("label"),
+            cosineWithNorms(dot(col("embedding"), col("q_emb")),
+              col("nsq"), col("q_nsq")).as("sim"))
+          .withColumn("rk", row_number().over(wNn))
+          .filter(col("rk") <= 5)
+          .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+          .withColumn("vrk", row_number().over(wVote))
+          .filter(col("vrk") === 1)
+          .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+          .orderBy("q_id")
+      },
+      Some("""WITH n AS (SELECT vec_id, label, embedding,
+                  (SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                   FROM UNNEST(embedding) AS u(x)) AS nsq
+                FROM embeddings),
+              p AS (SELECT q.vec_id AS q_id, c.vec_id, c.label,
+                  (SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                   FROM (SELECT UNNEST(c.embedding) AS x,
+                                UNNEST(q.embedding) AS y) z) /
+                    (SQRT(c.nsq) * SQRT(q.nsq)) AS sim
+                FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id > 10),
+              r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY sim DESC, vec_id) AS rk FROM p),
+              v AS (SELECT q_id, label, COUNT(*) AS votes
+                FROM r WHERE rk <= 5 GROUP BY 1, 2),
+              w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY votes DESC, label) AS vrk FROM v)
+              SELECT q_id, label AS pred_label, votes
+              FROM w WHERE vrk = 1 ORDER BY q_id"""))
+  )
+}
