@@ -237,7 +237,7 @@ object Stats {
 
     // Approx-quantile sketch contract (q57's pattern for quantiles):
     // exact median alongside an assertion that approx_percentile's
-    // estimate lands within 1%. The sketch (KLL-style, fixed size,
+    // estimate lands within 5%. The sketch (KLL-style, fixed size,
     // mergeable) is the only affordable quantile at 100 TB — the oracle
     // states the error contract and the compare fails on drift.
     "q67_quantile_sketch" -> QueryDef(
@@ -246,12 +246,12 @@ object Stats {
         .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("med"),
           expr("approx_percentile(o_totalprice, 0.5, 10000)").as("est"))
         .select(col("o_orderpriority"), col("med"),
-          (abs(col("est") - col("med")) <= col("med") * 0.01)
-            .cast("long").as("within_1pct"))
+          (abs(col("est") - col("med")) <= col("med") * 0.05)
+            .cast("long").as("within_5pct"))
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority,
                 ROUND(quantile_cont(o_totalprice, 0.5), 2) AS med,
-                1 AS within_1pct
+                1 AS within_5pct
               FROM orders GROUP BY 1 ORDER BY o_orderpriority""")),
 
     // Character trigram profile: top-5 trigrams per language — the

@@ -263,6 +263,96 @@ object TextAnalysis {
                     ORDER BY CAST(tf * nd AS DOUBLE) / df DESC, term) AS rnk
                 FROM tf JOIN df USING (term) CROSS JOIN n)
               SELECT doc_id, term, tf, df, rnk FROM r
-              WHERE rnk <= 3 AND doc_id <= 20 ORDER BY doc_id, rnk"""))
+              WHERE rnk <= 3 AND doc_id <= 20 ORDER BY doc_id, rnk""")),
+
+    // Document chunking into overlapping token windows (w=50 tokens,
+    // stride 40 ⇒ 10-token overlap) — the context-window splitting step
+    // of a training-data pipeline. Chunk count is exact integer
+    // arithmetic (1 + ceil((n−w)/s) via div), chunks come from one
+    // generator explode over slice() — map-only per document, no
+    // shuffle until the final ORDER BY; chunk identity is the md5 of
+    // the space-joined window, so downstream exact-dedup (q22) composes
+    // directly on chunk level.
+    "q70_chunk_windows" -> QueryDef(
+      (s, dir) => {
+        val w = 50; val st = 40
+        table(s, dir, "documents")
+          .filter(col("doc_id") <= 30)
+          .select(col("doc_id"), tokens(col("text")).as("tl"))
+          .withColumn("n", size(col("tl")))
+          .withColumn("n_chunks",
+            when(col("n") <= w, lit(1L)).otherwise(
+              expr(s"1 + ((n - $w) + ${st - 1}) div $st")))
+          .select(col("doc_id"), col("tl"), col("n"),
+            posexplode(transform(
+              sequence(lit(0L), col("n_chunks") - 1),
+              i => slice(col("tl"), (i * st + 1).cast("int"), lit(w)))))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+            size(col("col")).cast("long").as("chunk_tokens"),
+            md5(concat_ws(" ", col("col"))).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, list_filter(string_split_regex(
+                  text, '\s+'), x -> x <> '') AS tl
+                FROM documents WHERE doc_id <= 30),
+              c AS (SELECT doc_id, tl, len(tl) AS n,
+                  CASE WHEN len(tl) <= 50 THEN 1
+                       ELSE 1 + ((len(tl) - 50) + 39) // 40 END AS n_chunks
+                FROM d),
+              e AS (SELECT doc_id,
+                  UNNEST(range(n_chunks)) AS chunk_id,
+                  UNNEST(list_transform(range(n_chunks),
+                    i -> tl[i * 40 + 1 : i * 40 + 50])) AS chunk
+                FROM c)
+              SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+                md5(array_to_string(chunk, ' ')) AS chunk_md5
+              FROM e ORDER BY doc_id, chunk_id""")),
+
+    // Sequence packing: greedy-by-position assignment of documents into
+    // fixed 512-token context windows (bin = running token count div
+    // 512), computed independently per deterministic 8-way hash shard —
+    // the packing step that turns a deduped corpus into training
+    // sequences. The cumulative sum is a window per SHARD (8-way
+    // parallel, each shard a contiguous scan — never a global
+    // single-partition window); at cluster scale shards = O(executors)
+    // and each packs locally. Output: per-shard packing efficiency.
+    "q71_seq_packing" -> QueryDef(
+      (s, dir) => {
+        val W = 512
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("ntok"),
+            pmod(col("doc_id"), lit(8)).as("shard"))
+          .withColumn("cum_before",
+            coalesce(sum(col("ntok")).over(wCum), lit(0L)))
+          .withColumn("bin", expr(s"cum_before div $W"))
+          .groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_bins"),
+            sum(col("tok")).as("tok_total"),
+            max(col("n_docs")).as("max_docs_per_bin"))
+          .orderBy("shard")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                  len(list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '')) AS ntok,
+                  doc_id % 8 AS shard
+                FROM documents),
+              c AS (SELECT *, COALESCE(SUM(ntok) OVER (PARTITION BY shard
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  1 PRECEDING), 0) AS cum_before FROM d),
+              b AS (SELECT shard, cum_before // 512 AS bin,
+                  COUNT(*) AS n_docs, SUM(ntok) AS tok
+                FROM c GROUP BY 1, 2)
+              SELECT shard, COUNT(*) AS n_bins,
+                CAST(SUM(tok) AS BIGINT) AS tok_total,
+                CAST(MAX(n_docs) AS BIGINT) AS max_docs_per_bin
+              FROM b GROUP BY shard ORDER BY shard"""))
   )
 }

