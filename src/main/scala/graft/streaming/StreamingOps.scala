@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
@@ -145,5 +146,46 @@ object StreamingOps {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** Same running stats on the Spark 4 `transformWithState` API
+    * (StatefulProcessor + typed state handles) — the successor to
+    * `flatMapGroupsWithState` with composable named state variables,
+    * timers, and TTL. Requires the RocksDB state store provider (the
+    * store that scales state past executor memory: SST files +
+    * changelog checkpointing). Same scale shape as above: state is
+    * hash-partitioned on user_id, one fixed-size value per key.
+    */
+  def userRunningStatsTws(events: Dataset[UserEvent]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        streaming.TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** StatefulProcessor behind [[StreamingOps.userRunningStatsTws]]: one
+  * named ValueState[UserStat] per user, updated per micro-batch.
+  */
+class RunningStatsProcessor
+    extends streaming.StatefulProcessor[Long, UserEvent, UserStat] {
+  @transient private var st: streaming.ValueState[UserStat] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: streaming.TimeMode): Unit =
+    st = getHandle.getValueState[UserStat]("stats",
+      org.apache.spark.sql.Encoders.product[UserStat],
+      streaming.TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+      timerValues: streaming.TimerValues): Iterator[UserStat] = {
+    val prev = if (st.exists()) st.get() else UserStat(uid, 0L, 0.0)
+    var n = prev.n_events
+    var tot = prev.total_value
+    rows.foreach { e => n += 1; tot += e.value }
+    val next = UserStat(uid, n, tot)
+    st.update(next)
+    Iterator.single(next)
   }
 }

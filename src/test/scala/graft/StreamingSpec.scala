@@ -217,6 +217,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running stats match flatMapGroupsWithState (RocksDB)") {
+    import spark.implicits._
+    import graft.streaming.UserEvent
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.userRunningStatsTws(input.toDS())
+      .writeStream.format("memory").outputMode(OutputMode.Update())
+      .queryName("tws_" + System.nanoTime()).start()
+    try {
+      input.addData(
+        UserEvent(t(1), 7L, "click", 1.0), UserEvent(t(2), 7L, "click", 2.0),
+        UserEvent(t(3), 9L, "view", 10.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(t(4), 7L, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table(q.name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // identical emission contract to the flatMapGroupsWithState test
+      assert(rows.contains((7L, 2L, 3.0)))
+      assert(rows.contains((9L, 1L, 10.0)))
+      assert(rows.contains((7L, 3L, 7.0)))
+      assert(rows.count(_._1 == 9L) == 1)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("the same builders run in batch mode (one definition, two modes)") {
     import spark.implicits._
     val batch = Seq(Ev(t(5), "click", 1.0), Ev(t(20), "click", 2.0)).toDF()
