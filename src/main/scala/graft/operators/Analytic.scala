@@ -298,6 +298,130 @@ object Analytic {
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
                 COUNT(DISTINCT l_partkey) AS exact_nd, 1 AS within_5pct
-              FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // Upsert / merge (last-writer-wins): an updates batch (every 10th
+    // order re-priced, plus brand-new keys) merged into the base —
+    // anti-join survivors ∪ updates, the engine-level MERGE INTO. One
+    // shuffle on the merge key (or none if both sides are bucketed on
+    // it); verified by per-status counts + exact sums over the merged
+    // result. The +1000.00 re-price is exact in decimal.
+    "q72_upsert_merge" -> QueryDef(
+      (s, dir) => {
+        val base = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        val updates = base.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"))
+          .unionByName(base.filter(col("o_orderkey") % 1000 === 7)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+        base.join(updates.select("o_orderkey"), Seq("o_orderkey"),
+            "left_anti")
+          .unionByName(updates)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), money(col("o_totalprice")).as("tot"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders),
+              upd AS (SELECT o_orderkey, o_orderstatus,
+                  o_totalprice + 1000.0 AS o_totalprice
+                FROM base WHERE o_orderkey % 10 = 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+                FROM base WHERE o_orderkey % 1000 = 7),
+              merged AS (SELECT * FROM base
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+                UNION ALL SELECT * FROM upd)
+              SELECT o_orderstatus, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS tot
+              FROM merged GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // Schema evolution: union two frames with different column sets by
+    // NAME (allowMissingColumns — the append path when a pipeline adds
+    // a column mid-stream); absent columns surface as NULL, verified by
+    // null-aware counts. Positional union would silently misalign.
+    "q73_union_by_name" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val old = ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("event_type"))
+        val newer = ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("event_type"), col("value"))
+        old.unionByName(newer, allowMissingColumns = true)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(col("value")).as("n_with_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH u AS (SELECT event_id, event_type,
+                  CAST(NULL AS DOUBLE) AS value
+                FROM events WHERE event_id % 2 = 0
+                UNION ALL
+                SELECT event_id, event_type, value
+                FROM events WHERE event_id % 2 = 1)
+              SELECT event_type, COUNT(*) AS n,
+                COUNT(value) AS n_with_value
+              FROM u GROUP BY 1 ORDER BY event_type""")),
+
+    // Error-tolerant ingest: try_cast turns unparseable values into
+    // NULL instead of failing the job — the dirty-data path of a
+    // schema-on-read pipeline. Mixed column: numeric JSON field for
+    // low values, non-numeric event_type otherwise; per-type parse
+    // success/failure counts.
+    "q74_try_cast" -> QueryDef(
+      (s, dir) => table(s, dir, "events")
+        .withColumn("raw",
+          when(col("value") < 50.0,
+            get_json_object(col("props"), "$.k"))
+            .otherwise(col("event_type")))
+        .withColumn("parsed", expr("try_cast(raw AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("parsed")).as("n_parsed"),
+          sum(when(col("parsed").isNull, 1L).otherwise(0L))
+            .as("n_failed"))
+        .orderBy("event_type"),
+      Some("""WITH t AS (SELECT event_type,
+                  TRY_CAST(CASE WHEN value < 50.0
+                    THEN json_extract_string(props, '$.k')
+                    ELSE event_type END AS BIGINT) AS parsed
+                FROM events)
+              SELECT event_type, COUNT(*) AS n,
+                COUNT(parsed) AS n_parsed,
+                CAST(SUM(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_failed
+              FROM t GROUP BY 1 ORDER BY event_type""")),
+
+    // Navigation window functions: first/last/nth order price per
+    // customer over the full partition frame (last_value needs the
+    // explicit unbounded-following frame — the default frame ends at
+    // the current row). Unique (date, key) sort keeps every value
+    // deterministic; high-cardinality partition key parallelizes.
+    "q75_window_nav" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        table(s, dir, "orders")
+          .filter(col("o_custkey") <= 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_totalprice")).over(w).as("first_price"),
+            last(col("o_totalprice")).over(w).as("last_price"),
+            nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                FIRST_VALUE(o_totalprice) OVER w AS first_price,
+                LAST_VALUE(o_totalprice) OVER w AS last_price,
+                NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+              FROM orders WHERE o_custkey <= 100
+              WINDOW w AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              ORDER BY o_custkey, o_orderkey"""))
   )
 }
