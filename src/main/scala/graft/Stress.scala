@@ -53,6 +53,8 @@ object Stress {
       .withColumn("doc_id", col("doc_id") * factor + col("replica"))
       .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
         concat(lit("$1r"), col("replica").cast("string"))))
+    val events = inflate(Q.table(spark, sfDir, "events"), factor)
+      .withColumn("event_id", col("event_id") * factor + col("replica"))
 
     def timed(name: String)(body: => Long): (String, Double, Long) = {
       val t0 = System.nanoTime()
@@ -109,6 +111,39 @@ object Stress {
           .agg(min_by(col("lang"), col("doc_id")).as("lang"))
           .groupBy("lang").agg(count(lit(1)))
           .collect().length.toLong
+      },
+      // chunk-window explode + per-shard packing cumsum (q70/q71
+      // shapes): generator is map-only, the pack window partitions on
+      // the shard key so parallelism tracks the shard count, not 1
+      timed("chunk_pack") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        documents
+          .select(col("doc_id"),
+            size(graft.operators.TextAnalysis.tokens(col("text")))
+              .cast("long").as("ntok"),
+            pmod(col("doc_id"), lit(256)).as("shard"))
+          .withColumn("cum",
+            coalesce(sum(col("ntok")).over(w), lit(0L)))
+          .withColumn("bin", expr("cum div 512"))
+          .groupBy("shard", "bin").agg(count(lit(1)))
+          .count()
+      },
+      // two-pass z-score (q66 shape): fixed-size moment sketch, then
+      // the tiny stats table broadcast back over the inflated facts
+      timed("zscore_two_pass") {
+        val stats = events.groupBy("event_type")
+          .agg(count(lit(1)).cast("double").as("n"),
+            Q.dsum(col("value")).cast("double").as("s"),
+            Q.dsum(col("value") * col("value")).cast("double").as("ss"))
+          .select(col("event_type"), (col("s") / col("n")).as("mean"),
+            sqrt(col("ss") / col("n") -
+              (col("s") / col("n")) * (col("s") / col("n"))).as("std"))
+        events.join(broadcast(stats), "event_type")
+          .filter(abs(col("value") - col("mean")) > lit(2.0) * col("std"))
+          .count()
       })
 
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }
