@@ -422,6 +422,77 @@ object Analytic {
               WINDOW w AS (PARTITION BY o_custkey
                 ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-              ORDER BY o_custkey, o_orderkey"""))
+              ORDER BY o_custkey, o_orderkey""")),
+
+    // Funnel analysis: users whose first click precedes their first
+    // view precedes their first purchase — the ordered-milestone
+    // conversion count. One aggregation per user (conditional MIN per
+    // stage — no joins, no per-stage scans), then a count rollup:
+    // exactly two shuffles at any event volume.
+    "q76_funnel" -> QueryDef(
+      (s, dir) => table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "click", col("ts"))).as("t1"),
+          min(when(col("event_type") === "view", col("ts"))).as("t2"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t3"))
+        .select(
+          (col("t1").isNotNull && col("t2").isNotNull &&
+            col("t3").isNotNull && col("t1") < col("t2") &&
+            col("t2") < col("t3")).as("converted"),
+          (col("t1").isNotNull && col("t2").isNotNull &&
+            col("t1") < col("t2")).as("reached_view"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("reached_view").cast("long")).as("n_click_then_view"),
+          sum(col("converted").cast("long")).as("n_converted")),
+      Some("""WITH u AS (SELECT user_id,
+                  MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                  MIN(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+                  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+                FROM events GROUP BY user_id)
+              SELECT COUNT(*) AS n_users,
+                CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+                  AND t1 < t2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_click_then_view,
+                CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+                  AND t3 IS NOT NULL AND t1 < t2 AND t2 < t3
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+              FROM u""")),
+
+    // Gap filling by last-observation-carried-forward: purchases carry
+    // their value forward over the user's subsequent non-purchase
+    // events (`last(..., ignoreNulls)` over the time-ordered per-user
+    // frame) — the sparse→dense imputation step of feature pipelines.
+    // Unique (ts, event_id) sort key; per-user windows parallelize;
+    // decimal sum keeps the filled total order-independent.
+    "q77_locf" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "events")
+          .withColumn("sparse",
+            when(col("event_type") === "purchase", col("value")))
+          .withColumn("filled",
+            last(col("sparse"), ignoreNulls = true).over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(col("filled")).as("n_filled"),
+            round(dsum(col("filled")), 2)
+              .cast("double").as("filled_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type,
+                  LAST_VALUE(CASE WHEN event_type = 'purchase'
+                      THEN value END IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS filled
+                FROM events)
+              SELECT event_type, COUNT(*) AS n,
+                COUNT(filled) AS n_filled,
+                CAST(ROUND(SUM(CAST(filled AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS filled_sum
+              FROM t GROUP BY 1 ORDER BY event_type"""))
   )
 }
