@@ -333,6 +333,166 @@ object Stats {
               w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                   ORDER BY votes DESC, label) AS vrk FROM v)
               SELECT q_id, label AS pred_label, votes
-              FROM w WHERE vrk = 1 ORDER BY q_id"""))
+              FROM w WHERE vrk = 1 ORDER BY q_id""")),
+
+    // Gini impurity of the source distribution per language: 1 − Σp²
+    // computed as (n² − Σc²)/n² — an exact ratio of integer counts, so
+    // both engines derive the identical double (the log-free purity
+    // metric; entropy would hinge on libm log ulps). Two count
+    // aggregations, both with map-side partials.
+    "q78_gini_impurity" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_sources"),
+          sum(col("c") * col("c")).as("ssq"))
+        .select(col("lang"), col("n"), col("n_sources"),
+          round((col("n") * col("n") - col("ssq")).cast("double") /
+            (col("n") * col("n")).cast("double"), 6).as("gini"))
+        .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, source, COUNT(*) AS c
+                FROM documents GROUP BY 1, 2),
+              g AS (SELECT lang, SUM(c) AS n, COUNT(*) AS n_sources,
+                  SUM(c * c) AS ssq
+                FROM c GROUP BY 1)
+              SELECT lang, CAST(n AS BIGINT) AS n,
+                CAST(n_sources AS BIGINT) AS n_sources,
+                ROUND(CAST(n * n - ssq AS DOUBLE) /
+                  CAST(n * n AS DOUBLE), 6) AS gini
+              FROM g ORDER BY lang""")),
+
+    // Chi-square association between language and document length
+    // bucket: χ² = Σ (O·n − R·C)² / (R·C·n) over the contingency
+    // table — every term a ratio of exact integer products, so the
+    // doubles are engine-identical. The contingency table is one
+    // count shuffle; the row/col margins broadcast back onto it.
+    "q79_chi_square" -> QueryDef(
+      (s, dir) => {
+        val bucketed = table(s, dir, "documents")
+          .withColumn("len_bucket",
+            when(length(col("text")) < 200, "short")
+              .when(length(col("text")) < 1000, "medium")
+              .otherwise("long"))
+        val o = bucketed.groupBy("lang", "len_bucket")
+          .agg(count(lit(1)).as("obs"))
+        val rowm = o.groupBy("lang").agg(sum("obs").as("rtot"))
+        val colm = o.groupBy("len_bucket").agg(sum("obs").as("ctot"))
+        val n = o.agg(sum("obs").as("n"))
+        o.join(broadcast(rowm), "lang")
+          .join(broadcast(colm), "len_bucket")
+          .crossJoin(broadcast(n))
+          .select(col("lang"), col("len_bucket"), col("obs"),
+            ((col("obs") * col("n") - col("rtot") * col("ctot")) *
+              (col("obs") * col("n") - col("rtot") * col("ctot")))
+              .cast("double")
+              ./((col("rtot") * col("ctot")).cast("double") *
+                col("n").cast("double")).as("term"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(col("term").cast(DecimalType(28, 10))), 4)
+              .cast("double").as("chi2"))
+      },
+      Some("""WITH b AS (SELECT lang, CASE
+                  WHEN length(text) < 200 THEN 'short'
+                  WHEN length(text) < 1000 THEN 'medium'
+                  ELSE 'long' END AS len_bucket
+                FROM documents),
+              o AS (SELECT lang, len_bucket, COUNT(*) AS obs
+                    FROM b GROUP BY 1, 2),
+              r AS (SELECT lang, SUM(obs) AS rtot FROM o GROUP BY 1),
+              c AS (SELECT len_bucket, SUM(obs) AS ctot FROM o GROUP BY 1),
+              n AS (SELECT SUM(obs) AS n FROM o),
+              t AS (SELECT CAST((o.obs * n.n - r.rtot * c.ctot) *
+                      (o.obs * n.n - r.rtot * c.ctot) AS DOUBLE) /
+                    (CAST(r.rtot * c.ctot AS DOUBLE) * CAST(n.n AS DOUBLE))
+                      AS term
+                FROM o JOIN r USING (lang) JOIN c USING (len_bucket)
+                CROSS JOIN n)
+              SELECT COUNT(*) AS n_cells,
+                CAST(ROUND(SUM(CAST(term AS DECIMAL(28,10))), 4)
+                  AS DOUBLE) AS chi2
+              FROM t""")),
+
+    // Median-absolute-deviation outliers per event type: median via
+    // exact interpolated percentile, MAD likewise over |v − med|, then
+    // a count of rows beyond 3·MAD — the robust outlier rule that
+    // tolerates the heavy tails a mean/σ rule (q66) blows up on. Two
+    // aggregation passes + one broadcast-back join.
+    "q80_mad_outliers" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val mad = ev.join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(first(col("med")).as("med"),
+            expr("percentile(abs(value - med), 0.5)").as("mad"))
+        ev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(first(col("med")), 4).as("med"),
+            round(first(col("mad")), 4).as("mad"),
+            sum(when(abs(col("value") - col("med")) >
+              lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outlier"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (SELECT event_type,
+                  quantile_cont(value, 0.5) AS med
+                FROM events GROUP BY 1),
+              d AS (SELECT e.event_type, m.med,
+                  quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+                FROM events e JOIN m USING (event_type)
+                GROUP BY 1, 2)
+              SELECT e.event_type, COUNT(*) AS n,
+                ROUND(ANY_VALUE(d.med), 4) AS med,
+                ROUND(ANY_VALUE(d.mad), 4) AS mad,
+                CAST(SUM(CASE WHEN ABS(e.value - d.med) > 3.0 * d.mad
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier
+              FROM events e JOIN d USING (event_type)
+              GROUP BY 1 ORDER BY e.event_type""")),
+
+    // Data profiling: the ANALYZE-style per-column summary (null count,
+    // exact distinct count, min/max) for a declared column set, emitted
+    // as one row per column — what a pipeline runs before trusting a
+    // new drop of data. Each column profiles in one pass; the unpivoted
+    // layout keeps the output schema fixed as columns are added.
+    "q81_data_profile" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val profiles = Seq(
+          ("o_custkey", col("o_custkey").cast("string")),
+          ("o_orderstatus", col("o_orderstatus").cast("string")),
+          ("o_orderpriority", col("o_orderpriority").cast("string")))
+        profiles.map { case (name, c) =>
+          o.agg(count(lit(1)).as("n_rows"),
+            sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(c).as("n_distinct"),
+            min(c).as("min_val"), max(c).as("max_val"))
+            .select(lit(name).as("column_name"), col("n_rows"),
+              col("n_null"), col("n_distinct"), col("min_val"),
+              col("max_val"))
+        }.reduce(_ unionByName _).orderBy("column_name")
+      },
+      Some("""SELECT column_name, n_rows, n_null, n_distinct,
+                min_val, max_val FROM (
+                SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+                  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+                  COUNT(DISTINCT o_custkey) AS n_distinct,
+                  MIN(CAST(o_custkey AS VARCHAR)) AS min_val,
+                  MAX(CAST(o_custkey AS VARCHAR)) AS max_val FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', COUNT(*),
+                  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0
+                    END) AS BIGINT),
+                  COUNT(DISTINCT o_orderstatus),
+                  MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', COUNT(*),
+                  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0
+                    END) AS BIGINT),
+                  COUNT(DISTINCT o_orderpriority),
+                  MIN(o_orderpriority), MAX(o_orderpriority) FROM orders)
+              ORDER BY column_name"""))
   )
 }
