@@ -493,6 +493,34 @@ object Analytic {
                 COUNT(filled) AS n_filled,
                 CAST(ROUND(SUM(CAST(filled AS DECIMAL(18,4))), 2)
                   AS DOUBLE) AS filled_sum
+              FROM t GROUP BY 1 ORDER BY event_type""")),
+
+    // Schema-full JSON normalization: from_json with a declared schema
+    // expands the props blob into typed columns in one codegen'd
+    // projection (vs q19's per-key get_json_object path) — the
+    // semi-structured→relational step of ingest. Integer-exact stats
+    // over the extracted field.
+    "q82_json_normalize" -> QueryDef(
+      (s, dir) => table(s, dir, "events")
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))))
+        .select(col("event_type"), col("p.k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          sum("k").as("sum_k"),
+          round(sum(col("k")).cast("double") / count(col("k")), 4)
+            .as("avg_k"))
+        .orderBy("event_type"),
+      Some("""WITH t AS (SELECT event_type,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events)
+              SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_k,
+                MIN(k) AS min_k, MAX(k) AS max_k,
+                CAST(SUM(k) AS BIGINT) AS sum_k,
+                ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 4) AS avg_k
               FROM t GROUP BY 1 ORDER BY event_type"""))
   )
 }

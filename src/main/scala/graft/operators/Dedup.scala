@@ -91,6 +91,44 @@ object Dedup {
       .select("da", "db", "j")
   }
 
+  /** Connected-component labels (vertex, lbl) over the verified
+    * near-dup pair graph by iterative min-label propagation — one
+    * shuffle of the skinny (vertex, label) frame per round against the
+    * edge list, scalar-aggregate fixpoint test (the label sum is
+    * monotonically decreasing, so equal sums ⇒ converged), O(component
+    * diameter) rounds. Shared by q45 (cluster sizes) and q83
+    * (survivor selection).
+    */
+  private def ccLabels(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val pairs = neardupPairs(s, dir).select("da", "db").persist()
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+      .persist()
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long = df
+      .agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
+    var cur = edges.groupBy("a").agg(min("b").as("mn"))
+      .select(col("a").as("v"), least(col("a"), col("mn")).as("lbl"))
+      .persist()
+    var curSum = labelSum(cur)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val next = edges.join(cur, edges("b") === cur("v"))
+        .select(edges("a").as("v"), col("lbl"))
+        .union(cur.select(col("v"), col("lbl")))
+        .groupBy("v").agg(min("lbl").as("lbl"))
+        .persist()
+      val nextSum = labelSum(next)
+      converged = nextSum == curSum
+      cur.unpersist()
+      cur = next; curSum = nextSum; rounds += 1
+    }
+    edges.unpersist(); pairs.unpersist()
+    cur
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q22 exact dedup on text: survivors = min-doc_id row per distinct
@@ -321,35 +359,10 @@ object Dedup {
     // fixpoint test is a scalar aggregate (label sum is monotonically
     // decreasing, so equal sums ⇒ converged).
     "q45_dup_clusters" -> QueryDef(
-      (s, dir) => {
-        val pairs = neardupPairs(s, dir).select("da", "db").persist()
-        val edges = pairs.select(col("da").as("a"), col("db").as("b"))
-          .union(pairs.select(col("db").as("a"), col("da").as("b")))
-          .persist()
-        def labelSum(df: org.apache.spark.sql.DataFrame): Long = df
-          .agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
-        var cur = edges.groupBy("a").agg(min("b").as("mn"))
-          .select(col("a").as("v"), least(col("a"), col("mn")).as("lbl"))
-          .persist()
-        var curSum = labelSum(cur)
-        var converged = false
-        var rounds = 0
-        while (!converged && rounds < 20) {
-          val next = edges.join(cur, edges("b") === cur("v"))
-            .select(edges("a").as("v"), col("lbl"))
-            .union(cur.select(col("v"), col("lbl")))
-            .groupBy("v").agg(min("lbl").as("lbl"))
-            .persist()
-          val nextSum = labelSum(next)
-          converged = nextSum == curSum
-          cur.unpersist()
-          cur = next; curSum = nextSum; rounds += 1
-        }
-        edges.unpersist(); pairs.unpersist()
-        cur.groupBy("lbl").agg(count(lit(1)).as("csize"))
-          .select(col("lbl").as("cluster_id"), col("csize"))
-          .orderBy("cluster_id")
-      },
+      (s, dir) => ccLabels(s, dir)
+        .groupBy("lbl").agg(count(lit(1)).as("csize"))
+        .select(col("lbl").as("cluster_id"), col("csize"))
+        .orderBy("cluster_id"),
       // transitive closure via recursive CTE over the same verified pairs
       Some("""WITH RECURSIVE toks AS (SELECT doc_id,
                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
@@ -373,6 +386,62 @@ object Dedup {
               labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
                          FROM reach GROUP BY a)
               SELECT cluster_id, COUNT(*) AS csize FROM labels
-              GROUP BY cluster_id ORDER BY cluster_id"""))
+              GROUP BY cluster_id ORDER BY cluster_id""")),
+
+    // End-to-end dedup with canonical survivors: the full pipeline a
+    // training corpus runs — LSH candidates → exact-Jaccard verify →
+    // connected components → keep the min-doc_id survivor per cluster,
+    // drop the rest. Removal is a broadcast-able anti-join of the
+    // skinny non-canonical vertex list against the corpus; per-language
+    // before/after counts verify the survivorship arithmetic.
+    "q83_dedup_survivors" -> QueryDef(
+      (s, dir) => {
+        val removed = ccLabels(s, dir)
+          .filter(col("v") =!= col("lbl"))
+          .select(col("v").as("doc_id"))
+        table(s, dir, "documents")
+          .join(removed, Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_survivors"),
+            min("doc_id").as("min_id"))
+          .join(table(s, dir, "documents").groupBy("lang")
+            .agg(count(lit(1)).as("n_docs")), "lang")
+          .select(col("lang"), col("n_docs"), col("n_survivors"),
+            (col("n_docs") - col("n_survivors")).as("n_removed"),
+            col("min_id"))
+          .orderBy("lang")
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.8),
+              edges AS (SELECT da AS a, db AS b FROM p
+                        UNION SELECT db, da FROM p),
+              reach AS (SELECT a, a AS b
+                          FROM (SELECT DISTINCT a FROM edges) n
+                        UNION
+                        SELECT r.a, e.b
+                          FROM reach r JOIN edges e ON r.b = e.a),
+              labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+                         FROM reach GROUP BY a),
+              removed AS (SELECT doc_id FROM labels
+                          WHERE doc_id <> cluster_id),
+              surv AS (SELECT * FROM documents
+                       WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
+              t AS (SELECT lang, COUNT(*) AS n_docs
+                    FROM documents GROUP BY 1)
+              SELECT s2.lang, t.n_docs, s2.n_survivors,
+                t.n_docs - s2.n_survivors AS n_removed, s2.min_id
+              FROM (SELECT lang, COUNT(*) AS n_survivors,
+                      MIN(doc_id) AS min_id FROM surv GROUP BY 1) s2
+              JOIN t ON s2.lang = t.lang ORDER BY s2.lang"""))
   )
 }
