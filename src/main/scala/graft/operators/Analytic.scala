@@ -521,6 +521,122 @@ object Analytic {
                 MIN(k) AS min_k, MAX(k) AS max_k,
                 CAST(SUM(k) AS BIGINT) AS sum_k,
                 ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 4) AS avg_k
-              FROM t GROUP BY 1 ORDER BY event_type"""))
+              FROM t GROUP BY 1 ORDER BY event_type""")),
+
+    // Time-weighted average: each event's value weighted by the seconds
+    // until the user's next event (lead window over the per-user
+    // timeline), Σ(v·dt)/Σdt per event type. dt is an exact integer
+    // second diff; the weighted sum is decimal-exact; one window + one
+    // aggregation, both keyed on real columns.
+    "q84_time_weighted_avg" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        table(s, dir, "events")
+          .withColumn("e", unix_timestamp(col("ts")))
+          .withColumn("dt", lead(col("e"), 1).over(w) - col("e"))
+          .filter(col("dt").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("dt").as("dt_total"),
+            round(round(dsum(col("value") * col("dt")), 2).cast("double") /
+              sum(col("dt")), 4).as("twa"))
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type, value,
+                  LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                    - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dt
+                FROM events)
+              SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(dt) AS BIGINT) AS dt_total,
+                ROUND(CAST(ROUND(SUM(CAST(value * dt AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) / SUM(dt), 4) AS twa
+              FROM t WHERE dt IS NOT NULL
+              GROUP BY 1 ORDER BY event_type""")),
+
+    // Retention cohorts: users grouped by first-activity month, counted
+    // by month offset of each later active month — the
+    // cohort-triangle query of product analytics. Month index is the
+    // exact integer year·12+month (months_between's fractional double
+    // never enters); two aggregations + one broadcast-able join on
+    // user_id... cohort table is |users|-sized, joined on user_id (a
+    // shuffle join at real scale — both sides partition on the key).
+    "q85_retention_cohorts" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .withColumn("mi", year(col("ts")) * 12 + month(col("ts")))
+        val cohort = ev.groupBy("user_id").agg(min("mi").as("cohort_mi"))
+        ev.select("user_id", "mi").distinct()
+          .join(cohort, "user_id")
+          .groupBy(col("cohort_mi"), (col("mi") - col("cohort_mi"))
+            .as("month_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_mi", "month_offset")
+      },
+      Some("""WITH e AS (SELECT user_id,
+                  CAST(year(ts) * 12 + month(ts) AS BIGINT) AS mi
+                FROM events),
+              c AS (SELECT user_id, MIN(mi) AS cohort_mi
+                    FROM e GROUP BY 1),
+              a AS (SELECT DISTINCT user_id, mi FROM e)
+              SELECT c.cohort_mi, a.mi - c.cohort_mi AS month_offset,
+                COUNT(DISTINCT a.user_id) AS n_users
+              FROM a JOIN c USING (user_id)
+              GROUP BY 1, 2 ORDER BY cohort_mi, month_offset""")),
+
+    // Percent-of-total (ratio_to_report): each status's share of the
+    // exact grand total — window sum over an already-aggregated frame
+    // (the window input is |groups| rows, never the fact table), shares
+    // as identical divisions of one rounded decimal total.
+    "q86_pct_of_total" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy()
+        table(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(money(col("o_totalprice")).as("tot"))
+          .withColumn("share",
+            round(col("tot") / sum(col("tot")).over(w) * 100, 4))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH g AS (SELECT o_orderstatus,
+                  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS tot
+                FROM orders GROUP BY 1)
+              SELECT o_orderstatus, tot,
+                ROUND(tot / SUM(tot) OVER () * 100, 4) AS share
+              FROM g ORDER BY o_orderstatus""")),
+
+    // Conversion latency: exact percentiles of the click→purchase
+    // seconds per user (first of each) — the time-to-convert
+    // distribution behind funnel (q76) counts. Integer second diffs
+    // feed the interpolated percentile, identical in both engines.
+    "q87_conversion_latency" -> QueryDef(
+      (s, dir) => table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "click",
+            unix_timestamp(col("ts")))).as("t1"),
+          min(when(col("event_type") === "purchase",
+            unix_timestamp(col("ts")))).as("t3"))
+        .filter(col("t1").isNotNull && col("t3").isNotNull &&
+          col("t3") > col("t1"))
+        .select((col("t3") - col("t1")).as("lat"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(lat, 0.5)"), 2).as("med_sec"),
+          round(expr("percentile(lat, 0.9)"), 2).as("p90_sec"),
+          min("lat").as("min_sec"), max("lat").as("max_sec")),
+      Some("""WITH u AS (SELECT user_id,
+                  MIN(CASE WHEN event_type = 'click'
+                    THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t1,
+                  MIN(CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t3
+                FROM events GROUP BY 1),
+              l AS (SELECT t3 - t1 AS lat FROM u
+                    WHERE t1 IS NOT NULL AND t3 IS NOT NULL AND t3 > t1)
+              SELECT COUNT(*) AS n_converted,
+                ROUND(quantile_cont(lat, 0.5), 2) AS med_sec,
+                ROUND(quantile_cont(lat, 0.9), 2) AS p90_sec,
+                MIN(lat) AS min_sec, MAX(lat) AS max_sec FROM l"""))
   )
 }
