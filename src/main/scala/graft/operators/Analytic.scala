@@ -637,6 +637,81 @@ object Analytic {
               SELECT COUNT(*) AS n_converted,
                 ROUND(quantile_cont(lat, 0.5), 2) AS med_sec,
                 ROUND(quantile_cont(lat, 0.9), 2) AS p90_sec,
-                MIN(lat) AS min_sec, MAX(lat) AS max_sec FROM l"""))
+                MIN(lat) AS min_sec, MAX(lat) AS max_sec FROM l""")),
+
+    // Skew-safe salted JOIN (q53's pattern for joins): the fact side
+    // gets a deterministic salt, the dim side explodes ×Salt replicas,
+    // and the join key becomes (key, salt) — a hot key's rows spread
+    // over Salt reducers instead of one. Result provably equals the
+    // plain join (oracle = unsalted join); dim replication cost is
+    // |dim|·Salt, the price of bounding the hottest reducer at 100 TB.
+    "q88_salted_skew_join" -> QueryDef(
+      (s, dir) => {
+        val Salt = 8
+        val fact = table(s, dir, "lineitem")
+          .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(Salt)))
+        val dim = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("salt",
+            explode(sequence(lit(0L), lit(Salt - 1L))))
+        fact.join(dim,
+            fact("l_orderkey") === dim("o_orderkey") &&
+              fact("salt") === dim("salt"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), money(col("l_extendedprice")).as("rev"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS rev
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    // Snapshot reconciliation: diff two dataset versions (re-priced,
+    // dropped, and added keys) via one full outer join, categorize
+    // every key as added / removed / changed / unchanged — the audit
+    // step between pipeline runs. One shuffle on the join key; the
+    // category rollup is a tiny second aggregation.
+    "q89_snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        val base = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val next = table(s, dir, "orders")
+          .filter(col("o_orderkey") % 97 =!= 0) // dropped keys
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 10 === 0,
+              col("o_totalprice") + 1000.0)
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+          .unionByName(table(s, dir, "orders") // added keys
+            .filter(col("o_orderkey") % 1000 === 7)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_totalprice")))
+        base.select(col("o_orderkey"), col("o_totalprice").as("old_p"))
+          .join(next.select(col("o_orderkey"),
+            col("o_totalprice").as("new_p")), Seq("o_orderkey"), "full_outer")
+          .select(when(col("old_p").isNull, "added")
+            .when(col("new_p").isNull, "removed")
+            .when(col("old_p") =!= col("new_p"), "changed")
+            .otherwise("unchanged").as("category"))
+          .groupBy("category").agg(count(lit(1)).as("n"))
+          .orderBy("category")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice AS old_p
+                FROM orders),
+              nxt AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                       ELSE o_totalprice END AS new_p
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_totalprice
+                FROM orders WHERE o_orderkey % 1000 = 7),
+              j AS (SELECT CASE
+                  WHEN base.old_p IS NULL THEN 'added'
+                  WHEN nxt.new_p IS NULL THEN 'removed'
+                  WHEN base.old_p <> nxt.new_p THEN 'changed'
+                  ELSE 'unchanged' END AS category
+                FROM base FULL OUTER JOIN nxt USING (o_orderkey))
+              SELECT category, COUNT(*) AS n FROM j
+              GROUP BY 1 ORDER BY category"""))
   )
 }

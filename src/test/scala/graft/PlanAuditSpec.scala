@@ -136,6 +136,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q88/q89: salted and full-outer joins stay equi-joins (no nested loop)") {
+    val p88 = plan("q88_salted_skew_join")
+    assert(!p88.contains("CartesianProduct") &&
+      !p88.contains("BroadcastNestedLoopJoin"))
+    assert(p88.contains("salt"), "salt key missing from the join plan")
+    val p89 = plan("q89_snapshot_diff")
+    assert(p89.contains("FullOuter"), "full-outer diff join missing")
+    assert(!p89.contains("CartesianProduct"))
+  }
+
   test("relational hot paths stay inside whole-stage codegen") {
     // execute first: AQE only materializes its final plan (with `*(n)`
     // codegen stage markers) after the job runs. (q02 is absent: its
