@@ -478,8 +478,7 @@ object Analytic {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             count(col("filled")).as("n_filled"),
-            round(dsum(col("filled")), 2)
-              .cast("double").as("filled_sum"))
+            money(col("filled")).as("filled_sum"))
           .orderBy("event_type")
       },
       Some("""WITH t AS (SELECT event_type,
@@ -539,7 +538,7 @@ object Analytic {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             sum("dt").as("dt_total"),
-            round(round(dsum(col("value") * col("dt")), 2).cast("double") /
+            round(money(col("value") * col("dt")) /
               sum(col("dt")), 4).as("twa"))
           .orderBy("event_type")
       },
@@ -587,24 +586,31 @@ object Analytic {
 
     // Percent-of-total (ratio_to_report): each status's share of the
     // exact grand total — window sum over an already-aggregated frame
-    // (the window input is |groups| rows, never the fact table), shares
-    // as identical divisions of one rounded decimal total.
+    // (the window input is |groups| rows, never the fact table). The
+    // grand total is summed in DECIMAL inside the window (double
+    // addition in arbitrary window order would re-open the
+    // order-independence hole Q.dsum exists to close); only the final
+    // division runs in doubles.
     "q86_pct_of_total" -> QueryDef(
       (s, dir) => {
         val w = Window.partitionBy()
         table(s, dir, "orders")
           .groupBy("o_orderstatus")
-          .agg(money(col("o_totalprice")).as("tot"))
-          .withColumn("share",
-            round(col("tot") / sum(col("tot")).over(w) * 100, 4))
+          .agg(round(dsum(col("o_totalprice")), 2).as("tot_dec"))
+          .select(col("o_orderstatus"),
+            col("tot_dec").cast("double").as("tot"),
+            round(col("tot_dec").cast("double") /
+              sum(col("tot_dec")).over(w).cast("double") * 100, 4)
+              .as("share"))
           .orderBy("o_orderstatus")
       },
       Some("""WITH g AS (SELECT o_orderstatus,
-                  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
-                    AS DOUBLE) AS tot
+                  ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS tot_dec
                 FROM orders GROUP BY 1)
-              SELECT o_orderstatus, tot,
-                ROUND(tot / SUM(tot) OVER () * 100, 4) AS share
+              SELECT o_orderstatus, CAST(tot_dec AS DOUBLE) AS tot,
+                ROUND(CAST(tot_dec AS DOUBLE) /
+                  CAST(SUM(tot_dec) OVER () AS DOUBLE) * 100, 4) AS share
               FROM g ORDER BY o_orderstatus""")),
 
     // Conversion latency: exact percentiles of the click→purchase

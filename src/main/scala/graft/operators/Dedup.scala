@@ -126,6 +126,9 @@ object Dedup {
       cur = next; curSum = nextSum; rounds += 1
     }
     edges.unpersist(); pairs.unpersist()
+    // cur stays persisted for the caller's consumption (the skinny
+    // (vertex, label) table — two longs per near-dup doc); the
+    // ContextCleaner unpersists it once the query's reference is GC'd
     cur
   }
 

@@ -26,11 +26,13 @@ import Q._
   */
 object Stats {
 
-  /** Exact decimal sum rounded to 2 decimals, surfaced as a double whose
-    * conversion is exact-representable-mantissa safe (see class doc).
+  /** Exact decimal sum rounded to 2 decimals surfaced as a double —
+    * [[Q.money]]; aliased for the moment-sketch reading (the rounded
+    * decimal's integer mantissa stays far below 2^53, so the
+    * decimal→double conversion is a single correctly-rounded step in
+    * both engines).
     */
-  private def dsum2(c: org.apache.spark.sql.Column) =
-    round(sum(c.cast(DecimalType(18, 4))), 2).cast("double")
+  private def dsum2(c: org.apache.spark.sql.Column) = money(c)
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -158,10 +160,14 @@ object Stats {
     "q65_pmi_bigrams" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")
+        // the token-array frame feeds both granularities — cache it so
+        // the regex tokenize runs once, and derive the corpus token
+        // count N from the unigram counts instead of a third scan
         val toks = docs.select(TextAnalysis.tokens(col("text")).as("tl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val uni = toks.select(explode(col("tl")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cw"))
-        val n = toks.select(sum(size(col("tl"))).as("n_tok"))
+        val n = uni.agg(sum(col("cw")).as("n_tok"))
         val big = toks
           .select(explode(TextAnalysis.shingles(col("tl"), 2)).as("bg"))
           .groupBy("bg").agg(count(lit(1)).as("c_xy"))

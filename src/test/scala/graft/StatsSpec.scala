@@ -17,7 +17,6 @@ class StatsSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(7, col("source"))
       .sortWithinPartitions(desc("doc_id"))
-    docs.createOrReplaceTempView("ignored") // keep lazy plan alive
     val hexDig = conv(
       substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
       .cast("long")
