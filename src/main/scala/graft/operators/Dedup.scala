@@ -445,6 +445,71 @@ object Dedup {
                 t.n_docs - s2.n_survivors AS n_removed, s2.min_id
               FROM (SELECT lang, COUNT(*) AS n_survivors,
                       MIN(doc_id) AS min_id FROM surv GROUP BY 1) s2
-              JOIN t ON s2.lang = t.lang ORDER BY s2.lang"""))
+              JOIN t ON s2.lang = t.lang ORDER BY s2.lang""")),
+
+    // LSH recall contract (q57's pattern for the dedup sketch): exact
+    // near-dup pairs come from a shingle-inverted-index join (exact —
+    // J ≥ 0.8 pairs must share a shingle), LSH candidates from the
+    // banded signatures; the output asserts the banding recovered
+    // every exact pair. The oracle can't reproduce FNV minhash bands,
+    // so it states the contract (n_hit = n_exact): a banding
+    // regression that drops a true pair fails the hash compare.
+    "q90_lsh_recall" -> QueryDef(
+      (s, dir) => {
+        HashFunctions.register(s)
+        val sh = shingled(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // exact pairs: inverted index on shingles → candidate pairs
+        // sharing ≥1 shingle → exact-Jaccard filter (no LSH involved)
+        val inv = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        val shared = inv.select(col("doc_id").as("da"), col("g"))
+          .join(inv.select(col("doc_id").as("db"), col("g")), Seq("g"))
+          .filter(col("da") < col("db"))
+          .select("da", "db")
+          .distinct()
+        val withSets = shared
+          .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+        val inter = size(array_intersect(col("sha"), col("shb")))
+        val union = size(col("sha")) + size(col("shb")) - inter
+        val exact = withSets
+          .filter(inter.cast("double") / union >= 0.8)
+          .select("da", "db")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // LSH candidates from the banded minhash signatures
+        val sig = sh.withColumn("sig", expr("graft_minhash(sh)"))
+        val bandCols = (0 until Bands).map { b =>
+          xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
+            element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
+        }
+        val banded = sig
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        val cand = banded.select(col("doc_id").as("da"), col("band"))
+          .join(banded.select(col("doc_id").as("db"), col("band")),
+            Seq("band"))
+          .filter(col("da") < col("db"))
+          .select("da", "db")
+          .distinct()
+        val hit = exact.join(cand, Seq("da", "db"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_exact"), col("n_hit"),
+            (col("n_hit") === col("n_exact")).cast("long")
+              .as("full_recall"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.8)
+              SELECT COUNT(*) AS n_exact, COUNT(*) AS n_hit,
+                1 AS full_recall FROM p"""))
   )
 }

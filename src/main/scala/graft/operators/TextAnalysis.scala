@@ -353,6 +353,47 @@ object TextAnalysis {
               SELECT shard, COUNT(*) AS n_bins,
                 CAST(SUM(tok) AS BIGINT) AS tok_total,
                 CAST(MAX(n_docs) AS BIGINT) AS max_docs_per_bin
-              FROM b GROUP BY shard ORDER BY shard"""))
+              FROM b GROUP BY shard ORDER BY shard""")),
+
+    // Quality-filter pipeline: the corpus-cleaning gate composed from
+    // the q31 signals, with every threshold an INTEGER comparison
+    // (n_tokens ≥ 10, stopword share ≤ 30% as 10·n_stop ≤ 3·n_tokens,
+    // avg token length ≤ 8 as n_chars_ns ≤ 8·n_tokens) — no rounding
+    // anywhere, so the pass/fail decision is engine-exact. Output:
+    // per-language survival counts + integer-rational pass rate.
+    "q91_quality_filter" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("nt", size(col("toks")).cast("long"))
+        .withColumn("nc",
+          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+        .withColumn("ns",
+          size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("long"))
+        .withColumn("pass",
+          (col("nt") >= 10 && col("ns") * 10 <= col("nt") * 3 &&
+            col("nc") <= col("nt") * 8).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"),
+          round(sum(col("pass")).cast("double") / count(lit(1)), 4)
+            .as("pass_rate"))
+        .orderBy("lang"),
+      Some(s"""WITH f AS (SELECT lang,
+                  list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS toks,
+                  CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+                    AS nc
+                FROM documents),
+              g AS (SELECT lang, nc,
+                  CAST(LEN(toks) AS BIGINT) AS nt,
+                  CAST(LEN(list_filter(toks,
+                    x -> x IN ($stopwordsSql))) AS BIGINT) AS ns
+                FROM f),
+              p AS (SELECT lang, CASE WHEN nt >= 10 AND ns * 10 <= nt * 3
+                    AND nc <= nt * 8 THEN 1 ELSE 0 END AS pass
+                FROM g)
+              SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(pass) AS BIGINT) AS n_pass,
+                ROUND(CAST(SUM(pass) AS DOUBLE) / COUNT(*), 4) AS pass_rate
+              FROM p GROUP BY 1 ORDER BY lang"""))
   )
 }
