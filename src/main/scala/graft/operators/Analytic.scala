@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import Q._
 
 /** Analytic / SQL-surface extensions beyond the core relational set
-  * (SURVEY §2B q47–q54): ordered string aggregation, correlated scalar
-  * subqueries, distribution window functions, calendar densification,
-  * MapType construction + generators, JSON key introspection, skew-safe
-  * salted aggregation, and explicit GROUPING SETS.
+  * (SURVEY §2B q47–q54, q57–q60, q72–q77, q82, q84–q89): ordered string
+  * aggregation, correlated + LATERAL subqueries, distribution and
+  * navigation windows, calendar densification, MapType + JSON surface,
+  * skew-safe salted aggregation and join, GROUPING SETS, upsert/merge,
+  * schema-evolution union, error-tolerant casts, funnel/cohort/TWA/
+  * share/latency product analytics, and snapshot reconciliation.
   *
   * Scale notes: every aggregate here shuffles once on its real group
   * key with partial aggregation; the salted variant (q53) demonstrates

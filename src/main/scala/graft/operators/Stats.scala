@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Q._
 
-/** Statistical / data-quality extensions (SURVEY §2B q61–q69): exact
-  * correlation from decimal sums, deterministic mode, calendar
-  * functions, stratified hash sampling, PMI collocations, z-score
-  * outlier detection, an approx-quantile sketch contract, character
-  * n-gram profiles, and kNN majority-vote label classification.
+/** Statistical / data-quality extensions (SURVEY §2B q61–q69,
+  * q78–q81): exact correlation from decimal sums, deterministic mode,
+  * calendar functions, stratified hash sampling, PMI collocations,
+  * z-score and MAD outlier detection, an approx-quantile sketch
+  * contract, character n-gram profiles, kNN majority-vote label
+  * classification, Gini impurity, chi-square association, and
+  * ANALYZE-style data profiling.
   *
   * Float discipline (SURVEY §7 risk): every aggregate that feeds a
   * double computation is first an exact decimal sum rounded to ≤2

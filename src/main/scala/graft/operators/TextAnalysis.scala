@@ -7,10 +7,12 @@ import Q._
 
 /** Text-analysis operators over the `documents` table (LLM-data-pipeline
   * extension surface): whitespace/BPE-ish tokenization, n-gram-lexicon
-  * language ID, quality scoring, and md5 document fingerprinting. All are
-  * pure `functions._` column pipelines (codegen'd, no UDFs) and each has a
-  * DuckDB oracle. Shared helpers ([[TextAnalysis.tokens]]) are reused by
-  * the dedup operators.
+  * language ID, quality scoring + the quality-filter gate, md5 document
+  * fingerprinting, TF-IDF, deterministic hash splits, overlapping chunk
+  * windows, and per-shard sequence packing. All are pure `functions._`
+  * column pipelines (codegen'd, no UDFs) and each has a DuckDB oracle.
+  * Shared helpers ([[TextAnalysis.tokens]]) are reused by the dedup
+  * operators.
   */
 object TextAnalysis {
 
