@@ -556,35 +556,36 @@ object Analytic {
               FROM t WHERE dt IS NOT NULL
               GROUP BY 1 ORDER BY event_type""")),
 
-    // Retention cohorts: users grouped by first-activity month, counted
-    // by month offset of each later active month — the
-    // cohort-triangle query of product analytics. Month index is the
-    // exact integer year·12+month (months_between's fractional double
-    // never enters); two aggregations + one broadcast-able join on
-    // user_id... cohort table is |users|-sized, joined on user_id (a
-    // shuffle join at real scale — both sides partition on the key).
+    // Retention cohorts: users grouped by first-activity WEEK, counted
+    // by week offset of each later active week — the cohort-triangle
+    // query of product analytics. Week index is the exact integer
+    // epoch-seconds div 604800 (no fractional months_between double
+    // ever enters), and week granularity makes the fixture's ~30-day
+    // span exercise real nonzero offsets. The cohort table is
+    // |users|-sized, joined on user_id — a shuffle join at real scale,
+    // both sides partitioned on the key.
     "q85_retention_cohorts" -> QueryDef(
       (s, dir) => {
         val ev = table(s, dir, "events")
-          .withColumn("mi", year(col("ts")) * 12 + month(col("ts")))
-        val cohort = ev.groupBy("user_id").agg(min("mi").as("cohort_mi"))
-        ev.select("user_id", "mi").distinct()
+          .withColumn("wi", expr("unix_timestamp(ts) div 604800"))
+        val cohort = ev.groupBy("user_id").agg(min("wi").as("cohort_wi"))
+        ev.select("user_id", "wi").distinct()
           .join(cohort, "user_id")
-          .groupBy(col("cohort_mi"), (col("mi") - col("cohort_mi"))
-            .as("month_offset"))
+          .groupBy(col("cohort_wi"), (col("wi") - col("cohort_wi"))
+            .as("week_offset"))
           .agg(countDistinct("user_id").as("n_users"))
-          .orderBy("cohort_mi", "month_offset")
+          .orderBy("cohort_wi", "week_offset")
       },
       Some("""WITH e AS (SELECT user_id,
-                  CAST(year(ts) * 12 + month(ts) AS BIGINT) AS mi
+                  CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS wi
                 FROM events),
-              c AS (SELECT user_id, MIN(mi) AS cohort_mi
+              c AS (SELECT user_id, MIN(wi) AS cohort_wi
                     FROM e GROUP BY 1),
-              a AS (SELECT DISTINCT user_id, mi FROM e)
-              SELECT c.cohort_mi, a.mi - c.cohort_mi AS month_offset,
+              a AS (SELECT DISTINCT user_id, wi FROM e)
+              SELECT c.cohort_wi, a.wi - c.cohort_wi AS week_offset,
                 COUNT(DISTINCT a.user_id) AS n_users
               FROM a JOIN c USING (user_id)
-              GROUP BY 1, 2 ORDER BY cohort_mi, month_offset""")),
+              GROUP BY 1, 2 ORDER BY cohort_wi, week_offset""")),
 
     // Percent-of-total (ratio_to_report): each status's share of the
     // exact grand total — window sum over an already-aggregated frame

@@ -47,6 +47,30 @@ object Dedup {
       .filter(size(col("sh")) > 0)
   }
 
+  /** LSH candidate pairs (da < db) from banded minhash signatures: 32
+    * band hashes per doc (xxhash64 over band idx + 4 signature slots —
+    * a long key, so the candidate join shuffles on a scalar), band
+    * equi-join, distinct pairs. The single definition of the banding
+    * layout — shared by [[neardupPairs]] and the q90 recall contract
+    * so the two can never drift apart.
+    */
+  private def lshCandidatePairs(
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sig = sh.withColumn("sig", expr("graft_minhash(sh)"))
+    val bandCols = (0 until Bands).map { b =>
+      xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    banded.select(col("doc_id").as("da"), col("band"))
+      .join(banded.select(col("doc_id").as("db"), col("band")),
+        Seq("band"))
+      .filter(col("da") < col("db"))
+      .select("da", "db")
+      .distinct()
+  }
+
   /** MinHash-LSH verified near-dup pairs (da < db, exact jaccard `j` ≥
     * `minJ`): 128-slot signature → 32 band hashes → SKINNY (doc_id,
     * band) self-join for candidates — shipping the shingle payloads
@@ -65,22 +89,7 @@ object Dedup {
     // recomputing the sketch stage)
     val sh = shingled(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.withColumn("sig", expr("graft_minhash(sh)"))
-    // 32 band hashes per doc: xxhash64 over (band idx, 4 signature
-    // slots) — a long key, so the candidate join shuffles on a scalar.
-    val bandCols = (0 until Bands).map { b =>
-      xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
-        element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-    val pairs = banded.select(col("doc_id").as("da"), col("band"))
-      .join(banded.select(col("doc_id").as("db"), col("band")),
-        Seq("band"))
-      .filter(col("da") < col("db"))
-      .select("da", "db")
-      .distinct()
-    val cand = pairs
+    val cand = lshCandidatePairs(sh)
       .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
       .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
     val inter = size(array_intersect(col("sha"), col("shb")))
@@ -476,20 +485,8 @@ object Dedup {
           .filter(inter.cast("double") / union >= 0.8)
           .select("da", "db")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // LSH candidates from the banded minhash signatures
-        val sig = sh.withColumn("sig", expr("graft_minhash(sh)"))
-        val bandCols = (0 until Bands).map { b =>
-          xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
-            element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
-        }
-        val banded = sig
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-        val cand = banded.select(col("doc_id").as("da"), col("band"))
-          .join(banded.select(col("doc_id").as("db"), col("band")),
-            Seq("band"))
-          .filter(col("da") < col("db"))
-          .select("da", "db")
-          .distinct()
+        // LSH candidates from the shared banding definition
+        val cand = lshCandidatePairs(sh)
         val hit = exact.join(cand, Seq("da", "db"), "left_semi")
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(hit.agg(count(lit(1)).as("n_hit")))

@@ -102,7 +102,7 @@ object Stats {
               SELECT p_brand, p_type AS mode_type, n
               FROM r WHERE rk = 1 ORDER BY p_brand""")),
 
-    // Calendar functions per row (first 50 orders): end-of-month
+    // Calendar functions per row (orders with o_orderkey <= 200): end-of-month
     // clamping add_months, last_day, day-of-week, quarter. DuckDB's
     // dayofweek is 0-based Sunday, Spark's 1-based — the oracle shifts.
     "q63_calendar" -> QueryDef(
@@ -122,7 +122,7 @@ object Stats {
               FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""")),
 
     // Stratified deterministic sampling: per-language keep rates
-    // (en 8/16, db 4/16, else 2/16) decided by the first hex digit of
+    // (en 8/16, de 4/16, else 2/16) decided by the first hex digit of
     // md5(doc_id) — reproducible across runs, engines, and
     // repartitioning (no RNG), the downsampling primitive for balancing
     // a training corpus. Map-only except the final count shuffle.
@@ -134,7 +134,7 @@ object Stats {
         table(s, dir, "documents")
           .withColumn("keep_lim",
             when(col("lang") === "en", 8L)
-              .when(col("lang") === "db", 4L).otherwise(2L))
+              .when(col("lang") === "de", 4L).otherwise(2L))
           .filter(hexDig < col("keep_lim"))
           .groupBy("lang")
           .agg(count(lit(1)).as("n_kept"),
@@ -146,7 +146,7 @@ object Stats {
                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
                     AS hexdig,
                   CASE WHEN lang = 'en' THEN 8
-                       WHEN lang = 'db' THEN 4 ELSE 2 END AS keep_lim
+                       WHEN lang = 'de' THEN 4 ELSE 2 END AS keep_lim
                 FROM documents)
               SELECT lang, COUNT(*) AS n_kept,
                 MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
@@ -183,8 +183,9 @@ object Stats {
             .withColumnRenamed("cw", "c_y")), "wy")
           .crossJoin(broadcast(n))
           .select(col("bg"), col("c_xy"), col("c_x"), col("c_y"),
-            round((col("c_xy") * col("n_tok")).cast("double") /
-              (col("c_x") * col("c_y")).cast("double"), 4).as("pmi"))
+            round(col("c_xy").cast("double") * col("n_tok").cast("double") /
+              (col("c_x").cast("double") * col("c_y").cast("double")), 4)
+              .as("pmi"))
           .orderBy(desc("pmi"), col("bg"))
           .limit(20)
       },
@@ -198,8 +199,8 @@ object Stats {
               b AS (SELECT bg, COUNT(*) AS c_xy FROM bgl GROUP BY bg
                     HAVING COUNT(*) >= 5)
               SELECT bg, c_xy, ux.cw AS c_x, uy.cw AS c_y,
-                ROUND(CAST(c_xy * n.n_tok AS DOUBLE) /
-                  CAST(ux.cw * uy.cw AS DOUBLE), 4) AS pmi
+                ROUND(CAST(c_xy AS DOUBLE) * CAST(n.n_tok AS DOUBLE) /
+                  (CAST(ux.cw AS DOUBLE) * CAST(uy.cw AS DOUBLE)), 4) AS pmi
               FROM b CROSS JOIN n
               JOIN u ux ON ux.w = string_split(b.bg, ' ')[1]
               JOIN u uy ON uy.w = string_split(b.bg, ' ')[2]
@@ -354,20 +355,21 @@ object Stats {
         .groupBy("lang")
         .agg(sum(col("c")).as("n"),
           count(lit(1)).as("n_sources"),
-          sum(col("c") * col("c")).as("ssq"))
+          sum(col("c").cast("double") * col("c").cast("double")).as("ssq"))
         .select(col("lang"), col("n"), col("n_sources"),
-          round((col("n") * col("n") - col("ssq")).cast("double") /
-            (col("n") * col("n")).cast("double"), 6).as("gini"))
+          round((col("n").cast("double") * col("n").cast("double") -
+            col("ssq")) / (col("n").cast("double") *
+            col("n").cast("double")), 6).as("gini"))
         .orderBy("lang"),
       Some("""WITH c AS (SELECT lang, source, COUNT(*) AS c
                 FROM documents GROUP BY 1, 2),
               g AS (SELECT lang, SUM(c) AS n, COUNT(*) AS n_sources,
-                  SUM(c * c) AS ssq
+                  SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS ssq
                 FROM c GROUP BY 1)
               SELECT lang, CAST(n AS BIGINT) AS n,
                 CAST(n_sources AS BIGINT) AS n_sources,
-                ROUND(CAST(n * n - ssq AS DOUBLE) /
-                  CAST(n * n AS DOUBLE), 6) AS gini
+                ROUND((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - ssq) /
+                  (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS gini
               FROM g ORDER BY lang""")),
 
     // Chi-square association between language and document length
@@ -391,11 +393,16 @@ object Stats {
           .join(broadcast(colm), "len_bucket")
           .crossJoin(broadcast(n))
           .select(col("lang"), col("len_bucket"), col("obs"),
-            ((col("obs") * col("n") - col("rtot") * col("ctot")) *
-              (col("obs") * col("n") - col("rtot") * col("ctot")))
-              .cast("double")
-              ./((col("rtot") * col("ctot")).cast("double") *
-                col("n").cast("double")).as("term"))
+            {
+              // factors cast to double BEFORE multiplying: the Long
+              // products (obs*n)^2 overflow 2^63 at corpus scale; the
+              // oracle mirrors the same double arithmetic
+              val d = col("obs").cast("double") * col("n").cast("double") -
+                col("rtot").cast("double") * col("ctot").cast("double")
+              (d * d / (col("rtot").cast("double") *
+                col("ctot").cast("double") * col("n").cast("double")))
+                .as("term")
+            })
           .agg(count(lit(1)).as("n_cells"),
             round(sum(col("term").cast(DecimalType(28, 10))), 4)
               .cast("double").as("chi2"))
@@ -410,10 +417,12 @@ object Stats {
               r AS (SELECT lang, SUM(obs) AS rtot FROM o GROUP BY 1),
               c AS (SELECT len_bucket, SUM(obs) AS ctot FROM o GROUP BY 1),
               n AS (SELECT SUM(obs) AS n FROM o),
-              t AS (SELECT CAST((o.obs * n.n - r.rtot * c.ctot) *
-                      (o.obs * n.n - r.rtot * c.ctot) AS DOUBLE) /
-                    (CAST(r.rtot * c.ctot AS DOUBLE) * CAST(n.n AS DOUBLE))
-                      AS term
+              t AS (SELECT (CAST(o.obs AS DOUBLE) * CAST(n.n AS DOUBLE)
+                       - CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE))
+                    * (CAST(o.obs AS DOUBLE) * CAST(n.n AS DOUBLE)
+                       - CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE))
+                    / (CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE)
+                       * CAST(n.n AS DOUBLE)) AS term
                 FROM o JOIN r USING (lang) JOIN c USING (len_bucket)
                 CROSS JOIN n)
               SELECT COUNT(*) AS n_cells,
@@ -462,24 +471,30 @@ object Stats {
     // Data profiling: the ANALYZE-style per-column summary (null count,
     // exact distinct count, min/max) for a declared column set, emitted
     // as one row per column — what a pipeline runs before trusting a
-    // new drop of data. Each column profiles in one pass; the unpivoted
-    // layout keeps the output schema fixed as columns are added.
+    // new drop of data. ALL columns profile in ONE aggregation pass
+    // over the table (N separate scans would cost N full reads at
+    // corpus scale); the per-column aggregates unpivot to rows with
+    // stack(), keeping the output schema fixed as columns are added.
     "q81_data_profile" -> QueryDef(
       (s, dir) => {
-        val o = table(s, dir, "orders")
-        val profiles = Seq(
-          ("o_custkey", col("o_custkey").cast("string")),
-          ("o_orderstatus", col("o_orderstatus").cast("string")),
-          ("o_orderpriority", col("o_orderpriority").cast("string")))
-        profiles.map { case (name, c) =>
-          o.agg(count(lit(1)).as("n_rows"),
-            sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
-            countDistinct(c).as("n_distinct"),
-            min(c).as("min_val"), max(c).as("max_val"))
-            .select(lit(name).as("column_name"), col("n_rows"),
-              col("n_null"), col("n_distinct"), col("min_val"),
-              col("max_val"))
-        }.reduce(_ unionByName _).orderBy("column_name")
+        val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { name =>
+          val c = col(name).cast("string")
+          Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"null_$name"),
+            countDistinct(c).as(s"nd_$name"),
+            min(c).as(s"min_$name"), max(c).as(s"max_$name"))
+        }
+        val stackArgs = cols.map { name =>
+          s"'$name', null_$name, nd_$name, min_$name, max_$name"
+        }.mkString(", ")
+        table(s, dir, "orders")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("n_rows"), expr(
+            s"stack(${cols.length}, $stackArgs) AS " +
+              "(column_name, n_null, n_distinct, min_val, max_val)"))
+          .select("column_name", "n_rows", "n_null", "n_distinct",
+            "min_val", "max_val")
+          .orderBy("column_name")
       },
       Some("""SELECT column_name, n_rows, n_null, n_distinct,
                 min_val, max_val FROM (

@@ -56,6 +56,19 @@ object TextAnalysis {
     */
   private val bpeRegex = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
 
+  /** Per-document quality signals shared by q31 (scoring) and q91 (the
+    * filter gate): token array, token count, non-whitespace chars, and
+    * stopword hits — one definition so the "q31 signals" the gate
+    * composes can never drift from q31 itself.
+    */
+  private def qualitySignals(df: DataFrame): DataFrame = df
+    .withColumn("toks", tokens(col("text")))
+    .withColumn("n_tokens", size(col("toks")).cast("long"))
+    .withColumn("n_chars_ns",
+      length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+    .withColumn("n_stop",
+      size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("long"))
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q24 token counting: whitespace tokenize, global top-20.
@@ -112,13 +125,7 @@ object TextAnalysis {
     // shortest decimal form lands exactly on a half (Spark rounds the
     // string form, DuckDB the binary value: 4.725 → 4.73 vs 4.72).
     "q31_text_quality" -> QueryDef(
-      (s, dir) => table(s, dir, "documents")
-        .withColumn("toks", tokens(col("text")))
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("n_chars_ns",
-          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
-        .withColumn("n_stop",
-          size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("long"))
+      (s, dir) => qualitySignals(table(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("n_chars_ns"),
           when(col("n_tokens") === 0, 0.0)
             .otherwise(expr("(200*n_chars_ns + n_tokens) div (2*n_tokens)")
@@ -364,16 +371,11 @@ object TextAnalysis {
     // anywhere, so the pass/fail decision is engine-exact. Output:
     // per-language survival counts + integer-rational pass rate.
     "q91_quality_filter" -> QueryDef(
-      (s, dir) => table(s, dir, "documents")
-        .withColumn("toks", tokens(col("text")))
-        .withColumn("nt", size(col("toks")).cast("long"))
-        .withColumn("nc",
-          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
-        .withColumn("ns",
-          size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("long"))
+      (s, dir) => qualitySignals(table(s, dir, "documents"))
         .withColumn("pass",
-          (col("nt") >= 10 && col("ns") * 10 <= col("nt") * 3 &&
-            col("nc") <= col("nt") * 8).cast("long"))
+          (col("n_tokens") >= 10 &&
+            col("n_stop") * 10 <= col("n_tokens") * 3 &&
+            col("n_chars_ns") <= col("n_tokens") * 8).cast("long"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"),
           round(sum(col("pass")).cast("double") / count(lit(1)), 4)

@@ -23,7 +23,7 @@ class StatsSpec extends SparkSpec {
     val again = docs
       .withColumn("keep_lim",
         when(col("lang") === "en", 8L)
-          .when(col("lang") === "db", 4L).otherwise(2L))
+          .when(col("lang") === "de", 4L).otherwise(2L))
       .filter(hexDig < col("keep_lim"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"),
