@@ -507,6 +507,24 @@ object Dedup {
                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
                   >= 0.8)
               SELECT COUNT(*) AS n_exact, COUNT(*) AS n_hit,
-                1 AS full_recall FROM p"""))
+                1 AS full_recall FROM p""")),
+
+    // Duplicate-rate by source: per-source docs vs distinct texts and
+    // the integer-exact dup rate — the per-provenance contamination
+    // metric that decides which upstream feed needs attention. Two
+    // count aggregations, both with map-side partials.
+    "q94_dup_rate_by_source" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct"),
+          round((count(lit(1)) - countDistinct(col("text")))
+            .cast("double") / count(lit(1)), 4).as("dup_rate"))
+        .orderBy("source"),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+                COUNT(DISTINCT text) AS n_distinct,
+                ROUND(CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE) /
+                  COUNT(*), 4) AS dup_rate
+              FROM documents GROUP BY 1 ORDER BY source"""))
   )
 }

@@ -108,6 +108,38 @@ object Similarity {
               FROM (SELECT label, UNNEST(embedding) AS v,
                       UNNEST(range(len(embedding))) AS pos
                     FROM embeddings) t
-              GROUP BY 1, 2 ORDER BY label, pos"""))
+              GROUP BY 1, 2 ORDER BY label, pos""")),
+
+    // Embedding-norm QA: per-label count and min/max/mean of the
+    // squared L2 norm — the vector-quality scan that catches unscaled
+    // or degenerate embeddings before they poison similarity search.
+    // Per-row norms are sequential folds (identical doubles in both
+    // engines, q23's contract); min/max compare those exact doubles
+    // and the mean goes through a rounded decimal sum.
+    "q95_embedding_norms" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        import graft.functions.VectorFunctions.normSq
+        table(s, dir, "embeddings")
+          .select(col("label"), round(normSq(col("embedding")), 6).as("nsq"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(min(col("nsq")), 4).as("min_nsq"),
+            round(max(col("nsq")), 4).as("max_nsq"),
+            round(round(sum(col("nsq").cast(
+              org.apache.spark.sql.types.DecimalType(18, 6))), 4)
+              .cast("double") / count(lit(1)), 4).as("mean_nsq"))
+          .orderBy("label")
+      },
+      Some("""WITH n AS (SELECT label,
+                  ROUND((SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                   FROM UNNEST(embedding) AS u(x)), 6) AS nsq
+                FROM embeddings)
+              SELECT label, COUNT(*) AS n,
+                ROUND(MIN(nsq), 4) AS min_nsq,
+                ROUND(MAX(nsq), 4) AS max_nsq,
+                ROUND(CAST(ROUND(SUM(CAST(nsq AS DECIMAL(18,6))), 4)
+                  AS DOUBLE) / COUNT(*), 4) AS mean_nsq
+              FROM n GROUP BY 1 ORDER BY label"""))
   )
 }

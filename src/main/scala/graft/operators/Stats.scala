@@ -516,6 +516,82 @@ object Stats {
                     END) AS BIGINT),
                   COUNT(DISTINCT o_orderpriority),
                   MIN(o_orderpriority), MAX(o_orderpriority) FROM orders)
-              ORDER BY column_name"""))
+              ORDER BY column_name""")),
+
+    // Fixed-width histogram with zero-filled bins: bin = floor(v/50)
+    // capped to the declared 10-bin range, left-joined to a generated
+    // bin spine so empty bins surface as zero (distribution profiling
+    // that feeds monitoring dashboards). One count shuffle over ≤10
+    // keys + a 10-row broadcast spine.
+    "q92_histogram" -> QueryDef(
+      (s, dir) => {
+        val counts = table(s, dir, "events")
+          .withColumn("bin",
+            least(floor(col("value") / 50.0).cast("long"), lit(9L)))
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+        val spine = s.range(10).select(col("id").as("bin"))
+        spine.join(counts, Seq("bin"), "left")
+          .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+            (col("bin") * 50).cast("double").as("lo"),
+            ((col("bin") + 1) * 50).cast("double").as("hi"))
+          .orderBy("bin")
+      },
+      Some("""WITH c AS (SELECT LEAST(CAST(FLOOR(value / 50.0) AS BIGINT),
+                  9) AS bin, COUNT(*) AS n
+                FROM events GROUP BY 1),
+              s AS (SELECT UNNEST(range(10)) AS bin)
+              SELECT s.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+                CAST(s.bin * 50 AS DOUBLE) AS lo,
+                CAST((s.bin + 1) * 50 AS DOUBLE) AS hi
+              FROM s LEFT JOIN c ON s.bin = c.bin ORDER BY s.bin""")),
+
+    // Business-day arithmetic: weekdays between order and ship date via
+    // the closed-form weekday-prefix count D(x) = 5·(x div 7) + c(x mod
+    // 7) on epoch days (day 0 = Thursday ⇒ prefix table 0,1,2,2,2,3,4)
+    // — pure integer CASE arithmetic, no per-row explode, identical in
+    // both engines. Avg per priority from exact integer sums.
+    "q93_business_days" -> QueryDef(
+      (s, dir) => {
+        def weekdayPrefix(x: org.apache.spark.sql.Column) =
+          lit(5L) * (x / 7).cast("long") +
+            when(pmod(x, lit(7)) === 0, 0L).when(pmod(x, lit(7)) === 1, 1L)
+              .when(pmod(x, lit(7)) === 2, 2L).when(pmod(x, lit(7)) === 3, 2L)
+              .when(pmod(x, lit(7)) === 4, 2L).when(pmod(x, lit(7)) === 5, 3L)
+              .otherwise(4L)
+        val epoch0 = to_date(lit("1970-01-01"))
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderpriority"),
+            (weekdayPrefix(datediff(col("l_shipdate").cast("date"), epoch0)) -
+              weekdayPrefix(datediff(col("o_orderdate").cast("date"), epoch0)))
+              .as("bd"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("bd").as("bd_total"),
+            round(sum(col("bd")).cast("double") / count(lit(1)), 4)
+              .as("avg_bd"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH d AS (SELECT o_orderpriority,
+                  CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS b,
+                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS a
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              w AS (SELECT o_orderpriority,
+                  (5 * (b // 7) + CASE b % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+                     WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3
+                     ELSE 4 END)
+                  - (5 * (a // 7) + CASE a % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+                     WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3
+                     ELSE 4 END) AS bd
+                FROM d)
+              SELECT o_orderpriority, COUNT(*) AS n,
+                CAST(SUM(bd) AS BIGINT) AS bd_total,
+                ROUND(CAST(SUM(bd) AS DOUBLE) / COUNT(*), 4) AS avg_bd
+              FROM w GROUP BY 1 ORDER BY o_orderpriority"""))
   )
 }
