@@ -525,6 +525,57 @@ object Dedup {
                 COUNT(DISTINCT text) AS n_distinct,
                 ROUND(CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE) /
                   COUNT(*), 4) AS dup_rate
-              FROM documents GROUP BY 1 ORDER BY source"""))
+              FROM documents GROUP BY 1 ORDER BY source""")),
+
+    // Benchmark decontamination: corpus documents sharing ≥ 5 3-gram
+    // shingles with any "benchmark" document (every 50th doc stands in
+    // for the eval set) are flagged — the overlap scan every training
+    // corpus runs before release. The benchmark shingle set is skinny
+    // (|benchmark| ≪ corpus) so the shingle-keyed join broadcasts; the
+    // corpus side streams map-only through explode + join, never
+    // all-pairs.
+    "q96_decontamination" -> QueryDef(
+      (s, dir) => {
+        val sh = shingled(s, dir)
+        val bench = sh.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
+        val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        val flagged = corpus.join(broadcast(bench), "g")
+          .groupBy("doc_id", "bench_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 5)
+          .select("doc_id").distinct()
+        table(s, dir, "documents")
+          .filter(col("doc_id") % 50 =!= 0)
+          .join(flagged.withColumn("contaminated", lit(1L)),
+            Seq("doc_id"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("contaminated"), lit(0L)))
+              .as("n_contaminated"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              bg AS (SELECT doc_id AS bench_id, UNNEST(s) AS g
+                     FROM sh WHERE doc_id % 50 = 0),
+              cg AS (SELECT doc_id, UNNEST(s) AS g
+                     FROM sh WHERE doc_id % 50 <> 0),
+              fl AS (SELECT DISTINCT doc_id FROM (
+                  SELECT cg.doc_id, bg.bench_id, COUNT(*) AS n_shared
+                  FROM cg JOIN bg USING (g) GROUP BY 1, 2
+                  HAVING COUNT(*) >= 5) z)
+              SELECT d.lang, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated
+              FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id
+              WHERE d.doc_id % 50 <> 0
+              GROUP BY 1 ORDER BY d.lang"""))
   )
 }

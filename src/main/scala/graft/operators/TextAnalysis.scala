@@ -398,6 +398,52 @@ object TextAnalysis {
               SELECT lang, COUNT(*) AS n_docs,
                 CAST(SUM(pass) AS BIGINT) AS n_pass,
                 ROUND(CAST(SUM(pass) AS DOUBLE) / COUNT(*), 4) AS pass_rate
+              FROM p GROUP BY 1 ORDER BY lang""")),
+
+    // Repetition filter: distinct-vs-total 3-gram counts per document —
+    // a low distinct ratio marks boilerplate/looped junk (the classic
+    // repetition rule of corpus quality pipelines). The repetitive
+    // decision is the INTEGER comparison 100·distinct < 98·total
+    // (ratio < 0.98 — sized so the synthetic corpus, whose lowest
+    // ratio is 0.929, exercises both branches), so pass/fail is
+    // engine-exact; per-language counts roll up with map-side
+    // partials.
+    "q97_repetition_filter" -> QueryDef(
+      (s, dir) => {
+        val allGrams = shingles(tokens(col("text")), 3)
+        table(s, dir, "documents")
+          .withColumn("n_grams", size(allGrams).cast("long"))
+          .withColumn("n_distinct",
+            size(array_distinct(allGrams)).cast("long"))
+          .filter(col("n_grams") > 0)
+          .withColumn("repetitive",
+            (col("n_distinct") * 100 < col("n_grams") * 98).cast("long"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("repetitive")).as("n_repetitive"),
+            round(sum(col("repetitive")).cast("double") / count(lit(1)), 4)
+              .as("rep_rate"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (SELECT lang,
+                  list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '') AS t
+                FROM documents),
+              g AS (SELECT lang,
+                  [array_to_string(t[i:i+2], ' ')
+                   for i in range(1, len(t)-1)] AS grams
+                FROM toks WHERE len(t) >= 3),
+              r AS (SELECT lang,
+                  CAST(len(grams) AS BIGINT) AS n_grams,
+                  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+                FROM g),
+              p AS (SELECT lang, CASE WHEN n_distinct * 100 < n_grams * 98
+                    THEN 1 ELSE 0 END AS repetitive
+                FROM r WHERE n_grams > 0)
+              SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(repetitive) AS BIGINT) AS n_repetitive,
+                ROUND(CAST(SUM(repetitive) AS DOUBLE) / COUNT(*), 4)
+                  AS rep_rate
               FROM p GROUP BY 1 ORDER BY lang"""))
   )
 }
