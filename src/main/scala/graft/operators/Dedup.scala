@@ -33,6 +33,12 @@ object Dedup {
   private val Bands = 32
   private val RowsPerBand = HashFunctions.MinHashK / Bands // 4
 
+  /** The near-dup Jaccard threshold — one constant shared by the
+    * production pipeline (neardupPairs) and the q90 recall contract so
+    * tuning it can't silently decouple the contract from the pipeline.
+    */
+  private val MinJaccard = 0.8
+
   /** Documents shingled into distinct 3-gram sets (the near-dup unit).
     * Repartition before the CPU-bound sketch stage: a small parquet
     * input arrives as ONE split, which would serialize shingling +
@@ -81,7 +87,7 @@ object Dedup {
     */
   private def neardupPairs(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      minJ: Double = 0.8): org.apache.spark.sql.DataFrame = {
+      minJ: Double = MinJaccard): org.apache.spark.sql.DataFrame = {
     // the shingle table feeds three plan branches (signatures + both
     // sides of the verify join) — cache it so the CPU-bound shingling
     // runs once per query, not three times (MEMORY_AND_DISK: at corpus
@@ -482,7 +488,7 @@ object Dedup {
         val inter = size(array_intersect(col("sha"), col("shb")))
         val union = size(col("sha")) + size(col("shb")) - inter
         val exact = withSets
-          .filter(inter.cast("double") / union >= 0.8)
+          .filter(inter.cast("double") / union >= MinJaccard)
           .select("da", "db")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // LSH candidates from the shared banding definition
@@ -530,18 +536,23 @@ object Dedup {
     // Benchmark decontamination: corpus documents sharing ≥ 5 3-gram
     // shingles with any "benchmark" document (every 50th doc stands in
     // for the eval set) are flagged — the overlap scan every training
-    // corpus runs before release. The benchmark shingle set is skinny
-    // (|benchmark| ≪ corpus) so the shingle-keyed join broadcasts; the
-    // corpus side streams map-only through explode + join, never
-    // all-pairs.
+    // corpus runs before release. The shingle-keyed equi-join shuffles
+    // on the gram (never all-pairs); with a real fixed-size eval set
+    // the bench side broadcasts by stats, and the corpus side streams
+    // map-only through explode + join.
     "q96_decontamination" -> QueryDef(
       (s, dir) => {
+        // sh feeds both join sides — persist so shingling runs once
         val sh = shingled(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bench = sh.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
         val corpus = sh.filter(col("doc_id") % 50 =!= 0)
           .select(col("doc_id"), explode(col("sh")).as("g"))
-        val flagged = corpus.join(broadcast(bench), "g")
+        // no broadcast hint: a REAL eval set is a fixed small table the
+        // optimizer broadcasts on its own; this stand-in is a corpus
+        // fraction, and forcing it to the driver is unbounded at scale
+        val flagged = corpus.join(bench, "g")
           .groupBy("doc_id", "bench_id")
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 5)

@@ -355,20 +355,26 @@ object Stats {
         .groupBy("lang")
         .agg(sum(col("c")).as("n"),
           count(lit(1)).as("n_sources"),
-          sum(col("c").cast("double") * col("c").cast("double")).as("ssq"))
+          // c² summed in DECIMAL: exact and order-free (a double sum
+          // would be partition-order-dependent past 2^53), and the
+          // decimal product can't overflow the way a Long c*c can
+          sum((col("c").cast(DecimalType(19, 0)) *
+            col("c").cast(DecimalType(19, 0)))).as("ssq"))
         .select(col("lang"), col("n"), col("n_sources"),
           round((col("n").cast("double") * col("n").cast("double") -
-            col("ssq")) / (col("n").cast("double") *
+            col("ssq").cast("double")) / (col("n").cast("double") *
             col("n").cast("double")), 6).as("gini"))
         .orderBy("lang"),
       Some("""WITH c AS (SELECT lang, source, COUNT(*) AS c
                 FROM documents GROUP BY 1, 2),
               g AS (SELECT lang, SUM(c) AS n, COUNT(*) AS n_sources,
-                  SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS ssq
+                  SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                    AS ssq
                 FROM c GROUP BY 1)
               SELECT lang, CAST(n AS BIGINT) AS n,
                 CAST(n_sources AS BIGINT) AS n_sources,
-                ROUND((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - ssq) /
+                ROUND((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(ssq AS DOUBLE)) /
                   (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS gini
               FROM g ORDER BY lang""")),
 
@@ -553,7 +559,9 @@ object Stats {
     "q93_business_days" -> QueryDef(
       (s, dir) => {
         def weekdayPrefix(x: org.apache.spark.sql.Column) =
-          lit(5L) * (x / 7).cast("long") +
+          // floor division (not truncating) so pre-1970 epoch days
+          // pair correctly with the positive pmod below
+          lit(5L) * floor(x / 7.0).cast("long") +
             when(pmod(x, lit(7)) === 0, 0L).when(pmod(x, lit(7)) === 1, 1L)
               .when(pmod(x, lit(7)) === 2, 2L).when(pmod(x, lit(7)) === 3, 2L)
               .when(pmod(x, lit(7)) === 4, 2L).when(pmod(x, lit(7)) === 5, 3L)
@@ -582,10 +590,12 @@ object Stats {
                     AS BIGINT) AS a
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
               w AS (SELECT o_orderpriority,
-                  (5 * (b // 7) + CASE b % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+                  (5 * CAST(FLOOR(b / 7.0) AS BIGINT)
+                   + CASE (b % 7 + 7) % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
                      WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3
                      ELSE 4 END)
-                  - (5 * (a // 7) + CASE a % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+                  - (5 * CAST(FLOOR(a / 7.0) AS BIGINT)
+                   + CASE (a % 7 + 7) % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
                      WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3
                      ELSE 4 END) AS bd
                 FROM d)
