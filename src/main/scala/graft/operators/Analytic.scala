@@ -658,7 +658,12 @@ object Analytic {
       (s, dir) => {
         val Salt = 8
         val fact = table(s, dir, "lineitem")
-          .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(Salt)))
+          // Salt must vary WITHIN a join key: hashing the key alone gives
+          // every row of a hot key the same salt (still one reducer), so
+          // mix in l_linenumber — deterministic, yet spreads a hot key
+          // across all Salt partitions.
+          .withColumn("salt",
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(Salt)))
         val dim = table(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority"))
           .withColumn("salt",

@@ -466,9 +466,15 @@ object Dedup {
     // near-dup pairs come from a shingle-inverted-index join (exact —
     // J ≥ 0.8 pairs must share a shingle), LSH candidates from the
     // banded signatures; the output asserts the banding recovered
-    // every exact pair. The oracle can't reproduce FNV minhash bands,
-    // so it states the contract (n_hit = n_exact): a banding
-    // regression that drops a true pair fails the hash compare.
+    // ≥ 99.9 % of the exact pairs. The oracle can't reproduce FNV
+    // minhash bands, so it states the contract (recall_ok = 1). The
+    // floor (not n_hit = n_exact) keeps the contract honest to the
+    // sketch's probabilistic nature: a J = 0.8 pair misses all 32
+    // bands with p ≈ 5e-8, so at a large enough SF an occasional miss
+    // is expected and must not fail the compare, while a real banding
+    // regression (which drops pairs wholesale) still does. n_hit
+    // itself is therefore NOT an output column — only the exact count
+    // and the contract bit are hashed.
     "q90_lsh_recall" -> QueryDef(
       (s, dir) => {
         HashFunctions.register(s)
@@ -496,9 +502,9 @@ object Dedup {
         val hit = exact.join(cand, Seq("da", "db"), "left_semi")
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-          .select(col("n_exact"), col("n_hit"),
-            (col("n_hit") === col("n_exact")).cast("long")
-              .as("full_recall"))
+          .select(col("n_exact"),
+            (col("n_hit") >= ceil(col("n_exact").cast("double") * 0.999))
+              .cast("long").as("recall_ok"))
       },
       Some("""WITH toks AS (SELECT doc_id,
                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
@@ -512,8 +518,8 @@ object Dedup {
                 WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
                   >= 0.8)
-              SELECT COUNT(*) AS n_exact, COUNT(*) AS n_hit,
-                1 AS full_recall FROM p""")),
+              SELECT COUNT(*) AS n_exact,
+                CAST(1 AS BIGINT) AS recall_ok FROM p""")),
 
     // Duplicate-rate by source: per-source docs vs distinct texts and
     // the integer-exact dup rate — the per-provenance contamination

@@ -336,8 +336,11 @@ object Relational {
         .withColumn("e_first", element_at(col("embedding"), 1))
         .withColumn("e_last", element_at(col("embedding"), -1))
         .withColumn("row_sum",
-          aggregate(col("embedding"), lit(0.0),
-            (acc, x) => acc + x.cast("double")))
+          // round-then-decimal: the fold result is an arbitrary double;
+          // rounding to 10 places first keeps the later DECIMAL(28,10)
+          // cast a single well-defined step in both engines
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 10))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
           max(col("dim")).as("dim"),
@@ -353,8 +356,8 @@ object Relational {
                   CAST(LEN(embedding) AS BIGINT) AS dim,
                   embedding[1] AS e_first,
                   embedding[LEN(embedding)] AS e_last,
-                  (SELECT SUM(CAST(u.x AS DOUBLE))
-                   FROM UNNEST(embedding) AS u(x)) AS row_sum
+                  ROUND((SELECT SUM(CAST(u.x AS DOUBLE))
+                   FROM UNNEST(embedding) AS u(x)), 10) AS row_sum
                 FROM embeddings)
               SELECT label, COUNT(*) AS n_vecs, MAX(dim) AS dim,
                 CAST(ROUND(SUM(CAST(e_first AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_first,

@@ -405,8 +405,11 @@ object Stats {
               // oracle mirrors the same double arithmetic
               val d = col("obs").cast("double") * col("n").cast("double") -
                 col("rtot").cast("double") * col("ctot").cast("double")
-              (d * d / (col("rtot").cast("double") *
-                col("ctot").cast("double") * col("n").cast("double")))
+              // round-then-decimal (q95's pattern): an unrounded double
+              // cast straight to decimal can round differently per engine
+              // when its binary expansion straddles a scale-10 boundary
+              round(d * d / (col("rtot").cast("double") *
+                col("ctot").cast("double") * col("n").cast("double")), 10)
                 .as("term")
             })
           .agg(count(lit(1)).as("n_cells"),
@@ -423,12 +426,12 @@ object Stats {
               r AS (SELECT lang, SUM(obs) AS rtot FROM o GROUP BY 1),
               c AS (SELECT len_bucket, SUM(obs) AS ctot FROM o GROUP BY 1),
               n AS (SELECT SUM(obs) AS n FROM o),
-              t AS (SELECT (CAST(o.obs AS DOUBLE) * CAST(n.n AS DOUBLE)
+              t AS (SELECT ROUND((CAST(o.obs AS DOUBLE) * CAST(n.n AS DOUBLE)
                        - CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE))
                     * (CAST(o.obs AS DOUBLE) * CAST(n.n AS DOUBLE)
                        - CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE))
                     / (CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE)
-                       * CAST(n.n AS DOUBLE)) AS term
+                       * CAST(n.n AS DOUBLE)), 10) AS term
                 FROM o JOIN r USING (lang) JOIN c USING (len_bucket)
                 CROSS JOIN n)
               SELECT COUNT(*) AS n_cells,
@@ -532,8 +535,11 @@ object Stats {
     "q92_histogram" -> QueryDef(
       (s, dir) => {
         val counts = table(s, dir, "events")
+          // clamp BOTH ends: a negative value must land in bin 0, not a
+          // negative bin the spine left-join would silently drop
           .withColumn("bin",
-            least(floor(col("value") / 50.0).cast("long"), lit(9L)))
+            greatest(least(floor(col("value") / 50.0).cast("long"), lit(9L)),
+              lit(0L)))
           .groupBy("bin").agg(count(lit(1)).as("n"))
         val spine = s.range(10).select(col("id").as("bin"))
         spine.join(counts, Seq("bin"), "left")
@@ -542,8 +548,9 @@ object Stats {
             ((col("bin") + 1) * 50).cast("double").as("hi"))
           .orderBy("bin")
       },
-      Some("""WITH c AS (SELECT LEAST(CAST(FLOOR(value / 50.0) AS BIGINT),
-                  9) AS bin, COUNT(*) AS n
+      Some("""WITH c AS (SELECT GREATEST(LEAST(
+                    CAST(FLOOR(value / 50.0) AS BIGINT), 9), 0) AS bin,
+                  COUNT(*) AS n
                 FROM events GROUP BY 1),
               s AS (SELECT UNNEST(range(10)) AS bin)
               SELECT s.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
