@@ -43,7 +43,16 @@ object Bench {
     }
 
     val ok = results.filterNot { case (n, _) => errors.exists(_._1 == n) }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+    // the driver archives only the TAIL of the output (~2 KiB), so the
+    // reported line must stay compact or early queries get truncated
+    // away: keys shrink to the unique qNN prefix and values to
+    // millisecond precision. The full-name timings go to a sidecar
+    // file for humans.
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = ok.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
+    }.mkString("{", ",", "}")
+    val qsFull = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -51,7 +60,11 @@ object Bench {
     val total = ok.map(_._2).sum
     errors.foreach { case (n, e) => System.err.println(s"[bench] $n FAILED: $e") }
     val fileOps = benchFileOps(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.length},"fileops":$fileOps,"sf":"$sfDir"}""")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_full.json"),
+      s"""{"queries":$qsFull,"errors":$errJson,"sf":"$sfDir"}""")
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.length},"fileops":$fileOps,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
@@ -82,7 +95,7 @@ object Bench {
       Blueprints.remove(spark,
         RemoveConfig(s"file://$root/dl", "out", ".*", MatchType.RegexMatch))
       val rmSec = (System.nanoTime() - t1) / 1e9
-      s"""{"n_files":$n,"download_sec":$dlSec,"remove_sec":$rmSec}"""
+      f"""{"n_files":$n,"download_sec":$dlSec%.3f,"remove_sec":$rmSec%.3f}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fileops FAILED: ${e.toString.take(200)}")

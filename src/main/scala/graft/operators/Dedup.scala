@@ -106,18 +106,20 @@ object Dedup {
       .select("da", "db", "j")
   }
 
-  /** Connected-component labels (vertex, lbl) over the verified
-    * near-dup pair graph by iterative min-label propagation — one
-    * shuffle of the skinny (vertex, label) frame per round against the
-    * edge list, scalar-aggregate fixpoint test (the label sum is
-    * monotonically decreasing, so equal sums ⇒ converged), O(component
-    * diameter) rounds. Shared by q45 (cluster sizes) and q83
-    * (survivor selection).
+  /** Min-label propagation to FIXPOINT over an undirected pair list
+    * (`da`, `db`) — one shuffle of the skinny (vertex, label) frame per
+    * round against the edge list, scalar-aggregate fixpoint test (the
+    * label sum is monotonically decreasing, so equal sums ⇒ converged),
+    * O(component diameter) rounds. There is deliberately NO silent
+    * round cap: the loop runs until the fixpoint and THROWS past
+    * `maxRounds` — a duplicate chain deeper than the cap must fail
+    * loud, never return plausible-but-wrong labels (the cap exists only
+    * to turn a propagation bug into an error instead of an infinite
+    * loop; diameter > 1000 on a near-dup graph is pathological input).
     */
-  private def ccLabels(
-      s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val pairs = neardupPairs(s, dir).select("da", "db").persist()
+  private[graft] def minLabelPropagate(
+      pairs: org.apache.spark.sql.DataFrame,
+      maxRounds: Int = 1000): org.apache.spark.sql.DataFrame = {
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
       .persist()
@@ -129,22 +131,45 @@ object Dedup {
     var curSum = labelSum(cur)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < maxRounds) {
+      // localCheckpoint (eager) materializes the round AND truncates
+      // lineage: label frames are metadata-sized (two longs per
+      // near-dup doc), and deep chains must not accrete a logical plan
+      // of unbounded depth round over round
       val next = edges.join(cur, edges("b") === cur("v"))
         .select(edges("a").as("v"), col("lbl"))
         .union(cur.select(col("v"), col("lbl")))
         .groupBy("v").agg(min("lbl").as("lbl"))
-        .persist()
+        .localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum == curSum
       cur.unpersist()
       cur = next; curSum = nextSum; rounds += 1
     }
-    edges.unpersist(); pairs.unpersist()
-    // cur stays persisted for the caller's consumption (the skinny
-    // (vertex, label) table — two longs per near-dup doc); the
-    // ContextCleaner unpersists it once the query's reference is GC'd
+    edges.unpersist()
+    if (!converged) {
+      cur.unpersist()
+      throw new IllegalStateException(
+        s"connected components did not converge after $maxRounds rounds " +
+          "(component diameter exceeds the round cap — raise maxRounds; " +
+          "refusing to return unconverged labels)")
+    }
+    // cur stays materialized for the caller's consumption; the
+    // ContextCleaner releases it once the query's reference is GC'd
     cur
+  }
+
+  /** Connected-component labels (vertex, lbl) over the verified
+    * near-dup pair graph. Shared by q45 (cluster sizes) and q83
+    * (survivor selection).
+    */
+  private def ccLabels(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val pairs = neardupPairs(s, dir).select("da", "db").persist()
+    val labels = minLabelPropagate(pairs)
+    pairs.unpersist()
+    labels
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(

@@ -54,20 +54,35 @@ object Similarity {
               SELECT vec_id, ROUND(dotab / (SQRT(na) * SQRT(nb)), 4) AS sim
               FROM s ORDER BY sim DESC, vec_id LIMIT 5""")),
 
-    // Embedding-cosine near-dup: global top-20 most-similar pairs.
-    // Norms precomputed per vector; pair join broadcasts one side (the
-    // exact baseline — see Ann for the bucketed scale path).
+    // Embedding-cosine near-dup: global top-20 most-similar pairs —
+    // the EXACT all-pairs baseline (the approximate scale path is the
+    // bucketed ANN in [[Ann]]). Even a baseline must not die at scale,
+    // so the n² pair set is tiled into B×B block pairs joined on an
+    // EQUI key: side a carries (block(va), every bb), side b carries
+    // (every ba, block(vb)), so each unordered pair meets in exactly
+    // one of the B² buckets. Shuffle volume is B·n per side (bounded,
+    // tunable), every reducer holds n/B×n/B pairs (no driver
+    // broadcast, no single-task cartesian), and AQE is free to pick a
+    // stats-bounded broadcast at small SF. Norms precomputed per
+    // vector; global top-20 is TakeOrderedAndProject.
     "q27_embedding_pairs" -> QueryDef(
       (s, dir) => {
         graft.functions.VectorFunctions.register(s)
+        val B = 16 // ≈ √(n·rowBytes / targetPartitionBytes) at 100 TB
+        val blocks = array((0 until B).map(lit): _*)
         val e = table(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
             normSq(col("embedding")).as("nsq"))
         val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
-          col("nsq").as("na"))
+          col("nsq").as("na"),
+          pmod(col("vec_id"), lit(B)).cast("int").as("ba"),
+          explode(blocks).as("bb"))
         val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-          col("nsq").as("nb"))
-        a.join(broadcast(b), col("va") < col("vb"))
+          col("nsq").as("nb"),
+          pmod(col("vec_id"), lit(B)).cast("int").as("bb"),
+          explode(blocks).as("ba"))
+        a.join(b, Seq("ba", "bb"))
+          .filter(col("va") < col("vb"))
           .select(col("va"), col("vb"),
             round(cosineWithNorms(dot(col("ea"), col("eb")),
               col("na"), col("nb")), 4).as("sim"))

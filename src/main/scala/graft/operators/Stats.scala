@@ -535,6 +535,10 @@ object Stats {
     "q92_histogram" -> QueryDef(
       (s, dir) => {
         val counts = table(s, dir, "events")
+          // explicit null exclusion: Spark's least/greatest SKIP nulls
+          // (a NULL value would alias into bin 9) while older DuckDB
+          // LEAST/GREATEST return NULL — pin the semantics ourselves
+          .filter(col("value").isNotNull)
           // clamp BOTH ends: a negative value must land in bin 0, not a
           // negative bin the spine left-join would silently drop
           .withColumn("bin",
@@ -551,7 +555,7 @@ object Stats {
       Some("""WITH c AS (SELECT GREATEST(LEAST(
                     CAST(FLOOR(value / 50.0) AS BIGINT), 9), 0) AS bin,
                   COUNT(*) AS n
-                FROM events GROUP BY 1),
+                FROM events WHERE value IS NOT NULL GROUP BY 1),
               s AS (SELECT UNNEST(range(10)) AS bin)
               SELECT s.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
                 CAST(s.bin * 50 AS DOUBLE) AS lo,

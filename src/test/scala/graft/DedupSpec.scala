@@ -112,6 +112,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("min-label propagation converges past 20 rounds on a diameter-25 chain") {
+    import spark.implicits._
+    // a 26-vertex path graph needs ~25 propagation rounds — deeper than
+    // the old silent 20-round cap that used to return wrong labels
+    val pairs = (0L until 25L).map(i => (i, i + 1)).toDF("da", "db")
+    val labels = Dedup.minLabelPropagate(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 26)
+    assert(labels.values.forall(_ == 0L),
+      "a single chain must collapse to one component labeled by its min vertex")
+  }
+
+  test("min-label propagation fails loud instead of returning unconverged labels") {
+    import spark.implicits._
+    val pairs = (0L until 25L).map(i => (i, i + 1)).toDF("da", "db")
+    val e = intercept[IllegalStateException] {
+      Dedup.minLabelPropagate(pairs, maxRounds = 5)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("minhash signature is deterministic and length-k") {
     HashFunctions.register(spark)
     val sig = spark.sql(

@@ -72,6 +72,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q27: the exact pair baseline is a block equi-join — no unbounded broadcast") {
+    val p = plan("q27_embedding_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "all-pairs baseline fell back to broadcasting a full table")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("q45: cluster formation never goes cartesian (CC over the LSH graph)") {
     val p = plan("q45_dup_clusters")
     assert(!p.contains("CartesianProduct"))
