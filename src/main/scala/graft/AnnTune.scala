@@ -7,9 +7,16 @@ import graft.operators.{Ann, Q}
 /** Parameter-tuning probe for the q98 ANN recall contract (not part of
   * the bench contract): measures annTopK / ivfTopK recall against the
   * brute-force top-k on each test SF so the registered contract floor
-  * is an informed margin, not a guess.
+  * is an informed margin, not a guess. Output is a markdown table —
+  * committed as ANN_TUNING.md so the chosen floors are auditable.
   *
-  *   sbt 'runMain graft.AnnTune'
+  *   sbt 'runMain graft.AnnTune' | tee ANN_TUNING.md (keep the table)
+  *
+  * The test embeddings are near-uniform random (top-10 neighbor cosine
+  * ≈ 0.30): the known worst case for sublinear similarity search, and
+  * exactly why the LSH sweep includes the `tables` OR-amplification
+  * axis — a single hyperplane table cannot exceed ~0.13 recall here no
+  * matter the plane count (measured below), while 16 OR'd tables do.
   */
 object AnnTune {
   def main(args: Array[String]): Unit = {
@@ -22,6 +29,13 @@ object AnnTune {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val sb = new StringBuilder
+    def out(s: String): Unit = { println(s); sb.append(s).append('\n') }
+
+    out("# ANN recall tuning (q98 contract floors)")
+    out("")
+    out("| sf | method | params | recall | sec |")
+    out("|---|---|---|---|---|")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       val emb = Q.table(spark, dir, "embeddings").select("vec_id", "embedding")
@@ -29,26 +43,35 @@ object AnnTune {
       val k = 10
       val brute = Ann.bruteTopK(emb, queries, k).select("q_id", "vec_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(s"== $sf corpus=${emb.count()} queries=${queries.count()} exact=${brute.size}")
-      for (nPlanes <- Seq(8, 10, 12); probes <- Seq(0, 1)) {
+      def recallOf(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
         val t0 = System.nanoTime()
-        val ann = Ann.annTopK(emb, queries, k, nPlanes = nPlanes, probes = probes)
-          .select("q_id", "vec_id")
+        val hits = df.select("q_id", "vec_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        val sec = (System.nanoTime() - t0) / 1e9
-        val recall = (ann & brute).size.toDouble / brute.size
-        println(f"  lsh planes=$nPlanes probes=$probes recall=$recall%.4f ($sec%.1fs)")
+        ((hits & brute).size.toDouble / brute.size,
+          (System.nanoTime() - t0) / 1e9)
       }
-      for (nlist <- Seq(16); nprobe <- Seq(4, 8)) {
-        val t0 = System.nanoTime()
-        val ivf = Ann.ivfTopK(emb, queries, k, nlist = nlist, nprobe = nprobe)
-          .select("q_id", "vec_id")
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        val sec = (System.nanoTime() - t0) / 1e9
-        val recall = (ivf & brute).size.toDouble / brute.size
-        println(f"  ivf nlist=$nlist nprobe=$nprobe recall=$recall%.4f ($sec%.1fs)")
+      for (tables <- Seq(1, 8, 16); probes <- Seq(0, 1)) {
+        val (r, s) = recallOf(
+          Ann.annTopK(emb, queries, k, nPlanes = 8, probes = probes,
+            tables = tables))
+        out(f"| $sf | lsh | planes=8 probes=$probes tables=$tables | $r%.4f | $s%.1f |")
+      }
+      for (nprobe <- Seq(8, 10, 12)) {
+        val (r, s) = recallOf(
+          Ann.ivfTopK(emb, queries, k, nlist = 16, nprobe = nprobe))
+        out(f"| $sf | ivf | nlist=16 nprobe=$nprobe | $r%.4f | $s%.1f |")
+      }
+      // kmeans seed jitter: the contract floor must survive centroid
+      // variation, not just the one seed the query happens to use
+      for (seed <- Seq(1L, 99L)) {
+        val (r, s) = recallOf(
+          Ann.ivfTopK(emb, queries, k, nlist = 16, nprobe = 8, seed = seed))
+        out(f"| $sf | ivf | nlist=16 nprobe=8 seed=$seed | $r%.4f | $s%.1f |")
       }
     }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("ANN_TUNING.md"),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -48,7 +48,10 @@ object Bench {
     // away: keys shrink to the unique qNN prefix and values to
     // millisecond precision. The full-name timings go to a sidecar
     // file for humans.
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would print 1,234
+    // and invalidate the driver-parsed JSON line
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = ok.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
     }.mkString("{", ",", "}")
@@ -95,7 +98,9 @@ object Bench {
       Blueprints.remove(spark,
         RemoveConfig(s"file://$root/dl", "out", ".*", MatchType.RegexMatch))
       val rmSec = (System.nanoTime() - t1) / 1e9
-      f"""{"n_files":$n,"download_sec":$dlSec%.3f,"remove_sec":$rmSec%.3f}"""
+      String.format(java.util.Locale.ROOT,
+        """{"n_files":%d,"download_sec":%.3f,"remove_sec":%.3f}""",
+        Integer.valueOf(n), Double.box(dlSec), Double.box(rmSec))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fileops FAILED: ${e.toString.take(200)}")

@@ -12,16 +12,26 @@ import graft.functions.VectorFunctions._
   * cosine scheme): each vector gets an integer bucket from the signs of
   * `nPlanes` dot products against deterministic hyperplanes
   * (`java.util.Random(seed)` Gaussians). Neighbor candidates come from a
-  * **bucket equi-join** — the corpus shuffles once on a scalar bucket
-  * key, queries broadcast or shuffle likewise, and no n² pair set ever
-  * materializes. Exact cosine re-ranks candidates inside each bucket.
+  * **bucket equi-join** — the corpus shuffles once on a scalar
+  * (table, bucket) key, queries broadcast or shuffle likewise, and no
+  * n² pair set ever materializes. Exact cosine re-ranks candidates
+  * inside each bucket.
   *
-  * Contract (proved in AnnSpec, which has no SQL oracle because bucket
-  * membership isn't SQL-expressible): candidates ⊆ brute-force pairs,
-  * per-pair sims equal the exact ones bitwise, and any corpus vector
-  * used as a query retrieves itself (identical vector ⇒ identical
-  * bucket). Recall tuning is multi-probe (probe Hamming-1 buckets) —
-  * `probes > 0` explodes each query into its bit-flip neighborhood.
+  * Recall amplification is two-axis, per the standard LSH theory:
+  *  - AND within a table: `nPlanes` sign bits sharpen precision
+  *    (collision p = (1-θ/π)^nPlanes);
+  *  - OR across tables: `tables` independent hyperplane sets union
+  *    their candidates (recall = 1-(1-p)^L) — the knob that rescues
+  *    recall on low-similarity corpora where a single table is
+  *    hopeless (measured sweep committed in ANN_TUNING.md);
+  * plus multi-probe (`probes = 1` also visits each Hamming-1 bucket),
+  * which buys most of an extra table for no shuffle-width cost.
+  *
+  * Contract (AnnSpec + the q98 recall-floor query): candidates ⊆
+  * brute-force pairs, per-pair sims equal the exact ones bitwise, any
+  * corpus vector used as a query retrieves itself (identical vector ⇒
+  * identical bucket in every table), and measured recall vs the exact
+  * top-k stays above the tuned floor.
   */
 object Ann {
 
@@ -68,14 +78,22 @@ object Ann {
   /** ANN top-k: bucket-join candidates, exact cosine re-rank.
     * `corpus`/`queries`: (vec_id, embedding). Output: (q_id, vec_id, sim)
     * with per-query rank ≤ k, self-matches excluded.
+    *
+    * `tables` independent hyperplane sets (seed + t) OR their candidate
+    * sets: the corpus explodes to L (table, bucket) rows per vector —
+    * ONE shuffle on the composite key, L× shuffle width, never L
+    * separate joins — and `dropDuplicates` unions the per-table hits.
+    * A null bucket (ragged embedding) drops out of the equi-join in
+    * every table rather than aliasing into bucket 0.
     */
   def annTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
-      nPlanes: Int = 12,
+      nPlanes: Int = 8,
       seed: Long = 7L,
-      probes: Int = 1): DataFrame = {
+      probes: Int = 1,
+      tables: Int = 16): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     // hyperplane dimension must match the data (graft_dot nulls out on
     // mismatch rather than truncating) — read it from one corpus row;
@@ -85,17 +103,29 @@ object Ann {
       .select(size(col("embedding")).as("dim")).head(1)
     if (sampled.isEmpty) return emptyResult(corpus.sparkSession)
     val dim = sampled(0).getInt(0)
-    val planes = hyperplanes(dim, nPlanes, seed)
+    val planes = (0 until tables).map(t => hyperplanes(dim, nPlanes, seed + t))
+    // corpus side: one (t, bucket) struct per table, exploded
+    val cTb = array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        signBucket(col("embedding"), planes(t)).as("b"))): _*)
     val c = corpus.select(col("vec_id"), col("embedding"),
-      normSq(col("embedding")).as("nsq"),
-      signBucket(col("embedding"), planes).as("bucket"))
+      normSq(col("embedding")).as("nsq"), explode(cTb).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nsq"),
+        col("tb.t").as("t"), col("tb.b").as("bucket"))
+    // query side: per table the multi-probe bucket neighborhood, tagged
+    // with the table id so probes never cross tables
+    val qTb = flatten(array((0 until tables).map { t =>
+      transform(
+        probeBuckets(signBucket(col("embedding"), planes(t)), nPlanes, probes),
+        pb => struct(lit(t).as("t"), pb.as("b")))
+    }: _*))
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"),
-      normSq(col("embedding")).as("q_nsq"),
-      explode(probeBuckets(signBucket(col("embedding"), planes),
-        nPlanes, probes)).as("bucket"))
+      normSq(col("embedding")).as("q_nsq"), explode(qTb).as("tb"))
+      .select(col("q_id"), col("q_emb"), col("q_nsq"),
+        col("tb.t").as("t"), col("tb.b").as("bucket"))
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    c.join(q, Seq("bucket"))
+    c.join(q, Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .dropDuplicates("q_id", "vec_id")
       .withColumn("sim", cosineWithNorms(

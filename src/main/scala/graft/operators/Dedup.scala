@@ -143,12 +143,14 @@ object Dedup {
         .localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum == curSum
-      cur.unpersist()
+      // only the round-0 frame sits in the cache manager; later rounds
+      // are localCheckpoint'd RDDs (Dataset.unpersist is a no-op on
+      // those — the ContextCleaner reclaims them once unreferenced)
+      if (rounds == 0) cur.unpersist()
       cur = next; curSum = nextSum; rounds += 1
     }
     edges.unpersist()
     if (!converged) {
-      cur.unpersist()
       throw new IllegalStateException(
         s"connected components did not converge after $maxRounds rounds " +
           "(component diameter exceeds the round cap — raise maxRounds; " +
@@ -618,6 +620,82 @@ object Dedup {
                   AS BIGINT) AS n_contaminated
               FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id
               WHERE d.doc_id % 50 <> 0
-              GROUP BY 1 ORDER BY d.lang"""))
+              GROUP BY 1 ORDER BY d.lang""")),
+
+    // Sketch-estimated source Jaccard — q34's answer recomputed from
+    // group-level MinHash sketches instead of exact shingle sets: each
+    // doc's 128-slot signature union-aggregates per source through
+    // [[HashFunctions.MinHashUnionAgg]] (elementwise min — fixed-size
+    // mergeable state, ONE partial-aggregating shuffle), and estimated
+    // Jaccard between two sources is the fraction of equal slots. This
+    // is the q34-at-scale path: exact source sets are O(corpus shingle
+    // volume) per group, the sketch is 1 KiB per group forever. The
+    // contract joins the estimate against q34's exact Jaccard and
+    // asserts every pair sits within 3σ = 3/√128 ≈ 0.27 — both sides
+    // are fully deterministic (FNV minhash, commutative min agg, exact
+    // int-ratio Jaccard), so the bit can't flake. `est` itself is NOT
+    // an output column (it would pin the oracle to FNV internals);
+    // only the exact Jaccard and the contract bit are hashed.
+    "q99_sketch_jaccard" -> QueryDef(
+      (s, dir) => {
+        HashFunctions.register(s)
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        // exact side: q34's shingle-set Jaccard, same plan shape
+        val sh = docs
+          .select(col("source"), explode(expr("graft_shingles(text, 3)")).as("sh"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        val exact = sh.select(col("source").as("sa"), col("sh"))
+          .join(sh.select(col("source").as("sb"), col("sh")), Seq("sh"))
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb")
+          .agg(count(lit(1)).as("c"))
+          .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+          .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+          .select(col("sa"), col("sb"),
+            (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+              .as("jaccard"))
+        // sketch side: row signatures → per-source union sketch
+        val usig = docs
+          .select(col("source"),
+            expr("graft_minhash(graft_shingles(text, 3))").as("sig"))
+          .filter(expr("size(graft_shingles(text, 3)) > 0"))
+          .as[(String, Array[Long])]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(HashFunctions.MinHashUnionAgg.toColumn.name("usig"))
+          .toDF("source", "usig")
+        val est = aggregate(
+          zip_with(col("ua"), col("ub"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+          .cast("double") / HashFunctions.MinHashK
+        val tol = 3.0 / math.sqrt(HashFunctions.MinHashK.toDouble)
+        exact
+          .join(usig.select(col("source").as("sa"), col("usig").as("ua")), "sa")
+          .join(usig.select(col("source").as("sb"), col("usig").as("ub")), "sb")
+          .select(col("sa"), col("sb"), col("jaccard"),
+            (abs(est - col("jaccard")) <= tol).cast("long").as("est_ok"))
+          .orderBy("sa", "sb")
+      },
+      Some("""WITH sh AS (SELECT DISTINCT source, UNNEST(list_distinct(
+                  [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])) AS s
+                FROM (SELECT source,
+                    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                  FROM documents) z WHERE len(t) >= 3),
+              sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+              common AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+                GROUP BY 1, 2)
+              SELECT sa, sb,
+                CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard,
+                CAST(1 AS BIGINT) AS est_ok
+              FROM common
+              JOIN sizes x ON x.source = sa
+              JOIN sizes y ON y.source = sb
+              ORDER BY sa, sb"""))
   )
 }

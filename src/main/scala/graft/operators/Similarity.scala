@@ -155,6 +155,67 @@ object Similarity {
                 ROUND(MAX(nsq), 4) AS max_nsq,
                 ROUND(CAST(ROUND(SUM(CAST(nsq AS DECIMAL(18,6))), 4)
                   AS DOUBLE) / COUNT(*), 4) AS mean_nsq
-              FROM n GROUP BY 1 ORDER BY label"""))
+              FROM n GROUP BY 1 ORDER BY label""")),
+
+    // ANN recall contract (q90's pattern for the similarity sketch):
+    // the exact top-10 neighbor pairs of every 10th vector come from
+    // the brute-force scan ([[Ann.bruteTopK]] — broadcast query side,
+    // map-only corpus, the oracle recomputes it in SQL); the two
+    // approximate 100 TB paths — multi-table hyperplane LSH
+    // ([[Ann.annTopK]]: 16 OR'd tables × 8 planes, 1-probe, ONE
+    // (table, bucket) equi-join shuffle) and k-means IVF
+    // ([[Ann.ivfTopK]]: 16 cells, probe 8) — must each recover ≥ 70 %
+    // of those pairs. Floors are tuned with measured margin, not
+    // guessed: ANN_TUNING.md records recall 0.82–0.83 (LSH; fully
+    // deterministic, so the measured value IS the driver's value) and
+    // 0.88 ± 0.02 across k-means seeds (IVF) on all three SFs, against
+    // a corpus of near-uniform random vectors (top-10 neighbor cosine
+    // ≈ 0.30 — the worst case for sublinear search; on a corpus with
+    // real near-dup structure both paths only get easier). n_lsh /
+    // n_ivf are NOT output columns — only the exact count and the two
+    // contract bits are hashed, so a recall IMPROVEMENT can't break
+    // the compare while a collapse still does.
+    "q98_ann_recall" -> QueryDef(
+      (s, dir) => {
+        val k = 10
+        val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        // exact top-k pairs feed both semi-joins and the count — one scan
+        val brute = Ann.bruteTopK(emb, queries, k).select("q_id", "vec_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val lshHit = brute.join(
+          Ann.annTopK(emb, queries, k, nPlanes = 8, probes = 1, tables = 16)
+            .select("q_id", "vec_id"),
+          Seq("q_id", "vec_id"), "left_semi")
+        val ivfHit = brute.join(
+          Ann.ivfTopK(emb, queries, k, nlist = 16, nprobe = 8)
+            .select("q_id", "vec_id"),
+          Seq("q_id", "vec_id"), "left_semi")
+        brute.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(lshHit.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(ivfHit.agg(count(lit(1)).as("n_ivf")))
+          .select(col("n_exact"),
+            (col("n_lsh") >= col("n_exact") * lit(0.70))
+              .cast("long").as("lsh_recall_ok"),
+            (col("n_ivf") >= col("n_exact") * lit(0.70))
+              .cast("long").as("ivf_recall_ok"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                         FROM embeddings WHERE vec_id % 10 = 0),
+              p AS (SELECT q.q_id, e.vec_id,
+                  (SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                   FROM (SELECT UNNEST(e.embedding) AS x,
+                                UNNEST(q.q_emb) AS y) z)
+                  / (SQRT((SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                           FROM UNNEST(e.embedding) AS u(x))) *
+                     SQRT((SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                           FROM UNNEST(q.q_emb) AS u(x)))) AS sim
+                FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+              r AS (SELECT q_id, vec_id FROM p
+                    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY sim DESC, vec_id) <= 10)
+              SELECT (SELECT COUNT(*) FROM r) AS n_exact,
+                CAST(1 AS BIGINT) AS lsh_recall_ok,
+                CAST(1 AS BIGINT) AS ivf_recall_ok"""))
   )
 }

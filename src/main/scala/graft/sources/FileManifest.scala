@@ -29,11 +29,15 @@ final case class FileEntry(
   * maps to scoping the listing root to `bucket/prefix`.
   *
   * Scale (100 TB / 10^8 objects): the driver lists only the FIRST level
-  * under the prefix; every subdirectory is listed recursively on the
-  * executors (`parallelize(dirs).flatMap(listOnExecutor)`) — the same
-  * fan-out Spark's own InMemoryFileIndex uses for parallel partition
-  * discovery. The driver never materializes the deep listing; its memory
-  * is bounded by the first-level fan-out, not the object count.
+  * under the prefix; deeper levels are listed in BFS waves on the
+  * executors — each wave re-parallelizes the dirs the previous wave
+  * discovered, so a skewed tree (one top-level dir hiding the whole
+  * corpus) still fans out to the cluster instead of serializing on one
+  * task. Once a level is wider than 4× the parallelism, remaining
+  * subtrees are walked recursively per dir (the fan-out is already
+  * there). The driver never materializes the deep listing; its memory
+  * is bounded by the widest level's dir NAMES, not the object count —
+  * the same contract as Spark's InMemoryFileIndex parallel discovery.
   */
 object FileManifest {
 
@@ -63,13 +67,45 @@ object FileManifest {
     val shallowDs = spark.createDataset(files)
     if (dirs.isEmpty || !recursive) shallowDs
     else {
+      // Iterative BFS until the fan-out is wide enough, then recursive
+      // subtree walks. A whole-subtree task per FIRST-LEVEL dir would
+      // serialize a `data/{one-dir}/10^8-files` bucket on one core; the
+      // BFS waves re-parallelize the DISCOVERED dirs each round, so the
+      // task count follows the tree's true width, not the top level's.
+      // Driver memory holds only dir NAMES, bounded per wave by the
+      // widest level (InMemoryFileIndex's contract). Each wave's file
+      // entries stay distributed — a lazy per-level RDD; the dirs-only
+      // discovery job re-lists the level at scan time (metadata-priced,
+      // and the price of keeping the returned Dataset fully lazy with
+      // no hidden persist). MaxWaves bounds pathological depth (e.g. a
+      // symlink cycle under FOLLOW_LINKS): past it the remainder falls
+      // through to the recursive walk, whose walkFileTree detects
+      // cycles — correctness never depends on the cap.
       val conf = new SerializableConfiguration(hadoopConf(spark))
-      val slices = math.max(1,
-        math.min(dirs.length, spark.sparkContext.defaultParallelism))
-      val deep = spark.sparkContext
-        .parallelize(dirs, slices)
-        .flatMap(d => listDeep(d, root, rootStr, conf.value))
-      shallowDs.union(spark.createDataset(deep))
+      val par = spark.sparkContext.defaultParallelism
+      val MaxWaves = 64
+      val waves = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.rdd.RDD[FileEntry]]
+      var pending = dirs
+      var wave = 0
+      while (pending.nonEmpty && pending.length < 4 * par &&
+          wave < MaxWaves) {
+        val level = pending
+        val slices = math.max(1, math.min(level.length, par))
+        waves += spark.sparkContext.parallelize(level, slices)
+          .flatMap(d => listLevel(d, root, rootStr, conf.value)._1)
+        pending = spark.sparkContext.parallelize(level, slices)
+          .flatMap(d => listLevel(d, root, rootStr, conf.value)._2)
+          .collect().toSeq
+        wave += 1
+      }
+      if (pending.nonEmpty) {
+        val slices = math.max(1, math.min(pending.length, par))
+        waves += spark.sparkContext.parallelize(pending, slices)
+          .flatMap(d => listDeep(d, root, rootStr, conf.value))
+      }
+      waves.foldLeft(shallowDs)((acc, rdd) =>
+        acc.union(spark.createDataset(rdd)))
     }
   }
 
@@ -108,6 +144,35 @@ object FileManifest {
       (shallow.filter(_.isFile).map(toEntry(_, root, rootStr)).toSeq,
         shallow.filter(_.isDirectory).map(_.getPath.toString).toSeq)
     }
+
+  /** Executor-side ONE-level listing of a directory (nio for `file:`,
+    * mirroring [[listShallow]]'s scheme split): the BFS-wave unit.
+    * Returns (file entries, subdirectory uris).
+    */
+  private def listLevel(
+      d: String, root: String, rootStr: String,
+      c: Configuration): (Seq[FileEntry], Seq[String]) = {
+    val dirPath = new Path(d)
+    if (dirPath.toUri.getScheme == "file") {
+      val rootOs = java.nio.file.Paths.get(new Path(root).toUri.getPath)
+      val files = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+      val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val ds = java.nio.file.Files.newDirectoryStream(
+        java.nio.file.Paths.get(dirPath.toUri.getPath))
+      try ds.forEach { p =>
+        if (java.nio.file.Files.isDirectory(p)) dirs += s"file://$p"
+        else if (java.nio.file.Files.isRegularFile(p) &&
+            !isChecksumSidecar(p.getFileName.toString))
+          files += nioEntry(p, root, rootOs)
+      } finally ds.close()
+      (files.toSeq, dirs.toSeq)
+    } else {
+      val dirFs = FileSystem.get(dirPath.toUri, c)
+      val st = dirFs.listStatus(dirPath)
+      (st.filter(_.isFile).map(toEntry(_, root, rootStr)).toSeq,
+        st.filter(_.isDirectory).map(_.getPath.toString).toSeq)
+    }
+  }
 
   /** Executor-side recursive listing of one subtree (nio for `file:`). */
   private def listDeep(

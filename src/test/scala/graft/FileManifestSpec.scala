@@ -48,6 +48,47 @@ class FileManifestSpec extends SparkSpec {
     assert(m.rdd.getNumPartitions > 1)
   }
 
+  test("skewed tree (ONE top-level dir) still fans out across >1 task") {
+    // data/{one-dir}/{16 subdirs}/files — the old whole-subtree-per-
+    // first-level-dir design walked all of it in a single task; the BFS
+    // waves must re-parallelize the 16 discovered subdirs instead
+    val b = Files.createTempDirectory("graft-skew")
+    val top = b.resolve("data")
+    (0 until 16).foreach { d =>
+      val dir = top.resolve(f"part$d%02d")
+      Files.createDirectories(dir)
+      (0 until 5).foreach { f =>
+        Files.writeString(dir.resolve(f"f$f.dat"), s"$d-$f")
+      }
+    }
+    val m = FileManifest.scan(spark, s"file://$b")
+    // count tasks actually run for the wave that lists the 16 subdirs
+    var maxTasksInStage = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      private val perStage =
+        scala.collection.concurrent.TrieMap.empty[Int, Int]
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val n = perStage.updateWith(t.stageId) {
+          case Some(c) => Some(c + 1); case None => Some(1)
+        }.get
+        maxTasksInStage = math.max(maxTasksInStage, n)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = m.collect()
+      assert(rows.length == 80)
+      assert(rows.map(_.path).distinct.length == 80)
+      // listener delivery is async — poll until the fan-out shows up
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (maxTasksInStage <= 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(maxTasksInStage > 1,
+        s"deep listing of a 1-top-dir tree ran in $maxTasksInStage task(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("withDestination enumerates deterministically in path order") {
     val b = mkTree(nDirs = 2, filesPerDir = 3)
     val m = FileManifest.scan(spark, s"file://$b")
