@@ -23,7 +23,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY=q27,q98 restricts to a comma-separated
+    // qNN-prefix subset — for iterating on one query's plan without
+    // paying the full sweep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(_.exists(p => name.startsWith(p))) }
 
     // warmup: full evaluation, untimed
     queries.foreach { case (name, fn) =>

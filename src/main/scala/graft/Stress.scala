@@ -55,6 +55,13 @@ object Stress {
         concat(lit("$1r"), col("replica").cast("string"))))
     val events = inflate(Q.table(spark, sfDir, "events"), factor)
       .withColumn("event_id", col("event_id") * factor + col("replica"))
+    // per-replica first-component jitter: exact clones would pile into
+    // identical LSH buckets and overstate candidate growth
+    val embeddings = inflate(Q.table(spark, sfDir, "embeddings"), factor)
+      .withColumn("vec_id", col("vec_id") * factor + col("replica"))
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> " +
+          "CAST(IF(i = 0, x + replica * 0.01, x) AS FLOAT))"))
 
     def timed(name: String)(body: => Long): (String, Double, Long) = {
       val t0 = System.nanoTime()
@@ -104,6 +111,14 @@ object Stress {
             Seq("band"))
           .filter(col("da") < col("db"))
           .select("da", "db").distinct().count()
+      },
+      // multi-table LSH ANN over the inflated embeddings (q98's scale
+      // path): skinny (table, bucket) join + payload rejoin — candidate
+      // volume should track corpus size × bucket occupancy, never n²
+      timed("ann_topk") {
+        graft.operators.Ann.annTopK(
+          embeddings, embeddings.filter(col("vec_id") % 100 === 0),
+          k = 10, nPlanes = 8, probes = 1, tables = 16).count()
       },
       // exact dedup shuffle on the full text key
       timed("exact_dedup") {

@@ -96,6 +96,147 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `tables` random-hyperplane LSH sign-buckets of an embedding in
+  * ONE native pass — `ArrayType(IntegerType)` of length `tables`, where
+  * slot t is the `nPlanes`-bit sign pattern of the embedding against
+  * table t's deterministic Gaussian hyperplanes (`Random(seed + t)`,
+  * identical to [[graft.operators.Ann.hyperplanes]]).
+  *
+  * Exists because composing the same value from column primitives
+  * (`tables × nPlanes` separate `graft_dot`s against literal arrays)
+  * builds an expression tree that grows past what whole-stage codegen
+  * compiles well — measured 4× superlinear blowup going 8 → 16 tables
+  * on the q98 path. Here the planes live in ONE flat referenced
+  * double[] and the whole bucket matrix is three tight loops.
+  *
+  * Null/ragged contract matches the composed form: wrong-length input
+  * (or a NaN dot) yields a NULL array — the row drops out of every
+  * table's bucket join rather than aliasing into bucket 0. Null
+  * elements contribute 0, as in [[DotProduct]].
+  */
+case class SignBuckets(
+    child: Expression, nPlanes: Int, tables: Int, seed: Long, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sign_buckets"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(s"graft_sign_buckets: $t")
+    }
+
+  @transient private lazy val planesFlat: Array[Double] =
+    SignBuckets.flatPlanes(dim, nPlanes, tables, seed)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) return null
+    val isF = elemIsFloat
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bits = 0
+      var p = 0
+      while (p < nPlanes) {
+        val base = (t * nPlanes + p) * dim
+        var s = 0.0
+        var i = 0
+        while (i < dim) {
+          if (!a.isNullAt(i)) {
+            val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+            s += x * planesFlat(base + i)
+          }
+          i += 1
+        }
+        if (java.lang.Double.isNaN(s)) return null
+        if (s >= 0.0) bits |= 1 << p
+        p += 1
+      }
+      out(t) = bits
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val planesRef = ctx.addReferenceObj("planesFlat", planesFlat, "double[]")
+      val acc = elemIsFloat match {
+        case true => s"(double) $a.getFloat"
+        case false => s"$a.getDouble"
+      }
+      val out = ctx.freshName("out")
+      val nan = ctx.freshName("nan")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val bits = ctx.freshName("bits")
+      val base = ctx.freshName("base")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $out = new int[$tables];
+         |  boolean $nan = false;
+         |  for (int $t = 0; $t < $tables && !$nan; $t++) {
+         |    int $bits = 0;
+         |    for (int $p = 0; $p < $nPlanes; $p++) {
+         |      final int $base = ($t * $nPlanes + $p) * $dim;
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        if (!$a.isNullAt($i)) {
+         |          $s += $acc($i) * $planesRef[$base + $i];
+         |        }
+         |      }
+         |      if (Double.isNaN($s)) { $nan = true; break; }
+         |      if ($s >= 0.0) $bits |= 1 << $p;
+         |    }
+         |    $out[$t] = $bits;
+         |  }
+         |  if ($nan) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} =
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignBuckets {
+  /** Flat (table, plane, dim)-major Gaussian planes; table t draws from
+    * `Random(seed + t)` in the exact order `Ann.hyperplanes` fills, so
+    * the two definitions can never drift.
+    */
+  def flatPlanes(dim: Int, nPlanes: Int, tables: Int, seed: Long): Array[Double] = {
+    val out = new Array[Double](tables * nPlanes * dim)
+    var t = 0
+    while (t < tables) {
+      val rnd = new java.util.Random(seed + t)
+      var p = 0
+      while (p < nPlanes) {
+        var i = 0
+        while (i < dim) {
+          out((t * nPlanes + p) * dim + i) = rnd.nextGaussian()
+          i += 1
+        }
+        p += 1
+      }
+      t += 1
+    }
+    out
+  }
+}
+
 /** Vector math over ArrayType(FloatType) embedding columns. The dot
   * product is the native [[DotProduct]] expression (registered as
   * `graft_dot` by [[VectorFunctions.register]]); derived forms are plain
@@ -108,9 +249,24 @@ object VectorFunctions {
     * builds columns through [[dot]] must register first (the query
     * builders and [[graft.operators.Ann]] do).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sign_buckets",
+      exprs => SignBuckets(exprs.head,
+        nPlanes = exprs(1).eval().asInstanceOf[Int],
+        tables = exprs(2).eval().asInstanceOf[Int],
+        seed = exprs(3).eval().asInstanceOf[Long],
+        dim = exprs(4).eval().asInstanceOf[Int]),
+      "built-in")
+  }
+
+  /** All `tables` LSH sign-buckets at once (see [[SignBuckets]]). */
+  def signBuckets(
+      emb: Column, nPlanes: Int, tables: Int, seed: Long, dim: Int): Column =
+    call_function("graft_sign_buckets", emb,
+      lit(nPlanes), lit(tables), lit(seed), lit(dim))
 
   /** Σ aᵢ·bᵢ as double (elements cast up before multiplying). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)

@@ -103,31 +103,39 @@ object Ann {
       .select(size(col("embedding")).as("dim")).head(1)
     if (sampled.isEmpty) return emptyResult(corpus.sparkSession)
     val dim = sampled(0).getInt(0)
-    val planes = (0 until tables).map(t => hyperplanes(dim, nPlanes, seed + t))
-    // corpus side: one (t, bucket) struct per table, exploded
-    val cTb = array((0 until tables).map(t =>
-      struct(lit(t).as("t"),
-        signBucket(col("embedding"), planes(t)).as("b"))): _*)
-    val c = corpus.select(col("vec_id"), col("embedding"),
-      normSq(col("embedding")).as("nsq"), explode(cTb).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("nsq"),
-        col("tb.t").as("t"), col("tb.b").as("bucket"))
+    // SKINNY bucket frames: the L×-exploded join and the candidate
+    // dedup ship only (id, t, bucket) — the vector payloads join back
+    // onto the deduped pair list afterwards, where the optimizer can
+    // broadcast either side by stats. Shipping embeddings through the
+    // explode would multiply the shuffle by tables × vecBytes (the
+    // LSH-side analog of the q27 note, with the inequality reversed:
+    // here survivors are FEW, so skinny-join-then-rejoin wins). All L
+    // buckets per row come from ONE native [[SignBuckets]] pass — the
+    // column-composed form (L × nPlanes literal-array dots) grew the
+    // expression tree superlinearly past codegen's comfort.
+    // posexplode of the NULL bucket array (ragged/NaN embedding) emits
+    // nothing: the row drops out of every table, as before.
+    val buckets = graft.functions.VectorFunctions.signBuckets(
+      col("embedding"), nPlanes, tables, seed, dim)
+    val c = corpus.select(col("vec_id"), posexplode(buckets))
+      .select(col("vec_id"), col("pos").as("t"), col("col").as("bucket"))
     // query side: per table the multi-probe bucket neighborhood, tagged
     // with the table id so probes never cross tables
-    val qTb = flatten(array((0 until tables).map { t =>
-      transform(
-        probeBuckets(signBucket(col("embedding"), planes(t)), nPlanes, probes),
-        pb => struct(lit(t).as("t"), pb.as("b")))
-    }: _*))
-    val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"),
-      normSq(col("embedding")).as("q_nsq"), explode(qTb).as("tb"))
-      .select(col("q_id"), col("q_emb"), col("q_nsq"),
-        col("tb.t").as("t"), col("tb.b").as("bucket"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    c.join(q, Seq("t", "bucket"))
+    val q = queries
+      .select(col("vec_id").as("q_id"), posexplode(buckets))
+      .select(col("q_id"), col("pos").as("t"),
+        explode(probeBuckets(col("col"), nPlanes, probes)).as("bucket"))
+    val cand = c.join(q, Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
       .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    cand
+      .join(corpus.select(col("vec_id"), col("embedding"),
+        normSq(col("embedding")).as("nsq")), "vec_id")
+      .join(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        normSq(col("embedding")).as("q_nsq")), "q_id")
       .withColumn("sim", cosineWithNorms(
         dot(col("embedding"), col("q_emb")), col("nsq"), col("q_nsq")))
       .withColumn("rank", row_number().over(w))

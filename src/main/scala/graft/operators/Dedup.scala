@@ -527,11 +527,19 @@ object Dedup {
         // LSH candidates from the shared banding definition
         val cand = lshCandidatePairs(sh)
         val hit = exact.join(cand, Seq("da", "db"), "left_semi")
+        // n_missed_over_floor: misses BEYOND the tolerated 0.1 % —
+        // deterministically 0 while the floor holds (chance misses
+        // inside the floor can't flake the hash), but a real banding
+        // regression surfaces its MAGNITUDE in the compare diff, not
+        // just a flipped contract bit
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
           .select(col("n_exact"),
             (col("n_hit") >= ceil(col("n_exact").cast("double") * 0.999))
-              .cast("long").as("recall_ok"))
+              .cast("long").as("recall_ok"),
+            greatest(lit(0L),
+              ceil(col("n_exact").cast("double") * 0.999).cast("long")
+                - col("n_hit")).as("n_missed_over_floor"))
       },
       Some("""WITH toks AS (SELECT doc_id,
                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
@@ -546,7 +554,8 @@ object Dedup {
                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
                   >= 0.8)
               SELECT COUNT(*) AS n_exact,
-                CAST(1 AS BIGINT) AS recall_ok FROM p""")),
+                CAST(1 AS BIGINT) AS recall_ok,
+                CAST(0 AS BIGINT) AS n_missed_over_floor FROM p""")),
 
     // Duplicate-rate by source: per-source docs vs distinct texts and
     // the integer-exact dup rate — the per-provenance contamination

@@ -60,19 +60,36 @@ object Similarity {
     // so the n² pair set is tiled into B×B block pairs joined on an
     // EQUI key: side a carries (block(va), every bb), side b carries
     // (every ba, block(vb)), so each unordered pair meets in exactly
-    // one of the B² buckets. Shuffle volume is B·n per side (bounded,
-    // tunable), every reducer holds n/B×n/B pairs (no driver
-    // broadcast, no single-task cartesian), and AQE is free to pick a
-    // stats-bounded broadcast at small SF. Norms precomputed per
-    // vector; global top-20 is TakeOrderedAndProject.
+    // one of the B² buckets. Shuffle volume is B·n per side (bounded),
+    // every reducer holds n/B×n/B pairs (no driver broadcast, no
+    // single-task cartesian). The vector payload rides THROUGH the
+    // explode deliberately: sims are computed and top-k-reduced inside
+    // the join stage, so the n²/2 pair rows never shuffle — a skinny
+    // key join with a payload rejoin would push n²/2 rows through two
+    // more shuffles, which loses whenever n > 2B (always). That
+    // rejoin shape is right for LSH (few survivors), wrong for an
+    // exact all-pairs scan. Global top-20 is TakeOrderedAndProject.
     "q27_embedding_pairs" -> QueryDef(
       (s, dir) => {
         graft.functions.VectorFunctions.register(s)
-        val B = 16 // ≈ √(n·rowBytes / targetPartitionBytes) at 100 TB
-        val blocks = array((0 until B).map(lit): _*)
         val e = table(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
             normSq(col("embedding")).as("nsq"))
+        // B from measured stats, not a guess: the per-reducer build
+        // side (n/B rows of ~rowBytes) must fit the partition budget,
+        // and B² partitions must cover the cluster. One map-only
+        // (count, dim) scan stands in for catalog stats.
+        val (n, dim) = {
+          val r = e.agg(count(lit(1)), max(size(col("embedding")))).head()
+          (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+        }
+        val rowBytes = 32L + 8L * dim
+        val targetBytes = 64L << 20
+        val bMem = math.ceil(n.toDouble * rowBytes / targetBytes).toInt
+        val bPar = math.ceil(
+          math.sqrt(s.sparkContext.defaultParallelism.toDouble)).toInt
+        val B = math.min(256, math.max(1, math.max(bMem, bPar)))
+        val blocks = array((0 until B).map(lit): _*)
         val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
           col("nsq").as("na"),
           pmod(col("vec_id"), lit(B)).cast("int").as("ba"),

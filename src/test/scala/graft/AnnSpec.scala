@@ -100,6 +100,28 @@ class AnnSpec extends SparkSpec {
     assert(buckets(2L).isEmpty, "ragged row must not land in a plausible bucket")
   }
 
+  test("native graft_sign_buckets equals the composed signBucket for every table") {
+    graft.functions.VectorFunctions.register(spark)
+    val dim = 64
+    val tables = 4
+    val nPlanes = 8
+    val seed = 7L
+    val composed = (0 until tables).map(t =>
+      Ann.signBucket(col("embedding"),
+        Ann.hyperplanes(dim, nPlanes, seed + t)).as(s"c$t"))
+    val native = graft.functions.VectorFunctions
+      .signBuckets(col("embedding"), nPlanes, tables, seed, dim)
+    val rows = emb.select(native.as("n") +: composed: _*).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nat = r.getSeq[Int](0)
+      (0 until tables).foreach { t =>
+        assert(nat(t) == r.getInt(t + 1),
+          s"table $t bucket mismatch: native ${nat(t)} vs composed ${r.getInt(t + 1)}")
+      }
+    }
+  }
+
   test("ivf sims are exact, candidates come from probed cells only") {
     val queries = emb.filter(col("vec_id") <= 5)
     val ivf = Ann.ivfTopK(emb, queries, k = 10)

@@ -7,6 +7,9 @@ import graft.streaming.StreamingOps
 
 final case class Ev(ts: Timestamp, event_type: String, value: Double)
 
+final case class EvId(
+    event_id: Long, ts: Timestamp, event_type: String, value: Double)
+
 /** MemoryStream behavior tests for the streaming surface (SURVEY §5
   * item 5): tumbling/sliding/session window contents, watermark-driven
   * finalization in append mode, and late-data dropping.
@@ -250,6 +253,76 @@ class StreamingSpec extends SparkSpec {
         case None => spark.conf.unset(key)
       }
     }
+  }
+
+  test("dedupWithinWatermark resend stream equals the batch answer (one definition, two modes)") {
+    import spark.implicits._
+    import graft.operators.Q
+    implicit val sqlCtx = spark.sqlContext
+    // real events resent across micro-batches (an at-least-once source):
+    // the streamed output must be exactly-once and equal the batch
+    // dedup of the same doubled input through the same builder
+    val base = Q.table(spark, sfDir, "events")
+      .select("event_id", "ts", "event_type", "value")
+      .orderBy("event_id").limit(200).as[EvId].collect().toSeq
+    val input = MemoryStream[EvId]
+    val q = StreamingOps.dedupWithinWatermark(input.toDF(), "event_id")
+      .writeStream.format("memory").outputMode(OutputMode.Append())
+      .queryName("dedupeq_" + System.nanoTime()).start()
+    try {
+      input.addData(base)
+      q.processAllAvailable()
+      input.addData(base.take(100)) // resend half
+      q.processAllAvailable()
+      val got = spark.table(q.name).collect().map(_.getLong(0)).sorted.toSeq
+      // the batch reference is dropDuplicates: Spark rejects
+      // dropDuplicatesWithinWatermark on batch frames, and its contract
+      // IS batch-dedup semantics whenever resends land inside the delay
+      val want = (base ++ base.take(100)).toDF()
+        .dropDuplicates("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got.nonEmpty && got == want)
+      assert(got == got.distinct, "an id was emitted more than once")
+    } finally q.stop()
+  }
+
+  test("left-outer interval join streamed equals the batch join on the events table") {
+    import spark.implicits._
+    import graft.streaming.UserEvent
+    import graft.operators.Q
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Q.table(spark, sfDir, "events")
+      .select("ts", "user_id", "event_type", "value").as[UserEvent]
+    val clickRows = ev.filter(_.event_type == "click").collect().toSeq
+    val purchaseRows = ev.filter(_.event_type == "purchase").collect().toSeq
+    def norm(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        if (r.isNullAt(2)) Long.MinValue else r.getTimestamp(2).getTime,
+        r.getDouble(3)))
+      .sorted.toSeq
+    val want = norm(StreamingOps
+      .clickPurchaseJoinOuter(clickRows.toDF(), purchaseRows.toDF())
+      .collect())
+    val clicks = MemoryStream[UserEvent]
+    val purchases = MemoryStream[UserEvent]
+    val q = StreamingOps.clickPurchaseJoinOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").outputMode(OutputMode.Append())
+      .queryName("ssoutereq_" + System.nanoTime()).start()
+    try {
+      clicks.addData(clickRows)
+      purchases.addData(purchaseRows)
+      q.processAllAvailable()
+      // far-future sentinels on BOTH streams push the combined watermark
+      // past every real purchase so the null-matched rows finalize; the
+      // sentinel pair matches itself and is filtered back out by user_id
+      val maxTs = (clickRows ++ purchaseRows).map(_.ts.getTime).max
+      val sentinel = new Timestamp(maxTs + 100L * 60 * 60 * 1000)
+      clicks.addData(UserEvent(sentinel, -1L, "click", 0.0))
+      purchases.addData(UserEvent(sentinel, -1L, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = norm(spark.table(q.name).collect().filter(_.getLong(0) != -1L))
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
   }
 
   test("the same builders run in batch mode (one definition, two modes)") {
