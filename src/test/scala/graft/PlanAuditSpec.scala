@@ -86,6 +86,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q98: ANN contract never goes cartesian; candidates come from equi-joins") {
+    val p = plan("q98_ann_recall")
+    // the ONLY tolerated nested-loop is bruteTopK's deliberate
+    // broadcast of the small query side; the LSH/IVF candidate joins
+    // must be hash/sort-merge equi-joins on (table, bucket) / cell
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "candidate generation lost its equi-join shape")
+  }
+
+  test("q99: sketch Jaccard joins stay equi; sketches aggregate partially") {
+    val p = plan("q99_sketch_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // MinHashUnionAgg is a typed Aggregator: partial_ merge before the
+    // exchange is the fixed-size-mergeable-state contract at 100 TB
+    assert(p.contains("partial_minhashunionagg$") ||
+      p.toLowerCase.contains("partial_minhashunionagg"),
+      "sketch aggregation lost its map-side partial")
+  }
+
   test("q48: the correlated scalar subquery decorrelates into an aggregate+join") {
     val p = plan("q48_corr_subquery")
     // Catalyst rewrites the per-row MAX subquery into agg + join; a
