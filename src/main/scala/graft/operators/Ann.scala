@@ -27,6 +27,12 @@ import graft.functions.VectorFunctions._
   * plus multi-probe (`probes = 1` also visits each Hamming-1 bucket),
   * which buys most of an extra table for no shuffle-width cost.
   *
+  * A relative occupancy cap (`maxBucketFraction`) drops degenerate
+  * buckets — constant/zero embedding mass that lands in one bucket in
+  * every table and would cost f·n work per probing query (the ANN
+  * analog of the winnowing df cap; exact-duplicate mass belongs to the
+  * exact-dedup pipeline, not the index).
+  *
   * Contract (AnnSpec + the q98 recall-floor query): candidates ⊆
   * brute-force pairs, per-pair sims equal the exact ones bitwise, any
   * corpus vector used as a query retrieves itself (identical vector ⇒
@@ -93,7 +99,8 @@ object Ann {
       nPlanes: Int = 8,
       seed: Long = 7L,
       probes: Int = 1,
-      tables: Int = 16): DataFrame = {
+      tables: Int = 16,
+      maxBucketFraction: Double = 0.05): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     // hyperplane dimension must match the data (graft_dot nulls out on
     // mismatch rather than truncating) — read it from one corpus row;
@@ -117,8 +124,24 @@ object Ann {
     // nothing: the row drops out of every table, as before.
     val buckets = graft.functions.VectorFunctions.signBuckets(
       col("embedding"), nPlanes, tables, seed, dim)
-    val c = corpus.select(col("vec_id"), posexplode(buckets))
+    val cAll = corpus.select(col("vec_id"), posexplode(buckets))
       .select(col("vec_id"), col("pos").as("t"), col("col").as("bucket"))
+    // degenerate-bucket guard: constant / near-constant embedding mass
+    // (zero vectors, boilerplate) lands in ONE bucket in EVERY table
+    // (identical vector ⇒ identical sign pattern), and a bucket with
+    // f·n corpus rows costs f·n work per probing query — a quadratic
+    // reducer bomb at 100 TB, the same failure class the winnowing df
+    // cap guards. Buckets holding more than maxBucketFraction of a
+    // table's rows (floor 8, so tiny corpora are never capped) drop
+    // from the join: exact-duplicate mass is the exact-dedup
+    // pipeline's job, not the ANN index's. Two skinny aggregations on
+    // the (t, bucket) frame — no driver action, no payload touched.
+    val occ = cAll.groupBy("t", "bucket").agg(count(lit(1)).as("occ"))
+    val hot = occ
+      .join(occ.groupBy("t").agg(sum("occ").as("tot")), "t")
+      .filter(col("occ") > greatest(lit(8.0), col("tot") * maxBucketFraction))
+      .select("t", "bucket")
+    val c = cAll.join(hot, Seq("t", "bucket"), "left_anti")
     // query side: per table the multi-probe bucket neighborhood, tagged
     // with the table id so probes never cross tables
     val q = queries

@@ -151,7 +151,7 @@ object FileManifest {
     */
   private def listLevel(
       d: String, root: String, rootStr: String,
-      c: Configuration): (Seq[FileEntry], Seq[String]) = {
+      c: Configuration): (Seq[FileEntry], Seq[String]) = try {
     val dirPath = new Path(d)
     if (dirPath.toUri.getScheme == "file") {
       val rootOs = java.nio.file.Paths.get(new Path(root).toUri.getPath)
@@ -172,6 +172,12 @@ object FileManifest {
       (st.filter(_.isFile).map(toEntry(_, root, rootStr)).toSeq,
         st.filter(_.isDirectory).map(_.getPath.toString).toSeq)
     }
+  } catch {
+    // a dir deleted between its discovery wave and this listing wave is
+    // an empty subtree, not a failed 10^8-file scan (the recursive
+    // walker's visitFileFailed has given the same tolerance all along)
+    case _: java.nio.file.NoSuchFileException |
+        _: java.io.FileNotFoundException => (Seq.empty, Seq.empty)
   }
 
   /** Executor-side recursive listing of one subtree (nio for `file:`). */
@@ -211,10 +217,16 @@ object FileManifest {
       buf.iterator
     } else {
       val dirFs = FileSystem.get(dirPath.toUri, c)
-      val it = dirFs.listFiles(dirPath, true)
-      new Iterator[FileEntry] {
-        def hasNext: Boolean = it.hasNext
-        def next(): FileEntry = toEntry(it.next(), root, rootStr)
+      try {
+        val it = dirFs.listFiles(dirPath, true)
+        new Iterator[FileEntry] {
+          def hasNext: Boolean = it.hasNext
+          def next(): FileEntry = toEntry(it.next(), root, rootStr)
+        }
+      } catch {
+        // vanished between discovery and walk: empty subtree (the nio
+        // branch gets the same via visitFileFailed)
+        case _: java.io.FileNotFoundException => Iterator.empty
       }
     }
   }

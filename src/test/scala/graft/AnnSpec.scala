@@ -156,6 +156,28 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.2, s"ivf recall collapsed: $recall")
   }
 
+  test("a degenerate constant-vector mass is capped out of the bucket join") {
+    // 240 copies of vec 3's embedding: identical vectors land in ONE
+    // bucket in EVERY table — the quadratic-reducer shape the
+    // maxBucketFraction guard exists for
+    val constEmb = emb.filter(col("vec_id") === 3)
+      .head.getSeq[Float](1).toArray
+    val dups = spark.range(100000, 100240)
+      .select(col("id").as("vec_id"),
+        typedLit(constEmb).as("embedding"))
+    val corpus2 = emb.union(dups)
+    val q = emb.filter(col("vec_id") <= 3)
+    val guarded = Ann.annTopK(corpus2, q, k = 10).collect()
+    assert(guarded.nonEmpty)
+    assert(!guarded.exists(_.getAs[Long]("vec_id") >= 100000L),
+      "duplicate mass leaked through the hot-bucket cap")
+    // sanity that the scenario bites: with the guard off, the identical
+    // vectors flood vec 3's top-k at sim 1.0
+    val unguarded = Ann.annTopK(corpus2, q, k = 10,
+      maxBucketFraction = 1.0).collect()
+    assert(unguarded.exists(_.getAs[Long]("vec_id") >= 100000L))
+  }
+
   test("ann plan has no cartesian product") {
     val queries = emb.filter(col("vec_id") <= 5)
     val plan = Ann.annTopK(emb, queries, k = 10)

@@ -89,6 +89,28 @@ class FileManifestSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("a dir deleted after scan() empties from later actions instead of failing") {
+    // the manifest Dataset is lazy: each action re-lists. A subtree
+    // deleted between actions must read as empty, not kill the scan
+    val b = Files.createTempDirectory("graft-vanish")
+    val top = b.resolve("data")
+    Seq("d0", "d1").foreach { d =>
+      val dir = top.resolve(d)
+      Files.createDirectories(dir)
+      (0 until 3).foreach { f =>
+        Files.writeString(dir.resolve(s"f$f.dat"), s"$d-$f")
+      }
+    }
+    val m = FileManifest.scan(spark, s"file://$b")
+    assert(m.count() == 6)
+    val gone = top.resolve("d1")
+    (0 until 3).foreach(f => Files.delete(gone.resolve(s"f$f.dat")))
+    Files.delete(gone)
+    val survivors = m.collect()
+    assert(survivors.length == 3)
+    assert(survivors.forall(_.path.startsWith("data/d0/")))
+  }
+
   test("withDestination enumerates deterministically in path order") {
     val b = mkTree(nDirs = 2, filesPerDir = 3)
     val m = FileManifest.scan(spark, s"file://$b")
