@@ -13,7 +13,8 @@ object SparkEntry {
   /** All declared capabilities (SURVEY §2B + LLM-pipeline extensions). */
   def all: Seq[(String, QueryDef)] =
     Relational.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
-      MultiModal.defs ++ Reshape.defs ++ Analytic.defs ++ Stats.defs
+      MultiModal.defs ++ Reshape.defs ++ Analytic.defs ++ Stats.defs ++
+      Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

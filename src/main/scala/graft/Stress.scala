@@ -120,6 +120,31 @@ object Stress {
           embeddings, embeddings.filter(col("vec_id") % 100 === 0),
           k = 10, nPlanes = 8, probes = 1, tables = 16).count()
       },
+      // k-means IVF ANN (q98's second scale path): training cost and
+      // candidate volume (~nprobe/nlist of the corpus per query) must
+      // both grow linearly with corpus size
+      timed("ivf_topk") {
+        graft.operators.Ann.ivfTopK(
+          embeddings, embeddings.filter(col("vec_id") % 100 === 0),
+          k = 10, nlist = 16, nprobe = 8).count()
+      },
+      // group-level MinHash union sketch (q99's scale path): per-group
+      // state is a fixed 128-slot signature regardless of corpus size,
+      // so wall-clock tracks the map-side shingling, never the state
+      timed("union_sketch") {
+        import spark.implicits._
+        documents
+          .select(col("source"), expr("graft_shingles(text, 3)").as("sh"))
+          .filter(size(col("sh")) > 0)
+          .select(col("source"), expr("graft_minhash(sh)").as("sig"))
+          .as[(String, Array[Long])]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(graft.functions.HashFunctions.MinHashUnionAgg
+            .toColumn.name("usig"))
+          .toDF("source", "usig")
+          .count()
+      },
       // exact dedup shuffle on the full text key
       timed("exact_dedup") {
         documents.groupBy("text")

@@ -45,9 +45,18 @@ object Dedup {
     * minhash on a single core (at 100 TB the file count provides the
     * fan-out; the explicit repartition makes it unconditional).
     */
-  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) =
+    shingledOf(s, table(s, dir, "documents"))
+
+  /** Df-based shingling (same contract) — shared with the composed
+    * corpus pipeline (q100), which shingles intermediate survivor sets
+    * rather than the raw table.
+    */
+  private[operators] def shingledOf(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     HashFunctions.register(s)
-    table(s, dir, "documents")
+    docs
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
       .filter(size(col("sh")) > 0)
@@ -95,6 +104,18 @@ object Dedup {
     // recomputing the sketch stage)
     val sh = shingled(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifiedPairsOf(sh, minJ)
+  }
+
+  /** LSH-candidate → exact-Jaccard-verified pairs over an
+    * already-shingled (and ideally persisted) frame — the df-based core
+    * of [[neardupPairs]], shared with the composed corpus pipeline
+    * (q100) so the banding layout and verify arithmetic have exactly
+    * one definition.
+    */
+  private[operators] def verifiedPairsOf(
+      sh: org.apache.spark.sql.DataFrame,
+      minJ: Double = MinJaccard): org.apache.spark.sql.DataFrame = {
     val cand = lshCandidatePairs(sh)
       .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
       .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
@@ -669,9 +690,9 @@ object Dedup {
               .as("jaccard"))
         // sketch side: row signatures → per-source union sketch
         val usig = docs
-          .select(col("source"),
-            expr("graft_minhash(graft_shingles(text, 3))").as("sig"))
-          .filter(expr("size(graft_shingles(text, 3)) > 0"))
+          .select(col("source"), expr("graft_shingles(text, 3)").as("sh0"))
+          .filter(size(col("sh0")) > 0)
+          .select(col("source"), expr("graft_minhash(sh0)").as("sig"))
           .as[(String, Array[Long])]
           .groupByKey(_._1)
           .mapValues(_._2)

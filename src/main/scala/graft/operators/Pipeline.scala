@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions
+import Q._
+
+/** The composed corpus-build pipeline (LLM-data-pipeline extension
+  * surface, SURVEY §2B Q100): the end-to-end flow a training-data run
+  * executes, expressed as ONE declarative DataFrame plan —
+  *
+  *   1. quality gate        (q91's integer-exact thresholds)
+  *   2. exact dedup         (q22's min-doc_id survivor per text)
+  *   3. near-dup removal    (q83: LSH → exact-Jaccard verify →
+  *                           connected components → canonical survivor)
+  *   4. decontamination     (q96: drop eval stand-ins + docs sharing
+  *                           ≥ 5 shingles with any of them)
+  *   5. split report        (q46's md5 hash split; per-(split, lang)
+  *                           doc and token counts)
+  *
+  * Every stage reuses the standalone query's helper, so the composed
+  * semantics can never drift from the per-stage contracts
+  * ([[TextAnalysis.qualitySignals]], [[Dedup.shingledOf]],
+  * [[Dedup.verifiedPairsOf]], [[Dedup.minLabelPropagate]]).
+  *
+  * Stage order is the 100 TB cost order: the row-local quality gate
+  * prunes before anything shuffles; exact dedup (one hash shuffle)
+  * shrinks the corpus before the LSH index is built; near-dup removal
+  * runs before the decontamination join so the shingle-keyed overlap
+  * scan sees only survivors; the split is a map-only projection last.
+  * No stage introduces a plan shape beyond its standalone query's —
+  * bucketed/skinny joins throughout, no all-pairs work outside
+  * verified LSH buckets, CC fail-loud at the fixpoint cap.
+  *
+  * The survivor-set shingle table is built once and persisted: the
+  * near-dup verify join (both sides) and the decontamination corpus
+  * side all read it, so the CPU-bound shingling of the deduped corpus
+  * runs once. The eval stand-in side re-shingles the RAW table because
+  * an eval set is external input — its membership must not depend on
+  * what the cleaning stages upstream removed.
+  */
+object Pipeline {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    "q100_corpus_pipeline" -> QueryDef(
+      (s, dir) => {
+        HashFunctions.register(s)
+        val docs = table(s, dir, "documents")
+        // 1. quality gate — q91's predicate verbatim (integer-exact)
+        val q1 = TextAnalysis.qualitySignals(docs)
+          .filter(col("n_tokens") >= 10 &&
+            col("n_stop") * 10 <= col("n_tokens") * 3 &&
+            col("n_chars_ns") <= col("n_tokens") * 8)
+          .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+        // 2. exact dedup — min-doc_id survivor per distinct text; lang
+        // and n_tokens ride along (n_tokens is a function of text, so
+        // min() is just "the" value)
+        val s2 = q1.groupBy("text").agg(
+          min("doc_id").as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min("n_tokens").as("n_tokens"))
+        // 3. near-dup removal over the deduped survivors: one shingle
+        // pass feeds LSH candidates, the verify join, and stage 4
+        val sh2 = Dedup.shingledOf(s, s2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val removed = Dedup
+          .minLabelPropagate(Dedup.verifiedPairsOf(sh2).select("da", "db"))
+          .filter(col("v") =!= col("lbl"))
+          .select(col("v").as("doc_id"))
+        val s3 = s2.join(removed, Seq("doc_id"), "left_anti")
+        // 4. decontamination — q96 semantics: eval stand-ins (doc_id %
+        // 50 = 0) leave the corpus, and any survivor sharing ≥ 5
+        // shingles with a single stand-in is contaminated. The corpus
+        // side reuses sh2 (semi-joined to stage-3 survivors); the eval
+        // side shingles the raw table (external input by definition).
+        val s4a = s3.filter(col("doc_id") % 50 =!= 0)
+        val benchSh = Dedup.shingledOf(s, docs)
+          .filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
+        val corpusSh = sh2
+          .join(s4a.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        val contaminated = corpusSh.join(benchSh, "g")
+          .groupBy("doc_id", "bench_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 5)
+          .select("doc_id").distinct()
+        val s4 = s4a.join(contaminated, Seq("doc_id"), "left_anti")
+        // 5. split report — q46's md5 hash split, exact token sums
+        val hex = substring(md5(col("doc_id").cast("string")), 1, 1)
+        s4
+          .withColumn("split",
+            when(hex.isin("c", "d"), "val")
+              .when(hex.isin("e", "f"), "test")
+              .otherwise("train"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .orderBy("split", "lang")
+      },
+      Some(s"""WITH RECURSIVE
+              f AS (SELECT doc_id, lang, text,
+                  list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS toks,
+                  CAST(LENGTH(regexp_replace(text, '\\s', '', 'g'))
+                    AS BIGINT) AS nc
+                FROM documents),
+              g AS (SELECT doc_id, lang, text,
+                  CAST(LEN(toks) AS BIGINT) AS nt,
+                  CAST(LEN(list_filter(toks,
+                    x -> x IN (${TextAnalysis.stopwordsSql}))) AS BIGINT)
+                    AS ns, nc
+                FROM f),
+              q1 AS (SELECT doc_id, lang, text, nt FROM g
+                WHERE nt >= 10 AND ns * 10 <= nt * 3 AND nc <= nt * 8),
+              s2 AS (SELECT MIN(doc_id) AS doc_id,
+                  arg_min(lang, doc_id) AS lang, text, MIN(nt) AS nt
+                FROM q1 GROUP BY text),
+              sh2 AS (SELECT doc_id, list_distinct(
+                  [array_to_string(t[i:i+2], ' ')
+                   for i in range(1, len(t)-1)]) AS s
+                FROM (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\\s+'),
+                      x -> x <> '') AS t
+                  FROM s2) z WHERE len(t) >= 3),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db
+                FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.8),
+              edges AS (SELECT da AS a, db AS b FROM p
+                        UNION SELECT db, da FROM p),
+              reach AS (SELECT a, a AS b
+                          FROM (SELECT DISTINCT a FROM edges) n
+                        UNION
+                        SELECT r.a, e.b
+                          FROM reach r JOIN edges e ON r.b = e.a),
+              labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+                         FROM reach GROUP BY a),
+              s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN
+                (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)),
+              s4a AS (SELECT * FROM s3 WHERE doc_id % 50 <> 0),
+              bsh AS (SELECT doc_id AS bench_id, UNNEST(list_distinct(
+                  [array_to_string(t[i:i+2], ' ')
+                   for i in range(1, len(t)-1)])) AS grm
+                FROM (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\\s+'),
+                      x -> x <> '') AS t
+                  FROM documents WHERE doc_id % 50 = 0) z
+                WHERE len(t) >= 3),
+              csh AS (SELECT doc_id, UNNEST(s) AS grm FROM sh2
+                WHERE doc_id IN (SELECT doc_id FROM s4a)),
+              cont AS (SELECT DISTINCT doc_id FROM (
+                  SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+                  FROM csh c JOIN bsh b USING (grm) GROUP BY 1, 2
+                  HAVING COUNT(*) >= 5) zz),
+              s4 AS (SELECT * FROM s4a WHERE doc_id NOT IN
+                (SELECT doc_id FROM cont))
+              SELECT CASE
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('c', 'd') THEN 'val'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('e', 'f') THEN 'test'
+                  ELSE 'train' END AS split, lang,
+                COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+              FROM s4 GROUP BY 1, 2 ORDER BY split, lang"""))
+  )
+}

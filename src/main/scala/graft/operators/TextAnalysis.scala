@@ -48,7 +48,7 @@ object TextAnalysis {
     lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
-  private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
+  private[operators] val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
 
   /** BPE-ish token regex: letter runs, single digits, single punctuation —
     * a deterministic stand-in for a learned BPE vocabulary's fertility
@@ -61,7 +61,7 @@ object TextAnalysis {
     * stopword hits — one definition so the "q31 signals" the gate
     * composes can never drift from q31 itself.
     */
-  private def qualitySignals(df: DataFrame): DataFrame = df
+  private[operators] def qualitySignals(df: DataFrame): DataFrame = df
     .withColumn("toks", tokens(col("text")))
     .withColumn("n_tokens", size(col("toks")).cast("long"))
     .withColumn("n_chars_ns",
