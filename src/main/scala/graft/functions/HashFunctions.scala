@@ -260,6 +260,24 @@ object HashFunctions {
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int]),
       "built-in")
+    // Spark's own runtime-filter machinery, surfaced as SQL functions:
+    // graft_bloom_build(xxhash64(key), estNumItemsL) aggregates a
+    // serialized bloom filter (binary, fixed size — the same
+    // BloomFilterAggregate Catalyst injects for runtime join pruning),
+    // and graft_bloom_contains(bloomLit, xxhash64(key)) is the codegen'd
+    // membership probe. Both require LongType keys — always feed
+    // xxhash64(col). Bloom bit-sets OR idempotently, so the built filter
+    // is deterministic regardless of partitioning or row order.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_build",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1)),
+      "built-in")
   }
 
   /** MinHash sketch union as a typed Aggregator: the elementwise minimum

@@ -726,6 +726,162 @@ object Dedup {
               FROM common
               JOIN sizes x ON x.source = sa
               JOIN sizes y ON y.source = sb
-              ORDER BY sa, sb"""))
+              ORDER BY sa, sb""")),
+
+    // Bloom-filter decontamination — q96-at-scale. The shingle-keyed
+    // equi-join (q96) shuffles the ENTIRE corpus gram stream on the
+    // gram; at 100 TB that is the dominant shuffle of a release run.
+    // But an eval set is a fixed small input, so its gram set fits a
+    // ~1 MiB bloom filter forever: build it with Spark's own
+    // BloomFilterAggregate (one partial-aggregating pass over bench
+    // grams; bit-OR merge is commutative+idempotent → deterministic),
+    // ship it to every executor as a literal, and the corpus side
+    // becomes a MAP-ONLY membership probe (codegen'd
+    // BloomFilterMightContain) + one per-doc count — the cross-corpus
+    // gram shuffle disappears. Flag rule: a corpus doc is contaminated
+    // when ≥ 5 of its distinct 3-gram shingles hit the eval gram set
+    // (the union-set variant of q96's per-bench-doc rule — the classic
+    // n-gram-overlap decontamination test).
+    //
+    // Contract (q98/q99 style): the query runs the exact union-set
+    // join alongside the bloom path and emits per-lang
+    //   bloom_no_miss — every exactly-flagged doc is bloom-flagged
+    //     (structural: blooms have NO false negatives; anything else
+    //     is a bug, so the oracle pins 1), and
+    //   bloom_fp_ok — spurious bloom flags ≤ max(2, n_docs/50): a doc
+    //     is falsely flagged only when ≥ 5 *distinct* grams all
+    //     false-positive (p ≈ fpp⁵ at ~1e-9 per doc), so the 2 % slack
+    //     is orders of magnitude above the expectation.
+    // Only exact counts and the two contract bits are hashed — bloom
+    // hit counts never appear in output, so the oracle is not pinned
+    // to Spark's bloom internals.
+    "q101_bloom_decontamination" -> QueryDef(
+      (s, dir) => {
+        HashFunctions.register(s)
+        // sh feeds the bench build, the exact side, and the bloom
+        // probe side — shingle once
+        val sh = shingled(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val benchG = sh.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("sh")).as("g")).distinct()
+        // one aggregation job → serialized filter on the driver. The
+        // driver holds ~1 MiB regardless of corpus size (the bloom is
+        // sized by the EVAL set, which is fixed), unlike a collected
+        // gram set which grows with the eval corpus text volume.
+        val bloomBytes = benchG
+          .agg(expr("graft_bloom_build(xxhash64(g), 1048576L)").as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val corpusG = sh.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        // scale path: map-only probe, then ONE skinny per-doc count
+        val bloomFlag = corpusG
+          .filter(call_function("graft_bloom_contains",
+            lit(bloomBytes), xxhash64(col("g"))))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+          .filter(col("n_hit") >= 5)
+          .select(col("doc_id"), lit(1L).as("bl"))
+        // exact baseline: same rule via the gram equi-join (grams are
+        // distinct per doc and benchG is distinct, so count = distinct
+        // shared grams)
+        val exactFlag = corpusG.join(benchG, "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+          .filter(col("n_hit") >= 5)
+          .select(col("doc_id"), lit(1L).as("ex"))
+        table(s, dir, "documents")
+          .filter(col("doc_id") % 50 =!= 0)
+          .join(exactFlag, Seq("doc_id"), "left")
+          .join(bloomFlag, Seq("doc_id"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("ex"), lit(0L))).as("n_flagged"),
+            min(when(col("ex") === 1L && col("bl").isNull, 0L)
+              .otherwise(1L)).as("bloom_no_miss"),
+            ((sum(coalesce(col("bl"), lit(0L)))
+                - sum(coalesce(col("ex"), lit(0L))))
+              <= greatest(lit(2L), count(lit(1)).cast("long") / 50L))
+              .cast("long").as("bloom_fp_ok"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              bg AS (SELECT DISTINCT UNNEST(s) AS g
+                     FROM sh WHERE doc_id % 50 = 0),
+              cg AS (SELECT doc_id, UNNEST(s) AS g
+                     FROM sh WHERE doc_id % 50 <> 0),
+              fl AS (SELECT doc_id FROM cg JOIN bg USING (g)
+                     GROUP BY doc_id HAVING COUNT(*) >= 5)
+              SELECT d.lang, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_flagged,
+                CAST(1 AS BIGINT) AS bloom_no_miss,
+                CAST(1 AS BIGINT) AS bloom_fp_ok
+              FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id
+              WHERE d.doc_id % 50 <> 0
+              GROUP BY 1 ORDER BY d.lang""")),
+
+    // Cross-document repeated n-grams — the corpus-level duplicated-text
+    // measure (substring-granularity cousin of whole-doc dedup, in the
+    // spirit of train-set "deduplicate repeated n-grams" analyses): a
+    // 3-gram shingle is *duplicated* when it appears in ≥ 2 distinct
+    // documents; per document we count how many of its distinct grams
+    // are duplicated, and per language report total/duplicated gram
+    // volume plus the count of "heavy" docs (≥ half their grams shared
+    // with some other doc — copy-paste boilerplate candidates).
+    //
+    // Plan at 100 TB: explode is map-only; gram doc-frequency is ONE
+    // count shuffle (grams are already distinct per doc, so COUNT(1)
+    // per gram IS the doc frequency — no count-distinct expansion);
+    // flagging joins the skinny (gram → dup bit) frame back on the
+    // gram key; per-doc and per-lang aggs both partial-aggregate.
+    // All output columns are integers — nothing float-ordering-
+    // sensitive can flake the oracle hash.
+    "q102_repeated_ngrams" -> QueryDef(
+      (s, dir) => {
+        // g feeds both the docfreq agg and the flag join — shingle once
+        val g = shingled(s, dir)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dup = g.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+          .select(col("g"), lit(1L).as("dup"))
+        val perDoc = g.join(dup, Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+        table(s, dir, "documents")
+          .join(perDoc, Seq("doc_id"), "left") // < 3-token docs: no grams
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("n_grams"), lit(0L))).as("total_grams"),
+            sum(coalesce(col("n_dup"), lit(0L))).as("dup_grams"),
+            sum(when(col("n_dup") * 2 >= col("n_grams"), 1L)
+              .otherwise(0L)).as("n_heavy"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              g AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+              dup AS (SELECT g, CAST(1 AS BIGINT) AS dup FROM g
+                      GROUP BY g HAVING COUNT(*) >= 2),
+              pd AS (SELECT doc_id, COUNT(*) AS n_grams,
+                       SUM(COALESCE(dup.dup, 0)) AS n_dup
+                     FROM g LEFT JOIN dup USING (g) GROUP BY doc_id)
+              SELECT d.lang, COUNT(*) AS n_docs,
+                CAST(SUM(COALESCE(pd.n_grams, 0)) AS BIGINT) AS total_grams,
+                CAST(SUM(COALESCE(pd.n_dup, 0)) AS BIGINT) AS dup_grams,
+                CAST(SUM(CASE WHEN pd.n_dup * 2 >= pd.n_grams
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
+              FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+              GROUP BY 1 ORDER BY d.lang"""))
   )
 }

@@ -133,6 +133,55 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("bloom build/contains: zero false negatives, deterministic bytes") {
+    HashFunctions.register(spark)
+    import spark.implicits._
+    val members = (0 until 1000).map(i => s"gram-$i")
+    val df = members.toDF("g")
+    def build() = df
+      .agg(org.apache.spark.sql.functions.expr(
+        "graft_bloom_build(xxhash64(g), 4096L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val bf = build()
+    // bit-OR construction is order-independent: rebuilding over a
+    // different partitioning yields identical bytes
+    assert(java.util.Arrays.equals(bf, build()))
+    val probe = (members ++ (0 until 1000).map(i => s"absent-$i")).toDF("g")
+      .withColumn("hit", org.apache.spark.sql.functions.call_function(
+        "graft_bloom_contains",
+        org.apache.spark.sql.functions.lit(bf),
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("g"))))
+    val hits = probe.filter(org.apache.spark.sql.functions.col("hit"))
+      .select("g").as[String].collect().toSet
+    assert(members.forall(hits.contains), "bloom false negative — impossible by construction")
+    // fp side: sized 4096 slots for 1000 members, expect ~0 of 1000 absents
+    assert((hits -- members).size <= 20, s"excess false positives: ${(hits -- members).size}")
+  }
+
+  test("q101 bloom decontamination honors its contract bits at sf0.001") {
+    val rows = SparkEntry.queries("q101_bloom_decontamination")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bloom_no_miss") == 1L, s"bloom missed an exact flag in ${r}")
+      assert(r.getAs[Long]("bloom_fp_ok") == 1L, s"bloom fp overshoot in ${r}")
+    }
+    assert(rows.map(_.getAs[Long]("n_flagged")).sum > 0, "contract is vacuous: nothing flagged")
+  }
+
+  test("q102 repeated-ngram counts are internally consistent at sf0.001") {
+    val rows = SparkEntry.queries("q102_repeated_ngrams")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docs, total, dup, heavy) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_grams"), r.getAs[Long]("dup_grams"),
+        r.getAs[Long]("n_heavy"))
+      assert(dup <= total, s"dup > total in $r")
+      assert(heavy <= docs, s"heavy > docs in $r")
+      assert(docs > 0 && total > 0)
+    }
+  }
+
   test("minhash signature is deterministic and length-k") {
     HashFunctions.register(spark)
     val sig = spark.sql(

@@ -175,6 +175,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p89.contains("CartesianProduct"))
   }
 
+  test("q101: the bloom probe side is join-free — membership is a map-only filter") {
+    val p = plan("q101_bloom_decontamination")
+    assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
+      "bloom probe lost its native BloomFilterMightContain expression")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // exactly ONE gram-keyed join may remain (the exact baseline the
+    // contract compares against); the bloom path itself adds none
+    val gramJoins = "Join .*\\bg#".r.findAllIn(p).size
+    assert(gramJoins <= 1, s"bloom path introduced a gram join: $gramJoins")
+  }
+
+  test("q102: gram doc-frequency aggregates partially before the shuffle") {
+    val p = plan("q102_repeated_ngrams")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count"),
+      "doc-frequency count lost its map-side partial")
+  }
+
   test("relational hot paths stay inside whole-stage codegen") {
     // execute first: AQE only materializes its final plan (with `*(n)`
     // codegen stage markers) after the job runs. (q02 is absent: its
