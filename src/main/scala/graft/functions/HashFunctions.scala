@@ -232,6 +232,39 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Point-estimate probe against a serialized `CountMinSketch` (the
+  * frequency sketch Spark's builtin `count_min_sketch` aggregate
+  * produces): `graft_cms_estimate(sketchLit, key)` returns the sketch's
+  * count estimate for the key. The sketch side must be foldable (a
+  * literal / collected aggregate) — it deserializes ONCE per task via
+  * the transient lazy, not per row. Key typing mirrors the aggregate's
+  * insert path: StringType probes as a String (UTF-8 bytes), integral
+  * types as a Long — anything else would silently probe a different
+  * hash stream and return garbage zeros.
+  */
+case class CmsEstimate(sketchBytes: Expression, child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def left: Expression = sketchBytes
+  override def right: Expression = child
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_estimate"
+
+  @transient private lazy val cms =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      sketchBytes.eval().asInstanceOf[Array[Byte]])
+
+  override def nullSafeEval(bytes: Any, key: Any): Any = key match {
+    case s: UTF8String => cms.estimateCount(s.toString)
+    case i: java.lang.Integer => cms.estimateCount(i.longValue(): java.lang.Long)
+    case other => cms.estimateCount(other)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(sketchBytes = newLeft, child = newRight)
+}
+
 /** Session registration for the sketch expressions. Call `register` once
   * (idempotent), then use `expr("graft_minhash(col)")` /
   * `expr("graft_simhash(col)")` on a named array<string> column, or
@@ -277,6 +310,10 @@ object HashFunctions {
       "graft_bloom_contains",
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_estimate",
+      exprs => CmsEstimate(exprs.head, exprs(1)),
       "built-in")
   }
 

@@ -613,6 +613,56 @@ object Stats {
               SELECT o_orderpriority, COUNT(*) AS n,
                 CAST(SUM(bd) AS BIGINT) AS bd_total,
                 ROUND(CAST(SUM(bd) AS DOUBLE) / COUNT(*), 4) AS avg_bd
-              FROM w GROUP BY 1 ORDER BY o_orderpriority"""))
+              FROM w GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    // Count-min-sketch heavy hitters — the frequency member of the
+    // sketch family (q57 HLL distinct, q67 KLL quantiles, q99 MinHash
+    // similarity, q101 bloom membership): top-10 users by event count,
+    // exact counts alongside the CMS estimate's contract bits. At
+    // 100 TB the exact per-key groupBy is the thing you CAN'T always
+    // afford (billions of keys); the sketch is a fixed ~100 KiB
+    // mergeable state built in one partial-aggregating pass (Spark's
+    // builtin `count_min_sketch`), and heavy-hitter counts read
+    // straight out of it. Contract:
+    //   cms_no_under — CMS never underestimates (structural: counters
+    //     only increment; an underestimate is a bug), and
+    //   cms_bound_ok — est ≤ true + ε·N with ε = 0.001 (the sketch's
+    //     own accuracy guarantee at 99 % confidence; deterministic
+    //     here because the seed is pinned).
+    // Exact top-10 selection is total-ordered (count desc, user_id) so
+    // both engines pick the identical set; the estimate itself is
+    // never an output column (it would pin the oracle to the sketch's
+    // hash internals).
+    "q103_cms_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashFunctions.register(s)
+        val ev = table(s, dir, "events")
+        // one aggregation job → ~100 KiB serialized sketch on the
+        // driver (size fixed by (ε, δ), not by data volume)
+        val sketchBytes = ev
+          .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
+          .head().getAs[Array[Byte]](0)
+        val total = ev.agg(count(lit(1)).as("n_total"))
+        val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+          .orderBy(col("n_events").desc, col("user_id"))
+          .limit(10)
+        top.crossJoin(broadcast(total)) // 1-row scalar, broadcast
+          .select(col("user_id"), col("n_events"), col("n_total"),
+            call_function("graft_cms_estimate",
+              lit(sketchBytes), col("user_id")).as("est"))
+          .select(col("user_id"), col("n_events"),
+            (col("est") >= col("n_events")).cast("long").as("cms_no_under"),
+            (col("est") <= col("n_events")
+              + ceil(col("n_total").cast("double") * 0.001))
+              .cast("long").as("cms_bound_ok"))
+          .orderBy(col("n_events").desc, col("user_id"))
+      },
+      Some("""WITH t AS (SELECT user_id, COUNT(*) AS n_events
+                FROM events GROUP BY user_id
+                ORDER BY n_events DESC, user_id LIMIT 10)
+              SELECT user_id, n_events,
+                CAST(1 AS BIGINT) AS cms_no_under,
+                CAST(1 AS BIGINT) AS cms_bound_ok
+              FROM t ORDER BY n_events DESC, user_id"""))
   )
 }

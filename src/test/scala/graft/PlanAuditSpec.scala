@@ -195,6 +195,13 @@ class PlanAuditSpec extends SparkSpec {
       "doc-frequency count lost its map-side partial")
   }
 
+  test("q103: heavy-hitter top-k is TakeOrderedAndProject; total is a broadcast scalar") {
+    val p = plan("q103_cms_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 regressed to a global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("relational hot paths stay inside whole-stage codegen") {
     // execute first: AQE only materializes its final plan (with `*(n)`
     // codegen stage markers) after the job runs. (q02 is absent: its

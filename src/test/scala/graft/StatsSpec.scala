@@ -69,6 +69,43 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("cms estimate: never under, exact on collision-free keys, both key types") {
+    graft.functions.HashFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 100 long keys, key i appears i+1 times — known exact counts
+    val rows = (0 until 100).flatMap(i => Seq.fill(i + 1)(i.toLong)).toDF("k")
+    val sk = rows.agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val est = rows.distinct()
+      .withColumn("est", call_function("graft_cms_estimate", lit(sk), col("k")))
+      .as[(Long, Long)].collect().toMap
+    (0 until 100).foreach { i =>
+      assert(est(i.toLong) >= i + 1, s"CMS underestimated key $i — impossible")
+      assert(est(i.toLong) <= i + 1 + 6, s"CMS overshoot on $i: ${est(i.toLong)}")
+    }
+    // string keys probe the string hash stream, not the long one
+    val srows = Seq("a", "a", "b").toDF("s")
+    val ssk = srows.agg(expr("count_min_sketch(s, 0.001d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val sest = srows.distinct()
+      .withColumn("est", call_function("graft_cms_estimate", lit(ssk), col("s")))
+      .as[(String, Long)].collect().toMap
+    assert(sest("a") == 2L && sest("b") == 1L)
+  }
+
+  test("q103 heavy-hitter contract bits hold at sf0.001") {
+    val out = SparkEntry.queries("q103_cms_heavy_hitters")(spark, sfDir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cms_no_under") == 1L)
+      assert(r.getAs[Long]("cms_bound_ok") == 1L)
+    }
+    // total order: counts non-increasing
+    val counts = out.map(_.getAs[Long]("n_events"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q69: kNN vote matches a per-row recomputation on a small slice") {
     val out = SparkEntry.queries("q69_knn_label")(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= 11) // vec_id 0..10 inclusive
