@@ -54,5 +54,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int])
     }
+    inject("graft_sign_buckets",
+      "graft_sign_buckets(emb, nPlanes, tables, seed, dim) - all LSH " +
+        "hyperplane sign-buckets of an embedding, one per table") {
+      exprs => graft.functions.SignBuckets(exprs.head,
+        nPlanes = exprs(1).eval().asInstanceOf[Int],
+        tables = exprs(2).eval().asInstanceOf[Int],
+        seed = exprs(3).eval().asInstanceOf[Long],
+        dim = exprs(4).eval().asInstanceOf[Int])
+    }
+    inject("graft_bloom_build",
+      "graft_bloom_build(xxhash64(key), estNumItems) - serialized bloom " +
+        "filter aggregate (Spark's runtime-filter sketch)") {
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1))
+    }
+    inject("graft_bloom_contains",
+      "graft_bloom_contains(bloom, xxhash64(key)) - bloom membership probe") {
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1))
+    }
+    inject("graft_cms_estimate",
+      "graft_cms_estimate(sketch, key) - count estimate from a " +
+        "count_min_sketch aggregate") {
+      exprs => graft.functions.CmsEstimate(exprs.head, exprs(1))
+    }
   }
 }

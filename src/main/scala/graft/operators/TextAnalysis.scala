@@ -9,7 +9,8 @@ import Q._
   * extension surface): whitespace/BPE-ish tokenization, n-gram-lexicon
   * language ID, quality scoring + the quality-filter gate, md5 document
   * fingerprinting, TF-IDF, deterministic hash splits, overlapping chunk
-  * windows, and per-shard sequence packing. All are pure `functions._`
+  * windows, per-shard sequence packing, and data-mixing weights. All are
+  * pure `functions._`
   * column pipelines (codegen'd, no UDFs) and each has a DuckDB oracle.
   * Shared helpers ([[TextAnalysis.tokens]]) are reused by the dedup
   * operators.
@@ -451,6 +452,50 @@ object TextAnalysis {
                 CAST(SUM(repetitive) AS BIGINT) AS n_repetitive,
                 ROUND(CAST(SUM(repetitive) AS DOUBLE) / COUNT(*), 4)
                   AS rep_rate
-              FROM p GROUP BY 1 ORDER BY lang"""))
+              FROM p GROUP BY 1 ORDER BY lang""")),
+
+    // Data-mixing weights — the sampling-ratio computation a multi-source
+    // training run does before it reads a byte: per-source token share,
+    // then temperature-rebalanced weights w ∝ share^α (α = 0.5, the
+    // standard up-weight-the-tail exponent) renormalized to 1. One
+    // partial-agg count/sum shuffle over the fact table; the share and
+    // weight windows run over the already-aggregated |sources|-row frame
+    // (q86's pattern), NEVER over the corpus. Determinism: token counts
+    // are integers; sqrt is IEEE-exact per row; the weight denominator
+    // sums sqrt values as DECIMAL(18,12) so partial-agg order (Spark)
+    // vs scan order (DuckDB) can't flip the 4-decimal rounding.
+    "q104_mixture_weights" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(lit(1))
+        table(s, dir, "documents")
+          .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .withColumn("share",
+            col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+          .withColumn("w_raw", sqrt(col("share")))
+          .withColumn("weight",
+            col("w_raw") / sum(col("w_raw").cast(
+              org.apache.spark.sql.types.DecimalType(18, 12))).over(w)
+              .cast("double"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("share"), 4).as("share"),
+            round(col("weight"), 4).as("weight"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(LEN(list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> ''))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source),
+              sh AS (SELECT source, n_docs, n_tokens,
+                  CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share,
+                  SQRT(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ())
+                    AS w_raw
+                FROM per)
+              SELECT source, n_docs, n_tokens,
+                ROUND(share, 4) AS share,
+                ROUND(w_raw / CAST(SUM(CAST(w_raw AS DECIMAL(18,12)))
+                  OVER () AS DOUBLE), 4) AS weight
+              FROM sh ORDER BY source"""))
   )
 }

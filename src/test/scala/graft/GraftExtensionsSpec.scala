@@ -34,12 +34,27 @@ class GraftExtensionsSpec extends SparkSpec {
              size(graft_minhash(array('a b c', 'b c d'))) AS mh,
              graft_simhash_md5(array('tok')) IS NOT NULL AS sh,
              graft_shingles('a b c d', 3) AS sg,
-             size(graft_winnow('abcdefghij', 5, 4)) > 0 AS wn""").head()
+             size(graft_winnow('abcdefghij', 5, 4)) > 0 AS wn,
+             size(graft_sign_buckets(array(CAST(1.0 AS FLOAT),
+               CAST(-1.0 AS FLOAT)), 4, 2, 42L, 2)) AS sb""").head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getInt(1) == 128)
       assert(r.getBoolean(2))
       assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
       assert(r.getBoolean(4))
+      assert(r.getInt(5) == 2) // one bucket per LSH table
+      // sketch build + probe round-trips through pure SQL (bloom: an
+      // aggregate feeding a scalar subquery; cms: same shape)
+      val sk = s.sql(
+        """WITH t AS (SELECT explode(array('x','y','z')) AS g)
+           SELECT graft_bloom_contains(
+                    (SELECT graft_bloom_build(xxhash64(g), 64L) FROM t),
+                    xxhash64('y')) AS hit,
+                  graft_cms_estimate(
+                    (SELECT count_min_sketch(g, 0.01d, 0.99d, 7) FROM t),
+                    'y') AS est""").head()
+      assert(sk.getBoolean(0))
+      assert(sk.getLong(1) == 1L)
     } finally {
       // shared SparkContext: restore the suite session, don't stop
       SparkSession.clearDefaultSession()

@@ -106,6 +106,18 @@ class StatsSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q104: mixture weights renormalize to 1 and flatten the share skew") {
+    val out = SparkEntry.queries("q104_mixture_weights")(spark, sfDir).collect()
+    assert(out.length > 1)
+    val shares = out.map(_.getAs[Double]("share"))
+    val weights = out.map(_.getAs[Double]("weight"))
+    assert(math.abs(shares.sum - 1.0) < 1e-2)
+    assert(math.abs(weights.sum - 1.0) < 1e-2)
+    // α = 0.5 compresses toward uniform: the weight spread is strictly
+    // narrower than the share spread
+    assert(weights.max - weights.min < shares.max - shares.min)
+  }
+
   test("q69: kNN vote matches a per-row recomputation on a small slice") {
     val out = SparkEntry.queries("q69_knn_label")(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= 11) // vec_id 0..10 inclusive
