@@ -145,6 +145,31 @@ object Stress {
           .toDF("source", "usig")
           .count()
       },
+      // bloom decontamination (q101's scale path): the eval-gram
+      // filter is sized by the FIXED eval set, so the corpus side is a
+      // map-only probe + one skinny per-doc count — wall-clock must
+      // track corpus volume and nothing else (no cross-corpus join)
+      timed("bloom_decontam") {
+        val sh = documents
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
+          .filter(size(col("sh")) > 0)
+        // hash-split the eval stand-in: a plain doc_id % 50 degenerates
+        // under inflation (doc_id ≡ replica mod 50, and texts are
+        // replica-suffixed, so bench and corpus would never share a
+        // gram — the probe would measure a scan that can't match)
+        val isBench = pmod(xxhash64(col("doc_id")), lit(50)) === 0
+        val bloomBytes = sh.filter(isBench)
+          .select(explode(col("sh")).as("g")).distinct()
+          .agg(expr("graft_bloom_build(xxhash64(g), 1048576L)"))
+          .head().getAs[Array[Byte]](0)
+        sh.filter(!isBench)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .filter(call_function("graft_bloom_contains",
+            lit(bloomBytes), xxhash64(col("g"))))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+          .filter(col("n_hit") >= 5).count()
+      },
       // exact dedup shuffle on the full text key
       timed("exact_dedup") {
         documents.groupBy("text")
