@@ -167,8 +167,9 @@ object Ann {
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer buckets the
-    * corpus by nearest centroid (`nlist` cells, distributed training via
-    * spark-mllib); each query probes its `nprobe` nearest cells and
+    * corpus by nearest centroid (`nlist` cells; the quantizer trains on
+    * a bounded deterministic sample — ~256 points per centroid — never
+    * the full corpus); each query probes its `nprobe` nearest cells and
     * exact cosine re-ranks the candidates. Same scale shape as the LSH
     * path — one corpus shuffle on the cell id, a tiny broadcast centroid
     * table, never n² pairs — but data-adaptive: cells follow the
@@ -180,14 +181,29 @@ object Ann {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L,
+      trainTarget: Long = 0L): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.VectorFunctions.register(spark)
     import org.apache.spark.ml.functions.array_to_vector
     val featured = corpus.withColumn("features", array_to_vector(col("embedding")))
+    // Coarse-quantizer training on a bounded deterministic sample —
+    // k-means is ITERATIVE, so fitting the full corpus is a
+    // multi-pass scan of 100 TB to learn an nlist-row model. The
+    // standard IVF recipe trains on a few hundred points per centroid
+    // (the cells only need to follow the coarse density); transform()
+    // still assigns EVERY corpus row to its cell. Sampling is seeded
+    // Bernoulli — deterministic for a fixed input layout.
+    val target =
+      if (trainTarget > 0) trainTarget else math.max(256L * nlist, 8192L)
+    val nCorpus = corpus.count()
+    val trainSet =
+      if (nCorpus <= target) featured
+      else featured.sample(withReplacement = false,
+        target.toDouble / nCorpus, seed)
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .fit(featured)
+      .fit(trainSet)
     val c = model.transform(featured)
       .select(col("vec_id"), col("embedding"),
         normSq(col("embedding")).as("nsq"), col("prediction").as("cell"))

@@ -156,6 +156,25 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.2, s"ivf recall collapsed: $recall")
   }
 
+  test("ivf sample-trained quantizer (the 100 TB path) keeps recall and exact sims") {
+    val queries = emb.filter(col("vec_id") <= 20)
+    // trainTarget below the corpus size forces the sampled-fit branch
+    val ivf = Ann.ivfTopK(emb, queries, k = 10, trainTarget = 100).collect()
+    // sims are still exact re-ranks regardless of where centroids came from
+    ivf.foreach { r =>
+      assert(r.getAs[Double]("sim") <= 1.0 + 1e-9)
+    }
+    val hits = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Ann.bruteTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (hits & brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"sample-trained ivf recall collapsed: $recall")
+    // deterministic: same seed + same input ⇒ same result set
+    val again = Ann.ivfTopK(emb, queries, k = 10, trainTarget = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == hits)
+  }
+
   test("a degenerate constant-vector mass is capped out of the bucket join") {
     // 240 copies of vec 3's embedding: identical vectors land in ONE
     // bucket in EVERY table — the quadratic-reducer shape the
