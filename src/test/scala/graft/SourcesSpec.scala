@@ -47,6 +47,23 @@ class SourcesSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("ORC round-trip preserves schema and values; predicates push down") {
+    val tmp = Files.createTempDirectory("graft-orc")
+    events.write.mode("overwrite").orc(s"$tmp/events")
+    val back = spark.read.orc(s"$tmp/events")
+    assert(back.schema == events.schema)
+    assert(back.count() == events.count())
+    def sig(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(bit_xor(col("h"))).first().getLong(0)
+    assert(sig(back) == sig(events))
+    // ORC scans take pushed filters like parquet — the 100 TB contract
+    val plan = back.filter(col("user_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("user_id"),
+      "predicate did not reach the ORC scan")
+  }
+
   test("malformed CSV rows: PERMISSIVE quarantines, DROPMALFORMED drops, FAILFAST raises") {
     import org.apache.spark.sql.types._
     val tmp = Files.createTempDirectory("graft-corrupt")
