@@ -233,6 +233,54 @@ object Similarity {
                       ORDER BY sim DESC, vec_id) <= 10)
               SELECT (SELECT COUNT(*) FROM r) AS n_exact,
                 CAST(1 AS BIGINT) AS lsh_recall_ok,
-                CAST(1 AS BIGINT) AS ivf_recall_ok"""))
+                CAST(1 AS BIGINT) AS ivf_recall_ok""")),
+
+    // Symmetric int8 embedding quantization QA — the 4× storage
+    // compression every 100 TB embedding store applies before anything
+    // else: per vector, scale = max |xᵢ|, qᵢ = round(127·xᵢ/scale),
+    // reconstruction x'ᵢ = qᵢ·scale/127. Pure codegen'd higher-order
+    // functions (transform / aggregate fold), map-only until the tiny
+    // per-label agg — the plan is a single pass at any scale. Contract
+    // bits (q98 style — the oracle states them, a quantizer bug fails
+    // the hash):
+    //   qmax_ok  — every quantized component fits int8 (|q| ≤ 127;
+    //     structural: |x| ≤ scale ⇒ |127·x/scale| ≤ 127 and round
+    //     can't push past it),
+    //   recon_ok — every reconstruction error ≤ scale/254 + ε (the
+    //     half-step bound of round; ε covers float evaluation).
+    // Zero vectors quantize to all-zeros with zero error by definition
+    // (the scale>0 guard keeps 0/0 out of the fold).
+    "q105_embedding_quantize" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val x = col("embedding")
+        val scale = array_max(transform(x, v => abs(v.cast("double"))))
+        val q = transform(x, v =>
+          when(col("scale") > 0d,
+            round(v.cast("double") * 127d / col("scale")))
+            .otherwise(0d))
+        val maxAbsQ = aggregate(col("q"), lit(0d),
+          (acc, v) => greatest(acc, abs(v)))
+        val maxErr = aggregate(
+          zip_with(x, col("q"), (v, qi) =>
+            when(col("scale") > 0d,
+              abs(v.cast("double") - qi * col("scale") / 127d))
+              .otherwise(0d)),
+          lit(0d), (acc, v) => greatest(acc, v))
+        e.withColumn("scale", scale)
+          .withColumn("q", q)
+          .withColumn("max_abs_q", maxAbsQ)
+          .withColumn("max_err", maxErr)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            min((col("max_abs_q") <= 127d).cast("long")).as("qmax_ok"),
+            min((col("max_err") <= col("scale") / 254d + 1e-9)
+              .cast("long")).as("recon_ok"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, COUNT(*) AS n_vecs,
+                CAST(1 AS BIGINT) AS qmax_ok,
+                CAST(1 AS BIGINT) AS recon_ok
+              FROM embeddings GROUP BY label ORDER BY label"""))
   )
 }

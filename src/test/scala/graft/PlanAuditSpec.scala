@@ -202,6 +202,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q105: quantization QA is map-only until the label agg (one data shuffle)") {
+    val p = plan("q105_embedding_quantize")
+    // one Exchange for the label agg + one range partitioning for the
+    // final orderBy; anything more means the per-vector math shuffled
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"quantization plan grew extra shuffles:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "label agg lost its map-side partial")
+  }
+
   test("relational hot paths stay inside whole-stage codegen") {
     // execute first: AQE only materializes its final plan (with `*(n)`
     // codegen stage markers) after the job runs. (q02 is absent: its
