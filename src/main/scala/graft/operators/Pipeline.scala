@@ -74,9 +74,12 @@ object Pipeline {
         // side reuses sh2 (semi-joined to stage-3 survivors); the eval
         // side shingles the raw table (external input by definition).
         val s4a = s3.filter(col("doc_id") % 50 =!= 0)
+        // persisted: the bloom-build action and the exact join both
+        // read the bench gram stream — shingle the stand-ins once
         val benchSh = Dedup.shingledOf(s, docs)
           .filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val corpusSh = sh2
           .join(s4a.select("doc_id"), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), explode(col("sh")).as("g"))
