@@ -77,6 +77,31 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming NEAR-dup suppression on a text column — the streaming
+    * half of the q25 family, at signature granularity: each record's
+    * 3-gram MinHash signature collapses to one 64-bit key (xxhash64
+    * over the 128 slots), and records whose key was already seen
+    * within the watermark are dropped. Identical-signature ⇒ the
+    * shingle sets are near-identical (the sketch's whole point), so
+    * this suppresses the retry/boilerplate near-clones an ingest feed
+    * emits — while the state store holds one LONG per surviving doc
+    * per watermark window, not the text. Catching lower-Jaccard pairs
+    * is the batch LSH pipeline's job downstream; a streaming band-OR
+    * would need 32 keyed dedups and 32× the state for recall the
+    * nightly batch already guarantees.
+    */
+  def neardupSuppressWithinWatermark(
+      docs: DataFrame, textCol: String): DataFrame = {
+    graft.functions.HashFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("sig",
+        expr(s"graft_minhash(graft_shingles($textCol, 3))"))
+      .withColumn("sig_key", xxhash64(col("sig")))
+      .drop("sig")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("sig_key")
+  }
+
   /** Stream-stream interval join: each purchase pairs with the same
     * user's clicks from the preceding hour (the streaming counterpart
     * of the q36/q37 temporal joins). BOTH sides carry watermarks and

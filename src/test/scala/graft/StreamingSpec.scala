@@ -10,6 +10,8 @@ final case class Ev(ts: Timestamp, event_type: String, value: Double)
 final case class EvId(
     event_id: Long, ts: Timestamp, event_type: String, value: Double)
 
+final case class Doc(ts: Timestamp, doc_id: Long, text: String)
+
 /** MemoryStream behavior tests for the streaming surface (SURVEY §5
   * item 5): tumbling/sliding/session window contents, watermark-driven
   * finalization in append mode, and late-data dropping.
@@ -283,6 +285,37 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(got.nonEmpty && got == want)
       assert(got == got.distinct, "an id was emitted more than once")
+    } finally q.stop()
+  }
+
+  test("neardupSuppressWithinWatermark drops signature-identical near-clones, keeps distinct docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val distinctDoc = "completely different content with no shared trigrams at all here"
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.neardupSuppressWithinWatermark(input.toDF(), "text")
+      .writeStream.format("memory").outputMode(OutputMode.Append())
+      .queryName("neardup_" + System.nanoTime()).start()
+    try {
+      // doc 1; an exact resend (id differs — id-dedup would MISS it);
+      // a distinct doc — all inside the watermark window
+      input.addData(Seq(
+        Doc(t(1), 1L, a), Doc(t(2), 2L, a), Doc(t(3), 3L, distinctDoc)))
+      q.processAllAvailable()
+      // batch 2 only advances the watermark (batches run against the
+      // PREVIOUS batch's watermark, so eviction is visible one batch
+      // later); batch 3's resend of `a` then finds doc 1's state gone
+      input.addData(Seq(Doc(t(130), 4L, distinctDoc + " v2")))
+      q.processAllAvailable()
+      input.addData(Seq(Doc(t(135), 5L, a)))
+      q.processAllAvailable()
+      val got = spark.table(q.name).collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      // 2 suppressed (same signature as 1, inside the delay); 3 and 4
+      // kept (distinct signatures); 5 kept (1's key evicted once the
+      // watermark passed t(1) + 10 min)
+      assert(got == Seq(1L, 3L, 4L, 5L), s"got $got")
     } finally q.stop()
   }
 
