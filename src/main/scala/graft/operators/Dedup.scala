@@ -773,13 +773,18 @@ object Dedup {
           .head().getAs[Array[Byte]](0)
         val corpusG = sh.filter(col("doc_id") % 50 =!= 0)
           .select(col("doc_id"), explode(col("sh")).as("g"))
-        // scale path: map-only probe, then ONE skinny per-doc count
-        val bloomFlag = corpusG
-          .filter(call_function("graft_bloom_contains",
-            lit(bloomBytes), xxhash64(col("g"))))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-          .filter(col("n_hit") >= 5)
-          .select(col("doc_id"), lit(1L).as("bl"))
+        // scale path: map-only probe, then ONE skinny per-doc count.
+        // Empty eval set ⇒ null aggregate ⇒ nothing can be flagged
+        // (matches the exact side, which joins against no grams).
+        val bloomFlag =
+          if (bloomBytes == null)
+            corpusG.select(col("doc_id"), lit(1L).as("bl")).limit(0)
+          else corpusG
+            .filter(call_function("graft_bloom_contains",
+              lit(bloomBytes), xxhash64(col("g"))))
+            .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+            .filter(col("n_hit") >= 5)
+            .select(col("doc_id"), lit(1L).as("bl"))
         // exact baseline: same rule via the gram equi-join (grams are
         // distinct per doc and benchG is distinct, so count = distinct
         // shared grams)
