@@ -496,6 +496,65 @@ object TextAnalysis {
                 ROUND(share, 4) AS share,
                 ROUND(w_raw / CAST(SUM(CAST(w_raw AS DECIMAL(18,12)))
                   OVER () AS DOUBLE), 4) AS weight
-              FROM sh ORDER BY source"""))
+              FROM sh ORDER BY source""")),
+
+    // Token-budget corpus selection — fill a per-language token budget
+    // (2,000 here) with the best-quality documents: rank by the
+    // integer "badness" score (q31's stopword ratio scaled to an exact
+    // int — lower is better, doc_id breaks ties), admit docs while the
+    // running token sum stays within budget. The admission decision,
+    // counts, and worst-admitted score are all integers — hash-exact.
+    //
+    // The ROWS frame is explicit in both engines: with a unique
+    // (badness, doc_id) ordering RANGE and ROWS coincide, but pinning
+    // ROWS removes the one place the engines could legally diverge.
+    //
+    // Scale note: this exact form sorts each language partition — and
+    // lang cardinality is tiny, so at 100 TB one language's sort is a
+    // single giant task. The scale path is the q67 machinery: a
+    // quantile sketch over badness picks the admission threshold in
+    // one pass, and selection becomes a map-only filter; this query is
+    // the exact anchor that contract would verify against (the same
+    // exact-baseline ↔ sketch-path pairing as q96/q101 and q34/q99).
+    "q106_token_budget_select" -> QueryDef(
+      (s, dir) => {
+        val sig = qualitySignals(table(s, dir, "documents"))
+          .filter(col("n_tokens") > 0)
+          .withColumn("badness",
+            expr("(20000*n_stop + n_tokens) div (2*n_tokens)"))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("badness"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sig.withColumn("cum", sum(col("n_tokens")).over(w))
+          .filter(col("cum") <= 2000L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_selected"),
+            sum(col("n_tokens")).as("tokens_selected"),
+            max(col("badness")).as("max_badness"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, lang,
+                  list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS toks
+                FROM documents),
+              g AS (SELECT doc_id, lang,
+                  CAST(LEN(toks) AS BIGINT) AS n_tokens,
+                  CAST(LEN(list_filter(toks,
+                    x -> x IN ($stopwordsSql))) AS BIGINT) AS n_stop
+                FROM f WHERE LEN(toks) > 0),
+              r AS (SELECT lang, n_tokens,
+                  (20000*n_stop + n_tokens) // (2*n_tokens) AS badness,
+                  doc_id
+                FROM g),
+              c AS (SELECT lang, n_tokens, badness,
+                  SUM(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY badness, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM r)
+              SELECT lang, COUNT(*) AS n_selected,
+                CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+                CAST(MAX(badness) AS BIGINT) AS max_badness
+              FROM c WHERE cum <= 2000
+              GROUP BY 1 ORDER BY lang"""))
   )
 }
