@@ -62,6 +62,35 @@ object Dedup {
       .filter(size(col("sh")) > 0)
   }
 
+  /** Serialized bloom filter over a single-column gram frame (null when
+    * the frame is empty — callers treat that as "nothing can match").
+    * One aggregation job; the driver holds only the fixed-size filter.
+    * Shared by q101 and the composed pipeline's decontamination
+    * pre-filter so the two bloom paths can never drift.
+    */
+  private[operators] def gramBloom(
+      g: org.apache.spark.sql.DataFrame): Array[Byte] =
+    g.agg(expr(s"graft_bloom_build(xxhash64(${g.columns.head}), 1048576L)"))
+      .head().getAs[Array[Byte]](0)
+
+  /** doc_ids from a (doc_id, g) gram stream with ≥ `minHits` bloom hits —
+    * the map-only membership probe plus ONE skinny per-doc count that
+    * replaces a cross-corpus gram shuffle at scale. Grams are distinct
+    * per doc upstream ([[graft.functions.WordShingles]]), so the count
+    * is a distinct-gram hit count.
+    */
+  private[operators] def bloomHitDocs(
+      corpusG: org.apache.spark.sql.DataFrame,
+      bloom: Array[Byte],
+      minHits: Int): org.apache.spark.sql.DataFrame =
+    if (bloom == null) corpusG.select("doc_id").limit(0)
+    else corpusG
+      .filter(call_function("graft_bloom_contains",
+        lit(bloom), xxhash64(col("g"))))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") >= minHits)
+      .select("doc_id")
+
   /** LSH candidate pairs (da < db) from banded minhash signatures: 32
     * band hashes per doc (xxhash64 over band idx + 4 signature slots —
     * a long key, so the candidate join shuffles on a scalar), band
@@ -764,27 +793,15 @@ object Dedup {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val benchG = sh.filter(col("doc_id") % 50 === 0)
           .select(explode(col("sh")).as("g")).distinct()
-        // one aggregation job → serialized filter on the driver. The
-        // driver holds ~1 MiB regardless of corpus size (the bloom is
-        // sized by the EVAL set, which is fixed), unlike a collected
-        // gram set which grows with the eval corpus text volume.
-        val bloomBytes = benchG
-          .agg(expr("graft_bloom_build(xxhash64(g), 1048576L)").as("bf"))
-          .head().getAs[Array[Byte]](0)
+        // one aggregation job → serialized filter on the driver
+        // ([[gramBloom]]: ~1 MiB regardless of corpus size — the bloom
+        // is sized by the EVAL set, which is fixed). Scale path:
+        // map-only probe + ONE skinny per-doc count ([[bloomHitDocs]];
+        // empty eval set ⇒ nothing flagged, matching the exact side).
         val corpusG = sh.filter(col("doc_id") % 50 =!= 0)
           .select(col("doc_id"), explode(col("sh")).as("g"))
-        // scale path: map-only probe, then ONE skinny per-doc count.
-        // Empty eval set ⇒ null aggregate ⇒ nothing can be flagged
-        // (matches the exact side, which joins against no grams).
-        val bloomFlag =
-          if (bloomBytes == null)
-            corpusG.select(col("doc_id"), lit(1L).as("bl")).limit(0)
-          else corpusG
-            .filter(call_function("graft_bloom_contains",
-              lit(bloomBytes), xxhash64(col("g"))))
-            .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-            .filter(col("n_hit") >= 5)
-            .select(col("doc_id"), lit(1L).as("bl"))
+        val bloomFlag = bloomHitDocs(corpusG, gramBloom(benchG), minHits = 5)
+          .select(col("doc_id"), lit(1L).as("bl"))
         // exact baseline: same rule via the gram equi-join (grams are
         // distinct per doc and benchG is distinct, so count = distinct
         // shared grams)

@@ -83,7 +83,8 @@ object Pipeline {
         val corpusSh = sh2
           .join(s4a.select("doc_id"), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), explode(col("sh")).as("g"))
-        // Bloom pre-filter (semantics-preserving, q101's machinery): a
+        // Bloom pre-filter (semantics-preserving, q101's shared
+        // [[Dedup.gramBloom]]/[[Dedup.bloomHitDocs]] machinery): a
         // survivor with < 5 bloom hits against the eval gram UNION
         // cannot share ≥ 5 grams with any single stand-in — its grams
         // are distinct, all shared grams are in the union, and blooms
@@ -91,17 +92,8 @@ object Pipeline {
         // reads plausibly-contaminated docs; at 100 TB this turns the
         // stage from a full corpus-gram shuffle into a map-only probe
         // plus a small join, with the hashed output provably unchanged.
-        val bloomBytes = benchSh.select("g").distinct()
-          .agg(expr("graft_bloom_build(xxhash64(g), 1048576L)"))
-          .head().getAs[Array[Byte]](0)
-        val plausible =
-          if (bloomBytes == null) corpusSh.select("doc_id").limit(0)
-          else corpusSh
-            .filter(call_function("graft_bloom_contains",
-              lit(bloomBytes), xxhash64(col("g"))))
-            .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-            .filter(col("n_hit") >= 5)
-            .select("doc_id")
+        val plausible = Dedup.bloomHitDocs(corpusSh,
+          Dedup.gramBloom(benchSh.select("g").distinct()), minHits = 5)
         val contaminated = corpusSh
           .join(plausible, Seq("doc_id"), "left_semi")
           .join(benchSh, "g")
