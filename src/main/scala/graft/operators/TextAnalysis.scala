@@ -505,28 +505,58 @@ object TextAnalysis {
     // running token sum stays within budget. The admission decision,
     // counts, and worst-admitted score are all integers — hash-exact.
     //
-    // The ROWS frame is explicit in both engines: with a unique
-    // (badness, doc_id) ordering RANGE and ROWS coincide, but pinning
-    // ROWS removes the one place the engines could legally diverge.
-    //
-    // Scale note: this exact form sorts each language partition — and
-    // lang cardinality is tiny, so at 100 TB one language's sort is a
-    // single giant task. The scale path is the q67 machinery: a
-    // quantile sketch over badness picks the admission threshold in
-    // one pass, and selection becomes a map-only filter; this query is
-    // the exact anchor that contract would verify against (the same
-    // exact-baseline ↔ sketch-path pairing as q96/q101 and q34/q99).
+    // The naive form is one window over (lang ORDER BY badness,
+    // doc_id) — and lang cardinality is tiny, so at 100 TB that sorts
+    // a whole language's corpus in ONE task. This implementation
+    // decomposes the identical semantics into bounded pieces:
+    //   1. per-(lang, badness) token totals — a bounded-key aggregate
+    //      (badness ∈ [0, 10000] by construction);
+    //   2. a running sum over that TINY histogram frame picks, per
+    //      lang, the fully-admitted score groups and the single
+    //      boundary group with its residual budget;
+    //   3. fully-admitted docs arrive by a skinny broadcastable
+    //      semi-join — NO sort, NO window over the corpus;
+    //   4. only the boundary group (one badness value per lang) pays
+    //      a doc_id-ordered window for the residual fill.
+    // Equivalence: groups are admitted in badness order and docs tie-
+    // break by doc_id, exactly the naive window's (badness, doc_id)
+    // walk; the oracle states the naive form and the hashes must meet.
     "q106_token_budget_select" -> QueryDef(
       (s, dir) => {
+        val budget = 2000L
         val sig = qualitySignals(table(s, dir, "documents"))
           .filter(col("n_tokens") > 0)
           .withColumn("badness",
             expr("(20000*n_stop + n_tokens) div (2*n_tokens)"))
-        val w = Window.partitionBy("lang")
-          .orderBy(col("badness"), col("doc_id"))
+          .select("lang", "doc_id", "n_tokens", "badness")
+        // (lang, badness) token histogram + tokens admitted BEFORE
+        // each score group — the frame is ≤ |langs|·10001 rows
+        val wB = Window.partitionBy("lang").orderBy("badness")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val hist = sig.groupBy("lang", "badness")
+          .agg(sum(col("n_tokens")).as("btok"))
+          .withColumn("cum_before",
+            coalesce(sum(col("btok")).over(wB), lit(0L)))
+        val fullGroups = hist
+          .filter(col("cum_before") + col("btok") <= budget)
+          .select("lang", "badness")
+        val boundary = hist
+          .filter(col("cum_before") < budget &&
+            col("cum_before") + col("btok") > budget)
+          .select(col("lang"), col("badness"),
+            (lit(budget) - col("cum_before")).as("residual"))
+        val admittedFull =
+          sig.join(fullGroups, Seq("lang", "badness"), "left_semi")
+        // at most ONE boundary badness per lang ⇒ the window covers a
+        // single score group, not the corpus
+        val wD = Window.partitionBy("lang").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        sig.withColumn("cum", sum(col("n_tokens")).over(w))
-          .filter(col("cum") <= 2000L)
+        val admittedBoundary = sig
+          .join(boundary, Seq("lang", "badness"))
+          .withColumn("cumd", sum(col("n_tokens")).over(wD))
+          .filter(col("cumd") <= col("residual"))
+          .select("lang", "doc_id", "n_tokens", "badness")
+        admittedFull.unionByName(admittedBoundary)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_selected"),
             sum(col("n_tokens")).as("tokens_selected"),

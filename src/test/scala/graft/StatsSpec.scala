@@ -118,6 +118,34 @@ class StatsSpec extends SparkSpec {
     assert(weights.max - weights.min < shares.max - shares.min)
   }
 
+  test("q106: histogram-threshold selection equals the naive budget window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q106_token_budget_select")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    // naive reference: ONE window over (lang ORDER BY badness, doc_id)
+    val sig = graft.operators.Q.table(spark, sfDir, "documents")
+      .withColumn("toks", graft.operators.TextAnalysis.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(filter(col("toks"),
+        t => t.isin("the", "a", "of", "and", "to", "in", "is"))).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("badness",
+        expr("(20000*n_stop + n_tokens) div (2*n_tokens)"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("badness"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = sig.withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= 2000L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("t"),
+        max(col("badness")).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == want, s"decomposition diverged:\n got $got\nwant $want")
+  }
+
   test("q69: kNN vote matches a per-row recomputation on a small slice") {
     val out = SparkEntry.queries("q69_knn_label")(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= 11) // vec_id 0..10 inclusive
