@@ -73,14 +73,25 @@ object FileManifest {
       // BFS waves re-parallelize the DISCOVERED dirs each round, so the
       // task count follows the tree's true width, not the top level's.
       // Driver memory holds only dir NAMES, bounded per wave by the
-      // widest level (InMemoryFileIndex's contract). Each wave's file
-      // entries stay distributed — a lazy per-level RDD; the dirs-only
-      // discovery job re-lists the level at scan time (metadata-priced,
-      // and the price of keeping the returned Dataset fully lazy with
-      // no hidden persist). MaxWaves bounds pathological depth (e.g. a
-      // symlink cycle under FOLLOW_LINKS): past it the remainder falls
-      // through to the recursive walk, whose walkFileTree detects
-      // cycles — correctness never depends on the cap.
+      // widest level (InMemoryFileIndex's contract).
+      //
+      // Each wave is ONE listLevel evaluation per directory: the tagged
+      // (files, dirs) level RDD persists BEFORE the dirs collect, so
+      // the collect job both discovers the next level and materializes
+      // this level's file entries into executor cache — every directory
+      // is listed exactly once per scan (the lazy re-list of round 6/7
+      // doubled the metadata-RPC bill, the dominant cost of a
+      // 10^8-object scan). The manifest is therefore a SNAPSHOT of the
+      // tree at scan time — the same contract as the reference's
+      // list-then-loop pipelines (download_file.py:248-262) and Spark's
+      // own InMemoryFileIndex, whose listing caches until refreshed.
+      // Cache is executor-resident (MEMORY_AND_DISK: spills past
+      // memory, never on the driver) and reclaimed by the
+      // ContextCleaner once the manifest is unreferenced. MaxWaves
+      // bounds pathological depth (e.g. a symlink cycle under
+      // FOLLOW_LINKS): past it the remainder falls through to the
+      // recursive walk, whose walkFileTree detects cycles —
+      // correctness never depends on the cap.
       val conf = new SerializableConfiguration(hadoopConf(spark))
       val par = spark.sparkContext.defaultParallelism
       val MaxWaves = 64
@@ -92,17 +103,21 @@ object FileManifest {
           wave < MaxWaves) {
         val level = pending
         val slices = math.max(1, math.min(level.length, par))
-        waves += spark.sparkContext.parallelize(level, slices)
-          .flatMap(d => listLevel(d, root, rootStr, conf.value)._1)
-        pending = spark.sparkContext.parallelize(level, slices)
-          .flatMap(d => listLevel(d, root, rootStr, conf.value)._2)
-          .collect().toSeq
+        val levelRdd = spark.sparkContext.parallelize(level, slices)
+          .map(d => listLevel(d, root, rootStr, conf.value))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pending = levelRdd.flatMap(_._2).collect().toSeq
+        waves += levelRdd.flatMap(_._1)
         wave += 1
       }
       if (pending.nonEmpty) {
         val slices = math.max(1, math.min(pending.length, par))
+        // persisted lazily (first action materializes): subsequent
+        // actions reuse the walk instead of re-listing the subtrees,
+        // keeping the whole manifest one consistent snapshot
         waves += spark.sparkContext.parallelize(pending, slices)
           .flatMap(d => listDeep(d, root, rootStr, conf.value))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
       waves.foldLeft(shallowDs)((acc, rdd) =>
         acc.union(spark.createDataset(rdd)))

@@ -89,9 +89,12 @@ class FileManifestSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  test("a dir deleted after scan() empties from later actions instead of failing") {
-    // the manifest Dataset is lazy: each action re-lists. A subtree
-    // deleted between actions must read as empty, not kill the scan
+  test("a dir deleted after scan() never fails later actions; a new scan reflects it") {
+    // the manifest is a SNAPSHOT of the tree at scan time (the
+    // InMemoryFileIndex contract; also what the reference's
+    // list-then-loop does): the single-listing BFS materializes each
+    // wave once, so deletions AFTER the scan neither fail subsequent
+    // actions nor change the snapshot — a fresh scan sees them
     val b = Files.createTempDirectory("graft-vanish")
     val top = b.resolve("data")
     Seq("d0", "d1").foreach { d =>
@@ -106,9 +109,46 @@ class FileManifestSpec extends SparkSpec {
     val gone = top.resolve("d1")
     (0 until 3).foreach(f => Files.delete(gone.resolve(s"f$f.dat")))
     Files.delete(gone)
-    val survivors = m.collect()
-    assert(survivors.length == 3)
-    assert(survivors.forall(_.path.startsWith("data/d0/")))
+    assert(m.collect().length == 6) // snapshot: no failure, no change
+    val fresh = FileManifest.scan(spark, s"file://$b").collect()
+    assert(fresh.length == 3)
+    assert(fresh.forall(_.path.startsWith("data/d0/")))
+  }
+
+  test("BFS scan issues exactly one list call per directory (RPC-count)") {
+    // At 10^8 objects the listing RPCs dominate the scan cost; the
+    // round-7 wave loop listed every BFS level twice (one job for
+    // files, one for dirs). The counting:// scheme takes the Hadoop
+    // listStatus path everywhere (no nio shortcut), so the counter
+    // sees every list RPC the scan makes.
+    val b = mkTree(nDirs = 3, filesPerDir = 2)
+    // two deeper levels so at least two BFS waves run
+    (0 until 3).foreach { d =>
+      val sub = b.resolve(f"d$d%03d/sub")
+      Files.createDirectories(sub)
+      Files.writeString(sub.resolve("deep.dat"), "x")
+      val subsub = sub.resolve("leaf")
+      Files.createDirectories(subsub)
+      Files.writeString(subsub.resolve("leafy.dat"), "y")
+    }
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.counting.impl", classOf[CountingFileSystem].getName)
+    CountingFileSystem.reset()
+    val m = FileManifest.scan(spark, s"counting://$b")
+    assert(m.collect().length == 3 * 2 + 3 + 3) // files + deep + leafy
+    def counts = {
+      import scala.jdk.CollectionConverters._
+      CountingFileSystem.listCalls.asScala.map { case (k, v) => k -> v.get }
+    }
+    // every directory (root + 3 top dirs + 3 sub + 3 leaf) listed once
+    assert(counts.values.forall(_ == 1),
+      s"directories listed more than once: ${counts.filter(_._2 > 1)}")
+    assert(counts.size == 10, s"unexpected list set: ${counts.keys}")
+    // snapshot property: a second action reads the cached waves — zero
+    // additional list RPCs anywhere
+    assert(m.count() == 12)
+    assert(counts.values.forall(_ == 1),
+      s"re-action re-listed: ${counts.filter(_._2 > 1)}")
   }
 
   test("withDestination enumerates deterministically in path order") {
