@@ -192,18 +192,36 @@ object Ann {
     // multi-pass scan of 100 TB to learn an nlist-row model. The
     // standard IVF recipe trains on a few hundred points per centroid
     // (the cells only need to follow the coarse density); transform()
-    // still assigns EVERY corpus row to its cell. Sampling is seeded
-    // Bernoulli — deterministic for a fixed input layout.
+    // still assigns EVERY corpus row to its cell. The sample is the
+    // `target` rows with the smallest xxhash64(vec_id) — a
+    // TakeOrderedAndProject: per-partition top-k then one tiny merge,
+    // ONE pass over the corpus with no prior count() (the round-7
+    // Bernoulli fraction needed an exact corpus count first — a full
+    // extra scan of 100 TB on sources without cheap count stats), and
+    // deterministic under ANY partitioning or row order (hash-order
+    // selection is layout-independent where seeded Bernoulli was not).
+    // The hash is uniform, so the selection is an unbiased uniform
+    // sample; a corpus smaller than `target` trains on everything.
     val target =
       if (trainTarget > 0) trainTarget else math.max(256L * nlist, 8192L)
-    val nCorpus = corpus.count()
-    val trainSet =
-      if (nCorpus <= target) featured
-      else featured.sample(withReplacement = false,
-        target.toDouble / nCorpus, seed)
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .fit(trainSet)
+    // persisted before fit: KMeans.fit runs several internal actions
+    // (feature-width probe, norms, zip) and each would otherwise
+    // re-execute the sample's corpus scan — with the bounded sample
+    // cached, the corpus is scanned exactly once (asserted by the
+    // accumulator test in AnnSpec); the cache is `target` rows, freed
+    // right after fit
+    val trainSet = featured
+      .select(col("features"), xxhash64(col("vec_id")).as("__h"),
+        col("vec_id"))
+      .orderBy(col("__h"), col("vec_id"))
+      .limit(target.min(Int.MaxValue.toLong).toInt)
+      .select("features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model =
+      try new org.apache.spark.ml.clustering.KMeans()
+        .setK(nlist).setSeed(seed).setFeaturesCol("features")
+        .fit(trainSet)
+      finally trainSet.unpersist(blocking = false)
     val c = model.transform(featured)
       .select(col("vec_id"), col("embedding"),
         normSq(col("embedding")).as("nsq"), col("prediction").as("cell"))

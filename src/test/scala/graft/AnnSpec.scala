@@ -175,6 +175,30 @@ class AnnSpec extends SparkSpec {
     assert(again == hits)
   }
 
+  test("ivf trains after exactly ONE corpus pass (no dedicated count scan)") {
+    // round-7 ivfTopK ran corpus.count() just to size the Bernoulli
+    // sample fraction — a full extra pass of 100 TB on sources without
+    // cheap count stats. The hash-ordered TakeOrdered sample needs no
+    // count; the only eager corpus pass before centroids exist is the
+    // one that materializes the (bounded) train set into k-means'
+    // internal cache. Count partition computations via an accumulator
+    // baked into the corpus lineage.
+    import spark.implicits._
+    val data = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val acc = spark.sparkContext.longAccumulator("graft-test-corpus-scans")
+    val nPart = 4
+    val corpus = spark.sparkContext.parallelize(data, nPart)
+      .mapPartitions { it => acc.add(1L); it }
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") <= 5)
+    val res = Ann.ivfTopK(corpus, queries, k = 10) // eager: sample + fit
+    assert(acc.value == nPart,
+      s"ivf training scanned the corpus ${acc.value / nPart.toDouble} " +
+        "times before producing centroids (expected exactly 1 pass)")
+    assert(res.select("q_id").distinct().count() == queries.count()) // still answers
+  }
+
   test("a degenerate constant-vector mass is capped out of the bucket join") {
     // 240 copies of vec 3's embedding: identical vectors land in ONE
     // bucket in EVERY table — the quadratic-reducer shape the
