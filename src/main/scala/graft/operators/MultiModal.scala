@@ -15,11 +15,14 @@ final case class MediaAsset(
     content: Array[Byte],
     source: String)
 
-/** Deterministic stand-in for decoded media features. The decode step
-  * itself (JPEG/PNG/WAV parsing) is STUBBED — media codecs are not in
-  * this environment — but the Spark-side plumbing (schema, typed
-  * encoders, per-partition batching, feature-vector shape) is real and
-  * tested (MultiModalSpec).
+/** Decoded media features. For image formats the JDK itself can read
+  * (PNG/JPEG/GIF/BMP via `javax.imageio` — no external codec needed),
+  * `width`/`height`/`format` are REAL, parsed from the payload header.
+  * Everything else — audio/video dimensions and the `features` vector
+  * (which would come from a model) — is the deterministic STUB
+  * ([[MultiModal.stubDecode]], `format = "stub"`); the Spark-side
+  * plumbing (schema, typed encoders, per-partition batching,
+  * feature-vector shape) is real and tested (MultiModalSpec).
   */
 final case class MediaFeatures(
     asset_id: Long,
@@ -27,6 +30,7 @@ final case class MediaFeatures(
     n_bytes: Long,
     width: Int,
     height: Int,
+    format: String,
     features: Array[Float])
 
 /** Multimodal-column operators (LLM-data-pipeline extension surface).
@@ -68,9 +72,10 @@ object MultiModal {
   }
 
   /** Deterministic fake decode: derives stable pseudo-dimensions and an
-    * 8-float feature vector from the content hash. Replace the body with
-    * a real codec call when the libraries exist; the signature and the
-    * batch shape are the contract.
+    * 8-float feature vector from the content hash. Used for every
+    * payload [[decodeImageHeader]] cannot parse (audio/video/unknown
+    * formats — their codecs are not in this environment); the signature
+    * and the batch shape are the contract.
     */
   def stubDecode(a: MediaAsset): MediaFeatures = {
     val h = Fnv64.hashBytes(a.content)
@@ -82,8 +87,48 @@ object MultiModal {
     MediaFeatures(a.asset_id, a.modality, a.content.length.toLong,
       width = (math.abs(h) % 1920 + 1).toInt,
       height = (math.abs(h >>> 32) % 1080 + 1).toInt,
+      format = "stub",
       features = feats)
   }
+
+  /** REAL header-only image decode via the JDK's own `javax.imageio`
+    * (PNG/JPEG/GIF/BMP readers ship with every JRE — no external codec
+    * dependency). `reader.getWidth/getHeight(0)` read the header only,
+    * never the pixel data, so the cost per asset is a few hundred bytes
+    * of parsing regardless of image size — the right shape for a
+    * metadata scan over a 100 TB media corpus. Returns None for
+    * payloads no installed reader recognizes (caller falls back to the
+    * stub).
+    */
+  def decodeImageHeader(content: Array[Byte]): Option[(Int, Int, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getWidth(0), r.getHeight(0),
+            r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+        } catch {
+          case _: java.io.IOException => None // truncated/corrupt header
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** One asset through the decode stage: real `javax.imageio` header
+    * decode for image payloads the JDK recognizes, deterministic stub
+    * for everything else.
+    */
+  def decode(a: MediaAsset): MediaFeatures =
+    (if (a.modality == "image") decodeImageHeader(a.content) else None) match {
+      case Some((w, h, fmt)) =>
+        stubDecode(a).copy(width = w, height = h, format = fmt)
+      case None => stubDecode(a)
+    }
 
   /** The decode/feature-extract stage: executor-parallel, one decoder
     * per partition, no shuffle.
@@ -91,8 +136,9 @@ object MultiModal {
   def decodeFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // per-partition decoder init would go here (codec/model handle)
-      it.map(stubDecode)
+      // per-partition decoder init would go here (model handle; the
+      // imageio registry is JVM-global and thread-safe)
+      it.map(decode)
     }
   }
 

@@ -39,14 +39,50 @@ class MultiModalSpec extends SparkSpec {
     val img = f1.head
     assert(img.n_bytes == 3 && img.features.length == 8)
     assert(img.width >= 1 && img.width <= 1920 && img.height >= 1 && img.height <= 1080)
+    assert(img.format == "stub") // 3 fake bytes: no reader recognizes them
     assert(img.features.forall(v => v >= 0f && v < 1f))
+  }
+
+  test("real PNG and JPEG headers decode to true dimensions via imageio") {
+    import spark.implicits._
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      bi.setRGB(0, 0, 0xff8800)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, bos))
+      bos.toByteArray
+    }
+    val assets = Seq(
+      MediaAsset(1L, "image", imageBytes(37, 23, "png"), "s"),
+      MediaAsset(2L, "image", imageBytes(64, 48, "jpg"), "s"),
+      MediaAsset(3L, "image", Array[Byte](9, 9, 9), "s"), // unreadable
+      MediaAsset(4L, "audio", imageBytes(8, 8, "png"), "s") // wrong modality
+    ).toDS()
+    val out = MultiModal.decodeFeatures(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(out(1L).width == 37 && out(1L).height == 23 &&
+      out(1L).format == "png")
+    assert(out(2L).width == 64 && out(2L).height == 48 &&
+      out(2L).format.startsWith("jp")) // "jpeg"
+    assert(out(3L).format == "stub") // falls back, never crashes
+    assert(out(4L).format == "stub") // only image modality decodes
+    // and the binaryFile ingest composes with the real decode end-to-end
+    val d = java.nio.file.Files.createTempDirectory("graft-realimg")
+    java.nio.file.Files.write(d.resolve("pic.png"), imageBytes(120, 77, "png"))
+    val ingested = MultiModal.ingestBinary(spark, s"file://$d/*")
+      .select("modality", "content").collect().head
+    assert(ingested.getString(0) == "image")
+    val asset = MediaAsset(9L, "image", ingested.getAs[Array[Byte]](1), "s")
+    val f = MultiModal.decode(asset)
+    assert(f.width == 120 && f.height == 77 && f.format == "png")
   }
 
   test("resize clamps dimensions preserving aspect ratio; never upscales") {
     import spark.implicits._
     val feats = Seq(
-      MediaFeatures(1L, "image", 10L, 1920, 1080, Array(0f)),
-      MediaFeatures(2L, "image", 10L, 100, 50, Array(0f))).toDS()
+      MediaFeatures(1L, "image", 10L, 1920, 1080, "png", Array(0f)),
+      MediaFeatures(2L, "image", 10L, 100, 50, "png", Array(0f))).toDS()
     val out = MultiModal.resize(feats, 640, 480).collect().sortBy(_.asset_id)
     assert(out(0).width == 640 && out(0).height == 360) // 1920x1080 -> fit 640
     assert(out(1).width == 100 && out(1).height == 50) // small: untouched
