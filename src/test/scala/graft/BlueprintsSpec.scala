@@ -107,6 +107,59 @@ class BlueprintsSpec extends SparkSpec {
     assert(!Files.exists(src.resolve("k.bin")))
   }
 
+  // --- cross-SCHEME move: the two-bucket semantics (move_file.py:18-19)
+  // exercised beyond file://→file:// — the mock:// scheme forces the
+  // Hadoop FileUtil.copy path (no local nio fast path), which is the
+  // code that runs for gs://→gs:// ---
+
+  private def registerMockScheme(): Unit =
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock.impl", classOf[MockSchemeFileSystem].getName)
+
+  test("move crosses schemes: file:// source to mock:// destination bucket") {
+    registerMockScheme()
+    val src = freshBucket("a/x1.txt" -> "payload-1", "a/x2.txt" -> "payload-22")
+    val dst = Files.createTempDirectory(root, "xmv")
+    val n = Blueprints.move(spark,
+      MoveConfig(uri(src), s"mock://$dst", "a", "x.*", MatchType.RegexMatch,
+        "land", Some("m.txt")))
+    assert(n == FileOps.CopyStats(2, 2, 0))
+    // bytes landed on disk under the mock bucket, sources deleted
+    assert(names(dst) == Set("land/m_1.txt", "land/m_2.txt"))
+    assert(Files.readString(dst.resolve("land/m_1.txt")) == "payload-1")
+    assert(names(src) == Set.empty)
+  }
+
+  test("move crosses schemes in reverse: mock:// source, file:// destination") {
+    registerMockScheme()
+    val src = freshBucket("deep/k.bin" -> "content-k")
+    val dst = Files.createTempDirectory(root, "xmv2")
+    Blueprints.move(spark,
+      MoveConfig(s"mock://$src", uri(dst), "deep", "k.bin",
+        MatchType.ExactMatch, "", None))
+    assert(Files.readString(dst.resolve("k.bin")) == "content-k")
+    assert(!Files.exists(src.resolve("deep/k.bin")))
+  }
+
+  test("verify-then-delete keeps the source when the cross-scheme copy lands short") {
+    // the mock scheme reports any file whose name contains 'corrupt' one
+    // byte short — the observable shape of a copy that failed mid-flight
+    // (move_file.py:147-153 is copy+delete with NO verify; our guard is
+    // the SURVEY §4-P4 hardening). The length verify must fail and the
+    // source must survive.
+    registerMockScheme()
+    val src = freshBucket("a/corrupt.txt" -> "do-not-lose-me")
+    val dst = Files.createTempDirectory(root, "xmv3")
+    Blueprints.move(spark,
+      MoveConfig(uri(src), s"mock://$dst", "a", "corrupt.txt",
+        MatchType.ExactMatch, "", None))
+    // destination write happened, but the verify saw a short object —
+    // the source is NOT deleted (no silent data loss)
+    assert(Files.exists(src.resolve("a/corrupt.txt")),
+      "source deleted despite a failed copy verification")
+    assert(Files.readString(src.resolve("a/corrupt.txt")) == "do-not-lose-me")
+  }
+
   // --- remove (remove_file.py:138-166) ---
 
   test("remove regex deletes all matches, leaves the rest") {
