@@ -44,24 +44,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_simhash_md5(tokens) - 64-bit md5-derived SimHash") {
       exprs => SimHashMd5(exprs.head)
     }
+    // literal args go through intArg/longArg (Number-based): a SQL call
+    // like graft_sign_buckets(..., 42, ...) passes an Int literal where
+    // the Scala path passed 42L — asInstanceOf would CCE (ADVICE r7)
     inject("graft_shingles",
       "graft_shingles(text, n) - distinct word n-gram shingles") {
-      exprs => WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Int])
+      exprs => WordShingles(exprs.head,
+        HashFunctions.intArg("graft_shingles", exprs(1)))
     }
     inject("graft_winnow",
       "graft_winnow(text, k, w) - MOSS winnowing fingerprints") {
       exprs => WinnowFingerprint(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int])
+        HashFunctions.intArg("graft_winnow", exprs(1)),
+        HashFunctions.intArg("graft_winnow", exprs(2)))
     }
     inject("graft_sign_buckets",
       "graft_sign_buckets(emb, nPlanes, tables, seed, dim) - all LSH " +
         "hyperplane sign-buckets of an embedding, one per table") {
       exprs => graft.functions.SignBuckets(exprs.head,
-        nPlanes = exprs(1).eval().asInstanceOf[Int],
-        tables = exprs(2).eval().asInstanceOf[Int],
-        seed = exprs(3).eval().asInstanceOf[Long],
-        dim = exprs(4).eval().asInstanceOf[Int])
+        nPlanes = HashFunctions.intArg("graft_sign_buckets", exprs(1)),
+        tables = HashFunctions.intArg("graft_sign_buckets", exprs(2)),
+        seed = HashFunctions.longArg("graft_sign_buckets", exprs(3)),
+        dim = HashFunctions.intArg("graft_sign_buckets", exprs(4)))
     }
     inject("graft_bloom_build",
       "graft_bloom_build(xxhash64(key), estNumItems) - serialized bloom " +

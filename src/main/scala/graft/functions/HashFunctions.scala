@@ -250,6 +250,42 @@ case class CmsEstimate(sketchBytes: Expression, child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_cms_estimate"
 
+  // the transient-lazy deserialization below evaluates sketchBytes with
+  // NO row — a non-foldable sketch argument would fail at executor time
+  // with an opaque NPE (or, worse, silently probe one partition's sketch
+  // for every row). Mirror BloomFilterMightContain: reject it at
+  // analysis time with a usable message (ADVICE r7).
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    import org.apache.spark.sql.catalyst.trees.TreePattern.OUTER_REFERENCE
+    // like BloomFilterMightContain: a foldable value or an UNCORRELATED
+    // scalar subquery — both evaluate once, before the main plan runs.
+    // The GetStructField form appears when MergeScalarSubqueries fuses
+    // sibling subqueries into one struct-returning plan; rejecting it
+    // would un-resolve a previously-valid plan mid-optimization.
+    val onceEvaluable = sketchBytes match {
+      case e if e.foldable => true
+      case sub: PlanExpression[_] => !sub.containsPattern(OUTER_REFERENCE)
+      case org.apache.spark.sql.catalyst.expressions
+          .GetStructField(sub: PlanExpression[_], _, _) =>
+        !sub.containsPattern(OUTER_REFERENCE)
+      case _ => false
+    }
+    if (!onceEvaluable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_cms_estimate requires a foldable sketch argument (a " +
+          "literal, collected aggregate, or uncorrelated scalar " +
+          "subquery over a count_min_sketch aggregate), got: " +
+          sketchBytes.sql)
+    else if (sketchBytes.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_cms_estimate sketch must be BINARY, got " +
+          sketchBytes.dataType.simpleString)
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   @transient private lazy val cms =
     org.apache.spark.util.sketch.CountMinSketch.readFrom(
       sketchBytes.eval().asInstanceOf[Array[Byte]])
@@ -275,6 +311,29 @@ object HashFunctions {
   final val MinHashK = 128
   final val Seed = 42L
 
+  /** Coerce a foldable integral function argument. SQL integer literals
+    * arrive as Int, `42L` as Long — `asInstanceOf` on either spelling
+    * threw ClassCastException for the other (ADVICE r7); go through
+    * Number so both work, and fail non-foldable / non-numeric arguments
+    * with a message naming the function.
+    */
+  private[graft] def intArg(fn: String, e: Expression): Int =
+    numArg(fn, e).intValue()
+
+  private[graft] def longArg(fn: String, e: Expression): Long =
+    numArg(fn, e).longValue()
+
+  private def numArg(fn: String, e: Expression): Number = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn requires a literal argument, got: ${e.sql}")
+    e.eval() match {
+      case n: Number => n
+      case other => throw new IllegalArgumentException(
+        s"$fn requires an integer literal argument, got: $other")
+    }
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash",
@@ -285,13 +344,13 @@ object HashFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
       exprs => WordShingles(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]),
+        intArg("graft_shingles", exprs(1))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow",
       exprs => WinnowFingerprint(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]),
+        intArg("graft_winnow", exprs(1)),
+        intArg("graft_winnow", exprs(2))),
       "built-in")
     // Spark's own runtime-filter machinery, surfaced as SQL functions:
     // graft_bloom_build(xxhash64(key), estNumItemsL) aggregates a

@@ -255,10 +255,10 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sign_buckets",
       exprs => SignBuckets(exprs.head,
-        nPlanes = exprs(1).eval().asInstanceOf[Int],
-        tables = exprs(2).eval().asInstanceOf[Int],
-        seed = exprs(3).eval().asInstanceOf[Long],
-        dim = exprs(4).eval().asInstanceOf[Int]),
+        nPlanes = HashFunctions.intArg("graft_sign_buckets", exprs(1)),
+        tables = HashFunctions.intArg("graft_sign_buckets", exprs(2)),
+        seed = HashFunctions.longArg("graft_sign_buckets", exprs(3)),
+        dim = HashFunctions.intArg("graft_sign_buckets", exprs(4))),
       "built-in")
   }
 
