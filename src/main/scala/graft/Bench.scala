@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one warmup pass (JVM/codegen/IO cache), then a timed
-  * pass per query. Every query is fully materialized via `collect()` —
+/** Benchmark main: per query a warmup pass (JVM/codegen/IO cache), a
+  * timed pass, then a cache clear (bounds cache residency at one
+  * query's working set). Every query is fully materialized via `collect()` —
   * `count()` would let Catalyst prune unreferenced projections (q16's
   * string work, q20's array math would be optimized away before timing).
   * Failures are reported per-query and excluded from the total rather
@@ -32,21 +33,27 @@ object Bench {
       .filter { case (name, _) =>
         only.forall(_.exists(p => name.startsWith(p))) }
 
-    // warmup: full evaluation, untimed
-    queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).collect()
-      catch { case _: Throwable => () }
-    }
-
+    // Per query: one warmup pass (JVM/codegen/IO cache + the query's own
+    // persisted fragments), one timed pass, then clearCache. Queries
+    // persist shared fragments (shingle/gram tables) and cannot
+    // unpersist them before their final action — over a 106-query sweep
+    // those MEMORY_AND_DISK caches accumulated without bound (ADVICE
+    // r7). Clearing BETWEEN queries bounds cache residency at one
+    // query's working set while the timed pass still reads the caches
+    // its own warmup built — timings stay comparable across rounds.
     var errors = List.empty[(String, String)]
     val results = queries.map { case (name, fn) =>
+      try fn(spark, sfDir).collect()
+      catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).collect()
       catch {
         case e: Throwable =>
           errors ::= (name -> e.toString.takeWhile(_ != '\n').take(200))
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> sec
     }
 
     val ok = results.filterNot { case (n, _) => errors.exists(_._1 == n) }
