@@ -904,6 +904,122 @@ object Dedup {
                 CAST(SUM(CASE WHEN pd.n_dup * 2 >= pd.n_grams
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
               FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
-              GROUP BY 1 ORDER BY d.lang"""))
+              GROUP BY 1 ORDER BY d.lang""")),
+
+    // Train→test split-leakage scan — q46's hash split crossed with
+    // q96's overlap rule: a TEST-split document sharing ≥ 5 distinct
+    // 3-gram shingles with ANY train-split document is leaked, and a
+    // held-out eval on it overstates the model. This is the in-corpus
+    // counterpart of benchmark decontamination (q96/q101), run before
+    // any internal eval is trusted.
+    //
+    // Plan at 100 TB: the train gram set is a partial-aggregated
+    // DISTINCT (never doc pairs); leakage is a gram-keyed equi-join of
+    // the test gram stream against it plus ONE skinny per-doc count —
+    // the same never-all-pairs shape as q96. The shingle table is
+    // built once and persisted across its two consumers. All output
+    // columns are integers.
+    "q108_split_leakage" -> QueryDef(
+      (s, dir) => {
+        val hex = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val split = when(hex.isin("c", "d"), "val")
+          .when(hex.isin("e", "f"), "test")
+          .otherwise("train")
+        val docs = table(s, dir, "documents")
+          .withColumn("split", split)
+        val g = shingled(s, dir)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .join(docs.select("doc_id", "split"), "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val trainG = g.filter(col("split") === "train")
+          .select("g").distinct()
+        val leaked = g.filter(col("split") === "test")
+          .join(trainG, "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+          .filter(col("n_hit") >= 5)
+          .select(col("doc_id"), lit(1L).as("lk"))
+        docs.filter(col("split") === "test")
+          .join(leaked, Seq("doc_id"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_test"),
+            sum(coalesce(col("lk"), lit(0L))).as("n_leaked"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              sp AS (SELECT doc_id, CASE
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('c', 'd') THEN 'val'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('e', 'f') THEN 'test'
+                  ELSE 'train' END AS split
+                FROM documents),
+              g AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+              tg AS (SELECT DISTINCT g.g FROM g JOIN sp USING (doc_id)
+                     WHERE sp.split = 'train'),
+              lk AS (SELECT g.doc_id FROM g
+                     JOIN sp USING (doc_id)
+                     JOIN tg ON g.g = tg.g
+                     WHERE sp.split = 'test'
+                     GROUP BY g.doc_id HAVING COUNT(*) >= 5)
+              SELECT d.lang, COUNT(*) AS n_test,
+                CAST(SUM(CASE WHEN lk.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_leaked
+              FROM documents d
+              JOIN sp ON d.doc_id = sp.doc_id
+              LEFT JOIN lk ON d.doc_id = lk.doc_id
+              WHERE sp.split = 'test'
+              GROUP BY 1 ORDER BY d.lang""")),
+
+    // Incremental-ingest gram novelty — the content-drift measure an
+    // incremental pipeline reads before deciding a new batch is worth
+    // training on: of the new batch's distinct grams (per language),
+    // how many were never seen in the base corpus (even/odd doc_id
+    // stand in for base/new). Plan at 100 TB: two partial-aggregated
+    // DISTINCT gram frames and ONE gram-keyed LEFT ANTI join — the
+    // novelty probe never forms doc pairs and never ships payloads;
+    // at scale the base side would be the persisted gram index of the
+    // previous release, making this join the only moving part.
+    "q110_gram_novelty" -> QueryDef(
+      (s, dir) => {
+        val g = shingled(s, dir)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .join(table(s, dir, "documents").select("doc_id", "lang"),
+            "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val baseG = g.filter(col("doc_id") % 2 === 0)
+          .select("g").distinct()
+        val newG = g.filter(col("doc_id") % 2 === 1)
+          .select("lang", "g").distinct()
+        val novel = newG.join(baseG, Seq("g"), "left_anti")
+          .groupBy("lang").agg(count(lit(1)).as("n_novel"))
+        newG.groupBy("lang").agg(count(lit(1)).as("n_new_grams"))
+          .join(novel, Seq("lang"), "left")
+          .select(col("lang"), col("n_new_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              g AS (SELECT s.doc_id, d.lang, UNNEST(s.s) AS g
+                    FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+              bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 2 = 0),
+              ng AS (SELECT DISTINCT lang, g FROM g WHERE doc_id % 2 = 1),
+              nv AS (SELECT lang, COUNT(*) AS n_novel FROM ng
+                     WHERE g NOT IN (SELECT g FROM bg) GROUP BY lang)
+              SELECT ng.lang, COUNT(*) AS n_new_grams,
+                CAST(COALESCE(MIN(nv.n_novel), 0) AS BIGINT) AS n_novel
+              FROM ng LEFT JOIN nv ON ng.lang = nv.lang
+              GROUP BY 1 ORDER BY ng.lang"""))
   )
 }

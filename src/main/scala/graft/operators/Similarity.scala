@@ -183,9 +183,10 @@ object Similarity {
     // (table, bucket) equi-join shuffle) and k-means IVF
     // ([[Ann.ivfTopK]]: 16 cells, probe 8) — must each recover ≥ 70 %
     // of those pairs. Floors are tuned with measured margin, not
-    // guessed: ANN_TUNING.md records recall 0.82–0.83 (LSH; fully
+    // guessed: ANN_TUNING.md records recall 0.82–0.89 (LSH; fully
     // deterministic, so the measured value IS the driver's value) and
-    // 0.88 ± 0.02 across k-means seeds (IVF) on all three SFs, against
+    // 0.84–0.92 at the pinned seed (0.82–0.93 across k-means seed
+    // jitter; IVF) on all three SFs, against
     // a corpus of near-uniform random vectors (top-10 neighbor cosine
     // ≈ 0.30 — the worst case for sublinear search; on a corpus with
     // real near-dup structure both paths only get easier). n_lsh /

@@ -663,6 +663,62 @@ object Stats {
               SELECT user_id, n_events,
                 CAST(1 AS BIGINT) AS cms_no_under,
                 CAST(1 AS BIGINT) AS cms_bound_ok
-              FROM t ORDER BY n_events DESC, user_id"""))
+              FROM t ORDER BY n_events DESC, user_id""")),
+
+    // One-pass bounded uniform corpus sample — the "give me k random
+    // docs" primitive of a 100 TB corpus: order by a deterministic
+    // per-doc hash and keep the k smallest. The hash is uniform on
+    // ids, so the selection is an unbiased uniform sample; unlike a
+    // Bernoulli rate (q64) it needs NO prior corpus count to hit an
+    // exact k, carries no RNG state, and is reproducible across
+    // engines and partitionings. Plan: TakeOrderedAndProject —
+    // per-partition top-k then one k-row merge; no stage ever holds
+    // more than k rows. The salted-prefix hash decorrelates this
+    // sample from q46's split assignment (same md5, different
+    // preimage).
+    "q107_hash_sample" -> QueryDef(
+      (s, dir) => {
+        val k = 200
+        val h = md5(concat(lit("s8:"), col("doc_id").cast("string")))
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), h.as("h"))
+          .orderBy(col("h"), col("doc_id"))
+          .limit(k)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"), min(col("h")).as("first_h"))
+          .orderBy("lang")
+      },
+      Some("""WITH s AS (SELECT doc_id, lang,
+                  md5('s8:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents ORDER BY h, doc_id LIMIT 200)
+              SELECT lang, COUNT(*) AS n_sampled, MIN(h) AS first_h
+              FROM s GROUP BY 1 ORDER BY lang""")),
+
+    // Corpus-version histogram drift — the monitoring scan between two
+    // ingest snapshots (deterministic stand-ins: even/odd doc_id):
+    // doc lengths bucket into 8 fixed 100-char bins (top bin open) and
+    // both versions count in ONE conditional-aggregation pass; the
+    // per-bin absolute difference is the drift signal a pipeline
+    // alarms on before a bad drop poisons training. All integers; the
+    // aggregation key space is ≤ 8 rows at any corpus size, and the
+    // single count shuffle partial-aggregates.
+    "q109_length_drift" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .groupBy(least(floor(col("n_chars") / 100), lit(7))
+          .cast("long").as("bin"))
+        .agg(
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("drift", abs(col("n_a") - col("n_b")))
+        .orderBy("bin"),
+      Some("""SELECT LEAST(CAST(FLOOR(n_chars / 100) AS BIGINT), 7) AS bin,
+                CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+                CAST(ABS(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                  - SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END))
+                  AS BIGINT) AS drift
+              FROM documents GROUP BY 1 ORDER BY bin"""))
   )
 }

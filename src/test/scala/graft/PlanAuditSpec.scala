@@ -212,6 +212,35 @@ class PlanAuditSpec extends SparkSpec {
       "label agg lost its map-side partial")
   }
 
+  test("q107: hash sample is TakeOrderedAndProject (no global sort, no count)") {
+    val p = plan("q107_hash_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "bounded sample regressed to a global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q108: leakage scan joins on the gram key with partial aggregation") {
+    val p = plan("q108_split_leakage")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count"),
+      "per-doc hit count lost its map-side partial")
+  }
+
+  test("q109: drift histogram is one partial-agg count shuffle") {
+    val p = plan("q109_length_drift")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"drift plan grew extra shuffles:\n$p")
+    assert(p.contains("partial_sum"), "bin counts lost their map-side partial")
+  }
+
+  test("q110: novelty probe is a gram-keyed anti-join, never doc pairs") {
+    val p = plan("q110_gram_novelty")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftAnti"), "novelty lost its anti-join shape")
+  }
+
   test("relational hot paths stay inside whole-stage codegen") {
     // execute first: AQE only materializes its final plan (with `*(n)`
     // codegen stage markers) after the job runs. (q02 is absent: its

@@ -33,6 +33,21 @@ class StatsSpec extends SparkSpec {
     assert(again == base)
   }
 
+  test("q107: hash-ordered sample picks the same k docs under any partitioning") {
+    val k = 200
+    def sampleIds(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+      .select(col("doc_id"),
+        md5(concat(lit("s8:"), col("doc_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(k)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = sampleIds(docs)
+    val b = sampleIds(docs.repartition(7, col("lang"))
+      .sortWithinPartitions(desc("doc_id")))
+    assert(a.length == math.min(k, docs.count()).toInt)
+    assert(a == b, "hash-ordered sample depends on partition layout")
+  }
+
   test("q70: chunks cover every token exactly; full chunks overlap by 10") {
     val w = 50; val st = 40
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
