@@ -170,6 +170,18 @@ object Stress {
           .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
           .filter(col("n_hit") >= 5).count()
       },
+      // gram-novelty anti-join (q110's scale path): two distinct-gram
+      // frames + one gram-keyed LEFT ANTI join — wall-clock must track
+      // distinct-gram volume (linear in corpus), never doc pairs
+      timed("gram_novelty") {
+        val g = documents
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), explode(
+            expr("graft_shingles(text, 3)")).as("g"))
+        val baseG = g.filter(col("doc_id") % 2 === 0).select("g").distinct()
+        g.filter(col("doc_id") % 2 === 1).select("g").distinct()
+          .join(baseG, Seq("g"), "left_anti").count()
+      },
       // exact dedup shuffle on the full text key
       timed("exact_dedup") {
         documents.groupBy("text")

@@ -585,6 +585,64 @@ object TextAnalysis {
                 CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
                 CAST(MAX(badness) AS BIGINT) AS max_badness
               FROM c WHERE cum <= 2000
-              GROUP BY 1 ORDER BY lang"""))
+              GROUP BY 1 ORDER BY lang""")),
+
+    // Per-domain document cap — the crawl-hygiene rule that stops one
+    // domain from dominating a corpus (`source` stands in for the
+    // host): keep at most K=20 docs per source, best-first by q31's
+    // integer badness score with doc_id tie-break. Per-source kept /
+    // dropped counts and the worst admitted badness — the audit row a
+    // release report carries per domain.
+    //
+    // Plan at 100 TB: ONE window shuffle partitioned on the domain —
+    // exactly the key the data skews on, which is fine here because
+    // the window only ranks and rows stream through it (no
+    // materialized per-partition state beyond the sort spill); the
+    // integer score keeps the ranking engine-exact. A domain hot
+    // enough to bottleneck its one reducer is the pathological case
+    // q88's salting handles; at K=20 the kept set is bounded per key
+    // regardless.
+    "q111_domain_cap" -> QueryDef(
+      (s, dir) => {
+        val k = 20
+        val sig = qualitySignals(table(s, dir, "documents"))
+          .filter(col("n_tokens") > 0)
+          .withColumn("badness",
+            expr("(20000*n_stop + n_tokens) div (2*n_tokens)"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("badness"), col("doc_id"))
+        sig
+          .withColumn("rn", row_number().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rn") <= k, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rn") > k, 1L).otherwise(0L)).as("n_dropped"),
+            max(when(col("rn") <= k, col("badness"))).as("worst_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, source,
+                  list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS toks
+                FROM documents),
+              g AS (SELECT doc_id, source,
+                  CAST(LEN(toks) AS BIGINT) AS n_tokens,
+                  CAST(LEN(list_filter(toks,
+                    x -> x IN ($stopwordsSql))) AS BIGINT) AS n_stop
+                FROM f WHERE LEN(toks) > 0),
+              r AS (SELECT source, doc_id,
+                  (20000*n_stop + n_tokens) // (2*n_tokens) AS badness
+                FROM g),
+              c AS (SELECT source, badness,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY badness, doc_id) AS rn
+                FROM r)
+              SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN rn > 20 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dropped,
+                CAST(MAX(CASE WHEN rn <= 20 THEN badness END)
+                  AS BIGINT) AS worst_kept
+              FROM c GROUP BY 1 ORDER BY source"""))
   )
 }

@@ -102,6 +102,30 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("sig_key")
   }
 
+  /** Streaming decontamination gate — q101's bloom probe as a stream
+    * filter: drop any document whose distinct 3-gram shingles score
+    * `minHits`+ hits against the (fixed, broadcast) eval-set bloom.
+    * The per-doc hit count is computed INSIDE the row with a
+    * higher-order filter over the shingle array, so the operator is
+    * completely STATELESS — a map-only select/filter that runs
+    * identically in batch and readStream mode (no watermark, no state
+    * store, no shuffle), which is exactly what an ingest-time
+    * contamination gate must be at any throughput. Blooms have no
+    * false negatives, so nothing contaminated survives; the ~1e-9
+    * per-doc false-flag probability (5 independent gram FPs) is the
+    * q101 contract.
+    */
+  def decontaminateStream(
+      docs: DataFrame, bloom: Array[Byte], textCol: String,
+      minHits: Int = 5): DataFrame = {
+    graft.functions.HashFunctions.register(docs.sparkSession)
+    if (bloom == null) docs // empty eval set: nothing can be contaminated
+    else docs.filter(
+      size(filter(expr(s"graft_shingles($textCol, 3)"),
+        g => call_function("graft_bloom_contains",
+          lit(bloom), xxhash64(g)))) < minHits)
+  }
+
   /** Stream-stream interval join: each purchase pairs with the same
     * user's clicks from the preceding hour (the streaming counterpart
     * of the q36/q37 temporal joins). BOTH sides carry watermarks and

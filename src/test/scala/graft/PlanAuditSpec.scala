@@ -241,6 +241,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "novelty lost its anti-join shape")
   }
 
+  test("q111: domain cap is one window shuffle on the domain key") {
+    val p = plan("q111_domain_cap")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"), "cap ranking lost its window")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"domain cap grew extra shuffles:\n$p")
+  }
+
   test("relational hot paths stay inside whole-stage codegen") {
     // execute first: AQE only materializes its final plan (with `*(n)`
     // codegen stage markers) after the job runs. (q02 is absent: its

@@ -319,6 +319,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream drops bloom-flagged docs statelessly; batch mode agrees") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, expr}
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.HashFunctions.register(spark)
+    // contaminated shares 6 trigrams with the eval doc (>= the 5-hit
+    // rule); clean shares none
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val contaminated = "alpha beta gamma delta epsilon zeta eta theta lambda mu"
+    val clean = "one two three four five six seven eight nine ten"
+    val bloom = Seq(evalText).toDF("text")
+      .select(explode(expr("graft_shingles(text, 3)")).as("g"))
+      .agg(expr("graft_bloom_build(xxhash64(g), 1048576L)"))
+      .head().getAs[Array[Byte]](0)
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.decontaminateStream(input.toDF(), bloom, "text")
+      .writeStream.format("memory").outputMode(OutputMode.Append())
+      .queryName("decon_" + System.nanoTime()).start()
+    try {
+      input.addData(Seq(Doc(t(1), 1L, contaminated), Doc(t(2), 2L, clean)))
+      q.processAllAvailable()
+      val got = spark.table(q.name).collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(got == Seq(2L), s"got $got")
+    } finally q.stop()
+    // one definition, two modes: the same builder over a batch frame
+    val batch = StreamingOps.decontaminateStream(
+      Seq(Doc(t(1), 1L, contaminated), Doc(t(2), 2L, clean)).toDF(),
+      bloom, "text")
+    assert(batch.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+    // and a null bloom (empty eval set) passes everything through
+    val all = StreamingOps.decontaminateStream(
+      Seq(Doc(t(1), 1L, contaminated)).toDF(), null, "text")
+    assert(all.count() == 1)
+  }
+
   test("left-outer interval join streamed equals the batch join on the events table") {
     import spark.implicits._
     import graft.streaming.UserEvent
