@@ -628,7 +628,14 @@ object Stats {
     //     only increment; an underestimate is a bug), and
     //   cms_bound_ok — est ≤ true + ε·N with ε = 0.001 (the sketch's
     //     own accuracy guarantee at 99 % confidence; deterministic
-    //     here because the seed is pinned).
+    //     here because the seed is pinned). NOTE: this is a
+    //     probabilistic bound baked into a hashed contract bit — the
+    //     pinned seed makes it deterministic PER DATASET, but a future
+    //     fixture/scale could land in the 1 % tail for some key. If a
+    //     dataset ever trips it, that is the sketch behaving as
+    //     specified, not a bug: widen ε (or raise the seed) here AND
+    //     in the oracle's pinned 1, and re-run tools/check.py at every
+    //     SF to confirm the new bound holds before committing.
     // Exact top-10 selection is total-ordered (count desc, user_id) so
     // both engines pick the identical set; the estimate itself is
     // never an output column (it would pin the oracle to the sketch's
