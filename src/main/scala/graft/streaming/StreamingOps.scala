@@ -16,6 +16,9 @@ final case class UserEvent(
 /** Arbitrary per-key state output: running totals per user. */
 final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
+/** Minimal doc-with-provenance record for the per-domain admission cap. */
+final case class SourcedDoc(ts: java.sql.Timestamp, doc_id: Long, source: String)
+
 /** Structured-Streaming windowed aggregations over the `events` stream
   * (SURVEY §2B closing paragraph / §5 item 5). Each builder takes any
   * events DataFrame — batch or `readStream` — with `ts: timestamp`,
@@ -124,6 +127,35 @@ object StreamingOps {
       size(filter(expr(s"graft_shingles($textCol, 3)"),
         g => call_function("graft_bloom_contains",
           lit(bloom), xxhash64(g)))) < minHits)
+  }
+
+  /** Streaming per-domain admission cap — q111's crawl-hygiene rule at
+    * ingest time: admit at most `k` documents per source over the life
+    * of the stream, first-come (within a batch, deterministic
+    * (ts, doc_id) order). State is ONE Long per domain — bounded by
+    * the domain count, not the document count — via
+    * `flatMapGroupsWithState`, the arbitrary-keyed-state tool; the
+    * stream shuffles once on the domain key, the same partitioning the
+    * batch window uses. Runs in batch mode too (state starts empty,
+    * one "batch" = the whole frame), so the admission rule has one
+    * definition in both modes.
+    */
+  def perDomainAdmitCap(
+      docs: Dataset[SourcedDoc], k: Int): Dataset[SourcedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, SourcedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[SourcedDoc], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          // materialize + order BEFORE touching state: iterator order
+          // within a batch is partition-arrival order, not stable
+          val admitted = rows.toSeq
+            .sortBy(d => (d.ts.getTime, d.doc_id))
+            .filter { _ => if (n < k) { n += 1; true } else false }
+          state.update(n)
+          admitted.iterator
+      }
   }
 
   /** Stream-stream interval join: each purchase pairs with the same

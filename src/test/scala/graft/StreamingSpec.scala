@@ -355,6 +355,38 @@ class StreamingSpec extends SparkSpec {
     assert(all.count() == 1)
   }
 
+  test("perDomainAdmitCap admits at most k per source across batches; batch mode agrees") {
+    import spark.implicits._
+    import graft.streaming.SourcedDoc
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SourcedDoc]
+    val q = StreamingOps.perDomainAdmitCap(input.toDS(), k = 2)
+      .writeStream.format("memory").outputMode(OutputMode.Append())
+      .queryName("cap_" + System.nanoTime()).start()
+    try {
+      // batch 1: three docs from A (one over cap), one from B
+      input.addData(Seq(
+        SourcedDoc(t(1), 1L, "A"), SourcedDoc(t(2), 2L, "A"),
+        SourcedDoc(t(3), 3L, "A"), SourcedDoc(t(1), 4L, "B")))
+      q.processAllAvailable()
+      // batch 2: A is full (state carries over); B admits one more
+      input.addData(Seq(
+        SourcedDoc(t(10), 5L, "A"), SourcedDoc(t(10), 6L, "B"),
+        SourcedDoc(t(11), 7L, "B")))
+      q.processAllAvailable()
+      val got = spark.table(q.name).collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(got == Seq(1L, 2L, 4L, 6L), s"got $got")
+    } finally q.stop()
+    // one definition, two modes: the same builder over a batch frame
+    // admits the (ts, doc_id)-first two per source
+    val batch = StreamingOps.perDomainAdmitCap(
+      Seq(SourcedDoc(t(3), 3L, "A"), SourcedDoc(t(1), 1L, "A"),
+        SourcedDoc(t(2), 2L, "A")).toDS(), k = 2)
+      .collect().map(_.doc_id).sorted.toSeq
+    assert(batch == Seq(1L, 2L))
+  }
+
   test("left-outer interval join streamed equals the batch join on the events table") {
     import spark.implicits._
     import graft.streaming.UserEvent
