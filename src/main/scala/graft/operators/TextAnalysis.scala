@@ -643,6 +643,75 @@ object TextAnalysis {
                   AS BIGINT) AS n_dropped,
                 CAST(MAX(CASE WHEN rn <= 20 THEN badness END)
                   AS BIGINT) AS worst_kept
-              FROM c GROUP BY 1 ORDER BY source"""))
+              FROM c GROUP BY 1 ORDER BY source""")),
+
+    // Chunk-level dedup stats — the middle granularity of the dedup
+    // triad (whole-document q22, token-window CHUNK here, 3-gram
+    // q102): q70's overlapping token windows (w=50, stride 40) are
+    // hashed to md5 chunk identities; a chunk appearing ≥ 2 times
+    // anywhere in the corpus is duplicated. Per-lang: chunk volume,
+    // duplicated-chunk volume, and docs containing ≥ 1 duplicated
+    // chunk — the sequence-level contamination report a training run
+    // reads before packing (q71) turns chunks into context windows.
+    //
+    // Plan at 100 TB: the chunk explode is map-only (~n/stride chunks
+    // per doc); chunk doc-frequency is ONE partial-agg count shuffle
+    // on the md5 key; the skinny (md5 → dup bit) frame joins back on
+    // that key. All-integer output.
+    "q112_chunk_dedup" -> QueryDef(
+      (s, dir) => {
+        val w = 50; val st = 40
+        val ch = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), tokens(col("text")).as("tl"))
+          .withColumn("n", size(col("tl")))
+          .filter(col("n") > 0)
+          .withColumn("n_chunks",
+            when(col("n") <= w, lit(1L)).otherwise(
+              expr(s"1 + ((n - $w) + ${st - 1}) div $st")))
+          .select(col("doc_id"), col("lang"),
+            explode(transform(
+              sequence(lit(0L), col("n_chunks") - 1),
+              i => slice(col("tl"), (i * st + 1).cast("int"), lit(w))))
+              .as("chunk"))
+          .select(col("doc_id"), col("lang"),
+            md5(concat_ws(" ", col("chunk"))).as("cm"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dup = ch.groupBy("cm").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+          .select(col("cm"), lit(1L).as("dup"))
+        ch.join(dup, Seq("cm"), "left")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("nc"),
+            sum(coalesce(col("dup"), lit(0L))).as("nd"))
+          .groupBy("lang")
+          .agg(sum(col("nc")).as("n_chunks"),
+            sum(col("nd")).as("dup_chunks"),
+            sum(when(col("nd") > 0, 1L).otherwise(0L)).as("docs_hit"))
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tl
+                FROM documents),
+              c AS (SELECT doc_id, lang, tl,
+                  CASE WHEN len(tl) <= 50 THEN 1
+                       ELSE 1 + ((len(tl) - 50) + 39) // 40 END AS n_chunks
+                FROM d WHERE len(tl) > 0),
+              e AS (SELECT doc_id, lang,
+                  UNNEST(list_transform(range(n_chunks),
+                    i -> tl[i * 40 + 1 : i * 40 + 50])) AS chunk
+                FROM c),
+              m AS (SELECT doc_id, lang,
+                  md5(array_to_string(chunk, ' ')) AS cm FROM e),
+              dup AS (SELECT cm, CAST(1 AS BIGINT) AS dup FROM m
+                      GROUP BY cm HAVING COUNT(*) >= 2),
+              pd AS (SELECT doc_id, lang, COUNT(*) AS nc,
+                       SUM(COALESCE(dup.dup, 0)) AS nd
+                     FROM m LEFT JOIN dup USING (cm)
+                     GROUP BY doc_id, lang)
+              SELECT lang, CAST(SUM(nc) AS BIGINT) AS n_chunks,
+                CAST(SUM(nd) AS BIGINT) AS dup_chunks,
+                CAST(SUM(CASE WHEN nd > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS docs_hit
+              FROM pd GROUP BY 1 ORDER BY lang"""))
   )
 }

@@ -249,6 +249,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 3, s"domain cap grew extra shuffles:\n$p")
   }
 
+  test("q112: chunk dedup aggregates the md5 key partially, no doc pairs") {
+    val p = plan("q112_chunk_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count"),
+      "chunk doc-frequency lost its map-side partial")
+  }
+
   test("relational hot paths stay inside whole-stage codegen") {
     // execute first: AQE only materializes its final plan (with `*(n)`
     // codegen stage markers) after the job runs. (q02 is absent: its
