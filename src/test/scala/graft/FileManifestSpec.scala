@@ -151,6 +151,35 @@ class FileManifestSpec extends SparkSpec {
       s"re-action re-listed: ${counts.filter(_._2 > 1)}")
   }
 
+  test("wide-level fallback (recursive walk) also lists each directory once") {
+    // first level wider than 4×parallelism skips the BFS waves and
+    // walks each subtree recursively — that path must also touch every
+    // directory exactly once (listFiles → listLocatedStatus → one
+    // listStatus per dir)
+    val b = mkTree(nDirs = 20, filesPerDir = 1) // 20 ≥ 4 × local[4]
+    (0 until 20).foreach { d =>
+      val sub = b.resolve(f"d$d%03d/deep")
+      Files.createDirectories(sub)
+      Files.writeString(sub.resolve("x.dat"), "x")
+    }
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.counting.impl", classOf[CountingFileSystem].getName)
+    CountingFileSystem.reset()
+    val m = FileManifest.scan(spark, s"counting://$b")
+    assert(m.collect().length == 40)
+    val counts = {
+      import scala.jdk.CollectionConverters._
+      CountingFileSystem.listCalls.asScala.map { case (k, v) => k -> v.get }
+    }
+    // root + 20 top dirs + 20 deep dirs, each exactly once
+    assert(counts.values.forall(_ == 1),
+      s"fallback re-listed: ${counts.filter(_._2 > 1)}")
+    assert(counts.size == 41, s"unexpected list set size ${counts.size}")
+    // snapshot: a second action adds no RPCs on this path either
+    assert(m.count() == 40)
+    assert(counts.values.forall(_ == 1))
+  }
+
   test("withDestination enumerates deterministically in path order") {
     val b = mkTree(nDirs = 2, filesPerDir = 3)
     val m = FileManifest.scan(spark, s"file://$b")

@@ -28,12 +28,24 @@ import org.apache.hadoop.fs.{FileStatus, Path, RawLocalFileSystem}
 class CountingFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "counting"
   override def getUri: URI = URI.create("counting:///")
+
+  // RawLocal statuses load permissions LAZILY via java.io.File, which
+  // rejects non-"file" URIs (LocatedFileStatus — built by listFiles —
+  // touches them eagerly). Copy to a plain FileStatus so the lazy load
+  // never fires under this scheme.
+  private def eager(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getPath)
+
   override def listStatus(f: Path): Array[FileStatus] = {
     CountingFileSystem.listCalls
       .computeIfAbsent(f.toUri.getPath, _ => new AtomicInteger)
       .incrementAndGet()
-    super.listStatus(f)
+    super.listStatus(f).map(eager)
   }
+
+  override def getFileStatus(f: Path): FileStatus =
+    eager(super.getFileStatus(f))
 }
 
 object CountingFileSystem {
