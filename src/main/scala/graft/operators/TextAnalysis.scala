@@ -712,6 +712,77 @@ object TextAnalysis {
                 CAST(SUM(nd) AS BIGINT) AS dup_chunks,
                 CAST(SUM(CASE WHEN nd > 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS docs_hit
-              FROM pd GROUP BY 1 ORDER BY lang"""))
+              FROM pd GROUP BY 1 ORDER BY lang""")),
+
+    // Normalization-aware exact dedup — q22 hashes the RAW text, which
+    // misses the case/whitespace-only clones a crawl produces in bulk;
+    // here both keys count side by side: distinct raw texts vs
+    // distinct NORMALIZED texts (lowercase, whitespace runs collapsed,
+    // trimmed) per language, plus the docs collapsed only by
+    // normalization — the measure that says how much the cheap
+    // canonicalization pass buys before the expensive near-dup
+    // pipeline runs. Plan: both distincts come from ONE aggregation
+    // each on a hash-partitioned key with partial aggregation; the
+    // normalization itself is a codegen'd projection.
+    "q113_normalized_dedup" -> QueryDef(
+      (s, dir) => {
+        val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        table(s, dir, "documents")
+          .select(col("lang"), col("text"), norm.as("ntext"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("text")).as("distinct_raw"),
+            countDistinct(col("ntext")).as("distinct_norm"))
+          .withColumn("norm_only_collapsed",
+            col("distinct_raw") - col("distinct_norm"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+                COUNT(DISTINCT text) AS distinct_raw,
+                COUNT(DISTINCT trim(regexp_replace(lower(text),
+                  '\s+', ' ', 'g'))) AS distinct_norm,
+                COUNT(DISTINCT text) - COUNT(DISTINCT
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                  AS norm_only_collapsed
+              FROM documents GROUP BY 1 ORDER BY lang""")),
+
+    // Language-ID confusion matrix — q30's lexicon predictor crossed
+    // with the labeled language: per (label, prediction) doc counts,
+    // the QA artifact that says WHERE the classifier fails rather than
+    // just how often. Integer counts over a bounded (|langs|+1)² key
+    // space; the lexicon broadcasts, the per-doc argmax window
+    // partitions on doc_id — the same plan shape as q30 with one more
+    // bounded-key aggregation.
+    "q114_langid_confusion" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val lex = s.createDataFrame(lexicon).toDF("lex_lang", "word")
+        val toks = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("word"))
+        val scores = toks.join(broadcast(lex), "word")
+          .groupBy("doc_id", "lex_lang").agg(count(lit(1)).as("hits"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("hits"), col("lex_lang"))
+        val best = scores.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("doc_id", "lex_lang")
+        docs.select("doc_id", "lang").join(best, Seq("doc_id"), "left")
+          .withColumn("lang_pred", coalesce(col("lex_lang"), lit("und")))
+          .groupBy("lang", "lang_pred")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "lang_pred")
+      },
+      Some(s"""WITH lex(lex_lang, word) AS (VALUES $lexiconSqlValues),
+              toks AS (SELECT doc_id,
+                UNNEST(string_split_regex(text, '\\s+')) AS word
+                FROM documents),
+              scores AS (SELECT doc_id, lex_lang, COUNT(*) AS hits
+                FROM toks JOIN lex USING (word) GROUP BY doc_id, lex_lang),
+              best AS (SELECT doc_id, lex_lang FROM scores
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY hits DESC, lex_lang) = 1)
+              SELECT d.lang, COALESCE(b.lex_lang, 'und') AS lang_pred,
+                COUNT(*) AS n_docs
+              FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+              GROUP BY 1, 2 ORDER BY lang, lang_pred"""))
   )
 }

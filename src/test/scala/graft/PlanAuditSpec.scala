@@ -257,6 +257,18 @@ class PlanAuditSpec extends SparkSpec {
       "chunk doc-frequency lost its map-side partial")
   }
 
+  test("q113: dual distinct counts expand once, no cartesian") {
+    val p = plan("q113_normalized_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Expand"), "multi-distinct lost its expand plan")
+  }
+
+  test("q114: confusion matrix broadcasts the lexicon like q30") {
+    val p = plan("q114_langid_confusion")
+    assert(p.contains("BroadcastHashJoin"), "lexicon join stopped broadcasting")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("relational hot paths stay inside whole-stage codegen") {
     // execute first: AQE only materializes its final plan (with `*(n)`
     // codegen stage markers) after the job runs. (q02 is absent: its
