@@ -98,15 +98,26 @@ object Dedup {
     * layout — shared by [[neardupPairs]] and the q90 recall contract
     * so the two can never drift apart.
     */
-  private def lshCandidatePairs(
+  /** The banded MinHash index of a shingled frame: 32 scalar band-hash
+    * rows per doc — the unit a persisted "band index" stores at scale
+    * (bucketed on `band`, this is what each ingest batch probes).
+    * Single definition of the banding layout, shared by the self-join
+    * candidates, the q90 recall contract, and the incremental q115
+    * probe.
+    */
+  private def bandedOf(
       sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sig = sh.withColumn("sig", expr("graft_minhash(sh)"))
     val bandCols = (0 until Bands).map { b =>
       xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
         element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
     }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+  }
+
+  private def lshCandidatePairs(
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val banded = bandedOf(sh)
     banded.select(col("doc_id").as("da"), col("band"))
       .join(banded.select(col("doc_id").as("db"), col("band")),
         Seq("band"))
@@ -144,8 +155,18 @@ object Dedup {
     */
   private[operators] def verifiedPairsOf(
       sh: org.apache.spark.sql.DataFrame,
-      minJ: Double = MinJaccard): org.apache.spark.sql.DataFrame = {
-    val cand = lshCandidatePairs(sh)
+      minJ: Double = MinJaccard): org.apache.spark.sql.DataFrame =
+    verifyCand(lshCandidatePairs(sh), sh, minJ)
+
+  /** Exact-Jaccard verification of a (da, db) candidate list against
+    * the shingle table — the arithmetic shared by the self-join path
+    * and the incremental base-vs-batch path (q115).
+    */
+  private def verifyCand(
+      candidates: org.apache.spark.sql.DataFrame,
+      sh: org.apache.spark.sql.DataFrame,
+      minJ: Double): org.apache.spark.sql.DataFrame = {
+    val cand = candidates
       .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
       .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
     val inter = size(array_intersect(col("sha"), col("shb")))
@@ -1020,6 +1041,48 @@ object Dedup {
               SELECT ng.lang, COUNT(*) AS n_new_grams,
                 CAST(COALESCE(MIN(nv.n_novel), 0) AS BIGINT) AS n_novel
               FROM ng LEFT JOIN nv ON ng.lang = nv.lang
-              GROUP BY 1 ORDER BY ng.lang"""))
+              GROUP BY 1 ORDER BY ng.lang""")),
+
+    // Incremental near-dup — the nightly-ingest shape of the q25
+    // pipeline: dedup a NEW batch (odd doc_id) against the existing
+    // BASE corpus (even doc_id) without ever re-pairing base×base.
+    // The base side's banded MinHash index ([[bandedOf]] — at scale a
+    // persisted table bucketed on `band`) is probed by the batch's
+    // bands only, so candidate work is O(|batch| × bands × bucket
+    // occupancy), independent of how big the accumulated corpus has
+    // grown; exact Jaccard then verifies the survivors exactly as the
+    // full pipeline does (one [[verifyCand]] definition for both).
+    // Oracle = brute-force exact Jaccard restricted to cross-side
+    // pairs, so the banding's recall on the declared ≥ 0.8 margin is
+    // hash-asserted here just like q25's.
+    "q115_incremental_neardup" -> QueryDef(
+      (s, dir) => {
+        val sh = shingled(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val banded = bandedOf(sh)
+        val baseIdx = banded.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("da"), col("band"))
+        val batch = banded.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("db"), col("band"))
+        val cand = baseIdx.join(batch, Seq("band"))
+          .select("da", "db").distinct()
+        verifyCand(cand, sh, MinJaccard)
+          .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+          .orderBy("da", "db")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+                FROM sh a JOIN sh b
+                  ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+              SELECT da, db, ROUND(j, 4) AS jaccard FROM p
+              WHERE j >= 0.8 ORDER BY da, db"""))
   )
 }
