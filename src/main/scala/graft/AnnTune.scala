@@ -68,6 +68,13 @@ object AnnTune {
           Ann.ivfTopK(emb, queries, k, nlist = 16, nprobe = 8, seed = seed))
         out(f"| $sf | ivf | nlist=16 nprobe=8 seed=$seed | $r%.4f | $s%.1f |")
       }
+      // int8-scored shortlist (the 4x-smaller candidate read): recall
+      // cost of scoring on codes before the exact shortlist re-rank
+      for (rerank <- Seq(32, 64)) {
+        val (r, s) = recallOf(Ann.ivfSq8TopK(
+          emb, queries, k, nlist = 16, nprobe = 8, rerank = rerank))
+        out(f"| $sf | ivf-sq8 | nlist=16 nprobe=8 rerank=$rerank | $r%.4f | $s%.1f |")
+      }
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("ANN_TUNING.md"),

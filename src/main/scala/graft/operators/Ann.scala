@@ -252,6 +252,110 @@ object Ann {
       .select("q_id", "vec_id", "sim", "rank")
   }
 
+  /** IVF with int8 scalar-quantized candidate scoring (IVF-SQ8, the
+    * lite cousin of FAISS's IVF-SQ index): same coarse k-means cells
+    * as [[ivfTopK]], but candidates are scored against the stored
+    * INT8 codes (q105's symmetric per-vector scheme: scale = max |x|,
+    * code = round(127·x/scale)) — at 100 TB the float32 embedding
+    * store is the dominant cost, and the 4×-smaller code table is
+    * what the candidate scan actually reads. The approximate score
+    * orders a shortlist of `rerank` candidates per query; the final
+    * top-k re-ranks THOSE against the exact float vectors, so the
+    * returned sims are bitwise the exact cosines (the [[annTopK]] /
+    * [[ivfTopK]] output contract) while the full-width candidate read
+    * touched only codes. Same bucket-join scale shape as ivfTopK; the
+    * only float-vector reads are nlist centroids + the shortlist.
+    */
+  def ivfSq8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 7L,
+      trainTarget: Long = 0L,
+      rerank: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.ml.functions.array_to_vector
+    val dArr = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    // int8 codes + per-vector scale (q105's arithmetic, one map-only
+    // projection; at scale this is the persisted code table)
+    val scale = coalesce(
+      array_max(transform(col("embedding"), v => abs(v.cast("double")))),
+      lit(0d))
+    val code = transform(col("embedding"), v =>
+      when(col("scale") > 0d,
+        round(v.cast("double") * 127d / col("scale")))
+        .otherwise(0d).cast("tinyint"))
+    val featured = corpus
+      .withColumn("features", array_to_vector(col("embedding")))
+    val target =
+      if (trainTarget > 0) trainTarget else math.max(256L * nlist, 8192L)
+    val trainSet = featured
+      .select(col("features"), xxhash64(col("vec_id")).as("__h"),
+        col("vec_id"))
+      .orderBy(col("__h"), col("vec_id"))
+      .limit(target.min(Int.MaxValue.toLong).toInt)
+      .select("features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model =
+      try new org.apache.spark.ml.clustering.KMeans()
+        .setK(nlist).setSeed(seed).setFeaturesCol("features")
+        .fit(trainSet)
+      finally trainSet.unpersist(blocking = false)
+    // the quantized corpus table: (vec_id, cell, scale, code) — what a
+    // release persists; float embeddings stay behind for the shortlist
+    val c = model.transform(featured)
+      .withColumn("scale", scale)
+      .select(col("vec_id"), col("prediction").as("cell"),
+        col("scale"), code.as("code"))
+    val centroids = broadcast(spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (v, i) =>
+        (i, v.toArray)
+      }.toIndexedSeq).toDF("cell", "centroid"))
+    val wCell = Window.partitionBy("q_id").orderBy("dist", "cell")
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normSq(col("embedding")).as("q_nsq"))
+      .crossJoin(centroids)
+      .withColumn("dist",
+        col("q_nsq") - lit(2.0) * dot(col("q_emb"), col("centroid")) +
+          dot(col("centroid"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nprobe)
+      .select("q_id", "q_emb", "q_nsq", "cell")
+    // approximate score from codes only: x'ᵢ = codeᵢ·scale/127, so
+    // dot(x', q) = (scale/127)·dot(code, q) — one fused fold per
+    // candidate over the int8 code, no float corpus read
+    val approx = aggregate(
+      zip_with(col("code").cast(dArr), col("q_emb"),
+        (ci, qi) => ci * qi.cast("double")),
+      lit(0d), (acc, v) => acc + v) * col("scale") / 127d
+    val wShort = Window.partitionBy("q_id")
+      .orderBy(desc("approx"), col("vec_id"))
+    val shortlist = c.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx", approx)
+      .withColumn("arank", row_number().over(wShort))
+      .filter(col("arank") <= rerank)
+      .select("q_id", "vec_id")
+    // exact re-rank of the shortlist only — the sole float-vector read
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    shortlist
+      .join(corpus.select(col("vec_id"), col("embedding"),
+        normSq(col("embedding")).as("nsq")), "vec_id")
+      .join(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        normSq(col("embedding")).as("q_nsq")), "q_id")
+      .withColumn("sim", cosineWithNorms(
+        dot(col("embedding"), col("q_emb")), col("nsq"), col("q_nsq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
   /** Exact brute-force top-k with the same output contract — the recall
     * baseline (broadcast the query side; map-only over the corpus).
     */

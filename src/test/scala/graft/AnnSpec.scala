@@ -199,6 +199,42 @@ class AnnSpec extends SparkSpec {
     assert(res.select("q_id").distinct().count() == queries.count()) // still answers
   }
 
+  test("ivf-sq8 returns EXACT sims (shortlist re-rank) with nontrivial recall") {
+    val queries = emb.filter(col("vec_id") <= 20)
+    val sq8 = Ann.ivfSq8TopK(emb, queries, k = 10, nprobe = 8).collect()
+    val brute = Ann.bruteTopK(emb, queries, k = emb.count().toInt)
+      .select("q_id", "vec_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(sq8.nonEmpty)
+    // int8 scoring only ORDERS the shortlist; returned sims must be the
+    // exact cosines, bitwise
+    sq8.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && r.getAs[Double]("sim") == brute(key),
+        s"sq8 sim not exact for $key")
+    }
+    val hits = sq8.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val top = Ann.bruteTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (hits & top).size.toDouble / top.size
+    assert(recall >= 0.2, s"sq8 recall collapsed: $recall")
+    // same seed + same input => same result (hash-ordered sample +
+    // pinned kmeans seed + deterministic quantization)
+    val again = Ann.ivfSq8TopK(emb, queries, k = 10, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == hits)
+  }
+
+  test("ivf-sq8 self-query retrieves the duplicated vector at sim 1.0") {
+    val q = emb.filter(col("vec_id") === 5)
+      .select((col("vec_id") + 300000).as("vec_id"), col("embedding"))
+    val res = Ann.ivfSq8TopK(emb, q, k = 3, nprobe = 8).collect()
+    assert(res.nonEmpty)
+    val top = res.minBy(_.getAs[Int]("rank"))
+    assert(top.getAs[Long]("vec_id") == 5L)
+    assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
   test("a degenerate constant-vector mass is capped out of the bucket join") {
     // 240 copies of vec 3's embedding: identical vectors land in ONE
     // bucket in EVERY table — the quadratic-reducer shape the
