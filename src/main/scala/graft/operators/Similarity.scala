@@ -177,8 +177,9 @@ object Similarity {
     // ANN recall contract (q90's pattern for the similarity sketch):
     // the exact top-10 neighbor pairs of every 10th vector come from
     // the brute-force scan ([[Ann.bruteTopK]] — broadcast query side,
-    // map-only corpus, the oracle recomputes it in SQL); the two
-    // approximate 100 TB paths — multi-table hyperplane LSH
+    // map-only corpus, the oracle recomputes it in SQL); all three
+    // approximate 100 TB paths are gated — the int8-scored IVF-SQ8
+    // ([[Ann.ivfSq8TopK]]) alongside multi-table hyperplane LSH
     // ([[Ann.annTopK]]: 16 OR'd tables × 8 planes, 1-probe, ONE
     // (table, bucket) equi-join shuffle) and k-means IVF
     // ([[Ann.ivfTopK]]: 16 cells, probe 8) — must each recover ≥ 70 %
@@ -216,9 +217,18 @@ object Similarity {
           Ann.ivfTopK(emb, queries, k, nlist = 16, nprobe = 8)
             .select("q_id", "vec_id"),
           Seq("q_id", "vec_id"), "left_semi")
+        // the int8-scored variant is gated at the same floors — its
+        // measured recall is IDENTICAL to the float-scored IVF at
+        // every SF (ANN_TUNING.md ivf-sq8 rows: the shortlist exact
+        // re-rank absorbs the quantization error entirely)
+        val sq8Hit = brute.join(
+          Ann.ivfSq8TopK(emb, queries, k, nlist = 16, nprobe = 8)
+            .select("q_id", "vec_id"),
+          Seq("q_id", "vec_id"), "left_semi")
         brute.agg(count(lit(1)).as("n_exact"))
           .crossJoin(lshHit.agg(count(lit(1)).as("n_lsh")))
           .crossJoin(ivfHit.agg(count(lit(1)).as("n_ivf")))
+          .crossJoin(sq8Hit.agg(count(lit(1)).as("n_sq8")))
           .select(col("n_exact"),
             (col("n_lsh") >= col("n_exact") * lit(0.70))
               .cast("long").as("lsh_recall_ok"),
@@ -227,7 +237,11 @@ object Similarity {
             (col("n_lsh") >= col("n_exact") * lit(0.75))
               .cast("long").as("lsh_recall_hi"),
             (col("n_ivf") >= col("n_exact") * lit(0.78))
-              .cast("long").as("ivf_recall_hi"))
+              .cast("long").as("ivf_recall_hi"),
+            (col("n_sq8") >= col("n_exact") * lit(0.70))
+              .cast("long").as("sq8_recall_ok"),
+            (col("n_sq8") >= col("n_exact") * lit(0.78))
+              .cast("long").as("sq8_recall_hi"))
       },
       Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
                          FROM embeddings WHERE vec_id % 10 = 0),
@@ -247,7 +261,9 @@ object Similarity {
                 CAST(1 AS BIGINT) AS lsh_recall_ok,
                 CAST(1 AS BIGINT) AS ivf_recall_ok,
                 CAST(1 AS BIGINT) AS lsh_recall_hi,
-                CAST(1 AS BIGINT) AS ivf_recall_hi""")),
+                CAST(1 AS BIGINT) AS ivf_recall_hi,
+                CAST(1 AS BIGINT) AS sq8_recall_ok,
+                CAST(1 AS BIGINT) AS sq8_recall_hi""")),
 
     // Symmetric int8 embedding quantization QA — the 4× storage
     // compression every 100 TB embedding store applies before anything
