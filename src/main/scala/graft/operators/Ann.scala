@@ -175,41 +175,40 @@ object Ann {
     * table, never n² pairs — but data-adaptive: cells follow the
     * embedding distribution instead of fixed hyperplanes.
     */
-  def ivfTopK(
+  /** Coarse-quantizer training on a bounded deterministic sample —
+    * k-means is ITERATIVE, so fitting the full corpus is a
+    * multi-pass scan of 100 TB to learn an nlist-row model. The
+    * standard IVF recipe trains on a few hundred points per centroid
+    * (the cells only need to follow the coarse density); transform()
+    * still assigns EVERY corpus row to its cell. The sample is the
+    * `target` rows with the smallest xxhash64(vec_id) — a
+    * TakeOrderedAndProject: per-partition top-k then one tiny merge,
+    * ONE pass over the corpus with no prior count() (the round-7
+    * Bernoulli fraction needed an exact corpus count first — a full
+    * extra scan of 100 TB on sources without cheap count stats), and
+    * deterministic under ANY partitioning or row order (hash-order
+    * selection is layout-independent where seeded Bernoulli was not).
+    * The hash is uniform, so the selection is an unbiased uniform
+    * sample; a corpus smaller than `target` trains on everything.
+    * The sample is persisted before fit: KMeans.fit runs several
+    * internal actions (feature-width probe, norms, zip) and each would
+    * otherwise re-execute the sample's corpus scan — with the bounded
+    * sample cached, the corpus is scanned exactly once (asserted by
+    * the accumulator test in AnnSpec); the cache is `target` rows,
+    * freed right after fit. Callers running BOTH ivf paths over one
+    * corpus (q98) train once here and pass the model to each.
+    */
+  def coarseQuantizer(
       corpus: DataFrame,
-      queries: DataFrame,
-      k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4,
       seed: Long = 7L,
-      trainTarget: Long = 0L): DataFrame = {
-    val spark = corpus.sparkSession
-    graft.functions.VectorFunctions.register(spark)
+      trainTarget: Long = 0L)
+      : org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.functions.array_to_vector
-    val featured = corpus.withColumn("features", array_to_vector(col("embedding")))
-    // Coarse-quantizer training on a bounded deterministic sample —
-    // k-means is ITERATIVE, so fitting the full corpus is a
-    // multi-pass scan of 100 TB to learn an nlist-row model. The
-    // standard IVF recipe trains on a few hundred points per centroid
-    // (the cells only need to follow the coarse density); transform()
-    // still assigns EVERY corpus row to its cell. The sample is the
-    // `target` rows with the smallest xxhash64(vec_id) — a
-    // TakeOrderedAndProject: per-partition top-k then one tiny merge,
-    // ONE pass over the corpus with no prior count() (the round-7
-    // Bernoulli fraction needed an exact corpus count first — a full
-    // extra scan of 100 TB on sources without cheap count stats), and
-    // deterministic under ANY partitioning or row order (hash-order
-    // selection is layout-independent where seeded Bernoulli was not).
-    // The hash is uniform, so the selection is an unbiased uniform
-    // sample; a corpus smaller than `target` trains on everything.
+    val featured = corpus
+      .withColumn("features", array_to_vector(col("embedding")))
     val target =
       if (trainTarget > 0) trainTarget else math.max(256L * nlist, 8192L)
-    // persisted before fit: KMeans.fit runs several internal actions
-    // (feature-width probe, norms, zip) and each would otherwise
-    // re-execute the sample's corpus scan — with the bounded sample
-    // cached, the corpus is scanned exactly once (asserted by the
-    // accumulator test in AnnSpec); the cache is `target` rows, freed
-    // right after fit
     val trainSet = featured
       .select(col("features"), xxhash64(col("vec_id")).as("__h"),
         col("vec_id"))
@@ -217,11 +216,28 @@ object Ann {
       .limit(target.min(Int.MaxValue.toLong).toInt)
       .select("features")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model =
-      try new org.apache.spark.ml.clustering.KMeans()
-        .setK(nlist).setSeed(seed).setFeaturesCol("features")
-        .fit(trainSet)
-      finally trainSet.unpersist(blocking = false)
+    try new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .fit(trainSet)
+    finally trainSet.unpersist(blocking = false)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 7L,
+      trainTarget: Long = 0L,
+      quantizer: Option[org.apache.spark.ml.clustering.KMeansModel] = None)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.withColumn("features", array_to_vector(col("embedding")))
+    val model = quantizer.getOrElse(
+      coarseQuantizer(corpus, nlist, seed, trainTarget))
     val c = model.transform(featured)
       .select(col("vec_id"), col("embedding"),
         normSq(col("embedding")).as("nsq"), col("prediction").as("cell"))
@@ -274,7 +290,9 @@ object Ann {
       nprobe: Int = 4,
       seed: Long = 7L,
       trainTarget: Long = 0L,
-      rerank: Int = 64): DataFrame = {
+      rerank: Int = 64,
+      quantizer: Option[org.apache.spark.ml.clustering.KMeansModel] = None)
+      : DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.VectorFunctions.register(spark)
     import org.apache.spark.ml.functions.array_to_vector
@@ -291,20 +309,8 @@ object Ann {
         .otherwise(0d).cast("tinyint"))
     val featured = corpus
       .withColumn("features", array_to_vector(col("embedding")))
-    val target =
-      if (trainTarget > 0) trainTarget else math.max(256L * nlist, 8192L)
-    val trainSet = featured
-      .select(col("features"), xxhash64(col("vec_id")).as("__h"),
-        col("vec_id"))
-      .orderBy(col("__h"), col("vec_id"))
-      .limit(target.min(Int.MaxValue.toLong).toInt)
-      .select("features")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model =
-      try new org.apache.spark.ml.clustering.KMeans()
-        .setK(nlist).setSeed(seed).setFeaturesCol("features")
-        .fit(trainSet)
-      finally trainSet.unpersist(blocking = false)
+    val model = quantizer.getOrElse(
+      coarseQuantizer(corpus, nlist, seed, trainTarget))
     // the quantized corpus table: (vec_id, cell, scale, code) — what a
     // release persists; float embeddings stay behind for the shortlist
     val c = model.transform(featured)

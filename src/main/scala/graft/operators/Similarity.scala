@@ -213,8 +213,12 @@ object Similarity {
           Ann.annTopK(emb, queries, k, nPlanes = 8, probes = 1, tables = 16)
             .select("q_id", "vec_id"),
           Seq("q_id", "vec_id"), "left_semi")
+        // ONE coarse-quantizer fit feeds both IVF paths — they'd train
+        // identical models (same corpus/seed/sample) independently
+        val quant = Some(Ann.coarseQuantizer(emb, nlist = 16))
         val ivfHit = brute.join(
-          Ann.ivfTopK(emb, queries, k, nlist = 16, nprobe = 8)
+          Ann.ivfTopK(emb, queries, k, nlist = 16, nprobe = 8,
+            quantizer = quant)
             .select("q_id", "vec_id"),
           Seq("q_id", "vec_id"), "left_semi")
         // the int8-scored variant is gated at the same floors — its
@@ -222,7 +226,8 @@ object Similarity {
         // every SF (ANN_TUNING.md ivf-sq8 rows: the shortlist exact
         // re-rank absorbs the quantization error entirely)
         val sq8Hit = brute.join(
-          Ann.ivfSq8TopK(emb, queries, k, nlist = 16, nprobe = 8)
+          Ann.ivfSq8TopK(emb, queries, k, nlist = 16, nprobe = 8,
+            quantizer = quant)
             .select("q_id", "vec_id"),
           Seq("q_id", "vec_id"), "left_semi")
         brute.agg(count(lit(1)).as("n_exact"))
