@@ -100,7 +100,12 @@ object MultiModal {
     * payloads no installed reader recognizes (caller falls back to the
     * stub).
     */
-  def decodeImageHeader(content: Array[Byte]): Option[(Int, Int, String)] = {
+  def decodeImageHeader(content: Array[Byte]): Option[(Int, Int, String)] =
+    try decodeImageHeaderUnsafe(content)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeImageHeaderUnsafe(
+      content: Array[Byte]): Option[(Int, Int, String)] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(content))
     try {
@@ -113,7 +118,12 @@ object MultiModal {
           Some((r.getWidth(0), r.getHeight(0),
             r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
         } catch {
-          case _: java.io.IOException => None // truncated/corrupt header
+          // NonFatal, not just IOException: imageio readers throw
+          // IllegalArgumentException / ArrayIndexOutOfBounds /
+          // NegativeArraySize on malformed or truncated headers —
+          // exactly what crawl-scale media contains, and one bad
+          // payload must degrade to the stub, not fail the task
+          case scala.util.control.NonFatal(_) => None
         } finally r.dispose()
       }
     } finally iis.close()

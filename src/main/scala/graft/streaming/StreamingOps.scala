@@ -143,18 +143,40 @@ object StreamingOps {
   def perDomainAdmitCap(
       docs: Dataset[SourcedDoc], k: Int): Dataset[SourcedDoc] = {
     import docs.sparkSession.implicits._
+    // iterator order within a batch is partition-arrival order, not
+    // stable — admission must be by deterministic (ts, doc_id) order.
+    // But materializing the whole group to sort it would load a hot
+    // domain's entire batch into one task's heap (the r8 ADVICE): a
+    // bounded max-heap of the best `quota` keys streams the iterator
+    // instead, so task memory is O(k - admitted_so_far), never the
+    // group size — matching the "state is ONE Long per domain" claim
+    // in spirit as well as letter. A null ts sorts LAST (an undated
+    // doc never displaces a dated one inside the quota).
+    def key(d: SourcedDoc): (Long, Long) =
+      (if (d.ts == null) Long.MaxValue else d.ts.getTime, d.doc_id)
     docs.groupByKey(_.source)
       .flatMapGroupsWithState[Long, SourcedDoc](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[SourcedDoc], state: GroupState[Long]) =>
-          var n = state.getOption.getOrElse(0L)
-          // materialize + order BEFORE touching state: iterator order
-          // within a batch is partition-arrival order, not stable
-          val admitted = rows.toSeq
-            .sortBy(d => (d.ts.getTime, d.doc_id))
-            .filter { _ => if (n < k) { n += 1; true } else false }
-          state.update(n)
-          admitted.iterator
+          val n = state.getOption.getOrElse(0L)
+          val quota = math.max(0L, k - n).toInt
+          if (quota == 0) { state.update(n); Iterator.empty }
+          else {
+            val ord = Ordering.Tuple2[Long, Long]
+            // max-heap on the key: the root is the WORST of the kept
+            // candidates and is evicted when a better one streams in
+            val heap = new java.util.PriorityQueue[SourcedDoc](
+              quota + 1, (a: SourcedDoc, b: SourcedDoc) =>
+                ord.compare(key(b), key(a)))
+            rows.foreach { d =>
+              heap.add(d)
+              if (heap.size > quota) heap.poll()
+            }
+            val admitted = Array.fill(heap.size)(heap.poll())
+              .sortBy(key)(ord)
+            state.update(n + admitted.length)
+            admitted.iterator
+          }
       }
   }
 

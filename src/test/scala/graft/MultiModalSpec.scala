@@ -78,6 +78,27 @@ class MultiModalSpec extends SparkSpec {
     assert(f.width == 120 && f.height == 77 && f.format == "png")
   }
 
+  test("malformed image headers degrade to the stub instead of failing the task") {
+    // ADVICE r8: imageio readers throw RUNTIME exceptions (not just
+    // IOException) on crawl-grade garbage — e.g. a PNG magic followed
+    // by a chunk length of -1, or a header truncated mid-IHDR. Every
+    // one of these must come back as the stub, never an exception.
+    val pngMagic = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    val negLenChunk = pngMagic ++ Array(0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte) ++
+      "IHDR".getBytes ++ Array.fill[Byte](8)(0x41)
+    val truncated = pngMagic ++ Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes
+    val jpegGarbage = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte) ++
+      Array.fill[Byte](16)(0x7F)
+    val gifGarbage = "GIF89a".getBytes ++ Array.fill[Byte](3)(0xFF.toByte)
+    Seq(negLenChunk, truncated, jpegGarbage, gifGarbage,
+      Array.empty[Byte]).zipWithIndex.foreach { case (bytes, i) =>
+      val f = MultiModal.decode(
+        graft.operators.MediaAsset(i.toLong, "image", bytes, "s"))
+      assert(f.format == "stub", s"payload $i did not fall back to the stub")
+    }
+  }
+
   test("resize clamps dimensions preserving aspect ratio; never upscales") {
     import spark.implicits._
     val feats = Seq(

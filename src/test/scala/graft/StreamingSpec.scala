@@ -385,6 +385,18 @@ class StreamingSpec extends SparkSpec {
         SourcedDoc(t(2), 2L, "A")).toDS(), k = 2)
       .collect().map(_.doc_id).sorted.toSeq
     assert(batch == Seq(1L, 2L))
+    // a null ts must not NPE, and sorts LAST — an undated doc never
+    // displaces a dated one inside the quota (ADVICE r8)
+    val withNull = StreamingOps.perDomainAdmitCap(
+      Seq(SourcedDoc(null, 9L, "A"), SourcedDoc(t(5), 8L, "A"),
+        SourcedDoc(t(4), 7L, "A")).toDS(), k = 2)
+      .collect().map(_.doc_id).sorted.toSeq
+    assert(withNull == Seq(7L, 8L), s"got $withNull")
+    // and when the quota has room, the undated doc still admits
+    val nullAdmits = StreamingOps.perDomainAdmitCap(
+      Seq(SourcedDoc(null, 9L, "A"), SourcedDoc(t(4), 7L, "A")).toDS(),
+      k = 2).collect().map(_.doc_id).sorted.toSeq
+    assert(nullAdmits == Seq(7L, 9L), s"got $nullAdmits")
   }
 
   test("left-outer interval join streamed equals the batch join on the events table") {
