@@ -54,11 +54,17 @@ object Blueprints {
       FileOps.deleteOne(spark, cfg.bucket, e.path)
       1L
     case MatchType.RegexMatch =>
-      val manifest = FileManifest.scan(spark, cfg.bucket, cfg.sourceFolderName)
-      val matched = FileManifest.regexFilter(manifest, cfg.sourceFileName)
-      val n = FileOps.delete(matched.toDF())
-      if (n == 0) throw BlueprintError.FileNotFound(cfg.sourceFileName)
-      n
+      val scanned =
+        FileManifest.scanManaged(spark, cfg.bucket, cfg.sourceFolderName)
+      try {
+        val matched =
+          FileManifest.regexFilter(scanned.entries, cfg.sourceFileName)
+        val n = FileOps.delete(matched.toDF())
+        if (n == 0) throw BlueprintError.FileNotFound(cfg.sourceFileName)
+        n
+        // the delete action was the manifest's last read — release the
+        // wave caches now instead of waiting on GC + ContextCleaner
+      } finally scanned.release()
   }
 
   /** Shared download/upload/move skeleton: branch on match type
@@ -82,19 +88,25 @@ object Blueprints {
       FileOps.copyOne(spark, srcRoot, entry.path, dstRoot, dest, deleteSource)
       FileOps.CopyStats(1L, 1L, 0L)
     case MatchType.RegexMatch =>
-      val manifest = FileManifest.scan(spark, srcRoot, srcFolder)
-      val matched =
-        if (matchAbsolute) FileManifest.regexFilterAbsolute(manifest, srcFile)
-        else FileManifest.regexFilter(manifest, srcFile)
-      val planned = FileManifest.withDestination(matched, dstFolder, dstFile, policy)
-      // Always-enumerated explicit names are unique by construction —
-      // skip the collision aggregation (a full-manifest shuffle at scale)
-      val provablyUnique =
-        dstFile.isDefined && policy == EnumeratePolicy.Always
-      val st = FileOps.copy(planned, Some(dstRoot), deleteSource,
-        checkCollisions = !provablyUnique)
-      if (st.planned == 0) throw BlueprintError.FileNotFound(srcFile)
-      st
+      val scanned = FileManifest.scanManaged(spark, srcRoot, srcFolder)
+      try {
+        val matched =
+          if (matchAbsolute)
+            FileManifest.regexFilterAbsolute(scanned.entries, srcFile)
+          else FileManifest.regexFilter(scanned.entries, srcFile)
+        val planned =
+          FileManifest.withDestination(matched, dstFolder, dstFile, policy)
+        // Always-enumerated explicit names are unique by construction —
+        // skip the collision aggregation (a full-manifest shuffle at scale)
+        val provablyUnique =
+          dstFile.isDefined && policy == EnumeratePolicy.Always
+        val st = FileOps.copy(planned, Some(dstRoot), deleteSource,
+          checkCollisions = !provablyUnique)
+        if (st.planned == 0) throw BlueprintError.FileNotFound(srcFile)
+        st
+        // the copy (and optional source delete) was the manifest's last
+        // read — release the wave caches deterministically
+      } finally scanned.release()
   }
 
   /** Credential injection (download_file.py:44-62 `set_environment_variables`):

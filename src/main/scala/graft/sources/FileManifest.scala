@@ -41,14 +41,43 @@ final case class FileEntry(
   */
 object FileManifest {
 
+  /** A scanned manifest plus an explicit release hook for the
+    * executor-persisted BFS wave RDDs backing it. Without the hook,
+    * reclamation waits on GC + ContextCleaner noticing the manifest
+    * became unreachable — a long-lived manifest reference pins the
+    * full file-entry cache in executor memory/disk, substantial at the
+    * 10^8-object scale the scan targets (ADVICE r8). Callers that know
+    * when the manifest is consumed (every Blueprints pipeline does:
+    * the sink action is the last read) call [[release]] right after;
+    * `release` is idempotent and safe even if the entries Dataset is
+    * re-read afterwards (the listing lineage simply re-executes).
+    */
+  final case class ScannedManifest(
+      entries: Dataset[FileEntry],
+      private val waves: Seq[org.apache.spark.rdd.RDD[_]]) {
+    def release(): Unit = waves.foreach(_.unpersist(blocking = false))
+  }
+
   /** List all files under `bucketUri/prefix` into a manifest Dataset.
     * `bucketUri` e.g. `file:///tmp/bucket-a` or `gs://bucket`.
+    * Convenience overload of [[scanManaged]] for callers content to
+    * leave wave-cache reclamation to the ContextCleaner.
     */
   def scan(
       spark: SparkSession,
       bucketUri: String,
       prefix: String = "",
-      recursive: Boolean = true): Dataset[FileEntry] = {
+      recursive: Boolean = true): Dataset[FileEntry] =
+    scanManaged(spark, bucketUri, prefix, recursive).entries
+
+  /** [[scan]] returning a [[ScannedManifest]] whose `release()`
+    * unpersists the per-wave listing caches deterministically.
+    */
+  def scanManaged(
+      spark: SparkSession,
+      bucketUri: String,
+      prefix: String = "",
+      recursive: Boolean = true): ScannedManifest = {
     import spark.implicits._
     val root = bucketUri.stripSuffix("/")
     val cleanPrefix = PathAlg.cleanFolderName(prefix)
@@ -59,13 +88,14 @@ object FileManifest {
       throw BlueprintError.InvalidBucket(bucketUri)
     val rootStr = fs.makeQualified(rootPath).toString.stripSuffix("/")
     val listPath = new Path(listRoot)
-    if (!fs.exists(listPath)) return spark.emptyDataset[FileEntry]
+    if (!fs.exists(listPath))
+      return ScannedManifest(spark.emptyDataset[FileEntry], Nil)
 
     // Shallow first level on the driver: files become entries directly,
     // directories fan out to the executors.
     val (files, dirs) = listShallow(fs, listPath, root, rootStr)
     val shallowDs = spark.createDataset(files)
-    if (dirs.isEmpty || !recursive) shallowDs
+    if (dirs.isEmpty || !recursive) ScannedManifest(shallowDs, Nil)
     else {
       // Iterative BFS until the fan-out is wide enough, then recursive
       // subtree walks. A whole-subtree task per FIRST-LEVEL dir would
@@ -86,8 +116,10 @@ object FileManifest {
       // list-then-loop pipelines (download_file.py:248-262) and Spark's
       // own InMemoryFileIndex, whose listing caches until refreshed.
       // Cache is executor-resident (MEMORY_AND_DISK: spills past
-      // memory, never on the driver) and reclaimed by the
-      // ContextCleaner once the manifest is unreferenced. MaxWaves
+      // memory, never on the driver) and released deterministically
+      // via ScannedManifest.release() (the Blueprints pipelines call
+      // it once their sink action completes); plain scan() callers
+      // fall back to ContextCleaner reclamation on unreachability. MaxWaves
       // bounds pathological depth (e.g. a symlink cycle under
       // FOLLOW_LINKS): past it the remainder falls through to the
       // recursive walk, whose walkFileTree detects cycles —
@@ -97,6 +129,8 @@ object FileManifest {
       val MaxWaves = 64
       val waves = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.spark.rdd.RDD[FileEntry]]
+      val persisted = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.rdd.RDD[_]]
       var pending = dirs
       var wave = 0
       while (pending.nonEmpty && pending.length < 4 * par &&
@@ -106,6 +140,7 @@ object FileManifest {
         val levelRdd = spark.sparkContext.parallelize(level, slices)
           .map(d => listLevel(d, root, rootStr, conf.value))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += levelRdd
         pending = levelRdd.flatMap(_._2).collect().toSeq
         waves += levelRdd.flatMap(_._1)
         wave += 1
@@ -115,12 +150,16 @@ object FileManifest {
         // persisted lazily (first action materializes): subsequent
         // actions reuse the walk instead of re-listing the subtrees,
         // keeping the whole manifest one consistent snapshot
-        waves += spark.sparkContext.parallelize(pending, slices)
+        val deepRdd = spark.sparkContext.parallelize(pending, slices)
           .flatMap(d => listDeep(d, root, rootStr, conf.value))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += deepRdd
+        waves += deepRdd
       }
-      waves.foldLeft(shallowDs)((acc, rdd) =>
-        acc.union(spark.createDataset(rdd)))
+      ScannedManifest(
+        waves.foldLeft(shallowDs)((acc, rdd) =>
+          acc.union(spark.createDataset(rdd))),
+        persisted.toSeq)
     }
   }
 

@@ -151,6 +151,31 @@ class FileManifestSpec extends SparkSpec {
       s"re-action re-listed: ${counts.filter(_._2 > 1)}")
   }
 
+  test("scanManaged.release() drops the wave caches; entries stay readable") {
+    // ADVICE r8: the per-wave persisted RDDs were reclaimed only by GC
+    // + ContextCleaner, so a long-lived manifest reference pinned the
+    // full file-entry cache. release() must unpersist them all
+    // deterministically — and a post-release read must still work (the
+    // listing lineage re-executes; it just stops being cached).
+    val b = mkTree(nDirs = 3, filesPerDir = 4)
+    (0 until 3).foreach { d =>
+      val sub = b.resolve(f"d$d%03d/sub")
+      Files.createDirectories(sub)
+      Files.writeString(sub.resolve("deep.dat"), "x")
+    }
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val scanned = FileManifest.scanManaged(spark, s"file://$b")
+    assert(scanned.entries.count() == 15)
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "scan persisted no wave RDDs to manage")
+    scanned.release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"release() left wave RDDs persisted: $after")
+    scanned.release() // idempotent
+    assert(scanned.entries.count() == 15) // lineage re-executes fine
+  }
+
   test("wide-level fallback (recursive walk) also lists each directory once") {
     // first level wider than 4×parallelism skips the BFS waves and
     // walks each subtree recursively — that path must also touch every
