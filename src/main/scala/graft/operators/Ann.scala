@@ -275,12 +275,22 @@ object Ann {
     * code = round(127·x/scale)) — at 100 TB the float32 embedding
     * store is the dominant cost, and the 4×-smaller code table is
     * what the candidate scan actually reads. The approximate score
-    * orders a shortlist of `rerank` candidates per query; the final
-    * top-k re-ranks THOSE against the exact float vectors, so the
-    * returned sims are bitwise the exact cosines (the [[annTopK]] /
-    * [[ivfTopK]] output contract) while the full-width candidate read
-    * touched only codes. Same bucket-join scale shape as ivfTopK; the
-    * only float-vector reads are nlist centroids + the shortlist.
+    * orders a shortlist of `max(rerank, k)` candidates per query (the
+    * clamp keeps the rerank stage from silently truncating the top-k
+    * contract when a caller passes k > rerank); the final top-k
+    * re-ranks THOSE against the exact float vectors, so the returned
+    * sims are bitwise the exact cosines (the [[annTopK]] / [[ivfTopK]]
+    * output contract) while the full-width candidate read touched only
+    * codes. The code table stores each vector's squared norm `nsq`
+    * (one more scalar in the same projection as `scale`) so the
+    * approximate score that ORDERS the shortlist is a COSINE estimate
+    * (approx_dot / √nsq), matching the metric the exact re-rank and
+    * the output contract use — ordering by raw dot would let
+    * large-norm corpus vectors crowd the rerank-bounded shortlist and
+    * silently depress recall on corpora with heterogeneous embedding
+    * norms (uniform-norm random gates never see that case). Same
+    * bucket-join scale shape as ivfTopK; the only float-vector reads
+    * are nlist centroids + the shortlist.
     */
   def ivfSq8TopK(
       corpus: DataFrame,
@@ -295,11 +305,22 @@ object Ann {
       : DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.VectorFunctions.register(spark)
+    val model = quantizer.getOrElse(
+      coarseQuantizer(corpus, nlist, seed, trainTarget))
+    ivfSq8Core(sq8Codes(model, corpus), centroidFrame(spark, model),
+      corpus, queries, k, nprobe, rerank)
+  }
+
+  /** The quantized corpus table (vec_id, cell, scale, nsq, code) —
+    * q105's symmetric int8 scheme plus the coarse cell id, one map-only
+    * projection. At scale this IS the persisted code table
+    * ([[writeIvfIndex]]); nsq rides along so candidate scoring can
+    * normalize to a cosine estimate.
+    */
+  private def sq8Codes(
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      corpus: DataFrame): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    val dArr = org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.DoubleType)
-    // int8 codes + per-vector scale (q105's arithmetic, one map-only
-    // projection; at scale this is the persisted code table)
     val scale = coalesce(
       array_max(transform(col("embedding"), v => abs(v.cast("double")))),
       lit(0d))
@@ -307,25 +328,45 @@ object Ann {
       when(col("scale") > 0d,
         round(v.cast("double") * 127d / col("scale")))
         .otherwise(0d).cast("tinyint"))
-    val featured = corpus
-      .withColumn("features", array_to_vector(col("embedding")))
-    val model = quantizer.getOrElse(
-      coarseQuantizer(corpus, nlist, seed, trainTarget))
-    // the quantized corpus table: (vec_id, cell, scale, code) — what a
-    // release persists; float embeddings stay behind for the shortlist
-    val c = model.transform(featured)
+    model.transform(corpus
+        .withColumn("features", array_to_vector(col("embedding"))))
       .withColumn("scale", scale)
       .select(col("vec_id"), col("prediction").as("cell"),
-        col("scale"), code.as("code"))
-    val centroids = broadcast(spark.createDataFrame(
+        col("scale"), normSq(col("embedding")).as("nsq"), code.as("code"))
+  }
+
+  /** The nlist-row centroid table of a fitted coarse quantizer. */
+  private def centroidFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame =
+    spark.createDataFrame(
       model.clusterCenters.zipWithIndex.map { case (v, i) =>
         (i, v.toArray)
-      }.toIndexedSeq).toDF("cell", "centroid"))
+      }.toIndexedSeq).toDF("cell", "centroid")
+
+  /** IVF-SQ8 scoring core, shared verbatim by the in-plan build
+    * ([[ivfSq8TopK]]) and the persisted-index probe ([[ivfSq8Probe]])
+    * so the two paths cannot drift. `codes` is (vec_id, cell, scale,
+    * nsq, code), `centroids` (cell, centroid) with nlist rows,
+    * `vectors` (vec_id, embedding) — the only float-vector reads are
+    * the centroids and the rerank shortlist.
+    */
+  private def ivfSq8Core(
+      codes: DataFrame,
+      centroids: DataFrame,
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      rerank: Int): DataFrame = {
+    val dArr = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    val cent = broadcast(centroids)
     val wCell = Window.partitionBy("q_id").orderBy("dist", "cell")
     val probes = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normSq(col("embedding")).as("q_nsq"))
-      .crossJoin(centroids)
+      .crossJoin(cent)
       .withColumn("dist",
         col("q_nsq") - lit(2.0) * dot(col("q_emb"), col("centroid")) +
           dot(col("centroid"), col("centroid")))
@@ -334,23 +375,30 @@ object Ann {
       .select("q_id", "q_emb", "q_nsq", "cell")
     // approximate score from codes only: x'ᵢ = codeᵢ·scale/127, so
     // dot(x', q) = (scale/127)·dot(code, q) — one fused fold per
-    // candidate over the int8 code, no float corpus read
-    val approx = aggregate(
+    // candidate over the int8 code, no float corpus read. Dividing by
+    // the stored √nsq turns the dot estimate into a COSINE estimate:
+    // the query norm is constant within a q_id partition so it cannot
+    // change the ordering, but the corpus norm can — and the exact
+    // re-rank ranks by cosine, so the shortlist must too. A zero-norm
+    // vector scores 0 (its exact cosine is 0 by the same guard).
+    val approxDot = aggregate(
       zip_with(col("code").cast(dArr), col("q_emb"),
         (ci, qi) => ci * qi.cast("double")),
       lit(0d), (acc, v) => acc + v) * col("scale") / 127d
+    val approx = when(col("nsq") > 0d, approxDot / sqrt(col("nsq")))
+      .otherwise(lit(0d))
     val wShort = Window.partitionBy("q_id")
       .orderBy(desc("approx"), col("vec_id"))
-    val shortlist = c.join(probes, Seq("cell"))
+    val shortlist = codes.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("approx", approx)
       .withColumn("arank", row_number().over(wShort))
-      .filter(col("arank") <= rerank)
+      .filter(col("arank") <= math.max(rerank, k))
       .select("q_id", "vec_id")
     // exact re-rank of the shortlist only — the sole float-vector read
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
     shortlist
-      .join(corpus.select(col("vec_id"), col("embedding"),
+      .join(vectors.select(col("vec_id"), col("embedding"),
         normSq(col("embedding")).as("nsq")), "vec_id")
       .join(queries.select(col("vec_id").as("q_id"),
         col("embedding").as("q_emb"),
@@ -360,6 +408,70 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "vec_id", "sim", "rank")
+  }
+
+  /** Write-once IVF-SQ8 index artifacts: the build-ONCE/probe-many
+    * path a real 100 TB embedding store runs (every nightly batch
+    * probing a rebuilt-in-plan index would re-quantize the whole
+    * corpus per query). Three tables under `name`:
+    *
+    *  - `<name>_codes` (vec_id, cell, scale, nsq, code), BUCKETED on
+    *    `cell` — the candidate scan's join key, so every probe's
+    *    codes-side join consumes the bucketed layout with ZERO
+    *    exchange on the corpus side (only the tiny probe frame
+    *    shuffles; asserted in IndexStoreSpec);
+    *  - `<name>_centroids` (cell, centroid) — nlist rows, broadcast at
+    *    probe time;
+    *  - `<name>_vectors` (vec_id, embedding), BUCKETED on `vec_id` —
+    *    the rerank shortlist join key, so the only float-vector table
+    *    also joins exchange-free on its side.
+    *
+    * Returns the fitted quantizer so a caller can build comparison
+    * paths against the exact same model. `path` hosts the external
+    * table data; `name` prefixes the catalog table names.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      name: String,
+      path: String,
+      nlist: Int = 16,
+      seed: Long = 7L,
+      trainTarget: Long = 0L,
+      buckets: Int = 16): org.apache.spark.ml.clustering.KMeansModel = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val model = coarseQuantizer(corpus, nlist, seed, trainTarget)
+    sq8Codes(model, corpus).write
+      .mode("overwrite")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .option("path", s"$path/codes").saveAsTable(s"${name}_codes")
+    centroidFrame(spark, model).write
+      .mode("overwrite")
+      .option("path", s"$path/centroids").saveAsTable(s"${name}_centroids")
+    corpus.select("vec_id", "embedding").write
+      .mode("overwrite")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .option("path", s"$path/vectors").saveAsTable(s"${name}_vectors")
+    model
+  }
+
+  /** Probe a persisted [[writeIvfIndex]] index: identical semantics
+    * (and bitwise-identical output, IndexStoreSpec) to [[ivfSq8TopK]]
+    * over the corpus the index was built from — but the corpus-side
+    * work reads the bucketed code table with no exchange and never
+    * re-quantizes.
+    */
+  def ivfSq8Probe(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      rerank: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    ivfSq8Core(spark.table(s"${name}_codes"),
+      spark.table(s"${name}_centroids"),
+      spark.table(s"${name}_vectors"), queries, k, nprobe, rerank)
   }
 
   /** Exact brute-force top-k with the same output contract — the recall

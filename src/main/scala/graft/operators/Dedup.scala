@@ -143,7 +143,7 @@ object Dedup {
     // scale the executor-local spill is still far cheaper than
     // recomputing the sketch stage)
     val sh = shingled(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .managedPersist
     verifiedPairsOf(sh, minJ)
   }
 
@@ -165,16 +165,110 @@ object Dedup {
   private def verifyCand(
       candidates: org.apache.spark.sql.DataFrame,
       sh: org.apache.spark.sql.DataFrame,
+      minJ: Double): org.apache.spark.sql.DataFrame =
+    verifyCandTwo(candidates, sh, sh, minJ)
+
+  /** Two-sided variant: `da` shingles from `shA`, `db` shingles from
+    * `shB` — the shape the persisted-index probe needs, where the base
+    * side's shingles come from the index store and the batch side's
+    * are computed in-plan. One arithmetic definition for both.
+    */
+  private def verifyCandTwo(
+      candidates: org.apache.spark.sql.DataFrame,
+      shA: org.apache.spark.sql.DataFrame,
+      shB: org.apache.spark.sql.DataFrame,
       minJ: Double): org.apache.spark.sql.DataFrame = {
     val cand = candidates
-      .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .join(shA.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(shB.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
     val inter = size(array_intersect(col("sha"), col("shb")))
     val union = size(col("sha")) + size(col("shb")) - inter
     cand
       .withColumn("j", inter.cast("double") / union)
       .filter(col("j") >= minJ)
       .select("da", "db", "j")
+  }
+
+  /** Write-once banded MinHash index artifacts — the build-ONCE/
+    * probe-many path of the nightly near-dup ingest loop (q115 proves
+    * the probe SHAPE in-plan; this persists the base side so the next
+    * batch never re-shingles or re-hashes the accumulated corpus).
+    * Two bucketed external tables under `name`:
+    *
+    *  - `<name>_bands` (doc_id, band), BUCKETED on `band` — the probe
+    *    join's key, so a batch's candidate join consumes the bucketed
+    *    layout with ZERO exchange on the corpus side (only the small
+    *    batch frame shuffles; asserted in IndexStoreSpec);
+    *  - `<name>_shingles` (doc_id, sh), BUCKETED on `doc_id` — the
+    *    exact-Jaccard verify side, joined only for surviving
+    *    candidates, likewise exchange-free on the stored side.
+    *
+    * Banding layout is [[bandedOf]] — the exact definition the in-plan
+    * pipeline uses, so a persisted index and a fresh build can never
+    * disagree on bucketing.
+    */
+  def writeBandIndex(
+      docs: org.apache.spark.sql.DataFrame,
+      name: String,
+      path: String,
+      buckets: Int = 32): Unit = {
+    val s = docs.sparkSession
+    // plain persist (not managed): the write below is the only consumer
+    // and the finally releases it synchronously
+    val sh = shingledOf(s, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      bandedOf(sh).write
+        .mode("overwrite")
+        .bucketBy(buckets, "band").sortBy("band")
+        .option("path", s"$path/bands").saveAsTable(s"${name}_bands")
+      sh.write
+        .mode("overwrite")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .option("path", s"$path/shingles").saveAsTable(s"${name}_shingles")
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** Append a batch's bands + shingles to a persisted [[writeBandIndex]]
+    * index — the other half of the nightly loop (probe, then fold the
+    * surviving docs in so the NEXT batch dedups against them too).
+    * `insertInto` honors the target table's bucket spec, so appends
+    * keep the exchange-free probe property; both writes are
+    * position-based against the exact schemas [[writeBandIndex]] laid
+    * down ((doc_id, band) and (doc_id, sh)).
+    */
+  def appendToBandIndex(
+      docs: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val s = docs.sparkSession
+    val sh = shingledOf(s, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      bandedOf(sh).write.mode("append").insertInto(s"${name}_bands")
+      sh.write.mode("append").insertInto(s"${name}_shingles")
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** Near-dup a new batch against a persisted [[writeBandIndex]] index:
+    * verified (da ∈ base, db ∈ batch, j) pairs, identical semantics to
+    * the in-plan base-vs-batch build (IndexStoreSpec asserts result
+    * equality). Candidate work is O(|batch| × bands × bucket
+    * occupancy) — independent of the accumulated corpus size — and the
+    * corpus-side band scan is exchange-free off the bucketed table.
+    */
+  def probeBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      batch: org.apache.spark.sql.DataFrame,
+      minJ: Double = MinJaccard): org.apache.spark.sql.DataFrame = {
+    val shBatch = shingledOf(spark, batch)
+      .managedPersist
+    val baseIdx = spark.table(s"${name}_bands")
+      .select(col("doc_id").as("da"), col("band"))
+    val batchBands = bandedOf(shBatch)
+      .select(col("doc_id").as("db"), col("band"))
+    val cand = baseIdx.join(batchBands, Seq("band"))
+      .select("da", "db").distinct()
+    verifyCandTwo(cand, spark.table(s"${name}_shingles"), shBatch, minJ)
   }
 
   /** Min-label propagation to FIXPOINT over an undirected pair list
@@ -245,6 +339,26 @@ object Dedup {
     labels
   }
 
+  /** Brute-force cross-side (even base × odd batch) exact-Jaccard
+    * oracle — shared by q115 (in-plan incremental build) and q116
+    * (persisted-index probe), which must return identical answers.
+    */
+  private val crossPairJaccardSql =
+    """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+         FROM documents),
+       sh AS (SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t)-1)]) AS s
+         FROM toks WHERE len(t) >= 3),
+       p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+         FROM sh a JOIN sh b
+           ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+       SELECT da, db, ROUND(j, 4) AS jaccard FROM p
+       WHERE j >= 0.8 ORDER BY da, db"""
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q22 exact dedup on text: survivors = min-doc_id row per distinct
@@ -300,7 +414,7 @@ object Dedup {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
             explode(expr("graft_winnow(text, 5, 4)")).as("fp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         val rare = fp
           .groupBy("fp").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 64)
@@ -343,7 +457,7 @@ object Dedup {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("source"), explode(expr("graft_shingles(text, 3)")).as("sh"))
           .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
         val common = sh.select(col("source").as("sa"), col("sh"))
           .join(sh.select(col("source").as("sb"), col("sh")), Seq("sh"))
@@ -577,7 +691,7 @@ object Dedup {
       (s, dir) => {
         HashFunctions.register(s)
         val sh = shingled(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         // exact pairs: inverted index on shingles → candidate pairs
         // sharing ≥1 shingle → exact-Jaccard filter (no LSH involved)
         val inv = sh.select(col("doc_id"), explode(col("sh")).as("g"))
@@ -594,7 +708,7 @@ object Dedup {
         val exact = withSets
           .filter(inter.cast("double") / union >= MinJaccard)
           .select("da", "db")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         // LSH candidates from the shared banding definition
         val cand = lshCandidatePairs(sh)
         val hit = exact.join(cand, Seq("da", "db"), "left_semi")
@@ -657,7 +771,7 @@ object Dedup {
       (s, dir) => {
         // sh feeds both join sides — persist so shingling runs once
         val sh = shingled(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         val bench = sh.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
         val corpus = sh.filter(col("doc_id") % 50 =!= 0)
@@ -726,7 +840,7 @@ object Dedup {
         val sh = docs
           .select(col("source"), explode(expr("graft_shingles(text, 3)")).as("sh"))
           .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
         val exact = sh.select(col("source").as("sa"), col("sh"))
           .join(sh.select(col("source").as("sb"), col("sh")), Seq("sh"))
@@ -811,7 +925,7 @@ object Dedup {
         // sh feeds the bench build, the exact side, and the bloom
         // probe side — shingle once
         val sh = shingled(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         val benchG = sh.filter(col("doc_id") % 50 === 0)
           .select(explode(col("sh")).as("g")).distinct()
         // one aggregation job → serialized filter on the driver
@@ -888,7 +1002,7 @@ object Dedup {
         // g feeds both the docfreq agg and the flag join — shingle once
         val g = shingled(s, dir)
           .select(col("doc_id"), explode(col("sh")).as("g"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         val dup = g.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2)
           .select(col("g"), lit(1L).as("dup"))
@@ -951,7 +1065,7 @@ object Dedup {
         val g = shingled(s, dir)
           .select(col("doc_id"), explode(col("sh")).as("g"))
           .join(docs.select("doc_id", "split"), "doc_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         val trainG = g.filter(col("split") === "train")
           .select("g").distinct()
         val leaked = g.filter(col("split") === "test")
@@ -1012,7 +1126,7 @@ object Dedup {
           .select(col("doc_id"), explode(col("sh")).as("g"))
           .join(table(s, dir, "documents").select("doc_id", "lang"),
             "doc_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         val baseG = g.filter(col("doc_id") % 2 === 0)
           .select("g").distinct()
         val newG = g.filter(col("doc_id") % 2 === 1)
@@ -1058,7 +1172,7 @@ object Dedup {
     "q115_incremental_neardup" -> QueryDef(
       (s, dir) => {
         val sh = shingled(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         val banded = bandedOf(sh)
         val baseIdx = banded.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id").as("da"), col("band"))
@@ -1070,19 +1184,35 @@ object Dedup {
           .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
           .orderBy("da", "db")
       },
-      Some("""WITH toks AS (SELECT doc_id,
-                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-                FROM documents),
-              sh AS (SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t)-1)]) AS s
-                FROM toks WHERE len(t) >= 3),
-              p AS (SELECT a.doc_id AS da, b.doc_id AS db,
-                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-                FROM sh a JOIN sh b
-                  ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
-              SELECT da, db, ROUND(j, 4) AS jaccard FROM p
-              WHERE j >= 0.8 ORDER BY da, db"""))
+      Some(crossPairJaccardSql)),
+
+    // The write-ONCE/probe-many form of q115: same semantics, same
+    // oracle, but the base side comes from the PERSISTED band index
+    // ([[writeBandIndex]] — bucketed band + shingle tables) instead of
+    // being rebuilt in-plan. This is the loop a real 100 TB deployment
+    // runs nightly: the index write is idempotent per corpus (skipped
+    // when the session catalog already holds it), so a bench's warmup
+    // pays the one-time build and the timed passes measure exactly
+    // what an ingest batch pays — batch shingling, the exchange-free
+    // bucketed band join, exact verify of survivors. Hash-matching
+    // q115's oracle proves the persisted path cannot drift from the
+    // in-plan one (IndexStoreSpec asserts the same at the API level).
+    "q116_band_index_probe" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val tag = f"${math.abs(dir.hashCode)}%x"
+        val name = s"graft_q116_$tag"
+        if (!s.catalog.tableExists(s"${name}_bands")) {
+          val path = new java.io.File(
+            System.getProperty("java.io.tmpdir"), s"graft-q116-$tag")
+          writeBandIndex(docs.filter(col("doc_id") % 2 === 0), name,
+            path.toString)
+        }
+        probeBandIndex(s, name, docs.filter(col("doc_id") % 2 === 1))
+          .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+          .orderBy("da", "db")
+      },
+      Some(crossPairJaccardSql))
   )
+
 }

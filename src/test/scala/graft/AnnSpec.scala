@@ -235,6 +235,40 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-9)
   }
 
+  test("ivf-sq8 shortlist ranks by cosine, so large-norm distractors cannot crowd it") {
+    // ADVICE r8: ordering the shortlist by the approximate DOT lets
+    // large-norm corpus vectors fill the rerank-bounded shortlist on
+    // heterogeneous-norm corpora. Corpus: 3 unit vectors nearly
+    // parallel to the query (cosine ≈ 1, dot ≈ 1) plus 10 norm-100
+    // distractors at cosine 0.5 (dot ≈ 50 ≫ 1). With rerank = k = 3 a
+    // dot-ordered shortlist is ALL distractors; the cosine-ordered
+    // shortlist must surface the true neighbors.
+    import spark.implicits._
+    val near = Seq(
+      (1L, Array(1.0f, 0.01f, 0f, 0f)),
+      (2L, Array(1.0f, 0f, 0.01f, 0f)),
+      (3L, Array(1.0f, 0f, 0f, 0.01f)))
+    val far = (10L until 20L).map { i =>
+      (i, Array(50.0f, 50f * math.sqrt(3).toFloat, 0f, i.toFloat / 1e5f))
+    }
+    val corpus = (near ++ far).toDF("vec_id", "embedding")
+    val q = Seq((1000L, Array(1.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val res = Ann.ivfSq8TopK(corpus, q, k = 3, nlist = 2, nprobe = 2,
+      rerank = 3).collect()
+    assert(res.length == 3)
+    assert(res.map(_.getAs[Long]("vec_id")).toSet == Set(1L, 2L, 3L),
+      s"large-norm distractors crowded the shortlist: ${res.mkString(",")}")
+  }
+
+  test("ivf-sq8 with k > rerank still honors the top-k contract") {
+    val queries = emb.filter(col("vec_id") <= 3)
+    val res = Ann.ivfSq8TopK(emb, queries, k = 10, nprobe = 8, rerank = 2)
+      .collect()
+    val perQ = res.groupBy(_.getLong(0)).map(_._2.length)
+    assert(perQ.nonEmpty && perQ.forall(_ == 10),
+      s"k=10, rerank=2 truncated the result: per-query counts $perQ")
+  }
+
   test("a degenerate constant-vector mass is capped out of the bucket join") {
     // 240 copies of vec 3's embedding: identical vectors land in ONE
     // bucket in EVERY table — the quadratic-reducer shape the

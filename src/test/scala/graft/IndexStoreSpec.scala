@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Dedup, Q}
+
+/** Persisted index artifacts — the write-ONCE/probe-many path a real
+  * 100 TB deployment runs nightly. Two contracts per index family:
+  *
+  *  1. result identity: probing the persisted index returns exactly
+  *     what the in-plan build returns on the same inputs (the persisted
+  *     path must never drift from the oracle-checked one);
+  *  2. exchange freedom: the probe join consumes the bucketed layout
+  *     directly, so the CORPUS side of the candidate join never
+  *     shuffles — only the small batch/query frame does. That is the
+  *     entire point of persisting: the accumulated corpus is the 100 TB
+  *     side, and re-shuffling (or re-quantizing / re-shingling) it per
+  *     batch is what the artifact avoids.
+  */
+class IndexStoreSpec extends SparkSpec {
+
+  private def withNoBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE settles
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("band index: persisted probe equals the in-plan q115 build") {
+    val docs = Q.table(spark, sfDir, "documents")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = Files.createTempDirectory("graft-bandidx")
+    try {
+      Dedup.writeBandIndex(base, "bandidx_t", s"$tmp")
+      val probed = Dedup.probeBandIndex(spark, "bandidx_t", batch)
+        .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+        .orderBy("da", "db").collect().toSeq
+      // the in-plan incremental build (q115's exact builder) on the
+      // same even/odd split is the reference answer
+      val inPlan = SparkEntry.queries("q115_incremental_neardup")(
+        spark, sfDir).collect().toSeq
+      assert(probed.nonEmpty, "probe found no near-dup pairs at all")
+      assert(probed == inPlan,
+        s"persisted probe drifted from the in-plan build:\n" +
+          s"probe=${probed.take(5)}\ninplan=${inPlan.take(5)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bandidx_t_bands")
+      spark.sql("DROP TABLE IF EXISTS bandidx_t_shingles")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
+  test("band index probe: corpus-side band join is exchange-free") {
+    val docs = Q.table(spark, sfDir, "documents")
+    val tmp = Files.createTempDirectory("graft-bandidx2")
+    try {
+      Dedup.writeBandIndex(docs.filter(col("doc_id") % 2 === 0),
+        "bandidx_x", s"$tmp")
+      withNoBroadcast {
+        val probed = Dedup.probeBandIndex(spark, "bandidx_x",
+          docs.filter(col("doc_id") % 2 === 1))
+        val plan = finalPlan(probed)
+        assert(plan.contains("Bucketed: true"),
+          s"probe did not consume the bucketed band table:\n$plan")
+        // the band equi-join must exchange ONLY the batch side: one
+        // hashpartitioning exchange on the band key, never two (an
+        // unbucketed base side would add a full-corpus shuffle)
+        val bandExchanges =
+          "Exchange hashpartitioning\\(band".r.findAllIn(plan).length
+        assert(bandExchanges <= 1,
+          s"corpus band scan shuffled ($bandExchanges band exchanges):\n$plan")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bandidx_x_bands")
+      spark.sql("DROP TABLE IF EXISTS bandidx_x_shingles")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
+  test("ivf-sq8 index: persisted probe is bitwise-identical to the in-plan build") {
+    val emb = Q.table(spark, sfDir, "embeddings")
+    val tmp = Files.createTempDirectory("graft-ivfidx")
+    try {
+      val model = Ann.writeIvfIndex(emb, "ivfidx_t", s"$tmp")
+      val queries = emb.filter(col("vec_id") < 8)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("q_id", "rank").collect().toSeq
+      val probed = canon(
+        Ann.ivfSq8Probe(spark, "ivfidx_t", queries, k = 5, nprobe = 4,
+          rerank = 16))
+      val inPlan = canon(
+        Ann.ivfSq8TopK(emb, queries, k = 5, nprobe = 4, rerank = 16,
+          quantizer = Some(model)))
+      assert(probed.nonEmpty, "probe returned no neighbors")
+      // bitwise: same pairs, same exact-cosine sims, same ranks — the
+      // parquet round-trip of (cell, scale, nsq, code, embedding) is
+      // exact, so nothing may differ
+      assert(probed == inPlan,
+        s"persisted probe drifted from in-plan:\n" +
+          s"probe=${probed.take(5)}\ninplan=${inPlan.take(5)}")
+    } finally {
+      Seq("codes", "centroids", "vectors").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ivfidx_t_$t"))
+    }
+  }
+
+  test("ivf-sq8 probe: code-table candidate scan is exchange-free") {
+    val emb = Q.table(spark, sfDir, "embeddings")
+    val tmp = Files.createTempDirectory("graft-ivfidx2")
+    try {
+      Ann.writeIvfIndex(emb, "ivfidx_x", s"$tmp")
+      withNoBroadcast {
+        val probed = Ann.ivfSq8Probe(spark, "ivfidx_x",
+          emb.filter(col("vec_id") < 4), k = 5, nprobe = 4, rerank = 16)
+        val plan = finalPlan(probed)
+        assert(plan.contains("Bucketed: true"),
+          s"probe did not consume the bucketed code table:\n$plan")
+        // the cell equi-join must exchange ONLY the probe frame (a few
+        // query rows), never the corpus-wide code table
+        val cellExchanges =
+          "Exchange hashpartitioning\\(cell".r.findAllIn(plan).length
+        assert(cellExchanges <= 1,
+          s"code table shuffled on cell ($cellExchanges exchanges):\n$plan")
+      }
+    } finally {
+      Seq("codes", "centroids", "vectors").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ivfidx_x_$t"))
+    }
+  }
+}
