@@ -42,13 +42,15 @@ object Bench {
         only.forall(_.exists(p => name.startsWith(p))) }
 
     // Per query: one warmup pass (JVM/codegen/IO cache + the query's own
-    // persisted fragments), one timed pass, then clearCache. Queries
-    // persist shared fragments (shingle/gram tables) and cannot
-    // unpersist them before their final action — over a 106-query sweep
-    // those MEMORY_AND_DISK caches accumulated without bound (ADVICE
-    // r7). Clearing BETWEEN queries bounds cache residency at one
-    // query's working set while the timed pass still reads the caches
-    // its own warmup built — timings stay comparable across rounds.
+    // persisted fragments), the timed passes, then a release. Queries
+    // persist shared fragments (shingle/gram tables) via Q.managed and
+    // cannot unpersist them before their final action — over a full
+    // sweep those MEMORY_AND_DISK caches accumulated without bound
+    // (ADVICE r7). Releasing BETWEEN queries bounds cache residency at
+    // one query's working set while the timed passes still read the
+    // caches the warmup built (managed() reuses an already-cached plan
+    // rather than re-persisting — no CacheManager warnings); timings
+    // stay comparable across rounds.
     var errors = List.empty[(String, String)]
     val results = queries.map { case (name, fn) =>
       try fn(spark, sfDir).collect()
@@ -73,7 +75,7 @@ object Bench {
             errors ::= (name -> e.toString.takeWhile(_ != '\n').take(200))
             0.0
         }
-      spark.catalog.clearCache()
+      graft.operators.Q.releaseManaged()
       name -> sec
     }
 

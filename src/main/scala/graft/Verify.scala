@@ -23,9 +23,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist shared fragments they cannot unpersist before
-      // their final action — clear between queries so cache residency
-      // stays bounded at one query's working set (ADVICE r7)
-      spark.catalog.clearCache()
+      // their final action — release them between queries so cache
+      // residency stays bounded at one query's working set (ADVICE r7).
+      // releaseManaged frees exactly the frames the query registered
+      // (no global clearCache stomping caches the caller owns, and no
+      // "already cached" CacheManager warnings — ADVICE r8/VERDICT #3)
+      graft.operators.Q.releaseManaged()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

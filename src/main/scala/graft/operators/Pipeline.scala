@@ -62,7 +62,7 @@ object Pipeline {
         // 3. near-dup removal over the deduped survivors: one shingle
         // pass feeds LSH candidates, the verify join, and stage 4
         val sh2 = Dedup.shingledOf(s, s2)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         val removed = Dedup
           .minLabelPropagate(Dedup.verifiedPairsOf(sh2).select("da", "db"))
           .filter(col("v") =!= col("lbl"))
@@ -79,7 +79,7 @@ object Pipeline {
         val benchSh = Dedup.shingledOf(s, docs)
           .filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         val corpusSh = sh2
           .join(s4a.select("doc_id"), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), explode(col("sh")).as("g"))

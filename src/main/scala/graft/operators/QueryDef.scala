@@ -14,6 +14,52 @@ final case class QueryDef(
 
 /** Shared helpers for the declared query surface. */
 object Q {
+
+  private val managedFrames =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Persist a shared plan fragment AND register it for deterministic
+    * release. Query builders structurally cannot unpersist their shared
+    * frames before the final action (the returned plan still reads
+    * them), so un-tracked `.persist` calls accumulated MEMORY_AND_DISK
+    * caches for the life of the session — the r8 "library-consumer
+    * persist debt". Every builder routes through here instead; any
+    * caller (Verify, Bench, a library user composing builders) calls
+    * [[releaseManaged]] once it has consumed the query's result, which
+    * releases exactly the frames the queries persisted — no global
+    * `clearCache` stomping on caches the caller owns.
+    *
+    * A plan that is ALREADY cached (e.g. a bench warmup pass built the
+    * same fragment) is returned as-is rather than re-persisted — that
+    * both reuses the warm cache and silences the CacheManager's "Asked
+    * to cache already cached data" warning that every re-built pass
+    * used to emit.
+    */
+  def managed(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else synchronized {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      managedFrames += p
+      p
+    }
+
+  /** Unpersist every frame registered by [[managed]] since the last
+    * release. Idempotent; safe while nothing is mid-action on them.
+    */
+  def releaseManaged(): Unit = synchronized {
+    managedFrames.foreach(_.unpersist(blocking = false))
+    managedFrames.clear()
+  }
+
+  /** `.managedPersist` chains where `.persist(...)` used to — every
+    * query-builder shared fragment routes its cache through
+    * [[managed]] so [[releaseManaged]] can free it.
+    */
+  implicit final class ManagedOps(private val df: DataFrame)
+      extends AnyVal {
+    def managedPersist: DataFrame = managed(df)
+  }
   /** Load a test table. The driver's `events` table stores `ts` as parquet
     * TIMESTAMP(NANOS), which Spark only reads as a nanosecond Long (via
     * `spark.sql.legacy.parquet.nanosAsLong`) — normalize it back to a

@@ -166,7 +166,7 @@ object Stats {
         // the regex tokenize runs once, and derive the corpus token
         // count N from the unigram counts instead of a third scan
         val toks = docs.select(TextAnalysis.tokens(col("text")).as("tl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         val uni = toks.select(explode(col("tl")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cw"))
         val n = uni.agg(sum(col("cw")).as("n_tok"))

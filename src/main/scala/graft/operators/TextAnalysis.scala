@@ -675,7 +675,7 @@ object TextAnalysis {
               .as("chunk"))
           .select(col("doc_id"), col("lang"),
             md5(concat_ws(" ", col("chunk"))).as("cm"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         val dup = ch.groupBy("cm").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2)
           .select(col("cm"), lit(1L).as("dup"))
