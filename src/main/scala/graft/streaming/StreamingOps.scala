@@ -266,6 +266,50 @@ object StreamingOps {
       .transformWithState(new RunningStatsProcessor,
         streaming.TimeMode.None(), OutputMode.Update())
   }
+
+  /** Streaming incremental near-dup against a PERSISTED band index —
+    * the full nightly-ingest loop ([[graft.operators.Dedup.writeBandIndex]]
+    * builds the base once; this keeps it current): per micro-batch,
+    *
+    *  1. probe the index (`Dedup.probeBandIndex`) — candidate work is
+    *     O(|batch| × bands × occupancy), never touching base×base;
+    *  2. hand the batch's NOVEL docs (no verified base near-dup) to
+    *     `onNovel` — the sink that admits them into the corpus;
+    *  3. if `growIndex`, append the novel docs' bands + shingles to
+    *     the index (`Dedup.appendToBandIndex`, bucket-spec-preserving),
+    *     so later batches dedup against earlier ones too.
+    *
+    * The STREAM carries no state at all — the persisted index IS the
+    * state, on disk, surviving restarts and shared with the batch
+    * pipeline; `foreachBatch` is the standard bridge for sinks that
+    * need batch-only operations (bucketed writes, multi-output).
+    * `docs` must carry `doc_id` and `text`.
+    */
+  def neardupProbeIndexStream(
+      docs: DataFrame,
+      indexName: String,
+      growIndex: Boolean,
+      onNovel: (DataFrame, Long) => Unit): streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val dup = graft.operators.Dedup
+          .probeBandIndex(batch.sparkSession, indexName, batch)
+          .select(col("db").as("doc_id")).distinct()
+        val novel = batch.join(dup, Seq("doc_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          onNovel(novel, id)
+          if (growIndex)
+            graft.operators.Dedup.appendToBandIndex(novel, indexName)
+        } finally {
+          novel.unpersist(blocking = false)
+          // probeBandIndex managed-persists the batch shingles; this
+          // loop is the only consumer, so release per batch
+          graft.operators.Q.releaseManaged()
+        }
+      }
+      .start()
 }
 
 /** StatefulProcessor behind [[StreamingOps.userRunningStatsTws]]: one

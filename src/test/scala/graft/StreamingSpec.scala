@@ -445,4 +445,53 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3))).toSeq ==
       Seq((t(0), 2L, 3.0)))
   }
+
+  test("streaming near-dup probe of the persisted band index: novel docs pass, the index grows") {
+    // the full nightly-ingest loop (VERDICT r8 #7): a persisted band
+    // index is the ONLY state — the stream itself keeps none — and
+    // growIndex=true folds each batch's novel docs in, so a batch-2
+    // near-dup of a batch-1 admission is suppressed without the base
+    // ever being re-shingled.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streamidx")
+    // 20 tokens ⇒ 18 shingles; a one-token tail edit gives j = 17/19 ≈
+    // 0.89 ≥ the 0.8 threshold, and the 32×4 banding recalls it with
+    // p ≈ 1 − (1 − 0.89⁴)³² ≈ 1
+    def words(prefix: String): String =
+      (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val base = Seq((0L, words("alpha")), (2L, words("beta")))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeBandIndex(base, "stream_bandidx", s"$tmp")
+    val input = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.neardupProbeIndexStream(
+      input.toDF().toDF("doc_id", "text"), "stream_bandidx",
+      growIndex = true,
+      (novel, _) => admitted.synchronized {
+        admitted ++= novel.select("doc_id").collect().map(_.getLong(0))
+      })
+    try {
+      // batch 1: a near-dup of base doc 0 (tail token edited) + a novel doc
+      input.addData(
+        (10L, words("alpha").replace("alpha20", "alphaX")),
+        (11L, words("gamma")))
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq == Seq(11L),
+        s"batch 1 admitted $admitted (want only the novel 11)")
+      // batch 2: a near-dup of the JUST-ADMITTED 11 — only suppressed
+      // if the index actually grew — plus one genuinely novel doc
+      admitted.clear()
+      input.addData(
+        (20L, words("gamma").replace("gamma20", "gammaX")),
+        (21L, words("delta")))
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq == Seq(21L),
+        s"batch 2 admitted $admitted (want only the novel 21)")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS stream_bandidx_bands")
+      spark.sql("DROP TABLE IF EXISTS stream_bandidx_shingles")
+    }
+  }
 }
