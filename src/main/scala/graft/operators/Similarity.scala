@@ -196,11 +196,12 @@ object Similarity {
     // the compare while a collapse still does. Each path carries TWO
     // bits (the round-7 verdict's visibility ask): the 0.70 hard floor
     // (the operating contract) and a tighter `_hi` watermark floor
-    // (LSH 0.75 / IVF 0.78 — ≥ 0.05 under the worst measured recall in
-    // ANN_TUNING.md across all SFs), so a drift from the measured
-    // 0.82+ band down toward the hard floor flips the watermark bit
-    // and shows up in CORRECTNESS rounds before the contract itself
-    // is in danger.
+    // (LSH 0.75 / IVF 0.78 — under the worst measured recall in
+    // ANN_TUNING.md at every SF/seed; minimum measured margin +0.044,
+    // the sf0.1 IVF seed=1 row at 0.8240, visible in the table's
+    // margin_hi column), so a drift from the measured 0.82+ band down
+    // toward the hard floor flips the watermark bit and shows up in
+    // CORRECTNESS rounds before the contract itself is in danger.
     "q98_ann_recall" -> QueryDef(
       (s, dir) => {
         val k = 10
@@ -208,7 +209,7 @@ object Similarity {
         val queries = emb.filter(col("vec_id") % 10 === 0)
         // exact top-k pairs feed both semi-joins and the count — one scan
         val brute = Ann.bruteTopK(emb, queries, k).select("q_id", "vec_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .managedPersist
         val lshHit = brute.join(
           Ann.annTopK(emb, queries, k, nPlanes = 8, probes = 1, tables = 16)
             .select("q_id", "vec_id"),
