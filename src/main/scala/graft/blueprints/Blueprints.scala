@@ -89,13 +89,15 @@ object Blueprints {
       FileOps.CopyStats(1L, 1L, 0L)
     case MatchType.RegexMatch =>
       val scanned = FileManifest.scanManaged(spark, srcRoot, srcFolder)
+      var releasePlanned: () => Unit = () => ()
       try {
         val matched =
           if (matchAbsolute)
             FileManifest.regexFilterAbsolute(scanned.entries, srcFile)
           else FileManifest.regexFilter(scanned.entries, srcFile)
-        val planned =
-          FileManifest.withDestination(matched, dstFolder, dstFile, policy)
+        val (planned, releaseHook) = FileManifest.withDestinationManaged(
+          matched, dstFolder, dstFile, policy)
+        releasePlanned = releaseHook
         // Always-enumerated explicit names are unique by construction —
         // skip the collision aggregation (a full-manifest shuffle at scale)
         val provablyUnique =
@@ -105,8 +107,12 @@ object Blueprints {
         if (st.planned == 0) throw BlueprintError.FileNotFound(srcFile)
         st
         // the copy (and optional source delete) was the manifest's last
-        // read — release the wave caches deterministically
-      } finally scanned.release()
+        // read — release the wave caches AND the indexed destination
+        // frame deterministically
+      } finally {
+        releasePlanned()
+        scanned.release()
+      }
   }
 
   /** Credential injection (download_file.py:44-62 `set_environment_variables`):

@@ -377,7 +377,21 @@ object FileManifest {
       manifest: Dataset[FileEntry],
       destinationFolderName: String,
       destinationFileName: Option[String],
-      policy: EnumeratePolicy): DataFrame = {
+      policy: EnumeratePolicy): DataFrame =
+    withDestinationManaged(manifest, destinationFolderName,
+      destinationFileName, policy)._1
+
+  /** [[withDestination]] plus a release hook for the persisted indexed
+    * frame the returned plan reads — same contract as
+    * [[ScannedManifest.release]]: call it once the plan is consumed
+    * (the Blueprints pipelines do, right after their sink action);
+    * re-reading afterwards just re-executes the lineage.
+    */
+  def withDestinationManaged(
+      manifest: Dataset[FileEntry],
+      destinationFolderName: String,
+      destinationFileName: Option[String],
+      policy: EnumeratePolicy): (DataFrame, () => Unit) = {
     val spark = manifest.sparkSession
     import spark.implicits._
     val folder = PathAlg.cleanFolderName(destinationFolderName)
@@ -385,8 +399,8 @@ object FileManifest {
     // exec) — without it each action re-executes the whole listing
     // lineage; the indexed result is persisted + materialized so the
     // caller's downstream actions reuse it too (manifests are
-    // metadata-sized; the cache is released when the session ends or
-    // the caller unpersists)
+    // metadata-sized; the cache is released by the returned hook, or
+    // by the ContextCleaner for plain-withDestination callers)
     val cached = manifest.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = cached.count()
@@ -416,7 +430,8 @@ object FileManifest {
     val dest =
       if (folder.isEmpty) destName
       else concat(lit(folder + "/"), destName)
-    indexed.withColumn("dest", dest).drop("file_number")
+    (indexed.withColumn("dest", dest).drop("file_number"),
+      () => indexed.unpersist(blocking = false))
   }
 
   private[graft] def fileSystemFor(spark: SparkSession, uri: String): FileSystem =
