@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.HashFunctions
 import Q._
@@ -178,6 +179,148 @@ object Pipeline {
                     IN ('e', 'f') THEN 'test'
                   ELSE 'train' END AS split, lang,
                 COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
-              FROM s4 GROUP BY 1, 2 ORDER BY split, lang"""))
+              FROM s4 GROUP BY 1, 2 ORDER BY split, lang""")),
+
+    // Filter-funnel monitor: per-stage docs_in/docs_out/removed counts
+    // for the deterministic gate cascade — quality (q91's predicate) →
+    // repetition (q97's integer rule) → exact dedup (q22's min-doc_id
+    // survivor) → decontamination (q96 semantics). q100 reports the
+    // corpus the pipeline SHIPS; this reports what each stage COSTS —
+    // the ops dashboard row a corpus build publishes per run (a stage
+    // whose removal rate jumps between ingests is the first sign of a
+    // crawl regression or a broken gate). Every stage bit reuses the
+    // standalone query's semantics so the monitor can't drift from the
+    // gates it monitors. Plan shape: the gate bits are row-local in ONE
+    // corpus pass; the dedup survivor bit is one window over text among
+    // gate survivors; the decontamination bit joins only stage-3
+    // survivors' shingles against the eval stand-ins (at 100 TB the
+    // q100/q101 bloom pre-filter drops in front of that join
+    // unchanged); the funnel itself aggregates to a single row of
+    // counters exploded into 4 stage rows — no stage count requires a
+    // separate corpus scan. Near-dup removal (q83's CC machinery) is
+    // deliberately not a funnel stage: its cluster survivors are
+    // monitored by q45/q94 and its cost profile belongs to q100.
+    "q121_filter_funnel" -> QueryDef(
+      (s, dir) => {
+        HashFunctions.register(s)
+        val docs = table(s, dir, "documents")
+        val gated = TextAnalysis.qualitySignals(docs)
+          .withColumn("n_grams", (col("n_tokens") - 2).cast("long"))
+          .withColumn("n_distinct",
+            size(expr("graft_shingles(text, 3)")).cast("long"))
+          .withColumn("s1",
+            (col("n_tokens") >= 10 &&
+              col("n_stop") * 10 <= col("n_tokens") * 3 &&
+              col("n_chars_ns") <= col("n_tokens") * 8).cast("long"))
+          .withColumn("s2",
+            (col("s1") === 1 &&
+              !(col("n_distinct") * 100 < col("n_grams") * 98))
+              .cast("long"))
+          .withColumn("s3",
+            (col("s2") === 1 && col("doc_id") ===
+              min(when(col("s2") === 1, col("doc_id")))
+                .over(Window.partitionBy("text"))).cast("long"))
+          .select("doc_id", "text", "s1", "s2", "s3")
+          .managedPersist
+        val s3docs = gated.filter(col("s3") === 1).select("doc_id", "text")
+        val corpusSh = Dedup.shingledOf(s, s3docs)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        val benchSh = Dedup.shingledOf(s, docs)
+          .filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
+        val contaminated = corpusSh.join(benchSh, "g")
+          .groupBy("doc_id", "bench_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 5)
+          .select("doc_id").distinct()
+          .withColumn("cont", lit(1L))
+        val c = gated.join(contaminated, Seq("doc_id"), "left")
+          .withColumn("s4",
+            (col("s3") === 1 && col("doc_id") % 50 =!= 0 &&
+              col("cont").isNull).cast("long"))
+          .agg(count(lit(1)).as("c0"), sum("s1").as("c1"),
+            sum("s2").as("c2"), sum("s3").as("c3"), sum("s4").as("c4"))
+        c.select(explode(array(
+            struct(lit(1L).as("stage"), lit("quality").as("name"),
+              col("c0").as("docs_in"), col("c1").as("docs_out")),
+            struct(lit(2L).as("stage"), lit("repetition").as("name"),
+              col("c1").as("docs_in"), col("c2").as("docs_out")),
+            struct(lit(3L).as("stage"), lit("exact_dedup").as("name"),
+              col("c2").as("docs_in"), col("c3").as("docs_out")),
+            struct(lit(4L).as("stage"), lit("decontamination").as("name"),
+              col("c3").as("docs_in"), col("c4").as("docs_out"))))
+            .as("r"))
+          .select(col("r.stage").as("stage"), col("r.name").as("name"),
+            col("r.docs_in").as("docs_in"), col("r.docs_out").as("docs_out"),
+            (col("r.docs_in") - col("r.docs_out")).as("removed"))
+          .orderBy("stage")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, text,
+                  list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS toks,
+                  CAST(LENGTH(regexp_replace(text, '\\s', '', 'g'))
+                    AS BIGINT) AS nc
+                FROM documents),
+              g AS (SELECT doc_id, text,
+                  CAST(LEN(toks) AS BIGINT) AS nt,
+                  CAST(LEN(list_filter(toks,
+                    x -> x IN (${TextAnalysis.stopwordsSql}))) AS BIGINT)
+                    AS ns, nc,
+                  CAST(LEN(list_distinct(
+                    [array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks) - 1)])) AS BIGINT) AS nd
+                FROM f),
+              b AS (SELECT doc_id, text,
+                  CASE WHEN nt >= 10 AND ns * 10 <= nt * 3
+                    AND nc <= nt * 8 THEN 1 ELSE 0 END AS s1,
+                  nt - 2 AS ng, nd
+                FROM g),
+              b2 AS (SELECT doc_id, text, s1,
+                  CASE WHEN s1 = 1 AND NOT (nd * 100 < ng * 98)
+                    THEN 1 ELSE 0 END AS s2
+                FROM b),
+              b3 AS (SELECT doc_id, text, s1, s2,
+                  CASE WHEN s2 = 1 AND doc_id =
+                    MIN(CASE WHEN s2 = 1 THEN doc_id END)
+                      OVER (PARTITION BY text) THEN 1 ELSE 0 END AS s3
+                FROM b2),
+              csh AS (SELECT doc_id, UNNEST(list_distinct(
+                  [array_to_string(t[i:i+2], ' ')
+                   for i in range(1, len(t) - 1)])) AS grm
+                FROM (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\\s+'),
+                      x -> x <> '') AS t
+                  FROM b3 WHERE s3 = 1) z WHERE len(t) >= 3),
+              bsh AS (SELECT doc_id AS bench_id, UNNEST(list_distinct(
+                  [array_to_string(t[i:i+2], ' ')
+                   for i in range(1, len(t) - 1)])) AS grm
+                FROM (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\\s+'),
+                      x -> x <> '') AS t
+                  FROM documents WHERE doc_id % 50 = 0) z
+                WHERE len(t) >= 3),
+              cont AS (SELECT DISTINCT doc_id FROM (
+                  SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+                  FROM csh c JOIN bsh b USING (grm) GROUP BY 1, 2
+                  HAVING COUNT(*) >= 5) zz),
+              b4 AS (SELECT doc_id, s1, s2, s3,
+                  CASE WHEN s3 = 1 AND doc_id % 50 <> 0 AND doc_id NOT IN
+                    (SELECT doc_id FROM cont) THEN 1 ELSE 0 END AS s4
+                FROM b3),
+              t AS (SELECT COUNT(*) AS c0, SUM(s1) AS c1, SUM(s2) AS c2,
+                  SUM(s3) AS c3, SUM(s4) AS c4 FROM b4)
+              SELECT stage, name, docs_in, docs_out,
+                docs_in - docs_out AS removed
+              FROM (
+                SELECT 1 AS stage, 'quality' AS name,
+                  CAST(c0 AS BIGINT) AS docs_in,
+                  CAST(c1 AS BIGINT) AS docs_out FROM t
+                UNION ALL SELECT 2, 'repetition', CAST(c1 AS BIGINT),
+                  CAST(c2 AS BIGINT) FROM t
+                UNION ALL SELECT 3, 'exact_dedup', CAST(c2 AS BIGINT),
+                  CAST(c3 AS BIGINT) FROM t
+                UNION ALL SELECT 4, 'decontamination', CAST(c3 AS BIGINT),
+                  CAST(c4 AS BIGINT) FROM t) u
+              ORDER BY stage"""))
   )
 }

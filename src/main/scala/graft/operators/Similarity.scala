@@ -386,6 +386,60 @@ object Similarity {
               SELECT (SELECT COUNT(*) FROM r) AS n_exact,
                 CAST(1 AS BIGINT) AS probe_recall_ok,
                 CAST(1 AS BIGINT) AS probe_recall_hi,
-                CAST(1 AS BIGINT) AS probe_eq_inplan"""))
+                CAST(1 AS BIGINT) AS probe_eq_inplan""")),
+
+    // Per-label centroid similarity matrix: the corpus-cartography scan
+    // that says which semantic clusters are near-duplicates of each
+    // other (candidate merge targets before mixture weighting). Each
+    // label's centroid is the exact component mean — q55's decimal
+    // component sums (partial-agg order can't move them) divided by the
+    // label count — and the pairwise cosine runs over the REDUCED
+    // |labels|-row frame only, never the corpus: at 100 TB the corpus
+    // contributes one (label, pos)-keyed partial aggregation (bounded
+    // by labels × dim keys) and the L² pair work is driver-free
+    // broadcast-join arithmetic over L rows. Centroid arrays rebuild
+    // from the component frame via an order-free sort on pos, so no
+    // stage depends on shuffle order.
+    "q119_centroid_similarity" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        val comp = table(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .groupBy("label", "pos")
+          .agg((round(dsum(col("col").cast("double"), 6), 6).cast("double") /
+            count(lit(1))).as("m"))
+        val cent = comp.groupBy("label")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+            .as("a"))
+          .select(col("label"),
+            transform(col("a"), x => x.getField("m")).as("c"))
+        val right = cent
+          .select(col("label").as("lb"), col("c").as("cb"))
+        cent.select(col("label").as("la"), col("c").as("ca"))
+          .join(broadcast(right), col("la") < col("lb"))
+          .select(col("la"), col("lb"),
+            round(cosine(col("ca"), col("cb")), 4).as("sim"))
+          .orderBy(desc("sim"), col("la"), col("lb"))
+          .limit(10)
+      },
+      Some("""WITH x AS (SELECT label, pos,
+                  CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18, 6))),
+                    6) AS DOUBLE) / COUNT(*) AS m
+                FROM (SELECT label, UNNEST(embedding) AS v,
+                    UNNEST(range(len(embedding))) AS pos FROM embeddings) t
+                GROUP BY 1, 2),
+              c AS (SELECT label, list(m ORDER BY pos) AS centroid
+                    FROM x GROUP BY 1),
+              p AS (SELECT a.label AS la, b.label AS lb,
+                  (SELECT SUM(z.x * z.y)
+                   FROM (SELECT UNNEST(a.centroid) AS x,
+                                UNNEST(b.centroid) AS y) z) AS dotab,
+                  (SELECT SUM(u.x * u.x)
+                   FROM UNNEST(a.centroid) AS u(x)) AS na,
+                  (SELECT SUM(u.x * u.x)
+                   FROM UNNEST(b.centroid) AS u(x)) AS nb
+                FROM c a JOIN c b ON a.label < b.label)
+              SELECT la, lb, ROUND(dotab / (SQRT(na) * SQRT(nb)), 4) AS sim
+              FROM p ORDER BY sim DESC, la, lb LIMIT 10"""))
   )
 }

@@ -783,6 +783,100 @@ object TextAnalysis {
               SELECT d.lang, COALESCE(b.lex_lang, 'und') AS lang_pred,
                 COUNT(*) AS n_docs
               FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
-              GROUP BY 1, 2 ORDER BY lang, lang_pred"""))
+              GROUP BY 1, 2 ORDER BY lang, lang_pred""")),
+
+    // Crawl prefix-duplication stats: documents sharing an identical
+    // leading-token prefix (first 2 tokens) — the cheap detector for
+    // templated/mirrored crawl content whose bodies diverge but whose
+    // heads repeat (near-dup catches the bodies; this catches template
+    // heads at exact-dedup cost). Map-only projection to a short scalar
+    // prefix key, then ONE partial-agg count shuffle grouped on it —
+    // the key domain is bounded by vocab² regardless of corpus size,
+    // so the aggregate stays small at 100 TB; the top-10 is a
+    // TakeOrderedAndProject over the already-aggregated frame.
+    "q118_prefix_dup" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(
+          array_join(slice(tokens(col("text")), 1, 2), " ").as("prefix"),
+          col("source"), col("lang"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          countDistinct("lang").as("n_langs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(desc("n_docs"), col("prefix"))
+        .limit(10),
+      Some("""WITH p AS (SELECT array_to_string(list_filter(
+                  string_split_regex(text, '\s+'), x -> x <> '')[1:2],
+                  ' ') AS prefix, source, lang
+                FROM documents)
+              SELECT prefix, COUNT(*) AS n_docs,
+                COUNT(DISTINCT source) AS n_sources,
+                COUNT(DISTINCT lang) AS n_langs
+              FROM p GROUP BY 1 HAVING COUNT(*) >= 2
+              ORDER BY n_docs DESC, prefix LIMIT 10""")),
+
+    // DSIR-style hashed-unigram importance weights (Data Selection via
+    // Importance Resampling, Xie et al. 2023, re-expressed log-free):
+    // every token hashes into a BOUNDED 4096-bucket feature space
+    // (first 3 hex chars of md5 — the hashed-n-gram trick that makes
+    // the feature table O(1) in corpus size), per-bucket add-one
+    // smoothed probabilities are estimated for the TARGET domain
+    // (lang = 'en') and the raw corpus, and each document scores the
+    // mean target/raw probability ratio of its tokens — rank-equivalent
+    // per token to the log-ratio form but exact: the ratio is a single
+    // IEEE division of exact integer products rounded to 6 decimals,
+    // and the per-doc mean sums those 6-decimal values as DECIMAL so
+    // partial-agg order can't move the rounding (q104's determinism
+    // pattern). Plan shape: one token explode feeds the feature counts
+    // AND the per-doc scan (persisted); the 4096-row ratio table
+    // BROADCASTS onto the doc scan — at 100 TB the corpus is read
+    // twice map-only with one bounded-key aggregation each, and the
+    // top-15 is TakeOrderedAndProject.
+    "q120_importance_weights" -> QueryDef(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("w"))
+          .withColumn("b",
+            conv(substring(md5(col("w")), 1, 3), 16, 10).cast("long"))
+          .managedPersist
+        val feat = toks.groupBy("b").agg(
+          count(lit(1)).as("cr"),
+          count(when(col("lang") === "en", 1)).as("ct"))
+        val tot = feat.agg(
+          sum("cr").as("nr"), sum("ct").as("nt"), count(lit(1)).as("v"))
+        val ratio = feat.crossJoin(broadcast(tot))
+          .select(col("b"),
+            round(((col("ct") + 1) * (col("nr") + col("v"))).cast("double") /
+              ((col("cr") + 1) * (col("nt") + col("v"))), 6).as("r"))
+        toks.join(broadcast(ratio), "b")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(round(sum(col("r").cast(
+              org.apache.spark.sql.types.DecimalType(18, 6))), 6)
+              .cast("double") / count(lit(1)), 6).as("importance"))
+          .orderBy(desc("importance"), col("doc_id"))
+          .limit(15)
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang,
+                  CAST(CAST('0x' || substring(md5(w), 1, 3) AS INTEGER)
+                    AS BIGINT) AS b
+                FROM (SELECT doc_id, lang, UNNEST(list_filter(
+                    string_split_regex(text, '\s+'), x -> x <> '')) AS w
+                  FROM documents) z),
+              feat AS (SELECT b, COUNT(*) AS cr,
+                  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct
+                FROM toks GROUP BY 1),
+              tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt,
+                  COUNT(*) AS v FROM feat),
+              ratio AS (SELECT b, ROUND(CAST((ct + 1) * (nr + v) AS DOUBLE)
+                  / ((cr + 1) * (nt + v)), 6) AS r
+                FROM feat CROSS JOIN tot)
+              SELECT doc_id, lang, COUNT(*) AS n_tokens,
+                ROUND(CAST(ROUND(SUM(CAST(r AS DECIMAL(18, 6))), 6)
+                  AS DOUBLE) / COUNT(*), 6) AS importance
+              FROM toks JOIN ratio USING (b)
+              GROUP BY 1, 2 ORDER BY importance DESC, doc_id LIMIT 15"""))
   )
 }

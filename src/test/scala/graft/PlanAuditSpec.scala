@@ -289,4 +289,32 @@ class PlanAuditSpec extends SparkSpec {
           s"$q left whole-stage codegen")
       }
   }
+
+  test("q118: prefix-dup is one partial-agg count shuffle + top-k, no sort") {
+    val p = plan("q118_prefix_dup")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_"), "no map-side combine on the prefix key")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q119: the L-row centroid pair join broadcasts; no cartesian") {
+    val p = plan("q119_centroid_similarity")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid pair join must broadcast the reduced L-row frame")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "component sums lost map-side combine")
+  }
+
+  test("q120: the bounded ratio table broadcasts onto the doc scan") {
+    val p = plan("q120_importance_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "4096-row feature table should broadcast, not shuffle the token stream")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q121: the funnel never goes cartesian and keeps partial aggregation") {
+    val p = plan("q121_filter_funnel")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"))
+  }
 }
