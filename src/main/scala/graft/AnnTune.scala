@@ -89,6 +89,30 @@ object AnnTune {
         out(f"| $sf | ivf-sq8 | nlist=16 nprobe=8 rerank=$rerank | $r%.4f | ${marginOf("ivf-sq8", r)} | $s%.1f |")
       }
     }
+
+    // Cell balance behind q122's balance_ok bit (contract: max cell ≤
+    // 4× mean, i.e. balance ≤ 4.00): measured here per SF and seed so
+    // the registered bound is an audited margin like the recall floors.
+    out("")
+    out("## IVF cell balance (q122 balance_ok margin; contract bound 4.00)")
+    out("")
+    out("| sf | seed | nlist | cells_used | max_occ | balance (max/mean) |")
+    out("|---|---|---|---|---|---|")
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val emb = Q.table(spark, dir, "embeddings").select("vec_id", "embedding")
+      import org.apache.spark.ml.functions.array_to_vector
+      val featured = emb.withColumn("features", array_to_vector(col("embedding")))
+      for (seed <- Seq(1L, 7L, 99L)) {
+        val model = Ann.coarseQuantizer(emb, nlist = 16, seed = seed)
+        val r = model.transform(featured)
+          .groupBy(col("prediction")).agg(count(lit(1)).as("occ"))
+          .agg(count(lit(1)), max(col("occ")), sum(col("occ"))).head()
+        val (cells, maxOcc, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        out(f"| $sf | $seed | 16 | $cells | $maxOcc | ${maxOcc * 16.0 / n}%.2f |")
+      }
+    }
+
     java.nio.file.Files.write(
       java.nio.file.Paths.get("ANN_TUNING.md"),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.HashFunctions
 import Q._
@@ -1212,7 +1213,121 @@ object Dedup {
           .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
           .orderBy("da", "db")
       },
-      Some(crossPairJaccardSql))
+      Some(crossPairJaccardSql)),
+
+    // Contamination SPAN detection — q96/q101 decide WHETHER a document
+    // overlaps a benchmark doc (≥ 5 shared distinct grams); this says
+    // HOW MUCH, as the longest run of consecutive matched 3-gram
+    // positions: a 30-token verbatim quote and 30 scattered common
+    // grams both pass q96's count gate, but only the quote is a span —
+    // the difference between "delete the document" and "keep it". Span
+    // arithmetic is the gaps-and-islands trick: among a (doc, bench)
+    // pair's matched gram START positions, pos − row_number() is
+    // constant exactly on consecutive runs, and a run of L consecutive
+    // 3-gram starts covers L + 2 tokens. Plan at 100 TB: positioned
+    // grams are a map-only generator projection (never stored distinct
+    // — position matters); the eval side is the tiny fixed benchmark
+    // set, so the gram join broadcasts it and the q101 bloom pre-filter
+    // drops in unchanged; the islands window partitions on (doc, bench)
+    // over MATCHED rows only — bounded by doc length, nothing global.
+    // Top-15 is TakeOrderedAndProject.
+    "q124_contamination_span" -> QueryDef(
+      (s, dir) => {
+        val t = table(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+        val g = t.select(col("doc_id"),
+            posexplode(transform(sequence(lit(1), size(col("toks")) - 2),
+              i => concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2)))))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"),
+            col("col").as("grm"))
+        val bench = g.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"), col("grm")).distinct()
+        val m = g.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(bench), "grm")
+          .select("doc_id", "bench_id", "pos")
+        val w = Window.partitionBy("doc_id", "bench_id").orderBy("pos")
+        val spans = m
+          .withColumn("grp", col("pos") - row_number().over(w))
+          .groupBy("doc_id", "bench_id", "grp")
+          .agg(count(lit(1)).as("run"))
+        spans.groupBy("doc_id", "bench_id")
+          .agg(max(col("run") + 2).as("max_span_tokens"),
+            sum("run").as("n_matched_grams"))
+          .orderBy(desc("max_span_tokens"), col("doc_id"), col("bench_id"))
+          .limit(15)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                    AS toks
+                FROM documents),
+              pg AS (SELECT doc_id,
+                  UNNEST([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, len(toks) - 1)]) AS grm,
+                  UNNEST(range(1, len(toks) - 1)) AS pos
+                FROM t WHERE len(toks) >= 3),
+              bj AS (SELECT DISTINCT doc_id AS bench_id, grm FROM pg
+                     WHERE doc_id % 50 = 0),
+              m AS (SELECT pg.doc_id, bj.bench_id, pg.pos
+                    FROM pg JOIN bj USING (grm) WHERE pg.doc_id % 50 <> 0),
+              i AS (SELECT doc_id, bench_id,
+                  pos - ROW_NUMBER() OVER (PARTITION BY doc_id, bench_id
+                    ORDER BY pos) AS grp
+                FROM m),
+              sp AS (SELECT doc_id, bench_id, COUNT(*) AS run
+                     FROM i GROUP BY doc_id, bench_id, grp)
+              SELECT doc_id, bench_id,
+                CAST(MAX(run + 2) AS BIGINT) AS max_span_tokens,
+                CAST(SUM(run) AS BIGINT) AS n_matched_grams
+              FROM sp GROUP BY 1, 2
+              ORDER BY max_span_tokens DESC, doc_id, bench_id LIMIT 15""")),
+
+    // Truncation-duplicate scan — documents that are exact token-
+    // boundary PREFIXES of longer documents (a re-crawl cut off by a
+    // size limit, a feed that ships the first N paragraphs): exact
+    // dedup (q22) can't see them (different hashes) and near-dup (q25)
+    // only catches them while the length ratio keeps Jaccard high, so
+    // a corpus build that keeps both trains twice on the shared head.
+    // A pair is (short, long) with long = short + ' ' + rest, which
+    // makes short's token list a prefix of long's — so both share
+    // their first-2-token key, and q118's bounded prefix key is a
+    // COMPLETE candidate generator (no pair can be missed). Plan at
+    // 100 TB: one equi-join on the scalar prefix key + a codegen'd
+    // startswith check per candidate — never all-pairs; hot template
+    // heads make skewed groups, which is exactly what q118 measures,
+    // and a group cap (or salting the one hot key) bounds the worst
+    // reducer the same way q111 documents.
+    "q125_truncation_dup" -> QueryDef(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("text"),
+            array_join(slice(col("toks"), 1, 2), " ").as("pk"),
+            length(col("text")).cast("long").as("len"))
+        val short = d.select(col("doc_id").as("short_id"),
+          col("text").as("st"), col("pk"), col("len").as("short_len"))
+        val long = d.select(col("doc_id").as("long_id"),
+          col("text").as("lt"), col("pk"), col("len").as("long_len"))
+        short.join(long, Seq("pk"))
+          .filter(startswith(col("lt"), concat(col("st"), lit(" "))))
+          .select("short_id", "long_id", "short_len", "long_len")
+          .orderBy("short_id", "long_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                    AS toks
+                FROM documents),
+              f AS (SELECT doc_id, text,
+                  CAST(LENGTH(text) AS BIGINT) AS len
+                FROM d WHERE len(toks) >= 2)
+              SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+                a.len AS short_len, b.len AS long_len
+              FROM f a JOIN f b ON starts_with(b.text, a.text || ' ')
+              ORDER BY short_id, long_id"""))
   )
 
 }

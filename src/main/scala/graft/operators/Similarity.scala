@@ -440,6 +440,52 @@ object Similarity {
                    FROM UNNEST(b.centroid) AS u(x)) AS nb
                 FROM c a JOIN c b ON a.label < b.label)
               SELECT la, lb, ROUND(dotab / (SQRT(na) * SQRT(nb)), 4) AS sim
-              FROM p ORDER BY sim DESC, la, lb LIMIT 10"""))
+              FROM p ORDER BY sim DESC, la, lb LIMIT 10""")),
+
+    // IVF index health report — the cell-balance scan an ANN store runs
+    // after (re)building its coarse quantizer, because cell occupancy
+    // IS the probe cost model: a query probing nprobe cells scans the
+    // sum of their occupancies, so one overfull cell quietly turns the
+    // "scan nprobe/nlist of the corpus" promise into a full scan. The
+    // k-means cell ids themselves are engine-internal (no SQL oracle
+    // can reproduce the fit), so — q98's pattern — the output is the
+    // independent corpus count plus contract BITS the oracle states:
+    //   cells_ok   — 1 ≤ cells used ≤ nlist,
+    //   occ_sum_ok — the assignment conserved rows (sum of occupancies
+    //     equals the INDEPENDENT corpus count; a transform that
+    //     dropped or duplicated vectors flips it),
+    //   balance_ok — max occupancy ≤ 4× the mean cell load (max_occ ·
+    //     nlist ≤ 4n, integer arithmetic; measured 1.30–2.37× mean
+    //     across all SFs/seeds — the AnnTune cell-balance table carries
+    //     the margin, same discipline as the recall floors).
+    // Plan shape: the fit trains on the bounded hash-order sample
+    // (never a corpus count), assignment is a map-only projection
+    // against nlist broadcast centroids, and occupancy is ONE
+    // partial-agg count on a ≤ nlist-key column — a single corpus pass
+    // plus a skinny independent count at any scale.
+    "q122_ivf_cell_balance" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.ml.functions.array_to_vector
+        val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val nlist = 16
+        val model = Ann.coarseQuantizer(emb, nlist = nlist)
+        val occ = model.transform(
+            emb.withColumn("features", array_to_vector(col("embedding"))))
+          .groupBy(col("prediction")).agg(count(lit(1)).as("occ"))
+        occ.agg(count(lit(1)).as("n_cells"), sum("occ").as("occ_sum"),
+            max("occ").as("max_occ"))
+          .crossJoin(emb.agg(count(lit(1)).as("n_vecs")))
+          .select(col("n_vecs"),
+            (col("n_cells") >= 1 && col("n_cells") <= nlist)
+              .cast("long").as("cells_ok"),
+            (col("occ_sum") === col("n_vecs")).cast("long").as("occ_sum_ok"),
+            (col("max_occ") * nlist <= col("n_vecs") * 4)
+              .cast("long").as("balance_ok"))
+      },
+      Some("""SELECT COUNT(*) AS n_vecs,
+                CAST(1 AS BIGINT) AS cells_ok,
+                CAST(1 AS BIGINT) AS occ_sum_ok,
+                CAST(1 AS BIGINT) AS balance_ok
+              FROM embeddings"""))
   )
 }

@@ -877,6 +877,65 @@ object TextAnalysis {
                 ROUND(CAST(ROUND(SUM(CAST(r AS DECIMAL(18, 6))), 6)
                   AS DOUBLE) / COUNT(*), 6) AS importance
               FROM toks JOIN ratio USING (b)
-              GROUP BY 1, 2 ORDER BY importance DESC, doc_id LIMIT 15"""))
+              GROUP BY 1, 2 ORDER BY importance DESC, doc_id LIMIT 15""")),
+
+    // Tokenizer fertility report: per language, whitespace words vs
+    // BPE-ish subword tokens (q32's regex — one definition for the
+    // whole surface) — fertility (subwords per word) and chars per
+    // subword are THE numbers a tokenizer choice is judged by per
+    // language before a training run prices its token budget (a lang
+    // whose fertility drifts up between corpus releases got harder to
+    // tokenize, q32 says which documents). All counting is integer and
+    // the two ratios use q32's exact half-up integer-division rounding,
+    // so partial-agg order can't move a digit. Plan: one map-only
+    // projection (both tokenizations are codegen'd regexes) into ONE
+    // partial-agg sum shuffle on the bounded lang key — the same
+    // single-pass shape at any corpus size.
+    "q123_token_fertility" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("lang"),
+          size(tokens(col("text"))).cast("long").as("ws"),
+          size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0)))
+            .cast("long").as("bpe"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("long")
+            .as("nc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws").as("ws_tokens"), sum("bpe").as("bpe_tokens"),
+          sum("nc").as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"),
+          col("bpe_tokens"),
+          when(col("ws_tokens") === 0, 0.0)
+            .otherwise(
+              expr("(200*bpe_tokens + ws_tokens) div (2*ws_tokens)")
+                .cast("double") / 100.0)
+            .as("fertility"),
+          when(col("bpe_tokens") === 0, 0.0)
+            .otherwise(
+              expr("(200*n_chars + bpe_tokens) div (2*bpe_tokens)")
+                .cast("double") / 100.0)
+            .as("chars_per_bpe_token"))
+        .orderBy("lang"),
+      Some(s"""WITH f AS (SELECT lang,
+                  CAST(LEN(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '')) AS BIGINT) AS ws,
+                  CAST(LEN(regexp_extract_all(text, '$bpeRegex')) AS BIGINT)
+                    AS bpe,
+                  CAST(LENGTH(regexp_replace(text, '\\s', '', 'g'))
+                    AS BIGINT) AS nc
+                FROM documents),
+              a AS (SELECT lang, COUNT(*) AS n_docs,
+                  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+                  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+                  CAST(SUM(nc) AS BIGINT) AS n_chars
+                FROM f GROUP BY 1)
+              SELECT lang, n_docs, ws_tokens, bpe_tokens,
+                CASE WHEN ws_tokens = 0 THEN 0.0
+                  ELSE ((200*bpe_tokens + ws_tokens) // (2*ws_tokens))
+                    / 100.0 END AS fertility,
+                CASE WHEN bpe_tokens = 0 THEN 0.0
+                  ELSE ((200*n_chars + bpe_tokens) // (2*bpe_tokens))
+                    / 100.0 END AS chars_per_bpe_token
+              FROM a ORDER BY lang"""))
   )
 }

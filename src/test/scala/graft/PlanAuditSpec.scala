@@ -317,4 +317,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("partial_"))
   }
+
+  test("q123: fertility is one partial-agg shuffle on the lang key") {
+    val p = plan("q123_token_fertility")
+    assert(p.contains("partial_"), "lost map-side combine on lang")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "a single-table agg must not join")
+  }
+
+  test("q124: the bench gram side broadcasts; islands never go cartesian") {
+    val p = plan("q124_contamination_span")
+    assert(p.contains("BroadcastHashJoin"),
+      "the fixed benchmark gram set must broadcast onto the corpus stream")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q125: truncation candidates come from the prefix-key equi-join") {
+    val p = plan("q125_truncation_dup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "startswith must be a post-join filter on the pk equi-join, not a NLJ")
+  }
 }
