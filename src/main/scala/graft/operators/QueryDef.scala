@@ -60,19 +60,29 @@ object Q {
       extends AnyVal {
     def managedPersist: DataFrame = managed(df)
   }
-  /** Load a test table. The driver's `events` table stores `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark only reads as a nanosecond Long (via
-    * `spark.sql.legacy.parquet.nanosAsLong`) — normalize it back to a
-    * microsecond TimestampType here so every query sees TimestampType.
+  /** Load a test table. The driver's `events` table has shipped `ts` in
+    * two physical flavors across regenerations: parquet TIMESTAMP(NANOS)
+    * (Spark reads a nanosecond Long via
+    * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (Spark 4 infers TIMESTAMP_NTZ). Normalize
+    * both to microsecond TimestampType here so every query sees one
+    * type — `unix_micros` and friends reject NTZ input, and the session
+    * timezone is pinned to UTC everywhere so the NTZ→TZ cast is
+    * instant-preserving.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer division: double division on nanosecond longs (~1.7e18)
-      // exceeds 2^53 and silently loses up to ~256 ns
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: double division on nanosecond longs (~1.7e18)
+        // exceeds 2^53 and silently loses up to ~256 ns
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Exact, order-independent sum of a floating column: cast every value to
