@@ -34,19 +34,34 @@ object AnnTune {
 
     out("# ANN recall tuning (q98 contract floors)")
     out("")
-    out("`margin_hi` = recall − the path's q98 WATERMARK floor (lsh " +
-      "0.75, ivf/ivf-sq8 0.78): the headroom the recorded bit has " +
-      "before it flips. Only the operating configs (tables=16 probes=1; " +
-      "nprobe=8) gate the gate — the other rows document the sweep. A " +
-      "small minimum margin here must be reflected verbatim in the " +
-      "SURVEY/q98 margin claim (r8 verdict: the claim said ≥ 0.05 while " +
-      "the sf0.1 ivf seed=1 row measured +0.044).")
+    out("`margin_hi` = recall − the path's WATERMARK floor (q98: lsh " +
+      "0.75, ivf/ivf-sq8 0.78; q126: ivf-pq 0.60): the headroom the " +
+      "recorded bit has before it flips. Only the operating configs " +
+      "(tables=16 probes=1; nprobe=8; pq rerank=128) gate the gate — " +
+      "the other rows document the sweep. A small minimum margin here " +
+      "must be reflected verbatim in the SURVEY/q98 margin claim (r8 " +
+      "verdict: the claim said ≥ 0.05 while the sf0.1 ivf seed=1 row " +
+      "measured +0.044). ivf-pq's low floors are deliberate: " +
+      "near-uniform random embeddings are PQ's worst case and its " +
+      "fixed-rerank recall shrinks as the candidate pool grows " +
+      "(0.87 at sf0.01 vs 0.66 at sf0.1) — the scale knob is the " +
+      "shortlist FRACTION; what the m-byte codes buy is a 32x-smaller " +
+      "candidate scan than the float corpus.")
     out("")
     out("| sf | method | params | recall | margin_hi | sec |")
     out("|---|---|---|---|---|---|")
     // the q98 watermark floors, ONE definition mirrored from the query
     // (Similarity.scala q98): recompute margins against what is gated
-    val watermark = Map("lsh" -> 0.75, "ivf" -> 0.78, "ivf-sq8" -> 0.78)
+    // ivf-pq's floors (q126: ok 0.55 / hi 0.60) sit far below the other
+    // paths' deliberately: the m-byte ADC ordering degrades with the
+    // CANDIDATE-POOL-to-shortlist ratio on these near-uniform random
+    // embeddings (PQ's textbook worst case — isotropic residuals carry
+    // almost no per-subspace structure), measured 0.87 at sf0.01 but
+    // 0.66 at sf0.1 for the same rerank=128. The scale knob is the
+    // shortlist FRACTION, not depth; the gate uses the fixed-cost
+    // config and a floor that holds at every test SF.
+    val watermark = Map("lsh" -> 0.75, "ivf" -> 0.78, "ivf-sq8" -> 0.78,
+      "ivf-pq" -> 0.60)
     def marginOf(method: String, r: Double): String =
       f"${r - watermark(method)}%+.4f"
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
@@ -87,6 +102,22 @@ object AnnTune {
         val (r, s) = recallOf(Ann.ivfSq8TopK(
           emb, queries, k, nlist = 16, nprobe = 8, rerank = rerank))
         out(f"| $sf | ivf-sq8 | nlist=16 nprobe=8 rerank=$rerank | $r%.4f | ${marginOf("ivf-sq8", r)} | $s%.1f |")
+      }
+      // product-quantized shortlist (the 32x-smaller candidate read:
+      // m bytes/vector): ADC ordering loses more than SQ8's per-value
+      // int8, so the rerank depth is the knob that buys recall back
+      for (rerank <- Seq(32, 64, 128)) {
+        val (r, s) = recallOf(Ann.ivfPqTopK(
+          emb, queries, k, nlist = 16, nprobe = 8, rerank = rerank))
+        out(f"| $sf | ivf-pq | nlist=16 nprobe=8 m=8 ksub=16 rerank=$rerank | $r%.4f | ${marginOf("ivf-pq", r)} | $s%.1f |")
+      }
+      // seed jitter at the GATED config (nprobe=8 rerank=128): the q126
+      // floor must survive centroid/codebook variation
+      for (seed <- Seq(1L, 99L)) {
+        val (r, s) = recallOf(Ann.ivfPqTopK(
+          emb, queries, k, nlist = 16, nprobe = 8, rerank = 128,
+          seed = seed))
+        out(f"| $sf | ivf-pq | nlist=16 nprobe=8 rerank=128 seed=$seed | $r%.4f | ${marginOf("ivf-pq", r)} | $s%.1f |")
       }
     }
 

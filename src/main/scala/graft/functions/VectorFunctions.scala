@@ -212,6 +212,257 @@ case class SignBuckets(
     copy(child = newChild)
 }
 
+/** Product-quantization encode: the residual array (length m·dsub)
+  * maps to `m` codebook ids, subspace j picking the id of the nearest
+  * (L2) of its `ksub` centroids. Codebooks live in ONE flat referenced
+  * double[] laid out (subspace, code, dim)-major — the same
+  * reference-object trick as [[SignBuckets]], and for the same reason:
+  * the column-composed form is m·ksub interpreted higher-order
+  * aggregates per row, while this is three tight loops inside
+  * whole-stage codegen. Encoding is a map-only projection over the
+  * corpus — the one full-width read a 100 TB PQ index build pays.
+  *
+  * Wrong-length input yields NULL (dimension bugs surface as dropped
+  * rows, not plausible codes); null elements read as 0, as in
+  * [[DotProduct]]. Ties (equidistant centroids) break to the LOWER
+  * code id in both eval paths — argmin with strict `<`.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Double],
+    m: Int, ksub: Int, dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(s"graft_pq_encode: $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != m * dsub) return null
+    val isF = elemIsFloat
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = if (a.isNullAt(j * dsub + i)) 0.0
+            else if (isF) a.getFloat(j * dsub + i).toDouble
+            else a.getDouble(j * dsub + i)
+          val diff = x - codebooks(base + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[]")
+      val acc = if (elemIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val base = ctx.freshName("base")
+      s"""
+         |if ($a.numElements() != ${m * dsub}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $out = new int[$m];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    int $best = 0;
+         |    double $bestD = Double.MAX_VALUE;
+         |    for (int $c = 0; $c < $ksub; $c++) {
+         |      final int $base = ($j * $ksub + $c) * $dsub;
+         |      double $d = 0.0;
+         |      for (int $i = 0; $i < $dsub; $i++) {
+         |        final double $x = $a.isNullAt($j * $dsub + $i)
+         |          ? 0.0 : $acc($j * $dsub + $i);
+         |        final double $diff = $x - $cbRef[$base + $i];
+         |        $d += $diff * $diff;
+         |      }
+         |      if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |    }
+         |    $out[$j] = $best;
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table: out[j·ksub + c] = Σᵢ q[j·dsub+i] ·
+  * cb[j][c][i] — every subspace-centroid dot the asymmetric-distance
+  * scan will ever need for this query, computed ONCE on the tiny query
+  * frame instead of per candidate. Wrong-length input yields NULL.
+  */
+case class PqLut(child: Expression, codebooks: Array[Double],
+    m: Int, ksub: Int, dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_lut"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(s"graft_pq_lut: $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != m * dsub) return null
+    val isF = elemIsFloat
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var s = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = if (a.isNullAt(j * dsub + i)) 0.0
+            else if (isF) a.getFloat(j * dsub + i).toDouble
+            else a.getDouble(j * dsub + i)
+          s += x * codebooks(base + i)
+          i += 1
+        }
+        out(j * ksub + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[]")
+      val acc = if (elemIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      s"""
+         |if ($a.numElements() != ${m * dsub}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[${m * ksub}];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    for (int $c = 0; $c < $ksub; $c++) {
+         |      final int $base = ($j * $ksub + $c) * $dsub;
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $dsub; $i++) {
+         |        $s += ($a.isNullAt($j * $dsub + $i)
+         |          ? 0.0 : $acc($j * $dsub + $i)) * $cbRef[$base + $i];
+         |      }
+         |      $out[$j * $ksub + $c] = $s;
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance accumulation — the PQ candidate scan's hot
+  * loop: Σⱼ lut[j·ksub + code[j]]. Left child is the code array
+  * (length m), right the query's [[PqLut]] array (length m·ksub).
+  * This touches only the m-byte code per candidate — the entire point
+  * of PQ at a 100 TB store: the float corpus is read only for the
+  * rerank shortlist. Mismatched lengths or an out-of-range code id
+  * yield NULL (a corrupted code table must not score plausibly).
+  */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val code = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    val m = code.numElements()
+    if (lut.numElements() != m * ksub) return null
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      if (code.isNullAt(j)) return null
+      val c = code.getInt(j)
+      if (c < 0 || c >= ksub) return null
+      s += lut.getDouble(j * ksub + c)
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (code, lut) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val s = ctx.freshName("s")
+      val bad = ctx.freshName("bad")
+      s"""
+         |final int $m = $code.numElements();
+         |if ($lut.numElements() != $m * $ksub) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  boolean $bad = false;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    if ($code.isNullAt($j)) { $bad = true; break; }
+         |    final int $c = $code.getInt($j);
+         |    if ($c < 0 || $c >= $ksub) { $bad = true; break; }
+         |    $s += $lut.getDouble($j * $ksub + $c);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SignBuckets {
   /** Flat (table, plane, dim)-major Gaussian planes; table t draws from
     * `Random(seed + t)` in the exact order `Ann.hyperplanes` fills, so
@@ -260,6 +511,45 @@ object VectorFunctions {
         seed = HashFunctions.longArg("graft_sign_buckets", exprs(3)),
         dim = HashFunctions.intArg("graft_sign_buckets", exprs(4))),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_encode",
+      exprs => PqEncode(exprs.head,
+        codebooks = doubleArrayArg("graft_pq_encode", exprs(1)),
+        m = HashFunctions.intArg("graft_pq_encode", exprs(2)),
+        ksub = HashFunctions.intArg("graft_pq_encode", exprs(3)),
+        dsub = HashFunctions.intArg("graft_pq_encode", exprs(4))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_lut",
+      exprs => PqLut(exprs.head,
+        codebooks = doubleArrayArg("graft_pq_lut", exprs(1)),
+        m = HashFunctions.intArg("graft_pq_lut", exprs(2)),
+        ksub = HashFunctions.intArg("graft_pq_lut", exprs(3)),
+        dsub = HashFunctions.intArg("graft_pq_lut", exprs(4))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_adc",
+      exprs => PqAdc(exprs(0), exprs(1),
+        ksub = HashFunctions.intArg("graft_pq_adc", exprs(2))),
+      "built-in")
+  }
+
+  /** Foldable ARRAY<numeric> argument evaluated once at plan-build time
+    * (codebooks ride into the expressions as one referenced double[],
+    * never per-row) — the same analysis-time strictness as
+    * [[HashFunctions.intArg]].
+    */
+  private def doubleArrayArg(fn: String, e: Expression): Array[Double] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn requires a literal array argument, got: ${e.sql}")
+    e.eval() match {
+      case a: ArrayData => a.toObjectArray(
+        e.dataType.asInstanceOf[ArrayType].elementType)
+        .map(_.asInstanceOf[Number].doubleValue())
+      case other => throw new IllegalArgumentException(
+        s"$fn requires an array literal argument, got: $other")
+    }
   }
 
   /** All `tables` LSH sign-buckets at once (see [[SignBuckets]]). */
@@ -267,6 +557,22 @@ object VectorFunctions {
       emb: Column, nPlanes: Int, tables: Int, seed: Long, dim: Int): Column =
     call_function("graft_sign_buckets", emb,
       lit(nPlanes), lit(tables), lit(seed), lit(dim))
+
+  /** PQ code array of a residual (see [[PqEncode]]). */
+  def pqEncode(residual: Column, codebooks: Array[Double],
+      m: Int, ksub: Int, dsub: Int): Column =
+    call_function("graft_pq_encode", residual,
+      typedLit(codebooks.toSeq), lit(m), lit(ksub), lit(dsub))
+
+  /** Per-query ADC lookup table (see [[PqLut]]). */
+  def pqLut(qEmb: Column, codebooks: Array[Double],
+      m: Int, ksub: Int, dsub: Int): Column =
+    call_function("graft_pq_lut", qEmb,
+      typedLit(codebooks.toSeq), lit(m), lit(ksub), lit(dsub))
+
+  /** ADC approximate dot from a code array + a [[PqLut]] array. */
+  def pqAdc(code: Column, lut: Column, ksub: Int): Column =
+    call_function("graft_pq_adc", code, lut, lit(ksub))
 
   /** Σ aᵢ·bᵢ as double (elements cast up before multiplying). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)

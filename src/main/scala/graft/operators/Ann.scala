@@ -396,18 +396,7 @@ object Ann {
       .filter(col("arank") <= math.max(rerank, k))
       .select("q_id", "vec_id")
     // exact re-rank of the shortlist only — the sole float-vector read
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    shortlist
-      .join(vectors.select(col("vec_id"), col("embedding"),
-        normSq(col("embedding")).as("nsq")), "vec_id")
-      .join(queries.select(col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"),
-        normSq(col("embedding")).as("q_nsq")), "q_id")
-      .withColumn("sim", cosineWithNorms(
-        dot(col("embedding"), col("q_emb")), col("nsq"), col("q_nsq")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "sim", "rank")
+    exactRerank(shortlist, vectors, queries, k)
   }
 
   /** Write-once IVF-SQ8 index artifacts: the build-ONCE/probe-many
@@ -472,6 +461,315 @@ object Ann {
     ivfSq8Core(spark.table(s"${name}_codes"),
       spark.table(s"${name}_centroids"),
       spark.table(s"${name}_vectors"), queries, k, nprobe, rerank)
+  }
+
+  /** A trained product quantizer: `m` subspaces of `dsub` dims, `ksub`
+    * centroids each, flattened (subspace, code, dim)-major — the layout
+    * [[graft.functions.PqEncode]]/[[graft.functions.PqLut]] index.
+    */
+  final case class PqModel(m: Int, ksub: Int, dsub: Int,
+      codebooks: Array[Double])
+
+  /** Train PQ codebooks on a bounded deterministic sample of coarse
+    * RESIDUALS (x − centroid[cell]) — the FAISS IVF-PQ recipe: the
+    * coarse quantizer removes the between-cell variance, so the small
+    * per-subspace codebooks only have to model what's left. Like
+    * [[coarseQuantizer]], training never scans more than the hash-order
+    * sample (`target` smallest xxhash64(vec_id) rows — ONE
+    * TakeOrderedAndProject pass, no prior count, layout-independent);
+    * the k-means itself runs driver-side over the collected sample
+    * (≤ target × dim doubles — megabytes), with strided deterministic
+    * init and argmin ties broken to the lower id, so the fitted
+    * codebooks are bit-reproducible under any corpus partitioning.
+    * Empty clusters keep their previous centroid.
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      m: Int = 8,
+      ksub: Int = 16,
+      trainTarget: Long = 0L,
+      iters: Int = 15): PqModel = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = model.clusterCenters.head.size
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val target =
+      (if (trainTarget > 0) trainTarget else math.max(256L * ksub, 4096L))
+        .min(Int.MaxValue.toLong).toInt
+    val sample = model.transform(corpus
+        .filter(col("embedding").isNotNull)
+        .withColumn("features", array_to_vector(col("embedding")))
+        .select(col("features"), col("embedding"),
+          xxhash64(col("vec_id")).as("__h"), col("vec_id"))
+        .orderBy(col("__h"), col("vec_id"))
+        .limit(target))
+      .select("embedding", "prediction")
+      .collect()
+    val centers = model.clusterCenters.map(_.toArray)
+    // residuals in collection (hash) order — the deterministic training
+    // set every re-fit reproduces
+    val res: Array[Array[Double]] = sample.map { r =>
+      val e = r.getSeq[Float](0)
+      val c = centers(r.getInt(1))
+      Array.tabulate(dim)(i => e(i).toDouble - c(i))
+    }
+    val n = res.length
+    val flat = new Array[Double](m * ksub * dsub)
+    var j = 0
+    while (j < m) {
+      // strided init over the hash-ordered sample; a sample smaller than
+      // ksub wraps (duplicate centroids collapse to dead clusters, which
+      // simply never win argmin — harmless at toy sizes)
+      val cb = Array.tabulate(ksub)(c =>
+        if (n == 0) new Array[Double](dsub)
+        else res((c.toLong * n / ksub).toInt % n)
+          .slice(j * dsub, (j + 1) * dsub))
+      var it = 0
+      while (it < iters && n > 0) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        var r = 0
+        while (r < n) {
+          val p = res(r)
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0
+            var i = 0
+            while (i < dsub) {
+              val diff = p(j * dsub + i) - cb(c)(i)
+              d += diff * diff
+              i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += p(j * dsub + i); i += 1 }
+          counts(best) += 1
+          r += 1
+        }
+        var c = 0
+        while (c < ksub) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < dsub) { cb(c)(i) = sums(c)(i) / counts(c); i += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      var c = 0
+      while (c < ksub) {
+        System.arraycopy(cb(c), 0, flat, (j * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    PqModel(m, ksub, dsub, flat)
+  }
+
+  /** The PQ-coded corpus table (vec_id, cell, nsq, code) — one map-only
+    * projection: coarse assignment, residual against the (broadcast)
+    * cell centroid, native [[graft.functions.PqEncode]]. At scale this
+    * IS the persisted code table ([[writePqIndex]]): m bytes of code +
+    * two scalars per vector, the 32×-smaller store the candidate scan
+    * reads instead of the float corpus.
+    */
+  private def pqCodes(
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      pq: PqModel,
+      corpus: DataFrame): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val residual = zip_with(col("embedding"), col("centroid"),
+      (a, b) => a.cast("double") - b)
+    model.transform(corpus
+        .withColumn("features", array_to_vector(col("embedding"))))
+      .withColumnRenamed("prediction", "cell")
+      .join(broadcast(centroidFrame(spark, model)), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        normSq(col("embedding")).as("nsq"),
+        graft.functions.VectorFunctions.pqEncode(
+          residual, pq.codebooks, pq.m, pq.ksub, pq.dsub).as("code"))
+  }
+
+  /** IVF-PQ ANN: coarse k-means cells as in [[ivfTopK]], but candidates
+    * are scored by PRODUCT-QUANTIZED asymmetric distance — each corpus
+    * vector stores only an m-byte code (its residual's nearest codebook
+    * entry per subspace), and a query scores a candidate as
+    * dot(q, centroid[cell]) + Σⱼ LUT[j][codeⱼ], where the per-query LUT
+    * holds every subspace-centroid dot ([[graft.functions.PqLut]],
+    * computed once on the tiny query frame). Normalizing by the stored
+    * exact √nsq makes the shortlist ordering a cosine estimate (the
+    * [[ivfSq8TopK]] lesson: rank by the metric the re-rank uses); the
+    * final top-k re-ranks the shortlist against exact float vectors, so
+    * output sims are bitwise the exact cosines. This is the FAISS-style
+    * fourth path in the recall ladder — LSH / IVF-flat / IVF-SQ8 /
+    * IVF-PQ — and the one whose candidate scan reads 8 bytes per
+    * vector where SQ8 reads dim bytes and IVF-flat 4·dim: at a 100 TB
+    * embedding store, PQ is the index that fits the scan in the page
+    * cache.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 7L,
+      trainTarget: Long = 0L,
+      rerank: Int = 64,
+      quantizer: Option[org.apache.spark.ml.clustering.KMeansModel] = None)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val model = quantizer.getOrElse(
+      coarseQuantizer(corpus, nlist, seed, trainTarget))
+    val pq = pqCodebooks(corpus, model, m, ksub, trainTarget)
+    ivfPqCore(pqCodes(model, pq, corpus), centroidFrame(spark, model),
+      pq, corpus, queries, k, nprobe, rerank)
+  }
+
+  /** IVF-PQ scoring core, shared verbatim by the in-plan build
+    * ([[ivfPqTopK]]) and the persisted-index probe ([[ivfPqProbe]]).
+    * `codes` is (vec_id, cell, nsq, code); the only float-vector reads
+    * are the nlist centroids and the rerank shortlist.
+    */
+  private def ivfPqCore(
+      codes: DataFrame,
+      centroids: DataFrame,
+      pq: PqModel,
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      rerank: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{pqAdc, pqLut}
+    val cent = broadcast(centroids)
+    val wCell = Window.partitionBy("q_id").orderBy("dist", "cell")
+    // the query-side frame carries the ADC LUT (m·ksub doubles, one
+    // PqLut pass over the tiny query frame) and keeps the q·centroid
+    // dot the cell ranking already paid — it is the first ADC term
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normSq(col("embedding")).as("q_nsq"),
+        pqLut(col("embedding"), pq.codebooks, pq.m, pq.ksub, pq.dsub)
+          .as("lut"))
+      .crossJoin(cent)
+      .withColumn("qc", dot(col("q_emb"), col("centroid")))
+      .withColumn("dist",
+        col("q_nsq") - lit(2.0) * col("qc") +
+          dot(col("centroid"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nprobe)
+      .select("q_id", "lut", "qc", "cell")
+    // candidate scan touches the m-byte code only: approximate dot =
+    // qc + ADC(code, lut); dividing by the stored √nsq orders the
+    // shortlist by a cosine estimate (zero-norm vectors score 0, as
+    // their exact cosine does)
+    val approx = when(col("nsq") > 0d,
+      (col("qc") + pqAdc(col("code"), col("lut"), pq.ksub)) /
+        sqrt(col("nsq"))).otherwise(lit(0d))
+    val wShort = Window.partitionBy("q_id")
+      .orderBy(desc("approx"), col("vec_id"))
+    val shortlist = codes.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx", approx)
+      .withColumn("arank", row_number().over(wShort))
+      .filter(col("arank") <= math.max(rerank, k))
+      .select("q_id", "vec_id")
+    exactRerank(shortlist, vectors, queries, k)
+  }
+
+  /** Exact cosine re-rank of a (q_id, vec_id) shortlist — the shared
+    * tail of every quantized path: the sole float-vector read, emitting
+    * the common (q_id, vec_id, sim, rank) contract with bitwise-exact
+    * sims.
+    */
+  private def exactRerank(
+      shortlist: DataFrame,
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    shortlist
+      .join(vectors.select(col("vec_id"), col("embedding"),
+        normSq(col("embedding")).as("nsq")), "vec_id")
+      .join(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        normSq(col("embedding")).as("q_nsq")), "q_id")
+      .withColumn("sim", cosineWithNorms(
+        dot(col("embedding"), col("q_emb")), col("nsq"), col("q_nsq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
+  /** Write-once IVF-PQ index artifacts (the [[writeIvfIndex]] pattern):
+    * `<name>_codes` (vec_id, cell, nsq, code) BUCKETED on `cell` so
+    * probe joins consume the layout exchange-free, `<name>_centroids`
+    * (nlist rows), `<name>_vectors` BUCKETED on `vec_id` for the rerank
+    * join, and `<name>_pq` — ONE row holding (m, ksub, dsub, flat
+    * codebooks), the whole trained quantizer, read back at probe time.
+    */
+  def writePqIndex(
+      corpus: DataFrame,
+      name: String,
+      path: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 7L,
+      trainTarget: Long = 0L,
+      buckets: Int = 16)
+      : (org.apache.spark.ml.clustering.KMeansModel, PqModel) = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val model = coarseQuantizer(corpus, nlist, seed, trainTarget)
+    val pq = pqCodebooks(corpus, model, m, ksub, trainTarget)
+    pqCodes(model, pq, corpus).write
+      .mode("overwrite")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .option("path", s"$path/codes").saveAsTable(s"${name}_codes")
+    centroidFrame(spark, model).write
+      .mode("overwrite")
+      .option("path", s"$path/centroids").saveAsTable(s"${name}_centroids")
+    corpus.select("vec_id", "embedding").write
+      .mode("overwrite")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .option("path", s"$path/vectors").saveAsTable(s"${name}_vectors")
+    spark.createDataFrame(Seq(
+        (pq.m, pq.ksub, pq.dsub, pq.codebooks.toSeq)))
+      .toDF("m", "ksub", "dsub", "codebooks").write
+      .mode("overwrite")
+      .option("path", s"$path/pq").saveAsTable(s"${name}_pq")
+    (model, pq)
+  }
+
+  /** Probe a persisted [[writePqIndex]] index — identical semantics
+    * (and bitwise-identical output) to [[ivfPqTopK]] over the corpus
+    * the index was built from, with the corpus-side work reading the
+    * bucketed m-byte code table and never re-encoding.
+    */
+  def ivfPqProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      rerank: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val row = spark.table(s"${name}_pq").head()
+    val pq = PqModel(row.getInt(0), row.getInt(1), row.getInt(2),
+      row.getSeq[Double](3).toArray)
+    ivfPqCore(spark.table(s"${name}_codes"),
+      spark.table(s"${name}_centroids"),
+      pq, spark.table(s"${name}_vectors"), queries, k, nprobe, rerank)
   }
 
   /** Exact brute-force top-k with the same output contract — the recall

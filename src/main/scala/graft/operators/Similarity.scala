@@ -388,6 +388,74 @@ object Similarity {
                 CAST(1 AS BIGINT) AS probe_recall_hi,
                 CAST(1 AS BIGINT) AS probe_eq_inplan""")),
 
+    // Product-quantization recall contract — the FOURTH path in the ANN
+    // ladder (LSH / IVF-flat / IVF-SQ8 / IVF-PQ), gated like q117
+    // against the write-once artifact ([[Ann.writePqIndex]] → bucketed
+    // m-byte code table + one-row codebook table, [[Ann.ivfPqProbe]]
+    // reads them without re-encoding). The floors (0.55 ok / 0.60 hi)
+    // sit deliberately below the other paths': the test embeddings are
+    // near-uniform random — PQ's textbook worst case, isotropic
+    // residuals give the per-subspace codebooks almost nothing to
+    // model — and ADC-ordering recall at fixed rerank shrinks as the
+    // candidate pool grows (measured 0.87 at sf0.01 vs 0.66 at sf0.1,
+    // rerank=128; ANN_TUNING.md). The scale knob is the shortlist
+    // FRACTION; the contract pins the fixed-cost config and a floor
+    // that holds at every test SF with seed-jitter margin. What PQ
+    // buys for that recall: the candidate scan reads 8 BYTES per
+    // corpus vector (vs 64 for SQ8, 256 for float) — at a 100 TB
+    // embedding store that is the difference between a page-cached
+    // scan and an IO-bound one.
+    "q126_pq_index_recall" -> QueryDef(
+      (s, dir) => {
+        val k = 10
+        val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        val tag = f"${math.abs(dir.hashCode)}%x"
+        val name = s"graft_q126_$tag"
+        if (!s.catalog.tableExists(s"${name}_codes")) {
+          val path = new java.io.File(
+            System.getProperty("java.io.tmpdir"), s"graft-q126-$tag")
+          Ann.writePqIndex(emb, name, path.toString)
+        }
+        val brute = Ann.bruteTopK(emb, queries, k)
+          .select("q_id", "vec_id").managedPersist
+        val probe = Ann.ivfPqProbe(s, name, queries, k, nprobe = 8,
+          rerank = 128).select("q_id", "vec_id", "rank").managedPersist
+        val inPlan = Ann.ivfPqTopK(emb, queries, k, nprobe = 8,
+          rerank = 128).select("q_id", "vec_id", "rank")
+        val hit = brute.join(probe.select("q_id", "vec_id"),
+          Seq("q_id", "vec_id"), "left_semi")
+        // symmetric difference: empty ⇔ identical top-k sets AND ranks
+        val diff = probe.exceptAll(inPlan).union(inPlan.exceptAll(probe))
+        brute.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .crossJoin(diff.agg(count(lit(1)).as("n_diff")))
+          .select(col("n_exact"),
+            (col("n_hit") >= col("n_exact") * lit(0.55))
+              .cast("long").as("probe_recall_ok"),
+            (col("n_hit") >= col("n_exact") * lit(0.60))
+              .cast("long").as("probe_recall_hi"),
+            (col("n_diff") === 0).cast("long").as("probe_eq_inplan"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                         FROM embeddings WHERE vec_id % 10 = 0),
+              p AS (SELECT q.q_id, e.vec_id,
+                  (SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                   FROM (SELECT UNNEST(e.embedding) AS x,
+                                UNNEST(q.q_emb) AS y) z)
+                  / (SQRT((SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                           FROM UNNEST(e.embedding) AS u(x))) *
+                     SQRT((SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                           FROM UNNEST(q.q_emb) AS u(x)))) AS sim
+                FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+              r AS (SELECT q_id, vec_id FROM p
+                    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY sim DESC, vec_id) <= 10)
+              SELECT (SELECT COUNT(*) FROM r) AS n_exact,
+                CAST(1 AS BIGINT) AS probe_recall_ok,
+                CAST(1 AS BIGINT) AS probe_recall_hi,
+                CAST(1 AS BIGINT) AS probe_eq_inplan""")),
+
     // Per-label centroid similarity matrix: the corpus-cartography scan
     // that says which semantic clusters are near-duplicates of each
     // other (candidate merge targets before mixture weighting). Each

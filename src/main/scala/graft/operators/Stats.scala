@@ -726,6 +726,195 @@ object Stats {
                 CAST(ABS(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
                   - SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END))
                   AS BIGINT) AS drift
-              FROM documents GROUP BY 1 ORDER BY bin"""))
+              FROM documents GROUP BY 1 ORDER BY bin""")),
+
+    // Zipf rank-frequency profile per source: the frequency of the
+    // rank-1/2/4/8/16/32 tokens plus the rank·frequency product — under
+    // Zipf's law the product is near-constant, so a source whose
+    // products collapse is template/boilerplate mass and one whose
+    // products explode is token soup; either way it's the
+    // natural-language sanity scan a corpus intake runs per crawl
+    // source. Deliberately LOG-FREE (no fitted log-log slope): every
+    // output is an integer, so the oracle hash can never drift on libm
+    // ulps (the same reason q56 keeps TF-IDF rational). Plan: one
+    // (source, token) count with partial aggregation, then a per-source
+    // window over the pre-aggregated dictionary — the only sort is per
+    // source over distinct tokens, not rows, and the probe ranks are
+    // filtered before anything leaves the window stage.
+    "q127_zipf_profile" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("source")
+          .orderBy(desc("freq"), col("token"))
+        table(s, dir, "documents")
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("freq"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank").isin(1, 2, 4, 8, 16, 32))
+          .select(col("source"), col("rank").cast("long").as("rank"),
+            col("freq"), (col("rank") * col("freq")).as("rank_freq"))
+          .orderBy("source", "rank")
+      },
+      Some("""WITH t AS (SELECT source,
+                  UNNEST(string_split_regex(text, '\s+')) AS token
+                FROM documents),
+              c AS (SELECT source, token, COUNT(*) AS freq FROM t
+                WHERE token <> '' GROUP BY 1, 2),
+              r AS (SELECT source, freq, ROW_NUMBER() OVER (
+                  PARTITION BY source ORDER BY freq DESC, token) AS rank
+                FROM c)
+              SELECT source, CAST(rank AS BIGINT) AS rank, freq,
+                CAST(rank * freq AS BIGINT) AS rank_freq
+              FROM r WHERE rank IN (1, 2, 4, 8, 16, 32)
+              ORDER BY source, rank""")),
+
+    // Train/test token-distribution drift as TOTAL-VARIATION distance —
+    // the split-health monitor behind q46/q108: a washed-out split
+    // (test tokens the train distribution never covers, or vice versa)
+    // shows up as TVD drifting toward 1 long before eval numbers do.
+    // TVD = ½·Σ|p−q| is the log-free divergence: with p = c₁/N₁ and
+    // q = c₂/N₂ the summand is |c₁·N₂ − c₂·N₁| / (N₁·N₂) — an INTEGER
+    // numerator, summed exactly as DECIMAL(38,0) (longs would overflow
+    // at corpus scale: c·N reaches ~10²² at 100 TB), one exact division
+    // at the very end. KL/JS would buy nothing here but libm drift.
+    // Plan: ONE pass builds per-(lang, token) split counts via
+    // conditional aggregation (no self-join of the two splits), the
+    // per-lang totals broadcast back, and the final per-lang sum has
+    // ≤ |langs| keys.
+    "q128_split_token_drift" -> QueryDef(
+      (s, dir) => {
+        val hex = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val toks = table(s, dir, "documents")
+          .withColumn("split",
+            when(hex.isin("c", "d"), "val")
+              .when(hex.isin("e", "f"), "test")
+              .otherwise("train"))
+          .filter(col("split").isin("train", "test"))
+          .select(col("lang"), col("split"),
+            explode(TextAnalysis.tokens(col("text"))).as("token"))
+        val counts = toks.groupBy("lang", "token").agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("c2"))
+        val totals = counts.groupBy("lang").agg(
+          sum("c1").as("n1"), sum("c2").as("n2"))
+        counts.join(broadcast(totals), "lang")
+          .groupBy("lang").agg(
+            first("n1").as("n_train_tok"), first("n2").as("n_test_tok"),
+            sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .as("num"))
+          .select(col("lang"), col("n_train_tok"), col("n_test_tok"),
+            round(col("num").cast("double") /
+              (lit(2.0) * col("n_train_tok") * col("n_test_tok")), 6)
+              .as("tvd"))
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (SELECT lang, CASE
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('c', 'd') THEN 'val'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('e', 'f') THEN 'test'
+                  ELSE 'train' END AS split,
+                  UNNEST(string_split_regex(text, '\s+')) AS token
+                FROM documents),
+              c AS (SELECT lang, token,
+                  SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c1,
+                  SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS c2
+                FROM d WHERE token <> '' AND split IN ('train', 'test')
+                GROUP BY 1, 2),
+              n AS (SELECT lang, SUM(c1) AS n1, SUM(c2) AS n2 FROM c
+                GROUP BY 1)
+              SELECT c.lang, CAST(n.n1 AS BIGINT) AS n_train_tok,
+                CAST(n.n2 AS BIGINT) AS n_test_tok,
+                ROUND(CAST(SUM(CAST(ABS(c.c1 * n.n2 - c.c2 * n.n1)
+                    AS DECIMAL(38, 0))) AS DOUBLE)
+                  / (2.0 * n.n1 * n.n2), 6) AS tvd
+              FROM c JOIN n ON c.lang = n.lang
+              GROUP BY c.lang, n.n1, n.n2 ORDER BY c.lang""")),
+
+    // Vocabulary-richness scan per source: hapax share (types seen
+    // exactly once / types) and type-token ratio. Near-duplicate or
+    // templated mass crushes both numbers, token soup inflates them —
+    // the cheap lexical-diversity triage that runs before any pairwise
+    // dedup. Ratios use q31's exact integer half-up rounding (never
+    // ROUND(double)); the plan is two hash aggregations — (source,
+    // token) then source — both partial-aggregating, nothing wider than
+    // the dictionary ever shuffles.
+    "q129_hapax_ratio" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_types"),
+          sum("c").as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          col("n_hapax"),
+          (expr("(20000*n_hapax + n_types) div (2*n_types)")
+            .cast("double") / 10000.0).as("hapax_share"),
+          (expr("(20000*n_types + n_tokens) div (2*n_tokens)")
+            .cast("double") / 10000.0).as("ttr"))
+        .orderBy("source"),
+      Some("""WITH t AS (SELECT source,
+                  UNNEST(string_split_regex(text, '\s+')) AS token
+                FROM documents),
+              c AS (SELECT source, token, COUNT(*) AS c FROM t
+                WHERE token <> '' GROUP BY 1, 2),
+              g AS (SELECT source, COUNT(*) AS n_types,
+                  CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_hapax
+                FROM c GROUP BY 1)
+              SELECT source, n_types, n_tokens, n_hapax,
+                ((20000*n_hapax + n_types) // (2*n_types)) / 10000.0
+                  AS hapax_share,
+                ((20000*n_types + n_tokens) // (2*n_tokens)) / 10000.0
+                  AS ttr
+              FROM g ORDER BY source""")),
+
+    // Per-language bigram diversity as the SIMPSON collision
+    // probability Σc(c−1)/(N(N−1)) and its Gini–Simpson complement —
+    // the log-free cousin of bigram entropy (two draws landing on the
+    // same bigram), the repetitiveness gauge that flags a
+    // boilerplate-flooded language slice with one number. Integer
+    // numerators summed as DECIMAL(38,0) (c² overflows a long once a
+    // bigram passes ~3·10⁹ occurrences), one exact division at the
+    // end. Plan: one (lang, bigram) count then a ≤ |langs|-key
+    // aggregation — the same two-shuffle shape as q129.
+    "q130_bigram_simpson" -> QueryDef(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("lang"), TextAnalysis.tokens(col("text")).as("tl"))
+        toks
+          .select(col("lang"),
+            explode(TextAnalysis.shingles(col("tl"), 2)).as("bg"))
+          .groupBy("lang", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_distinct_bigrams"),
+            sum("c").as("n_bigrams"),
+            sum((col("c") * (col("c") - 1))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .as("coll"))
+          .filter(col("n_bigrams") > 1)
+          .select(col("lang"), col("n_distinct_bigrams"), col("n_bigrams"),
+            round(col("coll").cast("double") /
+              (col("n_bigrams").cast("double") *
+                (col("n_bigrams") - 1).cast("double")), 8).as("simpson"))
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (SELECT lang, list_filter(string_split_regex(text,
+                  '\s+'), x -> x <> '') AS tl FROM documents),
+              b AS (SELECT lang, UNNEST(list_transform(range(1, len(tl)),
+                  i -> tl[i] || ' ' || tl[i + 1])) AS bg FROM d),
+              c AS (SELECT lang, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
+              g AS (SELECT lang, COUNT(*) AS n_distinct_bigrams,
+                  CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                  SUM(CAST(c * (c - 1) AS DECIMAL(38, 0))) AS coll
+                FROM c GROUP BY 1)
+              SELECT lang, n_distinct_bigrams, n_bigrams,
+                ROUND(CAST(coll AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) *
+                  CAST(n_bigrams - 1 AS DOUBLE)), 8) AS simpson
+              FROM g WHERE n_bigrams > 1 ORDER BY lang"""))
   )
 }

@@ -297,4 +297,95 @@ class AnnSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("ivf-pq returns EXACT sims (ADC shortlist re-rank) with nontrivial recall") {
+    val queries = emb.filter(col("vec_id") <= 20)
+    val pq = Ann.ivfPqTopK(emb, queries, k = 10, nprobe = 8).collect()
+    val brute = Ann.bruteTopK(emb, queries, k = emb.count().toInt)
+      .select("q_id", "vec_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pq.nonEmpty)
+    // ADC scoring only ORDERS the shortlist; returned sims must be the
+    // exact cosines, bitwise
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && r.getAs[Double]("sim") == brute(key),
+        s"pq sim not exact for $key")
+    }
+    val hits = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val top = Ann.bruteTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (hits & top).size.toDouble / top.size
+    assert(recall >= 0.2, s"pq recall collapsed: $recall")
+    // hash-ordered samples + strict-argmin Lloyd's + pinned seeds:
+    // the same inputs must reproduce the same result even when the
+    // corpus arrives with a different physical layout
+    val again = Ann.ivfPqTopK(emb.repartition(7), queries, k = 10,
+      nprobe = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == hits)
+  }
+
+  test("ivf-pq self-query retrieves the duplicated vector at sim 1.0") {
+    val q = emb.filter(col("vec_id") === 5)
+      .select((col("vec_id") + 400000).as("vec_id"), col("embedding"))
+    val res = Ann.ivfPqTopK(emb, q, k = 3, nprobe = 8).collect()
+    assert(res.nonEmpty)
+    val top = res.minBy(_.getAs[Int]("rank"))
+    assert(top.getAs[Long]("vec_id") == 5L)
+    assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
+  test("pq ADC lookup equals reconstruct-then-dot (decode identity)") {
+    import graft.functions.VectorFunctions._
+    register(spark)
+    val model = Ann.coarseQuantizer(emb, nlist = 16)
+    val pq = Ann.pqCodebooks(emb, model, m = 8, ksub = 16)
+    // one query vector + a handful of corpus rows, everything via the
+    // native expressions (codegen path), checked against a driver-side
+    // reimplementation over the SAME codebooks
+    val qVec = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    val centers = model.clusterCenters.map(_.toArray)
+    import org.apache.spark.ml.functions.array_to_vector
+    val rows = model.transform(emb.filter(col("vec_id") < 40)
+        .withColumn("features", array_to_vector(col("embedding"))))
+      .select(col("vec_id"), col("embedding"),
+        col("prediction").as("cell"))
+      .join(
+        broadcast(spark.createDataFrame(centers.zipWithIndex.map {
+          case (v, i) => (i, v.toSeq) }.toIndexedSeq)
+          .toDF("cell", "centroid")), Seq("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        pqEncode(zip_with(col("embedding"), col("centroid"),
+          (a, b) => a.cast("double") - b),
+          pq.codebooks, pq.m, pq.ksub, pq.dsub).as("code"))
+      .withColumn("lut", pqLut(typedLit(qVec), pq.codebooks,
+        pq.m, pq.ksub, pq.dsub))
+      .withColumn("adc", pqAdc(col("code"), col("lut"), pq.ksub))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val code = r.getSeq[Int](3)
+      assert(code.length == pq.m && code.forall(c => c >= 0 && c < pq.ksub))
+      // reconstruct the residual from the codebooks and dot with q
+      var expected = 0.0
+      for (j <- 0 until pq.m; i <- 0 until pq.dsub)
+        expected +=
+          qVec(j * pq.dsub + i) * pq.codebooks((j * pq.ksub + code(j)) *
+            pq.dsub + i)
+      assert(math.abs(r.getAs[Double]("adc") - expected) < 1e-9,
+        s"ADC drifted from decode for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("ivf-pq plan has no cartesian product and k > rerank still honors top-k") {
+    val queries = emb.filter(col("vec_id") <= 3)
+    val df = Ann.ivfPqTopK(emb, queries, k = 12, nprobe = 8, rerank = 4)
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    val byQ = df.collect().groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    // the shortlist clamp max(rerank, k) must keep k candidates alive
+    byQ.values.foreach(rows => assert(rows.length == 12,
+      s"k>rerank truncated the top-k: ${rows.length}"))
+  }
 }

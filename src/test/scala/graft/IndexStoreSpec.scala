@@ -133,4 +133,55 @@ class IndexStoreSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS ivfidx_x_$t"))
     }
   }
+
+  test("ivf-pq index: persisted probe is bitwise-identical to the in-plan build") {
+    val emb = Q.table(spark, sfDir, "embeddings")
+    val tmp = Files.createTempDirectory("graft-pqidx")
+    try {
+      val (model, _) = Ann.writePqIndex(emb, "pqidx_t", s"$tmp")
+      val queries = emb.filter(col("vec_id") < 8)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("q_id", "rank").collect().toSeq
+      val probed = canon(
+        Ann.ivfPqProbe(spark, "pqidx_t", queries, k = 5, nprobe = 4,
+          rerank = 16))
+      val inPlan = canon(
+        Ann.ivfPqTopK(emb, queries, k = 5, nprobe = 4, rerank = 16,
+          quantizer = Some(model)))
+      assert(probed.nonEmpty, "probe returned no neighbors")
+      // bitwise: the parquet round-trip of (cell, nsq, code, embedding,
+      // codebooks) is exact, so nothing may differ — including the
+      // codebooks read back from the one-row _pq table
+      assert(probed == inPlan,
+        s"persisted pq probe drifted from in-plan:\n" +
+          s"probe=${probed.take(5)}\ninplan=${inPlan.take(5)}")
+    } finally {
+      Seq("codes", "centroids", "vectors", "pq").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS pqidx_t_$t"))
+    }
+  }
+
+  test("ivf-pq probe: code-table candidate scan is exchange-free") {
+    val emb = Q.table(spark, sfDir, "embeddings")
+    val tmp = Files.createTempDirectory("graft-pqidx2")
+    try {
+      Ann.writePqIndex(emb, "pqidx_x", s"$tmp")
+      withNoBroadcast {
+        val probed = Ann.ivfPqProbe(spark, "pqidx_x",
+          emb.filter(col("vec_id") < 4), k = 5, nprobe = 4, rerank = 16)
+        val plan = finalPlan(probed)
+        assert(plan.contains("Bucketed: true"),
+          s"probe did not consume the bucketed code table:\n$plan")
+        // the cell equi-join must exchange ONLY the probe frame (a few
+        // query rows), never the corpus-wide code table
+        val cellExchanges =
+          "Exchange hashpartitioning\\(cell".r.findAllIn(plan).length
+        assert(cellExchanges <= 1,
+          s"code table shuffled on cell ($cellExchanges exchanges):\n$plan")
+      }
+    } finally {
+      Seq("codes", "centroids", "vectors", "pq").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS pqidx_x_$t"))
+    }
+  }
 }
