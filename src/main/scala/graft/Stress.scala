@@ -86,6 +86,14 @@ object Stress {
       .withColumn("doc_id", -col("doc_id") - 1)
       .withColumn("text",
         regexp_replace(col("text"), lit("(\\S+)"), lit("$1r0")))
+    // q126's scale path gets the same treatment: PQ index over the
+    // inflated embedding corpus persisted once (untimed), a fixed
+    // negative-id batch probes and appends
+    graft.operators.Ann.writePqIndex(
+      embeddings, "stress_pqidx", s"$stressIdxDir/pq")
+    val batchVecs = Q.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("vec_id", -col("vec_id") - 1)
 
     val results = Seq(
       // partial+final hash agg over the inflated fact table
@@ -277,6 +285,26 @@ object Stress {
           .groupBy("shard", "bin").agg(count(lit(1)))
           .count()
       },
+      // persisted-PQ-index probe (q126's scale path): the index over
+      // the INFLATED corpus is built once (untimed, like the band
+      // index) and a FIXED query batch probes it. Wall tracks the
+      // candidate volume — the nprobe/nlist share of the corpus — but
+      // the scan reads the m-BYTE code table, 32× less than the float
+      // corpus: the recorded exponent documents "linear in codes",
+      // which is the whole point of PQ at a 100 TB store.
+      timed("pq_probe") {
+        graft.operators.Ann.ivfPqProbe(spark, "stress_pqidx",
+          batchVecs.filter(col("vec_id") % 10 === 0), k = 10,
+          nprobe = 8, rerank = 128).count()
+      },
+      // frozen-quantizer append (the ingest half of q126's loop):
+      // encode-and-insert of the FIXED batch only — wall must stay
+      // near-flat as the accumulated corpus inflates, because nothing
+      // re-reads or re-encodes the base
+      timed("pq_append") {
+        graft.operators.Ann.appendToPqIndex(batchVecs, "stress_pqidx")
+        batchVecs.count()
+      },
       // two-pass z-score (q66 shape): fixed-size moment sketch, then
       // the tiny stats table broadcast back over the inflated facts
       timed("zscore_two_pass") {
@@ -298,7 +326,9 @@ object Stress {
       .mkString("{", ",", "}")
     println(s"""{"metric":"stress","factor":$factor,"sf":"$sfDir",""" +
       s""""sec":$qs,"rows":$rows}""")
-    Seq("stress_bandidx_bands", "stress_bandidx_shingles")
+    (Seq("stress_bandidx_bands", "stress_bandidx_shingles") ++
+        Seq("codes", "centroids", "vectors", "pq")
+          .map(t => s"stress_pqidx_$t"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     graft.operators.Q.releaseManaged()
     spark.stop()

@@ -490,23 +490,25 @@ object Ann {
       ksub: Int = 16,
       trainTarget: Long = 0L,
       iters: Int = 15): PqModel = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val dim = model.clusterCenters.head.size
+    val centers = model.clusterCenters.map(_.toArray)
+    val dim = centers.head.length
     require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
     val dsub = dim / m
     val target =
       (if (trainTarget > 0) trainTarget else math.max(256L * ksub, 4096L))
         .min(Int.MaxValue.toLong).toInt
-    val sample = model.transform(corpus
-        .filter(col("embedding").isNotNull)
-        .withColumn("features", array_to_vector(col("embedding")))
-        .select(col("features"), col("embedding"),
-          xxhash64(col("vec_id")).as("__h"), col("vec_id"))
-        .orderBy(col("__h"), col("vec_id"))
-        .limit(target))
-      .select("embedding", "prediction")
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    // cell assignment through the SAME cellAssign definition the
+    // encode/append paths use — one nearest-cell semantics everywhere
+    val sample = corpus
+      .filter(col("embedding").isNotNull)
+      .select(col("embedding"), xxhash64(col("vec_id")).as("__h"),
+        col("vec_id"))
+      .orderBy(col("__h"), col("vec_id"))
+      .limit(target)
+      .select(col("embedding"),
+        cellAssign(col("embedding"), centers).as("prediction"))
       .collect()
-    val centers = model.clusterCenters.map(_.toArray)
     // residuals in collection (hash) order — the deterministic training
     // set every re-fit reproduces
     val res: Array[Array[Double]] = sample.map { r =>
@@ -571,25 +573,46 @@ object Ann {
     PqModel(m, ksub, dsub, flat)
   }
 
+  /** Nearest-centroid cell id as ONE map-only column — argmin over the
+    * literal centroid set of −2·x·c + |c|² (the |x|² term is constant
+    * per row and cannot move the argmin), ties to the LOWER cell id via
+    * struct ordering. This is the assignment definition shared by the
+    * index BUILD and the index APPEND ([[appendToPqIndex]]): the append
+    * path has only the persisted centroid table (no fitted
+    * KMeansModel), and two independent implementations of "nearest
+    * cell" would eventually disagree on some tie or rounding — so
+    * there is exactly one. nlist codegen'd dots per row, no explode,
+    * no window.
+    */
+  def cellAssign(emb: Column, centers: Array[Array[Double]]): Column = {
+    val candidates = centers.zipWithIndex.map { case (c, i) =>
+      var cNormSq = 0.0
+      c.foreach(v => cNormSq += v * v)
+      struct(
+        (lit(-2.0) * dot(emb, litArray(c)) + lit(cNormSq)).as("d"),
+        lit(i).as("c"))
+    }
+    array_min(array(candidates.toIndexedSeq: _*)).getField("c")
+  }
+
   /** The PQ-coded corpus table (vec_id, cell, nsq, code) — one map-only
-    * projection: coarse assignment, residual against the (broadcast)
-    * cell centroid, native [[graft.functions.PqEncode]]. At scale this
-    * IS the persisted code table ([[writePqIndex]]): m bytes of code +
-    * two scalars per vector, the 32×-smaller store the candidate scan
-    * reads instead of the float corpus.
+    * projection: coarse assignment ([[cellAssign]]), residual against
+    * the (broadcast) cell centroid, native
+    * [[graft.functions.PqEncode]]. At scale this IS the persisted code
+    * table ([[writePqIndex]]): m bytes of code + two scalars per
+    * vector, the 32×-smaller store the candidate scan reads instead of
+    * the float corpus.
     */
   private def pqCodes(
-      model: org.apache.spark.ml.clustering.KMeansModel,
+      centers: Array[Array[Double]],
       pq: PqModel,
-      corpus: DataFrame): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
+      corpus: DataFrame,
+      centroids: DataFrame): DataFrame = {
     val residual = zip_with(col("embedding"), col("centroid"),
       (a, b) => a.cast("double") - b)
-    model.transform(corpus
-        .withColumn("features", array_to_vector(col("embedding"))))
-      .withColumnRenamed("prediction", "cell")
-      .join(broadcast(centroidFrame(spark, model)), Seq("cell"))
+    corpus
+      .withColumn("cell", cellAssign(col("embedding"), centers))
+      .join(broadcast(centroids), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         normSq(col("embedding")).as("nsq"),
         graft.functions.VectorFunctions.pqEncode(
@@ -624,15 +647,19 @@ object Ann {
       seed: Long = 7L,
       trainTarget: Long = 0L,
       rerank: Int = 64,
-      quantizer: Option[org.apache.spark.ml.clustering.KMeansModel] = None)
+      quantizer: Option[org.apache.spark.ml.clustering.KMeansModel] = None,
+      codebooks: Option[PqModel] = None)
       : DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.VectorFunctions.register(spark)
     val model = quantizer.getOrElse(
       coarseQuantizer(corpus, nlist, seed, trainTarget))
-    val pq = pqCodebooks(corpus, model, m, ksub, trainTarget)
-    ivfPqCore(pqCodes(model, pq, corpus), centroidFrame(spark, model),
-      pq, corpus, queries, k, nprobe, rerank)
+    val pq = codebooks.getOrElse(
+      pqCodebooks(corpus, model, m, ksub, trainTarget))
+    val centers = model.clusterCenters.map(_.toArray)
+    ivfPqCore(
+      pqCodes(centers, pq, corpus, centroidFrame(spark, model)),
+      centroidFrame(spark, model), pq, corpus, queries, k, nprobe, rerank)
   }
 
   /** IVF-PQ scoring core, shared verbatim by the in-plan build
@@ -732,7 +759,8 @@ object Ann {
     graft.functions.VectorFunctions.register(spark)
     val model = coarseQuantizer(corpus, nlist, seed, trainTarget)
     val pq = pqCodebooks(corpus, model, m, ksub, trainTarget)
-    pqCodes(model, pq, corpus).write
+    val centers = model.clusterCenters.map(_.toArray)
+    pqCodes(centers, pq, corpus, centroidFrame(spark, model)).write
       .mode("overwrite")
       .bucketBy(buckets, "cell").sortBy("cell")
       .option("path", s"$path/codes").saveAsTable(s"${name}_codes")
@@ -764,12 +792,48 @@ object Ann {
       nprobe: Int = 4,
       rerank: Int = 64): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val row = spark.table(s"${name}_pq").head()
-    val pq = PqModel(row.getInt(0), row.getInt(1), row.getInt(2),
-      row.getSeq[Double](3).toArray)
+    val pq = readPqModel(spark, name)
     ivfPqCore(spark.table(s"${name}_codes"),
       spark.table(s"${name}_centroids"),
       pq, spark.table(s"${name}_vectors"), queries, k, nprobe, rerank)
+  }
+
+  private def readPqModel(
+      spark: org.apache.spark.sql.SparkSession, name: String): PqModel = {
+    val row = spark.table(s"${name}_pq").head()
+    PqModel(row.getInt(0), row.getInt(1), row.getInt(2),
+      row.getSeq[Double](3).toArray)
+  }
+
+  /** Append a batch of vectors to a persisted [[writePqIndex]] index —
+    * the nightly embedding-ingest loop's other half (probe the new
+    * batch, then fold it in so later batches search against it). The
+    * quantizer stays FROZEN: cells come from the persisted centroid
+    * table through the same [[cellAssign]] definition the build used,
+    * codes from the persisted codebooks — so appended rows score
+    * exactly as if the original build had included them (AnnSpec
+    * asserts the probe after append is bitwise-identical to an in-plan
+    * build over the union with the base-trained model). Work is one
+    * map-only encode of the BATCH (never re-reads the accumulated
+    * corpus), and `insertInto` honors the bucket specs, so the
+    * exchange-free probe property survives the append. Periodic
+    * re-training when drift accumulates is a rebuild
+    * ([[writePqIndex]]), not an append — the standard IVF-index
+    * operational split.
+    */
+  def appendToPqIndex(
+      batch: DataFrame, name: String): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val pq = readPqModel(spark, name)
+    val centroids = spark.table(s"${name}_centroids")
+    val centers = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    pqCodes(centers, pq, batch, centroids).write
+      .mode("append").insertInto(s"${name}_codes")
+    batch.select("vec_id", "embedding").write
+      .mode("append").insertInto(s"${name}_vectors")
   }
 
   /** Exact brute-force top-k with the same output contract — the recall

@@ -285,6 +285,49 @@ object StreamingOps {
     * need batch-only operations (bucketed writes, multi-output).
     * `docs` must carry `doc_id` and `text`.
     */
+  /** Streaming embedding ingest against a PERSISTED IVF-PQ index
+    * ([[graft.operators.Ann.writePqIndex]] builds the base once; this
+    * keeps it current) — the ANN mirror of
+    * [[neardupProbeIndexStream]]: per micro-batch,
+    *
+    *  1. probe the index (`Ann.ivfPqProbe`, batch vectors as queries) —
+    *     candidate work reads the bucketed m-byte code table
+    *     exchange-free and never re-encodes the accumulated corpus;
+    *  2. vectors whose nearest indexed neighbor scores ≥ `simFloor`
+    *     are near-duplicates of already-ingested mass and are dropped;
+    *     the rest go to `onNovel` (the sink that admits them);
+    *  3. if `growIndex`, the novel vectors append to the index under
+    *     the FROZEN quantizer (`Ann.appendToPqIndex`,
+    *     bucket-spec-preserving), so later batches search against
+    *     earlier ones.
+    *
+    * The stream carries no state — the persisted index IS the state,
+    * on disk, shared with the batch pipeline and surviving restarts.
+    * `vecs` must carry `vec_id` and `embedding`.
+    */
+  def annIngestStream(
+      vecs: DataFrame,
+      indexName: String,
+      simFloor: Double,
+      growIndex: Boolean,
+      onNovel: (DataFrame, Long) => Unit): streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val dup = graft.operators.Ann
+          .ivfPqProbe(batch.sparkSession, indexName, batch, k = 1)
+          .filter(col("sim") >= simFloor)
+          .select(col("q_id").as("vec_id")).distinct()
+        val novel = batch.join(dup, Seq("vec_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          onNovel(novel, id)
+          if (growIndex)
+            graft.operators.Ann.appendToPqIndex(novel, indexName)
+        } finally novel.unpersist(blocking = false)
+      }
+      .start()
+
   def neardupProbeIndexStream(
       docs: DataFrame,
       indexName: String,

@@ -161,6 +161,40 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq append: frozen-quantizer ingest equals an in-plan build over the union") {
+    val emb = Q.table(spark, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val tmp = Files.createTempDirectory("graft-pqapp")
+    try {
+      val (model, pqm) = Ann.writePqIndex(base, "pqapp_t", s"$tmp")
+      Ann.appendToPqIndex(batch, "pqapp_t")
+      val queries = emb.filter(col("vec_id") < 8)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("q_id", "rank").collect().toSeq
+      val probed = canon(
+        Ann.ivfPqProbe(spark, "pqapp_t", queries, k = 5, nprobe = 4,
+          rerank = 16))
+      // the reference answer: an in-plan build over the UNION corpus
+      // with the BASE-trained model + codebooks (the frozen-quantizer
+      // semantics appendToPqIndex promises)
+      val inPlan = canon(
+        Ann.ivfPqTopK(emb, queries, k = 5, nprobe = 4, rerank = 16,
+          quantizer = Some(model), codebooks = Some(pqm)))
+      assert(probed.nonEmpty, "probe returned no neighbors")
+      assert(probed == inPlan,
+        s"appended index drifted from the union in-plan build:\n" +
+          s"probe=${probed.take(5)}\ninplan=${inPlan.take(5)}")
+      // appended rows are actually reachable: some odd vec_id must
+      // appear among the neighbors (the batch is half the corpus)
+      assert(probed.exists(_.getLong(1) % 2 == 1),
+        "no appended vector ever surfaced as a neighbor")
+    } finally {
+      Seq("codes", "centroids", "vectors", "pq").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS pqapp_t_$t"))
+    }
+  }
+
   test("ivf-pq probe: code-table candidate scan is exchange-free") {
     val emb = Q.table(spark, sfDir, "embeddings")
     val tmp = Files.createTempDirectory("graft-pqidx2")

@@ -494,4 +494,53 @@ class StreamingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS stream_bandidx_shingles")
     }
   }
+
+  test("streaming ANN ingest over the persisted PQ index: near-dups drop, the index grows") {
+    // the embedding mirror of the band-index loop: the persisted IVF-PQ
+    // index is the only state; a batch vector whose nearest indexed
+    // neighbor scores >= simFloor is a near-duplicate and drops; novel
+    // vectors are admitted and (growIndex=true) appended under the
+    // frozen quantizer, so a batch-2 duplicate of a batch-1 admission
+    // is suppressed without the corpus ever being re-encoded.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streampq")
+    val base = graft.operators.Q.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 40)
+    graft.operators.Ann.writePqIndex(base, "stream_pqidx", s"$tmp")
+    val vec0 = base
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .head.getSeq[Float](1).toArray
+    // a deterministic vector far from the near-uniform corpus (max
+    // corpus cosine ~0.5 << the 0.95 floor): alternating +/-1 pattern
+    val novelA = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val novelB = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else -0.5f)
+    val input = MemoryStream[(Long, Array[Float])]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.annIngestStream(
+      input.toDF().toDF("vec_id", "embedding"), "stream_pqidx",
+      simFloor = 0.95, growIndex = true,
+      (novel, _) => admitted.synchronized {
+        admitted ++= novel.select("vec_id").collect().map(_.getLong(0))
+      })
+    try {
+      // batch 1: an exact duplicate of indexed vec 0 + a novel vector
+      input.addData((100L, vec0), (101L, novelA))
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq == Seq(101L),
+        s"batch 1 admitted $admitted (want only the novel 101)")
+      // batch 2: a duplicate of the JUST-ADMITTED 101 — suppressed only
+      // if the append actually landed — plus one genuinely novel vector
+      admitted.clear()
+      input.addData((102L, novelA), (103L, novelB))
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq == Seq(103L),
+        s"batch 2 admitted $admitted (want only the novel 103)")
+    } finally {
+      q.stop()
+      Seq("codes", "centroids", "vectors", "pq").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS stream_pqidx_$t"))
+    }
+  }
 }
