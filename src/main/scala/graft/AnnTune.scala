@@ -119,6 +119,23 @@ object AnnTune {
           seed = seed))
         out(f"| $sf | ivf-pq | nlist=16 nprobe=8 rerank=128 seed=$seed | $r%.4f | ${marginOf("ivf-pq", r)} | $s%.1f |")
       }
+      // the APPEND path (q131's gate): quantizer+codebooks train on the
+      // EVEN half only, the odd half arrives via frozen-quantizer
+      // append — recall vs the full-corpus brute force measures what a
+      // half-stale quantizer costs
+      for (seed <- Seq(7L, 99L)) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft-tune-app-$sf-$seed")
+        val name = s"tune_app_${sf.replace(".", "_")}_$seed"
+        Ann.writePqIndex(emb.filter(col("vec_id") % 2 === 0), name,
+          tmp.toString, seed = seed)
+        Ann.appendToPqIndex(emb.filter(col("vec_id") % 2 === 1), name)
+        val (r, s) = recallOf(Ann.ivfPqProbe(spark, name, queries, k,
+          nprobe = 8, rerank = 128))
+        out(f"| $sf | ivf-pq-app | half-trained nprobe=8 rerank=128 seed=$seed | $r%.4f | ${marginOf("ivf-pq", r)} | $s%.1f |")
+        Seq("codes", "centroids", "vectors", "pq").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+      }
     }
 
     // Cell balance behind q122's balance_ok bit (contract: max cell ≤

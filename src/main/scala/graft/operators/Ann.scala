@@ -836,6 +836,31 @@ object Ann {
       .mode("append").insertInto(s"${name}_vectors")
   }
 
+  /** Re-encode `corpus` from a persisted index's FROZEN artifacts
+    * (centroids + codebooks read from the catalog tables) and score it
+    * in-plan — the reference answer for "is the accumulated code table
+    * still what a fresh encode would produce?". [[appendToPqIndex]]
+    * promises probe ≡ rebuild over the union; q131 turns that spec
+    * identity into a hashed contract bit.
+    */
+  def ivfPqRebuild(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      rerank: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val pq = readPqModel(spark, name)
+    val centroids = spark.table(s"${name}_centroids")
+    val centers = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    ivfPqCore(pqCodes(centers, pq, corpus, centroids), centroids, pq,
+      corpus, queries, k, nprobe, rerank)
+  }
+
   /** Exact brute-force top-k with the same output contract — the recall
     * baseline (broadcast the query side; map-only over the corpus).
     */

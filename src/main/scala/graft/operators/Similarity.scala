@@ -456,6 +456,121 @@ object Similarity {
                 CAST(1 AS BIGINT) AS probe_recall_hi,
                 CAST(1 AS BIGINT) AS probe_eq_inplan""")),
 
+    // Frozen-quantizer APPEND contract — the ingest half of q126's
+    // loop under the hashed gate: the index trains on the EVEN half
+    // only, the odd half arrives via [[Ann.appendToPqIndex]] (encoded
+    // against the persisted centroid/codebook artifacts, insertInto
+    // bucket-spec-preserving), and the probe must (a) clear the same
+    // recall floors as the full-trained path — measured 0.66–0.87
+    // across SFs, within 0.015 of full-trained, ANN_TUNING.md
+    // ivf-pq-app rows — and (b) be row-identical to re-encoding the
+    // whole union from the same frozen artifacts (probe_eq_rebuild:
+    // the accumulated code table has not drifted from what a fresh
+    // encode would produce). Queries draw from the APPENDED half
+    // (vec_id % 10 = 5 is odd), so the gate exercises exactly the
+    // vectors the append ingested. At 100 TB this is the nightly
+    // loop's audit: append cost tracks the batch (Stress pq_append
+    // flat at 10× corpus), and this bit says the cheap path is also
+    // the correct one.
+    "q131_pq_append_recall" -> QueryDef(
+      (s, dir) => {
+        val k = 10
+        val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = emb.filter(col("vec_id") % 10 === 5)
+        val tag = f"${math.abs(dir.hashCode)}%x"
+        val name = s"graft_q131_$tag"
+        if (!s.catalog.tableExists(s"${name}_codes")) {
+          val path = new java.io.File(
+            System.getProperty("java.io.tmpdir"), s"graft-q131-$tag")
+          Ann.writePqIndex(emb.filter(col("vec_id") % 2 === 0), name,
+            path.toString)
+          Ann.appendToPqIndex(emb.filter(col("vec_id") % 2 === 1), name)
+        }
+        val brute = Ann.bruteTopK(emb, queries, k)
+          .select("q_id", "vec_id").managedPersist
+        val probe = Ann.ivfPqProbe(s, name, queries, k, nprobe = 8,
+          rerank = 128).select("q_id", "vec_id", "rank").managedPersist
+        val rebuilt = Ann.ivfPqRebuild(s, name, emb, queries, k,
+          nprobe = 8, rerank = 128).select("q_id", "vec_id", "rank")
+        val hit = brute.join(probe.select("q_id", "vec_id"),
+          Seq("q_id", "vec_id"), "left_semi")
+        val diff = probe.exceptAll(rebuilt).union(rebuilt.exceptAll(probe))
+        brute.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .crossJoin(diff.agg(count(lit(1)).as("n_diff")))
+          .select(col("n_exact"),
+            (col("n_hit") >= col("n_exact") * lit(0.55))
+              .cast("long").as("probe_recall_ok"),
+            (col("n_hit") >= col("n_exact") * lit(0.60))
+              .cast("long").as("probe_recall_hi"),
+            (col("n_diff") === 0).cast("long").as("probe_eq_rebuild"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                         FROM embeddings WHERE vec_id % 10 = 5),
+              p AS (SELECT q.q_id, e.vec_id,
+                  (SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                   FROM (SELECT UNNEST(e.embedding) AS x,
+                                UNNEST(q.q_emb) AS y) z)
+                  / (SQRT((SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                           FROM UNNEST(e.embedding) AS u(x))) *
+                     SQRT((SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                           FROM UNNEST(q.q_emb) AS u(x)))) AS sim
+                FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+              r AS (SELECT q_id, vec_id FROM p
+                    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY sim DESC, vec_id) <= 10)
+              SELECT (SELECT COUNT(*) FROM r) AS n_exact,
+                CAST(1 AS BIGINT) AS probe_recall_ok,
+                CAST(1 AS BIGINT) AS probe_recall_hi,
+                CAST(1 AS BIGINT) AS probe_eq_rebuild""")),
+
+    // PQ codebook-usage health report — q122's cell-balance scan at the
+    // SUBSPACE level: after a (re)build, each of the m per-subspace
+    // codebooks should actually be in use (dead codes = wasted
+    // quantization capacity = fatter ADC error for the same bytes) and
+    // no single code should swallow a subspace (a collapsed subspace
+    // scores every candidate identically — ADC loses a whole term of
+    // discrimination). One m-row report off the persisted code table:
+    // per subspace, codes_used and the max-code share, as contract
+    // bits (usage_ok: every code of the ksub=16 codebook used;
+    // balance_ok: max code occupancy ≤ 4× the ksub-mean — measured
+    // 1.11–1.66× across the three test SFs, all 16 codes used in
+    // every subspace) plus the
+    // independent corpus count the oracle recomputes. The scan is ONE
+    // posexplode of the m-byte code column + a (subspace, code)
+    // partial-agg count — bounded key space m·ksub = 128 at any corpus
+    // size.
+    "q132_pq_code_balance" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val tag = f"${math.abs(dir.hashCode)}%x"
+        val name = s"graft_q132_$tag"
+        if (!s.catalog.tableExists(s"${name}_codes")) {
+          val path = new java.io.File(
+            System.getProperty("java.io.tmpdir"), s"graft-q132-$tag")
+          Ann.writePqIndex(emb, name, path.toString)
+        }
+        val perCode = s.table(s"${name}_codes")
+          .select(posexplode(col("code")))
+          .groupBy(col("pos").as("subspace"), col("col").as("c"))
+          .agg(count(lit(1)).as("occ"))
+        perCode.groupBy("subspace")
+          .agg(count(lit(1)).as("codes_used"),
+            max(col("occ")).as("max_occ"),
+            sum(col("occ")).as("n_vecs"))
+          .select(col("subspace").cast("long").as("subspace"),
+            col("n_vecs"),
+            (col("codes_used") === 16).cast("long").as("usage_ok"),
+            (col("max_occ") * 16 <= col("n_vecs") * 4)
+              .cast("long").as("balance_ok"))
+          .orderBy("subspace")
+      },
+      Some("""SELECT CAST(r AS BIGINT) AS subspace,
+                (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+                CAST(1 AS BIGINT) AS usage_ok,
+                CAST(1 AS BIGINT) AS balance_ok
+              FROM range(8) t(r) ORDER BY subspace""")),
+
     // Per-label centroid similarity matrix: the corpus-cartography scan
     // that says which semantic clusters are near-duplicates of each
     // other (candidate merge targets before mixture weighting). Each
