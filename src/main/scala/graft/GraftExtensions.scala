@@ -83,5 +83,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "count_min_sketch aggregate") {
       exprs => graft.functions.CmsEstimate(exprs.head, exprs(1))
     }
+    inject("graft_pq_encode",
+      "graft_pq_encode(residual, codebooks, m, ksub, dsub) - product-" +
+        "quantization code array (nearest codebook entry per subspace)") {
+      exprs => graft.functions.PqEncode(exprs.head,
+        codebooks =
+          graft.functions.VectorFunctions
+            .doubleArrayArg("graft_pq_encode", exprs(1)),
+        m = HashFunctions.intArg("graft_pq_encode", exprs(2)),
+        ksub = HashFunctions.intArg("graft_pq_encode", exprs(3)),
+        dsub = HashFunctions.intArg("graft_pq_encode", exprs(4)))
+    }
+    inject("graft_pq_lut",
+      "graft_pq_lut(q_emb, codebooks, m, ksub, dsub) - per-query ADC " +
+        "lookup table (every subspace-centroid dot)") {
+      exprs => graft.functions.PqLut(exprs.head,
+        codebooks =
+          graft.functions.VectorFunctions
+            .doubleArrayArg("graft_pq_lut", exprs(1)),
+        m = HashFunctions.intArg("graft_pq_lut", exprs(2)),
+        ksub = HashFunctions.intArg("graft_pq_lut", exprs(3)),
+        dsub = HashFunctions.intArg("graft_pq_lut", exprs(4)))
+    }
+    inject("graft_pq_adc",
+      "graft_pq_adc(code, lut, ksub) - asymmetric-distance approximate " +
+        "dot from a code array and a graft_pq_lut array") {
+      exprs => graft.functions.PqAdc(exprs(0), exprs(1),
+        ksub = HashFunctions.intArg("graft_pq_adc", exprs(2)))
+    }
   }
 }

@@ -539,7 +539,7 @@ object VectorFunctions {
     * never per-row) — the same analysis-time strictness as
     * [[HashFunctions.intArg]].
     */
-  private def doubleArrayArg(fn: String, e: Expression): Array[Double] = {
+  private[graft] def doubleArrayArg(fn: String, e: Expression): Array[Double] = {
     if (!e.foldable)
       throw new IllegalArgumentException(
         s"$fn requires a literal array argument, got: ${e.sql}")

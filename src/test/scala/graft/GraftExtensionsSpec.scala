@@ -55,6 +55,19 @@ class GraftExtensionsSpec extends SparkSpec {
                     'y') AS est""").head()
       assert(sk.getBoolean(0))
       assert(sk.getLong(1) == 1L)
+      // PQ triple through pure SQL: a 1-subspace, 2-code toy codebook
+      // ([0,0] and [1,1]); residual [0.9, 1.1] encodes to code 1, the
+      // LUT holds dots with both entries, and ADC looks up code 1's dot
+      val pq = s.sql(
+        """SELECT graft_pq_encode(array(0.9d, 1.1d),
+                    array(0d, 0d, 1d, 1d), 1, 2, 2) AS code,
+                  graft_pq_adc(
+                    graft_pq_encode(array(0.9d, 1.1d),
+                      array(0d, 0d, 1d, 1d), 1, 2, 2),
+                    graft_pq_lut(array(2d, 3d),
+                      array(0d, 0d, 1d, 1d), 1, 2, 2), 2) AS adc""").head()
+      assert(pq.getSeq[Int](0) == Seq(1))
+      assert(pq.getDouble(1) == 5.0) // dot([2,3],[1,1])
     } finally {
       // shared SparkContext: restore the suite session, don't stop
       SparkSession.clearDefaultSession()
