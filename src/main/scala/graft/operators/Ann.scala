@@ -611,6 +611,13 @@ object Ann {
     val residual = zip_with(col("embedding"), col("centroid"),
       (a, b) => a.cast("double") - b)
     corpus
+      // ragged/null embeddings DROP from the index rather than alias:
+      // zip_with pads the shorter side with nulls (PqEncode would read
+      // them as 0) and cellAssign's all-null distance struct would sort
+      // a wrong-dim row into cell 0 — the "plausible wrong bucket"
+      // failure the LSH path's null-bucket contract exists to prevent.
+      // One codegen'd size guard keeps the index's integrity instead.
+      .filter(size(col("embedding")) === pq.m * pq.dsub)
       .withColumn("cell", cellAssign(col("embedding"), centers))
       .join(broadcast(centroids), Seq("cell"))
       .select(col("vec_id"), col("cell"),
@@ -832,7 +839,10 @@ object Ann {
       .sortBy(_._1).map(_._2)
     pqCodes(centers, pq, batch, centroids).write
       .mode("append").insertInto(s"${name}_codes")
-    batch.select("vec_id", "embedding").write
+    // same dim guard as the code table: a row the codes dropped must
+    // not linger in the vector table as unreachable dead bytes
+    batch.select("vec_id", "embedding")
+      .filter(size(col("embedding")) === pq.m * pq.dsub).write
       .mode("append").insertInto(s"${name}_vectors")
   }
 

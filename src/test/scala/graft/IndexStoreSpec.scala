@@ -195,6 +195,29 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq append: a ragged embedding drops from the index instead of aliasing into cell 0") {
+    import spark.implicits._
+    val emb = Q.table(spark, sfDir, "embeddings")
+    val tmp = Files.createTempDirectory("graft-pqrag")
+    try {
+      Ann.writePqIndex(emb.filter(col("vec_id") < 20), "pqrag_t", s"$tmp")
+      // one good vector, one truncated (wrong-dim) vector
+      val good = emb.filter(col("vec_id") === 30)
+        .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+      val ragged = Seq((2000L, Array(1.0f, 2.0f, 3.0f)))
+        .toDF("vec_id", "embedding")
+      Ann.appendToPqIndex(good.union(ragged), "pqrag_t")
+      val cells = spark.table("pqrag_t_codes")
+        .filter(col("vec_id") >= 1000)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(cells == Set(1030L),
+        s"ragged row should drop from the code table, got $cells")
+    } finally {
+      Seq("codes", "centroids", "vectors", "pq").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS pqrag_t_$t"))
+    }
+  }
+
   test("ivf-pq probe: code-table candidate scan is exchange-free") {
     val emb = Q.table(spark, sfDir, "embeddings")
     val tmp = Files.createTempDirectory("graft-pqidx2")
