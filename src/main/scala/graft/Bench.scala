@@ -29,6 +29,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // belt-and-braces alongside the per-query System.gc(): have
+      // Spark's own periodic GC fire within a sweep, not at the 30 min
+      // default that outlives the whole run
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -76,6 +80,17 @@ object Bench {
             0.0
         }
       graft.operators.Q.releaseManaged()
+      // Block-manager hygiene between queries: localCheckpoint'd frames
+      // (the CC fixpoint rounds in q45/q83/q100) and dropped broadcasts
+      // are reclaimed by the ContextCleaner only after a JVM GC notices
+      // the references died, and Spark's own periodic GC defaults to
+      // 30 min — longer than the whole sweep. Without this, checkpoint
+      // blocks accumulate across ~130 queries, storage memory fills,
+      // and later queries' caches evict mid-pass: q100 measured 23 s at
+      // the END of a full sweep vs 6 s isolated, same code. The GC runs
+      // outside the timed passes, so it costs wall-clock only, never a
+      // recorded number.
+      System.gc()
       name -> sec
     }
 

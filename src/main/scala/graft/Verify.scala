@@ -13,10 +13,20 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=q133,q135 restricts to a qNN-prefix
+    // subset — for iterating on one query without the full sweep
+    // (Bench has the same switch). The driver sets nothing and gets
+    // every query.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        only.forall(_.exists(p => name.startsWith(p))) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -29,6 +39,11 @@ object Verify {
       // (no global clearCache stomping caches the caller owns, and no
       // "already cached" CacheManager warnings — ADVICE r8/VERDICT #3)
       graft.operators.Q.releaseManaged()
+      // same block-manager hygiene as Bench: force the ContextCleaner
+      // to reclaim localCheckpoint blocks + dead broadcasts between
+      // queries, or the 130-query sweep accumulates them until caches
+      // evict (q100: 23 s at sweep end vs 6 s isolated)
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
