@@ -21,6 +21,16 @@ import Q._
   */
 object Similarity {
 
+  /** q135's prune radius: cosine ≥ τ (compared on the 4-dp-rounded sim)
+    * marks a semantic duplicate. 0.40 is sized to the synthetic
+    * embedding distribution (pairwise max ≈ 0.51), pruning ~10% so the
+    * contract exercises both branches; a production corpus tunes τ per
+    * embedding model. Declared BEFORE `defs`: the oracle SQL
+    * interpolates it at object init, and a forward reference would
+    * silently render as 0.0.
+    */
+  private val SemDedupTau = 0.40
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q23: exact cosine top-5 neighbors of vec_id=1. Plan: broadcast the
@@ -72,37 +82,7 @@ object Similarity {
     "q27_embedding_pairs" -> QueryDef(
       (s, dir) => {
         graft.functions.VectorFunctions.register(s)
-        val e = table(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            normSq(col("embedding")).as("nsq"))
-        // B from measured stats, not a guess: the per-reducer build
-        // side (n/B rows of ~rowBytes) must fit the partition budget,
-        // and B² partitions must cover the cluster. One map-only
-        // (count, dim) scan stands in for catalog stats.
-        val (n, dim) = {
-          val r = e.agg(count(lit(1)), max(size(col("embedding")))).head()
-          (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
-        }
-        val rowBytes = 32L + 8L * dim
-        val targetBytes = 64L << 20
-        val bMem = math.ceil(n.toDouble * rowBytes / targetBytes).toInt
-        val bPar = math.ceil(
-          math.sqrt(s.sparkContext.defaultParallelism.toDouble)).toInt
-        val B = math.min(256, math.max(1, math.max(bMem, bPar)))
-        val blocks = array((0 until B).map(lit): _*)
-        val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
-          col("nsq").as("na"),
-          pmod(col("vec_id"), lit(B)).cast("int").as("ba"),
-          explode(blocks).as("bb"))
-        val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-          col("nsq").as("nb"),
-          pmod(col("vec_id"), lit(B)).cast("int").as("bb"),
-          explode(blocks).as("ba"))
-        a.join(b, Seq("ba", "bb"))
-          .filter(col("va") < col("vb"))
-          .select(col("va"), col("vb"),
-            round(cosineWithNorms(dot(col("ea"), col("eb")),
-              col("na"), col("nb")), 4).as("sim"))
+        tiledPairSims(s, table(s, dir, "embeddings"))
           .orderBy(desc("sim"), col("va"), col("vb"))
           .limit(20)
       },
@@ -669,6 +649,149 @@ object Similarity {
                 CAST(1 AS BIGINT) AS cells_ok,
                 CAST(1 AS BIGINT) AS occ_sum_ok,
                 CAST(1 AS BIGINT) AS balance_ok
-              FROM embeddings"""))
+              FROM embeddings""")),
+
+    // SemDeDup — semantic (embedding-space) deduplication: a vector is
+    // PRUNED when any smaller-id vector sits within cosine ≥ τ of it
+    // (τ = 0.40 here, sized so the synthetic corpus prunes ~10% and
+    // both branches are live); the report is the per-label prune/keep
+    // summary a corpus build logs after the pass. Declared semantics
+    // are the EXACT global rule — every pair consulted — which is what
+    // the oracle checks; the n² pair scan rides the same B×B block
+    // tiling as q27 (equi-key join, bounded reducers, sims reduced
+    // in-stage — no pair rows survive to shuffle). At 100 TB the
+    // approximation that makes SemDeDup linear is cell-locality: prune
+    // within IVF cells only ([[semDedupPrunedCellLocal]] — same
+    // arithmetic, same τ, candidate scope narrowed exactly like q98's
+    // ANN paths narrow q27's exact scan; its pruned set is provably a
+    // subset of this query's, asserted in AnnSpec).
+    // The threshold compares the ROUNDED sim (4 dp, both engines round
+    // the identical IEEE double) so the gate arithmetic is the same
+    // one the declared output already commits to elsewhere.
+    "q135_semdedup" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        val e = table(s, dir, "embeddings")
+        val pruned = tiledPairSims(s, e)
+          .filter(col("sim") >= SemDedupTau)
+          .select(col("vb").as("vec_id")).distinct()
+          .withColumn("pruned", lit(1L))
+        // no broadcast hint: the pruned set is corpus-proportional
+        // (~10% of n), so the flag join must stay a key join at scale
+        e.join(pruned, Seq("vec_id"), "left_outer")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(coalesce(col("pruned"), lit(0L))).as("n_pruned"),
+            round((count(lit(1)) - sum(coalesce(col("pruned"), lit(0L))))
+              .cast("double") / count(lit(1)), 4).as("keep_rate"))
+          .orderBy("label")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding,
+                  (SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                   FROM UNNEST(embedding) AS u(x)) AS nsq
+                FROM embeddings),
+              pr AS (SELECT DISTINCT b.vec_id
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+                WHERE ROUND(
+                    (SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                     FROM (SELECT UNNEST(a.embedding) AS x,
+                                  UNNEST(b.embedding) AS y) z)
+                    / (SQRT(a.nsq) * SQRT(b.nsq)), 4) >= $SemDedupTau)
+              SELECT label, COUNT(*) AS n_vecs,
+                CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM pr)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+                ROUND(CAST(COUNT(*) - SUM(CASE WHEN vec_id IN
+                    (SELECT vec_id FROM pr) THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 4) AS keep_rate
+              FROM n GROUP BY 1 ORDER BY label"""))
   )
+
+  /** Cell-local SemDeDup — the linear-time scale path of q135: assign
+    * every vector to its IVF cell ([[Ann.coarseQuantizer]], the same
+    * bounded-sample deterministic k-means the ANN paths share), form
+    * pairs WITHIN cells only, and prune any vector with a smaller-id
+    * neighbor at 4-dp-rounded cosine ≥ τ. Within-cell pairs are a
+    * subset of all pairs, so the pruned set is a SUBSET of the exact
+    * rule's (never prunes anything the exact pass would keep); recall
+    * against the exact set is the quality dial nlist controls —
+    * candidate work drops from n²/2 to Σ|cell|²/2 ≈ n²/(2·nlist) and
+    * each cell's pair scan is an independent partition of work. The
+    * pair join shuffles on the cell id; the same per-cell block tiling
+    * as [[tiledPairSims]] applies inside a cell if single cells
+    * outgrow a partition (at nlist sized to corpus/nlist ≈ partition
+    * budget, it doesn't).
+    */
+  def semDedupPrunedCellLocal(
+      emb: org.apache.spark.sql.DataFrame,
+      tau: Double,
+      nlist: Int = 16): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    // nlist=1 degenerates to the exact global rule — no quantizer to
+    // train (KMeans requires k ≥ 2), every vector in cell 0
+    val cells = (if (nlist <= 1)
+        base.withColumn("cell", lit(0))
+      else {
+        val model = Ann.coarseQuantizer(base, nlist)
+        model.transform(
+            base.withColumn("features", array_to_vector(col("embedding"))))
+          .select(col("vec_id"), col("embedding"),
+            col("prediction").as("cell"))
+      })
+      .withColumn("nsq", normSq(col("embedding")))
+    val a = cells.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nsq").as("na"))
+    val b = cells.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nsq").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter(round(cosineWithNorms(dot(col("ea"), col("eb")),
+        col("na"), col("nb")), 4) >= tau)
+      .select(col("vb").as("vec_id")).distinct()
+  }
+
+  /** The B×B block-tiled EXACT all-pairs cosine frame shared by q27
+    * (global top-k pairs) and q135 (threshold pruning): every unordered
+    * pair (va < vb) appears exactly once with its 4-dp-rounded cosine.
+    * B comes from measured stats, not a guess: the per-reducer build
+    * side (n/B rows of ~rowBytes) must fit the partition budget, and
+    * B² partitions must cover the cluster — one map-only (count, dim)
+    * scan stands in for catalog stats. The vector payload rides THROUGH
+    * the explode deliberately: sims are computed and reduced inside the
+    * join stage, so the n²/2 pair rows never shuffle (see q27's scale
+    * note — a skinny key join with a payload rejoin loses whenever
+    * n > 2B).
+    */
+  private def tiledPairSims(
+      s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      normSq(col("embedding")).as("nsq"))
+    val (n, dim) = {
+      val r = e.agg(count(lit(1)), max(size(col("embedding")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+    }
+    val rowBytes = 32L + 8L * dim
+    val targetBytes = 64L << 20
+    val bMem = math.ceil(n.toDouble * rowBytes / targetBytes).toInt
+    val bPar = math.ceil(
+      math.sqrt(s.sparkContext.defaultParallelism.toDouble)).toInt
+    val B = math.min(256, math.max(1, math.max(bMem, bPar)))
+    val blocks = array((0 until B).map(lit): _*)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("nsq").as("na"),
+      pmod(col("vec_id"), lit(B)).cast("int").as("ba"),
+      explode(blocks).as("bb"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("nsq").as("nb"),
+      pmod(col("vec_id"), lit(B)).cast("int").as("bb"),
+      explode(blocks).as("ba"))
+    a.join(b, Seq("ba", "bb"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(cosineWithNorms(dot(col("ea"), col("eb")),
+          col("na"), col("nb")), 4).as("sim"))
+  }
 }

@@ -70,6 +70,20 @@ object TextAnalysis {
     .withColumn("n_stop",
       size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("long"))
 
+  /** q133's rare-document gate in integer micro-units (mean inverse
+    * bigram probability > 35.0): sized against the synthetic corpus,
+    * whose per-doc scores span ~27·10⁶–69·10⁶ with language maxima
+    * straddling the line, so both branches are exercised per language.
+    * Declared BEFORE `defs`: the oracle SQL interpolates it at object
+    * init, and a forward reference would silently render as 0.
+    */
+  private val RareSurpriseMicro = 35000000L
+
+  /** q134's fixed vocabulary size — below the synthetic corpus's 31
+    * distinct words by design, so a real OOV tail exists.
+    */
+  private val OovVocabK = 20
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q24 token counting: whitespace tokenize, global top-20.
@@ -936,6 +950,124 @@ object TextAnalysis {
                 CASE WHEN bpe_tokens = 0 THEN 0.0
                   ELSE ((200*n_chars + bpe_tokens) // (2*bpe_tokens))
                     / 100.0 END AS chars_per_bpe_token
-              FROM a ORDER BY lang"""))
+              FROM a ORDER BY lang""")),
+
+    // Bigram-LM surprise scoring — the CCNet/perplexity-filter shape:
+    // train an add-one-smoothed bigram model ON the corpus itself, then
+    // score each document by its mean inverse conditional probability
+    // (cw + V)/(cb + 1) per bigram — high mean ⇒ the document's word
+    // transitions are rare in-corpus (boilerplate soup, OCR junk, wrong
+    // language) — and report per-language means plus the count above
+    // the rare-doc threshold. The classic formulation sums logs; logs
+    // are libm-dependent across engines, so the score instead stays
+    // RATIONAL (the arithmetic mean of 1/P rather than the geometric):
+    // each term is one IEEE division scaled to integer micro-units,
+    // every aggregation thereafter is exact integer arithmetic, and the
+    // single rounding per term/doc is the same half-up in both engines.
+    // Plan shape at 100 TB: the count tables are vocab-bounded (|V| and
+    // ≤|V|² rows) so both sides BROADCAST; the per-doc stream is
+    // explode → map-side broadcast joins → groupBy(doc_id) whose
+    // partial agg collapses each doc's terms within its partition (the
+    // bigrams of a doc never leave the row's partition before the
+    // combine), so the one real shuffle carries ~1 row per document;
+    // the per-lang rollup is a bounded-key agg. Nothing scans twice
+    // except the two tiny count aggregations.
+    "q133_bigram_surprise" -> QueryDef(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), tokens(col("text")).as("tl"))
+        val uni = d.select(explode(col("tl")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val vsz = uni.agg(count(lit(1)).as("vsz"))
+        val big = d.select(explode(shingles(col("tl"), 2)).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("cb"))
+        val terms = d
+          .select(col("doc_id"), col("lang"),
+            explode(shingles(col("tl"), 2)).as("g"))
+          .join(broadcast(big), "g")
+          .withColumn("w1", split(col("g"), " ").getItem(0))
+          .join(broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+          .crossJoin(broadcast(vsz))
+          .withColumn("term",
+            round(lit(1e6) * (col("cw") + col("vsz")).cast("double") /
+              (col("cb") + lit(1L)).cast("double")).cast("long"))
+        val perDoc = terms.groupBy("doc_id", "lang")
+          .agg(round(sum(col("term")).cast("double") / count(lit(1)))
+            .cast("long").as("score_micro"))
+        perDoc.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("score_micro") > lit(RareSurpriseMicro)).cast("long"))
+              .as("n_rare"),
+            round(sum(col("score_micro")).cast("double") / count(lit(1)) /
+              lit(1e6), 4).as("mean_surprise"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+                  list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS t
+                FROM documents),
+              bg AS (SELECT doc_id, lang,
+                  UNNEST(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS g
+                FROM d WHERE len(t) >= 2),
+              u AS (SELECT w, COUNT(*) AS cw
+                FROM (SELECT UNNEST(t) AS w FROM d) GROUP BY w),
+              v AS (SELECT COUNT(*) AS vsz FROM u),
+              b AS (SELECT g, COUNT(*) AS cb FROM bg GROUP BY g),
+              t AS (SELECT bg.doc_id, bg.lang,
+                  CAST(ROUND(1000000.0 * (u.cw + v.vsz) / (b.cb + 1), 0)
+                    AS BIGINT) AS term
+                FROM bg JOIN b USING (g)
+                JOIN u ON u.w = string_split(bg.g, ' ')[1] CROSS JOIN v),
+              ds AS (SELECT doc_id, lang,
+                  CAST(ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 0)
+                    AS BIGINT) AS score_micro
+                FROM t GROUP BY 1, 2)
+              SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN score_micro > $RareSurpriseMicro
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+                ROUND(CAST(SUM(score_micro) AS DOUBLE) / COUNT(*)
+                  / 1000000.0, 4) AS mean_surprise
+              FROM ds GROUP BY 1 ORDER BY lang""")),
+
+    // Tokenizer-coverage / OOV-rate report: rank the corpus vocabulary
+    // by (count DESC, word), fix the top-K as the in-vocab set, then
+    // per language report the token share that falls OUTSIDE it — the
+    // coverage number a fixed-vocab tokenizer ships with, and the
+    // per-language fairness check (a language whose OOV share is high
+    // pays more <unk>/byte-fallback tokens per sentence). Counting is
+    // all integer; the one ratio is a single exact division rounded at
+    // the end. Plan: the vocab agg is vocab-bounded and its top-K is
+    // TakeOrdered over that tiny frame; the scoring pass is a map-only
+    // explode + BROADCAST membership probe into a bounded-key lang agg
+    // — two scans of the fact table, both map-only, at any scale.
+    "q134_oov_rate" -> QueryDef(
+      (s, dir) => {
+        val tok = table(s, dir, "documents")
+          .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        val vocab = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+          .orderBy(desc("cw"), col("w")).limit(OovVocabK)
+          .select(col("w"), lit(1L).as("in_v"))
+        tok.join(broadcast(vocab), Seq("w"), "left_outer")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"),
+            round(sum(when(col("in_v").isNull, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)), 4).as("oov_rate"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH tok AS (SELECT lang,
+                  UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '')) AS w
+                FROM documents),
+              voc AS (SELECT w FROM
+                  (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w)
+                ORDER BY cw DESC, w LIMIT $OovVocabK)
+              SELECT lang, COUNT(*) AS n_tokens,
+                CAST(SUM(CASE WHEN w NOT IN (SELECT w FROM voc)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                ROUND(CAST(SUM(CASE WHEN w NOT IN (SELECT w FROM voc)
+                  THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS oov_rate
+              FROM tok GROUP BY 1 ORDER BY lang"""))
   )
 }

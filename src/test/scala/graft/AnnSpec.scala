@@ -388,4 +388,34 @@ class AnnSpec extends SparkSpec {
     byQ.values.foreach(rows => assert(rows.length == 12,
       s"k>rerank truncated the top-k: ${rows.length}"))
   }
+
+  test("q135: cell-local semdedup prunes a subset of the exact rule, same arithmetic") {
+    import graft.functions.VectorFunctions._
+    graft.functions.VectorFunctions.register(spark)
+    // τ low enough that the tiny sf exercises real pruning
+    val tau = 0.30
+    val e = emb.withColumn("nsq", normSq(col("embedding")))
+    // exact pruned set, brute force (fine at sf0.001)
+    val exact = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nsq").as("na"))
+      .crossJoin(e.select(col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("nsq").as("nb")))
+      .filter(col("va") < col("vb"))
+      .filter(round(cosineWithNorms(dot(col("ea"), col("eb")),
+        col("na"), col("nb")), 4) >= tau)
+      .select("vb").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val cellLocal = graft.operators.Similarity
+      .semDedupPrunedCellLocal(emb, tau, nlist = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "test τ prunes nothing — threshold miscalibrated")
+    assert(cellLocal.subsetOf(exact),
+      s"cell-local pruned ids outside the exact rule: ${cellLocal -- exact}")
+    // recall dial sanity: a single cell degenerates to the exact rule
+    val oneCell = graft.operators.Similarity
+      .semDedupPrunedCellLocal(emb, tau, nlist = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneCell == exact,
+      "nlist=1 must reproduce the exact pruned set bit-for-bit")
+  }
 }

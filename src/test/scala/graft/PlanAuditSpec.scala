@@ -339,4 +339,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "startswith must be a post-join filter on the pk equi-join, not a NLJ")
   }
+
+  test("q133: the vocab-bounded count tables broadcast onto the bigram stream") {
+    val p = plan("q133_bigram_surprise")
+    assert(p.contains("BroadcastHashJoin"),
+      "the unigram/bigram count tables must broadcast — they are vocab-bounded")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join here would shuffle the full bigram stream")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "lost map-side combine on the doc key")
+  }
+
+  test("q134: the top-K vocab probe broadcasts; the fact scan stays map-only") {
+    val p = plan("q134_oov_rate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the fixed top-K vocab must broadcast onto the token stream")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the vocab top-K must be TakeOrdered over the tiny agg, not a full sort")
+  }
+
+  test("q135: semdedup rides the q27 block tiling — no cartesian, no NLJ") {
+    val p = plan("q135_semdedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -161,6 +161,68 @@ class StatsSpec extends SparkSpec {
     assert(got == want, s"decomposition diverged:\n got $got\nwant $want")
   }
 
+  test("q133: surprise scores match a driver-side from-first-principles recompute") {
+    // independent implementation: plain Scala collections over the
+    // collected corpus — no Spark, no SQL — must agree digit-for-digit
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] =
+      t.split("\\s+").filter(_.nonEmpty).toSeq
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val big = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, _, t) =>
+      val tl = toks(t)
+      tl.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      tl.sliding(2).filter(_.length == 2)
+        .foreach(p => { val g = p.mkString(" "); big(g) = big.getOrElse(g, 0L) + 1 })
+    }
+    val v = uni.size
+    val perLang = docs.flatMap { case (id, lang, t) =>
+      val gs = toks(t).sliding(2).filter(_.length == 2).map(_.toSeq).toSeq
+      if (gs.isEmpty) None else {
+        val terms = gs.map { p =>
+          val g = p.mkString(" ")
+          math.round(1e6 * (uni(p.head) + v).toDouble / (big(g) + 1).toDouble)
+        }
+        Some(lang -> math.round(terms.sum.toDouble / terms.length))
+      }
+    }.groupBy(_._1)
+    val want = perLang.map { case (lang, xs) =>
+      val scores = xs.map(_._2)
+      (lang, scores.length.toLong,
+        scores.count(_ > 35000000L).toLong,
+        BigDecimal(scores.sum.toDouble / scores.length / 1e6)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q133_bigram_surprise")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want, s"surprise diverged:\n got  $got\n want $want")
+  }
+
+  test("q134: oov report matches a driver-side recompute; vocab tie-break is total") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val all = docs.flatMap { case (lang, t) =>
+      t.split("\\s+").filter(_.nonEmpty).map(lang -> _) }
+    val counts = all.groupBy(_._2).map { case (w, xs) => w -> xs.length }
+    // rank by (count DESC, word ASC) — the total order the query declares
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(20).map(_._1).toSet
+    val want = all.groupBy(_._1).map { case (lang, xs) =>
+      val n = xs.length.toLong
+      val oov = xs.count { case (_, w) => !vocab(w) }.toLong
+      (lang, n, oov, BigDecimal(oov.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q134_oov_rate")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want, s"oov diverged:\n got  $got\n want $want")
+  }
+
   test("q69: kNN vote matches a per-row recomputation on a small slice") {
     val out = SparkEntry.queries("q69_knn_label")(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= 11) // vec_id 0..10 inclusive
