@@ -305,6 +305,41 @@ object Stress {
         graft.operators.Ann.appendToPqIndex(batchVecs, "stress_pqidx")
         batchVecs.count()
       },
+      // cell-local SemDeDup (q135's scale path): nlist grows with the
+      // corpus so expected cell size stays constant — candidate pairs
+      // Σ|cell|²/2 then track corpus size linearly instead of n²; a
+      // superlinear exponent here means the quantizer stopped
+      // spreading the inflated corpus across cells
+      timed("semdedup_cells") {
+        graft.operators.Similarity.semDedupPrunedCellLocal(
+          embeddings, tau = 0.30, nlist = 16 * factor).count()
+      },
+      // bigram-LM surprise (q133 shape): the count tables stay
+      // vocab-bounded (the replica salt grows the vocab by the factor,
+      // the worst case for the broadcast — still dictionary-sized)
+      // while the per-doc stream is map-only into a partial agg; wall
+      // must track token volume, never vocab² pair work
+      timed("bigram_surprise") {
+        val tl = graft.operators.TextAnalysis.tokens(col("text"))
+        val d = documents.select(col("doc_id"), col("lang"), tl.as("tl"))
+        val uni = d.select(explode(col("tl")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val vsz = uni.agg(count(lit(1)).as("vsz"))
+        val big = d.select(explode(
+            graft.operators.TextAnalysis.shingles(col("tl"), 2)).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("cb"))
+        d.select(col("doc_id"), col("lang"), explode(
+            graft.operators.TextAnalysis.shingles(col("tl"), 2)).as("g"))
+          .join(broadcast(big), "g")
+          .withColumn("w1", split(col("g"), " ").getItem(0))
+          .join(broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+          .crossJoin(broadcast(vsz))
+          .withColumn("term",
+            round(lit(1e6) * (col("cw") + col("vsz")).cast("double") /
+              (col("cb") + lit(1L)).cast("double")).cast("long"))
+          .groupBy("doc_id").agg(count(lit(1)), sum("term"))
+          .count()
+      },
       // two-pass z-score (q66 shape): fixed-size moment sketch, then
       // the tiny stats table broadcast back over the inflated facts
       timed("zscore_two_pass") {

@@ -213,6 +213,68 @@ object MultiModal {
                 ROUND(CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*), 2) AS avg_bytes,
                 MIN(n_bytes) AS min_bytes, MAX(n_bytes) AS max_bytes,
                 COUNT(DISTINCT lang) AS n_langs
-              FROM a GROUP BY modality ORDER BY modality"""))
+              FROM a GROUP BY modality ORDER BY modality""")),
+
+    // q136: content-digest media dedup — the "same image uploaded N
+    // times under different names" scan every 100 TB media store runs
+    // before anything decodes: digest the OPAQUE payload bytes (md5 —
+    // content-addressed identity, the binary-column analogue of q22's
+    // text dedup), count duplicate assets and the bytes a
+    // store-once-by-digest layout saves, per modality. Payload = UTF-8
+    // bytes of documents.text (q28's stand-in — byte semantics
+    // identical, the container has no media files), PLUS a re-upload
+    // of every 7th payload — the re-fetched copy a crawler stores
+    // under a new name (declared in the fixture so the duplicate
+    // branch is live at every SF; the synthetic corpus has no natural
+    // byte-identical texts below sf0.1). Plan: ONE
+    // partial-agg shuffle on the (modality, digest) key — the digest
+    // is computed map-side from the payload, assets of one digest
+    // collapse before the shuffle — then a bounded-key modality
+    // rollup; no join anywhere. All-integer output except one exact
+    // division.
+    "q136_media_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val payloads = docs.select(col("text"))
+          .unionByName(docs.filter(col("doc_id") % 7 === 0)
+            .select(col("text")))
+        val a = payloads
+          .select(octet_length(col("text")).cast("long").as("n_bytes"),
+            md5(col("text").cast("binary")).as("digest"))
+          .withColumn("modality",
+            when(col("n_bytes") % 3 === 0, "image")
+              .when(col("n_bytes") % 3 === 1, "audio")
+              .otherwise("video"))
+        // same digest ⇒ same payload ⇒ same byte length, so min() is
+        // just "the" length of the deduped blob
+        val per = a.groupBy("modality", "digest")
+          .agg(count(lit(1)).as("n"), min("n_bytes").as("b"))
+        per.groupBy("modality")
+          .agg(sum("n").as("n_assets"),
+            count(lit(1)).as("n_unique"),
+            sum(col("n") - 1).as("dup_assets"),
+            sum((col("n") - 1) * col("b")).as("bytes_saved"),
+            round(sum(col("n") - 1).cast("double") / sum(col("n")), 4)
+              .as("dup_rate"))
+          .orderBy("modality")
+      },
+      Some("""WITH p AS (SELECT text FROM documents
+                UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0),
+              a AS (SELECT
+                  CAST(strlen(text) AS BIGINT) AS n_bytes,
+                  md5(text) AS digest,
+                  CASE WHEN strlen(text) % 3 = 0 THEN 'image'
+                       WHEN strlen(text) % 3 = 1 THEN 'audio'
+                       ELSE 'video' END AS modality
+                FROM p),
+              per AS (SELECT modality, digest, COUNT(*) AS n,
+                  MIN(n_bytes) AS b
+                FROM a GROUP BY 1, 2)
+              SELECT modality, CAST(SUM(n) AS BIGINT) AS n_assets,
+                COUNT(*) AS n_unique,
+                CAST(SUM(n - 1) AS BIGINT) AS dup_assets,
+                CAST(SUM((n - 1) * b) AS BIGINT) AS bytes_saved,
+                ROUND(CAST(SUM(n - 1) AS DOUBLE) / SUM(n), 4) AS dup_rate
+              FROM per GROUP BY 1 ORDER BY modality"""))
   )
 }

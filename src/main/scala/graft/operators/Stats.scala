@@ -484,6 +484,63 @@ object Stats {
     // over the table (N separate scans would cost N full reads at
     // corpus scale); the per-column aggregates unpivot to rows with
     // stack(), keeping the output schema fixed as columns are added.
+    // Daily-volume anomaly scan — the ingest-monitoring cousin of q80:
+    // q80 flags outlier VALUES inside a day's events, this flags
+    // outlier DAYS in each event type's arrival series (a crawl source
+    // going dark or a bot flood shows up here first). Day buckets per
+    // type, then median + MAD over the per-type daily series, then
+    // spike days (n > med + 2·MAD) and drop days (n < med − 2·MAD)
+    // counted per type — the robust-stats alarm a volume dashboard
+    // raises. Plan shape at scale: the ONLY corpus-sized work is the
+    // (type, day) partial-agg count — everything after runs on the
+    // types × days series table, which is bounded (it grows with the
+    // calendar, not the corpus), so the median/MAD fits are
+    // metadata-sized and broadcast back onto the series, never onto
+    // the raw events.
+    "q137_daily_volume_anomaly" -> QueryDef(
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"))
+          .managedPersist
+        val med = daily.groupBy("event_type")
+          .agg(expr("percentile(n_events, 0.5)").as("med"))
+        val mad = daily.join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(first(col("med")).as("med"),
+            expr("percentile(abs(n_events - med), 0.5)").as("mad"))
+        daily.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            round(first(col("med")), 4).as("med_daily"),
+            round(first(col("mad")), 4).as("mad_daily"),
+            sum(when(col("n_events") >
+              col("med") + lit(2.0) * col("mad"), 1L).otherwise(0L))
+              .as("n_spike_days"),
+            sum(when(col("n_events") <
+              col("med") - lit(2.0) * col("mad"), 1L).otherwise(0L))
+              .as("n_drop_days"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  COUNT(*) AS n_events
+                FROM events GROUP BY 1, 2),
+              m AS (SELECT event_type,
+                  quantile_cont(n_events, 0.5) AS med
+                FROM d GROUP BY 1),
+              a AS (SELECT d.event_type, ANY_VALUE(m.med) AS med,
+                  quantile_cont(ABS(d.n_events - m.med), 0.5) AS mad
+                FROM d JOIN m USING (event_type) GROUP BY 1)
+              SELECT d.event_type, COUNT(*) AS n_days,
+                ROUND(ANY_VALUE(a.med), 4) AS med_daily,
+                ROUND(ANY_VALUE(a.mad), 4) AS mad_daily,
+                CAST(SUM(CASE WHEN d.n_events > a.med + 2.0 * a.mad
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_spike_days,
+                CAST(SUM(CASE WHEN d.n_events < a.med - 2.0 * a.mad
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_days
+              FROM d JOIN a USING (event_type)
+              GROUP BY 1 ORDER BY event_type""")),
+
     "q81_data_profile" -> QueryDef(
       (s, dir) => {
         val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")

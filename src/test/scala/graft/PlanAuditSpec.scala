@@ -364,4 +364,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q137: the anomaly fits broadcast back onto the bounded series, never the events") {
+    val p = plan("q137_daily_volume_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      "median/MAD stats must broadcast onto the daily series")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing here is big enough to sort-merge — the series is calendar-bounded")
+    assert(p.contains("partial_"), "the (type, day) count must combine map-side")
+  }
+
+  test("q136: digest dedup is one partial-agg key shuffle, no join") {
+    val p = plan("q136_media_dedup")
+    assert(p.contains("partial_"), "digest groups must collapse map-side")
+    assert(!p.contains("Join"), "content-digest dedup needs no join at all")
+  }
 }
