@@ -136,6 +136,34 @@ object AnnTune {
         Seq("codes", "centroids", "vectors", "pq").foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
       }
+      // q138's gate: the SAME ivf config serving the SemDeDup-PRUNED
+      // corpus (exact rule, τ = Similarity.SemDedupTau) — brute force
+      // recomputed over the survivors, since that is the store the
+      // composed embedding pipeline actually indexes
+      {
+        graft.functions.VectorFunctions.register(spark)
+        val prunedIds = graft.operators.Similarity
+          .tiledPairSims(spark, Q.table(spark, dir, "embeddings"))
+          .filter(col("sim") >= graft.operators.Similarity.SemDedupTau)
+          .select(col("vb").as("vec_id")).distinct()
+        val survivors = emb.join(prunedIds, Seq("vec_id"), "left_anti")
+          .persist()
+        val sQueries = survivors.filter(col("vec_id") % 10 === 0)
+        val sBrute = Ann.bruteTopK(survivors, sQueries, k)
+          .select("q_id", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        for (seed <- Seq(7L, 1L, 13L)) {
+          val t0 = System.nanoTime()
+          val hits = Ann.ivfTopK(survivors, sQueries, k, nlist = 16,
+              nprobe = 8, seed = seed)
+            .select("q_id", "vec_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val r = (hits & sBrute).size.toDouble / sBrute.size
+          val s = (System.nanoTime() - t0) / 1e9
+          out(f"| $sf | ivf-pruned | q138 semdedup survivors nprobe=8 seed=$seed | $r%.4f | ${marginOf("ivf", r)} | $s%.1f |")
+        }
+        survivors.unpersist()
+      }
     }
 
     // Cell balance behind q122's balance_ok bit (contract: max cell ≤

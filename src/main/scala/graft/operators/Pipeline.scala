@@ -321,6 +321,105 @@ object Pipeline {
                   CAST(c3 AS BIGINT) FROM t
                 UNION ALL SELECT 4, 'decontamination', CAST(c3 AS BIGINT),
                   CAST(c4 AS BIGINT) FROM t) u
-              ORDER BY stage"""))
+              ORDER BY stage""")),
+
+    // The composed EMBEDDING-STORE build — q100's sibling for the
+    // vector side of a training-data run, as ONE declarative plan:
+    //
+    //   1. semantic dedup   (q135's EXACT rule — prune any vector with
+    //                        a smaller-id neighbor at cosine ≥ τ; the
+    //                        oracle recomputes the survivor count from
+    //                        every pair, so this stage is hash-exact)
+    //   2. quantization QA  (q105's int8 contract bits over the
+    //                        SURVIVORS — the 4× compression gate every
+    //                        embedding store applies before write-out)
+    //   3. ANN index gate   (q98's recall contract on the PRUNED
+    //                        corpus: brute-force top-10 vs IVF nprobe=8
+    //                        — the index a downstream retrieval run
+    //                        actually serves; floors 0.70 / 0.78
+    //                        watermark, measured 0.82–0.93 across
+    //                        SFs × seeds {7,1,13}, default-seed worst
+    //                        0.8214 at sf0.1 — the same margin
+    //                        discipline as q98's, and pruning
+    //                        near-identical distractors keeps the
+    //                        band at or above the unpruned one)
+    //
+    // Stage order is the store-build cost order: the prune shrinks the
+    // corpus before quantization or index training reads it, and the
+    // recall gate certifies exactly the index that ships. Scale notes:
+    // stage 1 rides q27's B×B tiling here (the exact baseline IS the
+    // declared semantics); at 100 TB swap [[Similarity
+    // .semDedupPrunedCellLocal]] in — same τ, same arithmetic, pruned
+    // ⊆ exact (suite-asserted) — and the IVF fit already trains on a
+    // bounded hash-order sample regardless of corpus size.
+    "q138_embedding_pipeline" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        import graft.functions.VectorFunctions._
+        val emb = table(s, dir, "embeddings")
+        val pruned = Similarity.tiledPairSims(s, emb)
+          .filter(col("sim") >= Similarity.SemDedupTau)
+          .select(col("vb").as("vec_id")).distinct()
+        val survivors = emb.join(pruned, Seq("vec_id"), "left_anti")
+          .select("vec_id", "embedding")
+          .managedPersist
+        // q105's arithmetic verbatim: scale = max|x|, q = round(127x/s),
+        // bits hold structurally — a quantizer regression flips them
+        val x = col("embedding")
+        val scale = coalesce(
+          array_max(transform(x, v => abs(v.cast("double")))), lit(0d))
+        val qa = survivors.withColumn("scale", scale)
+          .withColumn("q", transform(x, v =>
+            when(col("scale") > 0d,
+              round(v.cast("double") * 127d / col("scale"))).otherwise(0d)))
+          .withColumn("max_abs_q", aggregate(col("q"), lit(0d),
+            (acc, v) => greatest(acc, abs(v))))
+          .withColumn("max_err", aggregate(
+            zip_with(x, col("q"), (v, qi) =>
+              when(col("scale") > 0d,
+                abs(v.cast("double") - qi * col("scale") / 127d))
+                .otherwise(0d)),
+            lit(0d), (acc, v) => greatest(acc, v)))
+          .agg(count(lit(1)).as("n_survivors"),
+            min((col("max_abs_q") <= 127d).cast("long")).as("qmax_ok"),
+            min((col("max_err") <= col("scale") / 254d + 1e-9)
+              .cast("long")).as("recon_ok"))
+        val queries = survivors.filter(col("vec_id") % 10 === 0)
+        val brute = Ann.bruteTopK(survivors, queries, 10)
+          .select("q_id", "vec_id").managedPersist
+        val ivfHit = brute.join(
+          Ann.ivfTopK(survivors, queries, 10, nlist = 16, nprobe = 8)
+            .select("q_id", "vec_id"),
+          Seq("q_id", "vec_id"), "left_semi")
+        emb.agg(count(lit(1)).as("n_vecs"))
+          .crossJoin(qa)
+          .crossJoin(brute.agg(count(lit(1)).as("n_exact")))
+          .crossJoin(ivfHit.agg(count(lit(1)).as("n_ivf")))
+          .select(col("n_vecs"), col("n_survivors"),
+            col("qmax_ok"), col("recon_ok"),
+            (col("n_ivf") >= col("n_exact") * lit(0.70))
+              .cast("long").as("ivf_recall_ok"),
+            (col("n_ivf") >= col("n_exact") * lit(0.78))
+              .cast("long").as("ivf_recall_hi"))
+      },
+      Some("""WITH n AS (SELECT vec_id, embedding,
+                  (SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                   FROM UNNEST(embedding) AS u(x)) AS nsq
+                FROM embeddings),
+              pr AS (SELECT DISTINCT b.vec_id
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+                WHERE ROUND(
+                    (SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                     FROM (SELECT UNNEST(a.embedding) AS x,
+                                  UNNEST(b.embedding) AS y) z)
+                    / (SQRT(a.nsq) * SQRT(b.nsq)), 4) >= 0.4)
+              SELECT (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+                (SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id NOT IN (SELECT vec_id FROM pr))
+                  AS n_survivors,
+                CAST(1 AS BIGINT) AS qmax_ok,
+                CAST(1 AS BIGINT) AS recon_ok,
+                CAST(1 AS BIGINT) AS ivf_recall_ok,
+                CAST(1 AS BIGINT) AS ivf_recall_hi"""))
   )
 }

@@ -29,7 +29,7 @@ object Similarity {
     * interpolates it at object init, and a forward reference would
     * silently render as 0.0.
     */
-  private val SemDedupTau = 0.40
+  private[graft] val SemDedupTau = 0.40
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -763,7 +763,7 @@ object Similarity {
     * note — a skinny key join with a payload rejoin loses whenever
     * n > 2B).
     */
-  private def tiledPairSims(
+  private[graft] def tiledPairSims(
       s: org.apache.spark.sql.SparkSession,
       emb: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {

@@ -374,6 +374,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "the (type, day) count must combine map-side")
   }
 
+  test("q138: the embedding-store build never goes cartesian end-to-end") {
+    val p = plan("q138_embedding_pipeline")
+    assert(!p.contains("CartesianProduct"),
+      "neither the tiled prune nor the IVF gate may form raw pairs")
+  }
+
   test("q136: digest dedup is one partial-agg key shuffle, no join") {
     val p = plan("q136_media_dedup")
     assert(p.contains("partial_"), "digest groups must collapse map-side")
