@@ -965,7 +965,11 @@ object TextAnalysis {
     // every aggregation thereafter is exact integer arithmetic, and the
     // single rounding per term/doc is the same half-up in both engines.
     // Plan shape at 100 TB: the count tables are vocab-bounded (|V| and
-    // ≤|V|² rows) so both sides BROADCAST; the per-doc stream is
+    // ≤|V|² rows) so both sides BROADCAST — the hint encodes the
+    // dictionary-bounded-vocab premise; a corpus whose bigram
+    // dictionary outgrows the broadcast budget drops the hint and
+    // takes a dictionary-keyed shuffle join instead (the per-doc
+    // partial agg below is unaffected); the per-doc stream is
     // explode → map-side broadcast joins → groupBy(doc_id) whose
     // partial agg collapses each doc's terms within its partition (the
     // bigrams of a doc never leave the row's partition before the
