@@ -1327,7 +1327,146 @@ object Dedup {
               SELECT a.doc_id AS short_id, b.doc_id AS long_id,
                 a.len AS short_len, b.len AS long_len
               FROM f a JOIN f b ON starts_with(b.text, a.text || ' ')
-              ORDER BY short_id, long_id"""))
+              ORDER BY short_id, long_id""")),
+
+    // Near-dup threshold calibration sweep — before a production run
+    // commits to ONE Jaccard threshold, measure what each candidate
+    // threshold would do to the corpus: pairs flagged, documents
+    // touched, and the dup rate, at 0.80 / 0.85 / 0.90 / 0.95, all
+    // from a single LSH + verify pass (the banding is recall-complete
+    // down to the q25 base threshold 0.80, so every stricter cut is a
+    // pure filter over the same verified pair set — one candidate
+    // generation, four read-outs). Threshold tests are integer
+    // cross-multiplications (i·den ≥ u·num), never float-vs-float at a
+    // boundary, so both engines bucket identically. Plan: the verified
+    // pair table is persisted once and read by the pair-count and the
+    // touched-docs branches; the threshold explode multiplies PAIRS
+    // (already tiny), not the corpus.
+    "q142_dup_threshold_sweep" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingled(s, dir).managedPersist
+        val cand = lshCandidatePairs(sh)
+          .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+        val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
+        val union = (size(col("sha")) + size(col("shb"))).cast("long") - inter
+        val thr = Seq((80L, 4L, 5L), (85L, 17L, 20L),
+          (90L, 9L, 10L), (95L, 19L, 20L))
+        val byT = cand
+          .select(col("da"), col("db"), inter.as("i"), union.as("u"))
+          .filter(col("i") * 5 >= col("u") * 4)
+          .select(explode(array(thr.map { case (t, num, den) =>
+            struct(lit(t).as("t"), lit(num).as("num"), lit(den).as("den"))
+          }: _*)).as("th"), col("da"), col("db"), col("i"), col("u"))
+          .filter(col("i") * col("th.den") >= col("u") * col("th.num"))
+          .select(col("th.t").as("t"), col("da"), col("db"))
+          .managedPersist
+        val nPairs = byT.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+        val nDocs = byT
+          .select(col("t"), explode(array(col("da"), col("db"))).as("d"))
+          .groupBy("t").agg(countDistinct("d").as("n_dup_docs"))
+        thr.map(_._1).toDF("t")
+          .join(nPairs, Seq("t"), "left_outer")
+          .join(nDocs, Seq("t"), "left_outer")
+          .na.fill(0L, Seq("n_pairs", "n_dup_docs"))
+          .crossJoin(broadcast(
+            table(s, dir, "documents").agg(count(lit(1)).as("n_total"))))
+          .select(col("t"), col("n_pairs"), col("n_dup_docs"),
+            round(col("n_dup_docs").cast("double") / col("n_total"), 4)
+              .as("dup_rate"))
+          .orderBy("t")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                    AS t
+                FROM documents),
+              sh AS (SELECT doc_id, list_distinct(
+                  [array_to_string(t[i:i+2], ' ')
+                   for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS i,
+                  CAST(len(a.s) + len(b.s)
+                    - len(list_intersect(a.s, b.s)) AS BIGINT) AS u
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+              f AS (SELECT * FROM p WHERE i * 5 >= u * 4),
+              th(t, num, den) AS (VALUES (80, 4, 5), (85, 17, 20),
+                (90, 9, 10), (95, 19, 20)),
+              j AS (SELECT th.t, f.da, f.db FROM th
+                JOIN f ON f.i * th.den >= f.u * th.num),
+              np AS (SELECT t, COUNT(*) AS n_pairs FROM j GROUP BY t),
+              nd AS (SELECT t, COUNT(DISTINCT d) AS n_dup_docs
+                FROM (SELECT t, UNNEST([da, db]) AS d FROM j) GROUP BY t)
+              SELECT CAST(th.t AS BIGINT) AS t,
+                CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+                CAST(COALESCE(nd.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+                ROUND(CAST(COALESCE(nd.n_dup_docs, 0) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM documents), 4) AS dup_rate
+              FROM th
+              LEFT JOIN np ON np.t = th.t
+              LEFT JOIN nd ON nd.t = th.t
+              ORDER BY t""")),
+
+    // Source-similarity by unigram DISTRIBUTION — q34 asks "do two
+    // sources share shingles?" (set overlap); this asks "do they use
+    // the same words at the same rates?" (cosine over term-frequency
+    // vectors), the signal that catches a mirror site whose wording
+    // matches even when its shingle set drifted. Counts stay integers;
+    // the three quadratic sums (Σca·cb, Σca², Σcb²) accumulate as
+    // DECIMAL(38,0) — at corpus scale a per-term count reaches ~10¹²
+    // and its square 10²⁴, past any BIGINT — then one double
+    // conversion, two sqrts, one division, rounded. Plan: the term
+    // join is keyed on the token (vocab-bounded frame joined to
+    // itself, never the corpus), norms are one more pass over the same
+    // persisted tf table.
+    "q143_source_unigram_cosine" -> QueryDef(
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val tf = table(s, dir, "documents")
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+          .managedPersist
+        val norms = tf.groupBy("source")
+          .agg(sum((col("c") * col("c")).cast(dec)).as("nsq"))
+        tf.select(col("source").as("sa"), col("w"), col("c").as("ca"))
+          .join(tf.select(col("source").as("sb"), col("w"),
+            col("c").as("cb")), Seq("w"))
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb")
+          .agg(sum((col("ca") * col("cb")).cast(dec)).as("dot"))
+          .join(norms.select(col("source").as("sa"),
+            col("nsq").as("na")), "sa")
+          .join(norms.select(col("source").as("sb"),
+            col("nsq").as("nb")), "sb")
+          .select(col("sa"), col("sb"),
+            round(col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) *
+                sqrt(col("nb").cast("double"))), 4).as("cosine"))
+          .orderBy("sa", "sb")
+      },
+      Some("""WITH tf AS (SELECT source, w, COUNT(*) AS c
+                FROM (SELECT source,
+                    UNNEST(list_filter(string_split_regex(text, '\s+'),
+                      x -> x <> '')) AS w
+                  FROM documents) z
+                GROUP BY source, w),
+              norms AS (SELECT source,
+                  SUM(CAST(c * c AS DECIMAL(38,0))) AS nsq
+                FROM tf GROUP BY source),
+              dots AS (SELECT a.source AS sa, b.source AS sb,
+                  SUM(CAST(a.c * b.c AS DECIMAL(38,0))) AS dot
+                FROM tf a JOIN tf b ON a.w = b.w AND a.source < b.source
+                GROUP BY 1, 2)
+              SELECT sa, sb,
+                ROUND(CAST(dot AS DOUBLE) /
+                  (SQRT(CAST(x.nsq AS DOUBLE)) *
+                   SQRT(CAST(y.nsq AS DOUBLE))), 4) AS cosine
+              FROM dots
+              JOIN norms x ON x.source = sa
+              JOIN norms y ON y.source = sb
+              ORDER BY sa, sb"""))
   )
 
 }

@@ -420,6 +420,65 @@ object Pipeline {
                 CAST(1 AS BIGINT) AS qmax_ok,
                 CAST(1 AS BIGINT) AS recon_ok,
                 CAST(1 AS BIGINT) AS ivf_recall_ok,
-                CAST(1 AS BIGINT) AS ivf_recall_hi"""))
+                CAST(1 AS BIGINT) AS ivf_recall_hi""")),
+
+    // Output-shard planning — the last step of a corpus release: pack
+    // documents, in deterministic doc_id order, into ~equal-size output
+    // shards (the files a training loader streams). Assignment is the
+    // streaming bin-pack rule: shard(doc) = floor(bytes_before / target)
+    // where bytes_before is the exclusive prefix sum of n_chars in
+    // doc_id order — every doc lands in exactly one shard and a shard
+    // overflows by at most one document, so shard sizes are
+    // target ≤ size < target + max_doc (no doc is ever split).
+    //
+    // The prefix sum is the part worth doing right at 100 TB: a naive
+    // `SUM OVER (ORDER BY doc_id)` with no PARTITION BY collapses the
+    // corpus onto ONE task. Instead the classic two-level scan:
+    // range-partition by doc_id, (1) partition-LOCAL running sums (one
+    // window per partition, parallel), (2) per-partition totals — a
+    // #partitions-row frame — prefix-summed on the driver-scale side
+    // and broadcast back as each partition's offset. Global prefix sum
+    // = local cumsum + partition offset, invariant to where the range
+    // boundaries fall (repartitionByRange samples boundaries;
+    // correctness never depends on them). Same decomposition as the
+    // manifest's zipWithIndex enumeration (SURVEY §2A-O4), generalized
+    // to weighted sums.
+    "q139_shard_plan" -> QueryDef(
+      (s, dir) => {
+        val target = 65536L
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .repartitionByRange(16, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .managedPersist
+        val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // exclusive prefix of the per-partition totals: ≤16 rows, so the
+        // unpartitioned window is a bounded frame, not a data collapse
+        val offs = docs.groupBy("pid").agg(sum("n_chars").as("psum"))
+          .withColumn("off",
+            coalesce(sum("psum").over(Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "off")
+        docs
+          .withColumn("lc", sum("n_chars").over(wLocal))
+          .join(broadcast(offs), "pid")
+          .withColumn("shard",
+            expr(s"(lc + off - n_chars) div $target"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("shard_chars"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("shard")
+      },
+      Some("""WITH c AS (SELECT doc_id, n_chars,
+                  SUM(n_chars) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum_end
+                FROM documents)
+              SELECT CAST((cum_end - n_chars) // 65536 AS BIGINT) AS shard,
+                COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+              FROM c GROUP BY 1 ORDER BY shard"""))
   )
 }

@@ -972,6 +972,52 @@ object Stats {
               SELECT lang, n_distinct_bigrams, n_bigrams,
                 ROUND(CAST(coll AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) *
                   CAST(n_bigrams - 1 AS DOUBLE)), 8) AS simpson
-              FROM g WHERE n_bigrams > 1 ORDER BY lang"""))
+              FROM g WHERE n_bigrams > 1 ORDER BY lang""")),
+
+    // Document-length inequality per source (Gini coefficient) — a
+    // crawl where a handful of giant pages carry most of the bytes
+    // behaves very differently under shard packing, length-bucketed
+    // batching, and per-doc sampling than a uniform one, and the Gini
+    // is the one-number summary release dashboards track for that.
+    // Computed from the sorted-rank identity
+    // G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) with xᵢ ascending — the
+    // numerator is exact integer arithmetic over ranked longs (the
+    // rank window's tie-break on doc_id makes ranks total, though the
+    // Gini value itself is tie-order-invariant), one double division
+    // at the end. Plan: one shuffle on source for the per-source sort
+    // window, then a bounded per-source aggregate; per-source row
+    // counts bound the window task (same skew caveat as q111).
+    "q144_length_gini" -> QueryDef(
+      (s, dir) => {
+        val wSrc = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("n_chars", "doc_id")
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("rn", row_number().over(wSrc).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("source")).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            sum((lit(2L) * col("rn") - col("n") - lit(1L)) * col("n_chars"))
+              .as("num"))
+          .select(col("source"), col("n_docs"), col("total_chars"),
+            round(col("num").cast("double") /
+              (col("n_docs").cast("double") *
+                col("total_chars").cast("double")), 4).as("gini"))
+          .orderBy("source")
+      },
+      Some("""WITH r AS (SELECT source, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS n
+                FROM documents)
+              SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                ROUND(CAST(SUM((2 * rn - n - 1) * n_chars) AS DOUBLE) /
+                  (CAST(COUNT(*) AS DOUBLE) *
+                   CAST(SUM(n_chars) AS DOUBLE)), 4) AS gini
+              FROM r GROUP BY source ORDER BY source"""))
   )
 }

@@ -84,6 +84,12 @@ object TextAnalysis {
     */
   private val OovVocabK = 20
 
+  /** q140's repetition guardrail: a source asked to repeat more than
+    * this many epochs is flagged over-cap. Declared before `defs` (the
+    * oracle SQL interpolates it at object init).
+    */
+  private val MaxEpochs = 4L
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q24 token counting: whitespace tokenize, global top-20.
@@ -1072,6 +1078,113 @@ object TextAnalysis {
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
                 ROUND(CAST(SUM(CASE WHEN w NOT IN (SELECT w FROM voc)
                   THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS oov_rate
-              FROM tok GROUP BY 1 ORDER BY lang"""))
+              FROM tok GROUP BY 1 ORDER BY lang""")),
+
+    // Mixture-epoch planner — q104 decides the mixture WEIGHTS; this
+    // decides what those weights COST in repetition: for a token budget
+    // (here 2× the corpus, the common "train past one epoch" regime)
+    // and an equal per-source target share, how many passes over each
+    // source does its quota demand? epochs = ceil(quota / available) is
+    // the number a data loader actually configures, and sources whose
+    // quota exceeds MaxEpochs× their size get flagged — the
+    // "up-sampling a tiny source 10× degrades it" guardrail from the
+    // data-mixing literature. All arithmetic is integer (ceil = add
+    // divisor-1 then div; the up-sampling ratio is half-up scaled
+    // hundredths), so both engines agree bit-for-bit. Plan: one
+    // map-side-combined token count per source, then a #sources-row
+    // frame — the budget "window" is over that bounded frame, not the
+    // corpus.
+    "q140_mixture_epochs" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+          .withColumn("quota",
+            expr("(2 * sum(n_tokens) over (partition by 1))" +
+              " div (count(1) over (partition by 1))").cast("long"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("quota").as("quota_tokens"),
+            expr("(quota + n_tokens - 1) div n_tokens").as("epochs"),
+            (expr("(200 * quota + n_tokens) div (2 * n_tokens)")
+              .cast("double") / 100.0).as("upsample_x"),
+            (expr("(quota + n_tokens - 1) div n_tokens") > MaxEpochs)
+              .cast("long").as("over_cap"))
+          .orderBy("source")
+      },
+      Some(s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(LEN(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> ''))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source),
+              q AS (SELECT source, n_docs, n_tokens,
+                  2 * SUM(n_tokens) OVER () // COUNT(*) OVER () AS quota
+                FROM per)
+              SELECT source, n_docs, n_tokens,
+                CAST(quota AS BIGINT) AS quota_tokens,
+                CAST((quota + n_tokens - 1) // n_tokens AS BIGINT) AS epochs,
+                ((200 * quota + n_tokens) // (2 * n_tokens)) / 100.0
+                  AS upsample_x,
+                CAST(CASE WHEN (quota + n_tokens - 1) // n_tokens
+                  > $MaxEpochs THEN 1 ELSE 0 END AS BIGINT) AS over_cap
+              FROM q ORDER BY source""")),
+
+    // Per-source quality calibration — a quality classifier's raw
+    // scores are not comparable ACROSS sources (a clean-books corpus
+    // saturates where a web crawl spreads), so production filters rank
+    // WITHIN source and keep each source's top quantile rather than
+    // applying one global threshold. Score here is the integer
+    // stopword-density signal from q31 (basis points, so the ranking
+    // key is an exact integer; doc_id breaks ties totally). Keep rule:
+    // top ceil(n/4) per source via `4*rn <= n+3` — pure integer
+    // comparisons, no percent_rank floats to disagree on. Output: per
+    // source, how many survive and the score cutoff that achieved it —
+    // the numbers a corpus-quality dashboard tracks release over
+    // release. Plan: one shuffle on source for the per-source sort
+    // window; per-source row counts are bounded by the largest source
+    // (same skew caveat as q111, documented there).
+    "q141_quality_calibration" -> QueryDef(
+      (s, dir) => {
+        val scored = qualitySignals(table(s, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            when(col("n_tokens") === 0, 0L)
+              .otherwise(expr("(10000 * n_stop) div n_tokens"))
+              .as("stop_bps"))
+        val wSrc = Window.partitionBy("source")
+          .orderBy(desc("stop_bps"), col("doc_id"))
+        scored
+          .withColumn("rn", row_number().over(wSrc))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("source")))
+          .filter(col("rn") * 4 <= col("n") + 3)
+          .groupBy("source")
+          .agg(max("n").cast("long").as("n_docs"),
+            count(lit(1)).as("n_kept"),
+            min("stop_bps").as("cutoff_bps"))
+          .orderBy("source")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, source,
+                  list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS toks
+                FROM documents),
+              g AS (SELECT doc_id, source,
+                  CAST(LEN(toks) AS BIGINT) AS n_tokens,
+                  CAST(LEN(list_filter(toks,
+                    x -> x IN ($stopwordsSql))) AS BIGINT) AS n_stop
+                FROM f),
+              sc AS (SELECT doc_id, source,
+                  CASE WHEN n_tokens = 0 THEN 0
+                    ELSE (10000 * n_stop) // n_tokens END AS stop_bps
+                FROM g),
+              r AS (SELECT source, stop_bps,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY stop_bps DESC, doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS n
+                FROM sc)
+              SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+                COUNT(*) AS n_kept,
+                CAST(MIN(stop_bps) AS BIGINT) AS cutoff_bps
+              FROM r WHERE rn * 4 <= n + 3
+              GROUP BY source ORDER BY source"""))
   )
 }

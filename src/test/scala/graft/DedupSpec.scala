@@ -197,4 +197,45 @@ class DedupSpec extends SparkSpec {
       "SELECT graft_minhash(array('x y z')) AS s").collect().head.getSeq[Long](0)
     assert(other != sig)
   }
+
+  test("q142: threshold sweep is monotone and its 0.80 row equals q25's pair count") {
+    val rows = SparkEntry.queries("q142_dup_threshold_sweep")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(80L, 85L, 90L, 95L))
+    // stricter threshold ⇒ fewer (or equal) pairs and touched docs
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 >= b._2 && a._3 >= b._3, s"sweep not monotone: $a vs $b")
+      case _ => ()
+    }
+    val q25Pairs = SparkEntry.queries("q25_neardup_minhash")(spark, sfDir)
+      .count()
+    assert(rows.head._2 == q25Pairs,
+      "sweep's 0.80 bucket must equal the production near-dup pair set")
+  }
+
+  test("q143: unigram cosine is bounded and agrees with a driver-side recompute") {
+    val got = SparkEntry.queries("q143_source_unigram_cosine")(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .toMap
+    got.values.foreach(c => assert(c >= 0.0 && c <= 1.0))
+    val tf = Q.table(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split("\\s+").filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val srcs = tf.keys.map(_._1).toSeq.distinct.sorted
+    for (a <- srcs; b <- srcs if a < b) {
+      val va = tf.collect { case ((s, w), c) if s == a => w -> c }.toMap
+      val vb = tf.collect { case ((s, w), c) if s == b => w -> c }.toMap
+      val dot = va.keysIterator.map(w => va(w) * vb.getOrElse(w, 0L)).sum
+      val want = BigDecimal(dot.toDouble /
+        (math.sqrt(va.values.map(c => c * c).sum.toDouble) *
+          math.sqrt(vb.values.map(c => c * c).sum.toDouble)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got((a, b)) - want) <= 1e-4,
+        s"cosine($a,$b): got ${got((a, b))} want $want")
+    }
+  }
 }

@@ -223,6 +223,49 @@ class StatsSpec extends SparkSpec {
     assert(got == want, s"oov diverged:\n got  $got\n want $want")
   }
 
+  test("q139: shard plan is partitioning-invariant and covers every char once") {
+    val out = SparkEntry.queries("q139_shard_plan")(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // driver-side reference: sequential streaming bin-pack
+    val target = 65536L
+    var cum = 0L
+    val want = docs.map { case (id, nc) =>
+      val shard = cum / target; cum += nc; (shard, id, nc)
+    }.groupBy(_._1).map { case (sh, g) =>
+      (sh, g.length.toLong, g.map(_._3).sum, g.map(_._2).min, g.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, "two-level prefix sum diverged from sequential pack")
+    // coverage: shard char totals sum to the corpus, shards contiguous
+    assert(got.map(_._3).sum == docs.map(_._2).sum)
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(a._5 < b._4, "shard doc ranges overlap")
+      case _ => ()
+    }
+  }
+
+  test("q144: per-source Gini equals the mean-absolute-difference form") {
+    val out = SparkEntry.queries("q144_length_gini")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toMap
+    val bySrc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    bySrc.foreach { case (src, rows) =>
+      val xs = rows.map(_._2.toDouble)
+      val n = xs.length.toDouble
+      // G = Σᵢⱼ|xᵢ−xⱼ| / (2n²·mean) — the definitional form, computed
+      // independently of the production sorted-rank identity
+      val mad = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+      val want = BigDecimal(mad / (2 * n * n * (xs.sum / n)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(out(src) - want) <= 1e-4,
+        s"gini($src): got ${out(src)} want $want")
+    }
+  }
+
   test("q69: kNN vote matches a per-row recomputation on a small slice") {
     val out = SparkEntry.queries("q69_knn_label")(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= 11) // vec_id 0..10 inclusive
