@@ -1466,7 +1466,72 @@ object Dedup {
               FROM dots
               JOIN norms x ON x.source = sa
               JOIN norms y ON y.source = sb
-              ORDER BY sa, sb"""))
+              ORDER BY sa, sb""")),
+
+    // Duplicate-cluster SIZE distribution — q45 lists the clusters;
+    // this is the release-dashboard rollup of the same graph: how many
+    // clusters of each size, how many documents they hold, with the
+    // singleton row (docs in no near-dup pair) completing the census so
+    // n_docs sums to the corpus. A corpus whose mass sits in a few
+    // giant clusters dedups very differently (one survivor kills
+    // thousands) than one with many pairs — this is the shape check
+    // run before committing a dedup pass. Plan: the CC labels are the
+    // q45 fixpoint (bounded rounds, fail-loud); everything after is
+    // two bounded aggregations and one scalar cross-join — the
+    // histogram frame is at most max-cluster-size rows.
+    "q146_cluster_size_histogram" -> QueryDef(
+      (s, dir) => {
+        val sizes = ccLabels(s, dir)
+          .groupBy("lbl").agg(count(lit(1)).as("csize"))
+          .managedPersist
+        val hist = sizes.groupBy("csize")
+          .agg(count(lit(1)).as("n_clusters"), sum("csize").as("n_docs"))
+        val single = table(s, dir, "documents")
+          .agg(count(lit(1)).as("n_total"))
+          .crossJoin(broadcast(
+            sizes.agg(coalesce(sum("csize"), lit(0L)).as("n_clustered"))))
+          .select(lit(1L).as("csize"),
+            (col("n_total") - col("n_clustered")).as("n_clusters"),
+            (col("n_total") - col("n_clustered")).as("n_docs"))
+        hist.unionByName(single).orderBy("csize")
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                    AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.8),
+              edges AS (SELECT da AS a, db AS b FROM p
+                        UNION SELECT db, da FROM p),
+              reach AS (SELECT a, a AS b
+                          FROM (SELECT DISTINCT a FROM edges) n
+                        UNION
+                        SELECT r.a, e.b
+                          FROM reach r JOIN edges e ON r.b = e.a),
+              labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+                         FROM reach GROUP BY a),
+              sizes AS (SELECT cluster_id, COUNT(*) AS csize
+                        FROM labels GROUP BY 1),
+              h AS (SELECT csize, COUNT(*) AS n_clusters,
+                  CAST(SUM(csize) AS BIGINT) AS n_docs
+                FROM sizes GROUP BY 1)
+              SELECT * FROM h
+              UNION ALL
+              SELECT CAST(1 AS BIGINT) AS csize,
+                (SELECT COUNT(*) FROM documents)
+                  - CAST(COALESCE((SELECT SUM(csize) FROM sizes), 0)
+                    AS BIGINT) AS n_clusters,
+                (SELECT COUNT(*) FROM documents)
+                  - CAST(COALESCE((SELECT SUM(csize) FROM sizes), 0)
+                    AS BIGINT) AS n_docs
+              ORDER BY csize"""))
   )
 
 }

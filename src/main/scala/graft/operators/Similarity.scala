@@ -703,7 +703,65 @@ object Similarity {
                 ROUND(CAST(COUNT(*) - SUM(CASE WHEN vec_id IN
                     (SELECT vec_id FROM pr) THEN 1 ELSE 0 END) AS DOUBLE)
                   / COUNT(*), 4) AS keep_rate
-              FROM n GROUP BY 1 ORDER BY label"""))
+              FROM n GROUP BY 1 ORDER BY label""")),
+
+    // Distance-to-centroid outlier report — the embedding-QA pass that
+    // catches mislabeled or corrupted vectors: per label, the top-3
+    // vectors farthest (squared L2) from their label centroid. Both
+    // stages use the q55 decimal discipline so the doubles are
+    // bit-identical across engines: the centroid is a rounded decimal
+    // sum over each dimension divided by the count, and each vector's
+    // squared distance accumulates per-dim terms as DECIMAL(18,10)
+    // before one rounded conversion — no order-dependent double
+    // accumulation anywhere. Plan: one posexplode shuffle for the
+    // (label, pos) centroid agg (a labels×dim-bounded frame,
+    // broadcast back), one per-vec_id agg for the distances, one
+    // per-label window over rows already partitioned by label —
+    // map-side partials throughout, no pairwise work.
+    "q145_centroid_outliers" -> QueryDef(
+      (s, dir) => {
+        val terms = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")))
+          .withColumn("v", col("col").cast("double"))
+          .managedPersist
+        val cent = terms.groupBy("label", "pos")
+          .agg((round(dsum(col("v"), 6), 4).cast("double") /
+            count(lit(1))).as("cm"))
+        val dist = terms
+          .join(broadcast(cent), Seq("label", "pos"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(round(dsum((col("v") - col("cm")) * (col("v") - col("cm")),
+            10), 6).cast("double").as("dsq"))
+        val wLab = org.apache.spark.sql.expressions.Window
+          .partitionBy("label").orderBy(desc("dsq"), col("vec_id"))
+        dist
+          .withColumn("rn", row_number().over(wLab).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("label"), col("rn"), col("vec_id"),
+            round(col("dsq"), 4).as("dist_sq"))
+          .orderBy("label", "rn")
+      },
+      Some("""WITH t AS (SELECT vec_id, label,
+                  CAST(UNNEST(embedding) AS DOUBLE) AS v,
+                  UNNEST(range(len(embedding))) AS pos
+                FROM embeddings),
+              c AS (SELECT label, pos,
+                  CAST(ROUND(SUM(CAST(v AS DECIMAL(18,6))), 4) AS DOUBLE)
+                    / COUNT(*) AS cm
+                FROM t GROUP BY 1, 2),
+              d AS (SELECT vec_id, t.label,
+                  CAST(ROUND(SUM(CAST((v - cm) * (v - cm)
+                    AS DECIMAL(18,10))), 6) AS DOUBLE) AS dsq
+                FROM t JOIN c ON c.label = t.label AND c.pos = t.pos
+                GROUP BY 1, 2),
+              r AS (SELECT label, vec_id, dsq,
+                  ROW_NUMBER() OVER (PARTITION BY label
+                    ORDER BY dsq DESC, vec_id) AS rn
+                FROM d)
+              SELECT label, CAST(rn AS BIGINT) AS rn, vec_id,
+                ROUND(dsq, 4) AS dist_sq
+              FROM r WHERE rn <= 3 ORDER BY label, rn"""))
   )
 
   /** Cell-local SemDeDup — the linear-time scale path of q135: assign

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Compaction
+import graft.sources.FileManifest
+
+/** The small-file compactor: bundle assignment must match a sequential
+  * driver-side bin-pack under any partitioning, and the executed
+  * bundles must be byte-exact concatenations with seekable sidecars.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private def mkFixture(n: Int): (String, Seq[(String, Array[Byte])]) = {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val files = (0 until n).map { i =>
+      // varied sizes so bundles cut at uneven boundaries
+      val body = (s"file-$i:" + ("x" * (i % 7 + 1) * 100))
+        .getBytes(StandardCharsets.UTF_8)
+      val name = f"f$i%03d.dat"
+      Files.write(Paths.get(dir, name), body)
+      name -> body
+    }
+    (dir, files)
+  }
+
+  test("plan: bundle assignment equals the sequential bin-pack, any partitioning") {
+    val (dir, files) = mkFixture(40)
+    val target = 2000L
+    val manifest = FileManifest.scan(spark, s"file://$dir").toDF()
+    val got = Compaction.plan(manifest, target)
+      .select("path", "size", "bundle").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+
+    var cum = 0L
+    val want = files.sortBy(_._1).map { case (name, body) =>
+      val b = cum / target; cum += body.length; (name, body.length.toLong, b)
+    }
+    assert(got.toSeq == want)
+
+    // same plan over a deliberately reshuffled manifest
+    val again = Compaction
+      .plan(manifest.repartition(7, col("name"))
+        .sortWithinPartitions(desc("path")), target)
+      .select("path", "bundle").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(again.toSeq == want.map(w => (w._1, w._3)))
+  }
+
+  test("compact: bundles are byte-exact concatenations and the idx seeks correctly") {
+    val (dir, files) = mkFixture(25)
+    val target = 1500L
+    val out = Files.createTempDirectory("graft-compact-out").toString
+    val manifest = FileManifest.scan(spark, s"file://$dir").toDF()
+    val planned = Compaction.plan(manifest, target)
+    val stats = Compaction.compact(planned, s"file://$out", "packed")
+
+    assert(stats.files == files.length)
+    assert(stats.bytes == files.map(_._2.length.toLong).sum)
+    val bundleIds = planned.select("bundle").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(stats.bundles == bundleIds.length && bundleIds.length > 1)
+
+    val byBundle = planned.select("path", "bundle").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val bodies = files.toMap
+    bundleIds.foreach { b =>
+      val bin = Files.readAllBytes(
+        Paths.get(out, "packed", f"bundle-$b%05d.bin"))
+      val expected = byBundle(b).flatMap(bodies(_)).toArray
+      assert(bin.sameElements(expected), s"bundle $b bytes diverge")
+      // sidecar: (path, offset, length) rows slice the bin back into
+      // the original objects
+      val idx = new String(Files.readAllBytes(
+        Paths.get(out, "packed", f"bundle-$b%05d.idx")),
+        StandardCharsets.UTF_8)
+      val entries = idx.split("\n").filter(_.nonEmpty).map { line =>
+        val Array(p, o, l) = line.split("\t")
+        (p, o.toLong, l.toLong)
+      }
+      assert(entries.map(_._1).toSeq == byBundle(b).toSeq)
+      entries.foreach { case (p, off, len) =>
+        assert(bin.slice(off.toInt, (off + len).toInt)
+          .sameElements(bodies(p)), s"idx slice for $p diverges")
+      }
+    }
+  }
+
+  test("compact: a retry-shaped re-run rewrites identical bytes (idempotent)") {
+    val (dir, _) = mkFixture(12)
+    val out = Files.createTempDirectory("graft-compact-re").toString
+    val manifest = FileManifest.scan(spark, s"file://$dir").toDF()
+    val planned = Compaction.plan(manifest, 1200L)
+    Compaction.compact(planned, s"file://$out", "p")
+    val first = Files.list(Paths.get(out, "p")).toArray.map(_.toString)
+      .sorted.map(p => p -> Files.readAllBytes(Paths.get(p)).toSeq).toMap
+    Compaction.compact(planned, s"file://$out", "p")
+    val second = Files.list(Paths.get(out, "p")).toArray.map(_.toString)
+      .sorted.map(p => p -> Files.readAllBytes(Paths.get(p)).toSeq).toMap
+    assert(first == second)
+  }
+}
