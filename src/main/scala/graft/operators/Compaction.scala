@@ -149,4 +149,103 @@ object Compaction {
       CompactStats(nBundles, nFiles, totBytes)
     } finally rows.unpersist()
   }
+
+  /** The sidecar catalog of a compacted folder as a DataFrame:
+    * `(bundle_path, path, offset, length)` — one row per original
+    * object. The `.idx` files are tiny (one line per member), so
+    * `spark.read.text` over them is a metadata-scale scan no matter
+    * how large the packed data is; `input_file_name()` recovers which
+    * bundle each row belongs to.
+    */
+  def catalog(
+      spark: SparkSession, destBucket: String,
+      destFolder: String): DataFrame = {
+    val folder = graft.core.PathAlg.cleanFolderName(destFolder)
+    val prefix = if (folder.isEmpty) "" else s"$folder/"
+    spark.read.textFile(s"$destBucket/$prefix*.idx")
+      .select(
+        regexp_replace(input_file_name(), "\\.idx$", ".bin")
+          .as("bundle_path"),
+        split(col("value"), "\t").as("f"))
+      .select(col("bundle_path"), col("f").getItem(0).as("path"),
+        col("f").getItem(1).cast("long").as("offset"),
+        col("f").getItem(2).cast("long").as("length"))
+  }
+
+  /** Distributed un-pack read: every original object's bytes, straight
+    * out of the bundles, as `(path, length, content)`. Rows co-locate
+    * by bundle (one repartition on the bundle path) and sort by offset
+    * within it, so each task opens its bundle ONCE and reads forward
+    * sequentially — the IO pattern that matters when the bundles are
+    * remote-store objects with per-open latency. No bundle is ever
+    * buffered whole; each member is read exactly at its sidecar slice.
+    */
+  def readBundled(
+      spark: SparkSession, destBucket: String,
+      destFolder: String): DataFrame = {
+    val conf = new SerializableConfiguration(FileManifest.hadoopConf(spark))
+    val cat = catalog(spark, destBucket, destFolder)
+    val tasks = math.max(1, spark.sparkContext.defaultParallelism)
+    import spark.implicits._
+    cat.select("bundle_path", "path", "offset", "length")
+      .repartition(tasks, col("bundle_path"))
+      .sortWithinPartitions("bundle_path", "offset")
+      .as[(String, String, Long, Long)]
+      .mapPartitions { it =>
+        val c = conf.value
+        var opened: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        var fs: FileSystem = null
+        val out = it.map { case (bp, path, off, len) =>
+          if (bp != opened) {
+            if (in != null) in.close()
+            if (fs == null) fs = FileSystem.get(new URI(bp), c)
+            in = fs.open(new Path(bp))
+            opened = bp
+          }
+          val body = new Array[Byte](len.toInt)
+          in.readFully(off, body, 0, len.toInt)
+          (path, len, body)
+        }
+        // the iterator is fully drained by the consuming operator, so
+        // the final stream closes with the last element
+        new Iterator[(String, Long, Array[Byte])] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && in != null) { in.close(); in = null }
+            h
+          }
+          def next(): (String, Long, Array[Byte]) = out.next()
+        }
+      }
+      .toDF("path", "length", "content")
+  }
+
+  /** Point lookup of one original object inside a compacted folder —
+    * the O(1) promise of the sidecar: one catalog probe for the slice
+    * coordinates, then ONE positioned read of exactly `length` bytes
+    * from the bundle. Throws [[graft.core.BlueprintError.FileNotFound]]
+    * when the path was never packed, matching the manifest layer's
+    * point-lookup contract (SURVEY §2A-O2).
+    */
+  def readObject(
+      spark: SparkSession, destBucket: String, destFolder: String,
+      path: String): Array[Byte] = {
+    val hit = catalog(spark, destBucket, destFolder)
+      .filter(col("path") === path)
+      .select("bundle_path", "offset", "length")
+      .limit(1).collect()
+    if (hit.isEmpty)
+      throw graft.core.BlueprintError.FileNotFound(
+        s"$destBucket/$destFolder/$path (not in any bundle sidecar)")
+    val r = hit(0)
+    val fs = FileSystem.get(new URI(r.getString(0)),
+      FileManifest.hadoopConf(spark))
+    val in = fs.open(new Path(r.getString(0)))
+    try {
+      val body = new Array[Byte](r.getLong(2).toInt)
+      in.readFully(r.getLong(1), body, 0, body.length)
+      body
+    } finally in.close()
+  }
 }

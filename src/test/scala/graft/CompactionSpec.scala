@@ -91,6 +91,32 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("readBundled round-trips every object; readObject seeks one; missing path maps to 205") {
+    val (dir, files) = mkFixture(30)
+    val out = Files.createTempDirectory("graft-compact-rt").toString
+    val manifest = FileManifest.scan(spark, s"file://$dir").toDF()
+    Compaction.compact(Compaction.plan(manifest, 1800L), s"file://$out", "packed")
+
+    val got = Compaction.readBundled(spark, s"file://$out", "packed")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2)))
+      .sortBy(_._1)
+    val want = files.sortBy(_._1)
+    assert(got.map(_._1).toSeq == want.map(_._1))
+    got.zip(want).foreach { case ((p, len, body), (_, exp)) =>
+      assert(len == exp.length.toLong && body.sameElements(exp),
+        s"round-trip bytes diverge for $p")
+    }
+
+    val one = files(17)
+    assert(Compaction.readObject(spark, s"file://$out", "packed", one._1)
+      .sameElements(one._2))
+    val err = intercept[graft.core.BlueprintError.FileNotFound] {
+      Compaction.readObject(spark, s"file://$out", "packed", "nope.dat")
+    }
+    assert(err.exitCode == 205)
+  }
+
   test("compact: a retry-shaped re-run rewrites identical bytes (idempotent)") {
     val (dir, _) = mkFixture(12)
     val out = Files.createTempDirectory("graft-compact-re").toString
