@@ -1531,7 +1531,94 @@ object Dedup {
                 (SELECT COUNT(*) FROM documents)
                   - CAST(COALESCE((SELECT SUM(csize) FROM sizes), 0)
                     AS BIGINT) AS n_docs
-              ORDER BY csize"""))
+              ORDER BY csize""")),
+
+    // Cross-source copy matrix — the near-dup pair graph rolled up by
+    // SOURCE pair: q34 asks "do two sources share shingle sets?"
+    // (set-level), q143 "do they word things the same?" (distribution-
+    // level); this answers "how many actual near-duplicate DOCUMENT
+    // pairs link them?" — the mirror-site / syndication report a crawl
+    // operator reads before blocklisting a domain. Unordered source
+    // pair (least/greatest), so a→b and b→a copies accumulate in one
+    // cell; the diagonal (s1 = s2) is within-source duplication. Plan:
+    // the pair frame is the q25 LSH+verify output (tiny vs the
+    // corpus); two skinny broadcast-joinable (doc_id → source) lookups
+    // and ONE bounded-key (≤ sources²) aggregation — the corpus is
+    // never re-read beyond the shared shingle scan.
+    "q147_source_copy_matrix" -> QueryDef(
+      (s, dir) => {
+        val src = table(s, dir, "documents").select(col("doc_id"), col("source"))
+        neardupPairs(s, dir)
+          .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+          .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+          .select(least(col("sa"), col("sb")).as("s1"),
+            greatest(col("sa"), col("sb")).as("s2"),
+            col("da"), col("db"))
+          .groupBy("s1", "s2")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("da")).as("n_da"),
+            countDistinct(col("db")).as("n_db"))
+          .orderBy("s1", "s2")
+      },
+      Some("""WITH toks AS (SELECT doc_id, source,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                    AS t
+                FROM documents),
+              sh AS (SELECT doc_id, source,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                  a.source AS sa, b.source AS sb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.8)
+              SELECT LEAST(sa, sb) AS s1, GREATEST(sa, sb) AS s2,
+                COUNT(*) AS n_pairs,
+                COUNT(DISTINCT da) AS n_da,
+                COUNT(DISTINCT db) AS n_db
+              FROM p GROUP BY 1, 2 ORDER BY s1, s2""")),
+
+    // Suffix-duplicate scan — q125's mirror: documents that are exact
+    // token-boundary SUFFIXES of longer documents (shared boilerplate
+    // footer, a feed that re-ships the closing paragraphs, a page
+    // whose header was stripped in one crawl but not the other). Same
+    // completeness argument flipped to the tail: long = rest + ' ' +
+    // short means short's token list is a suffix of long's, so both
+    // share their LAST-2-token key — a bounded-domain complete
+    // candidate generator; the verifier is one codegen'd endswith per
+    // candidate. Same skew caveat as q125 (hot footer keys are q118's
+    // measurable case, boundable by group cap/salting per q111).
+    "q148_suffix_dup" -> QueryDef(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("text"),
+            array_join(slice(col("toks"), -2, 2), " ").as("sk"),
+            length(col("text")).cast("long").as("len"))
+        val short = d.select(col("doc_id").as("short_id"),
+          col("text").as("st"), col("sk"), col("len").as("short_len"))
+        val long = d.select(col("doc_id").as("long_id"),
+          col("text").as("lt"), col("sk"), col("len").as("long_len"))
+        short.join(long, Seq("sk"))
+          .filter(endswith(col("lt"), concat(lit(" "), col("st"))))
+          .select("short_id", "long_id", "short_len", "long_len")
+          .orderBy("short_id", "long_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                    AS toks
+                FROM documents),
+              f AS (SELECT doc_id, text,
+                  CAST(LENGTH(text) AS BIGINT) AS len
+                FROM d WHERE len(toks) >= 2)
+              SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+                a.len AS short_len, b.len AS long_len
+              FROM f a JOIN f b ON ends_with(b.text, ' ' || a.text)
+              ORDER BY short_id, long_id"""))
   )
 
 }
