@@ -285,6 +285,56 @@ object Stress {
           .groupBy("shard", "bin").agg(count(lit(1)))
           .count()
       },
+      // two-level prefix-sum shard planner (q139 / Compaction.plan
+      // shape): partition-local cumsum + a ≤-parts-row broadcast offset
+      // frame — the global running sum with NO single-task collapse;
+      // wall should track the one range repartition
+      timed("prefix_sum_shard") {
+        val parts = spark.sparkContext.defaultParallelism
+        val m = documents.select(col("doc_id"), col("n_chars"))
+          .repartitionByRange(parts, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wLocal = org.apache.spark.sql.expressions.Window
+          .partitionBy("pid").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        val offs = m.groupBy("pid").agg(sum("n_chars").as("psum"))
+          .withColumn("off", coalesce(sum("psum")
+            .over(org.apache.spark.sql.expressions.Window.orderBy("pid")
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "off")
+        m.withColumn("lc", sum("n_chars").over(wLocal))
+          .join(broadcast(offs), "pid")
+          .withColumn("shard", expr("(lc + off - n_chars) div 65536"))
+          .groupBy("shard").agg(count(lit(1)))
+          .count()
+      },
+      // affix-duplicate candidate joins (q125 prefix / q148 suffix
+      // shape): equi-join on the bounded first-2/last-2-token keys +
+      // codegen'd startswith/endswith verify — replica-salted tokens
+      // keep per-key group size constant, so candidates grow linearly
+      timed("affix_dup") {
+        val d = documents
+          .select(col("doc_id"), col("text"),
+            graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("text"),
+            array_join(slice(col("toks"), 1, 2), " ").as("pk"),
+            array_join(slice(col("toks"), -2, 2), " ").as("sk"))
+        val pre = d.select(col("doc_id").as("a"), col("text").as("ta"), col("pk"))
+          .join(d.select(col("doc_id").as("b"), col("text").as("tb"), col("pk")),
+            Seq("pk"))
+          .filter(startswith(col("tb"), concat(col("ta"), lit(" "))))
+          .count()
+        val suf = d.select(col("doc_id").as("a"), col("text").as("ta"), col("sk"))
+          .join(d.select(col("doc_id").as("b"), col("text").as("tb"), col("sk")),
+            Seq("sk"))
+          .filter(endswith(col("tb"), concat(lit(" "), col("ta"))))
+          .count()
+        pre + suf
+      },
       // persisted-PQ-index probe (q126's scale path): the index over
       // the INFLATED corpus is built once (untimed, like the band
       // index) and a FIXED query batch probes it. Wall tracks the
