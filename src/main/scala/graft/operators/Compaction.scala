@@ -221,6 +221,122 @@ object Compaction {
       .toDF("path", "length", "content")
   }
 
+  /** The landing-zone loop as a Structured Streaming job: watch
+    * `landingUri` for newly-arrived files (the `binaryFile` source
+    * tracks what's been processed in the checkpoint), and per
+    * micro-batch bin-pack the NEW files into bundles under
+    * `destBucket/destFolder` — bundle files carry the batch id
+    * (`b<batchId>-bundle-NNNNN`), so a replayed batch (foreachBatch's
+    * retry contract: same files, same id) overwrites its own bundles
+    * byte-identically instead of duplicating them. Sidecar paths are
+    * relativized against the landing root, so [[catalog]] /
+    * [[readBundled]] / [[readObject]] read streamed and batch-compacted
+    * folders the same way. Per-batch work is bounded by
+    * `maxFilesPerTrigger`; the accumulated bundle store is never
+    * re-read or re-written.
+    */
+  def compactStream(
+      spark: SparkSession,
+      landingUri: String,
+      destBucket: String,
+      destFolder: String,
+      targetBytes: Long,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    // the binaryFile source's fixed schema, stated explicitly —
+    // streaming sources don't infer
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // the compactor's subject IS small files; don't silently skip big ones
+      .load(s"$landingUri/*")
+      .select(col("path"), col("length").as("size"), col("content"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          compactBatch(batch.toDF(), id, landingUri, destBucket,
+            destFolder, targetBytes)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[compactStream]]: the [[plan]] bin-pack rule
+    * over the batch manifest (bytes already in the `content` column —
+    * the landing files are never re-opened), then one
+    * repartition-on-bundle write pass sharing [[compact]]'s
+    * sidecar-last layout.
+    */
+  private def compactBatch(
+      batch: DataFrame, batchId: Long, landingUri: String,
+      destBucket: String, destFolder: String, targetBytes: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val conf = new SerializableConfiguration(FileManifest.hadoopConf(spark))
+    val folder = graft.core.PathAlg.cleanFolderName(destFolder)
+    val prefix = if (folder.isEmpty) "" else s"$folder/"
+    val rootUri = new Path(new URI(landingUri)).toUri
+    val planned = plan(batch, targetBytes)
+      .select("bundle", "path", "content")
+    val tasks = math.max(1, spark.sparkContext.defaultParallelism)
+    planned.repartition(tasks, col("bundle"))
+      .sortWithinPartitions("bundle", "path")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val c = conf.value
+        var fs: FileSystem = null
+        def destFs(): FileSystem = {
+          if (fs == null) fs = FileSystem.get(new URI(destBucket), c)
+          fs
+        }
+        def rel(p: String): String = {
+          val u = new Path(p).toUri
+          val r = rootUri.relativize(u)
+          if (r.isAbsolute) u.getPath else r.getPath
+        }
+        var bundle = -1L
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var idx: StringBuilder = null
+        var offset = 0L
+        def name(ext: String): Path = new Path(
+          s"$destBucket/${prefix}b$batchId-bundle-%05d.$ext".format(bundle))
+        def closeBundle(): Unit = if (out != null) {
+          out.close()
+          val idxOut = destFs().create(name("idx"), true)
+          idxOut.write(idx.toString.getBytes(StandardCharsets.UTF_8))
+          idxOut.close()
+          out = null
+        }
+        it.foreach { r =>
+          val b = r.getLong(0)
+          if (b != bundle) {
+            closeBundle()
+            bundle = b
+            out = destFs().create(name("bin"), true)
+            idx = new StringBuilder
+            offset = 0L
+          }
+          val body = r.getAs[Array[Byte]](2)
+          out.write(body)
+          idx.append(rel(r.getString(1))).append('\t')
+            .append(offset).append('\t').append(body.length).append('\n')
+          offset += body.length
+        }
+        closeBundle()
+      }
+  }
+
   /** Point lookup of one original object inside a compacted folder —
     * the O(1) promise of the sidecar: one catalog probe for the slice
     * coordinates, then ONE positioned read of exactly `length` bytes

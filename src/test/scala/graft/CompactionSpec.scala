@@ -117,6 +117,54 @@ class CompactionSpec extends SparkSpec {
     assert(err.exitCode == 205)
   }
 
+  test("compactStream: two arrival waves pack incrementally; the store round-trips") {
+    val land = Files.createTempDirectory("graft-land").toString
+    val out = Files.createTempDirectory("graft-land-out").toString
+    val ckpt = Files.createTempDirectory("graft-land-ckpt").toString
+    def drop(tag: String, n: Int): Seq[(String, Array[Byte])] =
+      (0 until n).map { i =>
+        val body = (s"$tag-$i:" + ("y" * (i % 5 + 1) * 120))
+          .getBytes(StandardCharsets.UTF_8)
+        val name = f"$tag-$i%03d.dat"
+        Files.write(Paths.get(land, name), body)
+        name -> body
+      }
+
+    val wave1 = drop("w1", 9)
+    val q1 = Compaction.compactStream(spark, s"file://$land",
+      s"file://$out", "packed", 800L, ckpt)
+    q1.processAllAvailable(); q1.stop()
+
+    val cat1 = Compaction.catalog(spark, s"file://$out", "packed")
+      .select("path").collect().map(_.getString(0)).sorted
+    assert(cat1.toSeq == wave1.map(_._1).sorted)
+
+    val wave2 = drop("w2", 6)
+    // a fresh query off the same checkpoint resumes the source's file
+    // tracking: only wave-2 files are packed
+    val q2 = Compaction.compactStream(spark, s"file://$land",
+      s"file://$out", "packed", 800L, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    val all = (wave1 ++ wave2).sortBy(_._1)
+    val got = Compaction.readBundled(spark, s"file://$out", "packed")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == all.map(_._1))
+    got.zip(all).foreach { case ((p, body), (_, exp)) =>
+      assert(body.sameElements(exp), s"streamed round-trip diverges for $p")
+    }
+    // batch-tagged bundle names: wave 2 never rewrote wave 1's bundles
+    val names = Files.list(Paths.get(out, "packed")).toArray
+      .map(_.toString.split('/').last).sorted
+    assert(names.count(_.endsWith(".bin")) >= 2)
+    assert(names.exists(_.startsWith("b0-")) &&
+      names.exists(n => n.endsWith(".bin") && !n.startsWith("b0-")))
+    // point lookup straight out of the streamed store
+    assert(Compaction.readObject(spark, s"file://$out", "packed",
+      wave2(3)._1).sameElements(wave2(3)._2))
+  }
+
   test("compact: a retry-shaped re-run rewrites identical bytes (idempotent)") {
     val (dir, _) = mkFixture(12)
     val out = Files.createTempDirectory("graft-compact-re").toString
