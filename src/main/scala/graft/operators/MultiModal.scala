@@ -17,12 +17,15 @@ final case class MediaAsset(
 
 /** Decoded media features. For image formats the JDK itself can read
   * (PNG/JPEG/GIF/BMP via `javax.imageio` — no external codec needed),
-  * `width`/`height`/`format` are REAL, parsed from the payload header.
-  * Everything else — audio/video dimensions and the `features` vector
-  * (which would come from a model) — is the deterministic STUB
-  * ([[MultiModal.stubDecode]], `format = "stub"`); the Spark-side
-  * plumbing (schema, typed encoders, per-partition batching,
-  * feature-vector shape) is real and tested (MultiModalSpec).
+  * `width`/`height`/`format` are REAL, parsed from the payload header,
+  * and [[MultiModal.extractFeatures]] fills `features` with REAL pixel
+  * statistics (mean RGB, luma mean/std, aspect, gradient, saturation —
+  * bounded-grid sampled) from a full decode. Audio/video dimensions
+  * and any MODEL-derived embedding remain the deterministic STUB
+  * ([[MultiModal.stubDecode]], `format = "stub"` — those codecs/models
+  * are not in this environment); the Spark-side plumbing (schema,
+  * typed encoders, per-partition batching, feature-vector shape) is
+  * real and tested (MultiModalSpec).
   */
 final case class MediaFeatures(
     asset_id: Long,
@@ -139,6 +142,95 @@ object MultiModal {
         stubDecode(a).copy(width = w, height = h, format = fmt)
       case None => stubDecode(a)
     }
+
+  /** REAL pixel-statistics feature vector from a full `ImageIO.read`
+    * decode — pure JDK, no model, deterministic. The 8 slots:
+    * mean R/G/B, luma mean, luma std, aspect w/(w+h), mean horizontal
+    * luma gradient, mean saturation (max−min channel), all in [0,1].
+    * Pixels sample on a fixed grid of ≤ 64×64 positions (step =
+    * ceil(dim/64)), so the statistics cost is BOUNDED per asset no
+    * matter how large the image — the full decode itself is the
+    * unavoidable price of pixel features, which is why this stage is
+    * separate from the header-only metadata scan ([[decode]]). Returns
+    * (width, height, features); None when no installed reader can
+    * produce pixels (caller falls back to the stub vector).
+    */
+  def decodePixelFeatures(
+      content: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0) None
+        else {
+          val sx = math.max(1, (w + 63) / 64)
+          val sy = math.max(1, (h + 63) / 64)
+          var n = 0L
+          var sr, sg, sb, sl, sl2, sgrad, ssat = 0.0
+          var ngrad = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            var prevLuma = -1.0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = ((rgb >> 16) & 0xff) / 255.0
+              val g = ((rgb >> 8) & 0xff) / 255.0
+              val b = (rgb & 0xff) / 255.0
+              val luma = 0.299 * r + 0.587 * g + 0.114 * b
+              sr += r; sg += g; sb += b
+              sl += luma; sl2 += luma * luma
+              ssat += math.max(r, math.max(g, b)) -
+                math.min(r, math.min(g, b))
+              if (prevLuma >= 0) { sgrad += math.abs(luma - prevLuma); ngrad += 1 }
+              prevLuma = luma
+              n += 1
+              x += sx
+            }
+            y += sy
+          }
+          val mean = sl / n
+          val varl = math.max(0.0, sl2 / n - mean * mean)
+          Some((w, h, Array(
+            (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+            mean.toFloat, math.sqrt(varl).toFloat,
+            (w.toDouble / (w + h)).toFloat,
+            (if (ngrad > 0) sgrad / ngrad else 0.0).toFloat,
+            (ssat / n).toFloat)))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The full feature-extraction stage: real pixel statistics for every
+    * image payload the JDK can fully decode (width/height/format from
+    * the same decode), header-or-stub fallback for the rest. Same
+    * map-only executor-parallel shape as [[decodeFeatures]]; the only
+    * difference is that this stage READS pixels, so at a 100 TB store
+    * it runs on the assets a query actually selected, after the
+    * header-only metadata scan has pruned.
+    */
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val px =
+          if (a.modality == "image") decodePixelFeatures(a.content) else None
+        px match {
+          case Some((w, h, feats)) =>
+            // header parse supplies the format NAME; dims come from the
+            // decoded raster itself
+            val fmt = decodeImageHeader(a.content)
+              .map(_._3).getOrElse("image")
+            MediaFeatures(a.asset_id, a.modality, a.content.length.toLong,
+              w, h, fmt, feats)
+          case None => decode(a)
+        }
+      }
+    }
+  }
 
   /** The decode/feature-extract stage: executor-parallel, one decoder
     * per partition, no shuffle.

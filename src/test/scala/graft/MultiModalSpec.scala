@@ -78,6 +78,61 @@ class MultiModalSpec extends SparkSpec {
     assert(f.width == 120 && f.height == 77 && f.format == "png")
   }
 
+  test("extractFeatures computes real pixel statistics for decodable images") {
+    import spark.implicits._
+    def solid(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "png", bos))
+      bos.toByteArray
+    }
+    def ramp(w: Int, h: Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255) / math.max(1, w - 1)
+        bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "png", bos))
+      bos.toByteArray
+    }
+    val assets = Seq(
+      MediaAsset(1L, "image", solid(10, 6, 0xff0000), "s"), // pure red
+      MediaAsset(2L, "image", ramp(64, 4), "s"),            // gray ramp
+      MediaAsset(3L, "audio", solid(8, 8, 0x00ff00), "s"),  // wrong modality
+      MediaAsset(4L, "image", Array[Byte](1, 2, 3), "s")    // undecodable
+    ).toDS()
+    val out = MultiModal.extractFeatures(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+
+    val red = out(1L)
+    assert(red.width == 10 && red.height == 6 && red.format == "png")
+    val Array(mr, mg, mb, luma, lstd, aspect, grad, sat) = red.features
+    assert(math.abs(mr - 1f) < 1e-3 && mg < 1e-3 && mb < 1e-3)
+    assert(math.abs(luma - 0.299f) < 1e-3) // Rec.601 red luma
+    assert(lstd < 1e-3 && grad < 1e-3)     // uniform image: no variance
+    assert(math.abs(aspect - 10f / 16f) < 1e-6)
+    assert(math.abs(sat - 1f) < 1e-3)      // fully saturated
+
+    val g = out(2L).features
+    assert(g(4) > 0.1f)            // ramp: real luma spread
+    assert(g(6) > 0f)              // nonzero horizontal gradient
+    assert(g(7) < 1e-3f)           // gray: zero saturation
+    assert(math.abs(g(0) - g(1)) < 1e-3 && math.abs(g(1) - g(2)) < 1e-3)
+
+    // non-image and undecodable payloads keep the stub contract
+    assert(out(3L).format == "stub" && out(4L).format == "stub")
+    assert(out(4L).features.forall(v => v >= 0f && v < 1f))
+    // determinism: a second pass is bit-identical
+    val again = MultiModal.extractFeatures(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(out(1L).features.toSeq == again(1L).features.toSeq &&
+      out(2L).features.toSeq == again(2L).features.toSeq)
+  }
+
   test("malformed image headers degrade to the stub instead of failing the task") {
     // ADVICE r8: imageio readers throw RUNTIME exceptions (not just
     // IOException) on crawl-grade garbage — e.g. a PNG magic followed
