@@ -761,8 +761,46 @@ object Similarity {
                 FROM d)
               SELECT label, CAST(rn AS BIGINT) AS rn, vec_id,
                 ROUND(dsq, 4) AS dist_sq
-              FROM r WHERE rn <= 3 ORDER BY label, rn"""))
-  )
+              FROM r WHERE rn <= 3 ORDER BY label, rn""")),
+
+    // Cross-modal label↔language alignment matrix — the consistency
+    // check between the embedding store's cluster labels and the text
+    // side's language metadata (vec_id ↔ doc_id is the cross-modal
+    // key): per (label, lang) document counts plus each cell's share
+    // of its label in basis points (integer-exact half-up division) —
+    // a label whose mass smears across languages is either a genuinely
+    // multilingual cluster or a labeling bug, and this is the scan
+    // that says which labels to look at. Plan: ONE equi-join on the id
+    // key (both sides shuffle-pruned to two skinny columns; at store
+    // scale both sides arrive bucketed on the id and the join is
+    // exchange-free) into a bounded-key (labels × langs) aggregation;
+    // the per-label totals broadcast back onto the matrix frame.
+    "q149_modal_alignment" -> QueryDef(
+      (s, dir) => {
+        val cells = table(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("label"))
+          .join(table(s, dir, "documents").select(col("doc_id"), col("lang")),
+            "doc_id")
+          .groupBy("label", "lang").agg(count(lit(1)).as("n_docs"))
+        val totals = cells.groupBy("label")
+          .agg(sum("n_docs").as("n_label"))
+        cells.join(broadcast(totals), "label")
+          .select(col("label"), col("lang"), col("n_docs"),
+            expr("(10000 * n_docs * 2 + n_label) div (2 * n_label)")
+              .as("share_bps"))
+          .orderBy("label", "lang")
+      },
+      Some("""WITH m AS (SELECT e.label, d.lang, COUNT(*) AS n_docs
+                FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+                GROUP BY 1, 2),
+              t AS (SELECT label, CAST(SUM(n_docs) AS BIGINT) AS n_label
+                    FROM m GROUP BY 1)
+              SELECT m.label, m.lang, m.n_docs,
+                (10000 * m.n_docs * 2 + t.n_label) // (2 * t.n_label)
+                  AS share_bps
+              FROM m JOIN t ON t.label = m.label
+              ORDER BY m.label, lang""")
+  ))
 
   /** Cell-local SemDeDup — the linear-time scale path of q135: assign
     * every vector to its IVF cell ([[Ann.coarseQuantizer]], the same
