@@ -196,6 +196,34 @@ object Stress {
           .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
           .filter(col("n_hit") >= 5).count()
       },
+      // fuzzy decontamination (q152's shape): 64-band × 2-row MinHash
+      // candidates between a hash-split eval side and the corpus +
+      // exact-Jaccard verify of survivors — the eval side is a fixed
+      // corpus fraction here, so candidate volume (and wall) must grow
+      // LINEARLY with the corpus, never as eval × corpus pairs
+      timed("fuzzy_decontam") {
+        val sh = documents
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
+          .filter(size(col("sh")) > 0)
+        val isBench = pmod(xxhash64(col("doc_id")), lit(50)) === 0
+        val benchSh = sh.filter(isBench)
+        val corpusSh = sh.filter(!isBench)
+        val bb = graft.operators.Dedup.bandedLayout(benchSh, 64, 2)
+          .select(col("doc_id").as("bench_id"), col("band"))
+        val cb = graft.operators.Dedup.bandedLayout(corpusSh, 64, 2)
+        val cand = cb.join(bb, "band")
+          .select("doc_id", "bench_id").distinct()
+        val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
+        cand
+          .join(corpusSh.select(col("doc_id"), col("sh").as("sha")),
+            "doc_id")
+          .join(benchSh.select(col("doc_id").as("bench_id"),
+            col("sh").as("shb")), "bench_id")
+          .filter(lit(2L) * inter >=
+            size(col("sha")) + size(col("shb")) - inter)
+          .select("doc_id").distinct().count()
+      },
       // gram-novelty anti-join (q110's scale path): two distinct-gram
       // frames + one gram-keyed LEFT ANTI join — wall-clock must track
       // distinct-gram volume (linear in corpus), never doc pairs

@@ -107,11 +107,24 @@ object Dedup {
     * probe.
     */
   private def bandedOf(
-      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bandedLayout(sh, Bands, RowsPerBand)
+
+  /** Parameterized banding — same signature, any (bands × rowsPerBand)
+    * split of the 128 slots. The 32×4 default is tuned for the 0.8
+    * near-dup threshold; the 64×2 layout trades candidate precision
+    * for recall at LOW thresholds (catch probability per band is J^r,
+    * so r=2 keeps 1-(1-J²)^64 ≈ 1 at J = 0.5 where r=4 would miss ~13%
+    * of true pairs) — the fuzzy-decontamination operating point.
+    */
+  private[graft] def bandedLayout(
+      sh: org.apache.spark.sql.DataFrame,
+      bands: Int, rowsPerBand: Int): org.apache.spark.sql.DataFrame = {
+    require(bands * rowsPerBand <= HashFunctions.MinHashK)
     val sig = sh.withColumn("sig", expr("graft_minhash(sh)"))
-    val bandCols = (0 until Bands).map { b =>
-      xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
-        element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
   }
@@ -1618,7 +1631,141 @@ object Dedup {
               SELECT a.doc_id AS short_id, b.doc_id AS long_id,
                 a.len AS short_len, b.len AS long_len
               FROM f a JOIN f b ON ends_with(b.text, ' ' || a.text)
-              ORDER BY short_id, long_id"""))
+              ORDER BY short_id, long_id""")),
+
+    // Fuzzy decontamination — q96 flags docs sharing ≥ 5 exact shingles
+    // with an eval doc; this is the NEAR-DUP form (the Llama-style
+    // fuzzy rule): corpus docs whose exact Jaccard against ANY eval
+    // stand-in reaches 0.5 — catching lightly-edited eval copies whose
+    // shared-gram count stays under an absolute threshold because the
+    // doc is short. Candidates come from the 64-band × 2-row MinHash
+    // layout ([[bandedLayout]]): at τ=0.5 the catch probability per
+    // band is J² = 0.25, so a true pair survives with
+    // 1-(1-0.25)^64 ≈ 1-1e-8 — and on this corpus the margin is far
+    // wider (true cross pairs measure J ≈ 0.96, background J < 0.05,
+    // the q25-style margin argument), so the LSH+verify output equals
+    // the oracle's brute force. The threshold test is the integer
+    // cross-multiplication 2·|∩| ≥ |∪| — no float at the boundary.
+    // Plan: eval bands are a fixed-size frame (the real eval set
+    // broadcasts by stats); candidate work is O(corpus × bands ×
+    // occupancy) with NO corpus×corpus pairing; exact verification
+    // joins shingle payloads for surviving candidates only.
+    "q152_fuzzy_decontamination" -> QueryDef(
+      (s, dir) => {
+        val sh = shingled(s, dir)
+          .managedPersist
+        val benchSh = sh.filter(col("doc_id") % 50 === 0)
+        val corpusSh = sh.filter(col("doc_id") % 50 =!= 0)
+        val benchB = bandedLayout(benchSh, 64, 2)
+          .select(col("doc_id").as("bench_id"), col("band"))
+        val corpusB = bandedLayout(corpusSh, 64, 2)
+        val cand = corpusB.join(benchB, "band")
+          .select(col("doc_id"), col("bench_id")).distinct()
+        val flagged = cand
+          .join(corpusSh.select(col("doc_id"), col("sh").as("sha")),
+            "doc_id")
+          .join(benchSh.select(col("doc_id").as("bench_id"),
+            col("sh").as("shb")), "bench_id")
+          .withColumn("inter",
+            size(array_intersect(col("sha"), col("shb"))).cast("long"))
+          .withColumn("un",
+            size(col("sha")) + size(col("shb")) - col("inter"))
+          .filter(lit(2L) * col("inter") >= col("un"))
+          .select("doc_id").distinct()
+        table(s, dir, "documents")
+          .filter(col("doc_id") % 50 =!= 0)
+          .join(flagged.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_fuzzy_contaminated"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              e AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 = 0),
+              c AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+              fl AS (SELECT DISTINCT c.doc_id
+                FROM c JOIN e ON 2 * len(list_intersect(c.s, e.s)) >=
+                  (len(c.s) + len(e.s) - len(list_intersect(c.s, e.s))))
+              SELECT d.lang, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_fuzzy_contaminated
+              FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id
+              WHERE d.doc_id % 50 <> 0
+              GROUP BY 1 ORDER BY d.lang""")),
+
+    // Automatic source blocklisting — the release decision q94/q147
+    // feed: a source whose share of near-dup-involved documents
+    // reaches 8% (800 bps, integer half-up) is blocked, and the
+    // report says what dropping those sources costs per language.
+    // This is the mirror-site kill switch: compute it from the corpus
+    // instead of maintaining a hand-curated domain list. Plan: the
+    // verified pair frame is q25's LSH+verify output (tiny vs the
+    // corpus); involved-doc and per-source stats are bounded-key
+    // aggregations; the blocklist is a ≤|sources|-row frame that
+    // BROADCASTS back onto one corpus scan for the kept/dropped
+    // rollup — the corpus is read once beyond the shared shingle scan.
+    "q153_source_blocklist" -> QueryDef(
+      (s, dir) => {
+        val pairs = neardupPairs(s, dir)
+        val involved = pairs.select(col("da").as("doc_id"))
+          .union(pairs.select(col("db").as("doc_id"))).distinct()
+        val docs = table(s, dir, "documents")
+        val srcStat = docs
+          .join(involved.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("dup"), lit(0L))).as("n_dup_docs"))
+          .withColumn("share_bps",
+            expr("(10000 * n_dup_docs * 2 + n_docs) div (2 * n_docs)"))
+        val blocked = srcStat.filter(col("share_bps") >= 800)
+          .select(col("source"))
+        val nBlocked = blocked.agg(count(lit(1)).as("n_blocked_sources"))
+        docs
+          .join(broadcast(blocked.withColumn("blk", lit(1L))),
+            Seq("source"), "left")
+          .groupBy("lang")
+          .agg(sum(when(col("blk").isNull, 1L).otherwise(0L)).as("n_kept"),
+            sum(coalesce(col("blk"), lit(0L))).as("n_dropped"))
+          .crossJoin(broadcast(nBlocked))
+          .select("lang", "n_kept", "n_dropped", "n_blocked_sources")
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.8),
+              inv AS (SELECT DISTINCT doc_id FROM
+                (SELECT da AS doc_id FROM p UNION SELECT db FROM p) u),
+              st AS (SELECT d.source, COUNT(*) AS n_docs,
+                  COUNT(inv.doc_id) AS n_dup_docs
+                FROM documents d LEFT JOIN inv USING (doc_id)
+                GROUP BY 1),
+              blk AS (SELECT source FROM st
+                WHERE (10000 * n_dup_docs * 2 + n_docs) // (2 * n_docs)
+                  >= 800),
+              nb AS (SELECT COUNT(*) AS n_blocked_sources FROM blk)
+              SELECT d.lang,
+                CAST(SUM(CASE WHEN b.source IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN b.source IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dropped,
+                nb.n_blocked_sources
+              FROM documents d LEFT JOIN blk b USING (source), nb
+              GROUP BY 1, nb.n_blocked_sources ORDER BY d.lang"""))
   )
 
 }

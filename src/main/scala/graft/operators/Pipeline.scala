@@ -445,26 +445,7 @@ object Pipeline {
     // to weighted sums.
     "q139_shard_plan" -> QueryDef(
       (s, dir) => {
-        val target = 65536L
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id"), col("n_chars"))
-          .repartitionByRange(16, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-          .managedPersist
-        val wLocal = Window.partitionBy("pid").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // exclusive prefix of the per-partition totals: ≤16 rows, so the
-        // unpartitioned window is a bounded frame, not a data collapse
-        val offs = docs.groupBy("pid").agg(sum("n_chars").as("psum"))
-          .withColumn("off",
-            coalesce(sum("psum").over(Window.orderBy("pid")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("pid", "off")
-        docs
-          .withColumn("lc", sum("n_chars").over(wLocal))
-          .join(broadcast(offs), "pid")
-          .withColumn("shard",
-            expr(s"(lc + off - n_chars) div $target"))
+        shardAssigned(s, dir)
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"),
             sum("n_chars").as("shard_chars"),
@@ -479,6 +460,71 @@ object Pipeline {
                 COUNT(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
                 MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+              FROM c GROUP BY 1 ORDER BY shard""")),
+
+    // Release-manifest checksums — q139 says WHERE each doc goes; this
+    // is the reproducibility artifact shipped WITH the shards: per
+    // shard, an md5 over the comma-joined doc_id list in id order. Two
+    // independently-built releases (different cluster, different
+    // partitioning) must produce byte-identical manifests, or a
+    // training run can't prove it read the corpus the release notes
+    // describe — the same partitioning-invariance contract the shard
+    // rule itself carries (suite-asserted for q139). Plan: the shard
+    // assignment reuses q139's two-level prefix sum (no global-window
+    // collapse); the per-shard id list is bounded by target/min-doc
+    // bytes (a shard holds at most ~target/|smallest doc| ids), so the
+    // collect+join inside each shard group is a bounded row, not a
+    // corpus-sized concat.
+    "q151_shard_manifest" -> QueryDef(
+      (s, dir) => {
+        shardAssigned(s, dir)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("shard_chars"),
+            md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+              x => x.cast("string")), ",")).as("manifest_md5"))
+          .orderBy("shard")
+      },
+      Some("""WITH c AS (SELECT doc_id, n_chars,
+                  SUM(n_chars) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum_end
+                FROM documents)
+              SELECT CAST((cum_end - n_chars) // 65536 AS BIGINT) AS shard,
+                COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+                md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id))
+                  AS manifest_md5
               FROM c GROUP BY 1 ORDER BY shard"""))
   )
+
+  /** q139's streaming bin-pack shard assignment as a reusable frame:
+    * (doc_id, n_chars, shard) with shard = floor(exclusive-prefix-sum
+    * of n_chars in doc_id order / 64 KiB), built with the two-level
+    * prefix-sum decomposition (partition-local running sums + a ≤16-row
+    * broadcast offset frame) so NO stage collapses the corpus onto one
+    * task. Shared by the shard plan (q139) and the manifest-checksum
+    * report (q151); partitioning-invariance is suite-asserted.
+    */
+  private def shardAssigned(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      target: Long = 65536L): org.apache.spark.sql.DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .repartitionByRange(16, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .managedPersist
+    val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exclusive prefix of the per-partition totals: ≤16 rows, so the
+    // unpartitioned window is a bounded frame, not a data collapse
+    val offs = docs.groupBy("pid").agg(sum("n_chars").as("psum"))
+      .withColumn("off",
+        coalesce(sum("psum").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    docs
+      .withColumn("lc", sum("n_chars").over(wLocal))
+      .join(broadcast(offs), "pid")
+      .withColumn("shard", expr(s"(lc + off - n_chars) div $target"))
+  }
 }

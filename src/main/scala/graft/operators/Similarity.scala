@@ -799,8 +799,57 @@ object Similarity {
                 (10000 * m.n_docs * 2 + t.n_label) // (2 * t.n_label)
                   AS share_bps
               FROM m JOIN t ON t.label = m.label
-              ORDER BY m.label, lang""")
-  ))
+              ORDER BY m.label, lang""")),
+
+    // Per-DIMENSION health report over the embedding store: component
+    // count, mean, and variance for every position, plus a dead-dim
+    // bit (variance below 1e-4 — a dimension the encoder collapsed to
+    // a constant, wasted storage and an ANN discrimination term that
+    // contributes nothing). q95 is the per-VECTOR norm QA; this is the
+    // per-COLUMN scan run after an encoder change or a quantization
+    // step. Determinism: Σx and Σx² accumulate as decimals (order-free
+    // exact), the mean/variance divisions are single IEEE ops on those
+    // exact inputs (identical doubles both engines). Plan: one
+    // posexplode into a dim-bounded (≤ 64-key) aggregation with
+    // map-side partials — the corpus contributes exactly one shuffle of
+    // partial sums, never rows.
+    "q150_dim_variance" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        table(s, dir, "embeddings")
+          .select(posexplode(col("embedding")))
+          .select(col("pos").cast("long").as("pos"),
+            col("col").cast("double").as("x"))
+          .groupBy("pos")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast(DecimalType(18, 6))).cast("double").as("s1"),
+            sum((col("x") * col("x")).cast(DecimalType(18, 10)))
+              .cast("double").as("s2"))
+          .select(col("pos"), col("n"),
+            round(col("s1") / col("n"), 4).as("mean_x"),
+            round(col("s2") / col("n") -
+              (col("s1") / col("n")) * (col("s1") / col("n")), 4)
+              .as("var_x"),
+            (col("s2") / col("n") -
+              (col("s1") / col("n")) * (col("s1") / col("n")) < lit(0.0001))
+              .cast("long").as("dead_dim"))
+          .orderBy("pos")
+      },
+      Some("""WITH c AS (SELECT CAST(pos AS BIGINT) AS pos,
+                  CAST(v AS DOUBLE) AS x
+                FROM (SELECT UNNEST(embedding) AS v,
+                        UNNEST(range(len(embedding))) AS pos
+                      FROM embeddings) t),
+              a AS (SELECT pos, COUNT(*) AS n,
+                  CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(x*x AS DECIMAL(18,10))) AS DOUBLE) AS s2
+                FROM c GROUP BY 1)
+              SELECT pos, n, ROUND(s1/n, 4) AS mean_x,
+                ROUND(s2/n - (s1/n)*(s1/n), 4) AS var_x,
+                CAST(CASE WHEN s2/n - (s1/n)*(s1/n) < 0.0001
+                     THEN 1 ELSE 0 END AS BIGINT) AS dead_dim
+              FROM a ORDER BY pos"""))
+  )
 
   /** Cell-local SemDeDup — the linear-time scale path of q135: assign
     * every vector to its IVF cell ([[Ann.coarseQuantizer]], the same

@@ -1018,6 +1018,46 @@ object Stats {
                 ROUND(CAST(SUM((2 * rn - n - 1) * n_chars) AS DOUBLE) /
                   (CAST(COUNT(*) AS DOUBLE) *
                    CAST(SUM(n_chars) AS DOUBLE)), 4) AS gini
-              FROM r GROUP BY source ORDER BY source"""))
+              FROM r GROUP BY source ORDER BY source""")),
+
+    // Robotic-cadence triage — the crawl-hygiene scan on the EVENT
+    // side: the 10 users with the fastest median inter-event gap
+    // (exact interpolated median over integer second gaps, q87's
+    // percentile discipline; user_id tie-break). A scripted client
+    // fires on a clock and its median gap collapses toward the tick;
+    // this is the report an abuse reviewer reads before blocklisting
+    // user_ids, the per-user mirror of q137's per-day volume alarm.
+    // Gaps are integer epoch-second differences (engine-exact), the
+    // median interpolates those exact integers identically in both
+    // engines. Plan: ONE window shuffle on user_id for the lag, one
+    // per-user aggregation, then TakeOrderedAndProject — no stage
+    // holds more than the per-user frame.
+    "q154_bot_cadence" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("gap",
+            expr("(us - lag(us, 1) over (partition by user_id " +
+              "order by ts, event_id)) div 1000000"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(expr("percentile(gap, 0.5)"), 2).as("med_gap_sec"),
+            min("gap").as("min_gap_sec"))
+          .orderBy(col("med_gap_sec"), col("user_id"))
+          .limit(10)
+      },
+      Some("""WITH g AS (SELECT user_id,
+                  (epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))
+                    // 1000000 AS gap
+                FROM events)
+              SELECT user_id, COUNT(*) AS n_events,
+                ROUND(quantile_cont(gap, 0.5), 2) AS med_gap_sec,
+                MIN(gap) AS min_gap_sec
+              FROM g GROUP BY 1
+              ORDER BY med_gap_sec, user_id LIMIT 10"""))
   )
 }

@@ -1185,6 +1185,53 @@ object TextAnalysis {
                 COUNT(*) AS n_kept,
                 CAST(MIN(stop_bps) AS BIGINT) AS cutoff_bps
               FROM r WHERE rn * 4 <= n + 3
-              GROUP BY source ORDER BY source"""))
+              GROUP BY source ORDER BY source""")),
+
+    // Truncation-loss report — the decision input for choosing a
+    // training context length: for each candidate cap, the tokens that
+    // fall off the end of over-length documents, per language (docs
+    // affected, lost volume, loss share in integer basis points).
+    // q70/q71 chunk and pack AT a chosen length; this is the scan run
+    // BEFORE choosing it. Plan: one map-only tokenize projects the
+    // corpus to a skinny (lang, tok) frame, the cap explode triples
+    // only that two-column stream (never the text), and the rollup is
+    // a bounded (caps × langs)-key aggregation with map-side partials.
+    // All-integer arithmetic (half-up bps) ⇒ hash-exact.
+    "q155_truncation_loss" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(col("lang"),
+            size(tokens(col("text"))).cast("long").as("tok"))
+          .select(col("lang"), col("tok"),
+            explode(array(lit(32L), lit(64L), lit(96L))).as("cap"))
+          .groupBy("cap", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("tok").as("total_tokens"),
+            sum(when(col("tok") > col("cap"), col("tok") - col("cap"))
+              .otherwise(0L)).as("lost_tokens"),
+            sum((col("tok") > col("cap")).cast("long")).as("n_truncated"))
+          .withColumn("loss_bps",
+            expr("(10000 * lost_tokens * 2 + total_tokens)" +
+              " div (2 * total_tokens)"))
+          .orderBy("cap", "lang")
+      },
+      Some("""WITH f AS (SELECT lang,
+                  CAST(LEN(list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '')) AS BIGINT) AS tok
+                FROM documents),
+              x AS (SELECT lang, tok, CAST(c.cap AS BIGINT) AS cap
+                FROM f, (VALUES (32), (64), (96)) c(cap)),
+              a AS (SELECT cap, lang, COUNT(*) AS n_docs,
+                  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+                  CAST(SUM(CASE WHEN tok > cap THEN tok - cap ELSE 0 END)
+                    AS BIGINT) AS lost_tokens,
+                  CAST(SUM(CASE WHEN tok > cap THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_truncated
+                FROM x GROUP BY 1, 2)
+              SELECT cap, lang, n_docs, total_tokens, lost_tokens,
+                n_truncated,
+                (10000 * lost_tokens * 2 + total_tokens)
+                  // (2 * total_tokens) AS loss_bps
+              FROM a ORDER BY cap, lang"""))
   )
 }

@@ -35,6 +35,52 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should contain near-dup pairs")
   }
 
+  test("q152: 64x2-banded fuzzy decontamination equals brute-force J>=0.5") {
+    // brute force: every eval×corpus pair at the integer 2·|∩| ≥ |∪| rule
+    val sh = Q.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+    val e = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bid"), col("sh").as("shb"))
+    val c = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("sh").as("sha"))
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
+    val uni = size(col("sha")) + size(col("shb")) - inter
+    val brute = c.crossJoin(e)
+      .filter(lit(2L) * inter >= uni)
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    // the query reports per-lang counts; recompute the flagged total
+    val got = SparkEntry.queries("q152_fuzzy_decontamination")(spark, sfDir)
+      .collect().map(r => r.getLong(2)).sum
+    assert(got == brute.size.toLong,
+      s"fuzzy-decon flag count $got != brute ${brute.size}")
+  }
+
+  test("q153: blocked-source count matches a driver-side recompute from q25 pairs") {
+    val pairs = SparkEntry.queries("q25_neardup_minhash")(spark, sfDir)
+      .select("da", "db").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val docs = Q.table(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.groupBy(_._2).count { case (_, g) =>
+      val n = g.length.toLong
+      val d = g.count(x => pairs.contains(x._1)).toLong
+      (10000L * d * 2 + n) / (2 * n) >= 800
+    }
+    val out = SparkEntry.queries("q153_source_blocklist")(spark, sfDir)
+      .collect()
+    assert(out.forall(_.getLong(3) == want.toLong),
+      s"blocked-source count diverged from the sequential recompute ($want)")
+    // conservation: kept + dropped == corpus
+    val docsTotal = docs.length.toLong
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == docsTotal)
+  }
+
   test("simhash banding equals brute-force Hamming<=3 pairs (pigeonhole)") {
     HashFunctions.register(spark)
     val fp = Q.table(spark, sfDir, "documents")

@@ -385,4 +385,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "digest groups must collapse map-side")
     assert(!p.contains("Join"), "content-digest dedup needs no join at all")
   }
+
+  test("q150: dim variance is one partial-agg shuffle over dim keys, no join") {
+    val p = plan("q150_dim_variance")
+    assert(p.contains("partial_"), "per-dim sums must combine map-side")
+    assert(!p.contains("Join"), "a per-column scan needs no join")
+  }
+
+  test("q151: manifest checksums keep the two-level prefix sum (offset frame broadcasts)") {
+    val p = plan("q151_shard_manifest")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤16-row partition-offset frame must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q152: fuzzy decontamination joins bands — no cartesian, no NLJ") {
+    val p = plan("q152_fuzzy_decontamination")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "eval×corpus candidates must come from the band equi-join")
+  }
+
+  test("q153: the source blocklist broadcasts onto the corpus scan") {
+    val p = plan("q153_source_blocklist")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤|sources|-row blocklist must broadcast, never shuffle the corpus")
+  }
+
+  test("q154: cadence triage is one user window + TakeOrderedAndProject") {
+    val p = plan("q154_bot_cadence")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must not globally sort the per-user frame")
+    assert(!p.contains("Join"))
+  }
+
+  test("q155: truncation loss is map-only until the bounded (cap, lang) agg") {
+    val p = plan("q155_truncation_loss")
+    assert(p.contains("partial_"), "the rollup must combine map-side")
+    assert(!p.contains("Join"), "a per-doc arithmetic scan needs no join")
+  }
 }

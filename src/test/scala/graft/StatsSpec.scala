@@ -247,6 +247,28 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q151: shard manifest md5s equal the sequential driver-side pack") {
+    val out = SparkEntry.queries("q151_shard_manifest")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val target = 65536L
+    var cum = 0L
+    val want = docs.map { case (id, nc) =>
+      val shard = cum / target; cum += nc; (shard, id, nc)
+    }.groupBy(_._1).map { case (sh, g) =>
+      val manifest = g.map(_._2).sorted.mkString(",")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(manifest.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (sh, g.length.toLong, g.map(_._3).sum, md)
+    }.toSeq.sortBy(_._1)
+    assert(out == want,
+      "distributed manifest md5 diverged from the sequential reference")
+  }
+
   test("q144: per-source Gini equals the mean-absolute-difference form") {
     val out = SparkEntry.queries("q144_length_gini")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getDouble(3))).toMap
