@@ -132,15 +132,82 @@ object MultiModal {
     } finally iis.close()
   }
 
+  /** REAL audio header decode via the JDK's own `javax.sound.sampled`
+    * (WAV/AIFF/AU parsers ship with every JRE — no external codec).
+    * Returns (sampleRateHz, channels, bitsPerSample, frames,
+    * containerType) parsed from the RIFF/AIFF header only — like
+    * [[decodeImageHeader]], cost per asset is header bytes, never the
+    * sample data, the right shape for a metadata scan over a 100 TB
+    * audio store. Compressed codecs (mp3/flac/ogg) have no JDK parser
+    * and return None (caller falls back to the stub).
+    */
+  def decodeAudioHeader(
+      content: Array[Byte]): Option[(Float, Int, Int, Long, String)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(content))
+      val f = aff.getFormat
+      Some((f.getSampleRate, f.getChannels, f.getSampleSizeInBits,
+        aff.getFrameLength.toLong,
+        aff.getType.toString.toLowerCase(java.util.Locale.ROOT)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Typed audio metadata row produced by [[decodeAudio]]. */
+  final case class AudioInfo(
+      asset_id: Long,
+      n_bytes: Long,
+      sample_rate_hz: Float,
+      channels: Int,
+      bits_per_sample: Int,
+      frames: Long,
+      duration_ms: Long,
+      format: String)
+
+  /** The audio metadata scan: real header decode for every payload the
+    * JDK recognizes (WAV/AIFF/AU), `format = "stub"` rows with zeroed
+    * dimensions for the rest. Same map-only executor-parallel shape as
+    * [[decodeFeatures]] — no shuffle, one parser per partition batch.
+    */
+  def decodeAudio(assets: Dataset[MediaAsset]): Dataset[AudioInfo] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        decodeAudioHeader(a.content) match {
+          case Some((sr, ch, bits, frames, fmt)) =>
+            val durMs =
+              if (sr > 0 && frames >= 0) (frames * 1000.0 / sr).toLong
+              else -1L
+            AudioInfo(a.asset_id, a.content.length.toLong,
+              sr, ch, bits, frames, durMs, fmt)
+          case None =>
+            AudioInfo(a.asset_id, a.content.length.toLong,
+              0f, 0, 0, -1L, -1L, "stub")
+        }
+      }
+    }
+  }
+
   /** One asset through the decode stage: real `javax.imageio` header
-    * decode for image payloads the JDK recognizes, deterministic stub
-    * for everything else.
+    * decode for image payloads, real `javax.sound.sampled` header
+    * decode for audio payloads the JDK recognizes (WAV/AIFF/AU — the
+    * audio dims ride the width/height slots as sampleRateHz/channels,
+    * documented semantic overloading of the shared features schema;
+    * [[decodeAudio]] is the typed full-fidelity form), deterministic
+    * stub for everything else.
     */
   def decode(a: MediaAsset): MediaFeatures =
-    (if (a.modality == "image") decodeImageHeader(a.content) else None) match {
-      case Some((w, h, fmt)) =>
-        stubDecode(a).copy(width = w, height = h, format = fmt)
-      case None => stubDecode(a)
+    a.modality match {
+      case "image" => decodeImageHeader(a.content) match {
+        case Some((w, h, fmt)) =>
+          stubDecode(a).copy(width = w, height = h, format = fmt)
+        case None => stubDecode(a)
+      }
+      case "audio" => decodeAudioHeader(a.content) match {
+        case Some((sr, ch, _, _, fmt)) =>
+          stubDecode(a).copy(width = sr.toInt, height = ch, format = fmt)
+        case None => stubDecode(a)
+      }
+      case _ => stubDecode(a)
     }
 
   /** REAL pixel-statistics feature vector from a full `ImageIO.read`

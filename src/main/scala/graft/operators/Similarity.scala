@@ -848,7 +848,83 @@ object Similarity {
                 ROUND(s2/n - (s1/n)*(s1/n), 4) AS var_x,
                 CAST(CASE WHEN s2/n - (s1/n)*(s1/n) < 0.0001
                      THEN 1 ELSE 0 END AS BIGINT) AS dead_dim
-              FROM a ORDER BY pos"""))
+              FROM a ORDER BY pos""")),
+
+    // Semantic split leakage — q108's embedding twin: test-split
+    // vectors (q46's md5 hash split on vec_id) with ANY train-split
+    // vector at 4-dp-rounded cosine ≥ τ=0.40 are semantically leaked —
+    // an eval example the model effectively saw in training even
+    // though no n-gram overlaps (paraphrases, translations, re-worded
+    // duplicates that q108's gram scan structurally cannot catch).
+    // Per label: test count, leaked count, leak share in integer bps.
+    // Plan: the pair scan rides q27/q135's block tiling (equi-key
+    // join, bounded reducers, no cartesian); split assignment is a
+    // map-only md5 projection; at 100 TB the scale path is the same
+    // swap q135 documents — cell-local pairs via the IVF quantizer
+    // (semDedupPrunedCellLocal's shape) with train/test as the two
+    // probe sides.
+    "q157_semantic_leakage" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        val hexDig = conv(
+          substring(md5(col("vec_id").cast("string")), 1, 1), 16, 10)
+          .cast("long")
+        val e = table(s, dir, "embeddings")
+        val sp = e.select(col("vec_id"), col("label"))
+          .withColumn("hd", hexDig)
+          .withColumn("split",
+            when(col("hd") < 12, "train")
+              .when(col("hd") < 14, "val").otherwise("test"))
+        val pairs = tiledPairSims(s, e)
+          .filter(col("sim") >= SemDedupTau)
+        // symmetric edges: the leaked test vec can sit on either side
+        // of the (va < vb) pair frame
+        val edges = pairs.select(col("va").as("x"), col("vb").as("y"))
+          .union(pairs.select(col("vb").as("x"), col("va").as("y")))
+        val leaked = edges
+          .join(sp.filter(col("split") === "test")
+            .select(col("vec_id").as("x")), "x")
+          .join(sp.filter(col("split") === "train")
+            .select(col("vec_id").as("y")), "y")
+          .select(col("x").as("vec_id")).distinct()
+        sp.filter(col("split") === "test")
+          .join(leaked.withColumn("lk", lit(1L)), Seq("vec_id"), "left")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_test"),
+            sum(coalesce(col("lk"), lit(0L))).as("n_leaked"))
+          .withColumn("leak_bps",
+            expr("(10000 * n_leaked * 2 + n_test) div (2 * n_test)"))
+          .orderBy("label")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding,
+                  strpos('0123456789abcdef',
+                    substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1
+                    AS hd,
+                  (SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                   FROM UNNEST(embedding) AS u(x)) AS nsq
+                FROM embeddings),
+              sp AS (SELECT vec_id, label, embedding, nsq,
+                  CASE WHEN hd < 12 THEN 'train'
+                       WHEN hd < 14 THEN 'val' ELSE 'test' END AS split
+                FROM n),
+              lk AS (SELECT DISTINCT t.vec_id
+                FROM sp t JOIN sp tr
+                  ON t.split = 'test' AND tr.split = 'train'
+                  AND ROUND(
+                    (SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                     FROM (SELECT UNNEST(t.embedding) AS x,
+                                  UNNEST(tr.embedding) AS y) z)
+                    / (SQRT(t.nsq) * SQRT(tr.nsq)), 4) >= $SemDedupTau),
+              a AS (SELECT label, COUNT(*) AS n_test,
+                  CAST(SUM(CASE WHEN lk.vec_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+                FROM sp LEFT JOIN lk ON sp.vec_id = lk.vec_id
+                WHERE sp.split = 'test'
+                GROUP BY 1)
+              SELECT label, n_test, n_leaked,
+                (10000 * n_leaked * 2 + n_test) // (2 * n_test)
+                  AS leak_bps
+              FROM a ORDER BY label"""))
   )
 
   /** Cell-local SemDeDup — the linear-time scale path of q135: assign

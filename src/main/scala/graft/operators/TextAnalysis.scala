@@ -1232,6 +1232,41 @@ object TextAnalysis {
                 n_truncated,
                 (10000 * lost_tokens * 2 + total_tokens)
                   // (2 * total_tokens) AS loss_bps
-              FROM a ORDER BY cap, lang"""))
+              FROM a ORDER BY cap, lang""")),
+
+    // BPE merge-candidate scan — the first iteration of byte-pair-
+    // encoding tokenizer training at corpus scale: the top-20 adjacent
+    // character pairs inside words, weighted by word occurrence (count
+    // desc, pair tie-break). The scale discipline is the same one real
+    // BPE trainers use: aggregate the corpus to its word DICTIONARY
+    // first (vocab-bounded state, one partial-agg shuffle over the
+    // token stream), then explode character pairs over the dictionary
+    // only — pair statistics never touch corpus-sized data again, and
+    // every later merge iteration reruns on the same bounded frame.
+    "q156_bpe_pairs" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .filter(length(col("word")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, char_length(word) - 1)," +
+              " i -> substring(word, i, 2))")).as("pair"),
+            col("cnt"))
+          .groupBy("pair").agg(sum("cnt").as("n"))
+          .orderBy(desc("n"), col("pair"))
+          .limit(20)
+      },
+      Some("""WITH w AS (SELECT t AS word, COUNT(*) AS cnt
+                FROM (SELECT UNNEST(list_filter(
+                        string_split_regex(text, '\s+'), x -> x <> '')) AS t
+                      FROM documents) z
+                GROUP BY 1),
+              p AS (SELECT substring(word, CAST(i AS INT), 2) AS pair, cnt
+                FROM (SELECT word, cnt,
+                        UNNEST(range(1, length(word))) AS i
+                      FROM w WHERE length(word) >= 2) e)
+              SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+              FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"""))
   )
 }

@@ -154,6 +154,44 @@ class MultiModalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV headers decode to true audio metadata via javax.sound") {
+    // synthesize a REAL 8 kHz mono 16-bit PCM WAV (400 frames = 50 ms)
+    // through the JDK's own writer, then decode it back from bytes
+    val sampleRate = 8000f
+    val nFrames = 400
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = Array.tabulate(nFrames * 2) { i =>
+      (math.sin(i / 7.0) * 1000).toInt.toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val hdr = MultiModal.decodeAudioHeader(wav)
+    assert(hdr.contains((8000f, 1, 16, nFrames.toLong, "wave")))
+
+    // the typed stage carries the full-fidelity row, incl. duration
+    import spark.implicits._
+    val assets = Seq(
+      MediaAsset(1L, "audio", wav, "s1"),
+      MediaAsset(2L, "audio", Array[Byte](1, 2, 3, 4), "s2")).toDS()
+    val rows = MultiModal.decodeAudio(assets).collect()
+      .map(a => a.asset_id -> a).toMap
+    val ok = rows(1L)
+    assert(ok.format == "wave" && ok.sample_rate_hz == 8000f &&
+      ok.channels == 1 && ok.bits_per_sample == 16 &&
+      ok.frames == nFrames.toLong && ok.duration_ms == 50L)
+    assert(rows(2L).format == "stub" && rows(2L).frames == -1L,
+      "non-audio garbage must degrade to the stub row")
+
+    // the shared decode() path overlays real audio dims on the stub
+    val f = MultiModal.decode(MediaAsset(3L, "audio", wav, "s"))
+    assert(f.format == "wave" && f.width == 8000 && f.height == 1)
+  }
+
   test("resize clamps dimensions preserving aspect ratio; never upscales") {
     import spark.implicits._
     val feats = Seq(

@@ -425,4 +425,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "the rollup must combine map-side")
     assert(!p.contains("Join"), "a per-doc arithmetic scan needs no join")
   }
+
+  test("q156: BPE pairs explode over the word dictionary, not the corpus") {
+    val p = plan("q156_bpe_pairs")
+    assert(p.contains("partial_"), "the word count must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 pairs must not globally sort")
+    assert(!p.contains("Join"), "dictionary statistics need no join")
+  }
+
+  test("q157: semantic leakage rides the pair tiling — no cartesian, no NLJ") {
+    val p = plan("q157_semantic_leakage")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
