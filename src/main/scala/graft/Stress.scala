@@ -388,9 +388,19 @@ object Stress {
       // Σ|cell|²/2 then track corpus size linearly instead of n²; a
       // superlinear exponent here means the quantizer stopped
       // spreading the inflated corpus across cells
+      // nlist ∝ √n, NOT ∝ n: cell-local SemDeDup pays n·nlist for the
+      // centroid assignment and n²/nlist for the in-cell pairs, so the
+      // balanced knob is nlist = Θ(√n) (both terms n^1.5). Growing
+      // nlist linearly (constant cell size) looks attractive until the
+      // assignment term n·nlist = n²/c dominates — measured: 2.6 s at
+      // 5× → 26 s at 50× with nlist = 16·factor, i.e. the full 10×
+      // at 10× data. The linear-assignment fix at a real 100 TB store
+      // is an ANN structure over the centroids themselves
+      // (coarse-over-coarse), noted in semDedupPrunedCellLocal's doc.
       timed("semdedup_cells") {
         graft.operators.Similarity.semDedupPrunedCellLocal(
-          embeddings, tau = 0.30, nlist = 16 * factor).count()
+          embeddings, tau = 0.30,
+          nlist = 16 * math.round(math.sqrt(factor.toDouble)).toInt).count()
       },
       // bigram-LM surprise (q133 shape): the count tables stay
       // vocab-bounded (the replica salt grows the vocab by the factor,

@@ -936,7 +936,17 @@ object Similarity {
     * rule's (never prunes anything the exact pass would keep); recall
     * against the exact set is the quality dial nlist controls —
     * candidate work drops from n²/2 to Σ|cell|²/2 ≈ n²/(2·nlist) and
-    * each cell's pair scan is an independent partition of work. The
+    * each cell's pair scan is an independent partition of work.
+    *
+    * Sizing nlist: the assignment stage costs n·nlist distance
+    * computations (every vector scores every centroid), so the
+    * BALANCED choice is nlist = Θ(√n) — assignment and pair volume
+    * both land at n^1.5 (Stress measures exactly this: nlist ∝ n,
+    * i.e. constant cell size, drives the assignment term to n²/c and
+    * wall-clock to ~linear-in-factor at 10× data). At a true 100 TB
+    * store the linear-assignment fix is an ANN structure over the
+    * centroids themselves (coarse-over-coarse quantization) — the
+    * same bucket-join machinery one level up. The
     * pair join shuffles on the cell id; the same per-cell block tiling
     * as [[tiledPairSims]] applies inside a cell if single cells
     * outgrow a partition (at nlist sized to corpus/nlist ≈ partition

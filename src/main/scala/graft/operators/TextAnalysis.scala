@@ -1269,4 +1269,101 @@ object TextAnalysis {
               SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
               FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"""))
   )
+
+  /** One row of the BPE training dictionary: a word as its current
+    * symbol sequence plus its corpus occurrence count.
+    */
+  final case class BpeDictEntry(syms: Seq[String], cnt: Long)
+
+  /** Left-to-right non-overlapping merge of the adjacent pair (a, b)
+    * into the single symbol a+b — the BPE merge rule, one definition
+    * shared by the distributed trainer and the spec's sequential
+    * reference.
+    */
+  private[graft] def bpeMergePair(
+      syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Distributed BPE tokenizer training — q156 is iteration 0; this
+    * runs the full loop: start from characters, repeatedly find the
+    * most frequent adjacent symbol pair (count desc, then (a, b)
+    * lexicographic — fully deterministic) and merge it everywhere,
+    * `nMerges` times. Returns the ordered merge list (the tokenizer
+    * artifact a trainer ships).
+    *
+    * Scale discipline (the part that matters at 100 TB): the corpus is
+    * read ONCE — into its word dictionary (one partial-agg shuffle over
+    * the token stream, vocab-bounded result). Every iteration after
+    * that runs on the persisted dictionary only: one bounded-key pair
+    * count (`TakeOrdered` top-1, never a global sort) plus one map-only
+    * typed re-encode (`Dataset[BpeDictEntry].map` — per-partition, no
+    * shuffle). Driver state per iteration is exactly one (pair, count)
+    * row. This is how production BPE trainers are structured (corpus →
+    * word counts, then train on counts); the dictionary re-persists per
+    * iteration and the previous cache releases, so peak residency is
+    * two dictionary copies regardless of nMerges.
+    */
+  def bpeTrain(
+      docs: org.apache.spark.sql.DataFrame,
+      nMerges: Int): Seq[(String, String)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var dict: org.apache.spark.sql.Dataset[BpeDictEntry] =
+      docs.select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(split(col("word"), "").as("syms"), col("cnt"))
+        .as[BpeDictEntry]
+        .persist(level)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      var i = 0
+      var exhausted = false
+      while (i < nMerges && !exhausted) {
+        val top = dict.toDF()
+          // single-symbol words carry no pairs — and Spark's
+          // sequence(1, 0) would go DESCENDING, not empty (the
+          // shingles-helper gotcha), so the guard is a filter
+          .filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(syms) - 1)," +
+              " j -> struct(syms[j - 1] AS a, syms[j] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("cnt").as("n"))
+          .orderBy(desc("n"), col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty || top.head.getLong(2) < 2L) exhausted = true
+        else {
+          val (a, b) = (top.head.getString(0), top.head.getString(1))
+          merges += ((a, b))
+          val next = dict
+            .map(e => e.copy(syms = bpeMergePair(e.syms, a, b)))
+            .persist(level)
+          next.count() // materialize before releasing the parent
+          dict.unpersist(blocking = false)
+          dict = next
+        }
+        i += 1
+      }
+      merges.toSeq
+    } finally dict.unpersist(blocking = false)
+  }
+
+  /** Encode one word with a trained merge list — applies the merges in
+    * training order (the standard BPE inference rule). Exposed for the
+    * spec's round-trip check; corpus-scale encoding is a map-only
+    * `transform` of this over the token stream.
+    */
+  def bpeEncode(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.split("").toSeq) {
+      case (syms, (a, b)) => bpeMergePair(syms, a, b)
+    }
 }
