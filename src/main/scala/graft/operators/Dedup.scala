@@ -262,6 +262,87 @@ object Dedup {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** Write-once DISTINCT-GRAM index — the third persisted artifact
+    * family (bands for near-dup, cells/codes for ANN, GRAMS for the
+    * novelty/decontamination scans): one bucketed external table
+    * `<name>_grams` holding the corpus's distinct 3-gram shingles,
+    * BUCKETED AND SORTED on `g` — the key every probe joins on. q110's
+    * plan note ("at scale the base side is the previous release's
+    * persisted gram index") made concrete: a release writes this once,
+    * and every incremental batch's novelty/leakage scan anti-joins it
+    * with ZERO exchange on the stored side (only the batch's distinct
+    * grams shuffle — asserted in IndexStoreSpec).
+    */
+  def writeGramIndex(
+      docs: org.apache.spark.sql.DataFrame,
+      name: String,
+      path: String,
+      buckets: Int = 32): Unit = {
+    val s = docs.sparkSession
+    shingledOf(s, docs)
+      .select(explode(col("sh")).as("g")).distinct()
+      .write
+      .mode("overwrite")
+      .bucketBy(buckets, "g").sortBy("g")
+      .option("path", s"$path/grams").saveAsTable(s"${name}_grams")
+  }
+
+  /** Append a batch's distinct grams to a persisted [[writeGramIndex]]
+    * index. The stored table stays distinct: only grams the index does
+    * not already contain are written (one anti-join probe — itself
+    * exchange-free on the stored side — feeding a bucket-spec-
+    * preserving `insertInto`).
+    */
+  def appendToGramIndex(
+      docs: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val s = docs.sparkSession
+    shingledOf(s, docs)
+      .select(explode(col("sh")).as("g")).distinct()
+      .join(s.table(s"${name}_grams"), Seq("g"), "left_anti")
+      .write.mode("append").insertInto(s"${name}_grams")
+  }
+
+  /** q110's novelty scan against the persisted gram index: per-lang
+    * distinct-gram and novel-gram counts of `batch` vs the stored
+    * corpus — identical output to the in-plan q110 build on the same
+    * split (IndexStoreSpec asserts result identity). The anti-join
+    * consumes the bucketed layout, so the stored side — the 100 TB
+    * side — never shuffles and never re-shingles.
+    */
+  def probeGramNovelty(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val newG = batchDistinctGrams(spark, batch).managedPersist
+    val novel = novelGramsOf(spark, name, newG)
+      .groupBy("lang").agg(count(lit(1)).as("n_novel"))
+    newG.groupBy("lang").agg(count(lit(1)).as("n_new_grams"))
+      .join(novel, Seq("lang"), "left")
+      .select(col("lang"), col("n_new_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .orderBy("lang")
+  }
+
+  /** A batch's distinct (lang, g) gram frame — the probe's input. */
+  private[graft] def batchDistinctGrams(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    shingledOf(spark, batch)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(batch.select("doc_id", "lang"), "doc_id")
+      .select("lang", "g").distinct()
+
+  /** The probe CORE: batch grams the stored index does not contain —
+    * one LEFT ANTI join consuming the bucketed layout directly (the
+    * stored side never shuffles; IndexStoreSpec plan-asserts on exactly
+    * this frame).
+    */
+  private[graft] def novelGramsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      newG: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    newG.join(spark.table(s"${name}_grams"), Seq("g"), "left_anti")
+
   /** Near-dup a new batch against a persisted [[writeBandIndex]] index:
     * verified (da ∈ base, db ∈ batch, j) pairs, identical semantics to
     * the in-plan base-vs-batch build (IndexStoreSpec asserts result

@@ -83,6 +83,80 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("gram index: persisted novelty probe equals the in-plan q110 build") {
+    val docs = Q.table(spark, sfDir, "documents")
+    val tmp = Files.createTempDirectory("graft-gramidx")
+    try {
+      Dedup.writeGramIndex(docs.filter(col("doc_id") % 2 === 0),
+        "gramidx_t", s"$tmp")
+      val probed = Dedup.probeGramNovelty(spark, "gramidx_t",
+        docs.filter(col("doc_id") % 2 === 1)).collect().toSeq
+      val inPlan = SparkEntry.queries("q110_gram_novelty")(spark, sfDir)
+        .collect().toSeq
+      assert(probed.nonEmpty && probed == inPlan,
+        s"persisted gram probe drifted:\nprobe=$probed\ninplan=$inPlan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gramidx_t_grams")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
+  test("gram index: append keeps the table distinct; probe after append finds nothing novel") {
+    val docs = Q.table(spark, sfDir, "documents")
+    val tmp = Files.createTempDirectory("graft-gramidx2")
+    try {
+      val base = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      Dedup.writeGramIndex(base, "gramidx_a", s"$tmp")
+      val before = spark.table("gramidx_a_grams").count()
+      // appending the base again must be a no-op (distinct preserved)
+      Dedup.appendToGramIndex(base, "gramidx_a")
+      assert(spark.table("gramidx_a_grams").count() == before,
+        "re-appending existing grams duplicated index rows")
+      // fold the batch in; its own novelty must then read zero
+      Dedup.appendToGramIndex(batch, "gramidx_a")
+      graft.operators.Q.releaseManaged()
+      val post = Dedup.probeGramNovelty(spark, "gramidx_a", batch)
+        .collect()
+      assert(post.forall(_.getLong(2) == 0L),
+        s"batch still novel against an index it was appended to: " +
+          post.mkString(","))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gramidx_a_grams")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
+  test("gram index probe: stored-side anti-join is exchange-free") {
+    val docs = Q.table(spark, sfDir, "documents")
+    val tmp = Files.createTempDirectory("graft-gramidx3")
+    try {
+      Dedup.writeGramIndex(docs.filter(col("doc_id") % 2 === 0),
+        "gramidx_x", s"$tmp")
+      withNoBroadcast {
+        // assert on the probe CORE (the anti-join frame itself) — the
+        // aggregated report nests it under later query stages where the
+        // scan node is not printed
+        val novel = Dedup.novelGramsOf(spark, "gramidx_x",
+          Dedup.batchDistinctGrams(spark,
+            docs.filter(col("doc_id") % 2 === 1)))
+        val plan = finalPlan(novel)
+        assert(plan.contains("Bucketed: true"),
+          s"probe did not consume the bucketed gram table:\n$plan")
+        // the anti-join must exchange ONLY the batch's distinct grams:
+        // one hashpartitioning exchange on g, never a second (an
+        // unbucketed stored side would re-shuffle the whole corpus)
+        val gramExchanges =
+          "Exchange hashpartitioning\\(g".r.findAllIn(plan).length
+        assert(gramExchanges <= 1,
+          s"stored gram scan shuffled ($gramExchanges g exchanges):\n$plan")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gramidx_x_grams")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
   test("ivf-sq8 index: persisted probe is bitwise-identical to the in-plan build") {
     val emb = Q.table(spark, sfDir, "embeddings")
     val tmp = Files.createTempDirectory("graft-ivfidx")
