@@ -323,6 +323,16 @@ object Dedup {
       .orderBy("lang")
   }
 
+  /** A batch's per-doc distinct-gram stream (doc_id, g) — shared by
+    * the streaming gram-novelty ingest gate. Grams are distinct per
+    * doc by construction ([[graft.functions.WordShingles]]).
+    */
+  private[graft] def docGrams(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    shingledOf(spark, docs)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+
   /** A batch's distinct (lang, g) gram frame — the probe's input. */
   private[graft] def batchDistinctGrams(
       spark: org.apache.spark.sql.SparkSession,

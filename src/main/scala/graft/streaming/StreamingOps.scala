@@ -328,6 +328,65 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming content-novelty gate over a persisted GRAM index
+    * ([[graft.operators.Dedup.writeGramIndex]] builds the base once) —
+    * the third member of the ingest-loop family (bands suppress
+    * near-DUPLICATES, this suppresses near-REDUNDANCE): per
+    * micro-batch,
+    *
+    *  1. the batch's per-doc distinct grams anti-join the stored gram
+    *     table (exchange-free on the stored side — the corpus never
+    *     re-shuffles or re-shingles);
+    *  2. docs whose NOVEL-gram share reaches `minNovelShare` are
+    *     admitted via `onAdmit` — a doc that mostly repeats grams the
+    *     corpus already holds (boilerplate, syndicated copy, template
+    *     spam) drops even when no single stored doc is a near-dup of
+    *     it (the case the band index structurally cannot catch);
+    *     docs too short to shingle (< 3 tokens) carry no evidence of
+    *     novelty and drop;
+    *  3. if `growIndex`, the admitted docs' grams fold into the index
+    *     ([[graft.operators.Dedup.appendToGramIndex]], distinct- and
+    *     bucket-spec-preserving), so later batches measure novelty
+    *     against earlier admissions too.
+    *
+    * The stream carries no state — the persisted index IS the state,
+    * on disk, shared with the batch pipeline. `docs` must carry
+    * `doc_id` and `text`.
+    */
+  def gramNoveltyIngestStream(
+      docs: DataFrame,
+      indexName: String,
+      minNovelShare: Double,
+      growIndex: Boolean,
+      onAdmit: (DataFrame, Long) => Unit): streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        val g = graft.operators.Dedup.docGrams(s, batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val tot = g.groupBy("doc_id")
+            .agg(count(lit(1)).as("n_grams"))
+          val nov = g
+            .join(s.table(s"${indexName}_grams"), Seq("g"), "left_anti")
+            .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+          val admitIds = tot
+            .join(nov, Seq("doc_id"), "left")
+            .filter(coalesce(col("n_novel"), lit(0L)) >=
+              col("n_grams") * lit(minNovelShare))
+            .select("doc_id")
+          val admitted = batch.join(admitIds, Seq("doc_id"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            onAdmit(admitted, id)
+            if (growIndex)
+              graft.operators.Dedup.appendToGramIndex(admitted, indexName)
+          } finally admitted.unpersist(blocking = false)
+        } finally g.unpersist(blocking = false)
+      }
+      .start()
+
   def neardupProbeIndexStream(
       docs: DataFrame,
       indexName: String,

@@ -495,6 +495,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming gram-novelty gate over the persisted gram index: redundant docs drop, the index grows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streamgram")
+    def words(prefix: String): String =
+      (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val base = Seq((0L, words("alpha")), (2L, words("beta")))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeGramIndex(base, "stream_gramidx", s"$tmp")
+    val input = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.gramNoveltyIngestStream(
+      input.toDF().toDF("doc_id", "text"), "stream_gramidx",
+      minNovelShare = 0.5, growIndex = true,
+      (novel, _) => admitted.synchronized {
+        admitted ++= novel.select("doc_id").collect().map(_.getLong(0))
+      })
+    try {
+      // batch 1: an exact re-crawl of base doc 0 (zero novel grams) +
+      // a genuinely new doc — only the new one may pass
+      input.addData((10L, words("alpha")), (11L, words("gamma")))
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq == Seq(11L),
+        s"batch 1 admitted $admitted (want only the novel 11)")
+      // batch 2: a doc that is mostly batch-1's admitted content with a
+      // short new tail (novel share ~2/19 << 0.5) — suppressed only if
+      // the index actually grew — plus one genuinely novel doc
+      admitted.clear()
+      input.addData(
+        (20L, words("gamma").replace("gamma20", "tail1 tail2 tail3")),
+        (21L, words("delta")))
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq == Seq(21L),
+        s"batch 2 admitted $admitted (want only the novel 21)")
+      // a doc too short to shingle carries no novelty evidence → drops
+      admitted.clear()
+      input.addData((30L, "just two"))
+      q.processAllAvailable()
+      assert(admitted.isEmpty, s"short doc admitted: $admitted")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS stream_gramidx_grams")
+    }
+  }
+
   test("streaming ANN ingest over the persisted PQ index: near-dups drop, the index grows") {
     // the embedding mirror of the band-index loop: the persisted IVF-PQ
     // index is the only state; a batch vector whose nearest indexed
