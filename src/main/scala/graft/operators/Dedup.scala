@@ -1856,7 +1856,111 @@ object Dedup {
                   AS BIGINT) AS n_dropped,
                 nb.n_blocked_sources
               FROM documents d LEFT JOIN blk b USING (source), nb
-              GROUP BY 1, nb.n_blocked_sources ORDER BY d.lang"""))
+              GROUP BY 1, nb.n_blocked_sources ORDER BY d.lang""")),
+
+    // Quality-aware dedup survivors — q83 keeps the MIN-doc_id member
+    // of each near-dup cluster; a real release keeps the BEST member:
+    // survivor = argmin (q31 integer badness, doc_id) per cluster.
+    // Report: per-lang corpus/survivor/removed counts + mean survivor
+    // badness (integer half-up), plus n_requalified — clusters whose
+    // quality-chosen survivor differs from the min-id choice (the docs
+    // this rule actually improves). All-integer ⇒ hash-exact. Plan:
+    // CC labels are q45's bounded-round fixpoint over the tiny pair
+    // graph; the badness map is q31's row-local arithmetic (one corpus
+    // scan); survivor selection windows over CLUSTER MEMBERS only
+    // (graph vertices, not the corpus); the removed list is the skinny
+    // broadcastable frame q83 documents.
+    "q159_quality_survivors" -> QueryDef(
+      (s, dir) => {
+        val bad = TextAnalysis.qualitySignals(table(s, dir, "documents"))
+          .withColumn("badness",
+            when(col("n_tokens") === 0, 10000L)
+              .otherwise(expr("(20000*n_stop + n_tokens) div (2*n_tokens)")))
+          .select("doc_id", "lang", "badness")
+          .managedPersist
+        val members = ccLabels(s, dir)
+          .join(bad.select(col("doc_id").as("v"), col("badness")), "v")
+        val w = Window.partitionBy("lbl")
+          .orderBy(col("badness"), col("v"))
+        val ranked = members.withColumn("rk", row_number().over(w))
+        val removed = ranked.filter(col("rk") =!= 1)
+          .select(col("v").as("doc_id"))
+        val requalified = ranked
+          .groupBy("lbl").agg(min(col("v")).as("min_id"),
+            min_by(col("v"), struct(col("badness"), col("v"))).as("q_id"))
+          .agg(sum((col("q_id") =!= col("min_id")).cast("long"))
+            .as("n_requalified"))
+          .select(coalesce(col("n_requalified"), lit(0L))
+            .as("n_requalified"))
+        bad.join(removed.withColumn("rm", lit(1L)), Seq("doc_id"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("rm"), lit(0L))).as("n_removed"),
+            sum(when(col("rm").isNull, col("badness")).otherwise(0L))
+              .as("kept_sum"))
+          .withColumn("n_survivors", col("n_docs") - col("n_removed"))
+          .withColumn("mean_kept_badness",
+            expr("(kept_sum * 2 + n_survivors) div (2 * n_survivors)"))
+          .crossJoin(broadcast(requalified))
+          .select("lang", "n_docs", "n_survivors", "n_removed",
+            "mean_kept_badness", "n_requalified")
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.8),
+              edges AS (SELECT da AS a, db AS b FROM p
+                        UNION SELECT db, da FROM p),
+              reach AS (SELECT a, a AS b
+                          FROM (SELECT DISTINCT a FROM edges) n
+                        UNION
+                        SELECT r.a, e.b
+                          FROM reach r JOIN edges e ON r.b = e.a),
+              labels AS (SELECT a AS v, MIN(b) AS lbl
+                         FROM reach GROUP BY a),
+              q AS (SELECT doc_id, lang,
+                  CASE WHEN n_tokens = 0 THEN 10000
+                    ELSE (20000 * n_stop + n_tokens) // (2 * n_tokens)
+                    END AS badness
+                FROM (SELECT d.doc_id, d.lang,
+                        CAST(LEN(tk.t) AS BIGINT) AS n_tokens,
+                        CAST(LEN(list_filter(tk.t,
+                          x -> x IN (${TextAnalysis.stopwordsSql})))
+                          AS BIGINT) AS n_stop
+                      FROM toks tk JOIN documents d
+                        ON d.doc_id = tk.doc_id) z),
+              m AS (SELECT l.lbl, l.v, q.badness
+                    FROM labels l JOIN q ON q.doc_id = l.v),
+              ch AS (SELECT lbl, v,
+                  ROW_NUMBER() OVER (PARTITION BY lbl
+                    ORDER BY badness, v) AS rk,
+                  MIN(v) OVER (PARTITION BY lbl) AS min_id
+                FROM m),
+              rm AS (SELECT v AS doc_id FROM ch WHERE rk <> 1),
+              rq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_requalified
+                     FROM ch WHERE rk = 1 AND v <> min_id),
+              rep AS (SELECT q.lang, COUNT(*) AS n_docs,
+                  CAST(SUM(CASE WHEN rm.doc_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                  CAST(SUM(CASE WHEN rm.doc_id IS NULL
+                    THEN q.badness ELSE 0 END) AS BIGINT) AS kept_sum
+                FROM q LEFT JOIN rm ON q.doc_id = rm.doc_id
+                GROUP BY 1)
+              SELECT lang, n_docs, n_docs - n_removed AS n_survivors,
+                n_removed,
+                (kept_sum * 2 + (n_docs - n_removed))
+                  // (2 * (n_docs - n_removed)) AS mean_kept_badness,
+                rq.n_requalified
+              FROM rep, rq ORDER BY lang"""))
   )
 
 }

@@ -924,7 +924,69 @@ object Similarity {
               SELECT label, n_test, n_leaked,
                 (10000 * n_leaked * 2 + n_test) // (2 * n_test)
                   AS leak_bps
-              FROM a ORDER BY label"""))
+              FROM a ORDER BY label""")),
+
+    // Similarity-threshold calibration — where does τ come from before
+    // anyone runs SemDeDup (q135) or sets an ANN sim floor? From this
+    // scan: a 10-bin cosine histogram over all pairs of a k=100
+    // hash-ordered vector sample (q107's one-pass sampling — no prior
+    // count, engine-reproducible). The histogram shows where the
+    // pairwise-similarity mass sits, which is the whole input to
+    // choosing τ. Plan: the sample is TakeOrderedAndProject (k rows at
+    // any corpus size); the pair scan is k²/2 ≈ 5,000 comparisons —
+    // a BOUNDED all-pairs block independent of corpus scale (the one
+    // place a cartesian is the right plan, because both sides are
+    // fixed-k); the zero-filled bin spine is q92's pattern.
+    "q158_sim_calibration" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        val k = 100
+        val sample = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            md5(col("vec_id").cast("string")).as("hk"))
+          .orderBy(col("hk"), col("vec_id")).limit(k)
+          .select(col("vec_id"), col("embedding"),
+            normSq(col("embedding")).as("nsq"))
+          .managedPersist
+        val a = sample.select(col("vec_id").as("va"),
+          col("embedding").as("ea"), col("nsq").as("na"))
+        val b = sample.select(col("vec_id").as("vb"),
+          col("embedding").as("eb"), col("nsq").as("nb"))
+        val binned = a.crossJoin(b).filter(col("va") < col("vb"))
+          .select(round(
+            expr("graft_dot(ea, eb)") / (sqrt(col("na")) * sqrt(col("nb"))),
+            4).as("sim"))
+          .select(least(floor((col("sim") + 1.0) * 5), lit(9.0))
+            .cast("long").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+        s.range(0, 10).toDF("bin")
+          .join(binned, Seq("bin"), "left")
+          .select(col("bin"),
+            round(lit(-1.0) + col("bin") * 0.2, 1).as("lo"),
+            round(lit(-1.0) + (col("bin") + 1) * 0.2, 1).as("hi"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+          .orderBy("bin")
+      },
+      Some("""WITH sm AS (SELECT vec_id, embedding,
+                  (SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                   FROM UNNEST(embedding) AS u(x)) AS nsq
+                FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100),
+              pr AS (SELECT ROUND(
+                  (SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                   FROM (SELECT UNNEST(a.embedding) AS x,
+                                UNNEST(b.embedding) AS y) z)
+                  / (SQRT(a.nsq) * SQRT(b.nsq)), 4) AS sim
+                FROM sm a JOIN sm b ON a.vec_id < b.vec_id),
+              bn AS (SELECT LEAST(CAST(FLOOR((sim + 1.0) * 5) AS BIGINT),
+                       9) AS bin, COUNT(*) AS n_pairs
+                     FROM pr GROUP BY 1)
+              SELECT r.bin, ROUND(-1.0 + r.bin * 0.2, 1) AS lo,
+                ROUND(-1.0 + (r.bin + 1) * 0.2, 1) AS hi,
+                COALESCE(bn.n_pairs, 0) AS n_pairs
+              FROM (SELECT CAST(range AS BIGINT) AS bin FROM range(10)) r
+              LEFT JOIN bn ON bn.bin = r.bin
+              ORDER BY r.bin"""))
   )
 
   /** Cell-local SemDeDup — the linear-time scale path of q135: assign

@@ -439,4 +439,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q158: the calibration sample is TakeOrdered; pair work is bounded-k only") {
+    val p = plan("q158_sim_calibration")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the hash-ordered k-sample must be TakeOrdered, not a full sort")
+  }
+
+  test("q159: survivor selection touches the corpus once; removed list is a key join") {
+    val p = plan("q159_quality_survivors")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastExchange"),
+      "only the 1-row requalified scalar may cross-join, and broadcast")
+  }
 }
