@@ -86,6 +86,12 @@ object Stress {
       .withColumn("doc_id", -col("doc_id") - 1)
       .withColumn("text",
         regexp_replace(col("text"), lit("(\\S+)"), lit("$1r0")))
+    // the distinct-gram index gets the same treatment: stored grams of
+    // the inflated corpus persisted once (untimed), the fixed batch's
+    // novelty probe is timed — its cost is batch shingling + one
+    // anti-join that never shuffles the stored side
+    graft.operators.Dedup.writeGramIndex(
+      documents, "stress_gramidx", s"$stressIdxDir/gram")
     // q126's scale path gets the same treatment: PQ index over the
     // inflated embedding corpus persisted once (untimed), a fixed
     // negative-id batch probes and appends
@@ -245,6 +251,19 @@ object Stress {
       timed("incremental_probe") {
         graft.operators.Dedup.probeBandIndex(
           spark, "stress_bandidx", batchDocs).count()
+      },
+      // gram-novelty probe against the persisted gram index (the
+      // q110-at-scale nightly loop): the batch is fixed, the stored
+      // gram table grows with the corpus — wall must track the batch's
+      // shingling plus a bucketed-scan anti-join, with the stored side
+      // never shuffling (the linear stored-side SCAN is the only
+      // corpus-proportional term)
+      timed("gram_index_probe") {
+        val r = graft.operators.Dedup.probeGramNovelty(
+          spark, "stress_gramidx",
+          batchDocs.withColumn("lang", lit("xx"))).count()
+        graft.operators.Q.releaseManaged()
+        r
       },
       // per-domain admission cap (q111's scale path): ONE window
       // shuffle partitioned on the domain key — wall must track
@@ -449,7 +468,8 @@ object Stress {
       .mkString("{", ",", "}")
     println(s"""{"metric":"stress","factor":$factor,"sf":"$sfDir",""" +
       s""""sec":$qs,"rows":$rows}""")
-    (Seq("stress_bandidx_bands", "stress_bandidx_shingles") ++
+    (Seq("stress_bandidx_bands", "stress_bandidx_shingles",
+        "stress_gramidx_grams") ++
         Seq("codes", "centroids", "vectors", "pq")
           .map(t => s"stress_pqidx_$t"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
