@@ -986,7 +986,43 @@ object Similarity {
                 COALESCE(bn.n_pairs, 0) AS n_pairs
               FROM (SELECT CAST(range AS BIGINT) AS bin FROM range(10)) r
               LEFT JOIN bn ON bn.bin = r.bin
-              ORDER BY r.bin"""))
+              ORDER BY r.bin""")),
+
+    // Exact vector duplicates — q22's rule on the EMBEDDING store:
+    // bitwise-identical vectors stored more than once (a re-encoded
+    // batch, a default-vector bug, a retried writer) waste space and
+    // bias every ANN/centroid statistic toward the duplicated points.
+    // Per label: stored rows, distinct vectors, duplicate rows.
+    // Fixture (q136's pattern): every 7th vector re-appears — the
+    // retried-writer copy — because the synthetic store has no natural
+    // byte-identical vectors. Plan: ONE partial-agg shuffle keyed on
+    // (label, embedding); duplicates collapse map-side. At a 100 TB
+    // store the group key is the 16-byte content digest (q136's
+    // content-addressed rule) instead of the raw vector — identical
+    // semantics absent md5 collisions, 16 bytes shuffled per vector.
+    "q163_exact_vector_dups" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select("vec_id", "label", "embedding")
+        val stored = e.unionByName(e.filter(col("vec_id") % 7 === 0))
+        stored.groupBy("label", "embedding")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("label")
+          .agg(sum("n").as("n_vecs"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("n") - 1).as("n_dup_rows"))
+          .orderBy("label")
+      },
+      Some("""WITH p AS (SELECT label, embedding FROM embeddings
+                UNION ALL
+                SELECT label, embedding FROM embeddings
+                WHERE vec_id % 7 = 0),
+              per AS (SELECT label, embedding, COUNT(*) AS n
+                      FROM p GROUP BY 1, 2)
+              SELECT label, CAST(SUM(n) AS BIGINT) AS n_vecs,
+                COUNT(*) AS n_distinct,
+                CAST(SUM(n - 1) AS BIGINT) AS n_dup_rows
+              FROM per GROUP BY 1 ORDER BY label"""))
   )
 
   /** Cell-local SemDeDup — the linear-time scale path of q135: assign

@@ -1058,6 +1058,80 @@ object Stats {
                 ROUND(quantile_cont(gap, 0.5), 2) AS med_gap_sec,
                 MIN(gap) AS min_gap_sec
               FROM g GROUP BY 1
-              ORDER BY med_gap_sec, user_id LIMIT 10"""))
+              ORDER BY med_gap_sec, user_id LIMIT 10""")),
+
+    // Crawl-coverage matrix — the zero-FILLED (source × lang) grid:
+    // doc counts per cell including the cells with NOTHING in them
+    // (is_gap = 1). A plain GROUP BY only shows what exists; the gaps
+    // — a source that never yields one language — are what a crawl
+    // operator actually acts on. Plan: the spine is the cross of two
+    // BOUNDED distinct frames (sources × langs — dimension-sized at
+    // any corpus scale, the one sanctioned cross join); the corpus
+    // contributes one bounded-key count aggregation that left-joins
+    // onto the spine broadcast-side.
+    "q160_coverage_matrix" -> QueryDef(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val spine = d.select("source").distinct()
+          .crossJoin(d.select("lang").distinct())
+        val counts = d.groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"))
+        spine.join(counts, Seq("source", "lang"), "left")
+          .select(col("source"), col("lang"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            (coalesce(col("n_docs"), lit(0L)) === 0L).cast("long")
+              .as("is_gap"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH sp AS (SELECT s.source, l.lang
+                FROM (SELECT DISTINCT source FROM documents) s,
+                     (SELECT DISTINCT lang FROM documents) l),
+              c AS (SELECT source, lang, COUNT(*) AS n_docs
+                FROM documents GROUP BY 1, 2)
+              SELECT sp.source, sp.lang,
+                COALESCE(c.n_docs, 0) AS n_docs,
+                CAST(CASE WHEN COALESCE(c.n_docs, 0) = 0
+                  THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+              FROM sp LEFT JOIN c
+                ON c.source = sp.source AND c.lang = sp.lang
+              ORDER BY sp.source, sp.lang""")),
+
+    // Ingest id-ledger audit — the integrity scan run after every
+    // data drop, per id-carrying table: row count vs distinct ids
+    // (duplicate ledger entries), id range span vs distinct (holes a
+    // partial ingest leaves), min/max bounds. All single-pass
+    // aggregates; a 100 TB table contributes ONE partial-agg pass and
+    // the report is one row per table (unioned by name).
+    "q161_id_ledger" -> QueryDef(
+      (s, dir) => {
+        def ledger(name: String, idCol: String) =
+          table(s, dir, name)
+            .agg(count(lit(1)).as("n_rows"),
+              countDistinct(col(idCol)).as("n_ids"),
+              min(col(idCol)).as("min_id"),
+              max(col(idCol)).as("max_id"))
+            .select(lit(name).as("tbl"), col("n_rows"), col("n_ids"),
+              col("min_id"), col("max_id"),
+              (col("max_id") - col("min_id") + 1 - col("n_ids"))
+                .as("n_missing"),
+              (col("n_rows") - col("n_ids")).as("n_dup_rows"))
+        ledger("documents", "doc_id")
+          .unionByName(ledger("embeddings", "vec_id"))
+          .orderBy("tbl")
+      },
+      Some("""SELECT 'documents' AS tbl, COUNT(*) AS n_rows,
+                COUNT(DISTINCT doc_id) AS n_ids,
+                MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+                MAX(doc_id) - MIN(doc_id) + 1 - COUNT(DISTINCT doc_id)
+                  AS n_missing,
+                COUNT(*) - COUNT(DISTINCT doc_id) AS n_dup_rows
+              FROM documents
+              UNION ALL
+              SELECT 'embeddings', COUNT(*), COUNT(DISTINCT vec_id),
+                MIN(vec_id), MAX(vec_id),
+                MAX(vec_id) - MIN(vec_id) + 1 - COUNT(DISTINCT vec_id),
+                COUNT(*) - COUNT(DISTINCT vec_id)
+              FROM embeddings
+              ORDER BY tbl"""))
   )
 }

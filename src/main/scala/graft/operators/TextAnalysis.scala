@@ -1267,7 +1267,62 @@ object TextAnalysis {
                         UNNEST(range(1, length(word))) AS i
                       FROM w WHERE length(word) >= 2) e)
               SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
-              FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"""))
+              FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""")),
+
+    // Cross-language duplicate labels — label-noise QA on the metadata,
+    // not the text: normalized-identical documents (q113's
+    // lowercase/whitespace-collapse rule, one definition) whose copies
+    // carry MORE THAN ONE lang label. Identical bytes cannot be two
+    // languages — every such group is a labeling bug (or a langid
+    // disagreement) that would leak mislabeled docs through per-lang
+    // quality gates and per-lang mixing weights. Per lang: groups
+    // involved and docs involved. Plan: ONE partial-agg shuffle on the
+    // normalized text key, the conflicted-group frame is tiny and
+    // joins back on the text key to attribute per-lang counts.
+    // Fixture note (q136's pattern): the synthetic corpus has no
+    // natural byte-identical texts below sf0.1, so the conflicted
+    // branch would be vacuously empty at the oracle SF — the declared
+    // input therefore includes a RE-ANNOTATED copy of every 9th doc
+    // (same text, lang label cycled to the next language) standing in
+    // for the second annotation pipeline that disagrees.
+    "q162_crosslang_dups" -> QueryDef(
+      (s, dir) => {
+        val base = table(s, dir, "documents").select("doc_id", "text", "lang")
+        val relabeled = base.filter(col("doc_id") % 9 === 0)
+          .withColumn("lang",
+            when(col("lang") === "en", "de").when(col("lang") === "de", "es")
+              .when(col("lang") === "es", "fr").when(col("lang") === "fr", "zh")
+              .otherwise("en"))
+        val d = base.unionByName(relabeled)
+          .withColumn("norm",
+            regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        val conflicted = d.groupBy("norm")
+          .agg(countDistinct(col("lang")).as("n_langs"))
+          .filter(col("n_langs") >= 2)
+          .select("norm")
+        d.join(conflicted, Seq("norm"))
+          .groupBy("lang")
+          .agg(countDistinct(col("norm")).as("n_groups"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("lang")
+      },
+      Some("""WITH u AS (SELECT doc_id, text, lang FROM documents
+                UNION ALL
+                SELECT doc_id, text,
+                  CASE lang WHEN 'en' THEN 'de' WHEN 'de' THEN 'es'
+                    WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh'
+                    ELSE 'en' END
+                FROM documents WHERE doc_id % 9 = 0),
+              d AS (SELECT doc_id, lang,
+                  regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+                    AS norm
+                FROM u),
+              cf AS (SELECT norm FROM d GROUP BY norm
+                     HAVING COUNT(DISTINCT lang) >= 2)
+              SELECT d.lang, COUNT(DISTINCT d.norm) AS n_groups,
+                COUNT(*) AS n_docs
+              FROM d JOIN cf ON d.norm = cf.norm
+              GROUP BY 1 ORDER BY d.lang"""))
   )
 
   /** One row of the BPE training dictionary: a word as its current

@@ -45,6 +45,25 @@ object StreamingOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Tumbling-window approximate distinct users — the sketch family
+    * (SURVEY q57/q67/q99/q101/q103) meeting the streaming surface: per
+    * (hour, event_type), HLL++-estimated distinct user_ids. The HLL
+    * register state is fixed-size and merges by register max —
+    * commutative and idempotent — so the estimate is DETERMINISTIC for
+    * a given data set regardless of partitioning, arrival order, or
+    * micro-batch boundaries: the streaming run equals the batch run
+    * exactly (StreamingSpec asserts it). At ingest scale this is the
+    * only affordable per-window distinct — exact distinct state grows
+    * with cardinality, HLL state is ~KBs per open window.
+    */
+  def tumblingDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("approx_users"))
+
   /** Sliding windows: 10-minute length every 5 minutes (each event lands
     * in two windows).
     */

@@ -452,4 +452,30 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastExchange"),
       "only the 1-row requalified scalar may cross-join, and broadcast")
   }
+
+  test("q160: the coverage spine crosses two bounded distinct frames and broadcasts") {
+    val p = plan("q160_coverage_matrix")
+    assert(p.contains("partial_"), "cell counts must combine map-side")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "the dimension-sized spine must broadcast, never shuffle the corpus")
+  }
+
+  test("q161: the id ledger is single-pass aggregates, no join, no window") {
+    val p = plan("q161_id_ledger")
+    assert(!p.contains("Join"), "a per-table audit needs no join")
+    assert(!p.contains("Window"), "a per-table audit needs no window")
+  }
+
+  test("q162: conflict detection is one partial-agg pass on the norm key") {
+    val p = plan("q162_crosslang_dups")
+    assert(p.contains("partial_"), "norm-key groups must collapse map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q163: vector dedup is one partial-agg key shuffle, no join") {
+    val p = plan("q163_exact_vector_dups")
+    assert(p.contains("partial_"), "duplicate vectors must collapse map-side")
+    assert(!p.contains("Join"), "content-identity dedup needs no join")
+  }
 }

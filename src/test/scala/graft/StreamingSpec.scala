@@ -222,6 +222,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed HLL distinct-users equals the batch estimate exactly") {
+    // register-max merge is commutative + idempotent, so the HLL
+    // estimate cannot depend on micro-batch boundaries or partition
+    // order — streaming and batch must agree to the integer
+    import graft.operators.Q
+    val events = Q.table(spark, sfDir, "events")
+      .select("ts", "event_type", "user_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-hll")
+    events.coalesce(1).write.mode("overwrite").parquet(s"$dir/events")
+    val streamed = spark.readStream
+      .schema(events.schema)
+      .parquet(s"$dir/events")
+    val q = StreamingOps.tumblingDistinctUsers(streamed)
+      .writeStream.format("memory").outputMode(OutputMode.Update())
+      .queryName("hll_" + System.nanoTime()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(q.name).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1.getTime, x._2))
+      val want = StreamingOps.tumblingDistinctUsers(events).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1.getTime, x._2))
+      assert(got.nonEmpty && got.toSeq == want.toSeq)
+      // sanity: estimates sit within the 2% rsd band of exact counts
+      val exact = events
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts"), "1 hour"),
+          org.apache.spark.sql.functions.col("event_type"))
+        .agg(org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("user_id")).as("n"))
+        .collect().map(r => (r.getStruct(0).getTimestamp(0),
+          r.getString(1)) -> r.getLong(2)).toMap
+      got.foreach { case (t, et, est) =>
+        val ex = exact((t, et))
+        assert(math.abs(est - ex) <= math.max(2L, (ex * 0.10).toLong),
+          s"HLL estimate $est too far from exact $ex for ($t, $et)")
+      }
+    } finally q.stop()
+  }
+
   test("transformWithState running stats match flatMapGroupsWithState (RocksDB)") {
     import spark.implicits._
     import graft.streaming.UserEvent
