@@ -60,28 +60,84 @@ object Bench {
     // rather than re-persisting — no CacheManager warnings); timings
     // stay comparable across rounds.
     var errors = List.empty[(String, String)]
+    // Per-PASS wall-clock ceiling: a query that hangs (a degenerate
+    // plan at a new SF, an environmental stall that never resolves)
+    // must cost the sweep one bounded slot, not the whole round's
+    // artifact — the driver archives whatever the sweep prints, so a
+    // single hung query used to mean NO recorded numbers at all. The
+    // pass runs on a daemon worker with its own Spark job group; on
+    // timeout the group is cancelled (interruptOnCancel) and the query
+    // records a timeout error like any other per-query failure.
+    val passTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_SEC", "300").toLong
+    val pool = java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => {
+        val t = new Thread(r, "bench-pass"); t.setDaemon(true); t
+      })
+    sealed trait Pass
+    final case class Ok(sec: Double) extends Pass
+    case object TimedOut extends Pass
+    final case class Crashed(msg: String) extends Pass
+
     val results = queries.map { case (name, fn) =>
-      try fn(spark, sfDir).collect()
-      catch { case _: Throwable => () }
-      def timed(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      // min-of-2: a stall inflates one pass, the min keeps the clean
-      // one. For the multi-second queries a third pass upgrades the
-      // statistic to median-of-3 — robust even if the stall hit the
-      // first pass and left the second marginally noisy.
-      val sec =
-        try {
-          val a = timed()
-          val b = timed()
-          if (math.min(a, b) >= 2.0) Seq(a, b, timed()).sorted.apply(1)
-          else math.min(a, b)
-        } catch {
+      def pass(): Pass = {
+        val tag = s"bench-$name-${System.nanoTime()}"
+        val fut = pool.submit(
+          new java.util.concurrent.Callable[Either[String, Double]] {
+            def call(): Either[String, Double] =
+              try {
+                spark.sparkContext.setJobGroup(tag, name,
+                  interruptOnCancel = true)
+                val t0 = System.nanoTime()
+                fn(spark, sfDir).collect()
+                Right((System.nanoTime() - t0) / 1e9)
+              } catch {
+                case e: Throwable =>
+                  Left(e.toString.takeWhile(_ != '\n').take(200))
+              }
+          })
+        try fut.get(passTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+          .fold(Crashed(_), Ok(_))
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(tag)
+            fut.cancel(true)
+            TimedOut
           case e: Throwable =>
-            errors ::= (name -> e.toString.takeWhile(_ != '\n').take(200))
-            0.0
+            Crashed(e.toString.takeWhile(_ != '\n').take(200))
+        }
+      }
+      // warmup pass (JVM/codegen/IO cache + the query's own persisted
+      // fragments); its ordinary failures defer to the timed pass for
+      // the error message, but a TIMEOUT is terminal — paying the
+      // ceiling twice for a hung query would double the damage
+      val sec = pass() match {
+        case TimedOut =>
+          errors ::= (name -> s"warmup pass exceeded ${passTimeoutSec}s")
+          0.0
+        case _ =>
+          // min-of-2: a stall inflates one pass, the min keeps the
+          // clean one. For the multi-second queries a third pass
+          // upgrades the statistic to median-of-3 — robust even if the
+          // stall hit the first pass and left the second noisy.
+          pass() match {
+            case Ok(a) => pass() match {
+              case Ok(b) if math.min(a, b) >= 2.0 => pass() match {
+                case Ok(c) => Seq(a, b, c).sorted.apply(1)
+                case _ => math.min(a, b)
+              }
+              case Ok(b) => math.min(a, b)
+              // second pass flaked after a clean first: keep the
+              // clean sample rather than zeroing the query
+              case _ => a
+            }
+            case TimedOut =>
+              errors ::= (name -> s"timed pass exceeded ${passTimeoutSec}s")
+              0.0
+            case Crashed(msg) =>
+              errors ::= (name -> msg)
+              0.0
+          }
         }
       graft.operators.Q.releaseManaged()
       // Block-manager hygiene between queries: localCheckpoint'd frames
