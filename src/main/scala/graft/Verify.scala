@@ -27,10 +27,31 @@ object Verify {
       .filter { case (name, _) =>
         only.forall(_.exists(p => name.startsWith(p))) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // Bench's per-pass ceiling, applied to the correctness dump: one
+      // hung query must cost ONE missing output directory (a per-query
+      // failure in the driver's compare), never the whole round's
+      // CORRECTNESS artifact. The pass runs on a daemon worker under
+      // its own job group; on timeout the group cancels and the sweep
+      // moves on.
+      val timeoutSec =
+        sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "300").toLong
+      val tag = s"verify-$name"
+      val worker = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(tag, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }, s"verify-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutSec * 1000L)
+      if (worker.isAlive) {
+        spark.sparkContext.cancelJobGroup(tag)
+        System.err.println(s"[verify] $name failed: exceeded ${timeoutSec}s")
+        worker.join(30000L)
       }
       // queries persist shared fragments they cannot unpersist before
       // their final action — release them between queries so cache
