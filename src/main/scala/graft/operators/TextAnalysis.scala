@@ -1322,7 +1322,63 @@ object TextAnalysis {
               SELECT d.lang, COUNT(DISTINCT d.norm) AS n_groups,
                 COUNT(*) AS n_docs
               FROM d JOIN cf ON d.norm = cf.norm
-              GROUP BY 1 ORDER BY d.lang"""))
+              GROUP BY 1 ORDER BY d.lang""")),
+
+    // Quality drift across INGEST ORDER — q109 compares two snapshot
+    // versions; this slices ONE corpus into ten doc_id deciles (ids
+    // arrive roughly in crawl order) and tracks the q31 badness score
+    // (stopword share in integer bps — CONTINUOUS, so the scan cannot
+    // degenerate the way a permissive pass/fail gate does) per decile:
+    // mean (integer half-up) and worst. A rising tail decile means the
+    // crawl frontier is degrading BEFORE the next version ships.
+    // Decile assignment is (doc_id·10) div (max_id+1) — no sort, no
+    // window, partitioning-invariant; the 1-row max broadcasts (q146's
+    // scalar pattern). One corpus pass into a ≤10-key rollup.
+    "q164_quality_drift" -> QueryDef(
+      (s, dir) => {
+        val sig = qualitySignals(table(s, dir, "documents"))
+          .withColumn("badness",
+            when(col("n_tokens") === 0, 10000L)
+              .otherwise(expr("(20000*n_stop + n_tokens) div (2*n_tokens)")))
+          .select("doc_id", "badness")
+        val mx = table(s, dir, "documents").agg(max("doc_id").as("mx"))
+        sig.crossJoin(broadcast(mx))
+          .withColumn("decile", expr("(doc_id * 10) div (mx + 1)"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("badness").as("bsum"),
+            max("badness").as("worst_badness"))
+          .select(col("decile"), col("n_docs"),
+            expr("(bsum * 2 + n_docs) div (2 * n_docs)")
+              .as("mean_badness"),
+            col("worst_badness"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS toks
+                FROM documents),
+              g AS (SELECT doc_id,
+                  CAST(LEN(toks) AS BIGINT) AS nt,
+                  CAST(LEN(list_filter(toks,
+                    x -> x IN ($stopwordsSql))) AS BIGINT) AS ns
+                FROM f),
+              b AS (SELECT doc_id,
+                  CASE WHEN nt = 0 THEN 10000
+                    ELSE (20000 * ns + nt) // (2 * nt) END AS badness
+                FROM g),
+              d AS (SELECT (doc_id * 10) //
+                  ((SELECT MAX(doc_id) FROM documents) + 1) AS decile,
+                  badness
+                FROM b),
+              a AS (SELECT decile, COUNT(*) AS n_docs,
+                  CAST(SUM(badness) AS BIGINT) AS bsum,
+                  CAST(MAX(badness) AS BIGINT) AS worst_badness
+                FROM d GROUP BY 1)
+              SELECT CAST(decile AS BIGINT) AS decile, n_docs,
+                (bsum * 2 + n_docs) // (2 * n_docs) AS mean_badness,
+                worst_badness
+              FROM a ORDER BY decile"""))
   )
 
   /** One row of the BPE training dictionary: a word as its current

@@ -478,4 +478,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "duplicate vectors must collapse map-side")
     assert(!p.contains("Join"), "content-identity dedup needs no join")
   }
+
+  test("q164: decile assignment has no sort/window; the max scalar broadcasts") {
+    val p = plan("q164_quality_drift")
+    assert(!p.contains("Window"), "decile must be arithmetic, not ntile")
+    assert(p.contains("partial_"), "the decile rollup must combine map-side")
+  }
 }
