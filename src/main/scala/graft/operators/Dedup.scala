@@ -243,6 +243,48 @@ object Dedup {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** Re-attach a [[writeBandIndex]] artifact in a NEW SparkSession —
+    * the write-once index outlives the session that built it (its
+    * truth is the bucketed parquet under `path`; the catalog entry is
+    * session state), so the nightly probe job starts by registering
+    * the on-disk tables with the exact bucket spec they were written
+    * under. DDL-declared spec == write-time spec, so probes stay
+    * exchange-free (IndexStoreSpec proves drop → register → probe is
+    * result-identical and still consumes the bucketed layout).
+    */
+  def registerBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      path: String,
+      buckets: Int = 32): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+    spark.sql(
+      s"""CREATE TABLE ${name}_bands (doc_id BIGINT, band BIGINT)
+         |USING PARQUET
+         |CLUSTERED BY (band) SORTED BY (band) INTO $buckets BUCKETS
+         |LOCATION '$path/bands'""".stripMargin)
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_shingles")
+    spark.sql(
+      s"""CREATE TABLE ${name}_shingles (doc_id BIGINT, sh ARRAY<STRING>)
+         |USING PARQUET
+         |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $buckets BUCKETS
+         |LOCATION '$path/shingles'""".stripMargin)
+  }
+
+  /** [[registerBandIndex]]'s twin for the [[writeGramIndex]] artifact. */
+  def registerGramIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      path: String,
+      buckets: Int = 32): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_grams")
+    spark.sql(
+      s"""CREATE TABLE ${name}_grams (g STRING)
+         |USING PARQUET
+         |CLUSTERED BY (g) SORTED BY (g) INTO $buckets BUCKETS
+         |LOCATION '$path/grams'""".stripMargin)
+  }
+
   /** Append a batch's bands + shingles to a persisted [[writeBandIndex]]
     * index — the other half of the nightly loop (probe, then fold the
     * surviving docs in so the NEXT batch dedups against them too).

@@ -127,6 +127,56 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("band/gram indexes survive the writing session: drop catalog, re-register, probe") {
+    // the artifact's truth is the bucketed parquet on disk; the catalog
+    // entry is session state. A new session re-attaches via register*
+    // with the same bucket spec — the probe must be result-identical
+    // AND still consume the bucketed layout.
+    val docs = Q.table(spark, sfDir, "documents")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = Files.createTempDirectory("graft-reattach")
+    try {
+      Dedup.writeBandIndex(base, "reat_b", s"$tmp/band")
+      Dedup.writeGramIndex(base, "reat_g", s"$tmp/gramidx")
+      val wantPairs = Dedup.probeBandIndex(spark, "reat_b", batch)
+        .orderBy("da", "db").collect().toSeq
+      val wantNovel = Dedup.probeGramNovelty(spark, "reat_g", batch)
+        .collect().toSeq
+      graft.operators.Q.releaseManaged()
+      // simulate the next session: the catalog forgets the tables
+      spark.sql("DROP TABLE IF EXISTS reat_b_bands")
+      spark.sql("DROP TABLE IF EXISTS reat_b_shingles")
+      spark.sql("DROP TABLE IF EXISTS reat_g_grams")
+      Dedup.registerBandIndex(spark, "reat_b", s"$tmp/band")
+      Dedup.registerGramIndex(spark, "reat_g", s"$tmp/gramidx")
+      val gotPairs = Dedup.probeBandIndex(spark, "reat_b", batch)
+        .orderBy("da", "db").collect().toSeq
+      val gotNovel = Dedup.probeGramNovelty(spark, "reat_g", batch)
+        .collect().toSeq
+      assert(gotPairs.nonEmpty && gotPairs == wantPairs,
+        "re-registered band index drifted from the original probe")
+      assert(gotNovel == wantNovel,
+        "re-registered gram index drifted from the original probe")
+      // release the probes' cached fragments first: a matching
+      // InMemoryRelation would substitute into the plan below and its
+      // nested-tree print truncates the branch the assertion reads
+      graft.operators.Q.releaseManaged()
+      // the re-attached tables still declare their bucket spec
+      withNoBroadcast {
+        val novel = Dedup.novelGramsOf(spark, "reat_g",
+          Dedup.batchDistinctGrams(spark, batch))
+        val plan = finalPlan(novel)
+        assert(plan.contains("Bucketed: true"),
+          s"re-registered gram table lost its bucketed scan:\n$plan")
+      }
+    } finally {
+      Seq("reat_b_bands", "reat_b_shingles", "reat_g_grams")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
   test("gram index probe: stored-side anti-join is exchange-free") {
     val docs = Q.table(spark, sfDir, "documents")
     val tmp = Files.createTempDirectory("graft-gramidx3")
