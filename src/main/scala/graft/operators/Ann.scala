@@ -751,6 +751,42 @@ object Ann {
     * join, and `<name>_pq` — ONE row holding (m, ksub, dsub, flat
     * codebooks), the whole trained quantizer, read back at probe time.
     */
+  /** Re-attach a [[writeIvfIndex]] artifact in a NEW SparkSession —
+    * same contract as `Dedup.registerBandIndex`: the artifact's truth
+    * is the bucketed parquet under `path`, the catalog entry is
+    * session state; declaring the same bucket spec the write used
+    * keeps every probe exchange-free on the stored side.
+    */
+  def registerIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      path: String,
+      buckets: Int = 16): Unit = {
+    IndexCatalog.registerBucketed(spark, s"${name}_codes",
+      s"$path/codes", "cell", buckets)
+    IndexCatalog.registerPlain(spark, s"${name}_centroids",
+      s"$path/centroids")
+    IndexCatalog.registerBucketed(spark, s"${name}_vectors",
+      s"$path/vectors", "vec_id", buckets)
+  }
+
+  /** [[registerIvfIndex]]'s twin for the [[writePqIndex]] artifact
+    * (adds the 1-row codebook table).
+    */
+  def registerPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      path: String,
+      buckets: Int = 16): Unit = {
+    IndexCatalog.registerBucketed(spark, s"${name}_codes",
+      s"$path/codes", "cell", buckets)
+    IndexCatalog.registerPlain(spark, s"${name}_centroids",
+      s"$path/centroids")
+    IndexCatalog.registerBucketed(spark, s"${name}_vectors",
+      s"$path/vectors", "vec_id", buckets)
+    IndexCatalog.registerPlain(spark, s"${name}_pq", s"$path/pq")
+  }
+
   def writePqIndex(
       corpus: DataFrame,
       name: String,

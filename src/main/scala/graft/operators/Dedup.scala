@@ -257,18 +257,10 @@ object Dedup {
       name: String,
       path: String,
       buckets: Int = 32): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
-    spark.sql(
-      s"""CREATE TABLE ${name}_bands (doc_id BIGINT, band BIGINT)
-         |USING PARQUET
-         |CLUSTERED BY (band) SORTED BY (band) INTO $buckets BUCKETS
-         |LOCATION '$path/bands'""".stripMargin)
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_shingles")
-    spark.sql(
-      s"""CREATE TABLE ${name}_shingles (doc_id BIGINT, sh ARRAY<STRING>)
-         |USING PARQUET
-         |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $buckets BUCKETS
-         |LOCATION '$path/shingles'""".stripMargin)
+    IndexCatalog.registerBucketed(spark, s"${name}_bands",
+      s"$path/bands", "band", buckets)
+    IndexCatalog.registerBucketed(spark, s"${name}_shingles",
+      s"$path/shingles", "doc_id", buckets)
   }
 
   /** [[registerBandIndex]]'s twin for the [[writeGramIndex]] artifact. */
@@ -276,14 +268,9 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       name: String,
       path: String,
-      buckets: Int = 32): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_grams")
-    spark.sql(
-      s"""CREATE TABLE ${name}_grams (g STRING)
-         |USING PARQUET
-         |CLUSTERED BY (g) SORTED BY (g) INTO $buckets BUCKETS
-         |LOCATION '$path/grams'""".stripMargin)
-  }
+      buckets: Int = 32): Unit =
+    IndexCatalog.registerBucketed(spark, s"${name}_grams",
+      s"$path/grams", "g", buckets)
 
   /** Append a batch's bands + shingles to a persisted [[writeBandIndex]]
     * index — the other half of the nightly loop (probe, then fold the

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Re-attachment of write-once index artifacts in a NEW SparkSession.
+  *
+  * Every persisted index (band / gram / IVF-SQ8 / IVF-PQ) is a set of
+  * external parquet tables: the artifact's truth is the bucketed files
+  * under its path — the catalog entry is per-session state that dies
+  * with the metastore. A fresh session (the nightly probe job, a
+  * different cluster) re-declares the tables here before probing.
+  *
+  * The column schema is INFERRED from the parquet footers rather than
+  * hand-maintained in DDL — a drifted copy of a schema is exactly the
+  * kind of silent skew a checksummed artifact exists to prevent — and
+  * only the bucket spec (which parquet does not carry) is declared,
+  * matching what the write laid down so probes stay exchange-free
+  * (IndexStoreSpec proves drop → register → probe result-identity and
+  * the preserved bucketed scan).
+  */
+private[graft] object IndexCatalog {
+
+  /** Declare a bucketed external parquet table over existing files. */
+  def registerBucketed(
+      spark: SparkSession,
+      table: String,
+      path: String,
+      bucketCol: String,
+      buckets: Int): Unit = {
+    val schema = spark.read.parquet(path).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table ($schema)
+         |USING PARQUET
+         |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+         |INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
+
+  /** Declare an unbucketed external parquet table over existing files. */
+  def registerPlain(
+      spark: SparkSession, table: String, path: String): Unit = {
+    val schema = spark.read.parquet(path).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table ($schema)
+         |USING PARQUET
+         |LOCATION '$path'""".stripMargin)
+  }
+}

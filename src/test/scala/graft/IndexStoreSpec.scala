@@ -285,6 +285,31 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("pq index survives the writing session: drop catalog, re-register, probe") {
+    // the richest artifact schema (int8 code arrays, nested codebook
+    // lists) — the inferred-schema register path must reproduce every
+    // probe row bitwise after the catalog forgets the tables
+    val emb = Q.table(spark, sfDir, "embeddings")
+    val tmp = Files.createTempDirectory("graft-pqreat")
+    try {
+      Ann.writePqIndex(emb, "pqreat_t", s"$tmp")
+      val queries = emb.filter(col("vec_id") < 8)
+      def canon() = Ann.ivfPqProbe(spark, "pqreat_t", queries,
+        k = 5, nprobe = 4, rerank = 16)
+        .orderBy("q_id", "rank").collect().toSeq
+      val want = canon()
+      Seq("codes", "centroids", "vectors", "pq").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS pqreat_t_$t"))
+      Ann.registerPqIndex(spark, "pqreat_t", s"$tmp")
+      val got = canon()
+      assert(got.nonEmpty && got == want,
+        "re-registered pq index drifted from the original probe")
+    } finally {
+      Seq("codes", "centroids", "vectors", "pq").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS pqreat_t_$t"))
+    }
+  }
+
   test("ivf-pq append: frozen-quantizer ingest equals an in-plan build over the union") {
     val emb = Q.table(spark, sfDir, "embeddings")
     val base = emb.filter(col("vec_id") % 2 === 0)
