@@ -79,7 +79,16 @@ object Bench {
     case object TimedOut extends Pass
     final case class Crashed(msg: String) extends Pass
 
+    // Every observed pass wall (warmup first, then the timed passes) is
+    // recorded per query — a q117-style "regressed 2.5× with no code
+    // change" is attributable from the round's own artifact (was it one
+    // bad pass? the warmup? all passes?) without a re-run. Full arrays
+    // go to the sidecar; the printed line carries them only for the
+    // ≥ 1 s queries (the tail-archived line has a ~2 KiB budget).
+    val passLog =
+      scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     val results = queries.map { case (name, fn) =>
+      val observed = scala.collection.mutable.ListBuffer.empty[Double]
       def pass(): Pass = {
         val tag = s"bench-$name-${System.nanoTime()}"
         val fut = pool.submit(
@@ -97,7 +106,7 @@ object Bench {
               }
           })
         try fut.get(passTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-          .fold(Crashed(_), Ok(_))
+          .fold(Crashed(_), { s => observed += s; Ok(s) })
         catch {
           case _: java.util.concurrent.TimeoutException =>
             spark.sparkContext.cancelJobGroup(tag)
@@ -151,6 +160,7 @@ object Bench {
       // outside the timed passes, so it costs wall-clock only, never a
       // recorded number.
       System.gc()
+      passLog(name) = observed.toList
       name -> sec
     }
 
@@ -164,11 +174,26 @@ object Bench {
     // and invalidate the driver-parsed JSON line
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // centisecond precision: 10 ms is inside min-of-2 noise, and the
+    // saved bytes keep more queries inside the driver's archived tail
+    // now that pass arrays ride along
     val qs = ok.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     }.mkString("{", ",", "}")
     val qsFull = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def cs(v: Double): String =  // centisecond precision for pass arrays
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val passesFull = passLog.map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.map(cs).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // printed line: pass arrays only for the slow queries — that's where
+    // regression attribution matters and where min-vs-passes diverge
+    val passes = passLog.collect {
+      case (k, vs) if ok.exists { case (n, v) => n == k && v >= 1.0 } =>
+        "\"" + k.takeWhile(_ != '_') + "\":[" + vs.map(cs).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
@@ -177,9 +202,9 @@ object Bench {
     val fileOps = benchFileOps(spark)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"queries":$qsFull,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"queries":$qsFull,"passes":$passesFull,"errors":$errJson,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.length},"fileops":$fileOps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"passes":$passes,"errors":$errJson,"n_failed":${errors.length},"fileops":$fileOps,"sf":"$sfDir"}""")
     spark.stop()
     // Always exit 0: per-query failures are already reported inside the
     // JSON line (`errors`/`n_failed`). A nonzero exit makes the sbt

@@ -51,15 +51,37 @@ object Verify {
       if (worker.isAlive) {
         spark.sparkContext.cancelJobGroup(tag)
         System.err.println(s"[verify] $name failed: exceeded ${timeoutSec}s")
-        worker.join(30000L)
+        // Wait until the cancelled worker ACTUALLY dies (re-cancelling
+        // each lap) — proceeding while it winds down would release the
+        // shared managed cache under a live job and let its tasks race
+        // with the next query's persisted fragments, polluting the
+        // round (ADVICE r10). The cancel almost always lands in one
+        // 30 s lap; the lap cap only bounds a pathologically stuck
+        // task. If the worker survives every lap, record the zombie in
+        // the round's artifact and SKIP the cache release for this
+        // query — leaked cache is bounded noise, a cross-query race is
+        // not.
+        var laps = 0
+        while (worker.isAlive && laps < 10) {
+          worker.join(30000L)
+          if (worker.isAlive) spark.sparkContext.cancelJobGroup(tag)
+          laps += 1
+        }
+        if (worker.isAlive) {
+          System.err.println(
+            s"[verify] $name ZOMBIE: worker still alive after cancel; " +
+              "skipping cache release to avoid cross-query contamination")
+        }
       }
       // queries persist shared fragments they cannot unpersist before
       // their final action — release them between queries so cache
       // residency stays bounded at one query's working set (ADVICE r7).
       // releaseManaged frees exactly the frames the query registered
       // (no global clearCache stomping caches the caller owns, and no
-      // "already cached" CacheManager warnings — ADVICE r8/VERDICT #3)
-      graft.operators.Q.releaseManaged()
+      // "already cached" CacheManager warnings — ADVICE r8/VERDICT #3).
+      // Skipped when a zombie worker survived cancellation: releasing
+      // under its live jobs is the cross-query race documented above.
+      if (!worker.isAlive) graft.operators.Q.releaseManaged()
       // same block-manager hygiene as Bench: force the ContextCleaner
       // to reclaim localCheckpoint blocks + dead broadcasts between
       // queries, or the 130-query sweep accumulates them until caches

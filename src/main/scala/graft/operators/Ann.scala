@@ -882,6 +882,34 @@ object Ann {
       .mode("append").insertInto(s"${name}_vectors")
   }
 
+  /** [[appendToPqIndex]] guarded against vectors already present — the
+    * REPLAY path of the streaming ANN ingest loop ([[graft.streaming
+    * .IngestLedger]]): a retried micro-batch whose original attempt
+    * died mid-append re-runs this, and each table receives only the
+    * vec_ids it does not already hold (a blind re-append would
+    * duplicate code rows and corrupt every downstream probe). Costs a
+    * vec_id scan of the stored tables — replay-only by design.
+    */
+  def appendToPqIndexDedup(
+      batch: DataFrame, name: String): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val pq = readPqModel(spark, name)
+    val centroids = spark.table(s"${name}_centroids")
+    val centers = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val inCodes = spark.table(s"${name}_codes").select("vec_id").distinct()
+    pqCodes(centers, pq, batch, centroids)
+      .join(inCodes, Seq("vec_id"), "left_anti")
+      .write.mode("append").insertInto(s"${name}_codes")
+    val inVecs = spark.table(s"${name}_vectors").select("vec_id").distinct()
+    batch.select("vec_id", "embedding")
+      .filter(size(col("embedding")) === pq.m * pq.dsub)
+      .join(inVecs, Seq("vec_id"), "left_anti")
+      .write.mode("append").insertInto(s"${name}_vectors")
+  }
+
   /** Re-encode `corpus` from a persisted index's FROZEN artifacts
     * (centroids + codebooks read from the catalog tables) and score it
     * in-plan — the reference answer for "is the accumulated code table

@@ -32,10 +32,16 @@ import graft.sources.FileManifest
   *    8 MiB buffers — nothing is materialized on the driver, matching
   *    [[FileOps]]'s execution contract.
   *
-  * Retry/speculation safety: a bundle is written through
-  * `fs.create(..., overwrite = true)` and the sidecar last, so a
-  * retried task simply rewrites its bundles from scratch — the member
-  * list and order are deterministic, making the rewrite byte-identical.
+  * Retry/speculation safety: each bundle (and its sidecar) is written
+  * to a task-attempt-unique `*.tmp` name and renamed into place on
+  * completion, sidecar last — a speculative attempt or a zombie
+  * original running concurrently with its retry each write their OWN
+  * temp files, and the rename is per-file atomic on the filesystems
+  * that matter, so destination bytes can never interleave across
+  * attempts (ADVICE r10). The member list and order are deterministic
+  * — total order `(bucket, path)`, unique even when two buckets hold
+  * identical relative paths — so whichever attempt commits last leaves
+  * byte-identical output.
   */
 object Compaction {
 
@@ -51,10 +57,18 @@ object Compaction {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val parts = math.max(1,
       manifest.sparkSession.sparkContext.defaultParallelism)
+    // total order on (bucket, path) when a bucket column exists: path
+    // alone ties between two buckets holding the same relative path,
+    // and a nondeterministic tie order would break the byte-identical
+    // rewrite guarantee (ADVICE r10). Streamed batches carry absolute
+    // unique paths and no bucket column — path order suffices there.
+    val ordCols =
+      if (manifest.columns.contains("bucket")) Seq(col("bucket"), col("path"))
+      else Seq(col("path"))
     val m = manifest
-      .repartitionByRange(parts, col("path"))
+      .repartitionByRange(parts, ordCols: _*)
       .withColumn("pid", spark_partition_id())
-    val wLocal = Window.partitionBy("pid").orderBy("path")
+    val wLocal = Window.partitionBy("pid").orderBy(ordCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the per-partition totals frame is ≤ `parts` rows — the
     // unpartitioned window below is a bounded scan, not a data collapse
@@ -93,7 +107,7 @@ object Compaction {
       val tasks = math.max(1, math.min(nBundles,
         4L * spark.sparkContext.defaultParallelism).toInt)
       rows.repartition(tasks, col("bundle"))
-        .sortWithinPartitions("bundle", "path")
+        .sortWithinPartitions("bundle", "bucket", "path")
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           val c = conf.value
           val fsCache =
@@ -104,20 +118,38 @@ object Compaction {
               fs.setWriteChecksum(false)
               fs
             })
+          // attempt-unique temp suffix: a speculative attempt (or a
+          // zombie original racing its retry) writes its own temp file;
+          // only the rename touches the destination path
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(tc => s"${tc.stageAttemptNumber}-${tc.taskAttemptId}")
+            .getOrElse("d")
+          def commitFile(tmp: Path, dest: Path): Unit = {
+            val fs = fsFor(destBucket)
+            if (fs.exists(dest)) fs.delete(dest, false)
+            if (!fs.rename(tmp, dest))
+              throw new java.io.IOException(s"rename $tmp -> $dest failed")
+          }
           val buf = new Array[Byte](8 << 20)
           var bundle = -1L
           var out: org.apache.hadoop.fs.FSDataOutputStream = null
+          var outTmp: Path = null
           var idx: StringBuilder = null
           var offset = 0L
+          def binDest(b: Long): Path =
+            new Path(s"$destBucket/${prefix}bundle-%05d.bin".format(b))
           def closeBundle(): Unit = if (out != null) {
             out.close()
-            // sidecar written AFTER the data: its presence marks a
+            commitFile(outTmp, binDest(bundle))
+            // sidecar committed AFTER the data: its presence marks a
             // complete bundle, and a retry overwrites both
-            val idxOut = fsFor(destBucket).create(
-              new Path(s"$destBucket/${prefix}bundle-%05d.idx".format(bundle)),
-              true)
+            val idxDest =
+              new Path(s"$destBucket/${prefix}bundle-%05d.idx".format(bundle))
+            val idxTmp = idxDest.suffix(s".$attempt.tmp")
+            val idxOut = fsFor(destBucket).create(idxTmp, true)
             idxOut.write(idx.toString.getBytes(StandardCharsets.UTF_8))
             idxOut.close()
+            commitFile(idxTmp, idxDest)
             out = null
           }
           it.foreach { r =>
@@ -125,9 +157,8 @@ object Compaction {
             if (b != bundle) {
               closeBundle()
               bundle = b
-              out = fsFor(destBucket).create(
-                new Path(s"$destBucket/${prefix}bundle-%05d.bin".format(b)),
-                true)
+              outTmp = binDest(b).suffix(s".$attempt.tmp")
+              out = fsFor(destBucket).create(outTmp, true)
               idx = new StringBuilder
               offset = 0L
             }
@@ -305,17 +336,33 @@ object Compaction {
           val r = rootUri.relativize(u)
           if (r.isAbsolute) u.getPath else r.getPath
         }
+        // same attempt-unique temp + rename commit as [[compact]]: a
+        // replayed batch already overwrites its own bundles, but only
+        // the rename protocol makes a CONCURRENT zombie/speculative
+        // attempt safe (ADVICE r10)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(tc => s"${tc.stageAttemptNumber}-${tc.taskAttemptId}")
+          .getOrElse("d")
+        def commitFile(tmp: Path, dest: Path): Unit = {
+          if (destFs().exists(dest)) destFs().delete(dest, false)
+          if (!destFs().rename(tmp, dest))
+            throw new java.io.IOException(s"rename $tmp -> $dest failed")
+        }
         var bundle = -1L
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var outTmp: Path = null
         var idx: StringBuilder = null
         var offset = 0L
         def name(ext: String): Path = new Path(
           s"$destBucket/${prefix}b$batchId-bundle-%05d.$ext".format(bundle))
         def closeBundle(): Unit = if (out != null) {
           out.close()
-          val idxOut = destFs().create(name("idx"), true)
+          commitFile(outTmp, name("bin"))
+          val idxTmp = name("idx").suffix(s".$attempt.tmp")
+          val idxOut = destFs().create(idxTmp, true)
           idxOut.write(idx.toString.getBytes(StandardCharsets.UTF_8))
           idxOut.close()
+          commitFile(idxTmp, name("idx"))
           out = null
         }
         it.foreach { r =>
@@ -323,7 +370,8 @@ object Compaction {
           if (b != bundle) {
             closeBundle()
             bundle = b
-            out = destFs().create(name("bin"), true)
+            outTmp = name("bin").suffix(s".$attempt.tmp")
+            out = destFs().create(outTmp, true)
             idx = new StringBuilder
             offset = 0L
           }

@@ -291,6 +291,32 @@ object Dedup {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** [[appendToBandIndex]] guarded against rows already present — the
+    * REPLAY path of the streaming ingest loop ([[graft.streaming
+    * .IngestLedger]]): a retried micro-batch whose original attempt
+    * died mid-append re-runs this instead of the plain append, and
+    * each table receives only the docs it does not already hold.
+    * Costs a distinct-doc scan of both stored tables, which is why the
+    * happy path keeps the unguarded append; assumes the default
+    * job-atomic file commit (a table never holds a PARTIAL doc).
+    */
+  def appendToBandIndexDedup(
+      docs: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val s = docs.sparkSession
+    val sh = shingledOf(s, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val inBands =
+        s.table(s"${name}_bands").select("doc_id").distinct()
+      bandedOf(sh).join(inBands, Seq("doc_id"), "left_anti")
+        .write.mode("append").insertInto(s"${name}_bands")
+      val inShingles =
+        s.table(s"${name}_shingles").select("doc_id").distinct()
+      sh.join(inShingles, Seq("doc_id"), "left_anti")
+        .write.mode("append").insertInto(s"${name}_shingles")
+    } finally sh.unpersist(blocking = false)
+  }
+
   /** Write-once DISTINCT-GRAM index — the third persisted artifact
     * family (bands for near-dup, cells/codes for ANN, GRAMS for the
     * novelty/decontamination scans): one bucketed external table
@@ -968,8 +994,10 @@ object Dedup {
       (s, dir) => {
         HashFunctions.register(s)
         import s.implicits._
+        // no upfront repartition: the exact side re-keys on `sh` and the
+        // sketch side on `source` anyway, so a doc_id shuffle here is a
+        // pure extra exchange of the widest frame in the query
         val docs = table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         // exact side: q34's shingle-set Jaccard, same plan shape
         val sh = docs
           .select(col("source"), explode(expr("graft_shingles(text, 3)")).as("sh"))
@@ -1334,7 +1362,7 @@ object Dedup {
     "q116_band_index_probe" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val tag = f"${math.abs(dir.hashCode)}%x"
+        val tag = IndexCatalog.dirTag(dir)
         val name = s"graft_q116_$tag"
         if (!s.catalog.tableExists(s"${name}_bands")) {
           val path = new java.io.File(

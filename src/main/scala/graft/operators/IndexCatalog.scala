@@ -20,6 +20,23 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object IndexCatalog {
 
+  /** Collision-proof artifact tag for a corpus directory: md5 of the
+    * CANONICAL path, first 12 hex chars. Replaces the earlier
+    * `math.abs(dir.hashCode)` tag, which (a) can collide across two
+    * different corpus dirs (32-bit, non-cryptographic) — silently
+    * probing the wrong persisted index — and (b) is negative for
+    * `Int.MinValue`. 48 digest bits make an accidental collision
+    * between corpus paths on one machine implausible.
+    */
+  def dirTag(dir: String): String = {
+    val canonical =
+      try new java.io.File(dir).getCanonicalPath
+      catch { case _: java.io.IOException => new java.io.File(dir).getAbsolutePath }
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+    d.take(6).map(b => f"$b%02x").mkString
+  }
+
   /** Declare a bucketed external parquet table over existing files. */
   def registerBucketed(
       spark: SparkSession,

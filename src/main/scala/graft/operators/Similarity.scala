@@ -322,7 +322,7 @@ object Similarity {
         val k = 10
         val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
         val queries = emb.filter(col("vec_id") % 10 === 0)
-        val tag = f"${math.abs(dir.hashCode)}%x"
+        val tag = IndexCatalog.dirTag(dir)
         val name = s"graft_q117_$tag"
         if (!s.catalog.tableExists(s"${name}_codes")) {
           val path = new java.io.File(
@@ -333,8 +333,11 @@ object Similarity {
           .select("q_id", "vec_id").managedPersist
         val probe = Ann.ivfSq8Probe(s, name, queries, k, nprobe = 8)
           .select("q_id", "vec_id", "rank").managedPersist
+        // persisted: referenced twice by the symmetric difference below —
+        // without it the whole in-plan pipeline (k-means fit + corpus
+        // cell assign + SQ8 encode) executes twice per run
         val inPlan = Ann.ivfSq8TopK(emb, queries, k, nprobe = 8)
-          .select("q_id", "vec_id", "rank")
+          .select("q_id", "vec_id", "rank").managedPersist
         val hit = brute.join(probe.select("q_id", "vec_id"),
           Seq("q_id", "vec_id"), "left_semi")
         // symmetric difference: empty ⇔ identical top-k sets AND ranks
@@ -390,7 +393,7 @@ object Similarity {
         val k = 10
         val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
         val queries = emb.filter(col("vec_id") % 10 === 0)
-        val tag = f"${math.abs(dir.hashCode)}%x"
+        val tag = IndexCatalog.dirTag(dir)
         val name = s"graft_q126_$tag"
         if (!s.catalog.tableExists(s"${name}_codes")) {
           val path = new java.io.File(
@@ -401,8 +404,9 @@ object Similarity {
           .select("q_id", "vec_id").managedPersist
         val probe = Ann.ivfPqProbe(s, name, queries, k, nprobe = 8,
           rerank = 128).select("q_id", "vec_id", "rank").managedPersist
+        // persisted: referenced twice by the symmetric difference below
         val inPlan = Ann.ivfPqTopK(emb, queries, k, nprobe = 8,
-          rerank = 128).select("q_id", "vec_id", "rank")
+          rerank = 128).select("q_id", "vec_id", "rank").managedPersist
         val hit = brute.join(probe.select("q_id", "vec_id"),
           Seq("q_id", "vec_id"), "left_semi")
         // symmetric difference: empty ⇔ identical top-k sets AND ranks
@@ -457,7 +461,7 @@ object Similarity {
         val k = 10
         val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
         val queries = emb.filter(col("vec_id") % 10 === 5)
-        val tag = f"${math.abs(dir.hashCode)}%x"
+        val tag = IndexCatalog.dirTag(dir)
         val name = s"graft_q131_$tag"
         if (!s.catalog.tableExists(s"${name}_codes")) {
           val path = new java.io.File(
@@ -470,8 +474,10 @@ object Similarity {
           .select("q_id", "vec_id").managedPersist
         val probe = Ann.ivfPqProbe(s, name, queries, k, nprobe = 8,
           rerank = 128).select("q_id", "vec_id", "rank").managedPersist
+        // persisted: referenced twice by the symmetric difference below
         val rebuilt = Ann.ivfPqRebuild(s, name, emb, queries, k,
           nprobe = 8, rerank = 128).select("q_id", "vec_id", "rank")
+          .managedPersist
         val hit = brute.join(probe.select("q_id", "vec_id"),
           Seq("q_id", "vec_id"), "left_semi")
         val diff = probe.exceptAll(rebuilt).union(rebuilt.exceptAll(probe))
@@ -523,7 +529,7 @@ object Similarity {
     "q132_pq_code_balance" -> QueryDef(
       (s, dir) => {
         val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
-        val tag = f"${math.abs(dir.hashCode)}%x"
+        val tag = IndexCatalog.dirTag(dir)
         val name = s"graft_q132_$tag"
         if (!s.catalog.tableExists(s"${name}_codes")) {
           val path = new java.io.File(

@@ -333,19 +333,55 @@ object StreamingOps {
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val dup = graft.operators.Ann
-          .ivfPqProbe(batch.sparkSession, indexName, batch, k = 1)
-          .filter(col("sim") >= simFloor)
-          .select(col("q_id").as("vec_id")).distinct()
-        val novel = batch.join(dup, Seq("vec_id"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          onNovel(novel, id)
-          if (growIndex)
-            graft.operators.Ann.appendToPqIndex(novel, indexName)
-        } finally novel.unpersist(blocking = false)
+        annIngestBatch(batch.toDF(), id, indexName, simFloor, growIndex,
+          onNovel)
       }
       .start()
+
+  /** One micro-batch of [[annIngestStream]] — replay idempotency
+    * (ADVICE r10): with growIndex, deciding novelty by probing the
+    * same index the batch then appends to breaks foreachBatch's retry
+    * contract — a replay after the append re-probes its own keys and
+    * drops the whole admitted set. The batch therefore commits its
+    * admitted vec_ids to a batch-id-tagged [[IngestLedger]] BEFORE
+    * mutating the index, and a replay reproduces the admitted set from
+    * the ledger. Package-private so StreamingSpec can replay a batch
+    * under its original id — the exact retry the contract promises.
+    */
+  private[graft] def annIngestBatch(
+      batch: DataFrame, id: Long, indexName: String, simFloor: Double,
+      growIndex: Boolean, onNovel: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    val ledger =
+      if (growIndex)
+        Some(IngestLedger.dirFor(s, s"${indexName}_codes", id))
+      else None
+    val replayed = ledger.exists(IngestLedger.committed(s, _))
+    val novel = (if (replayed)
+      batch.join(IngestLedger.read(s, ledger.get),
+        Seq("vec_id"), "left_semi")
+    else {
+      val dup = graft.operators.Ann
+        .ivfPqProbe(s, indexName, batch, k = 1)
+        .filter(col("sim") >= simFloor)
+        .select(col("q_id").as("vec_id")).distinct()
+      batch.join(dup, Seq("vec_id"), "left_anti")
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!replayed)
+        ledger.foreach(IngestLedger.write(novel.select("vec_id"), _))
+      onNovel(novel, id)
+      if (growIndex && !ledger.exists(IngestLedger.appendDone(s, _))) {
+        // a replay re-appends through the guarded variant: the
+        // original attempt may have died mid-append, and a blind
+        // re-append would duplicate code rows
+        if (replayed)
+          graft.operators.Ann.appendToPqIndexDedup(novel, indexName)
+        else graft.operators.Ann.appendToPqIndex(novel, indexName)
+        ledger.foreach(IngestLedger.markAppendDone(s, _))
+      }
+    } finally novel.unpersist(blocking = false)
+  }
 
   /** Streaming content-novelty gate over a persisted GRAM index
     * ([[graft.operators.Dedup.writeGramIndex]] builds the base once) —
@@ -381,30 +417,66 @@ object StreamingOps {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val s = batch.sparkSession
-        val g = graft.operators.Dedup.docGrams(s, batch)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val tot = g.groupBy("doc_id")
-            .agg(count(lit(1)).as("n_grams"))
-          val nov = g
-            .join(s.table(s"${indexName}_grams"), Seq("g"), "left_anti")
-            .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-          val admitIds = tot
-            .join(nov, Seq("doc_id"), "left")
-            .filter(coalesce(col("n_novel"), lit(0L)) >=
-              col("n_grams") * lit(minNovelShare))
-            .select("doc_id")
-          val admitted = batch.join(admitIds, Seq("doc_id"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            onAdmit(admitted, id)
-            if (growIndex)
-              graft.operators.Dedup.appendToGramIndex(admitted, indexName)
-          } finally admitted.unpersist(blocking = false)
-        } finally g.unpersist(blocking = false)
+        gramNoveltyBatch(batch.toDF(), id, indexName, minNovelShare,
+          growIndex, onAdmit)
       }
       .start()
+
+  /** One micro-batch of [[gramNoveltyIngestStream]] — replay
+    * idempotency (ADVICE r10): with growIndex, a replay after the
+    * append would re-probe an index already holding the admitted docs'
+    * grams — they'd score zero novelty and silently vanish from
+    * onAdmit. Admitted doc_ids commit to a batch-id-tagged
+    * [[IngestLedger]] BEFORE the index mutation; a replay reproduces
+    * the same admitted set from the ledger. The re-append itself is
+    * naturally exact-once here: appendToGramIndex only writes grams
+    * the index does not already contain. Package-private so
+    * StreamingSpec can replay a batch under its original id.
+    */
+  private[graft] def gramNoveltyBatch(
+      batch: DataFrame, id: Long, indexName: String,
+      minNovelShare: Double, growIndex: Boolean,
+      onAdmit: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    val ledger =
+      if (growIndex)
+        Some(IngestLedger.dirFor(s, s"${indexName}_grams", id))
+      else None
+    val replayed = ledger.exists(IngestLedger.committed(s, _))
+    if (replayed) {
+      val admitted = batch.join(IngestLedger.read(s, ledger.get),
+        Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        onAdmit(admitted, id)
+        graft.operators.Dedup.appendToGramIndex(admitted, indexName)
+      } finally admitted.unpersist(blocking = false)
+    } else {
+      val g = graft.operators.Dedup.docGrams(s, batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val tot = g.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"))
+        val nov = g
+          .join(s.table(s"${indexName}_grams"), Seq("g"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+        val admitIds = tot
+          .join(nov, Seq("doc_id"), "left")
+          .filter(coalesce(col("n_novel"), lit(0L)) >=
+            col("n_grams") * lit(minNovelShare))
+          .select("doc_id")
+        val admitted = batch.join(admitIds, Seq("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          ledger.foreach(
+            IngestLedger.write(admitted.select("doc_id"), _))
+          onAdmit(admitted, id)
+          if (growIndex)
+            graft.operators.Dedup.appendToGramIndex(admitted, indexName)
+        } finally admitted.unpersist(blocking = false)
+      } finally g.unpersist(blocking = false)
+    }
+  }
 
   def neardupProbeIndexStream(
       docs: DataFrame,
@@ -414,23 +486,53 @@ object StreamingOps {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val dup = graft.operators.Dedup
-          .probeBandIndex(batch.sparkSession, indexName, batch)
-          .select(col("db").as("doc_id")).distinct()
-        val novel = batch.join(dup, Seq("doc_id"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          onNovel(novel, id)
-          if (growIndex)
-            graft.operators.Dedup.appendToBandIndex(novel, indexName)
-        } finally {
-          novel.unpersist(blocking = false)
-          // probeBandIndex managed-persists the batch shingles; this
-          // loop is the only consumer, so release per batch
-          graft.operators.Q.releaseManaged()
-        }
+        neardupProbeBatch(batch.toDF(), id, indexName, growIndex, onNovel)
       }
       .start()
+
+  /** One micro-batch of [[neardupProbeIndexStream]] — same replay-
+    * idempotency ledger as the gram/ANN loops (ADVICE r10): commit
+    * novel doc_ids before the index mutation; a replay reproduces the
+    * set from the ledger, and re-appends through the doc-guarded
+    * variant (a blind re-append would duplicate band/shingle rows and
+    * corrupt jaccard counts). Package-private so StreamingSpec can
+    * replay a batch under its original id.
+    */
+  private[graft] def neardupProbeBatch(
+      batch: DataFrame, id: Long, indexName: String, growIndex: Boolean,
+      onNovel: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    val ledger =
+      if (growIndex)
+        Some(IngestLedger.dirFor(s, s"${indexName}_shingles", id))
+      else None
+    val replayed = ledger.exists(IngestLedger.committed(s, _))
+    val novel = (if (replayed)
+      batch.join(IngestLedger.read(s, ledger.get),
+        Seq("doc_id"), "left_semi")
+    else {
+      val dup = graft.operators.Dedup
+        .probeBandIndex(s, indexName, batch)
+        .select(col("db").as("doc_id")).distinct()
+      batch.join(dup, Seq("doc_id"), "left_anti")
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!replayed)
+        ledger.foreach(IngestLedger.write(novel.select("doc_id"), _))
+      onNovel(novel, id)
+      if (growIndex && !ledger.exists(IngestLedger.appendDone(s, _))) {
+        if (replayed)
+          graft.operators.Dedup.appendToBandIndexDedup(novel, indexName)
+        else graft.operators.Dedup.appendToBandIndex(novel, indexName)
+        ledger.foreach(IngestLedger.markAppendDone(s, _))
+      }
+    } finally {
+      novel.unpersist(blocking = false)
+      // probeBandIndex managed-persists the batch shingles; this
+      // loop is the only consumer, so release per batch
+      graft.operators.Q.releaseManaged()
+    }
+  }
 }
 
 /** StatefulProcessor behind [[StreamingOps.userRunningStatsTws]]: one

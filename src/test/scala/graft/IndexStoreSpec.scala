@@ -390,4 +390,22 @@ class IndexStoreSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS pqidx_x_$t"))
     }
   }
+
+  test("dirTag: distinct corpus dirs get distinct tags; spellings of one dir agree") {
+    // the artifact tag keys the per-corpus index tables — a collision
+    // silently probes the WRONG index (VERDICT r10 #3, which is why the
+    // earlier 32-bit dir.hashCode tag had to go)
+    import graft.operators.IndexCatalog.dirTag
+    val a = java.nio.file.Files.createTempDirectory("graft-tag-a")
+    val b = java.nio.file.Files.createTempDirectory("graft-tag-b")
+    assert(dirTag(a.toString) != dirTag(b.toString),
+      "two different dirs must never share a tag")
+    // different spellings of the SAME dir canonicalize to one tag, so
+    // a re-attach under a trailing slash or ./ segment reuses the
+    // existing artifact instead of rebuilding
+    assert(dirTag(a.toString) == dirTag(a.toString + "/"))
+    assert(dirTag(a.toString) == dirTag(a.toString + "/./"))
+    // tags are stable across calls and fixed-width hex
+    assert(dirTag(a.toString).matches("[0-9a-f]{12}"))
+  }
 }

@@ -629,4 +629,121 @@ class StreamingSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS stream_pqidx_$t"))
     }
   }
+
+  test("replayed gram-novelty micro-batch admits the SAME docs (ledger idempotency)") {
+    // foreachBatch retry contract (ADVICE r10): a batch retried AFTER
+    // appendToGramIndex wrote its admitted grams must not re-probe the
+    // mutated index — without the ledger, the admitted docs score zero
+    // novelty on replay and silently vanish. Replaying the extracted
+    // batch body under the original batch id IS the retry scenario.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replgram")
+    def words(prefix: String): String =
+      (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val base = Seq((0L, words("alpha"))).toDF("doc_id", "text")
+    graft.operators.Dedup.writeGramIndex(base, "repl_gramidx", s"$tmp")
+    try {
+      val batch = Seq((10L, words("gamma")), (11L, words("alpha")))
+        .toDF("doc_id", "text")
+      def run(): Seq[Long] = {
+        val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+        StreamingOps.gramNoveltyBatch(batch, 7L, "repl_gramidx",
+          minNovelShare = 0.5, growIndex = true,
+          (a, _) => got ++= a.select("doc_id").collect().map(_.getLong(0)))
+        got.sorted.toSeq
+      }
+      assert(run() == Seq(10L), "first attempt admits the novel doc")
+      // the index now holds doc 10's grams; a ledgerless replay would
+      // admit NOTHING. The ledger must reproduce the original set.
+      assert(run() == Seq(10L), "replay admits the same set")
+      // and the doubly-run append kept the gram table distinct
+      val grams = spark.table("repl_gramidx_grams")
+      assert(grams.count() == grams.distinct().count(),
+        "gram table stays distinct across replays")
+    } finally spark.sql("DROP TABLE IF EXISTS repl_gramidx_grams")
+  }
+
+  test("replayed band-index micro-batch admits the same docs and never duplicates index rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replband")
+    def words(prefix: String): String =
+      (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val base = Seq((0L, words("alpha"))).toDF("doc_id", "text")
+    graft.operators.Dedup.writeBandIndex(base, "repl_bandidx", s"$tmp")
+    try {
+      val batch = Seq(
+        (10L, words("gamma")),
+        (11L, words("alpha").replace("alpha20", "alphaX")))
+        .toDF("doc_id", "text")
+      def run(): Seq[Long] = {
+        val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+        StreamingOps.neardupProbeBatch(batch, 3L, "repl_bandidx",
+          growIndex = true,
+          (n, _) => got ++= n.select("doc_id").collect().map(_.getLong(0)))
+        got.sorted.toSeq
+      }
+      assert(run() == Seq(10L), "first attempt admits the novel doc")
+      assert(run() == Seq(10L), "replay admits the same set")
+      // worst-case retry: append fully landed but the done marker was
+      // lost — the replay must take the GUARDED append and still not
+      // duplicate any band/shingle row
+      val ledgerDir = graft.streaming.IngestLedger.dirFor(
+        spark, "repl_bandidx_shingles", 3L)
+      ledgerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(ledgerDir, "_APPEND_DONE"),
+          false)
+      assert(run() == Seq(10L), "replay after lost done-marker")
+      val sh = spark.table("repl_bandidx_shingles")
+      assert(sh.count() == sh.distinct().count(),
+        "shingle table stays duplicate-free")
+      val bands = spark.table("repl_bandidx_bands")
+      assert(bands.count() == bands.distinct().count(),
+        "band table stays duplicate-free")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS repl_bandidx_bands")
+      spark.sql("DROP TABLE IF EXISTS repl_bandidx_shingles")
+    }
+  }
+
+  test("replayed ANN ingest micro-batch admits the same vectors and never duplicates code rows") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replpq")
+    val base = graft.operators.Q.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") < 40)
+    graft.operators.Ann.writePqIndex(base, "repl_pqidx", s"$tmp")
+    try {
+      val vec0 = base.filter(col("vec_id") === 0).head.getSeq[Float](1)
+        .toArray
+      val novelA = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+      val batch = Seq((100L, vec0), (101L, novelA))
+        .toDF("vec_id", "embedding")
+      def run(): Seq[Long] = {
+        val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+        StreamingOps.annIngestBatch(batch, 5L, "repl_pqidx",
+          simFloor = 0.95, growIndex = true,
+          (n, _) => got ++= n.select("vec_id").collect().map(_.getLong(0)))
+        got.sorted.toSeq
+      }
+      assert(run() == Seq(101L), "first attempt admits the novel vector")
+      // replay: 101 is now indexed; a ledgerless replay would score it
+      // as its own duplicate and admit nothing
+      assert(run() == Seq(101L), "replay admits the same set")
+      // lost done-marker → guarded append path; still one code row
+      val ledgerDir = graft.streaming.IngestLedger.dirFor(
+        spark, "repl_pqidx_codes", 5L)
+      ledgerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(ledgerDir, "_APPEND_DONE"),
+          false)
+      assert(run() == Seq(101L), "replay after lost done-marker")
+      val codes = spark.table("repl_pqidx_codes")
+        .filter(col("vec_id") === 101L)
+      assert(codes.count() == 1L, "exactly one code row for the admitted vector")
+      val vecs = spark.table("repl_pqidx_vectors")
+        .filter(col("vec_id") === 101L)
+      assert(vecs.count() == 1L, "exactly one vector row for the admitted vector")
+    } finally
+      Seq("codes", "centroids", "vectors", "pq").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS repl_pqidx_$t"))
+  }
 }
