@@ -63,7 +63,15 @@ object Stress {
         "transform(embedding, (x, i) -> " +
           "CAST(IF(i = 0, x + replica * 0.01, x) AS FLOAT))"))
 
+    // SPARK_GRAFT_STRESS_ONLY=semdedup_cells,pq_ restricts to a
+    // name-prefix subset — one scaling row without paying the whole
+    // sweep (Bench/Verify have the same switch)
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(p => name.startsWith(p)))
     def timed(name: String)(body: => Long): (String, Double, Long) = {
+      if (!selected(name)) return (name, -1.0, -1L)
       val t0 = System.nanoTime()
       val rows = body
       (name, (System.nanoTime() - t0) / 1e9, rows)
@@ -80,8 +88,9 @@ object Stress {
     // factor instead of vacuously matching nothing.
     val stressIdxDir = java.nio.file.Files
       .createTempDirectory("graft-stress-idx").toString
-    graft.operators.Dedup.writeBandIndex(
-      documents, "stress_bandidx", stressIdxDir)
+    if (selected("incremental_probe"))
+      graft.operators.Dedup.writeBandIndex(
+        documents, "stress_bandidx", stressIdxDir)
     val batchDocs = Q.table(spark, sfDir, "documents")
       .withColumn("doc_id", -col("doc_id") - 1)
       .withColumn("text",
@@ -90,13 +99,15 @@ object Stress {
     // the inflated corpus persisted once (untimed), the fixed batch's
     // novelty probe is timed — its cost is batch shingling + one
     // anti-join that never shuffles the stored side
-    graft.operators.Dedup.writeGramIndex(
-      documents, "stress_gramidx", s"$stressIdxDir/gram")
+    if (selected("gram_index_probe"))
+      graft.operators.Dedup.writeGramIndex(
+        documents, "stress_gramidx", s"$stressIdxDir/gram")
     // q126's scale path gets the same treatment: PQ index over the
     // inflated embedding corpus persisted once (untimed), a fixed
     // negative-id batch probes and appends
-    graft.operators.Ann.writePqIndex(
-      embeddings, "stress_pqidx", s"$stressIdxDir/pq")
+    if (selected("pq_probe") || selected("pq_append"))
+      graft.operators.Ann.writePqIndex(
+        embeddings, "stress_pqidx", s"$stressIdxDir/pq")
     val batchVecs = Q.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("vec_id", -col("vec_id") - 1)
@@ -402,20 +413,16 @@ object Stress {
         graft.operators.Ann.appendToPqIndex(batchVecs, "stress_pqidx")
         batchVecs.count()
       },
-      // cell-local SemDeDup (q135's scale path): nlist grows with the
-      // corpus so expected cell size stays constant — candidate pairs
-      // Σ|cell|²/2 then track corpus size linearly instead of n²; a
-      // superlinear exponent here means the quantizer stopped
-      // spreading the inflated corpus across cells
-      // nlist ∝ √n, NOT ∝ n: cell-local SemDeDup pays n·nlist for the
-      // centroid assignment and n²/nlist for the in-cell pairs, so the
-      // balanced knob is nlist = Θ(√n) (both terms n^1.5). Growing
-      // nlist linearly (constant cell size) looks attractive until the
-      // assignment term n·nlist = n²/c dominates — measured: 2.6 s at
-      // 5× → 26 s at 50× with nlist = 16·factor, i.e. the full 10×
-      // at 10× data. The linear-assignment fix at a real 100 TB store
-      // is an ANN structure over the centroids themselves
-      // (coarse-over-coarse), noted in semDedupPrunedCellLocal's doc.
+      // cell-local SemDeDup (q135's scale path), balanced nlist = Θ(√n)
+      // — history of this row: nlist ∝ n made the dense assignment
+      // n·nlist quadratic (2.6 s → 26 s at 10×, r9); nlist ∝ √n
+      // balanced assignment and pair terms at n^1.5 (2.61 s → 10.9 s,
+      // r10); r11 implements the linear path — two-level
+      // coarse-over-coarse assignment ([[graft.operators.Ann
+      // .twoLevelAssignCol]], n·√nlist) plus the cheap seeded-random
+      // quantizer init (k-means|| init was the measured fit dominator
+      // at large nlist). Isolated warm measurement in the README
+      // scaling table: ≤ ~5× wall per 10× data at n up to 500k.
       timed("semdedup_cells") {
         graft.operators.Similarity.semDedupPrunedCellLocal(
           embeddings, tau = 0.30,
@@ -462,9 +469,10 @@ object Stress {
           .count()
       })
 
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }
+    val ran = results.filter(_._2 >= 0.0)
+    val qs = ran.map { case (k, v, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val rows = results.map { case (k, _, r) => s""""$k":$r""" }
+    val rows = ran.map { case (k, _, r) => s""""$k":$r""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stress","factor":$factor,"sf":"$sfDir",""" +
       s""""sec":$qs,"rows":$rows}""")

