@@ -284,4 +284,45 @@ class DedupSpec extends SparkSpec {
         s"cosine($a,$b): got ${got((a, b))} want $want")
     }
   }
+
+  test("q165 operator: finds the copied span q102's gram-heaviness rule misses") {
+    // the motivating gap (VERDICT r10 missing #3): two long documents
+    // sharing ONE 12-token verbatim quote. q102's per-doc rule flags a
+    // doc only when >= half its distinct 3-grams are corpus-repeated —
+    // the quote contributes 10 repeated grams out of ~58, far below the
+    // gate — while the suffix-style span scan recovers the exact copied
+    // span and its length.
+    import spark.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val quote = words("q", 12)
+    val docA = words("a", 30) ++ quote ++ words("z", 18) // 60 tokens
+    val docB = words("b", 25) ++ quote ++ words("y", 23) // 60 tokens
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "toks")
+
+    // q102's arithmetic inline on the fixture: distinct 3-grams per doc,
+    // dup = grams present in >= 2 docs, heavy iff n_dup*2 >= n_grams
+    def grams3(t: Seq[String]) = t.sliding(3).map(_.mkString(" ")).toSet
+    val gA = grams3(docA); val gB = grams3(docB)
+    val shared = gA.intersect(gB)
+    assert(shared.size == 10, s"fixture: ${shared.size} shared 3-grams")
+    assert(shared.size * 2 < gA.size && shared.size * 2 < gB.size,
+      "fixture must sit below q102's heaviness gate or the test is vacuous")
+
+    val spans = graft.operators.Dedup
+      .substringDupSpans(docs, seedLen = 5, minSpan = 8, maxDf = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((1L, 2L, 12L)),
+      s"want exactly the 12-token copied span, got ${spans.toSeq}")
+
+    // below the seed length nothing is visible — the documented floor
+    val short = Seq(
+      (1L, (words("c", 20) ++ words("s", 4) ++ words("d", 20))),
+      (2L, (words("e", 20) ++ words("s", 4) ++ words("f", 20))))
+      .toDF("doc_id", "toks")
+    assert(graft.operators.Dedup
+      .substringDupSpans(short, seedLen = 5, minSpan = 8, maxDf = 128)
+      .count() == 0L, "a 4-token overlap must be invisible at seedLen=5")
+    graft.operators.Q.releaseManaged()
+  }
 }
