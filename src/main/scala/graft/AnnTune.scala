@@ -35,18 +35,27 @@ object AnnTune {
     out("# ANN recall tuning (q98 contract floors)")
     out("")
     out("`margin_hi` = recall − the path's WATERMARK floor (q98: lsh " +
-      "0.75, ivf/ivf-sq8 0.78; q126: ivf-pq 0.60): the headroom the " +
-      "recorded bit has before it flips. Only the operating configs " +
-      "(tables=16 probes=1; nprobe=8; pq rerank=128) gate the gate — " +
-      "the other rows document the sweep. A small minimum margin here " +
-      "must be reflected verbatim in the SURVEY/q98 margin claim (r8 " +
-      "verdict: the claim said ≥ 0.05 while the sf0.1 ivf seed=1 row " +
-      "measured +0.044). ivf-pq's low floors are deliberate: " +
-      "near-uniform random embeddings are PQ's worst case and its " +
-      "fixed-rerank recall shrinks as the candidate pool grows " +
-      "(0.87 at sf0.01 vs 0.66 at sf0.1) — the scale knob is the " +
-      "shortlist FRACTION; what the m-byte codes buy is a 32x-smaller " +
-      "candidate scan than the float corpus.")
+      "0.75, ivf/ivf-sq8 0.78; q126: ivf-pq 0.65; q131: ivf-pq-app " +
+      "0.62): the headroom the recorded bit has before it flips. Only " +
+      "the operating configs (tables=16 probes=1; nprobe=8; pq " +
+      "rerank=128 opq=8) gate the gate — the other rows document the " +
+      "sweep. A small minimum margin here must be reflected verbatim " +
+      "in the SURVEY/q98 margin claim (r8 verdict: the claim said " +
+      "≥ 0.05 while the sf0.1 ivf seed=1 row measured +0.044). " +
+      "Round 11: the PQ paths train with the OPQ rotation (Ge et al. " +
+      "2013, opqIters=8) — even on these near-uniform random " +
+      "embeddings (PQ's worst case) the learned rotation lifts " +
+      "measured recall at every SF × seed, largest at sf0.1 " +
+      "(0.648-0.659 plain → 0.682-0.689 OPQ full-trained), and the " +
+      "floors rose with it (q126 0.55/0.60 → 0.60/0.65; q131 " +
+      "0.55/0.60 → 0.58/0.62 — the half-trained frozen-rotation " +
+      "append keeps a deliberate notch under the full-trained " +
+      "floors). ivf-pq floors remain below the other paths': " +
+      "fixed-rerank ADC recall shrinks as the candidate pool grows — " +
+      "the scale knob is the shortlist FRACTION; what the m-byte " +
+      "codes buy is a 32x-smaller candidate scan than the float " +
+      "corpus. The `ivf-pq-plain` rows keep the rotation-free " +
+      "baseline on record so the OPQ lift stays auditable.")
     out("")
     out("| sf | method | params | recall | margin_hi | sec |")
     out("|---|---|---|---|---|---|")
@@ -61,7 +70,7 @@ object AnnTune {
     // shortlist FRACTION, not depth; the gate uses the fixed-cost
     // config and a floor that holds at every test SF.
     val watermark = Map("lsh" -> 0.75, "ivf" -> 0.78, "ivf-sq8" -> 0.78,
-      "ivf-pq" -> 0.60)
+      "ivf-pq" -> 0.65, "ivf-pq-plain" -> 0.65, "ivf-pq-app" -> 0.62)
     def marginOf(method: String, r: Double): String =
       f"${r - watermark(method)}%+.4f"
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
@@ -105,34 +114,52 @@ object AnnTune {
       }
       // product-quantized shortlist (the 32x-smaller candidate read:
       // m bytes/vector): ADC ordering loses more than SQ8's per-value
-      // int8, so the rerank depth is the knob that buys recall back
+      // int8, so the rerank depth is the knob that buys recall back.
+      // The GATED config carries the OPQ rotation (opqIters=8); the
+      // rotation-free baseline rides alongside so the lift is on
+      // record.
       for (rerank <- Seq(32, 64, 128)) {
         val (r, s) = recallOf(Ann.ivfPqTopK(
-          emb, queries, k, nlist = 16, nprobe = 8, rerank = rerank))
-        out(f"| $sf | ivf-pq | nlist=16 nprobe=8 m=8 ksub=16 rerank=$rerank | $r%.4f | ${marginOf("ivf-pq", r)} | $s%.1f |")
+          emb, queries, k, nlist = 16, nprobe = 8, rerank = rerank,
+          opqIters = 8))
+        out(f"| $sf | ivf-pq | nlist=16 nprobe=8 m=8 ksub=16 rerank=$rerank opq=8 | $r%.4f | ${marginOf("ivf-pq", r)} | $s%.1f |")
       }
-      // seed jitter at the GATED config (nprobe=8 rerank=128): the q126
-      // floor must survive centroid/codebook variation
+      {
+        val (r, s) = recallOf(Ann.ivfPqTopK(
+          emb, queries, k, nlist = 16, nprobe = 8, rerank = 128))
+        out(f"| $sf | ivf-pq-plain | nlist=16 nprobe=8 rerank=128 (no rotation) | $r%.4f | ${marginOf("ivf-pq-plain", r)} | $s%.1f |")
+      }
+      // seed jitter at the GATED config (nprobe=8 rerank=128 opq=8):
+      // the q126 floor must survive centroid/codebook/rotation variation
       for (seed <- Seq(1L, 99L)) {
         val (r, s) = recallOf(Ann.ivfPqTopK(
           emb, queries, k, nlist = 16, nprobe = 8, rerank = 128,
-          seed = seed))
-        out(f"| $sf | ivf-pq | nlist=16 nprobe=8 rerank=128 seed=$seed | $r%.4f | ${marginOf("ivf-pq", r)} | $s%.1f |")
+          seed = seed, opqIters = 8))
+        out(f"| $sf | ivf-pq | nlist=16 nprobe=8 rerank=128 opq=8 seed=$seed | $r%.4f | ${marginOf("ivf-pq", r)} | $s%.1f |")
       }
-      // the APPEND path (q131's gate): quantizer+codebooks train on the
-      // EVEN half only, the odd half arrives via frozen-quantizer
-      // append — recall vs the full-corpus brute force measures what a
-      // half-stale quantizer costs
-      for (seed <- Seq(7L, 99L)) {
+      // the APPEND path (q131's gate): quantizer+codebooks+rotation
+      // train on the EVEN half only, the odd half arrives via
+      // frozen-quantizer append — recall vs the full-corpus brute force
+      // measures what a half-stale quantizer costs. q131's queries draw
+      // from the APPENDED half (vec_id % 10 = 5), mirrored here.
+      for (seed <- Seq(7L, 1L, 99L)) {
         val tmp = java.nio.file.Files
           .createTempDirectory(s"graft-tune-app-$sf-$seed")
         val name = s"tune_app_${sf.replace(".", "_")}_$seed"
         Ann.writePqIndex(emb.filter(col("vec_id") % 2 === 0), name,
-          tmp.toString, seed = seed)
+          tmp.toString, seed = seed, opqIters = 8)
         Ann.appendToPqIndex(emb.filter(col("vec_id") % 2 === 1), name)
-        val (r, s) = recallOf(Ann.ivfPqProbe(spark, name, queries, k,
-          nprobe = 8, rerank = 128))
-        out(f"| $sf | ivf-pq-app | half-trained nprobe=8 rerank=128 seed=$seed | $r%.4f | ${marginOf("ivf-pq", r)} | $s%.1f |")
+        val appQueries = emb.filter(col("vec_id") % 10 === 5)
+        val appBrute = Ann.bruteTopK(emb, appQueries, k)
+          .select("q_id", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val t0 = System.nanoTime()
+        val hits = Ann.ivfPqProbe(spark, name, appQueries, k,
+            nprobe = 8, rerank = 128).select("q_id", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val r = (hits & appBrute).size.toDouble / appBrute.size
+        val s = (System.nanoTime() - t0) / 1e9
+        out(f"| $sf | ivf-pq-app | half-trained nprobe=8 rerank=128 opq=8 seed=$seed | $r%.4f | ${marginOf("ivf-pq-app", r)} | $s%.1f |")
         Seq("codes", "centroids", "vectors", "pq").foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
       }

@@ -463,6 +463,86 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dense matrix–vector product y = M·x as a native codegen expression —
+  * the OPQ rotation applied per row ([[graft.operators.Ann]] IVF-PQ
+  * with a learned orthogonal rotation, Ge et al. 2013): `mat` is a
+  * row-major dim×dim referenced double[], the child an
+  * ARRAY<FLOAT|DOUBLE> of length dim. Two tight loops inside
+  * whole-stage codegen; wrong-length input yields NULL (same dimension
+  * discipline as [[PqEncode]]); null elements read as 0.
+  */
+case class MatVec(child: Expression, mat: Array[Double], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_matvec"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(s"graft_matvec: $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) return null
+    val isF = elemIsFloat
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      x(i) = if (a.isNullAt(i)) 0.0
+        else if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val y = new Array[Double](dim)
+    i = 0
+    while (i < dim) {
+      var s = 0.0
+      var k = 0
+      while (k < dim) { s += mat(i * dim + k) * x(k); k += 1 }
+      y(i) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val matRef = ctx.addReferenceObj("matvecMat", mat, "double[]")
+      val acc = if (elemIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $x = new double[$dim];
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $x[$i] = $a.isNullAt($i) ? 0.0 : $acc($i);
+         |  }
+         |  double[] $y = new double[$dim];
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double $s = 0.0;
+         |    for (int $k = 0; $k < $dim; $k++) {
+         |      $s += $matRef[$i * $dim + $k] * $x[$k];
+         |    }
+         |    $y[$i] = $s;
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($y);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Two-level (coarse-over-coarse) nearest-centroid assignment — the
   * LINEAR-in-n fix for the IVF assignment stage when nlist grows with
   * the corpus (VERDICT r10 missing #1). The dense assignment scores
@@ -693,6 +773,12 @@ object VectorFunctions {
         ksub = HashFunctions.intArg("graft_pq_adc", exprs(2))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_matvec",
+      exprs => MatVec(exprs.head,
+        mat = doubleArrayArg("graft_matvec", exprs(1)),
+        dim = HashFunctions.intArg("graft_matvec", exprs(2))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_two_level_assign",
       exprs => TwoLevelAssign(exprs.head,
         coarse = doubleArrayArg("graft_two_level_assign", exprs(1)),
@@ -725,6 +811,10 @@ object VectorFunctions {
   /** Foldable ARRAY<int> argument, plan-time (see [[doubleArrayArg]]). */
   private[graft] def intArrayArg(fn: String, e: Expression): Array[Int] =
     doubleArrayArg(fn, e).map(_.toInt)
+
+  /** Dense y = M·x (see [[MatVec]]); `mat` row-major dim×dim. */
+  def matVec(x: Column, mat: Array[Double], dim: Int): Column =
+    call_function("graft_matvec", x, typedLit(mat.toSeq), lit(dim))
 
   /** Two-level nearest-centroid cell id (see [[TwoLevelAssign]]). */
   def twoLevelAssign(emb: Column, coarse: Array[Double],

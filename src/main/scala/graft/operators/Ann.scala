@@ -555,9 +555,16 @@ object Ann {
   /** A trained product quantizer: `m` subspaces of `dsub` dims, `ksub`
     * centroids each, flattened (subspace, code, dim)-major — the layout
     * [[graft.functions.PqEncode]]/[[graft.functions.PqLut]] index.
+    * `rot`, when present, is a learned ORTHOGONAL rotation (OPQ, Ge et
+    * al. 2013 "Optimized Product Quantization"; row-major dim×dim)
+    * applied to residuals before the subspace split — codebooks then
+    * live in the rotated space, the encode path rotates each residual
+    * and the query LUT rotates the query ([[pqCodebooks]] derivation:
+    * dot(q, Rᵀĉ) = dot(R·q, ĉ)). Orthogonality preserves distances
+    * exactly, so the rerank/contract arithmetic is untouched.
     */
   final case class PqModel(m: Int, ksub: Int, dsub: Int,
-      codebooks: Array[Double])
+      codebooks: Array[Double], rot: Option[Array[Double]] = None)
 
   /** Train PQ codebooks on a bounded deterministic sample of coarse
     * RESIDUALS (x − centroid[cell]) — the FAISS IVF-PQ recipe: the
@@ -578,7 +585,8 @@ object Ann {
       m: Int = 8,
       ksub: Int = 16,
       trainTarget: Long = 0L,
-      iters: Int = 15): PqModel = {
+      iters: Int = 15,
+      opqIters: Int = 0): PqModel = {
     val centers = model.clusterCenters.map(_.toArray)
     val dim = centers.head.length
     require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
@@ -605,6 +613,94 @@ object Ann {
       val c = centers(r.getInt(1))
       Array.tabulate(dim)(i => e(i).toDouble - c(i))
     }
+    if (opqIters <= 0)
+      PqModel(m, ksub, dsub, fitFlatCodebooks(res, m, ksub, dsub, iters))
+    else {
+      // OPQ alternating minimization (Ge et al. 2013, non-parametric
+      // solver), entirely driver-side on the bounded sample: rotate →
+      // refit codebooks → closed-form orthogonal Procrustes update.
+      // R minimizes Σ‖R·xᵢ − ẑᵢ‖² over orthogonal R, where ẑ is the
+      // current reconstruction of the rotated point: with
+      // A = Σ xᵢ·ẑᵢᵀ = U·S·Vᵀ, the maximizer of tr(R·A) is R = V·Uᵀ.
+      // Deterministic: fixed iteration counts, LAPACK SVD over a
+      // deterministic sample.
+      val n = res.length
+      var rot = Array.tabulate(dim * dim)(i =>
+        if (i / dim == i % dim) 1.0 else 0.0)
+      def rotate(x: Array[Double]): Array[Double] = {
+        val y = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          var s = 0.0; var k2 = 0
+          while (k2 < dim) { s += rot(i * dim + k2) * x(k2); k2 += 1 }
+          y(i) = s; i += 1
+        }
+        y
+      }
+      var flat = Array.empty[Double]
+      var t = 0
+      while (t < opqIters) {
+        val z = res.map(rotate)
+        flat = fitFlatCodebooks(z, m, ksub, dsub, iters)
+        if (t < opqIters - 1 && n > 0) {
+          // reconstruction of each rotated point from its codes
+          val zh = z.map { p =>
+            val out = new Array[Double](dim)
+            var j = 0
+            while (j < m) {
+              var best = 0; var bd = Double.MaxValue; var c = 0
+              while (c < ksub) {
+                val base = (j * ksub + c) * dsub
+                var d = 0.0; var i = 0
+                while (i < dsub) {
+                  val diff = p(j * dsub + i) - flat(base + i)
+                  d += diff * diff; i += 1
+                }
+                if (d < bd) { bd = d; best = c }
+                c += 1
+              }
+              System.arraycopy(flat, (j * ksub + best) * dsub,
+                out, j * dsub, dsub)
+              j += 1
+            }
+            out
+          }
+          val a = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+          var r = 0
+          while (r < n) {
+            val x = res(r); val y = zh(r)
+            var i = 0
+            while (i < dim) {
+              var k2 = 0
+              while (k2 < dim) { a(i, k2) += x(i) * y(k2); k2 += 1 }
+              i += 1
+            }
+            r += 1
+          }
+          val s = breeze.linalg.svd(a)
+          val rNew = (s.Vt.t * s.U.t): breeze.linalg.DenseMatrix[Double]
+          var i = 0
+          while (i < dim) {
+            var k2 = 0
+            while (k2 < dim) { rot(i * dim + k2) = rNew(i, k2); k2 += 1 }
+            i += 1
+          }
+        }
+        t += 1
+      }
+      PqModel(m, ksub, dsub, flat, Some(rot))
+    }
+  }
+
+  /** The per-subspace Lloyd fit shared by plain PQ and every OPQ
+    * iteration: strided deterministic init over the (possibly rotated)
+    * hash-ordered sample, fixed rounds, empty clusters keep their
+    * previous centroid. Returns the (subspace, code, dim)-major flat
+    * codebook array.
+    */
+  private def fitFlatCodebooks(
+      res: Array[Array[Double]], m: Int, ksub: Int, dsub: Int,
+      iters: Int): Array[Double] = {
     val n = res.length
     val flat = new Array[Double](m * ksub * dsub)
     var j = 0
@@ -659,7 +755,7 @@ object Ann {
       }
       j += 1
     }
-    PqModel(m, ksub, dsub, flat)
+    flat
   }
 
   /** Nearest-centroid cell id as ONE map-only column — argmin over the
@@ -697,8 +793,13 @@ object Ann {
       pq: PqModel,
       corpus: DataFrame,
       centroids: DataFrame): DataFrame = {
-    val residual = zip_with(col("embedding"), col("centroid"),
+    val rawResidual = zip_with(col("embedding"), col("centroid"),
       (a, b) => a.cast("double") - b)
+    // OPQ: codebooks live in the rotated space — rotate the residual
+    // before encoding (one codegen'd matvec per row)
+    val residual = pq.rot.fold(rawResidual)(r =>
+      graft.functions.VectorFunctions.matVec(rawResidual, r,
+        pq.m * pq.dsub))
     corpus
       // ragged/null embeddings DROP from the index rather than alias:
       // zip_with pads the shorter side with nulls (PqEncode would read
@@ -744,14 +845,15 @@ object Ann {
       trainTarget: Long = 0L,
       rerank: Int = 64,
       quantizer: Option[org.apache.spark.ml.clustering.KMeansModel] = None,
-      codebooks: Option[PqModel] = None)
+      codebooks: Option[PqModel] = None,
+      opqIters: Int = 0)
       : DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.VectorFunctions.register(spark)
     val model = quantizer.getOrElse(
       coarseQuantizer(corpus, nlist, seed, trainTarget))
     val pq = codebooks.getOrElse(
-      pqCodebooks(corpus, model, m, ksub, trainTarget))
+      pqCodebooks(corpus, model, m, ksub, trainTarget, opqIters = opqIters))
     val centers = model.clusterCenters.map(_.toArray)
     ivfPqCore(
       pqCodes(centers, pq, corpus, centroidFrame(spark, model)),
@@ -778,10 +880,15 @@ object Ann {
     // the query-side frame carries the ADC LUT (m·ksub doubles, one
     // PqLut pass over the tiny query frame) and keeps the q·centroid
     // dot the cell ranking already paid — it is the first ADC term
+    // OPQ: dot(q, Rᵀ·ĉ) = dot(R·q, ĉ) — the LUT is built from the
+    // ROTATED query so ADC sums stay estimates of dot(q, residual)
+    val lutInput = pq.rot.fold(col("embedding"))(r =>
+      graft.functions.VectorFunctions.matVec(col("embedding"), r,
+        pq.m * pq.dsub))
     val probes = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normSq(col("embedding")).as("q_nsq"),
-        pqLut(col("embedding"), pq.codebooks, pq.m, pq.ksub, pq.dsub)
+        pqLut(lutInput, pq.codebooks, pq.m, pq.ksub, pq.dsub)
           .as("lut"))
       .crossJoin(cent)
       .withColumn("qc", dot(col("q_emb"), col("centroid")))
@@ -885,12 +992,14 @@ object Ann {
       ksub: Int = 16,
       seed: Long = 7L,
       trainTarget: Long = 0L,
-      buckets: Int = 16)
+      buckets: Int = 16,
+      opqIters: Int = 0)
       : (org.apache.spark.ml.clustering.KMeansModel, PqModel) = {
     val spark = corpus.sparkSession
     graft.functions.VectorFunctions.register(spark)
     val model = coarseQuantizer(corpus, nlist, seed, trainTarget)
-    val pq = pqCodebooks(corpus, model, m, ksub, trainTarget)
+    val pq = pqCodebooks(corpus, model, m, ksub, trainTarget,
+      opqIters = opqIters)
     val centers = model.clusterCenters.map(_.toArray)
     pqCodes(centers, pq, corpus, centroidFrame(spark, model)).write
       .mode("overwrite")
@@ -903,9 +1012,12 @@ object Ann {
       .mode("overwrite")
       .bucketBy(buckets, "vec_id").sortBy("vec_id")
       .option("path", s"$path/vectors").saveAsTable(s"${name}_vectors")
+    // `rot` rides in the one-row model table; None → null (a pre-OPQ
+    // artifact reads back rotation-free — forward/backward compatible)
     spark.createDataFrame(Seq(
-        (pq.m, pq.ksub, pq.dsub, pq.codebooks.toSeq)))
-      .toDF("m", "ksub", "dsub", "codebooks").write
+        (pq.m, pq.ksub, pq.dsub, pq.codebooks.toSeq,
+          pq.rot.map(_.toSeq))))
+      .toDF("m", "ksub", "dsub", "codebooks", "rot").write
       .mode("overwrite")
       .option("path", s"$path/pq").saveAsTable(s"${name}_pq")
     (model, pq)
@@ -932,9 +1044,15 @@ object Ann {
 
   private def readPqModel(
       spark: org.apache.spark.sql.SparkSession, name: String): PqModel = {
-    val row = spark.table(s"${name}_pq").head()
+    val t = spark.table(s"${name}_pq")
+    val row = t.head()
+    // pre-OPQ artifacts have no `rot` column; null rot = no rotation
+    val rot =
+      if (!t.columns.contains("rot") || row.isNullAt(t.columns.indexOf("rot")))
+        None
+      else Some(row.getSeq[Double](t.columns.indexOf("rot")).toArray)
     PqModel(row.getInt(0), row.getInt(1), row.getInt(2),
-      row.getSeq[Double](3).toArray)
+      row.getSeq[Double](3).toArray, rot)
   }
 
   /** Append a batch of vectors to a persisted [[writePqIndex]] index —

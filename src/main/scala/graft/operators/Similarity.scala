@@ -375,19 +375,22 @@ object Similarity {
     // ladder (LSH / IVF-flat / IVF-SQ8 / IVF-PQ), gated like q117
     // against the write-once artifact ([[Ann.writePqIndex]] → bucketed
     // m-byte code table + one-row codebook table, [[Ann.ivfPqProbe]]
-    // reads them without re-encoding). The floors (0.55 ok / 0.60 hi)
-    // sit deliberately below the other paths': the test embeddings are
-    // near-uniform random — PQ's textbook worst case, isotropic
-    // residuals give the per-subspace codebooks almost nothing to
-    // model — and ADC-ordering recall at fixed rerank shrinks as the
-    // candidate pool grows (measured 0.87 at sf0.01 vs 0.66 at sf0.1,
-    // rerank=128; ANN_TUNING.md). The scale knob is the shortlist
-    // FRACTION; the contract pins the fixed-cost config and a floor
-    // that holds at every test SF with seed-jitter margin. What PQ
-    // buys for that recall: the candidate scan reads 8 BYTES per
-    // corpus vector (vs 64 for SQ8, 256 for float) — at a 100 TB
-    // embedding store that is the difference between a page-cached
-    // scan and an IO-bound one.
+    // reads them without re-encoding). The index trains WITH the OPQ
+    // rotation (opqIters = 8, Ge et al. 2013 — [[Ann.pqCodebooks]]):
+    // even on these near-uniform random embeddings (PQ's textbook
+    // worst case — isotropic residuals give the per-subspace codebooks
+    // almost nothing to model) the learned rotation lifts measured
+    // recall at every SF × seed (largest where it matters, sf0.1:
+    // 0.648-0.659 → 0.682-0.689), so the floors rose with it:
+    // ok 0.60 / hi 0.65, worst measured seed-jitter margin +0.0315
+    // over hi (ANN_TUNING.md, 3 seeds × 3 SFs). Still deliberately
+    // below the other paths' floors: ADC-ordering recall at fixed
+    // rerank shrinks as the candidate pool grows (0.88 at sf0.01 vs
+    // 0.68 at sf0.1, rerank=128) — the scale knob is the shortlist
+    // FRACTION. What PQ buys for that recall: the candidate scan reads
+    // 8 BYTES per corpus vector (vs 64 for SQ8, 256 for float) — at a
+    // 100 TB embedding store that is the difference between a
+    // page-cached scan and an IO-bound one.
     "q126_pq_index_recall" -> QueryDef(
       (s, dir) => {
         val k = 10
@@ -398,7 +401,7 @@ object Similarity {
         if (!s.catalog.tableExists(s"${name}_codes")) {
           val path = new java.io.File(
             System.getProperty("java.io.tmpdir"), s"graft-q126-$tag")
-          Ann.writePqIndex(emb, name, path.toString)
+          Ann.writePqIndex(emb, name, path.toString, opqIters = 8)
         }
         val brute = Ann.bruteTopK(emb, queries, k)
           .select("q_id", "vec_id").managedPersist
@@ -406,7 +409,8 @@ object Similarity {
           rerank = 128).select("q_id", "vec_id", "rank").managedPersist
         // persisted: referenced twice by the symmetric difference below
         val inPlan = Ann.ivfPqTopK(emb, queries, k, nprobe = 8,
-          rerank = 128).select("q_id", "vec_id", "rank").managedPersist
+          rerank = 128, opqIters = 8).select("q_id", "vec_id", "rank")
+          .managedPersist
         val hit = brute.join(probe.select("q_id", "vec_id"),
           Seq("q_id", "vec_id"), "left_semi")
         // symmetric difference: empty ⇔ identical top-k sets AND ranks
@@ -415,9 +419,9 @@ object Similarity {
           .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
           .crossJoin(diff.agg(count(lit(1)).as("n_diff")))
           .select(col("n_exact"),
-            (col("n_hit") >= col("n_exact") * lit(0.55))
-              .cast("long").as("probe_recall_ok"),
             (col("n_hit") >= col("n_exact") * lit(0.60))
+              .cast("long").as("probe_recall_ok"),
+            (col("n_hit") >= col("n_exact") * lit(0.65))
               .cast("long").as("probe_recall_hi"),
             (col("n_diff") === 0).cast("long").as("probe_eq_inplan"))
       },
@@ -444,10 +448,12 @@ object Similarity {
     // loop under the hashed gate: the index trains on the EVEN half
     // only, the odd half arrives via [[Ann.appendToPqIndex]] (encoded
     // against the persisted centroid/codebook artifacts, insertInto
-    // bucket-spec-preserving), and the probe must (a) clear the same
-    // recall floors as the full-trained path — measured 0.66–0.87
-    // across SFs, within 0.015 of full-trained, ANN_TUNING.md
-    // ivf-pq-app rows — and (b) be row-identical to re-encoding the
+    // bucket-spec-preserving), and the probe must (a) clear floors a
+    // notch under the full-trained path's (ok 0.58 / hi 0.62 vs q126's
+    // 0.60/0.65 — a half-stale quantizer costs a little recall:
+    // measured 0.6455–0.886 across SFs × seeds with the frozen OPQ
+    // rotation, ANN_TUNING.md ivf-pq-app rows) — and (b) be
+    // row-identical to re-encoding the
     // whole union from the same frozen artifacts (probe_eq_rebuild:
     // the accumulated code table has not drifted from what a fresh
     // encode would produce). Queries draw from the APPENDED half
@@ -466,8 +472,12 @@ object Similarity {
         if (!s.catalog.tableExists(s"${name}_codes")) {
           val path = new java.io.File(
             System.getProperty("java.io.tmpdir"), s"graft-q131-$tag")
+          // OPQ rotation trains on the even half and FREEZES with the
+          // rest of the quantizer — the append encodes through the
+          // persisted rotation (half-trained worst seed 0.6455 ≥ the
+          // 0.62 hi floor, ANN_TUNING.md)
           Ann.writePqIndex(emb.filter(col("vec_id") % 2 === 0), name,
-            path.toString)
+            path.toString, opqIters = 8)
           Ann.appendToPqIndex(emb.filter(col("vec_id") % 2 === 1), name)
         }
         val brute = Ann.bruteTopK(emb, queries, k)
@@ -485,9 +495,9 @@ object Similarity {
           .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
           .crossJoin(diff.agg(count(lit(1)).as("n_diff")))
           .select(col("n_exact"),
-            (col("n_hit") >= col("n_exact") * lit(0.55))
+            (col("n_hit") >= col("n_exact") * lit(0.58))
               .cast("long").as("probe_recall_ok"),
-            (col("n_hit") >= col("n_exact") * lit(0.60))
+            (col("n_hit") >= col("n_exact") * lit(0.62))
               .cast("long").as("probe_recall_hi"),
             (col("n_diff") === 0).cast("long").as("probe_eq_rebuild"))
       },
@@ -534,7 +544,9 @@ object Similarity {
         if (!s.catalog.tableExists(s"${name}_codes")) {
           val path = new java.io.File(
             System.getProperty("java.io.tmpdir"), s"graft-q132-$tag")
-          Ann.writePqIndex(emb, name, path.toString)
+          // same OPQ config as the shipping q126 index — the health
+          // report must describe the codebooks that actually serve
+          Ann.writePqIndex(emb, name, path.toString, opqIters = 8)
         }
         val perCode = s.table(s"${name}_codes")
           .select(posexplode(col("code")))

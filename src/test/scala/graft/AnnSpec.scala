@@ -456,4 +456,44 @@ class AnnSpec extends SparkSpec {
     assert(agreement(2) >= 0.95,
       "wprobe=2 assignment drifted far from the dense argmin")
   }
+
+  test("OPQ: persisted rotation is orthogonal; probe is bitwise-identical to the in-plan OPQ build") {
+    // the correctness spine of the rotation (Ge et al. 2013): R must be
+    // orthogonal (distances preserved exactly — the rerank and every
+    // contract bit keep their arithmetic), and the write-once artifact
+    // must reproduce the in-plan build exactly (q126's probe_eq_inplan
+    // under OPQ). Recall floors themselves are swept in AnnTune.
+    val emb2 = emb.select(col("vec_id"), col("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-opq")
+    try {
+      graft.operators.Ann.writePqIndex(emb2, "opq_idx", tmp.toString,
+        opqIters = 8)
+      val row = spark.table("opq_idx_pq").head()
+      val m = row.getInt(0); val dsub = row.getInt(2)
+      val dim = m * dsub
+      val rot = row.getSeq[Double](4).toArray
+      assert(rot.length == dim * dim, "rot must be dim x dim")
+      var maxErr = 0.0
+      for (i <- 0 until dim; j <- 0 until dim) {
+        var s = 0.0
+        var k2 = 0
+        while (k2 < dim) { s += rot(i * dim + k2) * rot(j * dim + k2); k2 += 1 }
+        maxErr = math.max(maxErr, math.abs(s - (if (i == j) 1.0 else 0.0)))
+      }
+      assert(maxErr < 1e-9, f"R*R^T deviates from I by $maxErr%.2e")
+      val queries = emb2.filter(col("vec_id") % 10 === 0)
+      val probe = graft.operators.Ann
+        .ivfPqProbe(spark, "opq_idx", queries, k = 10, nprobe = 8,
+          rerank = 64)
+        .select("q_id", "vec_id", "rank").collect().map(_.toSeq).toSet
+      val inPlan = graft.operators.Ann
+        .ivfPqTopK(emb2, queries, k = 10, nprobe = 8, rerank = 64,
+          opqIters = 8)
+        .select("q_id", "vec_id", "rank").collect().map(_.toSeq).toSet
+      assert(probe == inPlan,
+        "persisted OPQ probe must equal the in-plan OPQ build bitwise")
+    } finally
+      Seq("codes", "centroids", "vectors", "pq").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS opq_idx_$t"))
+  }
 }
