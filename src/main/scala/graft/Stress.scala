@@ -393,6 +393,31 @@ object Stress {
           .count()
         pre + suf
       },
+      // exact-substring span dedup (q165 shape): positioned 5-token
+      // seed grams over the inflated corpus, ≥2-docs repeated-suffix
+      // filter, pair join, islands. The replica salt makes every
+      // replica's grams unique, so TRUE duplication is pinned to the
+      // FIXED quote fixture (20-token excerpts of the replica-0 docs)
+      // — the singleton-kill filter must absorb the corpus growth and
+      // wall must track the linear gram scan, never pair work
+      timed("substring_dup") {
+        val toks = documents.select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+        val quotes = Q.table(spark, sfDir, "documents")
+          .select(col("doc_id"), graft.operators.TextAnalysis.tokens(
+            regexp_replace(col("text"), lit("(\\S+)"), lit("$1r0")))
+            .as("toks"))
+          .filter(col("doc_id") % 17 === 3 && size(col("toks")) >= 25)
+          .select((-col("doc_id") - 1).as("doc_id"),
+            concat(
+              array(concat(lit("qpre"), col("doc_id").cast("string"))),
+              slice(col("toks"), 6, 20),
+              array(concat(lit("qpost"), col("doc_id").cast("string"))))
+              .as("toks"))
+        graft.operators.Dedup.substringDupSpans(
+          toks.unionByName(quotes), seedLen = 5, minSpan = 8,
+          maxDf = 128).count()
+      },
       // persisted-PQ-index probe (q126's scale path): the index over
       // the INFLATED corpus is built once (untimed, like the band
       // index) and a FIXED query batch probes it. Wall tracks the
