@@ -2112,6 +2112,91 @@ object Dedup {
                      FROM sp GROUP BY 1, 2)
               SELECT da, db, max_span_tokens FROM mx
               WHERE max_span_tokens >= 8
+              ORDER BY max_span_tokens DESC, da, db LIMIT 20""")),
+
+    // Persisted SPAN-INDEX probe — q165's nightly-ingest form, the
+    // fourth write-once index family (bands q116 / grams q110 / PQ
+    // q126 / SPANS here): the release writes its positioned seed
+    // grams once ([[writeSpanIndex]] — bucketed on the gram key, each
+    // gram's document frequency materialized so the probe's df cap is
+    // a map-side filter), and every ingest batch's copied-span scan
+    // ([[probeSpanIndex]]) joins the store EXCHANGE-FREE on the
+    // stored side — only the batch's grams shuffle; the islands
+    // window runs over matched rows only. Fixture: the EVEN half is
+    // the indexed release, the batch is the ODD half plus quoting
+    // docs excerpted from indexed evens (−id−1, the q165 pattern) —
+    // so the probe must surface both the planted 20-token quotes and
+    // whatever natural cross-half spans the corpus carries. Like
+    // q116, the index build is idempotent per corpus and the timed
+    // bench passes pay the probe, not the build.
+    "q166_span_index_probe" -> QueryDef(
+      (s, dir) => {
+        val d0 = table(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        val tag = IndexCatalog.dirTag(dir)
+        val name = s"graft_q166_$tag"
+        if (!s.catalog.tableExists(s"${name}_pgrams")) {
+          val path = new java.io.File(
+            System.getProperty("java.io.tmpdir"), s"graft-q166-$tag")
+          writeSpanIndex(d0.filter(col("doc_id") % 2 === 0), name,
+            path.toString)
+        }
+        // quotes excerpt INDEXED (even) docs: doc_id % 10 = 4 ⇒ even
+        val quotes = d0
+          .filter(col("doc_id") % 10 === 4 && size(col("toks")) >= 25)
+          .select((-col("doc_id") - 1).as("qid"),
+            concat(
+              array(concat(lit("qpre"), col("doc_id").cast("string"))),
+              slice(col("toks"), 6, 20),
+              array(concat(lit("qpost"), col("doc_id").cast("string"))))
+              .as("toks"))
+          .withColumnRenamed("qid", "doc_id")
+        val batch = d0.filter(col("doc_id") % 2 === 1).unionByName(quotes)
+        probeSpanIndex(s, name, batch, seedLen = 5, minSpan = 8,
+          maxDf = 128)
+          .orderBy(desc("max_span_tokens"), col("da"), col("db"))
+          .limit(20)
+      },
+      Some("""WITH t0 AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                    AS toks
+                FROM documents),
+              q AS (SELECT -doc_id - 1 AS doc_id,
+                  ['qpre' || CAST(doc_id AS VARCHAR)] || toks[6:25] ||
+                  ['qpost' || CAST(doc_id AS VARCHAR)] AS toks
+                FROM t0 WHERE doc_id % 10 = 4 AND len(toks) >= 25),
+              batch AS (SELECT doc_id, toks FROM t0 WHERE doc_id % 2 = 1
+                        UNION ALL SELECT doc_id, toks FROM q),
+              bg AS (SELECT doc_id,
+                  UNNEST([substring(md5(array_to_string(toks[i:i+4], ' ')),
+                                    1, 16)
+                          for i in range(1, len(toks) - 3)]) AS gk,
+                  UNNEST(range(1, len(toks) - 3)) AS pos
+                FROM t0 WHERE doc_id % 2 = 0 AND len(toks) >= 5),
+              keep AS (SELECT gk FROM (SELECT DISTINCT doc_id, gk FROM bg) z
+                       GROUP BY gk HAVING COUNT(*) <= 128),
+              sg AS (SELECT bg.doc_id, bg.pos, bg.gk
+                     FROM bg JOIN keep USING (gk)),
+              pg AS (SELECT doc_id,
+                  UNNEST([substring(md5(array_to_string(toks[i:i+4], ' ')),
+                                    1, 16)
+                          for i in range(1, len(toks) - 3)]) AS gk,
+                  UNNEST(range(1, len(toks) - 3)) AS pos
+                FROM batch WHERE len(toks) >= 5),
+              m AS (SELECT pg.doc_id AS da, sg.doc_id AS db, pg.pos AS pa,
+                           pg.pos - sg.pos AS diag
+                    FROM pg JOIN sg USING (gk)),
+              i AS (SELECT da, db, diag,
+                  pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag
+                    ORDER BY pa) AS grp
+                FROM m),
+              sp AS (SELECT da, db, COUNT(*) AS run
+                     FROM i GROUP BY da, db, diag, grp),
+              mx AS (SELECT da, db,
+                       CAST(MAX(run + 4) AS BIGINT) AS max_span_tokens
+                     FROM sp GROUP BY 1, 2)
+              SELECT da, db, max_span_tokens FROM mx
+              WHERE max_span_tokens >= 8
               ORDER BY max_span_tokens DESC, da, db LIMIT 20"""))
   )
 
@@ -2131,15 +2216,7 @@ object Dedup {
       maxDf: Int): org.apache.spark.sql.DataFrame = {
     require(seedLen >= 2 && minSpan >= seedLen,
       s"need seedLen >= 2 and minSpan >= seedLen: $seedLen, $minSpan")
-    val g = docs.filter(size(col("toks")) >= seedLen)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), size(col("toks")) - (seedLen - 1)),
-          i => substring(md5(concat_ws(" ",
-            (0 until seedLen).map(o => element_at(col("toks"), i + o)): _*)),
-            1, 16))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gk"))
-      .managedPersist
+    val g = positionedGrams(docs, seedLen).managedPersist
     val rep = g.select("doc_id", "gk").distinct()
       .groupBy("gk").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2 && col("ndocs") <= maxDf)
@@ -2151,6 +2228,34 @@ object Dedup {
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"), col("pa"),
         (col("pa") - col("pb")).as("diag"))
+    spansOfMatches(m, seedLen, minSpan)
+  }
+
+  /** Positioned seed grams of a (doc_id, toks) frame: one row per gram
+    * start — (doc_id, pos [1-based], gk = 16-hex md5 of the
+    * space-joined seedLen tokens). Map-only generator projection,
+    * shared by [[substringDupSpans]] and the span-index family.
+    */
+  private def positionedGrams(
+      docs: org.apache.spark.sql.DataFrame,
+      seedLen: Int): org.apache.spark.sql.DataFrame =
+    docs.filter(size(col("toks")) >= seedLen)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("toks")) - (seedLen - 1)),
+          i => substring(md5(concat_ws(" ",
+            (0 until seedLen).map(o => element_at(col("toks"), i + o)): _*)),
+            1, 16))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gk"))
+
+  /** Gaps-and-islands maximal spans of a matched-gram frame
+    * (da, db, pa, diag): per (da, db), the longest run of consecutive
+    * matching seed positions — run R covers R + seedLen − 1 tokens.
+    */
+  private def spansOfMatches(
+      m: org.apache.spark.sql.DataFrame,
+      seedLen: Int,
+      minSpan: Int): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("da", "db", "diag").orderBy("pa")
     m.withColumn("grp", col("pa") - row_number().over(w))
       .groupBy("da", "db", "diag", "grp")
@@ -2158,6 +2263,80 @@ object Dedup {
       .groupBy("da", "db")
       .agg(max(col("run") + (seedLen - 1)).as("max_span_tokens"))
       .filter(col("max_span_tokens") >= minSpan)
+  }
+
+  /** Write-once POSITIONED-GRAM (span) index — the fourth persisted
+    * artifact family (bands / grams / ANN cells / SPANS): one bucketed
+    * external table `<name>_pgrams` of the corpus's positioned seed
+    * grams (doc_id, pos, gk, df_gk), BUCKETED AND SORTED on `gk` — the
+    * key every probe joins on — with each gram's corpus document
+    * frequency MATERIALIZED at build time so the probe's df cap is a
+    * map-side filter on the bucketed scan, not a per-batch
+    * re-aggregation of the store. q165's plan note made incremental:
+    * a release writes this once, and every ingest batch's
+    * copied-span scan ([[probeSpanIndex]]) joins it with ZERO exchange
+    * on the stored side. Write-once by design: appending would
+    * invalidate the materialized df_gk — periodic rebuild, like the
+    * PQ index's retrain split.
+    */
+  def writeSpanIndex(
+      docs: org.apache.spark.sql.DataFrame,
+      name: String,
+      path: String,
+      seedLen: Int = 5,
+      buckets: Int = 32): Unit = {
+    val s = docs.sparkSession
+    val g = positionedGrams(docs, seedLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val df = g.select("doc_id", "gk").distinct()
+        .groupBy("gk").agg(count(lit(1)).as("df_gk"))
+      g.join(df, "gk").write
+        .mode("overwrite")
+        .bucketBy(buckets, "gk").sortBy("gk")
+        .option("path", s"$path/pgrams").saveAsTable(s"${name}_pgrams")
+    } finally g.unpersist(blocking = false)
+  }
+
+  /** Re-attach a [[writeSpanIndex]] artifact in a NEW SparkSession —
+    * same contract as [[registerBandIndex]].
+    */
+  def registerSpanIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      path: String,
+      buckets: Int = 32): Unit =
+    IndexCatalog.registerBucketed(spark, s"${name}_pgrams",
+      s"$path/pgrams", "gk", buckets)
+
+  /** Probe a persisted [[writeSpanIndex]] index with an ingest batch:
+    * every (batch doc `da`, stored doc `db`) pair sharing a verbatim
+    * token span of ≥ `minSpan` tokens, with the longest such span —
+    * the incremental form of [[substringDupSpans]] (batch-vs-store
+    * pairs only; batch-internal pairs are the in-plan operator's job).
+    * The stored side is read through the bucketed `gk` layout
+    * (exchange-free — only the batch's grams shuffle) after the
+    * map-side `df_gk ≤ maxDf` cap; a batch gram matching ANY stored
+    * doc is repeated by construction, so no batch-side df pass is
+    * needed. IndexStoreSpec asserts probe ≡ the in-plan rule's
+    * cross pairs on a split corpus.
+    */
+  def probeSpanIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      batch: org.apache.spark.sql.DataFrame,
+      seedLen: Int = 5,
+      minSpan: Int = 8,
+      maxDf: Int = 128): org.apache.spark.sql.DataFrame = {
+    val stored = spark.table(s"${name}_pgrams")
+      .filter(col("df_gk") <= maxDf)
+      .select(col("gk"), col("doc_id").as("db"), col("pos").as("pb"))
+    val m = positionedGrams(batch, seedLen)
+      .select(col("gk"), col("doc_id").as("da"), col("pos").as("pa"))
+      .join(stored, Seq("gk"))
+      .select(col("da"), col("db"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    spansOfMatches(m, seedLen, minSpan)
   }
 
 }

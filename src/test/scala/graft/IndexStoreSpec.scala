@@ -391,6 +391,75 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("span index: persisted probe equals the in-plan rule's cross pairs") {
+    import graft.operators.TextAnalysis
+    val docs = Q.table(spark, sfDir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = Files.createTempDirectory("graft-spanidx")
+    try {
+      Dedup.writeSpanIndex(base, "spanidx_t", s"$tmp")
+      val probed = Dedup.probeSpanIndex(spark, "spanidx_t", batch,
+          seedLen = 5, minSpan = 5, maxDf = 128)
+        .collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1))) -> r.getLong(2)).toMap
+      // in-plan rule over the union; cross (odd, even) pairs are the
+      // reference answer for the probe
+      val cross = Dedup.substringDupSpans(docs, seedLen = 5,
+          minSpan = 5, maxDf = 128)
+        .collect()
+        .filter(r => (r.getLong(0) % 2) != (r.getLong(1) % 2))
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1))) -> r.getLong(2)).toMap
+      assert(probed.nonEmpty, "probe found no cross spans at all")
+      assert(probed == cross,
+        s"persisted span probe drifted from the in-plan cross pairs: " +
+          s"probe-only=${(probed.toSet -- cross.toSet).take(5)} " +
+          s"inplan-only=${(cross.toSet -- probed.toSet).take(5)}")
+      graft.operators.Q.releaseManaged()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spanidx_t_pgrams")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
+  test("span index probe: stored-side gram join is exchange-free and survives re-registration") {
+    import graft.operators.TextAnalysis
+    val docs = Q.table(spark, sfDir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val tmp = Files.createTempDirectory("graft-spanidx2")
+    try {
+      Dedup.writeSpanIndex(docs.filter(col("doc_id") % 2 === 0),
+        "spanidx_x", s"$tmp")
+      def run() = Dedup.probeSpanIndex(spark, "spanidx_x",
+        docs.filter(col("doc_id") % 2 === 1), seedLen = 5,
+        minSpan = 5, maxDf = 128)
+      val before = run().collect().map(_.toSeq).toSet
+      withNoBroadcast {
+        val probed = run()
+        val plan = finalPlan(probed)
+        assert(plan.contains("Bucketed: true"),
+          s"probe did not consume the bucketed pgram table:\n$plan")
+        // the gk equi-join must exchange ONLY the batch side
+        val gkExchanges =
+          "Exchange hashpartitioning\\(gk".r.findAllIn(plan).length
+        assert(gkExchanges <= 1,
+          s"stored pgram scan shuffled ($gkExchanges gk exchanges):\n$plan")
+      }
+      // catalog death: drop, re-register from the files, same answer
+      spark.sql("DROP TABLE spanidx_x_pgrams")
+      Dedup.registerSpanIndex(spark, "spanidx_x", s"$tmp")
+      assert(run().collect().map(_.toSeq).toSet == before,
+        "re-registered span index returned different spans")
+      graft.operators.Q.releaseManaged()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spanidx_x_pgrams")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
   test("dirTag: distinct corpus dirs get distinct tags; spellings of one dir agree") {
     // the artifact tag keys the per-corpus index tables — a collision
     // silently probes the WRONG index (VERDICT r10 #3, which is why the
