@@ -478,6 +478,47 @@ object StreamingOps {
     }
   }
 
+  /** Streaming copied-span gate over a persisted SPAN index
+    * ([[graft.operators.Dedup.writeSpanIndex]] builds the release's
+    * positioned-gram table once) — the fourth ingest-loop family
+    * member (bands suppress near-DUPLICATES, grams suppress
+    * near-REDUNDANCE, this suppresses VERBATIM REUSE): per
+    * micro-batch, every doc's longest copied span against the stored
+    * release is measured ([[graft.operators.Dedup.probeSpanIndex]] —
+    * stored side exchange-free), and docs whose span reaches
+    * `maxSpanTokens` drop (a quote that long is re-ingested release
+    * content — the Lee et al. dedup rule at ingest time); the rest go
+    * to `onAdmit`. The index is WRITE-ONCE (df_gk is materialized at
+    * build — no grow knob), so the loop is replay-idempotent by
+    * construction: a retried batch re-probes an unchanged store and
+    * reproduces the same admitted set without any ledger.
+    */
+  def spanDupIngestStream(
+      docs: DataFrame,
+      indexName: String,
+      maxSpanTokens: Int,
+      onAdmit: (DataFrame, Long) => Unit): streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        val toks = batch.toDF()
+          .withColumn("toks",
+            graft.operators.TextAnalysis.tokens(col("text")))
+        val hit = graft.operators.Dedup
+          .probeSpanIndex(s, indexName, toks,
+            minSpan = maxSpanTokens)
+          .select(col("da").as("doc_id")).distinct()
+        val admitted = batch.toDF().join(hit, Seq("doc_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try onAdmit(admitted, id)
+        finally {
+          admitted.unpersist(blocking = false)
+          graft.operators.Q.releaseManaged()
+        }
+      }
+      .start()
+
   def neardupProbeIndexStream(
       docs: DataFrame,
       indexName: String,

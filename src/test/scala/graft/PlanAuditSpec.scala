@@ -484,4 +484,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), "decile must be arithmetic, not ntile")
     assert(p.contains("partial_"), "the decile rollup must combine map-side")
   }
+
+  test("q165: span dedup pairs come from gram equi-joins, never a cartesian") {
+    val p = plan("q165_substring_dup")
+    assert(!p.contains("CartesianProduct"),
+      "the pair stage must ride the repeated-gram equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "no NLJ anywhere in the span scan")
+    // the top-20 must not sort the full span frame
+    assert(p.contains("TakeOrderedAndProject"),
+      "the report cut must be TakeOrderedAndProject")
+  }
+
+  test("q166: span-index probe stays equi-join; report cut is TakeOrdered") {
+    val p = plan("q166_span_index_probe")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "batch-vs-store span matching must stay an equi-join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the report cut must be TakeOrderedAndProject")
+  }
 }

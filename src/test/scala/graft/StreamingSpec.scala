@@ -630,6 +630,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming span gate over the persisted span index: verbatim re-use drops, fresh docs pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streamspan")
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    import org.apache.spark.sql.functions.col
+    val base = Seq((0L, words("alpha", 30)), (2L, words("beta", 30)))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+    graft.operators.Dedup.writeSpanIndex(base, "stream_spanidx", s"$tmp")
+    val input = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.spanDupIngestStream(
+      input.toDF().toDF("doc_id", "text"), "stream_spanidx",
+      maxSpanTokens = 10,
+      (a, _) => admitted.synchronized {
+        admitted ++= a.select("doc_id").collect().map(_.getLong(0))
+      })
+    try {
+      // doc 10 embeds a 12-token verbatim slice of indexed doc 0 (>=
+      // the 10-token gate) inside fresh text; doc 11 shares nothing
+      val quote = words("alpha", 30).split(" ").slice(5, 17).mkString(" ")
+      input.addData(
+        (10L, s"fresh1 fresh2 fresh3 $quote tail1 tail2"),
+        (11L, words("gamma", 25)))
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq == Seq(11L),
+        s"batch admitted $admitted (want only the fresh 11)")
+      // a 6-token quote sits under the 10-token gate -> admitted
+      admitted.clear()
+      val shortQuote = words("beta", 30).split(" ").slice(0, 6).mkString(" ")
+      input.addData((20L, s"new1 new2 $shortQuote new3 new4 new5"))
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq == Seq(20L),
+        s"short quote wrongly dropped: $admitted")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS stream_spanidx_pgrams")
+    }
+  }
+
   test("replayed gram-novelty micro-batch admits the SAME docs (ledger idempotency)") {
     // foreachBatch retry contract (ADVICE r10): a batch retried AFTER
     // appendToGramIndex wrote its admitted grams must not re-probe the
