@@ -1144,6 +1144,16 @@ object Ann {
 
   /** Exact brute-force top-k with the same output contract — the recall
     * baseline (broadcast the query side; map-only over the corpus).
+    * The grouped ranking stays a `row_number` window deliberately: a
+    * mergeable typed top-k Aggregator (map-side k-buffers, shipping
+    * only partitions × queries × k rows through the exchange) was
+    * built and MEASURED SLOWER at every anchor query (q117 3.1 → 4.3 s,
+    * q126 4.5 → 5.6 s, q138 2.2 → 3.8 s at sf0.1) — the typed
+    * groupByKey path pays per-row deserialization + tuple allocation
+    * on all 40 M scored rows, which costs more than the window's
+    * shuffle-and-sort of the same skinny (q_id, vec_id, sim) frame.
+    * The window input is already pruned to those three columns, so the
+    * exchange never carries embeddings.
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
