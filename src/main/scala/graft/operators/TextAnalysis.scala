@@ -1378,7 +1378,102 @@ object TextAnalysis {
               SELECT CAST(decile AS BIGINT) AS decile, n_docs,
                 (bsum * 2 + n_docs) // (2 * n_docs) AS mean_badness,
                 worst_badness
-              FROM a ORDER BY decile"""))
+              FROM a ORDER BY decile""")),
+
+    // PII detection & scrub audit — the privacy pass every training
+    // corpus runs before release: find documents carrying emails, IPv4
+    // addresses, or long digit runs (phone-ish), redact them, and
+    // report per-lang exposure plus a scrub-completeness bit. The
+    // patterns are the dialect-shared regex subset (character classes,
+    // bounded repetition, \b — identical semantics in Java regex and
+    // DuckDB's RE2; no lookarounds, no backrefs), so both engines
+    // count and redact identically. Declared fixture: every 13th doc
+    // gains one synthetic email + IP + phone (the corpus carries no
+    // natural PII, q163's fixture discipline), so both branches are
+    // live and the scrubbed bit is earned, not vacuous. Redaction is
+    // regexp_replace to fixed tokens; scrubbed_ok asserts ZERO
+    // residual matches after the replace — the property a privacy
+    // audit actually needs. Plan at 100 TB: pure map-only regex
+    // projections (codegen'd string ops, no UDF) into a bounded
+    // per-lang rollup with map-side partials; nothing joins, nothing
+    // shuffles but the skinny partial-agg rows.
+    "q167_pii_scrub" -> QueryDef(
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+        val phone = "\\b[0-9]{7,15}\\b"
+        val t = table(s, dir, "documents")
+          .withColumn("text2",
+            when(col("doc_id") % 13 === 2,
+              concat(col("text"), lit(" contact user"),
+                col("doc_id").cast("string"), lit("@example.com from 10.0."),
+                (col("doc_id") % 256).cast("string"), lit(".7 call 55512"),
+                (col("doc_id") % 100000).cast("string")))
+              .otherwise(col("text")))
+        val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+          col("text2"), email, "<EMAIL>"), ip, "<IP>"), phone, "<NUM>")
+        t.select(col("lang"),
+            (regexp_count(col("text2"), lit(email)) > 0)
+              .cast("long").as("has_email"),
+            (regexp_count(col("text2"), lit(ip)) > 0)
+              .cast("long").as("has_ip"),
+            (regexp_count(col("text2"), lit(phone)) > 0)
+              .cast("long").as("has_phone"),
+            (regexp_count(col("text2"), lit(email)) +
+              regexp_count(col("text2"), lit(ip)) +
+              regexp_count(col("text2"), lit(phone))).as("n_hits"),
+            (regexp_count(scrubbed, lit(email)) +
+              regexp_count(scrubbed, lit(ip)) +
+              regexp_count(scrubbed, lit(phone)) === 0)
+              .cast("long").as("clean"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("has_email").as("docs_with_email"),
+            sum("has_ip").as("docs_with_ip"),
+            sum("has_phone").as("docs_with_phone"),
+            sum("n_hits").as("total_pii_hits"),
+            min("clean").as("scrubbed_ok"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT lang,
+                  CASE WHEN doc_id % 13 = 2 THEN text || ' contact user' ||
+                      CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' ||
+                      CAST(doc_id % 256 AS VARCHAR) || '.7 call 55512' ||
+                      CAST(doc_id % 100000 AS VARCHAR)
+                    ELSE text END AS text2
+                FROM documents),
+              pat AS (SELECT
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS email,
+                  '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b' AS ip,
+                  '\b[0-9]{7,15}\b' AS phone),
+              d AS (SELECT lang,
+                  len(regexp_extract_all(text2, (SELECT email FROM pat)))
+                    AS ne,
+                  len(regexp_extract_all(text2, (SELECT ip FROM pat))) AS ni,
+                  len(regexp_extract_all(text2, (SELECT phone FROM pat)))
+                    AS np,
+                  regexp_replace(regexp_replace(regexp_replace(text2,
+                    (SELECT email FROM pat), '<EMAIL>', 'g'),
+                    (SELECT ip FROM pat), '<IP>', 'g'),
+                    (SELECT phone FROM pat), '<NUM>', 'g') AS sc
+                FROM t),
+              e AS (SELECT lang, ne, ni, np,
+                  len(regexp_extract_all(sc, (SELECT email FROM pat))) +
+                  len(regexp_extract_all(sc, (SELECT ip FROM pat))) +
+                  len(regexp_extract_all(sc, (SELECT phone FROM pat)))
+                    AS resid
+                FROM d)
+              SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS docs_with_email,
+                CAST(SUM(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS docs_with_ip,
+                CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS docs_with_phone,
+                CAST(SUM(ne + ni + np) AS BIGINT) AS total_pii_hits,
+                CAST(MIN(CASE WHEN resid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS scrubbed_ok
+              FROM e GROUP BY lang ORDER BY lang"""))
   )
 
   /** One row of the BPE training dictionary: a word as its current
