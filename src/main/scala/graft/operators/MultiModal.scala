@@ -327,6 +327,53 @@ object MultiModal {
     }
   }
 
+  /** REAL pixel resize for the JDK-decodable image formats
+    * (PNG/JPEG/GIF/BMP): full `ImageIO` decode → bilinear `Graphics2D`
+    * resample to fit inside `maxW × maxH` preserving aspect (the SAME
+    * floor/clamp arithmetic as the metadata [[resize]], so the two
+    * stages can never disagree about target dimensions) → PNG
+    * re-encode as the new payload. Headless-safe (raster ops need no
+    * display). Payloads that are already within bounds, or that no
+    * installed reader recognizes (compressed audio/video, corrupt
+    * bytes), pass through UNTOUCHED — a transform stage must degrade
+    * per asset, never fail the task. Executor-parallel map-only, one
+    * partition's assets resampled in sequence.
+    */
+  def resizePixels(
+      assets: Dataset[MediaAsset], maxW: Int, maxH: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(resizeOnePixels(_, maxW, maxH)))
+  }
+
+  private[operators] def resizeOnePixels(
+      a: MediaAsset, maxW: Int, maxH: Int): MediaAsset =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(a.content))
+      if (img == null) a
+      else {
+        val scale = math.min(1.0, math.min(
+          maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+        if (scale >= 1.0) a
+        else {
+          val w = math.max(1, math.floor(img.getWidth * scale).toInt)
+          val h = math.max(1, math.floor(img.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          a.copy(content = bos.toByteArray)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => a }
+
   /** Frame-sample stage (video): deterministically keeps every
     * `1/rate`-th asset of a modality by content hash — the Spark shape
     * of sampling frames from decoded video (stable under retries, no

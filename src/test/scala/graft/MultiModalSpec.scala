@@ -216,6 +216,46 @@ class MultiModalSpec extends SparkSpec {
     assert(videosKept > 0 && videosKept < 50) // sampled, not all/none
   }
 
+  test("resizePixels: real bilinear resample to clamped dims; passthrough outside scope") {
+    import spark.implicits._
+    def imageBytes(w: Int, h: Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        bi.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "png", bos))
+      bos.toByteArray
+    }
+    val big = imageBytes(32, 16)
+    val small = imageBytes(6, 4)
+    val assets = Seq(
+      MediaAsset(1L, "image", big, "s"),
+      MediaAsset(2L, "image", small, "s"),
+      MediaAsset(3L, "audio", Array[Byte](1, 2, 3), "s")).toDS()
+    val out = MultiModal.resizePixels(assets, maxW = 8, maxH = 8)
+      .collect().map(a => a.asset_id -> a).toMap
+    // 32x16 clamped into 8x8 preserving aspect -> 8x4, REAL pixels
+    val r = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).content))
+    assert(r.getWidth == 8 && r.getHeight == 4,
+      s"resampled dims ${r.getWidth}x${r.getHeight}, want 8x4")
+    // and the metadata resize stage computes the SAME target dims
+    val metaDims = {
+      val f = MultiModal.decode(MediaAsset(1L, "image", big, "s"))
+      val g = MultiModal.resize(Seq(f).toDS(), 8, 8).collect().head
+      (g.width, g.height)
+    }
+    assert(metaDims == (8, 4), s"metadata resize disagreed: $metaDims")
+    // already within bounds / undecodable: byte-identical passthrough
+    assert(out(2L).content.sameElements(small))
+    assert(out(3L).content.sameElements(Array[Byte](1, 2, 3)))
+    // deterministic: same input bytes -> same output bytes
+    val again = MultiModal.resizePixels(assets, 8, 8)
+      .collect().map(a => a.asset_id -> a).toMap
+    assert(out(1L).content.sameElements(again(1L).content))
+  }
+
   test("decode stage plans as a map-only stage (no shuffle)") {
     import spark.implicits._
     val assets = Seq(MediaAsset(1L, "image", Array[Byte](1), "s")).toDS()
