@@ -290,6 +290,9 @@ object Analytic {
     // count: fixed-size state, map-side partials, no distinct shuffle
     // of the key universe.
     "q57_sketch_distinct" -> QueryDef(
+      // no Q.spread here, by measurement: the countDistinct first stage
+      // re-shuffles on (flag, partkey) anyway, so a pre-exchange of the
+      // raw rows only added cost (1.62 s → 1.97 s at sf0.1)
       (s, dir) => table(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("exact_nd"),

@@ -85,6 +85,22 @@ object Q {
     }
   }
 
+  /** Spread an UNDER-partitioned frame across the cluster before a
+    * heavy per-row generator (shingling, per-char gram explode, sketch
+    * partials): a small local parquet reads as ONE split — one parquet
+    * row group is the minimum split unit, so `maxPartitionBytes` can't
+    * help — and everything upstream of the first exchange serializes
+    * onto one core. A well-partitioned 100 TB scan already exceeds
+    * `defaultParallelism` and skips the exchange entirely, which is
+    * what makes this safe to leave in at scale (the unconditional
+    * variant cost q29/q34/q99 1.5–2.5× of pure shuffle — VERDICT r10).
+    * Unkeyed round-robin: consumers re-key downstream anyway.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact, order-independent sum of a floating column: cast every value to
     * DECIMAL(18,scale) first. Decimal addition is associative, so partial
     * aggregation order (which differs between Spark partial/final agg and

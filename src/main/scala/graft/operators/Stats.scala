@@ -270,7 +270,10 @@ object Stats {
     "q68_char_ngrams" -> QueryDef(
       (s, dir) => {
         val w = Window.partitionBy("lang").orderBy(desc("n"), col("gram"))
-        table(s, dir, "documents")
+        // spread an under-partitioned scan before the per-char explode
+        // (the heaviest generator in the stats family — 2.07 s → 0.72 s
+        // at sf0.1, where the 580 KB parquet reads as one split)
+        Q.spread(table(s, dir, "documents"))
           .select(col("lang"),
             explode(when(length(col("text")) >= 3,
               transform(sequence(lit(1), length(col("text")) - 2),

@@ -984,8 +984,12 @@ object TextAnalysis {
     // except the two tiny count aggregations.
     "q133_bigram_surprise" -> QueryDef(
       (s, dir) => {
-        val d = table(s, dir, "documents")
+        // spread the one-split local scan, and tokenize ONCE for the
+        // three consumers (unigram counts, bigram counts, the term
+        // stream) — untreated, each re-ran the tokenizer serialized
+        val d = Q.spread(table(s, dir, "documents"))
           .select(col("doc_id"), col("lang"), tokens(col("text")).as("tl"))
+          .managedPersist
         val uni = d.select(explode(col("tl")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cw"))
         val vsz = uni.agg(count(lit(1)).as("vsz"))
