@@ -552,6 +552,106 @@ object Ann {
       spark.table(s"${name}_vectors"), queries, k, nprobe, rerank)
   }
 
+  /** Semantic near-dup gate of an ingest batch against a persisted
+    * [[writeIvfIndex]] store — q135's threshold rule as batch-vs-store,
+    * WITHOUT refitting the quantizer, and provably EXACT: every
+    * (batch `da`, stored `db`) pair with 4-dp-rounded cosine ≥ `tau`.
+    *
+    * What makes a THRESHOLD gate exact through a quantized store (a
+    * top-k probe can hide quantization error behind an exact re-rank
+    * of its shortlist; a threshold gate has no rank to hide behind):
+    * the SQ8 code bounds its own error. x'ᵢ = codeᵢ·scale/127 with
+    * |xᵢ − x'ᵢ| ≤ scale/254 (nearest-code rounding), so
+    * |dot(x,q) − dot(x',q)| ≤ (scale/254)·‖q‖₁, and with BOTH norms
+    * stored exactly in the code table,
+    * |cos − cos'| ≤ (scale/254)·‖q‖₁ / (√nsq·√qnsq). A pair whose
+    * code-estimated cosine plus that bound (plus the 4-dp rounding
+    * half-ulp) still misses `tau` cannot pass the exact gate — so the
+    * candidate scan reads ONLY the byte-code table, and survivors (a
+    * thin, genuinely-near set) fetch float vectors from the bucketed
+    * `_vectors` table (exchange-free on the stored side) for the
+    * exact verdict. IndexStoreSpec asserts probe ≡ the in-plan exact
+    * cross-pair rule. The batch×store scan rides the same B×B block
+    * tiling as [[Similarity]]'s exact pair scans (bounded reducers, no
+    * unsanctioned cartesian); at a 100 TB store the candidate pass
+    * reads 1 byte/dim instead of 8 — the difference between a
+    * page-cached scan and an IO-bound one.
+    */
+  def semDedupProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      batch: DataFrame,
+      tau: Double): DataFrame = {
+    require(tau > 0d, s"semDedupProbe needs tau > 0 (zero-norm vectors " +
+      s"never pair): $tau")
+    graft.functions.VectorFunctions.register(spark)
+    val codes = spark.table(s"${name}_codes")
+      .filter(col("nsq") > 0d)
+      .select(col("vec_id").as("db"), col("scale"),
+        col("nsq").as("nb"), col("code"))
+    val dArr = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    val q = batch
+      .select(col("vec_id").as("da"), col("embedding").as("ea"),
+        normSq(col("embedding")).as("na"),
+        aggregate(col("embedding"), lit(0d),
+          (acc, v) => acc + abs(v.cast("double"))).as("l1a"))
+      .filter(col("na") > 0d)
+    // B×B tiling sized like Similarity.tiledPairSims: the per-reducer
+    // store block must fit the partition budget, B² must cover the
+    // cluster — one skinny count per side stands in for catalog stats
+    val (ns, dim) = {
+      val r = codes.agg(count(lit(1)), max(size(col("code")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+    }
+    val nbatch = q.count()
+    val targetBytes = 64L << 20
+    val bS = math.ceil(ns.toDouble * (48L + dim) / targetBytes).toInt
+    val bB = math.ceil(
+      nbatch.toDouble * (48L + 16L * dim) / targetBytes).toInt
+    val bPar = math.ceil(math.sqrt(
+      spark.sparkContext.defaultParallelism.toDouble)).toInt
+    val B = math.min(256, Seq(1, bS, bB, bPar).max)
+    val blocks = array((0 until B).map(lit): _*)
+    val aT = q.select(col("da"), col("ea"), col("na"), col("l1a"),
+      pmod(col("da"), lit(B)).cast("int").as("ba"),
+      explode(blocks).as("bb"))
+    val bT = codes.select(col("db"), col("scale"), col("nb"), col("code"),
+      pmod(col("db"), lit(B)).cast("int").as("bb"),
+      explode(blocks).as("ba"))
+    // code-estimated cosine, same fused fold as [[ivfSq8Core]]
+    val approxDot = aggregate(
+      zip_with(col("code").cast(dArr), col("ea"),
+        (ci, qi) => ci * qi.cast("double")),
+      lit(0d), (acc, v) => acc + v) * col("scale") / 127d
+    val denom = sqrt(col("na")) * sqrt(col("nb"))
+    val cand = aT.join(bT, Seq("ba", "bb"))
+      .filter((approxDot + col("scale") / 254d * col("l1a")) / denom
+        + lit(5.1e-5) >= tau)
+      .select("da", "ea", "na", "db")
+    val stored = spark.table(s"${name}_vectors")
+      .select(col("vec_id").as("db"), col("embedding").as("eb"))
+    cand.join(stored, Seq("db"))
+      .select(col("da"), col("db"),
+        round(cosineWithNorms(dot(col("ea"), col("eb")),
+          col("na"), normSq(col("eb"))), 4).as("sim"))
+      .filter(col("sim") >= tau)
+      .select("da", "db", "sim")
+  }
+
+  /** The persisted cell assignment of a [[writeIvfIndex]] artifact: the
+    * (vec_id, cell) frame [[Similarity.semDedupPrunedCellLocal]] can
+    * take instead of refitting its own quantizer — at a real store the
+    * cells were already paid for at index-build time, and ANY partition
+    * of the vectors keeps the pruned ⊆ exact guarantee (AnnSpec), so
+    * reusing the artifact's partition costs nothing but saves a k-means
+    * per run.
+    */
+  def ivfCellsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame =
+    spark.table(s"${name}_codes").select("vec_id", "cell")
+
   /** A trained product quantizer: `m` subspaces of `dsub` dims, `ksub`
     * centroids each, flattened (subspace, code, dim)-major — the layout
     * [[graft.functions.PqEncode]]/[[graft.functions.PqLut]] index.

@@ -2191,7 +2191,141 @@ object Dedup {
                      FROM sp GROUP BY 1, 2)
               SELECT da, db, max_span_tokens FROM mx
               WHERE max_span_tokens >= 8
-              ORDER BY max_span_tokens DESC, da, db LIMIT 20"""))
+              ORDER BY max_span_tokens DESC, da, db LIMIT 20""")),
+
+    // Span-removal AUDIT — q165 detects verbatim copied spans; this
+    // runs the transform that PRODUCES the deduplicated corpus
+    // ([[removeDupSpans]] — Lee et al. 2022's actual output: every
+    // duplicated span ≥ minSpan cut from all-but-the-lowest-id
+    // occurrence at token boundaries) over the same declared quote
+    // fixture, and reports what a release audit needs: per source lang,
+    // how many docs were touched and how many tokens came out — plus
+    // the RESIDUAL bit, earned by genuinely re-running the q165
+    // detector on the cleaned corpus and counting surviving pairs
+    // (zero ⇔ the cut removed every detected span). Quote docs
+    // (−id−1) report under their source doc's lang. The removal rule
+    // always cuts the HIGHER doc id of a pair, so the planted quote
+    // docs (negative ids — the lowest in every pairing) keep their
+    // excerpt and the positive source docs lose theirs: asymmetric on
+    // purpose, deterministic by construction. Plan: the detector's
+    // scan twice (find + residual re-scan — the audit's declared cost
+    // order) plus one doc_id shuffle of the bounded removal-position
+    // sets; the cut is a map-only indexed filter.
+    "q168_span_removal" -> QueryDef(
+      (s, dir) => {
+        val d0 = table(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        val quotes = d0
+          .filter(col("doc_id") % 17 === 3 && size(col("toks")) >= 25)
+          .select((-col("doc_id") - 1).as("qid"),
+            concat(
+              array(concat(lit("qpre"), col("doc_id").cast("string"))),
+              slice(col("toks"), 6, 20),
+              array(concat(lit("qpost"), col("doc_id").cast("string"))))
+              .as("toks"))
+          .withColumnRenamed("qid", "doc_id")
+        val cleaned = removeDupSpans(d0.unionByName(quotes), seedLen = 5,
+          minSpan = 8, maxDf = 128).managedPersist
+        val langs = table(s, dir, "documents")
+          .select(col("doc_id").as("src"), col("lang"))
+        val perLang = cleaned
+          .withColumn("src", when(col("doc_id") >= 0, col("doc_id"))
+            .otherwise(-col("doc_id") - 1))
+          .join(langs, "src")
+          .groupBy("lang")
+          .agg(sum((col("tokens_removed") > 0).cast("long"))
+              .as("docs_touched"),
+            sum("tokens_removed").as("tokens_removed"))
+        val resid = substringDupSpans(cleaned.select("doc_id", "toks"),
+          seedLen = 5, minSpan = 8, maxDf = 128)
+          .agg(count(lit(1)).as("n_residual"))
+        perLang.crossJoin(resid)
+          .select(col("lang"), col("docs_touched"), col("tokens_removed"),
+            col("n_residual"),
+            (col("n_residual") === 0).cast("long").as("residual_ok"))
+          .orderBy("lang")
+      },
+      Some("""WITH t0 AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                    AS toks
+                FROM documents),
+              q AS (SELECT -doc_id - 1 AS doc_id,
+                  ['qpre' || CAST(doc_id AS VARCHAR)] || toks[6:25] ||
+                  ['qpost' || CAST(doc_id AS VARCHAR)] AS toks
+                FROM t0 WHERE doc_id % 17 = 3 AND len(toks) >= 25),
+              t AS (SELECT * FROM t0 UNION ALL SELECT * FROM q),
+              pg AS (SELECT doc_id,
+                  UNNEST([substring(md5(array_to_string(toks[i:i+4], ' ')),
+                                    1, 16)
+                          for i in range(1, len(toks) - 3)]) AS gk,
+                  UNNEST(range(1, len(toks) - 3)) AS pos
+                FROM t WHERE len(toks) >= 5),
+              rep AS (SELECT gk FROM (SELECT DISTINCT doc_id, gk FROM pg) z
+                      GROUP BY gk HAVING COUNT(*) BETWEEN 2 AND 128),
+              gr AS (SELECT pg.doc_id, pg.pos, pg.gk
+                     FROM pg JOIN rep USING (gk)),
+              m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+                           b.pos AS pb, a.pos - b.pos AS diag
+                    FROM gr a JOIN gr b
+                      ON a.gk = b.gk AND a.doc_id < b.doc_id),
+              i AS (SELECT da, db, diag, pa, pb,
+                  pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag
+                    ORDER BY pa) AS grp
+                FROM m),
+              runs AS (SELECT da, db, diag, grp, COUNT(*) AS run,
+                         MIN(pb) AS pb0
+                       FROM i GROUP BY 1, 2, 3, 4
+                       HAVING COUNT(*) + 4 >= 8),
+              rmpos AS (SELECT DISTINCT doc_id, pos FROM (
+                  SELECT db AS doc_id,
+                    UNNEST(range(pb0, pb0 + run + 4)) AS pos
+                  FROM runs) z),
+              rms AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nrm,
+                        list(pos) AS rmlist
+                      FROM rmpos GROUP BY 1),
+              clean AS (SELECT t.doc_id,
+                  CASE WHEN rms.doc_id IS NULL THEN t.toks
+                    ELSE [t.toks[i] for i in range(1, len(t.toks) + 1)
+                          if NOT list_contains(rms.rmlist, i)] END AS toks,
+                  COALESCE(rms.nrm, 0) AS tokens_removed
+                FROM t LEFT JOIN rms USING (doc_id)),
+              pg2 AS (SELECT doc_id,
+                  UNNEST([substring(md5(array_to_string(toks[i:i+4], ' ')),
+                                    1, 16)
+                          for i in range(1, len(toks) - 3)]) AS gk,
+                  UNNEST(range(1, len(toks) - 3)) AS pos
+                FROM clean WHERE len(toks) >= 5),
+              rep2 AS (SELECT gk
+                       FROM (SELECT DISTINCT doc_id, gk FROM pg2) z
+                       GROUP BY gk HAVING COUNT(*) BETWEEN 2 AND 128),
+              gr2 AS (SELECT pg2.doc_id, pg2.pos, pg2.gk
+                      FROM pg2 JOIN rep2 USING (gk)),
+              m2 AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+                            a.pos - b.pos AS diag
+                     FROM gr2 a JOIN gr2 b
+                       ON a.gk = b.gk AND a.doc_id < b.doc_id),
+              i2 AS (SELECT da, db, diag,
+                  pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag
+                    ORDER BY pa) AS grp
+                FROM m2),
+              sp2 AS (SELECT da, db, COUNT(*) AS run
+                      FROM i2 GROUP BY da, db, diag, grp),
+              mx2 AS (SELECT da, db FROM sp2 GROUP BY 1, 2
+                      HAVING MAX(run + 4) >= 8),
+              res AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_residual
+                      FROM mx2),
+              rep_out AS (SELECT d.lang,
+                  CAST(SUM(CASE WHEN c.tokens_removed > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_touched,
+                  CAST(SUM(c.tokens_removed) AS BIGINT) AS tokens_removed
+                FROM clean c JOIN documents d
+                  ON d.doc_id = CASE WHEN c.doc_id >= 0 THEN c.doc_id
+                                     ELSE -c.doc_id - 1 END
+                GROUP BY 1)
+              SELECT lang, docs_touched, tokens_removed, res.n_residual,
+                CAST(CASE WHEN res.n_residual = 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS residual_ok
+              FROM rep_out, res ORDER BY lang"""))
   )
 
   /** Maximal cross-doc verbatim token spans (the q165 operator, reusable
@@ -2210,6 +2344,21 @@ object Dedup {
       maxDf: Int): org.apache.spark.sql.DataFrame = {
     require(seedLen >= 2 && minSpan >= seedLen,
       s"need seedLen >= 2 and minSpan >= seedLen: $seedLen, $minSpan")
+    spansOfMatches(matchedSeedGrams(docs, seedLen, maxDf), seedLen, minSpan)
+  }
+
+  /** The matched positioned-seed-gram pair frame shared by the span
+    * REPORT ([[substringDupSpans]]) and the span REMOVAL transform
+    * ([[removeDupSpans]]): every cross-doc seed-gram co-occurrence as
+    * (da < db, pa, pb, diag = pa − pb), after the ≥2-docs repeated
+    * filter and the `maxDf` boilerplate cap. One definition so the
+    * detector and the remover cannot disagree about what a matched
+    * gram is.
+    */
+  private def matchedSeedGrams(
+      docs: org.apache.spark.sql.DataFrame,
+      seedLen: Int,
+      maxDf: Int): org.apache.spark.sql.DataFrame = {
     val g = positionedGrams(docs, seedLen).managedPersist
     val rep = g.select("doc_id", "gk").distinct()
       .groupBy("gk").agg(count(lit(1)).as("ndocs"))
@@ -2218,11 +2367,66 @@ object Dedup {
     val gr = g.join(rep, "gk")
     val a = gr.select(col("gk"), col("doc_id").as("da"), col("pos").as("pa"))
     val b = gr.select(col("gk"), col("doc_id").as("db"), col("pos").as("pb"))
-    val m = a.join(b, Seq("gk"))
+    a.join(b, Seq("gk"))
       .filter(col("da") < col("db"))
-      .select(col("da"), col("db"), col("pa"),
+      .select(col("da"), col("db"), col("pa"), col("pb"),
         (col("pa") - col("pb")).as("diag"))
-    spansOfMatches(m, seedLen, minSpan)
+  }
+
+  /** Duplicate-span REMOVAL — the transform [[substringDupSpans]] only
+    * reports: emit the corpus with every cross-doc verbatim span of
+    * ≥ `minSpan` tokens CUT from all-but-the-lowest-id occurrence, at
+    * token boundaries — the actual output of the Lee et al. 2022
+    * suffix-array dedup ("Deduplicating Training Data Makes Language
+    * Models Better" §3: remove all but one occurrence of each
+    * sufficiently long duplicated substring). Rule: for every matched
+    * pair (da < db), every maximal run of consecutive matching seed
+    * positions covering ≥ `minSpan` tokens marks the db-side token
+    * interval [pb₀, pb₀ + run + seedLen − 2] for removal; a doc's
+    * marked positions are unioned across all its higher-id pairings,
+    * so the lowest-id holder of a span is the one occurrence that
+    * survives. Returns (doc_id, toks, tokens_removed).
+    *
+    * Residual property (DedupSpec): re-running [[substringDupSpans]]
+    * with the same (seedLen, minSpan, maxDf) on the output finds zero
+    * pairs — every detected span had all-but-one occurrence cut, and
+    * a cut can only shorten runs, never extend one past `minSpan`.
+    *
+    * Plan at 100 TB: the matched-gram frame is the detector's (same
+    * bounded fan-out argument as q165); removal positions explode only
+    * from qualifying runs (bounded by TRUE duplication volume), the
+    * per-doc position sets shuffle once on doc_id, and the cut itself
+    * is a map-only indexed `filter` over each doc's token array — no
+    * driver-side anything, no second corpus shuffle.
+    */
+  def removeDupSpans(
+      docs: org.apache.spark.sql.DataFrame,
+      seedLen: Int,
+      minSpan: Int,
+      maxDf: Int): org.apache.spark.sql.DataFrame = {
+    require(seedLen >= 2 && minSpan >= seedLen,
+      s"need seedLen >= 2 and minSpan >= seedLen: $seedLen, $minSpan")
+    val m = matchedSeedGrams(docs, seedLen, maxDf)
+    val w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    val runs = m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("da", "db", "diag", "grp")
+      .agg(count(lit(1)).as("run"), min("pb").as("pb0"))
+      .filter(col("run") + (seedLen - 1) >= minSpan)
+    val rmpos = runs.select(col("db").as("doc_id"),
+        explode(sequence(col("pb0").cast("long"),
+          (col("pb0") + col("run") + lit(seedLen - 2)).cast("long")))
+          .as("pos"))
+      .distinct()
+    val rmset = rmpos.groupBy("doc_id")
+      .agg(collect_set(col("pos").cast("int")).as("rmset"))
+    docs.join(rmset, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("rmset").isNull, col("toks"))
+          .otherwise(filter(col("toks"),
+            (_, i) => !array_contains(col("rmset"), (i + 1).cast("int"))))
+          .as("toks"),
+        coalesce(size(col("rmset")).cast("long"), lit(0L))
+          .as("tokens_removed"))
   }
 
   /** Positioned seed grams of a (doc_id, toks) frame: one row per gram
