@@ -617,21 +617,30 @@ case class TwoLevelAssign(child: Expression, coarse: Array[Double],
         if (!taken(c) && cd(c) < pd) { pd = cd(c); pc = c }
         c += 1
       }
-      taken(pc) = true
-      var j = offsets(pc)
-      while (j < offsets(pc + 1)) {
-        var d = 0.0; var k = 0
-        while (k < dim) {
-          val t = x(k) - fine(j * dim + k); d += t * t; k += 1
+      // NaN input (a NaN element poisons every coarse distance, so no
+      // candidate satisfies cd(c) < pd): stop probing instead of
+      // indexing taken(-1) — the sentinel fallback below keeps the
+      // expression total like KMeansModel.transform is (ADVICE r11)
+      if (pc < 0) { p = w }
+      else {
+        taken(pc) = true
+        var j = offsets(pc)
+        while (j < offsets(pc + 1)) {
+          var d = 0.0; var k = 0
+          while (k < dim) {
+            val t = x(k) - fine(j * dim + k); d += t * t; k += 1
+          }
+          if (d < bestD || (d == bestD && ids(j) < bestId)) {
+            bestD = d; bestId = ids(j)
+          }
+          j += 1
         }
-        if (d < bestD || (d == bestD && ids(j) < bestId)) {
-          bestD = d; bestId = ids(j)
-        }
-        j += 1
+        p += 1
       }
-      p += 1
     }
-    bestId
+    // all-NaN distances leave bestId untouched; assign the first fine
+    // cell deterministically rather than emitting an id no cell owns
+    if (bestId < 0) ids(0) else bestId
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -682,6 +691,9 @@ case class TwoLevelAssign(child: Expression, coarse: Array[Double],
          |    for (int $c = 0; $c < $nc; $c++) {
          |      if (!$taken[$c] && $cd[$c] < $pd) { $pd = $cd[$c]; $pc = $c; }
          |    }
+         |    // NaN input: every coarse distance is NaN, no candidate
+         |    // wins the scan — stop probing (sentinel below applies)
+         |    if ($pc < 0) break;
          |    $taken[$pc] = true;
          |    for (int $j = $offRef[$pc]; $j < $offRef[$pc + 1]; $j++) {
          |      double $d = 0.0;
@@ -694,7 +706,7 @@ case class TwoLevelAssign(child: Expression, coarse: Array[Double],
          |      }
          |    }
          |  }
-         |  ${ev.value} = $bestId;
+         |  ${ev.value} = $bestId < 0 ? $idsRef[0] : $bestId;
          |}
        """.stripMargin
     })

@@ -140,13 +140,19 @@ object Compaction {
             new Path(s"$destBucket/${prefix}bundle-%05d.bin".format(b))
           def closeBundle(): Unit = if (out != null) {
             out.close()
-            commitFile(outTmp, binDest(bundle))
-            // sidecar committed AFTER the data: its presence marks a
-            // complete bundle, and a retry overwrites both
             val idxDest =
               new Path(s"$destBucket/${prefix}bundle-%05d.idx".format(bundle))
+            // sidecar-FIRST removal (ADVICE r11): the idx marks a
+            // complete bundle, so on a re-commit it must disappear
+            // before the bin it describes is swapped — a reader
+            // honoring the sidecar protocol then never observes an idx
+            // pointing at a missing/mid-swap bin. Commit order: drop
+            // idx, swap bin, re-commit idx last.
+            val dfs = fsFor(destBucket)
+            if (dfs.exists(idxDest)) dfs.delete(idxDest, false)
+            commitFile(outTmp, binDest(bundle))
             val idxTmp = idxDest.suffix(s".$attempt.tmp")
-            val idxOut = fsFor(destBucket).create(idxTmp, true)
+            val idxOut = dfs.create(idxTmp, true)
             idxOut.write(idx.toString.getBytes(StandardCharsets.UTF_8))
             idxOut.close()
             commitFile(idxTmp, idxDest)
@@ -177,8 +183,31 @@ object Compaction {
           }
           closeBundle()
         }
+      // failed attempts leave orphan *.tmp files the rename never
+      // consumed (ADVICE r11); sweep them once the write completed —
+      // a zombie task whose temp vanishes fails at its rename, which
+      // is harmless after the real attempt committed
+      sweepTmp(spark, destBucket, prefix)
       CompactStats(nBundles, nFiles, totBytes)
     } finally rows.unpersist()
+  }
+
+  /** Delete stale attempt temp files (`*bundle-*.tmp`) under the
+    * destination folder — the leftovers of failed or superseded task
+    * attempts. Driver-side, one glob; scoped to the bundle naming
+    * pattern so unrelated files are never touched.
+    */
+  private def sweepTmp(
+      spark: SparkSession, destBucket: String, prefix: String): Unit = {
+    try {
+      val fs = FileSystem.get(new URI(destBucket),
+        FileManifest.hadoopConf(spark))
+      val hits = fs.globStatus(new Path(s"$destBucket/$prefix*bundle-*.tmp"))
+      if (hits != null) hits.foreach { st =>
+        try fs.delete(st.getPath, false)
+        catch { case _: java.io.IOException => () }
+      }
+    } catch { case _: java.io.IOException => () }
   }
 
   /** The sidecar catalog of a compacted folder as a DataFrame:
@@ -357,6 +386,8 @@ object Compaction {
           s"$destBucket/${prefix}b$batchId-bundle-%05d.$ext".format(bundle))
         def closeBundle(): Unit = if (out != null) {
           out.close()
+          // sidecar-first removal, as in [[compact]] (ADVICE r11)
+          if (destFs().exists(name("idx"))) destFs().delete(name("idx"), false)
           commitFile(outTmp, name("bin"))
           val idxTmp = name("idx").suffix(s".$attempt.tmp")
           val idxOut = destFs().create(idxTmp, true)
@@ -383,6 +414,7 @@ object Compaction {
         }
         closeBundle()
       }
+    sweepTmp(spark, destBucket, prefix)
   }
 
   /** Point lookup of one original object inside a compacted folder —

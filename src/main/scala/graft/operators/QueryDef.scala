@@ -98,7 +98,14 @@ object Q {
     */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // read the partition count off the frame's OWN QueryExecution:
+    // `df.rdd` builds a second QueryExecution (deserializer appended)
+    // and plans the query twice per call — pure overhead, recurring
+    // per micro-batch on the streaming shingle paths (ADVICE r11).
+    // `toRdd` is a cached lazy val on the existing QE, so the planning
+    // this does is the planning the frame's consumer reuses.
+    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p)
+    else df
   }
 
   /** Exact, order-independent sum of a floating column: cast every value to

@@ -1403,67 +1403,99 @@ object TextAnalysis {
     // shuffles but the skinny partial-agg rows.
     "q167_pii_scrub" -> QueryDef(
       (s, dir) => {
-        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-        val phone = "\\b[0-9]{7,15}\\b"
         val t = table(s, dir, "documents")
-          .withColumn("text2",
-            when(col("doc_id") % 13 === 2,
-              concat(col("text"), lit(" contact user"),
-                col("doc_id").cast("string"), lit("@example.com from 10.0."),
-                (col("doc_id") % 256).cast("string"), lit(".7 call 55512"),
-                (col("doc_id") % 100000).cast("string")))
-              .otherwise(col("text")))
-        val scrubbed = regexp_replace(regexp_replace(regexp_replace(
-          col("text2"), email, "<EMAIL>"), ip, "<IP>"), phone, "<NUM>")
+          .withColumn("text2", piiFixture(col("doc_id"), col("text")))
         t.select(col("lang"),
-            (regexp_count(col("text2"), lit(email)) > 0)
+            (regexp_count(col("text2"), lit(PiiEmail)) > 0)
               .cast("long").as("has_email"),
-            (regexp_count(col("text2"), lit(ip)) > 0)
+            (regexp_count(col("text2"), lit(PiiIp)) > 0)
               .cast("long").as("has_ip"),
-            (regexp_count(col("text2"), lit(phone)) > 0)
+            (regexp_count(col("text2"), lit(PiiSepPhone)) +
+              regexp_count(col("text2"), lit(PiiE164)) +
+              regexp_count(col("text2"), lit(PiiPhone)) > 0)
               .cast("long").as("has_phone"),
-            (regexp_count(col("text2"), lit(email)) +
-              regexp_count(col("text2"), lit(ip)) +
-              regexp_count(col("text2"), lit(phone))).as("n_hits"),
-            (regexp_count(scrubbed, lit(email)) +
-              regexp_count(scrubbed, lit(ip)) +
-              regexp_count(scrubbed, lit(phone)) === 0)
+            regexp_count(col("text2"), lit(PiiCard)).cast("long")
+              .as("n_card_cand"),
+            (luhnValidCount(col("text2")) > 0).cast("long").as("has_card"),
+            piiCount(col("text2")).cast("long").as("n_hits"),
+            (piiCount(piiScrub(col("text2"))) === 0)
               .cast("long").as("clean"))
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             sum("has_email").as("docs_with_email"),
             sum("has_ip").as("docs_with_ip"),
             sum("has_phone").as("docs_with_phone"),
+            sum("n_card_cand").as("card_candidates"),
+            sum("has_card").as("docs_with_card"),
             sum("n_hits").as("total_pii_hits"),
             min("clean").as("scrubbed_ok"))
           .orderBy("lang")
       },
-      Some("""WITH t AS (SELECT lang,
+      Some("""WITH t AS (SELECT doc_id, lang,
                   CASE WHEN doc_id % 13 = 2 THEN text || ' contact user' ||
                       CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' ||
                       CAST(doc_id % 256 AS VARCHAR) || '.7 call 55512' ||
-                      CAST(doc_id % 100000 AS VARCHAR)
+                      lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') ||
+                      ' card 4111 1111 1111 1111 tel 555-0123-' ||
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                      ' or +3780' ||
+                      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    WHEN doc_id % 13 = 7 THEN
+                      text || ' acct 4111111111111112'
                     ELSE text END AS text2
                 FROM documents),
               pat AS (SELECT
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS email,
                   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b' AS ip,
+                  '\b[0-9]{4}([ -]?[0-9]{4}){3}\b' AS card,
+                  '\b[0-9]{3}[ -][0-9]{3,4}[ -][0-9]{4}\b' AS sep,
+                  '\+[1-9][0-9]{6,14}' AS e164,
                   '\b[0-9]{7,15}\b' AS phone),
-              d AS (SELECT lang,
+              cards AS (SELECT doc_id,
+                  UNNEST(regexp_extract_all(text2, (SELECT card FROM pat)))
+                    AS cand
+                FROM t),
+              ld AS (SELECT doc_id,
+                  reverse(regexp_replace(cand, '[ -]', '', 'g')) AS dg
+                FROM cards),
+              lu AS (SELECT doc_id,
+                  CASE WHEN list_sum([CASE WHEN i % 2 = 0 THEN
+                        CASE WHEN 2 * CAST(substring(dg, i, 1) AS INT) > 9
+                             THEN 2 * CAST(substring(dg, i, 1) AS INT) - 9
+                             ELSE 2 * CAST(substring(dg, i, 1) AS INT) END
+                      ELSE CAST(substring(dg, i, 1) AS INT) END
+                      for i in range(1, len(dg) + 1)]) % 10 = 0
+                    THEN 1 ELSE 0 END AS ok
+                FROM ld),
+              lc AS (SELECT doc_id, SUM(ok) AS n_luhn FROM lu GROUP BY 1),
+              d AS (SELECT t.doc_id, lang,
                   len(regexp_extract_all(text2, (SELECT email FROM pat)))
                     AS ne,
                   len(regexp_extract_all(text2, (SELECT ip FROM pat))) AS ni,
+                  len(regexp_extract_all(text2, (SELECT card FROM pat)))
+                    AS nc,
+                  len(regexp_extract_all(text2, (SELECT sep FROM pat)))
+                    AS nsep,
+                  len(regexp_extract_all(text2, (SELECT e164 FROM pat)))
+                    AS n164,
                   len(regexp_extract_all(text2, (SELECT phone FROM pat)))
                     AS np,
-                  regexp_replace(regexp_replace(regexp_replace(text2,
+                  COALESCE(lc.n_luhn, 0) AS n_luhn,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(regexp_replace(text2,
                     (SELECT email FROM pat), '<EMAIL>', 'g'),
                     (SELECT ip FROM pat), '<IP>', 'g'),
+                    (SELECT card FROM pat), '<CARD>', 'g'),
+                    (SELECT sep FROM pat), '<PHONE>', 'g'),
+                    (SELECT e164 FROM pat), '<PHONE>', 'g'),
                     (SELECT phone FROM pat), '<NUM>', 'g') AS sc
-                FROM t),
-              e AS (SELECT lang, ne, ni, np,
+                FROM t LEFT JOIN lc ON lc.doc_id = t.doc_id),
+              e AS (SELECT lang, ne, ni, nc, nsep, n164, np, n_luhn,
                   len(regexp_extract_all(sc, (SELECT email FROM pat))) +
                   len(regexp_extract_all(sc, (SELECT ip FROM pat))) +
+                  len(regexp_extract_all(sc, (SELECT card FROM pat))) +
+                  len(regexp_extract_all(sc, (SELECT sep FROM pat))) +
+                  len(regexp_extract_all(sc, (SELECT e164 FROM pat))) +
                   len(regexp_extract_all(sc, (SELECT phone FROM pat)))
                     AS resid
                 FROM d)
@@ -1472,13 +1504,99 @@ object TextAnalysis {
                   AS docs_with_email,
                 CAST(SUM(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
                   AS docs_with_ip,
-                CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS docs_with_phone,
-                CAST(SUM(ne + ni + np) AS BIGINT) AS total_pii_hits,
+                CAST(SUM(CASE WHEN nsep + n164 + np > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS docs_with_phone,
+                CAST(SUM(nc) AS BIGINT) AS card_candidates,
+                CAST(SUM(CASE WHEN n_luhn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS docs_with_card,
+                CAST(SUM(ne + ni + nc + nsep + n164 + np) AS BIGINT)
+                  AS total_pii_hits,
                 CAST(MIN(CASE WHEN resid = 0 THEN 1 ELSE 0 END) AS BIGINT)
                   AS scrubbed_ok
               FROM e GROUP BY lang ORDER BY lang"""))
   )
+
+  /** PII pattern set — the dialect-shared regex subset (character
+    * classes, bounded repetition, `\b`, optional groups — identical
+    * semantics in Java regex and DuckDB's RE2; no lookarounds, no
+    * backrefs), one definition for the batch audit (q167), the
+    * streaming gate ([[graft.streaming.StreamingOps]]), and any
+    * library caller. The three phone shapes are counted as one
+    * exposure class; an E.164 number's digit run can also match the
+    * plain digit-run pattern (both engines count it identically — the
+    * scrub chain replaces it before the plain rule ever sees it).
+    */
+  private[graft] val PiiEmail =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiIp = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private[graft] val PiiCard = "\\b[0-9]{4}([ -]?[0-9]{4}){3}\\b"
+  private[graft] val PiiSepPhone =
+    "\\b[0-9]{3}[ -][0-9]{3,4}[ -][0-9]{4}\\b"
+  private[graft] val PiiE164 = "\\+[1-9][0-9]{6,14}"
+  private[graft] val PiiPhone = "\\b[0-9]{7,15}\\b"
+  private[graft] val PiiPatterns: Seq[String] =
+    Seq(PiiEmail, PiiIp, PiiCard, PiiSepPhone, PiiE164, PiiPhone)
+
+  /** The PII redaction chain — map-only codegen'd regex replaces, in
+    * an order where no later pattern can see a fragment an earlier
+    * replace consumed (card before the phone shapes, E.164 before the
+    * plain digit run). Conservative on cards by design: every
+    * card-SHAPED match is redacted whether or not it passes Luhn —
+    * a privacy scrub prefers a false redaction to a leaked number;
+    * the Luhn check ([[luhnValidCount]]) gates only the COUNT of
+    * confirmed card exposures.
+    */
+  def piiScrub(c: Column): Column =
+    Seq(PiiEmail -> "<EMAIL>", PiiIp -> "<IP>", PiiCard -> "<CARD>",
+      PiiSepPhone -> "<PHONE>", PiiE164 -> "<PHONE>", PiiPhone -> "<NUM>")
+      .foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+
+  /** Total PII pattern matches in a string column (all six patterns,
+    * counted independently on the same input). Zero on a
+    * [[piiScrub]]bed column is the scrub-completeness property.
+    */
+  private[graft] def piiCount(c: Column): Column =
+    PiiPatterns.map(p => regexp_count(c, lit(p))).reduce(_ + _)
+
+  /** Count of card-shaped matches that pass the Luhn checksum — pure
+    * integer arithmetic over the match's digits (double every second
+    * digit from the right, subtract 9 when it exceeds 9, valid ⇔ sum
+    * ≡ 0 mod 10), so both engines agree by construction. Runs entirely
+    * in codegen'd higher-order functions: extract matches, strip
+    * separators, fold the reversed digit string.
+    */
+  private[graft] def luhnValidCount(c: Column): Column =
+    size(filter(regexp_extract_all(c, lit(PiiCard), lit(0)), cand => {
+      val rev = reverse(regexp_replace(cand, "[ -]", ""))
+      def dg(i: Column): Column = rev.substr(i, lit(1)).cast("int")
+      (aggregate(sequence(lit(1), length(rev)), lit(0),
+        (acc, i) => acc + when(i % 2 === 0,
+          when(dg(i) * 2 > 9, dg(i) * 2 - 9).otherwise(dg(i) * 2))
+          .otherwise(dg(i)))
+        % 10) === 0
+    })).cast("long")
+
+  /** The q167 declared fixture: every 13th doc (mod 2) gains one
+    * synthetic email + IP + fixed-7+-digit phone + Luhn-VALID spaced
+    * card + separator phone + E.164 number; every 13th (mod 7) gains a
+    * card-shaped but Luhn-INVALID number — so the candidate-vs-
+    * confirmed branches are both live. The phone base is a fixed
+    * 10-digit shape (55512 + zero-padded id) so every planted number
+    * clears the pattern's {7,15} floor regardless of doc_id width
+    * (ADVICE r11).
+    */
+  private[graft] def piiFixture(docId: Column, text: Column): Column =
+    when(docId % 13 === 2,
+      concat(text, lit(" contact user"), docId.cast("string"),
+        lit("@example.com from 10.0."), (docId % 256).cast("string"),
+        lit(".7 call 55512"),
+        lpad((docId % 100000).cast("string"), 5, "0"),
+        lit(" card 4111 1111 1111 1111 tel 555-0123-"),
+        lpad((docId % 10000).cast("string"), 4, "0"),
+        lit(" or +3780"),
+        lpad((docId % 1000).cast("string"), 3, "0")))
+      .when(docId % 13 === 7, concat(text, lit(" acct 4111111111111112")))
+      .otherwise(text)
 
   /** One row of the BPE training dictionary: a word as its current
     * symbol sequence plus its corpus occurrence count.

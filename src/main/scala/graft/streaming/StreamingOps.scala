@@ -497,7 +497,13 @@ object StreamingOps {
       docs: DataFrame,
       indexName: String,
       maxSpanTokens: Int,
-      onAdmit: (DataFrame, Long) => Unit): streaming.StreamingQuery =
+      onAdmit: (DataFrame, Long) => Unit): streaming.StreamingQuery = {
+    // spans shorter than the probe's seed grams are invisible — a gate
+    // configured below the seed length would silently never fire
+    // (ADVICE r11); the same require guards substringDupSpans, but this
+    // call reaches probeSpanIndex directly with its default seedLen = 5
+    require(maxSpanTokens >= 5,
+      s"maxSpanTokens must be >= seedLen (5): $maxSpanTokens")
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -518,6 +524,27 @@ object StreamingOps {
         }
       }
       .start()
+  }
+
+  /** Streaming PII gate — q167's scrub as an ingest-time transform:
+    * redact every PII pattern in `textCol` (the shared
+    * [[graft.operators.TextAnalysis.piiScrub]] chain — one definition
+    * with the batch audit, so the two modes cannot drift) and keep a
+    * per-row `pii_hits` count plus the `pii_clean` zero-residual bit.
+    * Like [[decontaminateStream]], this is completely STATELESS —
+    * map-only codegen'd regex projections, no watermark, no state
+    * store, no shuffle — so it runs identically over a batch frame and
+    * a readStream micro-batch at any throughput (StreamingSpec asserts
+    * batch ≡ stream on the same rows).
+    */
+  def piiScrubStream(docs: DataFrame, textCol: String): DataFrame = {
+    val t = graft.operators.TextAnalysis
+    docs
+      .withColumn("pii_hits", t.piiCount(col(textCol)).cast("long"))
+      .withColumn(textCol, t.piiScrub(col(textCol)))
+      .withColumn("pii_clean",
+        (t.piiCount(col(textCol)) === 0).cast("long"))
+  }
 
   def neardupProbeIndexStream(
       docs: DataFrame,

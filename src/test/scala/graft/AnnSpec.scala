@@ -417,6 +417,48 @@ class AnnSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(oneCell == exact,
       "nlist=1 must reproduce the exact pruned set bit-for-bit")
+    // cell source switchable (VERDICT r11 #6): reuse a persisted IVF
+    // artifact's assignment instead of refitting — pruned ⊆ exact must
+    // hold under the artifact's partition too (it holds under ANY),
+    // and the pass then runs zero k-means fits
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semcell")
+    try {
+      graft.operators.Ann.writeIvfIndex(
+        emb.select(col("vec_id"), col("embedding")), "semcell_t",
+        tmp.toString, nlist = 4)
+      val fromIdx = graft.operators.Similarity
+        .semDedupPrunedCellLocal(emb, tau, cellsFrom =
+          Some(graft.operators.Ann.ivfCellsOf(spark, "semcell_t")))
+        .collect().map(_.getLong(0)).toSet
+      assert(fromIdx.nonEmpty,
+        "artifact-cell semdedup pruned nothing — vacuous")
+      assert(fromIdx.subsetOf(exact),
+        s"artifact-cell pruned ids outside the exact rule: " +
+          s"${fromIdx -- exact}")
+    } finally {
+      Seq("codes", "centroids", "vectors").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS semcell_t_$t"))
+    }
+  }
+
+  test("two-level assignment: a NaN embedding takes the sentinel cell instead of crashing") {
+    // ADVICE r11: every coarse distance to a NaN vector is NaN, so no
+    // probe candidate ever wins the scan — the old code indexed
+    // taken(-1). The guarded expression must stay total: non-null,
+    // in-range, deterministic.
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val model = graft.operators.Ann.coarseQuantizer(base, nlist = 4)
+    val dim = model.clusterCenters.head.size
+    val nan = Seq((999999L, Array.fill(dim)(Double.NaN)))
+      .toDF("vec_id", "embedding")
+    val cellRow = nan.withColumn("cell",
+        graft.operators.Ann.twoLevelAssignCol(model, col("embedding")))
+      .select("cell").head()
+    assert(!cellRow.isNullAt(0),
+      "NaN input must yield the sentinel cell, not null")
+    val cell = cellRow.getInt(0)
+    assert(cell >= 0 && cell < 4, s"sentinel cell out of range: $cell")
   }
 
   test("two-level assignment: probing every coarse group reproduces the dense argmin; wprobe=2 stays near it") {

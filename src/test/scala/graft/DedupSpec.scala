@@ -325,4 +325,48 @@ class DedupSpec extends SparkSpec {
       .count() == 0L, "a 4-token overlap must be invisible at seedLen=5")
     graft.operators.Q.releaseManaged()
   }
+
+  test("removeDupSpans: cuts spans from all-but-the-lowest-id doc, residual-free") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    // a 12-token quote shared by THREE docs (the lowest id must be the
+    // sole survivor across the whole clique, not per-pair), plus an
+    // independent 9-token span shared by two more — one of them holding
+    // it at position 1 (the boundary case for the interval arithmetic)
+    val quote = words("q", 12)
+    val docA = words("a", 20) ++ quote ++ words("z", 10)
+    val docB = words("b", 15) ++ quote ++ words("y", 12)
+    val docC = words("c", 10) ++ quote ++ words("x", 20)
+    val span2 = words("s", 9)
+    val docD = words("d", 18) ++ span2 ++ words("w", 8)
+    val docE = span2 ++ words("v", 25)
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD),
+      (5L, docE)).toDF("doc_id", "toks")
+
+    val out = graft.operators.Dedup
+      .removeDupSpans(docs, seedLen = 5, minSpan = 8, maxDf = 128)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2)))).toMap
+
+    assert(rows(1L)._2 == 0L && rows(1L)._1 == docA,
+      "lowest-id holder of the quote must keep it untouched")
+    assert(rows(2L)._2 == 12L &&
+      rows(2L)._1 == words("b", 15) ++ words("y", 12),
+      s"doc 2 must lose exactly the quote tokens: ${rows(2L)}")
+    assert(rows(3L)._2 == 12L &&
+      rows(3L)._1 == words("c", 10) ++ words("x", 20),
+      s"doc 3 must lose exactly the quote tokens: ${rows(3L)}")
+    assert(rows(4L)._2 == 0L && rows(4L)._1 == docD,
+      "lowest-id holder of span2 must keep it untouched")
+    assert(rows(5L)._2 == 9L && rows(5L)._1 == words("v", 25),
+      s"doc 5 must lose the position-1 span exactly: ${rows(5L)}")
+
+    // the residual property q168's bit is built on: the detector finds
+    // NOTHING on the cleaned corpus at the same (seedLen, minSpan, maxDf)
+    assert(graft.operators.Dedup.substringDupSpans(
+      out.select("doc_id", "toks"), seedLen = 5, minSpan = 8, maxDf = 128)
+      .count() == 0L, "removal left a detectable span behind")
+    graft.operators.Q.releaseManaged()
+  }
 }

@@ -258,6 +258,67 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("semdedup probe: persisted-store threshold gate equals the exact cross-half rule") {
+    val emb = Q.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val tmp = Files.createTempDirectory("graft-semidx")
+    try {
+      Ann.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), "semidx_t",
+        s"$tmp")
+      val tau = 0.40
+      val probed = Ann.semDedupProbe(spark, "semidx_t",
+          emb.filter(col("vec_id") % 2 === 1), tau)
+        .orderBy("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // the exact in-plan rule: every cross-half pair at rounded cosine
+      // >= tau, via the same tiled scan q135/q157 declare — the
+      // SQ8-bounded pre-filter must be invisible in the result
+      val exact = graft.operators.Similarity.tiledPairSims(spark, emb)
+        .filter(col("sim") >= tau)
+        .filter(col("va") % 2 =!= col("vb") % 2)
+        .select(
+          when(col("va") % 2 === 1, col("va")).otherwise(col("vb"))
+            .as("da"),
+          when(col("va") % 2 === 1, col("vb")).otherwise(col("va"))
+            .as("db"),
+          col("sim"))
+        .orderBy("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(probed.nonEmpty, "no cross-half pairs at tau — vacuous fixture")
+      assert(probed == exact,
+        s"probe drifted from the exact rule (probe=${probed.size}, " +
+          s"exact=${exact.size}):\nprobe=${probed.take(5)}\n" +
+          s"exact=${exact.take(5)}")
+    } finally {
+      Seq("codes", "centroids", "vectors").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS semidx_t_$t"))
+    }
+  }
+
+  test("semdedup probe: survivor float fetch consumes the bucketed vectors table") {
+    val emb = Q.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val tmp = Files.createTempDirectory("graft-semidx2")
+    try {
+      Ann.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), "semidx_x",
+        s"$tmp")
+      withNoBroadcast {
+        val probed = Ann.semDedupProbe(spark, "semidx_x",
+          emb.filter(col("vec_id") % 2 === 1), 0.40)
+        val plan = finalPlan(probed)
+        assert(plan.contains("Bucketed: true"),
+          s"probe did not consume the bucketed vectors table:\n$plan")
+        // the exact-verify join must exchange only the thin candidate
+        // frame, never the stored float table
+        val vecExchanges =
+          "Exchange hashpartitioning\\(db".r.findAllIn(plan).length
+        assert(vecExchanges <= 1,
+          s"stored vectors shuffled ($vecExchanges db exchanges):\n$plan")
+      }
+    } finally {
+      Seq("codes", "centroids", "vectors").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS semidx_x_$t"))
+    }
+  }
+
   test("ivf-pq index: persisted probe is bitwise-identical to the in-plan build") {
     val emb = Q.table(spark, sfDir, "embeddings")
     val tmp = Files.createTempDirectory("graft-pqidx")

@@ -396,6 +396,63 @@ class StreamingSpec extends SparkSpec {
     assert(all.count() == 1)
   }
 
+  test("piiScrubStream redacts statelessly; batch mode produces identical rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one doc per exposure class plus a clean one — the scrub must
+    // redact all of them and the residual bit must come back earned
+    val docs = Seq(
+      Doc(t(1), 1L, "mail me at a.user@example.com today"),
+      Doc(t(2), 2L, "host 10.0.42.7 answered"),
+      Doc(t(3), 3L, "card 4111 1111 1111 1111 on file"),
+      Doc(t(4), 4L, "call 555-0123-4567 or +41791234567"),
+      Doc(t(5), 5L, "ticket 12345678 escalated"),
+      Doc(t(6), 6L, "nothing sensitive here"))
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.piiScrubStream(input.toDF(), "text")
+      .writeStream.format("memory").outputMode(OutputMode.Append())
+      .queryName("pii_" + System.nanoTime()).start()
+    val streamed = try {
+      input.addData(docs)
+      q.processAllAvailable()
+      spark.table(q.name).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+          r.getAs[Long]("pii_hits"), r.getAs[Long]("pii_clean")))
+        .sortBy(_._1).toSeq
+    } finally q.stop()
+    // every PII doc scrubbed (clean bit earned), the clean doc untouched
+    assert(streamed.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(streamed.forall(_._4 == 1L),
+      s"residual PII after scrub: $streamed")
+    assert(streamed.filter(_._1 != 6L).forall(_._3 > 0L),
+      s"planted PII not counted: $streamed")
+    assert(streamed.find(_._1 == 6L).get._2 == "nothing sensitive here",
+      "clean doc must pass through unmodified")
+    assert(streamed.find(_._1 == 3L).get._2.contains("<CARD>"))
+    assert(streamed.find(_._1 == 4L).get._2.contains("<PHONE>"))
+    // one definition, two modes: the batch frame must produce the
+    // exact same rows
+    val batch = StreamingOps.piiScrubStream(docs.toDF(), "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("pii_hits"), r.getAs[Long]("pii_clean")))
+      .sortBy(_._1).toSeq
+    assert(batch == streamed, s"batch/stream drift:\n$batch\n$streamed")
+  }
+
+  test("spanDupIngestStream rejects a gate below the seed length") {
+    // ADVICE r11: spans shorter than the probe's seed grams are
+    // invisible — a misconfigured gate must fail loudly, not silently
+    // admit everything
+    import spark.implicits._
+    val dummy = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.spanDupIngestStream(dummy, "nosuch_idx",
+        maxSpanTokens = 4, (_, _) => ())
+    }
+    assert(e.getMessage.contains("seedLen"), e.getMessage)
+  }
+
   test("perDomainAdmitCap admits at most k per source across batches; batch mode agrees") {
     import spark.implicits._
     import graft.streaming.SourcedDoc
