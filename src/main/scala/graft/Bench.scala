@@ -33,10 +33,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // belt-and-braces alongside the per-query System.gc(): have
-      // Spark's own periodic GC fire within a sweep, not at the 30 min
-      // default that outlives the whole run
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      // NO periodic-GC override (r11 set 1min): the ContextCleaner's
+      // periodic System.gc() fires on its own thread, i.e. INSIDE
+      // whatever timed pass is running when the minute ticks — the
+      // prime suspect for r11's unexplained 1.5-2.7× pass-to-pass
+      // swings on q99/q117 (isolated runs don't reproduce them; a full
+      // sweep crosses the timer ~9 times). The explicit per-query
+      // System.gc() below already does the cleaner's job ~130 times a
+      // sweep, OUTSIDE the timed passes, so the timer bought nothing
+      // but mid-pass stop-the-world pauses. The per-pass gc array in
+      // the sidecar now attributes any residual swing either way.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -87,8 +93,23 @@ object Bench {
     // ≥ 1 s queries (the tail-archived line has a ~2 KiB budget).
     val passLog =
       scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    // per-pass JVM GC wall (delta of the collectors' total collection
+    // time across the pass): the r11 artifact exposed 1.5-2.7× pass-to-
+    // pass swings on q99/q117 with no code change — this attributes
+    // them from the sidecar (a pass whose excess equals its gc delta
+    // was a collector pause, not a plan regression)
+    def gcMillis(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var s = 0L
+      while (it.hasNext) s += math.max(0L, it.next().getCollectionTime)
+      s
+    }
+    val gcLog =
+      scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     val results = queries.map { case (name, fn) =>
       val observed = scala.collection.mutable.ListBuffer.empty[Double]
+      val observedGc = scala.collection.mutable.ListBuffer.empty[Double]
       def pass(): Pass = {
         val tag = s"bench-$name-${System.nanoTime()}"
         val fut = pool.submit(
@@ -97,9 +118,12 @@ object Bench {
               try {
                 spark.sparkContext.setJobGroup(tag, name,
                   interruptOnCancel = true)
+                val g0 = gcMillis()
                 val t0 = System.nanoTime()
                 fn(spark, sfDir).collect()
-                Right((System.nanoTime() - t0) / 1e9)
+                val sec = (System.nanoTime() - t0) / 1e9
+                observedGc += (gcMillis() - g0) / 1e3
+                Right(sec)
               } catch {
                 case e: Throwable =>
                   Left(e.toString.takeWhile(_ != '\n').take(200))
@@ -161,6 +185,7 @@ object Bench {
       // recorded number.
       System.gc()
       passLog(name) = observed.toList
+      gcLog(name) = observedGc.toList
       name -> sec
     }
 
@@ -188,6 +213,10 @@ object Bench {
     val passesFull = passLog.map { case (k, vs) =>
       "\"" + k + "\":[" + vs.map(cs).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // sidecar-only: per-pass GC seconds, index-aligned with `passes`
+    val gcFull = gcLog.map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.map(cs).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // printed line: pass arrays only for the slowest queries (≥ 1.5 s
     // recorded) — that's where regression attribution matters, and the
     // driver's ~2 KiB archived tail can't afford the full map (it lives
@@ -204,7 +233,7 @@ object Bench {
     val fileOps = benchFileOps(spark)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"queries":$qsFull,"passes":$passesFull,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"queries":$qsFull,"passes":$passesFull,"gc":$gcFull,"errors":$errJson,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"passes":$passes,"errors":$errJson,"n_failed":${errors.length},"fileops":$fileOps,"sf":"$sfDir"}""")
     spark.stop()
