@@ -108,9 +108,38 @@ object Stress {
     if (selected("pq_probe") || selected("pq_append"))
       graft.operators.Ann.writePqIndex(
         embeddings, "stress_pqidx", s"$stressIdxDir/pq")
+    // q169's scale path: IVF-SQ8 store over the inflated embedding
+    // corpus persisted once (untimed), the fixed batch's semantic
+    // near-dup gate is timed — its candidate pass streams the byte
+    // code table (1 byte/dim of the store), survivors' float reads are
+    // bounded by TRUE duplication (each batch vector's replica twins)
+    if (selected("semdedup_probe"))
+      graft.operators.Ann.writeIvfIndex(
+        embeddings, "stress_ivfidx", s"$stressIdxDir/ivf")
     val batchVecs = Q.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("vec_id", -col("vec_id") - 1)
+
+    // shared span-dedup fixture (substring_dup + span_removal): the
+    // replica salt makes every replica's grams unique, so TRUE
+    // duplication is pinned to the FIXED quote fixture — 20-token
+    // excerpts of the replica-0 docs under negative ids
+    val spanCorpus = {
+      val toks = documents.select(col("doc_id"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+      val quotes = Q.table(spark, sfDir, "documents")
+        .select(col("doc_id"), graft.operators.TextAnalysis.tokens(
+          regexp_replace(col("text"), lit("(\\S+)"), lit("$1r0")))
+          .as("toks"))
+        .filter(col("doc_id") % 17 === 3 && size(col("toks")) >= 25)
+        .select((-col("doc_id") - 1).as("doc_id"),
+          concat(
+            array(concat(lit("qpre"), col("doc_id").cast("string"))),
+            slice(col("toks"), 6, 20),
+            array(concat(lit("qpost"), col("doc_id").cast("string"))))
+            .as("toks"))
+      toks.unionByName(quotes)
+    }
 
     val results = Seq(
       // partial+final hash agg over the inflated fact table
@@ -401,22 +430,22 @@ object Stress {
       // — the singleton-kill filter must absorb the corpus growth and
       // wall must track the linear gram scan, never pair work
       timed("substring_dup") {
-        val toks = documents.select(col("doc_id"),
-          graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
-        val quotes = Q.table(spark, sfDir, "documents")
-          .select(col("doc_id"), graft.operators.TextAnalysis.tokens(
-            regexp_replace(col("text"), lit("(\\S+)"), lit("$1r0")))
-            .as("toks"))
-          .filter(col("doc_id") % 17 === 3 && size(col("toks")) >= 25)
-          .select((-col("doc_id") - 1).as("doc_id"),
-            concat(
-              array(concat(lit("qpre"), col("doc_id").cast("string"))),
-              slice(col("toks"), 6, 20),
-              array(concat(lit("qpost"), col("doc_id").cast("string"))))
-              .as("toks"))
         graft.operators.Dedup.substringDupSpans(
-          toks.unionByName(quotes), seedLen = 5, minSpan = 8,
-          maxDf = 128).count()
+          spanCorpus, seedLen = 5, minSpan = 8, maxDf = 128).count()
+      },
+      // span-removal transform (q168 shape, same fixture): the cut —
+      // one doc_id shuffle of the bounded removal-position sets plus a
+      // map-only indexed filter over the corpus. The post-cut token
+      // sum forces the filter HOF to actually evaluate (a bare count
+      // would let Catalyst prune the rewritten column away). Wall must
+      // track the detector scan + the corpus rewrite, never pair work
+      // (true spans stay pinned to the fixed quote fixture)
+      timed("span_removal") {
+        val cleaned = graft.operators.Dedup.removeDupSpans(
+          spanCorpus, seedLen = 5, minSpan = 8, maxDf = 128)
+        val r = cleaned
+          .agg(sum(size(col("toks"))), sum("tokens_removed")).head()
+        r.getLong(1)
       },
       // persisted-PQ-index probe (q126's scale path): the index over
       // the INFLATED corpus is built once (untimed, like the band
@@ -448,6 +477,18 @@ object Stress {
       // quantizer init (k-means|| init was the measured fit dominator
       // at large nlist). Isolated warm measurement in the README
       // scaling table: ≤ ~5× wall per 10× data at n up to 500k.
+      // incremental SemDeDup (q169's scale path): fixed batch gated
+      // against the persisted IVF-SQ8 store built above (untimed, like
+      // the band/PQ indexes — a release builds it once). The timed
+      // probe pays exactly what a nightly run pays: the batch × store
+      // byte-code candidate scan (linear in the store, 1 byte/dim)
+      // plus float re-verification of true near-dups (each batch
+      // vector's replica twins — grows with the factor by fixture
+      // construction, bounded by TRUE duplication at a real store)
+      timed("semdedup_probe") {
+        graft.operators.Ann.semDedupProbe(spark, "stress_ivfidx",
+          batchVecs.filter(col("vec_id") % 10 === 0), tau = 0.40).count()
+      },
       timed("semdedup_cells") {
         graft.operators.Similarity.semDedupPrunedCellLocal(
           embeddings, tau = 0.30,
@@ -504,7 +545,9 @@ object Stress {
     (Seq("stress_bandidx_bands", "stress_bandidx_shingles",
         "stress_gramidx_grams") ++
         Seq("codes", "centroids", "vectors", "pq")
-          .map(t => s"stress_pqidx_$t"))
+          .map(t => s"stress_pqidx_$t") ++
+        Seq("codes", "centroids", "vectors")
+          .map(t => s"stress_ivfidx_$t"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     graft.operators.Q.releaseManaged()
     spark.stop()
