@@ -1513,7 +1513,218 @@ object TextAnalysis {
                   AS total_pii_hits,
                 CAST(MIN(CASE WHEN resid = 0 THEN 1 ELSE 0 END) AS BIGINT)
                   AS scrubbed_ok
-              FROM e GROUP BY lang ORDER BY lang"""))
+              FROM e GROUP BY lang ORDER BY lang""")),
+
+    // Gopher-style document-quality rules with PER-RULE attribution
+    // (Rae et al. 2021, MassiveText §A.1.1): q91 answers "how many
+    // docs survive the gate"; this answers the question a pipeline
+    // operator actually debugs — WHICH rule is killing documents in
+    // which language slice. Five rules, every one an integer
+    // comparison (engine-exact, no rounding anywhere): word count in
+    // [40, 100k] (Gopher's 50 scaled to the short synthetic docs),
+    // mean word length in [3, 10] as 3·n ≤ Σlen ≤ 10·n, symbol-to-word
+    // ratio < 0.1 (hash / ellipsis marks) as 10·n_sym < n, alphabetic
+    // word fraction ≥ 0.8 as 5·n_alpha ≥ 4·n, and ≥ 2 distinct
+    // stopwords (the q31 lexicon, one definition). The corpus
+    // exercises rules 1 and 5 genuinely (169 short docs, 183 docs with
+    // < 2 stopwords); rules 2–4 get the q167-style declared fixture —
+    // every 19th doc (mod 5 / mod 11) gains a long-word / 1-char-word
+    // tail, every 23rd a '#' run, every 29th a digit-token run — so
+    // both branches of every rule are live and the attribution is
+    // earned. Plan at 100 TB: map-only tokenize + counts (codegen'd
+    // higher-order functions, no explode — the token array never
+    // leaves its row) into a bounded per-lang rollup with map-side
+    // partials; ONE shuffle of skinny partial rows total.
+    "q170_gopher_rules" -> QueryDef(
+      (s, dir) => {
+        val t = table(s, dir, "documents")
+          .withColumn("text2", gopherFixture(col("doc_id"), col("text")))
+          .withColumn("toks", tokens(col("text2")))
+          .withColumn("nt", size(col("toks")).cast("long"))
+          .withColumn("sumlen",
+            length(regexp_replace(col("text2"), "\\s", "")).cast("long"))
+          .withColumn("nsym",
+            (regexp_count(col("text2"), lit("#")) +
+              regexp_count(col("text2"), lit("\\.\\.\\."))).cast("long"))
+          .withColumn("nalpha",
+            size(filter(col("toks"), x => x.rlike("[A-Za-z]"))).cast("long"))
+          .withColumn("nstop",
+            size(array_distinct(filter(col("toks"),
+              x => x.isin(stopwords: _*)))).cast("long"))
+          .withColumn("p1",
+            (col("nt") >= 40 && col("nt") <= 100000L).cast("long"))
+          .withColumn("p2", (col("nt") * 3 <= col("sumlen") &&
+            col("sumlen") <= col("nt") * 10).cast("long"))
+          .withColumn("p3", (col("nsym") * 10 < col("nt")).cast("long"))
+          .withColumn("p4",
+            (col("nalpha") * 5 >= col("nt") * 4).cast("long"))
+          .withColumn("p5", (col("nstop") >= 2).cast("long"))
+        t.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(lit(1) - col("p1")).as("fail_words"),
+            sum(lit(1) - col("p2")).as("fail_word_len"),
+            sum(lit(1) - col("p3")).as("fail_symbol"),
+            sum(lit(1) - col("p4")).as("fail_alpha"),
+            sum(lit(1) - col("p5")).as("fail_stopword"),
+            sum(col("p1") * col("p2") * col("p3") * col("p4") * col("p5"))
+              .as("survivors"))
+          .withColumn("survival_bp",
+            expr("(survivors * 20000 + n_docs) div (2 * n_docs)"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+                  text ||
+                    CASE WHEN doc_id % 19 = 5 THEN ' ' ||
+                        rtrim(repeat('pneumonoultramicroscopy ', 60))
+                      WHEN doc_id % 19 = 11 THEN ' ' ||
+                        rtrim(repeat('x ', 120)) ELSE '' END ||
+                    CASE WHEN doc_id % 23 = 1 THEN ' ' ||
+                        rtrim(repeat('# ', 12)) ELSE '' END ||
+                    CASE WHEN doc_id % 29 = 3 THEN ' ' ||
+                        rtrim(repeat('4096 ', 30)) ELSE '' END AS text2
+                FROM documents),
+              g AS (SELECT lang,
+                  list_filter(string_split_regex(text2, '\\s+'),
+                    x -> x <> '') AS toks,
+                  CAST(LENGTH(regexp_replace(text2, '\\s', '', 'g'))
+                    AS BIGINT) AS sumlen,
+                  CAST(len(regexp_extract_all(text2, '#')) +
+                    len(regexp_extract_all(text2, '\\.\\.\\.'))
+                    AS BIGINT) AS nsym
+                FROM t),
+              s AS (SELECT lang, sumlen, nsym,
+                  CAST(LEN(toks) AS BIGINT) AS nt,
+                  CAST(LEN(list_filter(toks,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                    AS nalpha,
+                  CAST(LEN(list_distinct(list_filter(toks,
+                    x -> x IN ($stopwordsSql)))) AS BIGINT) AS nstop
+                FROM g),
+              p AS (SELECT lang,
+                  CASE WHEN nt >= 40 AND nt <= 100000 THEN 1 ELSE 0 END
+                    AS p1,
+                  CASE WHEN 3 * nt <= sumlen AND sumlen <= 10 * nt
+                    THEN 1 ELSE 0 END AS p2,
+                  CASE WHEN 10 * nsym < nt THEN 1 ELSE 0 END AS p3,
+                  CASE WHEN 5 * nalpha >= 4 * nt THEN 1 ELSE 0 END AS p4,
+                  CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS p5
+                FROM s)
+              SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(1 - p1) AS BIGINT) AS fail_words,
+                CAST(SUM(1 - p2) AS BIGINT) AS fail_word_len,
+                CAST(SUM(1 - p3) AS BIGINT) AS fail_symbol,
+                CAST(SUM(1 - p4) AS BIGINT) AS fail_alpha,
+                CAST(SUM(1 - p5) AS BIGINT) AS fail_stopword,
+                CAST(SUM(p1 * p2 * p3 * p4 * p5) AS BIGINT) AS survivors,
+                CAST((SUM(p1 * p2 * p3 * p4 * p5) * 20000 + COUNT(*)) //
+                  (2 * COUNT(*)) AS BIGINT) AS survival_bp
+              FROM p GROUP BY lang ORDER BY lang""")),
+
+    // C4-style line-level cleaning (Raffel et al. 2020, §2.2) — the
+    // other half of the quality surface: q91/q170 gate whole
+    // documents; C4's recipe edits INSIDE them (keep only lines that
+    // end in terminal punctuation, have ≥ 5 words, and don't mention
+    // javascript; then drop any page with a curly brace, 'lorem
+    // ipsum', or fewer than 3 surviving lines). The corpus is flat
+    // word soup, so line structure is a declared fixture (q167's
+    // discipline): tokens fold into 8-token lines, every (doc_id +
+    // line) % 3 ≠ 0 line gains a terminal '.', every 11th doc a
+    // 'javascript' word on line 0, every 31st a '{' on line 1, every
+    // 41st an appended 'lorem ipsum' line — all four kill-reasons and
+    // the short-last-line < 5-words case are live, and the rules read
+    // the constructed TEXT (not the plant residues), so the oracle
+    // checks the filter, not the fixture. Per-lang attribution: which
+    // doc rule fired, lines in/kept, surviving token volume. Plan at
+    // 100 TB: the line array never leaves its row — build, score, and
+    // fold entirely in codegen'd higher-order functions (no explode,
+    // no joins), ONE skinny per-lang partial-agg shuffle.
+    "q171_line_filter" -> QueryDef(
+      (s, dir) => {
+        def nw(l: Column): Column = size(tokens(l)).cast("long")
+        def keptBit(l: Column): Column =
+          l.rlike("[.!?\"]$") && nw(l) >= 5 && !l.contains("javascript")
+        val t = table(s, dir, "documents")
+          .withColumn("lines", c4Lines(col("doc_id"), col("text")))
+          .withColumn("lines_in", size(col("lines")).cast("long"))
+          .withColumn("kept_lines",
+            size(filter(col("lines"), l => keptBit(l))).cast("long"))
+          .withColumn("has_brace",
+            exists(col("lines"), l => l.contains("{")).cast("long"))
+          .withColumn("has_lorem",
+            exists(col("lines"), l => l.contains("lorem ipsum"))
+              .cast("long"))
+          .withColumn("few_lines", (col("kept_lines") < 3).cast("long"))
+          .withColumn("doc_pass",
+            (col("has_brace") === 0 && col("has_lorem") === 0 &&
+              col("kept_lines") >= 3).cast("long"))
+          .withColumn("toks_kept",
+            aggregate(col("lines"), lit(0L),
+              (acc, l) => acc + when(keptBit(l), nw(l)).otherwise(0L)))
+        t.groupBy("lang")
+          .agg(count(lit(1)).as("docs_in"),
+            sum("has_brace").as("docs_brace"),
+            sum("has_lorem").as("docs_lorem"),
+            sum("few_lines").as("docs_few_lines"),
+            sum("doc_pass").as("docs_out"),
+            sum("lines_in").as("lines_in"),
+            sum("kept_lines").as("lines_kept"),
+            sum(col("doc_pass") * col("toks_kept")).as("tokens_out"))
+          .orderBy("lang")
+      },
+      Some("""WITH b AS (SELECT doc_id, lang,
+                  list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '') AS toks
+                FROM documents),
+              n AS (SELECT doc_id, lang, toks,
+                  (LEN(toks) + 7) // 8 AS nl FROM b),
+              t AS (SELECT doc_id, lang,
+                  CASE WHEN doc_id % 41 = 7 THEN list_append(l0,
+                      'lorem ipsum dolor sit amet.') ELSE l0 END AS lines
+                FROM (SELECT doc_id, lang,
+                    list_transform(range(0, CAST(nl AS BIGINT)), i ->
+                      array_to_string(
+                        list_slice(toks, i * 8 + 1, (i + 1) * 8), ' ') ||
+                      CASE WHEN doc_id % 11 = 4 AND i = 0
+                        THEN ' javascript' ELSE '' END ||
+                      CASE WHEN doc_id % 31 = 2 AND i = 1
+                        THEN ' {' ELSE '' END ||
+                      CASE WHEN (doc_id + i) % 3 <> 0
+                        THEN '.' ELSE '' END) AS l0
+                  FROM n)),
+              e AS (SELECT doc_id, lang, UNNEST(lines) AS line FROM t),
+              k AS (SELECT doc_id, lang, line,
+                  CAST(LEN(list_filter(string_split_regex(line, '\s+'),
+                    x -> x <> '')) AS BIGINT) AS nw,
+                  CASE WHEN regexp_matches(line, '[.!?"]$')
+                    AND LEN(list_filter(string_split_regex(line, '\s+'),
+                      x -> x <> '')) >= 5
+                    AND NOT contains(line, 'javascript')
+                    THEN 1 ELSE 0 END AS kept
+                FROM e),
+              d AS (SELECT doc_id, lang, COUNT(*) AS lines_in,
+                  SUM(kept) AS kept_lines,
+                  MAX(CASE WHEN contains(line, '{') THEN 1 ELSE 0 END)
+                    AS has_brace,
+                  MAX(CASE WHEN contains(line, 'lorem ipsum')
+                    THEN 1 ELSE 0 END) AS has_lorem,
+                  SUM(kept * nw) AS toks_kept
+                FROM k GROUP BY 1, 2),
+              f AS (SELECT lang, lines_in, kept_lines, has_brace,
+                  has_lorem,
+                  CASE WHEN kept_lines < 3 THEN 1 ELSE 0 END AS few_lines,
+                  CASE WHEN has_brace = 0 AND has_lorem = 0
+                    AND kept_lines >= 3 THEN 1 ELSE 0 END AS doc_pass,
+                  toks_kept
+                FROM d)
+              SELECT lang, COUNT(*) AS docs_in,
+                CAST(SUM(has_brace) AS BIGINT) AS docs_brace,
+                CAST(SUM(has_lorem) AS BIGINT) AS docs_lorem,
+                CAST(SUM(few_lines) AS BIGINT) AS docs_few_lines,
+                CAST(SUM(doc_pass) AS BIGINT) AS docs_out,
+                CAST(SUM(lines_in) AS BIGINT) AS lines_in,
+                CAST(SUM(kept_lines) AS BIGINT) AS lines_kept,
+                CAST(SUM(doc_pass * toks_kept) AS BIGINT) AS tokens_out
+              FROM f GROUP BY lang ORDER BY lang"""))
   )
 
   /** PII pattern set — the dialect-shared regex subset (character
@@ -1597,6 +1808,51 @@ object TextAnalysis {
         lpad((docId % 1000).cast("string"), 3, "0")))
       .when(docId % 13 === 7, concat(text, lit(" acct 4111111111111112")))
       .otherwise(text)
+
+  /** The q170 declared fixture (q167's discipline): the synthetic
+    * corpus is uniformly clean on Gopher rules 2–4, so every 19th doc
+    * (mod 5) gains a 60×23-char-word tail (mean word length > 10 at
+    * every corpus length), every 19th (mod 11) a 120×1-char-word tail
+    * (mean < 3), every 23rd a 12-mark '#' run (symbol ratio ≥ 0.1),
+    * every 29th a 30-token digit run (alpha fraction < 0.8). Rules 1
+    * (word count) and 5 (stopword presence) are live on the raw corpus
+    * and need no plant.
+    */
+  private[graft] def gopherFixture(docId: Column, text: Column): Column =
+    concat(text,
+      when(docId % 19 === 5,
+        concat(lit(" "), rtrim(repeat(lit("pneumonoultramicroscopy "), 60))))
+        .when(docId % 19 === 11,
+          concat(lit(" "), rtrim(repeat(lit("x "), 120))))
+        .otherwise(lit("")),
+      when(docId % 23 === 1,
+        concat(lit(" "), rtrim(repeat(lit("# "), 12)))).otherwise(lit("")),
+      when(docId % 29 === 3,
+        concat(lit(" "), rtrim(repeat(lit("4096 "), 30)))).otherwise(lit("")))
+
+  /** The q171 declared line fixture: tokens fold into 8-token lines;
+    * line i gains a terminal '.' iff (doc_id + i) % 3 ≠ 0, every 11th
+    * doc a 'javascript' word on line 0, every 31st a '{' on line 1
+    * (min doc length 10 tokens ⇒ line 1 always exists), every 41st an
+    * appended canonical 'lorem ipsum' line (5 words, punctuated — it
+    * PASSES the line rules, so only the doc rule can kill it and the
+    * two levels stay orthogonal). Plants precede the punctuation mark
+    * so a javascript/brace line can still end in '.', keeping each
+    * kill-reason attributable to exactly one rule.
+    */
+  private[graft] def c4Lines(docId: Column, text: Column): Column = {
+    val toks = tokens(text)
+    val nl = floor((size(toks) + lit(7)) / lit(8)).cast("long")
+    val base = transform(sequence(lit(0L), nl - 1), i =>
+      concat(
+        array_join(slice(toks, (i * 8 + 1).cast("int"), lit(8)), " "),
+        when(docId % 11 === 4 && i === 0, " javascript").otherwise(""),
+        when(docId % 31 === 2 && i === 1, " {").otherwise(""),
+        when((docId + i) % 3 =!= 0, ".").otherwise("")))
+    when(docId % 41 === 7,
+      concat(base, array(lit("lorem ipsum dolor sit amet."))))
+      .otherwise(base)
+  }
 
   /** One row of the BPE training dictionary: a word as its current
     * symbol sequence plus its corpus occurrence count.

@@ -504,4 +504,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "the report cut must be TakeOrderedAndProject")
   }
+
+  test("q170/q171: quality attribution is map-only — no generate, no join") {
+    for (q <- Seq("q170_gopher_rules", "q171_line_filter")) {
+      val p = plan(q)
+      assert(!p.contains("Generate"),
+        s"$q: the token/line array must stay in its row (HOFs, no explode)")
+      assert(!p.contains("Join"), s"$q: nothing joins in a per-doc scan")
+      assert(p.contains("partial_"),
+        s"$q: the lang rollup must combine map-side")
+    }
+  }
 }
