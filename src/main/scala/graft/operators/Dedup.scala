@@ -1377,6 +1377,46 @@ object Dedup {
       },
       Some(crossPairJaccardSql)),
 
+    // Compacted-index probe — the maintenance half of the ingest loop:
+    // each streaming micro-batch append lays down up to one parquet
+    // file per bucket, so a long-lived index accumulates K files per
+    // bucket and every probe pays K file opens per bucket task.
+    // [[IndexMaintenance.compactBucketed]] rewrites the table to ONE
+    // file per bucket under the same bucket/sort spec at the same
+    // canonical path. This query gates the op end-to-end: build the
+    // band index from a third of the even docs, APPEND the other two
+    // thirds in two batches (the fragmentation a nightly loop
+    // produces), compact both tables, then probe the odd half — the
+    // oracle recomputes the expected near-dup pairs from the raw
+    // corpus, so a compaction that loses, corrupts, or re-buckets rows
+    // breaks the hash (q116 gates the same probe UNcompacted; matching
+    // both proves compaction is invisible to results). CompactionSpec
+    // asserts the mechanical half: row multiset preserved, file count
+    // down to ≤ buckets, stored-side scan still exchange-free. At
+    // 100 TB compaction is one shuffle-by-bucket-key rewrite, linear
+    // in the table; the probe after it is q116's plan with build-time
+    // file fan-out restored.
+    "q172_compacted_index_probe" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val tag = IndexCatalog.dirTag(dir)
+        val name = s"graft_q172_$tag"
+        if (!s.catalog.tableExists(s"${name}_bands")) {
+          val path = new java.io.File(
+            System.getProperty("java.io.tmpdir"), s"graft-q172-$tag")
+          writeBandIndex(docs.filter(col("doc_id") % 6 === 0), name,
+            path.toString)
+          appendToBandIndex(docs.filter(col("doc_id") % 6 === 2), name)
+          appendToBandIndex(docs.filter(col("doc_id") % 6 === 4), name)
+          IndexMaintenance.compactBucketed(s, s"${name}_bands")
+          IndexMaintenance.compactBucketed(s, s"${name}_shingles")
+        }
+        probeBandIndex(s, name, docs.filter(col("doc_id") % 2 === 1))
+          .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+          .orderBy("da", "db")
+      },
+      Some(crossPairJaccardSql)),
+
     // Contamination SPAN detection — q96/q101 decide WHETHER a document
     // overlaps a benchmark doc (≥ 5 shared distinct grams); this says
     // HOW MUCH, as the longest run of consecutive matched 3-gram

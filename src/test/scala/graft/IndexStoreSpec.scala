@@ -521,6 +521,58 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("band index compaction: rows preserved, files ≤ buckets, probe identical") {
+    import graft.operators.IndexMaintenance
+    val docs = Q.table(spark, sfDir, "documents")
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = Files.createTempDirectory("graft-compactidx")
+    try {
+      // build + two ingest appends = the fragmentation a nightly loop
+      // leaves behind (each insertInto lays down files per bucket)
+      Dedup.writeBandIndex(docs.filter(col("doc_id") % 6 === 0),
+        "compidx_t", s"$tmp")
+      Dedup.appendToBandIndex(docs.filter(col("doc_id") % 6 === 2),
+        "compidx_t")
+      Dedup.appendToBandIndex(docs.filter(col("doc_id") % 6 === 4),
+        "compidx_t")
+      val rowsBefore = spark.table("compidx_t_bands")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val probeBefore = Dedup.probeBandIndex(spark, "compidx_t", batch)
+        .orderBy("da", "db").collect().toSeq
+
+      val stats = IndexMaintenance.compactBucketed(spark, "compidx_t_bands")
+      IndexMaintenance.compactBucketed(spark, "compidx_t_shingles")
+
+      assert(stats.filesAfter < stats.filesBefore,
+        s"compaction did not reduce files: $stats")
+      assert(stats.filesAfter <= 32,
+        s"more than one file per bucket after compaction: $stats")
+      val rowsAfter = spark.table("compidx_t_bands")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(rowsAfter == rowsBefore,
+        "compaction changed the band table's row multiset")
+      val probeAfter = Dedup.probeBandIndex(spark, "compidx_t", batch)
+        .orderBy("da", "db").collect().toSeq
+      assert(probeAfter == probeBefore,
+        "probe result drifted across compaction")
+      // the compacted table must still serve the exchange-free probe
+      withNoBroadcast {
+        val plan = finalPlan(
+          Dedup.probeBandIndex(spark, "compidx_t", batch))
+        assert(plan.contains("Bucketed: true"),
+          s"compacted band table lost its bucketed scan:\n$plan")
+        val bandExchanges =
+          "Exchange hashpartitioning\\(band".r.findAllIn(plan).length
+        assert(bandExchanges <= 1,
+          s"compacted band scan shuffled:\n$plan")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS compidx_t_bands")
+      spark.sql("DROP TABLE IF EXISTS compidx_t_shingles")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
   test("dirTag: distinct corpus dirs get distinct tags; spellings of one dir agree") {
     // the artifact tag keys the per-corpus index tables — a collision
     // silently probes the WRONG index (VERDICT r10 #3, which is why the
