@@ -90,6 +90,34 @@ object TextAnalysis {
     */
   private val MaxEpochs = 4L
 
+  /** The oracle-side mirror of [[c4Lines]] — CTEs ending in
+    * `t(doc_id, lang, lines)`. One definition shared by q171 (line
+    * filter) and q173 (cross-doc line dedup) so the declared line
+    * fixture can never drift between the two. Declared before `defs`
+    * (interpolated at object init).
+    */
+  private val c4LinesCteSql =
+    """b AS (SELECT doc_id, lang,
+                  list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '') AS toks
+                FROM documents),
+              n AS (SELECT doc_id, lang, toks,
+                  (LEN(toks) + 7) // 8 AS nl FROM b),
+              t AS (SELECT doc_id, lang,
+                  CASE WHEN doc_id % 41 = 7 THEN list_append(l0,
+                      'lorem ipsum dolor sit amet.') ELSE l0 END AS lines
+                FROM (SELECT doc_id, lang,
+                    list_transform(range(0, CAST(nl AS BIGINT)), i ->
+                      array_to_string(
+                        list_slice(toks, i * 8 + 1, (i + 1) * 8), ' ') ||
+                      CASE WHEN doc_id % 11 = 4 AND i = 0
+                        THEN ' javascript' ELSE '' END ||
+                      CASE WHEN doc_id % 31 = 2 AND i = 1
+                        THEN ' {' ELSE '' END ||
+                      CASE WHEN (doc_id + i) % 3 <> 0
+                        THEN '.' ELSE '' END) AS l0
+                  FROM n))"""
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q24 token counting: whitespace tokenize, global top-20.
@@ -1671,32 +1699,13 @@ object TextAnalysis {
             sum(col("doc_pass") * col("toks_kept")).as("tokens_out"))
           .orderBy("lang")
       },
-      Some("""WITH b AS (SELECT doc_id, lang,
-                  list_filter(string_split_regex(text, '\s+'),
-                    x -> x <> '') AS toks
-                FROM documents),
-              n AS (SELECT doc_id, lang, toks,
-                  (LEN(toks) + 7) // 8 AS nl FROM b),
-              t AS (SELECT doc_id, lang,
-                  CASE WHEN doc_id % 41 = 7 THEN list_append(l0,
-                      'lorem ipsum dolor sit amet.') ELSE l0 END AS lines
-                FROM (SELECT doc_id, lang,
-                    list_transform(range(0, CAST(nl AS BIGINT)), i ->
-                      array_to_string(
-                        list_slice(toks, i * 8 + 1, (i + 1) * 8), ' ') ||
-                      CASE WHEN doc_id % 11 = 4 AND i = 0
-                        THEN ' javascript' ELSE '' END ||
-                      CASE WHEN doc_id % 31 = 2 AND i = 1
-                        THEN ' {' ELSE '' END ||
-                      CASE WHEN (doc_id + i) % 3 <> 0
-                        THEN '.' ELSE '' END) AS l0
-                  FROM n)),
+      Some(s"""WITH $c4LinesCteSql,
               e AS (SELECT doc_id, lang, UNNEST(lines) AS line FROM t),
               k AS (SELECT doc_id, lang, line,
-                  CAST(LEN(list_filter(string_split_regex(line, '\s+'),
+                  CAST(LEN(list_filter(string_split_regex(line, '\\s+'),
                     x -> x <> '')) AS BIGINT) AS nw,
-                  CASE WHEN regexp_matches(line, '[.!?"]$')
-                    AND LEN(list_filter(string_split_regex(line, '\s+'),
+                  CASE WHEN regexp_matches(line, '[.!?"]$$')
+                    AND LEN(list_filter(string_split_regex(line, '\\s+'),
                       x -> x <> '')) >= 5
                     AND NOT contains(line, 'javascript')
                     THEN 1 ELSE 0 END AS kept
@@ -1724,7 +1733,92 @@ object TextAnalysis {
                 CAST(SUM(lines_in) AS BIGINT) AS lines_in,
                 CAST(SUM(kept_lines) AS BIGINT) AS lines_kept,
                 CAST(SUM(doc_pass * toks_kept) AS BIGINT) AS tokens_out
-              FROM f GROUP BY lang ORDER BY lang"""))
+              FROM f GROUP BY lang ORDER BY lang""")),
+
+    // Cross-document exact LINE dedup (RefinedWeb/CCNet's boilerplate
+    // cut): a line whose exact text recurs in ≥ 3 distinct documents
+    // is boilerplate (nav bars, footers, subscribe prompts) and is
+    // removed from every occurrence EXCEPT one — the keep-one-global
+    // rule of the span-removal family (q168) at line granularity,
+    // where q171 filters lines by local shape and this one by corpus
+    // evidence. Line structure is q171's declared fixture (ONE
+    // definition, [[c4Lines]] / the shared SQL CTE) — whose 'lorem
+    // ipsum' line is already a natural cross-doc duplicate — plus a
+    // second planted boilerplate line on every 5th doc, giving two
+    // distinct document frequencies; word-soup lines elsewhere have
+    // df = 1 and stay. Per-lang report: docs touched, boilerplate
+    // lines seen, line/token removal volume. Plan at 100 TB: one
+    // generator explode into a (line, doc) partial agg, a line-keyed
+    // agg whose df ≥ 3 HAVING bounds the join-back side to TRUE
+    // boilerplate (small ⇒ broadcast), and a bounded per-lang rollup;
+    // the corpus shuffles once on the line key — the same cost shape
+    // as q22's exact dedup.
+    "q173_line_dedup" -> QueryDef(
+      (s, dir) => {
+        val withLines = table(s, dir, "documents")
+          .withColumn("lines",
+            lineDedupFixture(col("doc_id"),
+              c4Lines(col("doc_id"), col("text"))))
+        val occ = withLines
+          .select(col("doc_id"), col("lang"),
+            explode(col("lines")).as("line"))
+          .groupBy("doc_id", "lang", "line")
+          .agg(count(lit(1)).as("n_occ"))
+        val boiler = occ.groupBy("line")
+          .agg(count(lit(1)).as("df"), min("doc_id").as("keeper"))
+          .filter(col("df") >= 3)
+        val removed = occ.join(broadcast(boiler), "line")
+          .withColumn("rm_cnt", col("n_occ") -
+            when(col("doc_id") === col("keeper"), 1L).otherwise(0L))
+          .filter(col("rm_cnt") > 0)
+          .withColumn("nw", size(tokens(col("line"))).cast("long"))
+        val base = withLines.groupBy("lang")
+          .agg(count(lit(1)).as("docs_in"))
+        val agg = removed.groupBy("lang")
+          .agg(countDistinct("doc_id").as("docs_touched"),
+            countDistinct("line").as("boiler_lines"),
+            sum("rm_cnt").as("lines_removed"),
+            sum(col("rm_cnt") * col("nw")).as("tokens_removed"))
+        base.join(agg, Seq("lang"), "left")
+          .na.fill(0L, Seq("docs_touched", "boiler_lines",
+            "lines_removed", "tokens_removed"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $c4LinesCteSql,
+              t2 AS (SELECT doc_id, lang,
+                  CASE WHEN doc_id % 5 = 0 THEN list_append(lines,
+                    'follow us for more updates and news.')
+                  ELSE lines END AS lines
+                FROM t),
+              e AS (SELECT doc_id, lang, UNNEST(lines) AS line FROM t2),
+              occ AS (SELECT doc_id, lang, line, COUNT(*) AS n_occ
+                FROM e GROUP BY 1, 2, 3),
+              st AS (SELECT line, COUNT(*) AS df, MIN(doc_id) AS keeper
+                FROM occ GROUP BY 1 HAVING COUNT(*) >= 3),
+              rm AS (SELECT occ.lang, occ.doc_id, occ.line,
+                  occ.n_occ - CASE WHEN occ.doc_id = st.keeper
+                    THEN 1 ELSE 0 END AS rm_cnt,
+                  CAST(LEN(list_filter(string_split_regex(occ.line,
+                    '\\s+'), x -> x <> '')) AS BIGINT) AS nw
+                FROM occ JOIN st USING (line)),
+              r AS (SELECT lang, doc_id, line, rm_cnt, nw FROM rm
+                WHERE rm_cnt > 0),
+              base AS (SELECT lang, COUNT(*) AS docs_in FROM t2
+                GROUP BY 1),
+              agg AS (SELECT lang,
+                  COUNT(DISTINCT doc_id) AS docs_touched,
+                  COUNT(DISTINCT line) AS boiler_lines,
+                  SUM(rm_cnt) AS lines_removed,
+                  SUM(rm_cnt * nw) AS tokens_removed
+                FROM r GROUP BY 1)
+              SELECT base.lang, docs_in,
+                CAST(COALESCE(docs_touched, 0) AS BIGINT) AS docs_touched,
+                CAST(COALESCE(boiler_lines, 0) AS BIGINT) AS boiler_lines,
+                CAST(COALESCE(lines_removed, 0) AS BIGINT)
+                  AS lines_removed,
+                CAST(COALESCE(tokens_removed, 0) AS BIGINT)
+                  AS tokens_removed
+              FROM base LEFT JOIN agg USING (lang) ORDER BY lang"""))
   )
 
   /** PII pattern set — the dialect-shared regex subset (character
@@ -1853,6 +1947,17 @@ object TextAnalysis {
       concat(base, array(lit("lorem ipsum dolor sit amet."))))
       .otherwise(base)
   }
+
+  /** q173's extra boilerplate plant on top of [[c4Lines]]: every 5th
+    * doc appends one shared subscribe-prompt line, so the corpus
+    * carries two boilerplate lines at different document frequencies
+    * (the 'lorem ipsum' line rides every 41st doc already).
+    */
+  private[graft] def lineDedupFixture(
+      docId: Column, lines: Column): Column =
+    when(docId % 5 === 0,
+      concat(lines, array(lit("follow us for more updates and news."))))
+      .otherwise(lines)
 
   /** One row of the BPE training dictionary: a word as its current
     * symbol sequence plus its corpus occurrence count.

@@ -515,4 +515,13 @@ class PlanAuditSpec extends SparkSpec {
         s"$q: the lang rollup must combine map-side")
     }
   }
+
+  test("q173: boilerplate join-back broadcasts; no sort-merge on the line key") {
+    val p = plan("q173_line_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      "the df-bounded boilerplate side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"),
+      "the (line, doc) occurrence agg must combine map-side")
+  }
 }
