@@ -118,6 +118,23 @@ object TextAnalysis {
                         THEN '.' ELSE '' END) AS l0
                   FROM n))"""
 
+  /** q174's script ranges and plants — LITERAL code-point ranges (and
+    * literal planted strings), each defined once and interpolated into
+    * both engines' patterns, so Java regex and DuckDB's RE2 agree by
+    * construction (no \p{Script} classes, whose Unicode tables can
+    * drift across engines/versions). Cyrillic = the base block's
+    * letters plus ё/Ё; CJK = the Unified Ideographs block.
+    */
+  // \u escapes, not raw UTF-8 literals: the build's POSIX locale can
+  // read sources under a non-UTF-8 charset, which garbles raw literals
+  // silently; escapes decode identically under any source charset
+  private[graft] val CyrRange = "[\u0430-\u044f\u0410-\u042f\u0451\u0401]"
+  private[graft] val CjkRange = "[\u4e00-\u9fff]"
+  private[graft] val ReplChar = "\ufffd"
+  private[graft] val CyrPlant =
+    "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u0434\u0430\u043d\u043d\u044b\u0435"
+  private[graft] val CjkPlant = "\u6570\u636e \u6d41 \u8868"
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q24 token counting: whitespace tokenize, global top-20.
@@ -1818,7 +1835,85 @@ object TextAnalysis {
                   AS lines_removed,
                 CAST(COALESCE(tokens_removed, 0) AS BIGINT)
                   AS tokens_removed
-              FROM base LEFT JOIN agg USING (lang) ORDER BY lang"""))
+              FROM base LEFT JOIN agg USING (lang) ORDER BY lang""")),
+
+    // Unicode script-mix & mojibake profile — the charset-QA scan a
+    // multilingual crawl runs before langid is trusted: per document,
+    // counts of Latin / Cyrillic / CJK code points and U+FFFD
+    // replacement characters (the residue of a mis-decoded byte
+    // stream); a doc mixing ≥ 2 scripts is flagged (spam, mojibake, or
+    // a mislabeled bilingual page), any replacement char flags broken
+    // decoding. The ranges are LITERAL code-point ranges defined once
+    // in Scala and interpolated into BOTH engines' patterns (Java
+    // regex and RE2 agree on literal ranges by construction — the
+    // dialect-shared discipline of q167, no \\p classes whose
+    // Unicode-version semantics could drift). The ASCII corpus gets
+    // the declared fixture: every 37th doc a Cyrillic tail, every
+    // 43rd a CJK tail, every 47th five replacement chars — all three
+    // non-Latin branches live. Plan at 100 TB: map-only codegen'd
+    // regexp_count projections into the bounded per-lang rollup; one
+    // skinny partial-agg shuffle, nothing else.
+    "q174_script_mix" -> QueryDef(
+      (s, dir) => {
+        val t = table(s, dir, "documents")
+          .withColumn("text2", scriptFixture(col("doc_id"), col("text")))
+          .withColumn("n_latin",
+            regexp_count(col("text2"), lit("[A-Za-z]")).cast("long"))
+          .withColumn("n_cyr",
+            regexp_count(col("text2"), lit(CyrRange)).cast("long"))
+          .withColumn("n_cjk",
+            regexp_count(col("text2"), lit(CjkRange)).cast("long"))
+          .withColumn("n_repl",
+            regexp_count(col("text2"), lit(ReplChar)).cast("long"))
+          .withColumn("scripts",
+            (col("n_latin") > 0).cast("long") +
+              (col("n_cyr") > 0).cast("long") +
+              (col("n_cjk") > 0).cast("long"))
+        t.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("scripts") >= 2).cast("long")).as("mixed_script_docs"),
+            sum((col("n_cyr") > 0).cast("long")).as("cyrillic_docs"),
+            sum((col("n_cjk") > 0).cast("long")).as("cjk_docs"),
+            sum((col("n_repl") > 0).cast("long")).as("mojibake_docs"),
+            sum("n_repl").as("replacement_chars"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT lang,
+                  text ||
+                    CASE WHEN doc_id % 37 = 4
+                      THEN ' $CyrPlant' ELSE '' END ||
+                    CASE WHEN doc_id % 43 = 6
+                      THEN ' $CjkPlant' ELSE '' END ||
+                    CASE WHEN doc_id % 47 = 9
+                      THEN ' ' || repeat('$ReplChar', 5) ELSE '' END
+                    AS text2
+                FROM documents),
+              c AS (SELECT lang,
+                  CAST(len(regexp_extract_all(text2, '[A-Za-z]'))
+                    AS BIGINT) AS n_latin,
+                  CAST(len(regexp_extract_all(text2, '$CyrRange'))
+                    AS BIGINT) AS n_cyr,
+                  CAST(len(regexp_extract_all(text2, '$CjkRange'))
+                    AS BIGINT) AS n_cjk,
+                  CAST(len(regexp_extract_all(text2, '$ReplChar'))
+                    AS BIGINT) AS n_repl
+                FROM t),
+              m AS (SELECT lang, n_cyr, n_cjk, n_repl,
+                  (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END +
+                   CASE WHEN n_cyr > 0 THEN 1 ELSE 0 END +
+                   CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END) AS scripts
+                FROM c)
+              SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN scripts >= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mixed_script_docs,
+                CAST(SUM(CASE WHEN n_cyr > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cyrillic_docs,
+                CAST(SUM(CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cjk_docs,
+                CAST(SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mojibake_docs,
+                CAST(SUM(n_repl) AS BIGINT) AS replacement_chars
+              FROM m GROUP BY lang ORDER BY lang"""))
   )
 
   /** PII pattern set — the dialect-shared regex subset (character
@@ -1947,6 +2042,18 @@ object TextAnalysis {
       concat(base, array(lit("lorem ipsum dolor sit amet."))))
       .otherwise(base)
   }
+
+
+  /** The q174 declared fixture: every 37th doc (mod 4) gains a
+    * Cyrillic tail, every 43rd (mod 6) a CJK tail, every 47th (mod 9)
+    * five U+FFFD replacement chars — so the mixed-script, per-script,
+    * and mojibake branches are all live on the ASCII corpus.
+    */
+  private[graft] def scriptFixture(docId: Column, text: Column): Column =
+    concat(text,
+      when(docId % 37 === 4, lit(" " + CyrPlant)).otherwise(lit("")),
+      when(docId % 43 === 6, lit(" " + CjkPlant)).otherwise(lit("")),
+      when(docId % 47 === 9, lit(" " + ReplChar * 5)).otherwise(lit("")))
 
   /** q173's extra boilerplate plant on top of [[c4Lines]]: every 5th
     * doc appends one shared subscribe-prompt line, so the corpus

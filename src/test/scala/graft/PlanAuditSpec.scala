@@ -505,8 +505,9 @@ class PlanAuditSpec extends SparkSpec {
       "the report cut must be TakeOrderedAndProject")
   }
 
-  test("q170/q171: quality attribution is map-only — no generate, no join") {
-    for (q <- Seq("q170_gopher_rules", "q171_line_filter")) {
+  test("q170/q171/q174: quality attribution is map-only — no generate, no join") {
+    for (q <- Seq("q170_gopher_rules", "q171_line_filter",
+        "q174_script_mix")) {
       val p = plan(q)
       assert(!p.contains("Generate"),
         s"$q: the token/line array must stay in its row (HOFs, no explode)")
