@@ -305,6 +305,23 @@ object Stress {
         graft.operators.Q.releaseManaged()
         r
       },
+      // index compaction (q172's op): one fixed-batch append first
+      // (the fragmentation a nightly loop leaves — up to one file per
+      // bucket per batch), then both band-index tables rewritten to
+      // one file per bucket. Wall must track the LINEAR table rewrite
+      // (the corpus-proportional shuffle-by-bucket-id), never blow up
+      // with file count; runs after incremental_probe so mutating the
+      // index can't skew that row. Returned metric: files reclaimed.
+      timed("index_compact") {
+        graft.operators.Dedup.appendToBandIndex(
+          batchDocs, "stress_bandidx")
+        val s1 = graft.operators.IndexMaintenance.compactBucketed(
+          spark, "stress_bandidx_bands")
+        val s2 = graft.operators.IndexMaintenance.compactBucketed(
+          spark, "stress_bandidx_shingles")
+        (s1.filesBefore - s1.filesAfter +
+          s2.filesBefore - s2.filesAfter).toLong
+      },
       // per-domain admission cap (q111's scale path): ONE window
       // shuffle partitioned on the domain key — wall must track
       // n log(n/domains) for the per-domain sorts, never collapse to a
@@ -352,6 +369,27 @@ object Stress {
           .agg(min_by(col("lang"), col("doc_id")).as("lang"))
           .groupBy("lang").agg(count(lit(1)))
           .collect().length.toLong
+      },
+      // cross-doc line dedup (q173's shape): the replica salt makes
+      // word-soup lines unique per replica (df = 1 tail grows
+      // linearly), while the two planted boilerplate lines are
+      // constants whose df grows with the factor — so the boiler set
+      // stays 2 rows (broadcast), removal volume grows linearly, and
+      // wall must track the one line-key shuffle, never pair work
+      timed("line_dedup") {
+        val ta = graft.operators.TextAnalysis
+        val occ = documents
+          .withColumn("lines", ta.lineDedupFixture(col("doc_id"),
+            ta.c4Lines(col("doc_id"), col("text"))))
+          .select(col("doc_id"), explode(col("lines")).as("line"))
+          .groupBy("doc_id", "line").agg(count(lit(1)).as("n_occ"))
+        val boiler = occ.groupBy("line")
+          .agg(count(lit(1)).as("df"), min("doc_id").as("keeper"))
+          .filter(col("df") >= 3)
+        occ.join(broadcast(boiler), "line")
+          .withColumn("rm", col("n_occ") -
+            when(col("doc_id") === col("keeper"), 1L).otherwise(0L))
+          .agg(sum("rm")).head().getLong(0)
       },
       // chunk-window explode + per-shard packing cumsum (q70/q71
       // shapes): generator is map-only, the pack window partitions on

@@ -546,6 +546,35 @@ object StreamingOps {
         (t.piiCount(col(textCol)) === 0).cast("long"))
   }
 
+  /** Streaming boilerplate-line scrub — q173's cut at ingest time:
+    * the corpus pass (q173) finds the boilerplate line set (lines in
+    * ≥ minDf docs — small by construction, it's the HAVING-bounded
+    * side q173 broadcasts); this applies it to arriving documents,
+    * removing every line whose exact text is in the set and keeping a
+    * per-row `lines_removed` count. The set rides the plan as a
+    * literal IN-list (the nightly-loop split: heavy corpus statistics
+    * in batch, cheap application in the stream — the q101 bloom gate's
+    * pattern). Like [[piiScrubStream]], completely STATELESS — map-only
+    * split/filter/rejoin HOFs, no watermark, no state store, no
+    * shuffle — so batch and stream modes cannot drift (StreamingSpec
+    * asserts batch ≡ stream on the same rows).
+    */
+  def lineScrubStream(
+      docs: DataFrame, boilerLines: Seq[String],
+      textCol: String, sep: String = "\n"): DataFrame = {
+    if (boilerLines.isEmpty) return docs
+      .withColumn("lines_removed", lit(0L))
+    docs
+      .withColumn("__lines", split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      .withColumn("lines_removed",
+        size(filter(col("__lines"),
+          l => l.isInCollection(boilerLines))).cast("long"))
+      .withColumn(textCol,
+        array_join(filter(col("__lines"),
+          l => !l.isInCollection(boilerLines)), sep))
+      .drop("__lines")
+  }
+
   def neardupProbeIndexStream(
       docs: DataFrame,
       indexName: String,

@@ -440,6 +440,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch == streamed, s"batch/stream drift:\n$batch\n$streamed")
   }
 
+  test("lineScrubStream cuts boilerplate lines statelessly; batch ≡ stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = Seq("follow us for more updates.", "copyright 2020 corp")
+    val docs = Seq(
+      Doc(t(1), 1L, "real content here\nfollow us for more updates.\nmore text"),
+      Doc(t(2), 2L, "copyright 2020 corp\nfollow us for more updates."),
+      Doc(t(3), 3L, "untouched document"))
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.lineScrubStream(input.toDF(), boiler, "text")
+      .writeStream.format("memory").outputMode(OutputMode.Append())
+      .queryName("lines_" + System.nanoTime()).start()
+    val streamed = try {
+      input.addData(docs)
+      q.processAllAvailable()
+      spark.table(q.name).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+          r.getAs[Long]("lines_removed")))
+        .sortBy(_._1).toSeq
+    } finally q.stop()
+    assert(streamed == Seq(
+      (1L, "real content here\nmore text", 1L),
+      (2L, "", 2L),
+      (3L, "untouched document", 0L)), s"unexpected scrub: $streamed")
+    val batch = StreamingOps.lineScrubStream(docs.toDF(), boiler, "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("lines_removed")))
+      .sortBy(_._1).toSeq
+    assert(batch == streamed, s"batch/stream drift:\n$batch\n$streamed")
+  }
+
   test("spanDupIngestStream rejects a gate below the seed length") {
     // ADVICE r11: spans shorter than the probe's seed grams are
     // invisible — a misconfigured gate must fail loudly, not silently
