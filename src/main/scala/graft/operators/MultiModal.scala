@@ -387,6 +387,114 @@ object MultiModal {
     }
   }
 
+  /** Per-asset windowed audio energy produced by [[audioEnergy]]. All
+    * level fields are integer MILLI-units of full scale (rounded once
+    * from the double RMS) so rows are engine- and platform-exact.
+    */
+  final case class AudioEnergy(
+      asset_id: Long,
+      windows: Long,
+      rms_milli_mean: Long,
+      rms_milli_peak: Long,
+      silence_windows: Long,
+      clipped_samples: Long,
+      format: String)
+
+  /** Real frame-level audio ENERGY analysis — the QA pass an audio
+    * training corpus runs after the header scan ([[decodeAudio]]):
+    * decode the PCM samples (JDK-decodable WAV/AIFF/AU; the JDK
+    * converts other PCM widths to signed 16-bit), window them at
+    * `windowMs`, and report windowed RMS mean/peak, silent-window
+    * count (RMS below `silenceMilli` of full scale — a mostly-silent
+    * recording is a trim/ingest bug), and hard-clipped sample count
+    * (|s| at int16 rails — a gain bug). Mono-folds multi-channel
+    * frames by averaging channels BEFORE the square, the usual
+    * loudness convention. Same map-only executor-parallel shape as
+    * [[decodeAudio]]; payloads the JDK can't decode come back
+    * `format = "stub"` with zeroed analysis, loudly quarantined like
+    * every other stub row. Sample data never leaves the executor.
+    */
+  def audioEnergy(
+      assets: Dataset[MediaAsset],
+      windowMs: Int = 100,
+      silenceMilli: Long = 10L): Dataset[AudioEnergy] = {
+    require(windowMs > 0, s"windowMs must be positive: $windowMs")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a => analyzeEnergyOne(a, windowMs, silenceMilli) }
+    }
+  }
+
+  private[operators] def analyzeEnergyOne(
+      a: MediaAsset, windowMs: Int, silenceMilli: Long): AudioEnergy =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.content))
+      try {
+        val src = in.getFormat
+        val pcm = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          2 * src.getChannels, src.getSampleRate, false)
+        val s = javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, in)
+        try {
+          val ch = pcm.getChannels
+          val framesPerWindow =
+            math.max(1, (pcm.getSampleRate * windowMs / 1000.0).toInt)
+          val bytesPerFrame = 2 * ch
+          val buf = new Array[Byte](framesPerWindow * bytesPerFrame)
+          var windows = 0L; var rmsSum = 0L; var rmsPeak = 0L
+          var silent = 0L; var clipped = 0L
+          var eof = false
+          while (!eof) {
+            // fill one window (readNBytes semantics by hand: the
+            // converter stream returns short reads mid-stream)
+            var off = 0
+            var n = s.read(buf, off, buf.length - off)
+            while (n > 0 && off + n < buf.length) {
+              off += n; n = s.read(buf, off, buf.length - off)
+            }
+            val got = if (n > 0) off + n else off
+            val nFrames = got / bytesPerFrame
+            if (nFrames == 0) eof = true
+            else {
+              var i = 0; var sumSq = 0.0
+              while (i < nFrames) {
+                var c = 0; var acc = 0L
+                while (c < ch) {
+                  val b = i * bytesPerFrame + 2 * c
+                  val lo = buf(b) & 0xff
+                  val hi = buf(b + 1)
+                  val sample = (hi << 8) | lo
+                  if (sample >= 32767 || sample <= -32768) clipped += 1
+                  acc += sample
+                  c += 1
+                }
+                val mono = acc.toDouble / ch / 32768.0
+                sumSq += mono * mono
+                i += 1
+              }
+              val rmsMilli =
+                math.round(math.sqrt(sumSq / nFrames) * 1000.0)
+              windows += 1; rmsSum += rmsMilli
+              if (rmsMilli > rmsPeak) rmsPeak = rmsMilli
+              if (rmsMilli < silenceMilli) silent += 1
+              if (got < buf.length) eof = true
+            }
+          }
+          val fmt = javax.sound.sampled.AudioSystem
+            .getAudioFileFormat(new java.io.ByteArrayInputStream(a.content))
+            .getType.toString.toLowerCase(java.util.Locale.ROOT)
+          AudioEnergy(a.asset_id, windows,
+            if (windows > 0) math.round(rmsSum.toDouble / windows) else 0L,
+            rmsPeak, silent, clipped, fmt)
+        } finally s.close()
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        AudioEnergy(a.asset_id, 0L, 0L, 0L, 0L, 0L, "stub")
+    }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // q28: multimodal byte stats. Payload = UTF-8 bytes of documents.text

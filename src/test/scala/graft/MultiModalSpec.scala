@@ -192,6 +192,48 @@ class MultiModalSpec extends SparkSpec {
     assert(f.format == "wave" && f.width == 8000 && f.height == 1)
   }
 
+  test("audioEnergy: windowed RMS, silence and clipping on a real WAV") {
+    // 8 kHz mono 16-bit WAV, three 0.2 s sections: a 16384-amplitude
+    // sine (RMS = a/√2 ⇒ ~354 milli of full scale), digital silence,
+    // and a rail-to-rail square (RMS ~1000 milli, every sample clipped)
+    val sr = 8000
+    val secFrames = 1600 // 0.2 s
+    def le(s: Int): Seq[Byte] = Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+    val sine = (0 until secFrames).flatMap(i =>
+      le((16384 * math.sin(2 * math.Pi * 440 * i / sr)).toInt))
+    val silence = Seq.fill(secFrames * 2)(0.toByte)
+    val square = (0 until secFrames).flatMap(i =>
+      le(if (i % 2 == 0) 32767 else -32768))
+    val pcm = (sine ++ silence ++ square).toArray
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, (3 * secFrames).toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    import spark.implicits._
+    val assets = Seq(
+      MediaAsset(1L, "audio", wav, "s1"),
+      MediaAsset(2L, "audio", Array[Byte](9, 9, 9), "s2")).toDS()
+    val rows = MultiModal.audioEnergy(assets, windowMs = 100)
+      .collect().map(a => a.asset_id -> a).toMap
+
+    val e = rows(1L)
+    assert(e.format == "wave" && e.windows == 6L, s"windows: $e")
+    assert(e.silence_windows == 2L, s"the silent 0.2 s is 2 windows: $e")
+    assert(e.rms_milli_peak >= 999L && e.rms_milli_peak <= 1000L,
+      s"square peak must sit at full scale: $e")
+    // discrete 440 Hz sine at a=16384: RMS within rounding of a/√2
+    assert(e.clipped_samples == secFrames.toLong,
+      s"every square sample hits a rail: $e")
+    assert(e.rms_milli_mean > 400L && e.rms_milli_mean < 500L,
+      s"mean over (sine, silence, square) windows: $e")
+    assert(rows(2L).format == "stub" && rows(2L).windows == 0L,
+      "undecodable bytes must degrade to the stub row")
+  }
+
   test("resize clamps dimensions preserving aspect ratio; never upscales") {
     import spark.implicits._
     val feats = Seq(

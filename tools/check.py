@@ -68,6 +68,14 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    # a SPARK_GRAFT_VERIFY_ONLY subset run refreshes only the selected
+    # queries' dumps — comparing the rest would diff STALE parquet from
+    # an earlier (possibly different-SF) run and print phantom FAILs
+    import os
+    only = os.environ.get("SPARK_GRAFT_VERIFY_ONLY")
+    if only:
+        prefixes = tuple(p.strip() for p in only.split(",") if p.strip())
+        oracle = {k: v for k, v in oracle.items() if k.startswith(prefixes)}
     n_ok = 0
     for name in sorted(oracle):
         try:
@@ -82,6 +90,8 @@ def main():
     # queries without oracle: rows-only
     for d in sorted(OUT.iterdir()):
         if d.is_dir() and d.name not in oracle:
+            if only and not d.name.startswith(prefixes):
+                continue
             n = con.sql(f"SELECT COUNT(*) FROM '{d}/*.parquet'").fetchone()[0]
             print(f"rows {d.name}: {n}")
     print(f"{n_ok}/{len(oracle)} oracle-matched")
