@@ -268,13 +268,26 @@ object Bench {
           MatchType.RegexMatch, "out", Some("x.dat")),
         s"file://$root/dl")
       val dlSec = (System.nanoTime() - t0) / 1e9
+      // one-way sync: cold pass copies all n, warm pass must detect
+      // everything up-to-date from the two manifests alone (no bytes)
       val t1 = System.nanoTime()
+      val s1 = graft.operators.FileOps.sync(spark,
+        s"file://$root/bkt", "data", s"file://$root/mirror", "")
+      val syncSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val s2 = graft.operators.FileOps.sync(spark,
+        s"file://$root/bkt", "data", s"file://$root/mirror", "")
+      val resyncSec = (System.nanoTime() - t2) / 1e9
+      require(s1.transferred == n && s2.transferred == 0,
+        s"sync contract broke in bench: $s1 / $s2")
+      val t3 = System.nanoTime()
       Blueprints.remove(spark,
         RemoveConfig(s"file://$root/dl", "out", ".*", MatchType.RegexMatch))
-      val rmSec = (System.nanoTime() - t1) / 1e9
+      val rmSec = (System.nanoTime() - t3) / 1e9
       String.format(java.util.Locale.ROOT,
-        """{"n_files":%d,"download_sec":%.3f,"remove_sec":%.3f}""",
-        Integer.valueOf(n), Double.box(dlSec), Double.box(rmSec))
+        """{"n_files":%d,"download_sec":%.3f,"sync_sec":%.3f,"resync_sec":%.3f,"remove_sec":%.3f}""",
+        Integer.valueOf(n), Double.box(dlSec), Double.box(syncSec),
+        Double.box(resyncSec), Double.box(rmSec))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fileops FAILED: ${e.toString.take(200)}")

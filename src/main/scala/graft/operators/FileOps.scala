@@ -239,7 +239,17 @@ object FileOps {
       deleteExtraneous: Boolean = false): SyncStats = {
     import org.apache.spark.sql.Column
     val srcM = FileManifest.scanManaged(spark, srcBucket, srcPrefix)
-    val dstM = FileManifest.scanManaged(spark, dstBucket, dstPrefix)
+    // rsync semantics on the destination: a root that doesn't exist
+    // yet is an EMPTY mirror (the copy stage creates it), not a config
+    // error — only the SOURCE side keeps the typo guard
+    val dstM =
+      try FileManifest.scanManaged(spark, dstBucket, dstPrefix)
+      catch {
+        case _: BlueprintError.InvalidBucket =>
+          import spark.implicits._
+          FileManifest.ScannedManifest(
+            spark.emptyDataset[graft.sources.FileEntry], Nil)
+      }
     try {
       val sp = graft.core.PathAlg.cleanFolderName(srcPrefix)
       val dp = graft.core.PathAlg.cleanFolderName(dstPrefix)

@@ -379,4 +379,16 @@ class BlueprintsSpec extends SparkSpec {
     assert(names(dst) == Set("mirror/x.txt", "mirror/deep/y.txt"),
       s"got ${names(dst)}")
   }
+
+  test("sync creates a missing destination root (rsync semantics); source typo still guards") {
+    import graft.operators.FileOps
+    val src = freshBucket("a.txt" -> "a")
+    val dst = root.resolve("does-not-exist-yet-" + System.nanoTime())
+    val s = FileOps.sync(spark, uri(src), "", uri(dst), "")
+    assert(s.transferred == 1 && names(dst) == Set("a.txt"), s"$s")
+    // the SOURCE side keeps the InvalidBucket typo guard
+    intercept[BlueprintError.InvalidBucket] {
+      FileOps.sync(spark, uri(root.resolve("no-such-src")), "", uri(dst), "")
+    }
+  }
 }
