@@ -90,6 +90,15 @@ object TextAnalysis {
     */
   private val MaxEpochs = 4L
 
+  /** q176's fixed head/middle/tail cut points on the per-doc mean
+    * inverse-unigram-probability score (micro-units). Sized against
+    * the synthetic corpus (min 29.4M, terciles ≈ 29.97M / 30.10M, max
+    * 111.5M at sf0.01) so every language slice populates all three
+    * buckets. Declared before `defs` (interpolated at object init).
+    */
+  private val PplHeadMicro = 30000000L
+  private val PplTailMicro = 30150000L
+
   /** The oracle-side mirror of [[c4Lines]] — CTEs ending in
     * `t(doc_id, lang, lines)`. One definition shared by q171 (line
     * filter) and q173 (cross-doc line dedup) so the declared line
@@ -1913,7 +1922,83 @@ object TextAnalysis {
                 CAST(SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS mojibake_docs,
                 CAST(SUM(n_repl) AS BIGINT) AS replacement_chars
-              FROM m GROUP BY lang ORDER BY lang"""))
+              FROM m GROUP BY lang ORDER BY lang""")),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    // document by its fluency under a corpus LM and split the corpus
+    // into head / middle / tail — the mixture knob CCNet exposes
+    // (train on head, sample middle, drop tail). q133 scores docs
+    // under a BIGRAM LM and gates the rare tail; this is the
+    // corpus-partitioning form under the unigram LM, with the same
+    // log-free integer-micro discipline: per token, the add-one
+    // inverse probability (Ntot + V)/(c(w) + 1) as one IEEE division
+    // rounded to micro-units; per doc, the integer mean; buckets by
+    // two fixed integer thresholds (sized so every language fills all
+    // three). Per-lang bucket counts + tail share in basis points —
+    // engine-exact end to end. Plan at 100 TB: the unigram count table
+    // is vocab-bounded and BROADCASTS; scoring is one map-side join
+    // over the exploded token stream whose per-doc partial agg
+    // collapses in-partition (~1 row/doc shuffles); the lang rollup is
+    // bounded. ONE corpus-sized shuffle total (the unigram count).
+    "q176_perplexity_buckets" -> QueryDef(
+      (s, dir) => {
+        val d = Q.spread(table(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"), tokens(col("text")).as("tl"))
+        val w = d.select(col("doc_id"), col("lang"),
+          explode(col("tl")).as("w")).managedPersist
+        val uni = w.groupBy("w").agg(count(lit(1)).as("cw"))
+        val ntot = w.agg(count(lit(1)).as("ntot"))
+        val vsz = uni.agg(count(lit(1)).as("vsz"))
+        val perDoc = w
+          .join(broadcast(uni), "w")
+          .crossJoin(broadcast(ntot)).crossJoin(broadcast(vsz))
+          .withColumn("term",
+            round(lit(1e6) * (col("ntot") + col("vsz")).cast("double") /
+              (col("cw") + lit(1L)).cast("double")).cast("long"))
+          .groupBy("doc_id", "lang")
+          .agg(round(sum(col("term")).cast("double") / count(lit(1)))
+            .cast("long").as("score"))
+        perDoc.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("score") < PplHeadMicro).cast("long"))
+              .as("head_docs"),
+            sum((col("score") >= PplHeadMicro &&
+              col("score") < PplTailMicro).cast("long")).as("middle_docs"),
+            sum((col("score") >= PplTailMicro).cast("long"))
+              .as("tail_docs"))
+          .withColumn("tail_share_bp",
+            expr("(tail_docs * 20000 + n_docs) div (2 * n_docs)"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+                  list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS t
+                FROM documents),
+              w AS (SELECT doc_id, lang, UNNEST(t) AS w FROM d),
+              u AS (SELECT w, COUNT(*) AS cw FROM w GROUP BY w),
+              n AS (SELECT COUNT(*) AS ntot FROM w),
+              v AS (SELECT COUNT(*) AS vsz FROM u),
+              t AS (SELECT w.doc_id, w.lang,
+                  CAST(ROUND(1000000.0 * (n.ntot + v.vsz) / (u.cw + 1), 0)
+                    AS BIGINT) AS term
+                FROM w JOIN u USING (w) CROSS JOIN n CROSS JOIN v),
+              ds AS (SELECT doc_id, lang,
+                  CAST(ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 0)
+                    AS BIGINT) AS score
+                FROM t GROUP BY 1, 2),
+              b AS (SELECT lang, COUNT(*) AS n_docs,
+                  CAST(SUM(CASE WHEN score < $PplHeadMicro
+                    THEN 1 ELSE 0 END) AS BIGINT) AS head_docs,
+                  CAST(SUM(CASE WHEN score >= $PplHeadMicro
+                    AND score < $PplTailMicro THEN 1 ELSE 0 END)
+                    AS BIGINT) AS middle_docs,
+                  CAST(SUM(CASE WHEN score >= $PplTailMicro
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tail_docs
+                FROM ds GROUP BY 1)
+              SELECT lang, n_docs, head_docs, middle_docs, tail_docs,
+                CAST((tail_docs * 20000 + n_docs) // (2 * n_docs)
+                  AS BIGINT) AS tail_share_bp
+              FROM b ORDER BY lang"""))
   )
 
   /** PII pattern set — the dialect-shared regex subset (character

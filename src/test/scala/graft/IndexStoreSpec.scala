@@ -234,6 +234,38 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("ivf-sq8 compaction: probe bitwise-identical across all three tables") {
+    // compactBucketed is family-generic: the same op that serves the
+    // band index (q172) must leave the ANN artifact's probe results
+    // bitwise unchanged — codes (bucketed cell), vectors (bucketed
+    // vec_id), centroids (unbucketed ⇒ rejected loudly, not mangled)
+    import graft.operators.IndexMaintenance
+    val emb = Q.table(spark, sfDir, "embeddings")
+    val tmp = Files.createTempDirectory("graft-ivfcomp")
+    try {
+      Ann.writeIvfIndex(emb, "ivfcomp_t", s"$tmp")
+      val queries = emb.filter(col("vec_id") < 8)
+      def canon() = Ann.ivfSq8Probe(spark, "ivfcomp_t", queries,
+        k = 5, nprobe = 4, rerank = 16).orderBy("q_id", "rank")
+        .collect().toSeq
+      val before = canon()
+      IndexMaintenance.compactBucketed(spark, "ivfcomp_t_codes")
+      IndexMaintenance.compactBucketed(spark, "ivfcomp_t_vectors")
+      assert(canon() == before,
+        "ANN probe drifted across code/vector table compaction")
+      // the one-row-per-cell centroid table has no bucket spec — the
+      // compactor must refuse it rather than rewrite it wrong
+      intercept[IllegalArgumentException] {
+        IndexMaintenance.compactBucketed(spark, "ivfcomp_t_centroids")
+      }
+      assert(canon() == before, "refused compaction must not touch data")
+    } finally {
+      Seq("codes", "centroids", "vectors").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ivfcomp_t_$t"))
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
   test("ivf-sq8 probe: code-table candidate scan is exchange-free") {
     val emb = Q.table(spark, sfDir, "embeddings")
     val tmp = Files.createTempDirectory("graft-ivfidx2")

@@ -517,6 +517,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q176: unigram table broadcasts; scoring join never sort-merges") {
+    val p = plan("q176_perplexity_buckets")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab-bounded unigram count table must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the token-stream scoring join must stay map-side")
+    assert(p.contains("partial_"),
+      "per-doc and per-lang rollups must combine map-side")
+  }
+
   test("q173: boilerplate join-back broadcasts; no sort-merge on the line key") {
     val p = plan("q173_line_dedup")
     assert(p.contains("BroadcastHashJoin"),
