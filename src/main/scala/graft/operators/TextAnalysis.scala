@@ -1998,7 +1998,75 @@ object TextAnalysis {
               SELECT lang, n_docs, head_docs, middle_docs, tail_docs,
                 CAST((tail_docs * 20000 + n_docs) // (2 * n_docs)
                   AS BIGINT) AS tail_share_bp
-              FROM b ORDER BY lang"""))
+              FROM b ORDER BY lang""")),
+
+    // INTRA-document repeated-line collapse — q173's within-doc
+    // sibling (the Gopher repetition family as a TRANSFORM, not a
+    // flag): a doc that repeats its own line verbatim (pagination
+    // artifacts, template glitches, scraper double-fires) keeps the
+    // FIRST occurrence and drops the rest; q97 flags such docs, this
+    // produces the cleaned corpus stats. Line structure is the shared
+    // q171 fixture plus a declared plant (every 7th doc re-appends its
+    // first line). The entire rule is order-preserving first-occurrence
+    // dedup INSIDE the row — `filter(lines, (x, i) ->
+    // array_position(prefix, x) = 0)`, a pure HOF with the identical
+    // idiom in DuckDB — so the operator is MAP-ONLY: no explode, no
+    // join, no shuffle except the per-lang rollup of skinny partials.
+    // The contrast with q173 is the point: cross-doc dedup needs the
+    // line-key shuffle, within-doc dedup needs none, and a pipeline
+    // composes them in that order at 100 TB.
+    "q177_intradoc_line_dedup" -> QueryDef(
+      (s, dir) => {
+        def nw(arr: Column): Column =
+          aggregate(arr, lit(0L),
+            (acc, l) => acc + size(tokens(l)).cast("long"))
+        val t = table(s, dir, "documents")
+          .withColumn("lines0", c4Lines(col("doc_id"), col("text")))
+          .withColumn("lines",
+            when(col("doc_id") % 7 === 3,
+              concat(col("lines0"), slice(col("lines0"), 1, 1)))
+              .otherwise(col("lines0")))
+          .withColumn("kept", filter(col("lines"),
+            (x, i) => array_position(
+              slice(col("lines"), lit(1), i.cast("int")), x) === 0))
+          .withColumn("lines_in", size(col("lines")).cast("long"))
+          .withColumn("lines_kept", size(col("kept")).cast("long"))
+          .withColumn("toks_removed", nw(col("lines")) - nw(col("kept")))
+        t.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("lines_kept") < col("lines_in")).cast("long"))
+              .as("docs_changed"),
+            sum(col("lines_in") - col("lines_kept")).as("lines_removed"),
+            sum("toks_removed").as("tokens_removed"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $c4LinesCteSql,
+              t2 AS (SELECT doc_id, lang,
+                  CASE WHEN doc_id % 7 = 3
+                    THEN list_append(lines, lines[1]) ELSE lines END
+                    AS lines
+                FROM t),
+              k AS (SELECT doc_id, lang, lines,
+                  list_filter(lines, (x, i) -> i = 1 OR
+                    list_position(lines[1:i-1], x) = 0) AS kept
+                FROM t2),
+              m AS (SELECT lang,
+                  CAST(LEN(lines) AS BIGINT) AS lines_in,
+                  CAST(LEN(kept) AS BIGINT) AS lines_kept,
+                  CAST(list_sum(list_transform(lines, l ->
+                      LEN(list_filter(string_split_regex(l, '\\s+'),
+                        x -> x <> '')))) -
+                    list_sum(list_transform(kept, l ->
+                      LEN(list_filter(string_split_regex(l, '\\s+'),
+                        x -> x <> '')))) AS BIGINT) AS toks_removed
+                FROM k)
+              SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN lines_kept < lines_in
+                  THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
+                CAST(SUM(lines_in - lines_kept) AS BIGINT)
+                  AS lines_removed,
+                CAST(SUM(toks_removed) AS BIGINT) AS tokens_removed
+              FROM m GROUP BY lang ORDER BY lang"""))
   )
 
   /** PII pattern set — the dialect-shared regex subset (character

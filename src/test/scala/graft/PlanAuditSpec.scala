@@ -505,9 +505,9 @@ class PlanAuditSpec extends SparkSpec {
       "the report cut must be TakeOrderedAndProject")
   }
 
-  test("q170/q171/q174: quality attribution is map-only — no generate, no join") {
+  test("q170/q171/q174/q177: quality attribution is map-only — no generate, no join") {
     for (q <- Seq("q170_gopher_rules", "q171_line_filter",
-        "q174_script_mix")) {
+        "q174_script_mix", "q177_intradoc_line_dedup")) {
       val p = plan(q)
       assert(!p.contains("Generate"),
         s"$q: the token/line array must stay in its row (HOFs, no explode)")
