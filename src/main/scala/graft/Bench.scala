@@ -194,7 +194,14 @@ object Bench {
     // reported line must stay compact or early queries get truncated
     // away: keys shrink to the unique qNN prefix and values to
     // millisecond precision. The full-name timings go to a sidecar
-    // file for humans.
+    // file for humans. Eleven rounds of archives (BENCH_r01..r11) show
+    // the truncation is real — every archive is tail-only — so the
+    // printed object is ordered least-signal-first: the queries map
+    // sorted ASCENDING by recorded time (a cut head loses sub-second
+    // noise-bound entries, not the multi-second ones regressions hide
+    // in), then passes/errors/fileops, with the headline total LAST so
+    // it always survives the window. The complete line is also
+    // committed per round as BENCH_LOCAL.json (see README).
     // Locale.ROOT: a comma-decimal default locale would print 1,234
     // and invalidate the driver-parsed JSON line
     def ms(v: Double): String =
@@ -202,7 +209,7 @@ object Bench {
     // centisecond precision: 10 ms is inside min-of-2 noise, and the
     // saved bytes keep more queries inside the driver's archived tail
     // now that pass arrays ride along
-    val qs = ok.map { case (k, v) =>
+    val qs = ok.sortBy(_._2).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" +
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     }.mkString("{", ",", "}")
@@ -235,7 +242,7 @@ object Bench {
       java.nio.file.Paths.get("target/bench_full.json"),
       s"""{"queries":$qsFull,"passes":$passesFull,"gc":$gcFull,"errors":$errJson,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"passes":$passes,"errors":$errJson,"n_failed":${errors.length},"fileops":$fileOps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"passes":$passes,"errors":$errJson,"n_failed":${errors.length},"fileops":$fileOps,"unit":"sec","value":${ms(total)}}""")
     spark.stop()
     // Always exit 0: per-query failures are already reported inside the
     // JSON line (`errors`/`n_failed`). A nonzero exit makes the sbt
