@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Link-graph analytics for crawl/corpus curation (SURVEY §2B
+  * extension surface — the reference is a GCS file mover with no graph
+  * code; absent by construction). The operator a web-scale training
+  * corpus actually needs from this family is authority scoring over the
+  * hyperlink graph — crawl-frontier / seed prioritization (which
+  * domains to fetch deeper) and source weighting both consume it — so
+  * the declared query is PageRank (Page et al. 1999) over a link table
+  * EXTRACTED from document text, end to end: regex link extraction →
+  * distinct edge list → out-degrees → fixed-iteration damped rank →
+  * top-k report.
+  *
+  * Determinism discipline: ranks live in integer MICROS and every
+  * iteration step is integer arithmetic (`div` floor division on
+  * non-negative longs ≡ DuckDB `//`), so an 8-iteration recurrence is
+  * bitwise identical in both engines by construction — no float sum
+  * order to defend. Dangling nodes (zero out-links) drop their mass,
+  * and the teleport term is the flat per-node 0.15e6 (the uniform-
+  * teleport normalization); both declared, both mirrored exactly in
+  * the oracle's unrolled CTE chain.
+  *
+  * Scale notes (100 TB): the edge list and its out-degree join are
+  * built once, persisted, and reused by every iteration — each
+  * iteration is then one shuffle-on-`dst` partial aggregation plus a
+  * node-keyed left join, the standard distributed PageRank shape. The
+  * per-iteration `localCheckpoint(true)` cuts the logical-plan chain
+  * exactly like the q45 connected-components fixpoint (`Dedup.scala`)
+  * — rank frames are two longs per node, metadata-sized relative to
+  * the corpus — so plan depth stays O(1) regardless of iteration
+  * count. Iteration count is fixed (8), not convergence-polled: no
+  * driver-side convergence collect on the hot path.
+  */
+object Graph {
+
+  /** The declared link fixture (q167/q170/q171 discipline): the
+    * synthetic corpus has no hyperlinks, so deterministic `link->docK`
+    * tokens are planted — every doc_id ≡ 0 (mod 3) links to
+    * `(id*7+11) % 400` and `(id*13+29) % 400` (targets concentrated on
+    * the first 400 ids so in-degree is non-trivial at every SF), and
+    * every doc_id ≡ 0 (mod 17) links to the designated hub doc 7. No
+    * self-loops arise (both congruences are unsolvable mod 400, and
+    * 7 % 17 ≠ 0); the rare duplicate edge (id ≡ 197 mod 200 makes the
+    * two mod-400 targets coincide) is removed by the declared DISTINCT.
+    */
+  private[graft] def linkFixture(docId: Column, text: Column): Column =
+    concat(text,
+      when(docId % 3 === 0,
+        concat(lit(" link->doc"), ((docId * 7 + 11) % 400).cast("string"),
+          lit(" link->doc"), ((docId * 13 + 29) % 400).cast("string")))
+        .otherwise(lit("")),
+      when(docId % 17 === 0, lit(" link->doc7")).otherwise(lit("")))
+
+  private val linkFixtureSql =
+    """docs AS (SELECT doc_id, text ||
+                  CASE WHEN doc_id % 3 = 0
+                    THEN ' link->doc' ||
+                      CAST((doc_id * 7 + 11) % 400 AS VARCHAR) ||
+                      ' link->doc' ||
+                      CAST((doc_id * 13 + 29) % 400 AS VARCHAR)
+                    ELSE '' END ||
+                  CASE WHEN doc_id % 17 = 0 THEN ' link->doc7'
+                    ELSE '' END AS text2
+                FROM documents)"""
+
+  /** Number of damped-rank iterations — fixed by declaration (not
+    * convergence-polled); the oracle unrolls the same count.
+    */
+  private val PrIters = 8
+
+  /** One oracle iteration step, pr{k-1} → pr{k}: incoming mass is the
+    * sum of floor(rank/outdeg) over in-edges, damped in integer micros.
+    * DuckDB SUM(BIGINT) widens to HUGEINT, so the sum is cast back
+    * before the `//` (the q170 lesson — HUGEINT `//` yields DOUBLE).
+    */
+  private def prStepSql(k: Int): String =
+    s"""pr$k AS (SELECT n.node,
+                  CAST(150000 + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT)
+                    AS r
+                FROM nodes n LEFT JOIN
+                  (SELECT e.dst AS node,
+                      CAST(SUM(p.r // o.odeg) AS BIGINT) AS inc
+                    FROM pr${k - 1} p
+                    JOIN edges e ON e.src = p.node
+                    JOIN odeg o ON o.src = p.node
+                    GROUP BY e.dst) i ON i.node = n.node)"""
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // PageRank over the extracted link graph: rank in integer micros,
+    // 8 damped iterations (d = 0.85, flat 0.15e6 teleport, dangling
+    // mass dropped — all declared), report the top-20 nodes by
+    // (rank DESC, node ASC) with their in/out degrees. The hub doc 7
+    // must surface at the top — GraphSpec asserts it; the oracle
+    // hash-checks every rank value exactly.
+    "q178_link_rank" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .withColumn("text2", linkFixture(col("doc_id"), col("text")))
+        val edges = docs
+          .select(col("doc_id").as("src"),
+            explode(expr(
+              "regexp_extract_all(text2, 'link->doc([0-9]+)', 1)"))
+              .as("d"))
+          .select(col("src"), col("d").cast("long").as("dst"))
+          .distinct()
+        // (src, dst, odeg) — the only corpus-sized frame the loop
+        // touches, built once and reused by all 8 iterations
+        val contrib = edges
+          .join(edges.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+          .managedPersist
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node")))
+          .distinct()
+          .managedPersist
+        var pr = nodes.withColumn("r", lit(1000000L))
+        for (_ <- 1 to PrIters) {
+          val inc = contrib.join(pr, contrib("src") === pr("node"))
+            .select(col("dst").as("node"),
+              expr("r div odeg").as("c"))
+            .groupBy("node").agg(sum("c").as("inc"))
+          pr = nodes.join(inc, Seq("node"), "left")
+            .select(col("node"),
+              expr("150000L + (85L * coalesce(inc, 0L)) div 100L")
+                .as("r"))
+            .localCheckpoint(true)
+        }
+        val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("ol"))
+        val ideg = edges.groupBy(col("dst")).agg(count(lit(1)).as("il"))
+        pr.join(odeg, pr("node") === odeg("src"), "left")
+          .join(ideg, pr("node") === ideg("dst"), "left")
+          .select(col("node"), col("r").as("rank_micro"),
+            coalesce(col("ol"), lit(0L)).as("out_links"),
+            coalesce(col("il"), lit(0L)).as("in_links"))
+          .orderBy(desc("rank_micro"), asc("node"))
+          .limit(20)
+      },
+      Some(s"""WITH $linkFixtureSql,
+              edges AS (SELECT DISTINCT doc_id AS src,
+                  CAST(m AS BIGINT) AS dst
+                FROM (SELECT doc_id,
+                    UNNEST(regexp_extract_all(text2,
+                      'link->doc([0-9]+)', 1)) AS m
+                  FROM docs) q),
+              nodes AS (SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges),
+              odeg AS (SELECT src, COUNT(*) AS odeg FROM edges
+                GROUP BY src),
+              pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r
+                FROM nodes),
+              ${(1 to PrIters).map(prStepSql).mkString(",\n              ")},
+              ideg AS (SELECT dst, COUNT(*) AS il FROM edges
+                GROUP BY dst)
+              SELECT p.node, p.r AS rank_micro,
+                COALESCE(o.odeg, 0) AS out_links,
+                COALESCE(i.il, 0) AS in_links
+              FROM pr$PrIters p
+              LEFT JOIN odeg o ON o.src = p.node
+              LEFT JOIN ideg i ON i.dst = p.node
+              ORDER BY rank_micro DESC, node LIMIT 20"""))
+  )
+}

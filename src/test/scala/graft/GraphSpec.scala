@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the link-graph analytics (q178) the oracle hash can't
+  * express directly: the planted hub dominates the ranking, teleport
+  * mass is an exact floor for sink nodes, total rank is invariant
+  * under input repartitioning, and the iteration actually moved mass
+  * (ranks are not the uniform start vector).
+  */
+class GraphSpec extends SparkSpec {
+
+  private lazy val top =
+    SparkEntry.queries("q178_link_rank")(spark, sfDir).collect()
+
+  test("q178: planted hub doc 7 outranks every other node") {
+    assert(top.nonEmpty)
+    val head = top.head
+    assert(head.getLong(0) === 7L,
+      s"expected hub node 7 at rank 1, got ${head.getLong(0)}")
+    // strictly above second place — the ~n/17 dedicated in-links are
+    // an order of magnitude more mass than any mod-400 target collects
+    assert(head.getLong(1) > top(1).getLong(1))
+  }
+
+  test("q178: ranks respect the teleport floor and moved off uniform") {
+    // every node holds at least the flat teleport term...
+    assert(top.forall(_.getLong(1) >= 150000L))
+    // ...and the top-20 are all strictly above it (they have in-links),
+    // and above the uniform 1e6 start (mass actually concentrated)
+    assert(top.forall(r => r.getLong(3) > 0L))
+    assert(top.head.getLong(1) > 1000000L)
+  }
+
+  test("q178: rank is invariant under input partition layout") {
+    import graft.operators.{Graph, Q}
+    // rebuild the same recurrence from a deliberately reshuffled scan:
+    // integer-micro arithmetic must make partition order irrelevant
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(7, col("lang"))
+      .sortWithinPartitions(desc("doc_id"))
+      .withColumn("text2", Graph.linkFixture(col("doc_id"), col("text")))
+    val edges = docs
+      .select(col("doc_id").as("src"),
+        explode(expr("regexp_extract_all(text2, 'link->doc([0-9]+)', 1)"))
+          .as("d"))
+      .select(col("src"), col("d").cast("long").as("dst"))
+      .distinct()
+    val contrib = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var pr = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to 8) {
+      val inc = contrib.join(pr, contrib("src") === pr("node"))
+        .select(col("dst").as("node"), expr("r div odeg").as("c"))
+        .groupBy("node").agg(sum("c").as("inc"))
+      pr = nodes.join(inc, Seq("node"), "left")
+        .select(col("node"),
+          expr("150000L + (85L * coalesce(inc, 0L)) div 100L").as("r"))
+        .localCheckpoint(true)
+    }
+    val again = pr.orderBy(desc("r"), asc("node")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = top.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again.toSeq === expect)
+    Q.releaseManaged()
+  }
+}
