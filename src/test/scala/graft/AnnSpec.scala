@@ -538,4 +538,38 @@ class AnnSpec extends SparkSpec {
       Seq("codes", "centroids", "vectors", "pq").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS opq_idx_$t"))
   }
+
+  test("q179 numeric core: power iteration recovers a known spectrum") {
+    import graft.operators.Similarity
+    // A = [[4,1,0],[1,3,0],[0,0,1]]: eigenvalues 3.5 ± √1.25 and 1
+    val a = Array(Array(4.0, 1.0, 0.0), Array(1.0, 3.0, 0.0),
+      Array(0.0, 0.0, 1.0))
+    val (lam1, v1) = Similarity.powerIteration(a, 200)
+    assert(math.abs(lam1 - (3.5 + math.sqrt(1.25))) < 1e-9)
+    val a2 = Array.tabulate(3, 3)((p, q) => a(p)(q) - lam1 * v1(p) * v1(q))
+    val (lam2, v2) = Similarity.powerIteration(a2, 200)
+    assert(math.abs(lam2 - (3.5 - math.sqrt(1.25))) < 1e-9)
+    // deflated iterate is orthogonal to the first component
+    val dot = v1.zip(v2).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot) < 1e-8)
+    // unit norms
+    Seq(v1, v2).foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12)
+    }
+  }
+
+  test("q179: report invariants hold (ordered spectrum, EVR bounds)") {
+    val rows = SparkEntry.queries("q179_pca_power")(spark, sfDir).collect()
+    assert(rows.length === 2)
+    val Array(r1, r2) = rows.sortBy(_.getLong(0))
+    assert(r1.getLong(1) >= r2.getLong(1), "lambda1 >= lambda2")
+    Seq(r1, r2).foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(r.getLong(2) > 0L && r.getLong(2) < 1000000L)
+      assert(r.getLong(4) > 0L && r.getLong(4) <= 1000000L)
+    }
+    // the fixture writes dim d = 0.7 x dim 1: the dominant component
+    // must load hardest on one of that correlated pair
+    assert(Set(1L, 64L).contains(r1.getLong(3)))
+  }
 }
