@@ -127,6 +127,10 @@ object Graph {
             .select(col("node"),
               expr("150000L + (85L * coalesce(inc, 0L)) div 100L")
                 .as("r"))
+            // EVERY round, not every Nth: a 4-round checkpoint window
+            // measured 5.2 s vs 3.9 s at sf0.1 — the deeper join tree
+            // costs more in re-planning/AQE than the saved eager
+            // materializations of a node-sized frame return
             .localCheckpoint(true)
         }
         val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("ol"))
