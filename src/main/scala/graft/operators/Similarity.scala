@@ -58,6 +58,153 @@ object Similarity {
       "list_transform(m.m, rw -> list_sum(list_transform(" +
       s"range(1, len(rw) + 1), i -> rw[i] * $v[i])))[p]))"
 
+  /** The shared PCA oracle chain (q179 report + q180 projection — one
+    * definition so the two cannot drift): fixture → exact moments →
+    * covariance → power-iteration recursions → unit components c1/c2
+    * with Rayleigh eigenvalues l1/l2. Consumers append their own
+    * report CTEs and must open with `WITH RECURSIVE`.
+    */
+  private def pcaChainSql: String =
+    s"""raw AS (SELECT label,
+                  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e0
+                FROM embeddings),
+              f AS (SELECT label, list_transform(e0, (x, i) ->
+                  CASE WHEN i = len(e0) THEN 0.7 * e0[1] ELSE x END) AS e
+                FROM raw),
+              c AS (SELECT CAST(pos + 1 AS BIGINT) AS p, x
+                FROM (SELECT UNNEST(e) AS x,
+                        UNNEST(range(len(e))) AS pos FROM f) t),
+              dims AS (SELECT p, COUNT(*) AS n,
+                  CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s1
+                FROM c GROUP BY 1),
+              pp AS (SELECT CAST(s.p AS BIGINT) AS p,
+                  CAST(s.q AS BIGINT) AS q, s.xy AS xy
+                FROM (SELECT UNNEST(flatten(
+                    [[{'p': i, 'q': j, 'xy': e[i] * e[j]}
+                      for j in range(i, len(e) + 1)]
+                     for i in range(1, len(e) + 1)])) AS s
+                  FROM f) t),
+              pa AS (SELECT p, q, COUNT(*) AS n,
+                  CAST(SUM(CAST(xy AS DECIMAL(18,10))) AS DOUBLE) AS sxy
+                FROM pp GROUP BY 1, 2),
+              cov AS (SELECT pa.p, pa.q,
+                  pa.sxy / pa.n - (di.s1 / di.n) * (dj.s1 / dj.n) AS cv
+                FROM pa JOIN dims di ON pa.p = di.p
+                JOIN dims dj ON pa.q = dj.p),
+              covfull AS (SELECT p, q, cv FROM cov
+                UNION ALL SELECT q, p, cv FROM cov WHERE p <> q),
+              mat AS MATERIALIZED (SELECT list(rw ORDER BY p) AS m,
+                  any_value(d) AS d
+                FROM (SELECT p, list(cv ORDER BY q) AS rw, COUNT(*) AS d
+                  FROM covfull GROUP BY p)),
+              it1(k, v) AS (
+                SELECT 0, list_transform(range(1, d + 1),
+                    i -> 1.0 / SQRT(d)) FROM mat
+                UNION ALL
+                SELECT k + 1, ${pcaStepSql("it1.v")}
+                FROM it1, mat m WHERE k < $PcaIters),
+              c1 AS MATERIALIZED (SELECT v FROM it1 WHERE k = $PcaIters),
+              l1 AS MATERIALIZED (SELECT
+                  ${pcaRayleighSql("c1.v")} AS lam FROM mat m, c1),
+              mat2 AS MATERIALIZED (SELECT
+                  list_transform(range(1, m.d + 1), p ->
+                    list_transform(range(1, m.d + 1), q ->
+                      m.m[p][q] - l1.lam * c1.v[p] * c1.v[q])) AS m,
+                  m.d AS d
+                FROM mat m, c1, l1),
+              it2(k, v) AS (
+                SELECT 0, list_transform(range(1, d + 1),
+                    i -> 1.0 / SQRT(d)) FROM mat2
+                UNION ALL
+                SELECT k + 1, ${pcaStepSql("it2.v")}
+                FROM it2, mat2 m WHERE k < $PcaIters),
+              c2 AS MATERIALIZED (SELECT v FROM it2 WHERE k = $PcaIters),
+              l2 AS MATERIALIZED (SELECT
+                  ${pcaRayleighSql("c2.v")} AS lam FROM mat2 m, c2)"""
+
+  /** Fitted top-2 PCA of the (fixture-adjusted) embedding table —
+    * everything q179's report and q180's projection need, computed
+    * once per call: dimension, per-dim means (index order), the two
+    * Rayleigh eigenvalues with unit eigenvectors, and the covariance
+    * trace.
+    */
+  private[graft] final case class PcaFit(dim: Int, means: Array[Double],
+      lam1: Double, v1: Array[Double], lam2: Double, v2: Array[Double],
+      trace: Double)
+
+  /** The Spark half of the shared PCA recipe ([[pcaChainSql]]'s
+    * mirror): one distributed exact-moment scan (q175's flat-triangle
+    * + post-agg label spine shape, diagonal inclusive), a BOUNDED
+    * collect of the ~d²/2 sums (the nlist-centroid discipline), then
+    * the driver-side [[powerIteration]] with one deflation step. The
+    * assembled covariance uses the oracle's exact scalar formula
+    * `sxy/n - (s1p/np)*(s1q/nq)` on identical doubles, so every
+    * downstream iterate is bitwise equal between engines.
+    */
+  /** [[pcaFit]] is a pure function of the table directory (exact
+    * moments + deterministic iteration), so the fit is memoized per
+    * dir for the life of the session — q179 and q180 share one moment
+    * scan instead of paying it per invocation, the same
+    * fit-once/probe-many discipline as the persisted ANN indexes. A
+    * racing double-compute is harmless (identical result).
+    */
+  private val pcaFitCache =
+    scala.collection.concurrent.TrieMap.empty[String, PcaFit]
+
+  private[graft] def pcaFit(
+      s: org.apache.spark.sql.SparkSession, dir: String): PcaFit =
+    pcaFitCache.getOrElseUpdate(dir, pcaFitUncached(s, dir))
+
+  private def pcaFitUncached(
+      s: org.apache.spark.sql.SparkSession, dir: String): PcaFit = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = table(s, dir, "embeddings")
+      .withColumn("e", covFixture(col("embedding")))
+    val dim = emb.select(size(col("e"))).head().getInt(0)
+    // per-dim exact first moments: (p, n, s1)
+    val dims = emb
+      .select(posexplode(col("e")))
+      .select((col("pos") + 1).cast("long").as("p"), col("col").as("x"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(18, 6))).cast("double").as("s1"))
+      .collect().map(r => (r.getLong(0).toInt, (r.getLong(1), r.getDouble(2))))
+      .toMap
+    // upper-triangle (diag inclusive) exact product sums
+    val spine = broadcast(s.createDataFrame(
+      (for { i <- 1 to dim; j <- i to dim } yield (i.toLong, j.toLong))
+        .zipWithIndex.map { case ((p, q), pos) => (pos, p, q) })
+      .toDF("pos", "p", "q"))
+    val d = size(col("e"))
+    val prods = emb
+      .select(posexplode(flatten(transform(sequence(lit(1), d),
+        i => transform(sequence(i, d),
+          j => element_at(col("e"), i) * element_at(col("e"), j))))))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("col").cast(DecimalType(18, 10))).cast("double").as("sxy"))
+      .join(spine, "pos")
+      .select("p", "q", "n", "sxy")
+      .collect()
+    val cm = Array.ofDim[Double](dim, dim)
+    prods.foreach { r =>
+      val (p, q) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1)
+      val (np, s1p) = dims(p + 1); val (nq, s1q) = dims(q + 1)
+      val cv = r.getDouble(3) / r.getLong(2) - (s1p / np) * (s1q / nq)
+      cm(p)(q) = cv; cm(q)(p) = cv
+    }
+    val (lam1, v1) = powerIteration(cm, PcaIters)
+    val cm2 = Array.tabulate(dim, dim)((p, q) =>
+      cm(p)(q) - lam1 * v1(p) * v1(q))
+    val (lam2, v2) = powerIteration(cm2, PcaIters)
+    var trace = 0.0
+    locally { var p = 0; while (p < dim) { trace += cm(p)(p); p += 1 } }
+    val means = Array.tabulate(dim) { p =>
+      val (np, s1p) = dims(p + 1); s1p / np
+    }
+    PcaFit(dim, means, lam1, v1, lam2, v2, trace)
+  }
+
   /** Driver-side power iteration, the bitwise mirror of the oracle's
     * recursive CTE: explicit index-ascending while-loops so every
     * partial sum associates left-to-right exactly as DuckDB's
@@ -1303,119 +1450,21 @@ object Similarity {
     // hang at prototype time; 0.8 s materialized).
     "q179_pca_power" -> QueryDef(
       (s, dir) => {
-        import org.apache.spark.sql.types.DecimalType
-        val emb = table(s, dir, "embeddings")
-          .withColumn("e", covFixture(col("embedding")))
-        val dim = emb.select(size(col("e"))).head().getInt(0)
-        // per-dim exact first moments: (p, n, s1)
-        val dims = emb
-          .select(posexplode(col("e")))
-          .select((col("pos") + 1).cast("long").as("p"), col("col").as("x"))
-          .groupBy("p")
-          .agg(count(lit(1)).as("n"),
-            sum(col("x").cast(DecimalType(18, 6))).cast("double").as("s1"))
-          .collect().map(r => (r.getLong(0).toInt, (r.getLong(1), r.getDouble(2))))
-          .toMap
-        // upper-triangle (diag inclusive) exact product sums, q175's
-        // flat-array + post-agg label spine shape: (pos → (i, j))
-        val spine = broadcast(s.createDataFrame(
-          (for { i <- 1 to dim; j <- i to dim } yield (i.toLong, j.toLong))
-            .zipWithIndex.map { case ((p, q), pos) => (pos, p, q) })
-          .toDF("pos", "p", "q"))
-        val d = size(col("e"))
-        val prods = emb
-          .select(posexplode(flatten(transform(sequence(lit(1), d),
-            i => transform(sequence(i, d),
-              j => element_at(col("e"), i) * element_at(col("e"), j))))))
-          .groupBy("pos")
-          .agg(count(lit(1)).as("n"),
-            sum(col("col").cast(DecimalType(18, 10))).cast("double").as("sxy"))
-          .join(spine, "pos")
-          .select("p", "q", "n", "sxy")
-          .collect()
-        // assemble C on the driver with the oracle's exact formula:
-        // sxy/n - (s1p/np)*(s1q/nq) on identical doubles
-        val cm = Array.ofDim[Double](dim, dim)
-        prods.foreach { r =>
-          val (p, q) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1)
-          val (np, s1p) = dims(p + 1); val (nq, s1q) = dims(q + 1)
-          val cv = r.getDouble(3) / r.getLong(2) - (s1p / np) * (s1q / nq)
-          cm(p)(q) = cv; cm(q)(p) = cv
-        }
-        val (lam1, v1) = powerIteration(cm, PcaIters)
-        val cm2 = Array.tabulate(dim, dim)((p, q) =>
-          cm(p)(q) - lam1 * v1(p) * v1(q))
-        val (lam2, v2) = powerIteration(cm2, PcaIters)
-        var trace = 0.0
-        locally { var p = 0; while (p < dim) { trace += cm(p)(p); p += 1 } }
+        val fit = pcaFit(s, dir)
         def row(k: Long, lam: Double, v: Array[Double]) = {
           var td = 0; var p = 1
-          while (p < dim) {
+          while (p < fit.dim) {
             if (math.abs(v(p)) > math.abs(v(td))) td = p; p += 1
           }
-          (k, micro(lam), micro(lam / trace), (td + 1).toLong,
+          (k, micro(lam), micro(lam / fit.trace), (td + 1).toLong,
             micro(math.abs(v(td))))
         }
-        s.createDataFrame(Seq(row(1L, lam1, v1), row(2L, lam2, v2)))
+        s.createDataFrame(
+          Seq(row(1L, fit.lam1, fit.v1), row(2L, fit.lam2, fit.v2)))
           .toDF("component", "eigenvalue_micro", "evr_micro", "top_dim",
             "top_loading_micro")
       },
-      Some(s"""WITH RECURSIVE raw AS (SELECT
-                  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e0
-                FROM embeddings),
-              f AS (SELECT list_transform(e0, (x, i) ->
-                  CASE WHEN i = len(e0) THEN 0.7 * e0[1] ELSE x END) AS e
-                FROM raw),
-              c AS (SELECT CAST(pos + 1 AS BIGINT) AS p, x
-                FROM (SELECT UNNEST(e) AS x,
-                        UNNEST(range(len(e))) AS pos FROM f) t),
-              dims AS (SELECT p, COUNT(*) AS n,
-                  CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s1
-                FROM c GROUP BY 1),
-              pp AS (SELECT CAST(s.p AS BIGINT) AS p,
-                  CAST(s.q AS BIGINT) AS q, s.xy AS xy
-                FROM (SELECT UNNEST(flatten(
-                    [[{'p': i, 'q': j, 'xy': e[i] * e[j]}
-                      for j in range(i, len(e) + 1)]
-                     for i in range(1, len(e) + 1)])) AS s
-                  FROM f) t),
-              pa AS (SELECT p, q, COUNT(*) AS n,
-                  CAST(SUM(CAST(xy AS DECIMAL(18,10))) AS DOUBLE) AS sxy
-                FROM pp GROUP BY 1, 2),
-              cov AS (SELECT pa.p, pa.q,
-                  pa.sxy / pa.n - (di.s1 / di.n) * (dj.s1 / dj.n) AS cv
-                FROM pa JOIN dims di ON pa.p = di.p
-                JOIN dims dj ON pa.q = dj.p),
-              covfull AS (SELECT p, q, cv FROM cov
-                UNION ALL SELECT q, p, cv FROM cov WHERE p <> q),
-              mat AS MATERIALIZED (SELECT list(rw ORDER BY p) AS m,
-                  any_value(d) AS d
-                FROM (SELECT p, list(cv ORDER BY q) AS rw, COUNT(*) AS d
-                  FROM covfull GROUP BY p)),
-              it1(k, v) AS (
-                SELECT 0, list_transform(range(1, d + 1),
-                    i -> 1.0 / SQRT(d)) FROM mat
-                UNION ALL
-                SELECT k + 1, ${pcaStepSql("it1.v")}
-                FROM it1, mat m WHERE k < $PcaIters),
-              c1 AS MATERIALIZED (SELECT v FROM it1 WHERE k = $PcaIters),
-              l1 AS MATERIALIZED (SELECT
-                  ${pcaRayleighSql("c1.v")} AS lam FROM mat m, c1),
-              mat2 AS MATERIALIZED (SELECT
-                  list_transform(range(1, m.d + 1), p ->
-                    list_transform(range(1, m.d + 1), q ->
-                      m.m[p][q] - l1.lam * c1.v[p] * c1.v[q])) AS m,
-                  m.d AS d
-                FROM mat m, c1, l1),
-              it2(k, v) AS (
-                SELECT 0, list_transform(range(1, d + 1),
-                    i -> 1.0 / SQRT(d)) FROM mat2
-                UNION ALL
-                SELECT k + 1, ${pcaStepSql("it2.v")}
-                FROM it2, mat2 m WHERE k < $PcaIters),
-              c2 AS MATERIALIZED (SELECT v FROM it2 WHERE k = $PcaIters),
-              l2 AS MATERIALIZED (SELECT
-                  ${pcaRayleighSql("c2.v")} AS lam FROM mat2 m, c2),
+      Some(s"""WITH RECURSIVE $pcaChainSql,
               tr AS (SELECT list_sum(list_transform(range(1, m.d + 1),
                   p -> m.m[p][p])) AS trace FROM mat m),
               comps AS (SELECT 1 AS component, l1.lam AS lam, c1.v AS v
@@ -1432,7 +1481,79 @@ object Similarity {
                 CAST(td AS BIGINT) AS top_dim,
                 CAST(ROUND(ABS(v[td]) * 1000000) AS BIGINT)
                   AS top_loading_micro
-              FROM canon, tr ORDER BY component"""))
+              FROM canon, tr ORDER BY component""")),
+
+    // Per-label cluster geometry in PC space — q179's components put
+    // to work: every embedding is mean-centered and projected onto the
+    // top-2 principal axes, and the per-label occupancy (count, summed
+    // coordinates, bounding extents in integer micros) reports how the
+    // labeled clusters separate in the reduced plane — the 2-D
+    // "is the labeling visible to the encoder" diagnostic a corpus
+    // curator reads before trusting label-stratified sampling.
+    // Determinism: projection = in-order fold dot(e, v) minus the
+    // in-order centering constant dot(mean, v) (the LINEAR form is
+    // declared — both engines compute dot(e,v) − c, not Σ(e−m)v), on
+    // the bitwise-identical components q179 establishes; per-row
+    // quantization is FLOOR to micros (floor of identical doubles has
+    // no tie semantics at all), and everything after is integer
+    // aggregation. Plan at 100 TB: pcaFit's one moment scan, then a
+    // map-only project + single partial-agg shuffle on label — the
+    // driver contributes two 64-double literals to the plan.
+    "q180_pc_occupancy" -> QueryDef(
+      (s, dir) => {
+        val fit = pcaFit(s, dir)
+        var cc1 = 0.0; var cc2 = 0.0
+        locally {
+          var i = 0
+          while (i < fit.dim) {
+            cc1 += fit.means(i) * fit.v1(i)
+            cc2 += fit.means(i) * fit.v2(i)
+            i += 1
+          }
+        }
+        def proj(v: Array[Double], cc: Double)
+            : org.apache.spark.sql.Column = {
+          val vlit = array(v.map(lit): _*)
+          floor((aggregate(zip_with(col("e"), vlit, (x, y) => x * y),
+            lit(0.0), (acc, z) => acc + z) - cc) * 1e6).cast("long")
+        }
+        table(s, dir, "embeddings")
+          .withColumn("e", covFixture(col("embedding")))
+          .select(col("label").cast("long").as("label"),
+            proj(fit.v1, cc1).as("p1"), proj(fit.v2, cc2).as("p2"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum("p1").as("sum_pc1_micro"),
+            min("p1").as("min_pc1_micro"),
+            max("p1").as("max_pc1_micro"),
+            sum("p2").as("sum_pc2_micro"),
+            min("p2").as("min_pc2_micro"),
+            max("p2").as("max_pc2_micro"))
+          .orderBy("label")
+      },
+      Some(s"""WITH RECURSIVE $pcaChainSql,
+              ml AS MATERIALIZED (SELECT list(s1 / n ORDER BY p) AS mv
+                FROM dims),
+              cc AS MATERIALIZED (SELECT
+                  list_sum(list_transform(range(1, len(c1.v) + 1),
+                    i -> ml.mv[i] * c1.v[i])) AS c1c,
+                  list_sum(list_transform(range(1, len(c2.v) + 1),
+                    i -> ml.mv[i] * c2.v[i])) AS c2c
+                FROM ml, c1, c2),
+              pcj AS (SELECT CAST(f.label AS BIGINT) AS label,
+                  CAST(FLOOR((list_sum(list_transform(
+                      range(1, len(f.e) + 1), i -> f.e[i] * c1.v[i]))
+                    - cc.c1c) * 1000000) AS BIGINT) AS p1,
+                  CAST(FLOOR((list_sum(list_transform(
+                      range(1, len(f.e) + 1), i -> f.e[i] * c2.v[i]))
+                    - cc.c2c) * 1000000) AS BIGINT) AS p2
+                FROM f, c1, c2, cc)
+              SELECT label, COUNT(*) AS n,
+                CAST(SUM(p1) AS BIGINT) AS sum_pc1_micro,
+                MIN(p1) AS min_pc1_micro, MAX(p1) AS max_pc1_micro,
+                CAST(SUM(p2) AS BIGINT) AS sum_pc2_micro,
+                MIN(p2) AS min_pc2_micro, MAX(p2) AS max_pc2_micro
+              FROM pcj GROUP BY label ORDER BY label"""))
   )
 
   /** q175's declared fixture: the synthetic embeddings are

@@ -572,4 +572,30 @@ class AnnSpec extends SparkSpec {
     // must load hardest on one of that correlated pair
     assert(Set(1L, 64L).contains(r1.getLong(3)))
   }
+
+  test("q180: occupancy is consistent geometry over the full corpus") {
+    val rows = SparkEntry.queries("q180_pc_occupancy")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // every label reported exactly once, in order
+    val labels = rows.map(_.getLong(0))
+    assert(labels.sameElements(labels.sorted.distinct))
+    // occupancy partitions the corpus: counts sum to the table size
+    val total = Q.table(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      val (n, s1, mn1, mx1, s2, mn2, mx2) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))
+      assert(mn1 <= mx1 && mn2 <= mx2)
+      // the sum lies inside the bounding box times the count
+      assert(s1 >= n * mn1 && s1 <= n * mx1, s"pc1 sum outside box: $r")
+      assert(s2 >= n * mn2 && s2 <= n * mx2, s"pc2 sum outside box: $r")
+    }
+    // mean-centered projection: the GLOBAL mean of pc1 is ~0 (floor
+    // quantization biases each row at most 1 micro low)
+    val g1 = rows.map(_.getLong(2)).sum.toDouble / total
+    assert(math.abs(g1) <= 1e5,
+      s"pc1 grand mean far from 0: $g1 micro — centering constant wrong")
+  }
 }

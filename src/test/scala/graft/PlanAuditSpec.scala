@@ -527,6 +527,16 @@ class PlanAuditSpec extends SparkSpec {
       "per-doc and per-lang rollups must combine map-side")
   }
 
+  test("q180: PC projection is map-only; components enter as literals") {
+    val p = plan("q180_pc_occupancy")
+    assert(!p.contains("Join"),
+      "the fitted components must be plan literals, never a joined side")
+    assert(!p.contains("Generate"),
+      "the projection folds in-row (zip_with/aggregate), no explode")
+    assert(p.contains("partial_"),
+      "the per-label occupancy agg must combine map-side")
+  }
+
   test("q173: boilerplate join-back broadcasts; no sort-merge on the line key") {
     val p = plan("q173_line_dedup")
     assert(p.contains("BroadcastHashJoin"),
