@@ -1,0 +1,419 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q._
+
+/** Model-in-the-loop curation (SURVEY 2B extension surface - the
+  * reference is a GCS file mover with no learning code; absent by
+  * construction). Large-scale pipelines train SMALL models over the
+  * corpus to curate it: a linear quality probe over document features
+  * (the fastText-style classifier GPT-3/CCNet used to filter CommonCrawl
+  * against a high-quality reference), applied back over the corpus as a
+  * keep/drop gate, and greedy coreset selection (k-center
+  * farthest-point) for diversity-stratified subsampling. All three are
+  * implemented here as declared, engine-exact training rules:
+  *
+  * Determinism discipline: logistic regression's sigmoid needs exp(),
+  * whose last-ulp rounding differs across libm implementations - the
+  * same reason the perplexity family (q133/q176) is log-free. The
+  * declared activation is therefore the RATIONAL sigmoid
+  * s(m) = 0.5 + 0.5*m/(1+|m|) (Elliott 1993's "softsign" squashed to
+  * (0,1)) - only +,*,/,abs, each a single correctly-rounded IEEE op, so
+  * both engines walk bitwise-identical trajectories. Gradient sums are
+  * the order-free exact-decimal discipline (cast DECIMAL(18,10) before
+  * SUM); the weight update is pure sequential IEEE arithmetic mirrored
+  * between the Scala driver loop and the oracle's unrolled CTE chain.
+  * Training rule (declared): full-batch updates
+  * w_p <- w_p - lr_k*(g_p/n), g_p = sum_rows (s(m)-y)*x_p, with the
+  * geometric power-of-two rate schedule lr_k = 2^(7-k), fixed 8
+  * iterations - the delta rule on the rational sigmoid (not
+  * logistic loss's exact gradient; chosen for cross-engine exactness,
+  * same spirit as q178's integer-micro PageRank).
+  */
+object Learn {
+
+  /** Fixed full-batch iterations - declared, not convergence-polled
+    * (the oracle unrolls the same count; no driver convergence collect
+    * at scale).
+    */
+  private val GdIters = 8
+
+  /** Declared learning-rate schedule: geometric decay over powers of
+    * two, lr_k = 2^(7-k) for step k = 1..8 (64, 32, ..., 0.5) - every
+    * rate exact in binary, so each update multiply is one rounding in
+    * both engines. Swept: a fixed 0.5 left accuracy at chance (steps
+    * too small to move the weight norm), a fixed 32 oscillated (the
+    * bias term flip-flopped sign every step and poisoned the gradient
+    * direction); the decaying schedule takes the large early steps and
+    * settles.
+    */
+  private def gdLr(k: Int): Double = (1L << math.max(7 - k, 0)).toDouble *
+    (if (k >= 8) 0.5 else 1.0)
+
+  /** Declared binary target over the embeddings table: y = label mod 2
+    * (the synthetic corpus has no quality labels; parity of the cluster
+    * label unions five clusters per class, so the probe has real signal
+    * to find - LearnSpec asserts accuracy improves over training).
+    */
+  private def yCol: Column = (col("label") % 2).cast("double")
+
+  /** Per-row margin m = dot(e, w) + b with w entering the plan as
+    * literals - a left fold in index order, the bitwise mirror of the
+    * oracle's list_sum(list_transform(...)).
+    */
+  private def marginCol(w: Array[Double], b: Double): Column =
+    aggregate(zip_with(col("e"), array(w.map(lit): _*), (x, v) => x * v),
+      lit(0.0), (acc, z) => acc + z) + lit(b)
+
+  /** Rational sigmoid on the margin: s = 0.5 + 0.5*m/(1+|m|). */
+  private def squash(m: Column): Column =
+    lit(0.5) + lit(0.5) * m / (lit(1.0) + abs(m))
+
+  /** The fitted probe's score on a raw float-embedding column - ONE
+    * definition shared by q183's batch gate and
+    * [[graft.streaming.StreamingOps.probeGateStream]], so the two
+    * modes cannot drift.
+    */
+  private[graft] def probeScore(emb: Column, w: Array[Double], b: Double)
+      : Column = {
+    val e = transform(emb, x => x.cast("double"))
+    squash(aggregate(
+      zip_with(e, array(w.map(lit): _*), (x, v) => x * v),
+      lit(0.0), (acc, z) => acc + z) + lit(b))
+  }
+
+  /** One trained probe: weights/bias after [[GdIters]] full-batch
+    * steps plus the per-iteration training report (metrics row k is
+    * the scan under w_{k-1}, i.e. the state the step-k gradient saw;
+    * w_l2/b report the state AFTER update k).
+    */
+  private[graft] final case class ProbeFit(dim: Int, w: Array[Double],
+      b: Double, report: Seq[(Long, Long, Long, Long, Long)])
+
+  /** [[probeFit]] is a pure function of the table directory (exact
+    * decimal moments + deterministic driver arithmetic), so the fit is
+    * memoized per dir for the life of the session - q181's report and
+    * q183's corpus gate share one training run, the same
+    * fit-once/probe-many discipline as [[Similarity.pcaFit]] and the
+    * persisted ANN indexes. A racing double-compute is harmless
+    * (identical result).
+    */
+  private val probeFitCache =
+    scala.collection.concurrent.TrieMap.empty[String, ProbeFit]
+
+  private[graft] def probeFit(s: SparkSession, dir: String): ProbeFit =
+    probeFitCache.getOrElseUpdate(dir, probeFitUncached(s, dir))
+
+  /** The Spark half of the training recipe: the feature frame is
+    * persisted once (8 iterations re-read it - q178's contrib
+    * discipline), each iteration is ONE corpus scan: an in-row
+    * (d+1)-element gradient array (bias at position 0) explodes into a
+    * 65-key exact-decimal partial agg, metrics ride the position-0
+    * group. The bounded collect is d+1 rows per iteration (the
+    * nlist-centroid discipline); the weight update happens on the
+    * driver in the exact sequential order the oracle's CTE chain
+    * declares.
+    */
+  private def probeFitUncached(s: SparkSession, dir: String): ProbeFit = {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"),
+        yCol.as("y"))
+      .managedPersist
+    val dim = emb.select(size(col("e"))).head().getInt(0)
+    val w = Array.fill(dim)(0.0)
+    var b = 0.0
+    val report = (1 to GdIters).map { k =>
+      val m = marginCol(w, b)
+      val err = squash(m) - col("y")
+      val correct =
+        ((m > lit(0.0)) === (col("y") === lit(1.0))).cast("long")
+      // garr(0) = d(err)/d(b); garr(p) = err * e_p for p = 1..dim
+      val garr = concat(array(err), transform(col("e"), x => err * x))
+      val rows = emb
+        .select(col("y"), correct.as("c"), abs(err).as("ae"),
+          posexplode(garr).as(Seq("p", "gv")))
+        .groupBy("p")
+        .agg(
+          sum(col("gv").cast(DecimalType(18, 10))).cast("double").as("g"),
+          count(lit(1)).as("n"),
+          sum(col("c")).as("nc"),
+          sum(col("ae").cast(DecimalType(18, 10))).cast("double").as("sae"))
+        .collect()
+      val g = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val head = rows.find(_.getInt(0) == 0).get
+      val n = head.getLong(2).toDouble
+      // sequential IEEE update, index-ascending - the oracle's
+      // list_transform walks the same order
+      val lr = gdLr(k)
+      b = b - lr * (g(0) / n)
+      var p = 0
+      while (p < dim) { w(p) = w(p) - lr * (g(p + 1) / n); p += 1 }
+      var ss = 0.0
+      locally { var i = 0; while (i < dim) { ss += w(i) * w(i); i += 1 } }
+      (k.toLong, head.getLong(3), micro(head.getDouble(4)),
+        micro(math.sqrt(ss)), micro(b))
+    }
+    ProbeFit(dim, w, b, report)
+  }
+
+  /** Half-away-from-zero micro rounding on the exact binary double
+    * ([[Similarity]]'s discipline - BigDecimal(double) keeps the full
+    * binary expansion; HALF_UP equals DuckDB ROUND ties-away on the
+    * identical double).
+    */
+  private def micro(x: Double): Long =
+    new java.math.BigDecimal(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+
+  // ---------------------------------------------------------------
+  // Oracle chain (shared by q181 and q183 - ONE definition so the
+  // report and the gate cannot drift)
+  // ---------------------------------------------------------------
+
+  /** Feature CTE: f(vec_id, e, y). MATERIALIZED - every unrolled step
+    * scans it (the q179 lesson: inlined CTEs re-expand per reference).
+    */
+  private val featSql =
+    """f AS MATERIALIZED (SELECT vec_id,
+              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e,
+              CAST(label % 2 AS DOUBLE) AS y
+            FROM embeddings)"""
+
+  /** One oracle iteration, w{k-1} -> w{k}: the per-row scan under the
+    * previous weights, the exact-decimal gradient agg keyed by unnest
+    * position (0 = bias), and the sequential update. Mirrors
+    * [[probeFitUncached]]'s loop body term for term.
+    */
+  private def gdStepSql(k: Int): String = {
+    val j = k - 1
+    s"""sc$k AS (SELECT f.y, f.e,
+              list_sum(list_transform(range(1, len(f.e) + 1),
+                i -> f.e[i] * w$j.w[i])) + w$j.b AS m
+            FROM f, w$j),
+          er$k AS (SELECT y, e,
+              (0.5 + 0.5 * m / (1 + ABS(m))) - y AS err,
+              CASE WHEN (m > 0) = (y = 1) THEN 1 ELSE 0 END AS c
+            FROM sc$k),
+          gx$k AS (SELECT c, ABS(err) AS ae,
+              UNNEST(list_concat([err],
+                list_transform(e, x -> err * x))) AS gv,
+              UNNEST(range(len(e) + 1)) AS p
+            FROM er$k),
+          ga$k AS MATERIALIZED (SELECT p,
+              CAST(SUM(CAST(gv AS DECIMAL(18,10))) AS DOUBLE) AS g,
+              COUNT(*) AS n, SUM(c) AS nc,
+              CAST(SUM(CAST(ae AS DECIMAL(18,10))) AS DOUBLE) AS sae
+            FROM gx$k GROUP BY p),
+          gl$k AS (SELECT list(g ORDER BY p) AS gs, any_value(n) AS n
+            FROM ga$k),
+          st$k AS (SELECT CAST($k AS BIGINT) AS iter,
+              CAST(nc AS BIGINT) AS n_correct,
+              CAST(ROUND(sae * 1000000) AS BIGINT) AS abs_err_micro
+            FROM ga$k WHERE p = 0),
+          w$k AS MATERIALIZED (SELECT
+              list_transform(range(1, len(w$j.w) + 1),
+                i -> w$j.w[i] - ${gdLr(k)} * (gl$k.gs[i + 1] / gl$k.n)) AS w,
+              w$j.b - ${gdLr(k)} * (gl$k.gs[1] / gl$k.n) AS b
+            FROM w$j, gl$k)"""
+  }
+
+  /** The full unrolled training chain: f, w0 (zeros), then
+    * [[GdIters]] steps. Consumers append their own report CTEs;
+    * `w$GdIters` holds the fitted model, `st1..stN` the per-iteration
+    * metrics.
+    */
+  private def gdChainSql: String =
+    s"""$featSql,
+          w0 AS MATERIALIZED (SELECT list_transform(range(1, len(e) + 1),
+                i -> CAST(0.0 AS DOUBLE)) AS w,
+              CAST(0.0 AS DOUBLE) AS b
+            FROM f LIMIT 1),
+          ${(1 to GdIters).map(gdStepSql).mkString(",\n          ")}"""
+
+  /** Post-update model norms for the report: w_l2 is the index-order
+    * square fold (list_sum mirror of the driver while-loop) under one
+    * correctly-rounded SQRT.
+    */
+  private def normSql(k: Int): String =
+    s"""(SELECT CAST(ROUND(SQRT(list_sum(
+          list_transform(w$k.w, x -> x * x))) * 1000000) AS BIGINT)
+        FROM w$k)"""
+
+  /** Coreset size for q182 - declared; the oracle unrolls the same
+    * count. Row K+1 reports the would-be next pick, i.e. the k-center
+    * covering radius of the selected set.
+    */
+  private val CoresetK = 16
+
+  /** Squared euclidean distance to a fixed center entering the plan as
+    * literals - per-element (x-c)^2 then the index-order left fold,
+    * bitwise-mirrored by the oracle's list_sum(list_transform(...)).
+    */
+  private def dist2Col(c: Array[Double]): Column =
+    aggregate(
+      zip_with(col("e"), array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z)
+
+  private def dist2Sql(eRef: String, cRef: String): String =
+    s"""list_sum(list_transform(range(1, len($eRef) + 1),
+          i -> ($eRef[i] - $cRef[i]) * ($eRef[i] - $cRef[i])))"""
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Q181: train the linear quality probe - 8 full-batch delta-rule
+    // steps on the rational sigmoid over embedding features, target =
+    // cluster-label parity (declared). Report: one row per iteration
+    // with the training-scan metrics (n_correct, summed |error| in
+    // micros) and the post-update model norms. Every number is either
+    // an integer count, an exact-decimal sum micro-rounded once, or a
+    // sequential-IEEE scalar micro-rounded once - oracle-exact end to
+    // end. 100 TB plan: 8 x (one corpus scan -> 65-key partial agg ->
+    // 65-row collect); the feature frame persists across iterations,
+    // nothing corpus-sized ever reaches the driver.
+    "q181_quality_probe" -> QueryDef(
+      (s, dir) => {
+        val fit = probeFit(s, dir)
+        s.createDataFrame(fit.report)
+          .toDF("iter", "n_correct", "abs_err_micro", "w_l2_micro",
+            "b_micro")
+          .orderBy("iter")
+      },
+      Some(s"""WITH $gdChainSql
+              SELECT st.iter, st.n_correct, st.abs_err_micro,
+                nm.l2 AS w_l2_micro, nm.bm AS b_micro
+              FROM (${(1 to GdIters).map(k =>
+                  s"SELECT iter, n_correct, abs_err_micro FROM st$k")
+                .mkString(" UNION ALL ")}) st
+              JOIN (${(1 to GdIters).map(k =>
+                  s"""SELECT CAST($k AS BIGINT) AS iter,
+                      ${normSql(k)} AS l2,
+                      (SELECT CAST(ROUND(b * 1000000) AS BIGINT)
+                        FROM w$k) AS bm""")
+                .mkString(" UNION ALL ")}) nm
+              ON nm.iter = st.iter
+              ORDER BY st.iter""")),
+
+    // Q182: greedy k-center coreset selection (Gonzalez 1985 farthest-
+    // point traversal) - the diversity-subsampling primitive: pick the
+    // seed (vec_id 0, declared), then 15 times the point FARTHEST from
+    // the selected set (max-min squared euclidean, ties to the lower
+    // vec_id), reporting each pick's label and selection distance plus
+    // a final row for the would-be 17th pick, whose distance IS the
+    // covering radius of the coreset. Distances are bitwise-identical
+    // index-order folds; the argmax compares identical doubles, so
+    // selection is engine-exact with no rounding in the loop
+    // (micro-rounding only at the report edge). 100 TB plan: each step
+    // is ONE map-only scan (the new center enters as literals) + a
+    // global top-1 reduce (TakeOrdered); the running min-distance
+    // column is localCheckpoint'ed per step so plan depth stays O(1)
+    // like the q178 rank loop - k scans total, nothing corpus-sized on
+    // the driver (one 64-double row collected per step).
+    "q182_coreset_select" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            transform(col("embedding"), x => x.cast("double")).as("e"))
+          .managedPersist
+        val seed = emb.filter(col("vec_id") === 0).head()
+        var c = seed.getSeq[Double](2).toArray
+        val picks = scala.collection.mutable.ArrayBuffer(
+          (1L, 0L, seed.getLong(1), 0L))
+        var d = emb
+          .withColumn("d", dist2Col(c))
+          .localCheckpoint(true)
+        for (k <- 2 to CoresetK + 1) {
+          val far = d.orderBy(desc("d"), asc("vec_id")).limit(1).head()
+          picks += ((k.toLong, far.getLong(0), far.getLong(1),
+            micro(far.getDouble(3))))
+          if (k <= CoresetK) {
+            c = far.getSeq[Double](2).toArray
+            d = d.withColumn("d", least(col("d"), dist2Col(c)))
+              .localCheckpoint(true)
+          }
+        }
+        s.createDataFrame(picks.toSeq)
+          .toDF("sel_order", "vec_id", "label", "dist_micro")
+          .orderBy("sel_order")
+      },
+      Some {
+        val steps = (2 to CoresetK + 1).map { k =>
+          val j = k - 1
+          // MATERIALIZED (the q179 lesson): each step references the
+          // previous frame twice (pick + min-update); inlined CTEs
+          // would re-expand the chain exponentially
+          val pick =
+            s"""p$k AS MATERIALIZED (SELECT vec_id, label, e, d FROM d$j
+                ORDER BY d DESC, vec_id LIMIT 1)"""
+          if (k <= CoresetK)
+            s"""$pick,
+              d$k AS MATERIALIZED (SELECT d$j.vec_id, d$j.label, d$j.e,
+                  LEAST(d$j.d, ${dist2Sql(s"d$j.e", s"p$k.e")}) AS d
+                FROM d$j, p$k)"""
+          else pick
+        }.mkString(",\n              ")
+        s"""WITH f AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+                FROM embeddings),
+              c1 AS (SELECT e FROM f WHERE vec_id = 0),
+              d1 AS MATERIALIZED (SELECT f.vec_id, f.label, f.e,
+                  ${dist2Sql("f.e", "c1.e")} AS d
+                FROM f, c1),
+              $steps
+              SELECT CAST(1 AS BIGINT) AS sel_order,
+                CAST(0 AS BIGINT) AS vec_id, label,
+                CAST(0 AS BIGINT) AS dist_micro
+              FROM f WHERE vec_id = 0
+              UNION ALL
+              ${(2 to CoresetK + 1).map(k =>
+                s"""SELECT CAST($k AS BIGINT), vec_id, label,
+                    CAST(ROUND(d * 1000000) AS BIGINT) FROM p$k""")
+                .mkString(" UNION ALL ")}
+              ORDER BY sel_order"""
+      }),
+
+    // Q183: the probe applied back over the corpus as a keep/drop gate
+    // (the actual CommonCrawl-filter shape): score every embedding
+    // under the FITTED model, keep score >= 0.5 (equivalently margin
+    // > 0 is NOT the same once b != 0 - the declared gate is on the
+    // squashed score), report per cluster label n / n_keep / the
+    // summed per-row FLOOR-micro score (floor of identical doubles,
+    // then integer aggregation - q180's quantization discipline).
+    // Shows which clusters the probe would cut. 100 TB plan: the
+    // training cost amortizes across q181/q183 via the memo; the gate
+    // itself is ONE map-only scan (w enters as literals) into a
+    // 10-key partial agg.
+    "q183_probe_gate" -> QueryDef(
+      (s, dir) => {
+        val fit = probeFit(s, dir)
+        val sc = probeScore(col("embedding"), fit.w, fit.b)
+        table(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            (sc >= lit(0.5)).cast("long").as("keep"),
+            floor(sc * lit(1e6)).cast("long").as("sm"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), sum("keep").as("n_keep"),
+            sum("sm").as("sum_score_micro"))
+          .orderBy("label")
+      },
+      Some(s"""WITH $gdChainSql,
+              gate AS (SELECT CAST(el.label AS BIGINT) AS label,
+                  CASE WHEN sc >= 0.5 THEN 1 ELSE 0 END AS keep,
+                  CAST(FLOOR(sc * 1000000) AS BIGINT) AS sm
+                FROM (SELECT label,
+                    0.5 + 0.5 * m / (1 + ABS(m)) AS sc
+                  FROM (SELECT el0.label,
+                      list_sum(list_transform(
+                        range(1, len(el0.e) + 1),
+                        i -> el0.e[i] * wf.w[i])) + wf.b AS m
+                    FROM (SELECT label, list_transform(embedding,
+                          v -> CAST(v AS DOUBLE)) AS e
+                        FROM embeddings) el0, w$GdIters wf) q) el)
+              SELECT label, COUNT(*) AS n,
+                CAST(SUM(keep) AS BIGINT) AS n_keep,
+                CAST(SUM(sm) AS BIGINT) AS sum_score_micro
+              FROM gate GROUP BY label ORDER BY label"""))
+  )
+}

@@ -537,6 +537,27 @@ object StreamingOps {
     * a readStream micro-batch at any throughput (StreamingSpec asserts
     * batch ≡ stream on the same rows).
     */
+  /** Streaming quality gate — q183's fitted linear probe applied at
+    * ingest time: score every arriving embedding under the trained
+    * (w, b) (the weights ride the plan as literals — the nightly-loop
+    * split: heavy training in batch via [[graft.operators.Learn
+    * .probeFit]], cheap application in the stream) and emit the
+    * floor-micro score plus the `keep` bit at the declared 0.5
+    * threshold. The scoring expression is [[graft.operators.Learn
+    * .probeScore]] — ONE definition with the batch gate, so the two
+    * modes cannot drift. Completely STATELESS — map-only fold, no
+    * watermark, no state store, no shuffle — so it runs identically
+    * over a batch frame and a readStream micro-batch (StreamingSpec
+    * asserts batch ≡ stream on the same rows).
+    */
+  def probeGateStream(vecs: DataFrame, w: Array[Double], b: Double,
+      embCol: String = "embedding"): DataFrame = {
+    val sc = graft.operators.Learn.probeScore(col(embCol), w, b)
+    vecs
+      .withColumn("score_micro", floor(sc * lit(1e6)).cast("long"))
+      .withColumn("keep", (sc >= lit(0.5)).cast("long"))
+  }
+
   def piiScrubStream(docs: DataFrame, textCol: String): DataFrame = {
     val t = graft.operators.TextAnalysis
     docs

@@ -537,6 +537,16 @@ class PlanAuditSpec extends SparkSpec {
       "the per-label occupancy agg must combine map-side")
   }
 
+  test("q183: the probe gate is map-only; fitted weights enter as literals") {
+    val p = plan("q183_probe_gate")
+    assert(!p.contains("Join"),
+      "the fitted model must be plan literals, never a joined side")
+    assert(!p.contains("Generate"),
+      "the score folds in-row (zip_with/aggregate), no explode")
+    assert(p.contains("partial_"),
+      "the per-label gate rollup must combine map-side")
+  }
+
   test("q173: boilerplate join-back broadcasts; no sort-merge on the line key") {
     val p = plan("q173_line_dedup")
     assert(p.contains("BroadcastHashJoin"),

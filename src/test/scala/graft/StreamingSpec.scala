@@ -12,6 +12,8 @@ final case class EvId(
 
 final case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
+final case class Vec(ts: Timestamp, vec_id: Long, embedding: Array[Float])
+
 /** MemoryStream behavior tests for the streaming surface (SURVEY §5
   * item 5): tumbling/sliding/session window contents, watermark-driven
   * finalization in append mode, and late-data dropping.
@@ -394,6 +396,45 @@ class StreamingSpec extends SparkSpec {
     val all = StreamingOps.decontaminateStream(
       Seq(Doc(t(1), 1L, contaminated)).toDF(), null, "text")
     assert(all.count() == 1)
+  }
+
+  test("probeGateStream scores statelessly; batch ≡ stream; keep matches the threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // hand-picked weights: score is driven by the first two dims
+    val w = Array(2.0, -2.0, 0.0)
+    val b = -0.25
+    val vecs = Seq(
+      Vec(t(1), 1L, Array(1.0f, 0.0f, 0.3f)),   // m = 1.75  -> keep
+      Vec(t(2), 2L, Array(0.0f, 1.0f, 0.3f)),   // m = -2.25 -> drop
+      Vec(t(3), 3L, Array(0.125f, 0.0f, 0.0f)), // m = 0     -> keep (s = 0.5)
+      Vec(t(4), 4L, Array(0.0f, 0.0f, 9.9f)))   // m = -0.25 -> drop
+    val input = MemoryStream[Vec]
+    val q = StreamingOps.probeGateStream(input.toDF(), w, b)
+      .writeStream.format("memory").outputMode(OutputMode.Append())
+      .queryName("probe_" + System.nanoTime()).start()
+    val streamed = try {
+      input.addData(vecs)
+      q.processAllAvailable()
+      spark.table(q.name).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score_micro"),
+          r.getAs[Long]("keep")))
+        .sortBy(_._1).toSeq
+    } finally q.stop()
+    assert(streamed.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(streamed.map(_._3) == Seq(1L, 0L, 1L, 0L),
+      s"keep bits wrong: $streamed")
+    // keep is exactly (score >= 0.5): every kept score_micro >= 500000
+    assert(streamed.forall(r => (r._2 >= 500000L) == (r._3 == 1L)))
+    // m = 0.125*2 - 0.25 = 0 exactly: the boundary row scores 0.5
+    assert(streamed.find(_._1 == 3L).get._2 == 500000L)
+    // one definition, two modes: identical rows from the batch frame
+    val batch = StreamingOps.probeGateStream(vecs.toDF(), w, b)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score_micro"),
+        r.getAs[Long]("keep")))
+      .sortBy(_._1).toSeq
+    assert(batch == streamed, s"batch/stream drift:\n$batch\n$streamed")
   }
 
   test("piiScrubStream redacts statelessly; batch mode produces identical rows") {
