@@ -558,6 +558,36 @@ object Stress {
           .groupBy("doc_id").agg(count(lit(1)), sum("term"))
           .count()
       },
+      // q181's training loop on the inflated corpus: 8 scans, each an
+      // in-row gradient array into a 65-key exact-decimal partial agg
+      // + a 65-row collect - expected linear in n with a fixed
+      // iteration constant
+      timed("probe_train") {
+        val feat = embeddings
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("e"),
+            (col("label") % 2).cast("double").as("y"))
+          .persist()
+        try {
+          val n = feat.count()
+          graft.operators.Learn.trainProbe(feat)
+          n
+        } finally feat.unpersist(blocking = false)
+      },
+      // q182's farthest-point loop on the inflated corpus: 17 map-only
+      // scans each ending in a global top-1 reduce, localCheckpoint
+      // per step - expected linear in n with a fixed step constant
+      timed("coreset_select") {
+        val emb = embeddings
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            transform(col("embedding"), x => x.cast("double")).as("e"))
+          .persist()
+        try {
+          val n = emb.count()
+          graft.operators.Learn.coresetSelect(emb, 16)
+          n
+        } finally emb.unpersist(blocking = false)
+      },
       // two-pass z-score (q66 shape): fixed-size moment sketch, then
       // the tiny stats table broadcast back over the inflated facts
       timed("zscore_two_pass") {

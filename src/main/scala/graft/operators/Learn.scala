@@ -60,12 +60,16 @@ object Learn {
   private def yCol: Column = (col("label") % 2).cast("double")
 
   /** Per-row margin m = dot(e, w) + b with w entering the plan as
-    * literals - a left fold in index order, the bitwise mirror of the
-    * oracle's list_sum(list_transform(...)).
+    * literals. The dot is the native codegen'd `graft_dot` - a
+    * double-accumulate in index order starting from 0.0, the bitwise
+    * mirror of both the oracle's list_sum(list_transform(...)) and the
+    * interpreted `aggregate(zip_with(...))` fold it replaces (the q169
+    * lesson: per-row HOF folds on the hot path are the #1 interpreted
+    * cost; this one runs once per row per training iteration).
     */
   private def marginCol(w: Array[Double], b: Double): Column =
-    aggregate(zip_with(col("e"), array(w.map(lit): _*), (x, v) => x * v),
-      lit(0.0), (acc, z) => acc + z) + lit(b)
+    graft.functions.VectorFunctions.dot(
+      col("e"), array(w.map(lit): _*)) + lit(b)
 
   /** Rational sigmoid on the margin: s = 0.5 + 0.5*m/(1+|m|). */
   private def squash(m: Column): Column =
@@ -77,12 +81,9 @@ object Learn {
     * modes cannot drift.
     */
   private[graft] def probeScore(emb: Column, w: Array[Double], b: Double)
-      : Column = {
-    val e = transform(emb, x => x.cast("double"))
-    squash(aggregate(
-      zip_with(e, array(w.map(lit): _*), (x, v) => x * v),
-      lit(0.0), (acc, z) => acc + z) + lit(b))
-  }
+      : Column =
+    squash(graft.functions.VectorFunctions.dot(
+      emb, array(w.map(lit): _*)) + lit(b))
 
   /** One trained probe: weights/bias after [[GdIters]] full-batch
     * steps plus the per-iteration training report (metrics row k is
@@ -116,24 +117,41 @@ object Learn {
     * driver in the exact sequential order the oracle's CTE chain
     * declares.
     */
-  private def probeFitUncached(s: SparkSession, dir: String): ProbeFit = {
-    val emb = table(s, dir, "embeddings")
+  private def probeFitUncached(s: SparkSession, dir: String): ProbeFit =
+    trainProbe(table(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"),
         yCol.as("y"))
-      .managedPersist
+      .managedPersist)
+
+  /** The training loop on an arbitrary persisted feature frame
+    * `(vec_id, e: array&lt;double&gt;, y: double)` - the q181 dir path
+    * and the Stress scale probe share this one definition.
+    */
+  private[graft] def trainProbe(emb: DataFrame): ProbeFit = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
     val dim = emb.select(size(col("e"))).head().getInt(0)
     val w = Array.fill(dim)(0.0)
     var b = 0.0
     val report = (1 to GdIters).map { k =>
-      val m = marginCol(w, b)
-      val err = squash(m) - col("y")
+      // STAGED projections so the margin fold evaluates ONCE per row:
+      // inlining `err` (which contains the d-element fold) into all
+      // d+1 gradient-array elements re-evaluates the fold d+1 times
+      // per row - measured 16.7 s -> 1.9 s on the Stress probe_train
+      // row at factor 1 after this split. CollapseProject keeps the
+      // stages apart because `m`/`err` are multiply-referenced
+      // non-cheap expressions.
+      val scored = emb
+        .select(col("y"), col("e"), marginCol(w, b).as("m"))
+        .select(col("y"), col("e"), col("m"),
+          (squash(col("m")) - col("y")).as("err"))
       val correct =
-        ((m > lit(0.0)) === (col("y") === lit(1.0))).cast("long")
+        ((col("m") > lit(0.0)) === (col("y") === lit(1.0))).cast("long")
       // garr(0) = d(err)/d(b); garr(p) = err * e_p for p = 1..dim
-      val garr = concat(array(err), transform(col("e"), x => err * x))
-      val rows = emb
-        .select(col("y"), correct.as("c"), abs(err).as("ae"),
+      val garr = concat(array(col("err")),
+        transform(col("e"), x => col("err") * x))
+      val rows = scored
+        .select(col("y"), correct.as("c"), abs(col("err")).as("ae"),
           posexplode(garr).as(Seq("p", "gv")))
         .groupBy("p")
         .agg(
@@ -261,6 +279,35 @@ object Learn {
     s"""list_sum(list_transform(range(1, len($eRef) + 1),
           i -> ($eRef[i] - $cRef[i]) * ($eRef[i] - $cRef[i])))"""
 
+  /** The greedy farthest-point loop on an arbitrary persisted frame
+    * `(vec_id, label, e: array of double)` - the q182 dir path and the
+    * Stress scale probe share this one definition. The seed is the row
+    * with vec_id = seedId (q182 declares seed 0). Returns (sel_order,
+    * vec_id, label, dist_micro) with k+1 rows - the last row is the
+    * would-be next pick, i.e. the covering-radius probe.
+    */
+  private[graft] def coresetSelect(emb: DataFrame, k: Int,
+      seedId: Long = 0L): Seq[(Long, Long, Long, Long)] = {
+    val seed = emb.filter(col("vec_id") === seedId).head()
+    var c = seed.getSeq[Double](2).toArray
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, seedId, seed.getLong(1), 0L))
+    var d = emb
+      .withColumn("d", dist2Col(c))
+      .localCheckpoint(true)
+    for (i <- 2 to k + 1) {
+      val far = d.orderBy(desc("d"), asc("vec_id")).limit(1).head()
+      picks += ((i.toLong, far.getLong(0), far.getLong(1),
+        micro(far.getDouble(3))))
+      if (i <= k) {
+        c = far.getSeq[Double](2).toArray
+        d = d.withColumn("d", least(col("d"), dist2Col(c)))
+          .localCheckpoint(true)
+      }
+    }
+    picks.toSeq
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q181: train the linear quality probe - 8 full-batch delta-rule
@@ -317,24 +364,7 @@ object Learn {
           .select(col("vec_id"), col("label").cast("long").as("label"),
             transform(col("embedding"), x => x.cast("double")).as("e"))
           .managedPersist
-        val seed = emb.filter(col("vec_id") === 0).head()
-        var c = seed.getSeq[Double](2).toArray
-        val picks = scala.collection.mutable.ArrayBuffer(
-          (1L, 0L, seed.getLong(1), 0L))
-        var d = emb
-          .withColumn("d", dist2Col(c))
-          .localCheckpoint(true)
-        for (k <- 2 to CoresetK + 1) {
-          val far = d.orderBy(desc("d"), asc("vec_id")).limit(1).head()
-          picks += ((k.toLong, far.getLong(0), far.getLong(1),
-            micro(far.getDouble(3))))
-          if (k <= CoresetK) {
-            c = far.getSeq[Double](2).toArray
-            d = d.withColumn("d", least(col("d"), dist2Col(c)))
-              .localCheckpoint(true)
-          }
-        }
-        s.createDataFrame(picks.toSeq)
+        s.createDataFrame(coresetSelect(emb, CoresetK))
           .toDF("sel_order", "vec_id", "label", "dist_micro")
           .orderBy("sel_order")
       },
@@ -387,12 +417,16 @@ object Learn {
     // 10-key partial agg.
     "q183_probe_gate" -> QueryDef(
       (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
         val fit = probeFit(s, dir)
-        val sc = probeScore(col("embedding"), fit.w, fit.b)
         table(s, dir, "embeddings")
+          // staged so the score fold evaluates once per row (the
+          // trainProbe lesson: two references would inline two folds)
           .select(col("label").cast("long").as("label"),
-            (sc >= lit(0.5)).cast("long").as("keep"),
-            floor(sc * lit(1e6)).cast("long").as("sm"))
+            probeScore(col("embedding"), fit.w, fit.b).as("sc"))
+          .select(col("label"),
+            (col("sc") >= lit(0.5)).cast("long").as("keep"),
+            floor(col("sc") * lit(1e6)).cast("long").as("sm"))
           .groupBy("label")
           .agg(count(lit(1)).as("n"), sum("keep").as("n_keep"),
             sum("sm").as("sum_score_micro"))

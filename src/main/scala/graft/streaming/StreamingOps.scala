@@ -552,10 +552,13 @@ object StreamingOps {
     */
   def probeGateStream(vecs: DataFrame, w: Array[Double], b: Double,
       embCol: String = "embedding"): DataFrame = {
-    val sc = graft.operators.Learn.probeScore(col(embCol), w, b)
+    graft.functions.VectorFunctions.register(vecs.sparkSession)
     vecs
-      .withColumn("score_micro", floor(sc * lit(1e6)).cast("long"))
-      .withColumn("keep", (sc >= lit(0.5)).cast("long"))
+      // staged so the score fold evaluates once per row
+      .withColumn("sc", graft.operators.Learn.probeScore(col(embCol), w, b))
+      .withColumn("score_micro", floor(col("sc") * lit(1e6)).cast("long"))
+      .withColumn("keep", (col("sc") >= lit(0.5)).cast("long"))
+      .drop("sc")
   }
 
   def piiScrubStream(docs: DataFrame, textCol: String): DataFrame = {
