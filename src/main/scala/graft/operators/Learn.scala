@@ -404,6 +404,67 @@ object Learn {
               ORDER BY sel_order"""
       }),
 
+    // Q185: contrastive pair mining for embedding-model training -
+    // hard NEGATIVES (different label, highest cosine: the pairs a
+    // contrastive loss learns most from) and hard POSITIVES (same
+    // label, lowest cosine: intra-class outliers / mislabeled
+    // candidates), top-20 each over the exact all-pairs similarity.
+    // Reuses q27's bounded block tiling (Similarity.tiledPairSims -
+    // B x B id-block join, never a cartesian) with the tiny
+    // (vec_id, label) frame broadcast back onto both pair sides; sim
+    // is the shared 4-dp-rounded exact cosine, ties broken (va, vb) -
+    // both engines cut identical rows. Exact all-pairs is the
+    // DECLARED contract (q135's discipline); at 100 TB mining runs
+    // cell-local over the IVF partition (high-cosine pairs are
+    // intra-cell by construction - the same subset argument
+    // semDedupPrunedCellLocal proves), so the exact form here is the
+    // recall oracle for that scale path, not the deployed plan.
+    "q185_hard_pairs" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        val emb = table(s, dir, "embeddings")
+        val lab = emb
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+        val pairs = Similarity.tiledPairSims(s, emb)
+          .join(broadcast(lab.toDF("va", "label_a")), "va")
+          .join(broadcast(lab.toDF("vb", "label_b")), "vb")
+          .select(col("va"), col("vb"), col("label_a"), col("label_b"),
+            col("sim"))
+        val neg = pairs.filter(col("label_a") =!= col("label_b"))
+          .orderBy(desc("sim"), col("va"), col("vb")).limit(20)
+          .withColumn("kind", lit("hard_neg"))
+        val pos = pairs.filter(col("label_a") === col("label_b"))
+          .orderBy(asc("sim"), col("va"), col("vb")).limit(20)
+          .withColumn("kind", lit("hard_pos"))
+        neg.unionByName(pos)
+          .select(col("kind"), col("va"), col("vb"), col("label_a"),
+            col("label_b"), col("sim"))
+          .orderBy(col("kind"), col("va"), col("vb"))
+      },
+      Some("""WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  embedding,
+                  (SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                   FROM UNNEST(embedding) AS u(x)) AS nsq
+                FROM embeddings),
+              p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                  a.label AS label_a, b.label AS label_b,
+                  ROUND((SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                     FROM (SELECT UNNEST(a.embedding) AS x,
+                                  UNNEST(b.embedding) AS y) z)
+                    / (SQRT(a.nsq) * SQRT(b.nsq)), 4) AS sim
+                FROM n a JOIN n b ON a.vec_id < b.vec_id),
+              neg AS (SELECT 'hard_neg' AS kind, va, vb, label_a,
+                  label_b, sim
+                FROM p WHERE label_a <> label_b
+                ORDER BY sim DESC, va, vb LIMIT 20),
+              pos AS (SELECT 'hard_pos' AS kind, va, vb, label_a,
+                  label_b, sim
+                FROM p WHERE label_a = label_b
+                ORDER BY sim ASC, va, vb LIMIT 20)
+              SELECT * FROM (SELECT * FROM neg UNION ALL
+                SELECT * FROM pos) u
+              ORDER BY kind, va, vb""")),
+
     // Q183: the probe applied back over the corpus as a keep/drop gate
     // (the actual CommonCrawl-filter shape): score every embedding
     // under the FITTED model, keep score >= 0.5 (equivalently margin

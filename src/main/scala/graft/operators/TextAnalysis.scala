@@ -1187,6 +1187,80 @@ object TextAnalysis {
                   > $MaxEpochs THEN 1 ELSE 0 END AS BIGINT) AS over_cap
               FROM q ORDER BY source""")),
 
+    // Q184: temperature-smoothed multilingual sampling plan — the
+    // mBERT/XLM-R exponent trick: sampling languages by their natural
+    // token share starves low-resource languages, so production
+    // pipelines sample p_l proportional to share^alpha. alpha = 0.5 is
+    // the DECLARED temperature because it is the one smoothing exponent
+    // whose power function is exact cross-engine (SQRT is a
+    // correctly-rounded IEEE op; pow() drifts in the last ulp across
+    // libms — the same reason q133/q176 are log-free and q181 is
+    // exp-free). Exactness: token counts are exact BIGINTs, sqrt of an
+    // integer-valued double is one rounding, the sqrt sum crosses langs
+    // as DECIMAL(18,10) (order-free), and every downstream number is a
+    // declared chain of single IEEE ops - share first, then scale
+    // (t/T * 10000, never 10000*t/T: the pre-scaled numerator exceeds
+    // 2^53 at 100 TB token counts). Report per lang: natural vs
+    // smoothed share (basis points), the boost factor, and epochs over
+    // the lang's own tokens under a declared 1M-token budget. Plan at
+    // 100 TB: one corpus scan into a lang-keyed partial agg (~5 rows),
+    // then scalar arithmetic on the broadcast totals - nothing else.
+    "q184_sampling_temperature" -> QueryDef(
+      (s, dir) => {
+        val per = table(s, dir, "documents")
+          .select(col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_tok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+          .withColumn("sq",
+            sqrt(col("n_tokens").cast("double"))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 10)))
+        val tot = per.agg(
+          sum("n_tokens").cast("double").as("tt"),
+          sum("sq").cast("double").as("ss"))
+        per
+          .crossJoin(broadcast(tot))
+          .withColumn("nat", col("n_tokens").cast("double") / col("tt"))
+          .withColumn("smooth", col("sq").cast("double") / col("ss"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            round(col("nat") * lit(10000.0)).cast("long").as("nat_bp"),
+            round(col("smooth") * lit(10000.0)).cast("long")
+              .as("smooth_bp"),
+            round((col("smooth") / col("nat")) * lit(1e6)).cast("long")
+              .as("boost_micro"),
+            round(((lit(1000000.0) * col("smooth")) /
+              col("n_tokens").cast("double")) * lit(1e6)).cast("long")
+              .as("epochs_micro"))
+          .orderBy("lang")
+      },
+      // s-interpolated so '\\s+' collapses to the single-backslash
+      // regex (plain triple quotes skip escape processing - q140's
+      // idiom)
+      Some(s"""WITH per AS (SELECT lang, COUNT(*) AS n_docs,
+                  CAST(SUM(LEN(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> ''))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY lang),
+              sq AS (SELECT lang, n_docs, n_tokens,
+                  CAST(SQRT(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,10))
+                    AS sq
+                FROM per),
+              tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tt,
+                  CAST(SUM(sq) AS DOUBLE) AS ss
+                FROM sq),
+              sh AS (SELECT lang, n_docs, n_tokens,
+                  CAST(n_tokens AS DOUBLE) / tt AS nat,
+                  CAST(sq AS DOUBLE) / ss AS smooth
+                FROM sq, tot)
+              SELECT lang, n_docs, n_tokens,
+                CAST(ROUND(nat * 10000.0) AS BIGINT) AS nat_bp,
+                CAST(ROUND(smooth * 10000.0) AS BIGINT) AS smooth_bp,
+                CAST(ROUND((smooth / nat) * 1000000.0) AS BIGINT)
+                  AS boost_micro,
+                CAST(ROUND(((1000000.0 * smooth) /
+                  CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+                  AS epochs_micro
+              FROM sh ORDER BY lang""")),
+
     // Per-source quality calibration — a quality classifier's raw
     // scores are not comparable ACROSS sources (a clean-books corpus
     // saturates where a web crawl spreads), so production filters rank

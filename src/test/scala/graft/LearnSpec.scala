@@ -64,6 +64,27 @@ class LearnSpec extends SparkSpec {
     assert(kept > 0L && kept < n, s"degenerate gate: kept $kept of $n")
   }
 
+  test("q185: hard negatives cross labels at high sim, hard positives the reverse") {
+    val rows = SparkEntry.queries("q185_hard_pairs")(spark, sfDir)
+      .collect()
+    val neg = rows.filter(_.getString(0) == "hard_neg")
+    val pos = rows.filter(_.getString(0) == "hard_pos")
+    assert(neg.length === 20 && pos.length === 20)
+    assert(neg.forall(r => r.getLong(3) != r.getLong(4)),
+      "a hard negative must cross labels")
+    assert(pos.forall(r => r.getLong(3) == r.getLong(4)),
+      "a hard positive must share its label")
+    assert(rows.forall(r => r.getLong(1) < r.getLong(2)),
+      "pairs must be canonical va < vb")
+    // the mined extremes separate: every top cross-label sim exceeds
+    // every bottom same-label sim (vacuous only if the corpus were
+    // perfectly clustered, which the overlapping synthetic is not)
+    val minNeg = neg.map(_.getDouble(5)).min
+    val maxPos = pos.map(_.getDouble(5)).max
+    assert(minNeg > maxPos,
+      s"mined extremes do not separate: minNeg=$minNeg maxPos=$maxPos")
+  }
+
   test("probeScore boundary: zero margin scores exactly 0.5") {
     import spark.implicits._
     val df = Seq((Array(0.125f, 0.0f), 1L)).toDF("embedding", "id")

@@ -133,6 +133,29 @@ class StatsSpec extends SparkSpec {
     assert(weights.max - weights.min < shares.max - shares.min)
   }
 
+  test("q184: temperature smoothing boosts exactly the low-resource langs") {
+    val out = SparkEntry.queries("q184_sampling_temperature")(spark, sfDir)
+      .collect()
+    assert(out.length > 1)
+    // both share columns are a partition of the corpus (bp rounding
+    // leaves at most langs/2 of drift)
+    assert(math.abs(out.map(_.getAs[Long]("nat_bp")).sum - 10000L)
+      <= out.length)
+    assert(math.abs(out.map(_.getAs[Long]("smooth_bp")).sum - 10000L)
+      <= out.length)
+    // boost = share^(-1/2) up to normalization: strictly decreasing in
+    // token count, > 1 for the smallest lang, < 1 for the largest
+    val byTok = out.sortBy(_.getAs[Long]("n_tokens"))
+    val boosts = byTok.map(_.getAs[Long]("boost_micro"))
+    assert(boosts.zip(boosts.tail).forall { case (a, b) => a > b },
+      s"boost not monotone in token count: ${boosts.toSeq}")
+    assert(boosts.head > 1000000L && boosts.last < 1000000L)
+    // smoothing compresses toward uniform: smoothed spread < natural
+    val nat = out.map(_.getAs[Long]("nat_bp"))
+    val sm = out.map(_.getAs[Long]("smooth_bp"))
+    assert(sm.max - sm.min < nat.max - nat.min)
+  }
+
   test("q106: histogram-threshold selection equals the naive budget window") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
