@@ -308,6 +308,79 @@ object Learn {
     picks.toSeq
   }
 
+  // ---------------------------------------------------------------
+  // Streaming coreset store (the online half of q182 - fixed-radius
+  // admission, the classic streaming relaxation of greedy k-center:
+  // admit a point iff it is farther than r from every admitted
+  // center)
+  // ---------------------------------------------------------------
+
+  /** Squared euclidean distance between two float-embedding columns -
+    * per-element cast-then-square, index-order fold; the driver mirror
+    * is [[dist2f]] (same op order, used by the within-batch greedy and
+    * the spec reference).
+    */
+  private[graft] def dist2fCol(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, z) => acc + z)
+
+  private[graft] def dist2f(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+    }
+    s
+  }
+
+  /** Write the initial center store for [[graft.streaming.StreamingOps
+    * .coresetIngestStream]]: `(vec_id, embedding)` rows, typically the
+    * q182 coreset of the existing corpus (or a single seed vector).
+    * Must be non-empty - an empty store would admit nothing (the
+    * min-distance probe is a join against the centers).
+    */
+  def writeCoresetStore(vecs: DataFrame, name: String,
+      path: String): Unit = {
+    require(!vecs.isEmpty, "coreset store must be seeded non-empty")
+    vecs.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite")
+      .option("path", s"$path/centers").saveAsTable(s"${name}_centers")
+  }
+
+  /** One batch's fixed-radius admission against the persisted center
+    * store: keep rows farther than sqrt(r2) from EVERY stored center
+    * (centers are coreset-sized by the packing argument, so they ride
+    * a broadcast), then the declared within-batch greedy in ascending
+    * vec_id order (inherently sequential - the candidate list is
+    * bounded by the batch, and only candidates already past the store
+    * gate reach the driver). Returns the admitted `(vec_id, embedding)`
+    * frame.
+    */
+  private[graft] def coresetAdmit(batch: DataFrame, name: String,
+      r2: Double): DataFrame = {
+    val s = batch.sparkSession
+    val centers = s.table(s"${name}_centers")
+      .select(col("embedding").as("ce"))
+    val far = batch.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centers))
+      .withColumn("d2", dist2fCol(col("embedding"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"), min(col("d2")).as("d2"))
+      .filter(col("d2") > lit(r2))
+      .orderBy("vec_id")
+      .collect()
+    val admitted =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    far.foreach { r =>
+      val e = r.getSeq[Float](1).toArray
+      if (admitted.forall(a => dist2f(a._2, e) > r2))
+        admitted += ((r.getLong(0), e))
+    }
+    s.createDataFrame(admitted.toSeq).toDF("vec_id", "embedding")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q181: train the linear quality probe - 8 full-batch delta-rule

@@ -526,6 +526,67 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming coreset admission — the fifth index-growing ingest loop
+    * (bands/grams/PQ/spans suppress REDUNDANCE; this curates for
+    * DIVERSITY): fixed-radius online k-center (the streaming
+    * relaxation of q182's greedy traversal — admit a point iff it is
+    * farther than sqrt(r2) from every admitted center). Per
+    * micro-batch: the store gate is one broadcast-centers scan (the
+    * packing argument bounds the center count, so the stored side
+    * always broadcasts), the declared within-batch greedy runs on the
+    * gate's survivors in ascending vec_id order, admitted ids commit
+    * to the batch-id-tagged [[IngestLedger]] BEFORE the center table
+    * grows, and a replayed batch reproduces its admitted set from the
+    * ledger with the append guarded against double-writes — the same
+    * replay-idempotency contract the other four loops carry
+    * (StreamingSpec replays a batch under its original id).
+    */
+  def coresetIngestStream(
+      vecs: DataFrame,
+      indexName: String,
+      r2: Double,
+      onAdmit: (DataFrame, Long) => Unit): streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        coresetIngestBatch(batch.toDF(), id, indexName, r2, onAdmit)
+      }
+      .start()
+
+  /** One micro-batch of [[coresetIngestStream]] — package-private so
+    * StreamingSpec can replay a batch under its original id.
+    */
+  private[graft] def coresetIngestBatch(batch: DataFrame, id: Long,
+      indexName: String, r2: Double,
+      onAdmit: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    val table = s"${indexName}_centers"
+    val ledger = IngestLedger.dirFor(s, table, id)
+    val replayed = IngestLedger.committed(s, ledger)
+    val admitted = (if (replayed)
+      batch.select(col("vec_id"), col("embedding"))
+        .join(IngestLedger.read(s, ledger), Seq("vec_id"), "left_semi")
+    else graft.operators.Learn.coresetAdmit(batch, indexName, r2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!replayed)
+        IngestLedger.write(admitted.select("vec_id"), ledger)
+      onAdmit(admitted, id)
+      if (!IngestLedger.appendDone(s, ledger)) {
+        // a replay's original attempt may have died mid-append: guard
+        // with a vec_id anti-join so center rows never duplicate
+        admitted
+          .join(s.table(table).select("vec_id"), Seq("vec_id"),
+            "left_anti")
+          .write.mode("append").insertInto(table)
+        IngestLedger.markAppendDone(s, ledger)
+      }
+    } finally {
+      admitted.unpersist(blocking = false)
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
   /** Streaming PII gate — q167's scrub as an ingest-time transform:
     * redact every PII pattern in `textCol` (the shared
     * [[graft.operators.TextAnalysis.piiScrub]] chain — one definition

@@ -398,6 +398,52 @@ class StreamingSpec extends SparkSpec {
     assert(all.count() == 1)
   }
 
+  test("coresetIngestStream admits by fixed radius; replay reproduces the admitted set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-coreset-test").toString
+    val name = "corestream_" + System.nanoTime()
+    try {
+      graft.operators.Learn.writeCoresetStore(
+        Seq((0L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"),
+        name, dir)
+      val admittedBy = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+      def onAdmit(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        admittedBy(id) = df.select("vec_id").collect()
+          .map(_.getLong(0)).sorted.toSeq
+      val input = MemoryStream[Vec]
+      val q = StreamingOps.coresetIngestStream(
+        input.toDF().drop("ts"), name, r2 = 1.0, onAdmit)
+      val b2 = Seq(
+        Vec(t(5), 5L, Array(2.2f, 0.0f)),   // 0.04 from center 2 -> drop
+        Vec(t(6), 6L, Array(-3.0f, 0.0f)))  // far from all -> admit
+      try {
+        input.addData(Seq(
+          Vec(t(1), 1L, Array(0.5f, 0.0f)),  // 0.25 from seed -> drop
+          Vec(t(2), 2L, Array(2.0f, 0.0f)),  // admit
+          Vec(t(3), 3L, Array(2.5f, 0.0f)),  // 0.25 from 2 (in-batch) -> drop
+          Vec(t(4), 4L, Array(0.0f, 3.0f)))) // admit
+        q.processAllAvailable()
+        input.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(admittedBy(0L) == Seq(2L, 4L), s"batch 0: $admittedBy")
+      assert(admittedBy(1L) == Seq(6L), s"batch 1: $admittedBy")
+      val centers = spark.table(s"${name}_centers")
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(centers == Seq(0L, 2L, 4L, 6L))
+      // replay batch 1 under its original id: the ledger reproduces
+      // the admitted set and the guarded append adds no duplicate rows
+      StreamingOps.coresetIngestBatch(
+        b2.toDF().drop("ts"), 1L, name, r2 = 1.0, onAdmit)
+      assert(admittedBy(1L) == Seq(6L), "replay changed the admitted set")
+      val after = spark.table(s"${name}_centers")
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(after == Seq(0L, 2L, 4L, 6L), s"replay duplicated rows: $after")
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${name}_centers")
+  }
+
   test("probeGateStream scores statelessly; batch ≡ stream; keep matches the threshold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
