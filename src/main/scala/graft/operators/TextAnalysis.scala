@@ -1098,6 +1098,197 @@ object TextAnalysis {
                   / 1000000.0, 4) AS mean_surprise
               FROM ds GROUP BY 1 ORDER BY lang""")),
 
+    // Q186: Kneser-Ney-smoothed bigram LM scoring on a held-out split
+    // - the actual CCNet filter core (their reference LMs are KN-
+    // smoothed): train bigram statistics on the even-doc_id half
+    // (declared split), score the odd half, so unseen bigrams/histories
+    // occur NATURALLY and every backoff branch is live. Interpolated KN
+    // with the single declared discount d = 0.75 (exact in binary):
+    //   pc(w)   = N1+(.w)/D                (unseen w -> 1/(D+1) floor)
+    //   p(w|v)  = (max(c(vw)-d, 0) + (d*N1+(v.))*pc(w)) / c(v.)
+    //   c(v.)=0 -> p = pc(w)               (history backoff)
+    // Exactness: every count is an exact BIGINT; the probability is a
+    // DECLARED chain of single IEEE ops with pinned parentheses
+    // (mirrored token for token in the oracle); per-token micro
+    // rounding, integer aggregation after - q133's log-free discipline
+    // extended to real smoothing. Report per lang: scored docs, mean
+    // per-doc KN score, unseen-bigram share (bp). Plan at 100 TB: the
+    // count tables are vocab-bounded (q176's broadcast discipline; at
+    // a trillion-token corpus the bigram table graduates to a shuffle
+    // join - same plan shape, one more exchange); the scoring pass is
+    // one explode + three broadcast joins into a per-doc partial agg.
+    // Declared fixture: the synthetic corpus shares vocabulary so
+    // heavily that unseen events are a few bp - every doc_id % 14 = 13
+    // doc (odd, so always on the SCORED side) appends two novel tokens
+    // 'zqN zrN', making all three branches live at every SF: (last,
+    // zqN) is an unseen bigram with a seen history, zqN is an unseen
+    // continuation word (pc floor), and the (zqN, zrN) bigram has an
+    // UNSEEN history (the cv-null backoff).
+    "q186_kneser_ney" -> QueryDef(
+      (s, dir) => {
+        val d = Q.spread(table(s, dir, "documents"))
+          .withColumn("text2", concat(col("text"),
+            when(col("doc_id") % 14 === 13,
+              concat(lit(" zq"), col("doc_id").cast("string"),
+                lit(" zr"), col("doc_id").cast("string")))
+              .otherwise(lit(""))))
+          .select(col("doc_id"), col("lang"),
+            tokens(col("text2")).as("tl"))
+          .filter(size(col("tl")) >= 2)
+          .managedPersist
+        def bigrams(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), col("lang"),
+            explode(shingles(col("tl"), 2)).as("g"))
+          .withColumn("v", split(col("g"), " ").getItem(0))
+          .withColumn("w", split(col("g"), " ").getItem(1))
+        val cb = bigrams(d.filter(col("doc_id") % 2 === 0))
+          .groupBy("v", "w").agg(count(lit(1)).as("cbw"))
+          .managedPersist
+        val hist = cb.groupBy("v")
+          .agg(sum("cbw").as("cv"), count(lit(1)).as("nv"))
+        val cont = cb.groupBy("w").agg(count(lit(1)).as("nw"))
+        val scal = cb.agg(count(lit(1)).as("dd"))
+        val pc = when(col("nw").isNotNull,
+          col("nw").cast("double") / col("dd").cast("double"))
+          .otherwise(lit(1.0) / (col("dd").cast("double") + lit(1.0)))
+        val p = when(col("cv").isNotNull,
+          (greatest(coalesce(col("cbw"), lit(0L)).cast("double")
+              - lit(0.75), lit(0.0))
+            + (lit(0.75) * col("nv").cast("double")) * col("pc"))
+            / col("cv").cast("double"))
+          .otherwise(col("pc"))
+        val perDoc = bigrams(d.filter(col("doc_id") % 2 === 1))
+          .join(broadcast(cb), Seq("v", "w"), "left")
+          .join(broadcast(hist), Seq("v"), "left")
+          .join(broadcast(cont), Seq("w"), "left")
+          .crossJoin(broadcast(scal))
+          .withColumn("pc", pc)
+          .withColumn("term", round(p * lit(1e6)).cast("long"))
+          .withColumn("unseen", col("cbw").isNull.cast("long"))
+          .groupBy("doc_id", "lang")
+          .agg(round(sum(col("term")).cast("double") / count(lit(1)))
+            .cast("long").as("score_micro"),
+            sum("unseen").as("u"), count(lit(1)).as("nb"))
+        perDoc.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("score_micro")).cast("double") / count(lit(1)))
+              .cast("long").as("mean_p_micro"),
+            round((sum(col("u")).cast("double") /
+              sum(col("nb")).cast("double")) * lit(10000.0)).cast("long")
+              .as("unseen_bp"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+                  list_filter(string_split_regex(text ||
+                    CASE WHEN doc_id % 14 = 13
+                      THEN ' zq' || CAST(doc_id AS VARCHAR) ||
+                        ' zr' || CAST(doc_id AS VARCHAR)
+                      ELSE '' END, '\\s+'),
+                    x -> x <> '') AS t
+                FROM documents),
+              dd2 AS (SELECT * FROM d WHERE len(t) >= 2),
+              bg AS (SELECT doc_id, lang,
+                  string_split(g, ' ')[1] AS v,
+                  string_split(g, ' ')[2] AS w
+                FROM (SELECT doc_id, lang,
+                    UNNEST(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS g
+                  FROM dd2) q),
+              cb AS (SELECT v, w, COUNT(*) AS cbw FROM bg
+                WHERE doc_id % 2 = 0 GROUP BY v, w),
+              hist AS (SELECT v, CAST(SUM(cbw) AS BIGINT) AS cv,
+                  COUNT(*) AS nv FROM cb GROUP BY v),
+              cont AS (SELECT w, COUNT(*) AS nw FROM cb GROUP BY w),
+              scal AS (SELECT COUNT(*) AS dd FROM cb),
+              t AS (SELECT bg.doc_id, bg.lang,
+                  CASE WHEN cont.nw IS NOT NULL
+                    THEN CAST(cont.nw AS DOUBLE) / CAST(scal.dd AS DOUBLE)
+                    ELSE 1.0 / (CAST(scal.dd AS DOUBLE) + 1.0) END AS pc,
+                  cb.cbw AS cbw, hist.cv AS cv, hist.nv AS nv,
+                  CASE WHEN cb.cbw IS NULL THEN 1 ELSE 0 END AS unseen
+                FROM bg
+                LEFT JOIN cb ON cb.v = bg.v AND cb.w = bg.w
+                LEFT JOIN hist ON hist.v = bg.v
+                LEFT JOIN cont ON cont.w = bg.w
+                CROSS JOIN scal
+                WHERE bg.doc_id % 2 = 1),
+              tt AS (SELECT doc_id, lang,
+                  CAST(ROUND((CASE WHEN cv IS NOT NULL
+                    THEN (GREATEST(CAST(COALESCE(cbw, 0) AS DOUBLE)
+                        - 0.75, 0.0)
+                      + (0.75 * CAST(nv AS DOUBLE)) * pc)
+                      / CAST(cv AS DOUBLE)
+                    ELSE pc END) * 1000000.0) AS BIGINT) AS term,
+                  unseen
+                FROM t),
+              ds AS (SELECT doc_id, lang,
+                  CAST(ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS score_micro,
+                  CAST(SUM(unseen) AS BIGINT) AS u, COUNT(*) AS nb
+                FROM tt GROUP BY 1, 2)
+              SELECT lang, COUNT(*) AS n_docs,
+                CAST(ROUND(CAST(SUM(score_micro) AS DOUBLE) / COUNT(*))
+                  AS BIGINT) AS mean_p_micro,
+                CAST(ROUND((CAST(SUM(u) AS DOUBLE) /
+                  CAST(SUM(nb) AS DOUBLE)) * 10000.0) AS BIGINT)
+                  AS unseen_bp
+              FROM ds GROUP BY 1 ORDER BY lang""")),
+
+    // Q187: length-bucket padding-waste plan - the bucketed-batching
+    // decision report (fairseq/T5-style): fixed-length batches pad
+    // every sequence to the batch max, so the fraction of padded
+    // positions is compute burned on <pad>. Docs land in power-of-two
+    // token-length buckets via LENGTH(bin(n)) - 1 (the integer msb -
+    // log2() is NOT correctly rounded cross-engine, a binary-string
+    // length is exact by construction); per bucket: doc count, token
+    // sum, the observed max, waste at the bucket max, and the
+    // counterfactual waste at the GLOBAL max (what unbucketed batching
+    // pays). All integer arithmetic until the two share-first-rounded
+    // bp ratios. Plan: ONE corpus scan into a ~10-key partial agg; the
+    // global max is a 1-row broadcast.
+    "q187_padding_waste" -> QueryDef(
+      (s, dir) => {
+        val lens = table(s, dir, "documents")
+          .select(size(tokens(col("text"))).cast("long").as("n"))
+          .filter(col("n") > 0)
+          .withColumn("bucket",
+            (length(bin(col("n"))) - 1).cast("long"))
+        val per = lens.groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"),
+            min("n").as("min_len"), max("n").as("max_len"))
+        val g = per.agg(max("max_len").as("gmax"))
+        per.crossJoin(broadcast(g))
+          .select(col("bucket"), col("min_len"), col("max_len"),
+            col("n_docs"), col("sum_tokens"),
+            round((lit(1.0) - col("sum_tokens").cast("double") /
+              (col("n_docs") * col("max_len")).cast("double")) *
+              lit(10000.0)).cast("long").as("waste_bp"),
+            round((lit(1.0) - col("sum_tokens").cast("double") /
+              (col("n_docs") * col("gmax")).cast("double")) *
+              lit(10000.0)).cast("long").as("global_waste_bp"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH lens AS (SELECT CAST(LEN(list_filter(
+                    string_split_regex(text, '\\s+'), x -> x <> ''))
+                    AS BIGINT) AS n
+                FROM documents),
+              lb AS (SELECT n,
+                  CAST(LENGTH(bin(n)) - 1 AS BIGINT) AS bucket
+                FROM lens WHERE n > 0),
+              per AS (SELECT bucket, COUNT(*) AS n_docs,
+                  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+                  MIN(n) AS min_len, MAX(n) AS max_len
+                FROM lb GROUP BY bucket),
+              g AS (SELECT MAX(max_len) AS gmax FROM per)
+              SELECT bucket, min_len, max_len, n_docs, sum_tokens,
+                CAST(ROUND((1.0 - CAST(sum_tokens AS DOUBLE) /
+                  CAST(n_docs * max_len AS DOUBLE)) * 10000.0) AS BIGINT)
+                  AS waste_bp,
+                CAST(ROUND((1.0 - CAST(sum_tokens AS DOUBLE) /
+                  CAST(n_docs * gmax AS DOUBLE)) * 10000.0) AS BIGINT)
+                  AS global_waste_bp
+              FROM per, g ORDER BY bucket""")),
+
     // Tokenizer-coverage / OOV-rate report: rank the corpus vocabulary
     // by (count DESC, word), fix the top-K as the in-vocab set, then
     // per language report the token share that falls OUTSIDE it — the

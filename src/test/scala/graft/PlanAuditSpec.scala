@@ -547,6 +547,16 @@ class PlanAuditSpec extends SparkSpec {
       "the per-label gate rollup must combine map-side")
   }
 
+  test("q186: KN count tables broadcast; the scoring pass never sort-merges") {
+    val p = plan("q186_kneser_ney")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab-bounded bigram/history/continuation tables must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the held-out scoring join must stay map-side")
+    assert(p.contains("partial_"),
+      "per-doc and per-lang rollups must combine map-side")
+  }
+
   test("q173: boilerplate join-back broadcasts; no sort-merge on the line key") {
     val p = plan("q173_line_dedup")
     assert(p.contains("BroadcastHashJoin"),

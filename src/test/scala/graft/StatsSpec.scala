@@ -156,6 +156,46 @@ class StatsSpec extends SparkSpec {
     assert(sm.max - sm.min < nat.max - nat.min)
   }
 
+  test("q186: KN scores are proper probabilities and every backoff branch fires") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q186_kneser_ney")(spark, sfDir).collect()
+    assert(out.length > 1)
+    out.foreach { r =>
+      val mean = r.getAs[Long]("mean_p_micro")
+      assert(mean > 0L && mean < 1000000L, s"score out of (0,1): $r")
+      // the zq/zr fixture keeps unseen events live in every language
+      assert(r.getAs[Long]("unseen_bp") > 0L, s"unseen branch dead: $r")
+    }
+    // only the odd (held-out) half is scored
+    val oddDocs = graft.operators.Q.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum <= oddDocs)
+    assert(out.map(_.getAs[Long]("n_docs")).sum > oddDocs / 2)
+  }
+
+  test("q187: power-of-two buckets bound lengths; bucketing never increases waste") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q187_padding_waste")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (b, mn, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(mn >= (1L << b) && mx < (1L << (b + 1)),
+        s"lengths escape the bucket: $r")
+      assert(mn <= mx)
+      val (w, gw) = (r.getAs[Long]("waste_bp"), r.getAs[Long]("global_waste_bp"))
+      assert(w >= 0L && w < 10000L)
+      assert(w <= gw, s"bucketing increased waste: $r")
+    }
+    // the top bucket holds the global max: its two wastes coincide
+    val top = out.maxBy(_.getLong(0))
+    assert(top.getAs[Long]("waste_bp") === top.getAs[Long]("global_waste_bp"))
+    // buckets partition the non-empty corpus
+    val n = graft.operators.Q.table(spark, sfDir, "documents")
+      .filter(size(graft.operators.TextAnalysis.tokens(col("text"))) > 0)
+      .count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === n)
+  }
+
   test("q106: histogram-threshold selection equals the naive budget window") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
