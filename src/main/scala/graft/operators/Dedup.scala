@@ -1320,6 +1320,102 @@ object Dedup {
               FROM ng LEFT JOIN nv ON ng.lang = nv.lang
               GROUP BY 1 ORDER BY ng.lang""")),
 
+    // Q189: gram-novelty saturation curve - the diminishing-returns
+    // signal of CONTINUED data collection: with ingest order declared
+    // as doc_id order, every distinct 3-gram is attributed to the
+    // ingest decile that saw it FIRST (min doc_id per gram - one gram
+    // shuffle), and each decile reports how many new grams its docs
+    // contributed vs how many gram instances it carried - the marginal
+    // novelty rate a collection owner reads to decide whether the next
+    // crawl tranche is worth its cost (q110 answers "is THIS batch
+    // novel"; this draws the whole curve). Gram unit = per-doc distinct
+    // 3-grams (the same unit the gram index stores). All integer to
+    // the two share-first-rounded bp edges. Plan at 100 TB: one
+    // min-agg shuffle on the gram key + one decile partial agg over
+    // the same persisted shingle frame; deciles come from an integer
+    // division against the broadcast max id - no sort, no window over
+    // the corpus.
+    "q189_novelty_curve" -> QueryDef(
+      (s, dir) => {
+        val g = shingled(s, dir)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .managedPersist
+        val mx = table(s, dir, "documents")
+          .agg(max(col("doc_id")).as("mx"))
+        val newPer = g.groupBy("g").agg(min("doc_id").as("fd"))
+          .crossJoin(broadcast(mx))
+          .groupBy(expr("(fd * 10) div (mx + 1)").as("decile"))
+          .agg(count(lit(1)).as("new_grams"))
+        val occPer = g.crossJoin(broadcast(mx))
+          .groupBy(expr("(doc_id * 10) div (mx + 1)").as("decile"))
+          .agg(count(lit(1)).as("gram_tokens"))
+        val docsPer = table(s, dir, "documents")
+          .crossJoin(broadcast(mx))
+          .groupBy(expr("(doc_id * 10) div (mx + 1)").as("decile"))
+          .agg(count(lit(1)).as("n_docs"))
+        val w = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        docsPer
+          .join(occPer, Seq("decile"), "left")
+          .join(newPer, Seq("decile"), "left")
+          .select(col("decile"), col("n_docs"),
+            coalesce(col("gram_tokens"), lit(0L)).as("gram_tokens"),
+            coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+          .withColumn("cum_new_grams", sum("new_grams").over(w))
+          .withColumn("cum_share_bp",
+            round((col("cum_new_grams").cast("double") /
+              sum("new_grams").over(wAll).cast("double")) * lit(10000.0))
+              .cast("long"))
+          .withColumn("marginal_novelty_bp",
+            when(col("gram_tokens") > 0,
+              round((col("new_grams").cast("double") /
+                col("gram_tokens").cast("double")) * lit(10000.0))
+                .cast("long")).otherwise(lit(0L)))
+          .orderBy("decile")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              g AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+              mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+              np AS (SELECT (fd * 10) // (mx + 1) AS decile,
+                  COUNT(*) AS new_grams
+                FROM (SELECT g, MIN(doc_id) AS fd FROM g GROUP BY g), mx
+                GROUP BY 1),
+              op AS (SELECT (doc_id * 10) // (mx + 1) AS decile,
+                  COUNT(*) AS gram_tokens
+                FROM g, mx GROUP BY 1),
+              dp AS (SELECT (doc_id * 10) // (mx + 1) AS decile,
+                  COUNT(*) AS n_docs
+                FROM documents, mx GROUP BY 1),
+              j AS (SELECT dp.decile, dp.n_docs,
+                  CAST(COALESCE(op.gram_tokens, 0) AS BIGINT)
+                    AS gram_tokens,
+                  CAST(COALESCE(np.new_grams, 0) AS BIGINT) AS new_grams
+                FROM dp LEFT JOIN op ON op.decile = dp.decile
+                LEFT JOIN np ON np.decile = dp.decile),
+              c AS (SELECT decile, n_docs, gram_tokens, new_grams,
+                  CAST(SUM(new_grams) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_new_grams,
+                  CAST(SUM(new_grams) OVER () AS BIGINT) AS tot
+                FROM j)
+              SELECT CAST(decile AS BIGINT) AS decile, n_docs,
+                gram_tokens, new_grams, cum_new_grams,
+                CAST(ROUND((CAST(cum_new_grams AS DOUBLE) /
+                  CAST(tot AS DOUBLE)) * 10000.0) AS BIGINT)
+                  AS cum_share_bp,
+                CASE WHEN gram_tokens > 0
+                  THEN CAST(ROUND((CAST(new_grams AS DOUBLE) /
+                    CAST(gram_tokens AS DOUBLE)) * 10000.0) AS BIGINT)
+                  ELSE 0 END AS marginal_novelty_bp
+              FROM c ORDER BY decile""")),
+
     // Incremental near-dup — the nightly-ingest shape of the q25
     // pipeline: dedup a NEW batch (odd doc_id) against the existing
     // BASE corpus (even doc_id) without ever re-pairing base×base.

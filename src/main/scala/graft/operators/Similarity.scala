@@ -318,6 +318,101 @@ object Similarity {
               SELECT va, vb, ROUND(dotab / (SQRT(na) * SQRT(nb)), 4) AS sim
               FROM p ORDER BY sim DESC, va, vb LIMIT 20""")),
 
+    // Q188: binary sign-code similarity (Hamming ANN) - the 256x
+    // compression end of the quantization ladder (float32 -> int8
+    // (q105/SQ8) -> PQ bytes (q126) -> ONE BIT per dimension): pack
+    // each embedding's sign bits into two BIGINTs (dims 1-32 / 33-64
+    // via integer shift-folds - every op exact), rank candidates per
+    // query by Hamming distance (XOR + popcount, pure integer - ties
+    // to the lower vec_id, so ranking is engine-exact with NO float in
+    // the loop), and flag each retrieved row against the exact cosine
+    // top-10 (Ann.bruteTopK, the q98 anchor) - the measured
+    // sign-bit recall a deployment reads before buying the 256x.
+    // Plan at 100 TB: the code table is 16 bytes/vector (a 100 TB
+    // float corpus packs into ~0.4 TB of codes); candidate scoring is
+    // two XOR+popcounts inside whole-stage codegen, queries broadcast.
+    "q188_hamming_ann" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        val packLo = "aggregate(transform(" +
+          "sequence(1, int(least(size(embedding), 32))), " +
+          "i -> IF(element_at(embedding, i) > 0.0, " +
+          "shiftleft(1L, i - 1), 0L)), 0L, (a, x) -> a + x)"
+        val packHi = "IF(size(embedding) > 32, aggregate(transform(" +
+          "sequence(33, size(embedding)), " +
+          "i -> IF(element_at(embedding, i) > 0.0, " +
+          "shiftleft(1L, i - 33), 0L)), 0L, (a, x) -> a + x), 0L)"
+        val emb = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val packed = emb
+          .withColumn("lo", expr(packLo)).withColumn("hi", expr(packHi))
+          .managedPersist
+        val q = packed
+          .filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("lo").as("qlo"), col("hi").as("qhi"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("ham"), col("vec_id"))
+        val top = packed.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("ham",
+            expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)")
+              .cast("long"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+        val brute = Ann.bruteTopK(emb,
+          emb.filter(col("vec_id") % 50 === 0), k = 10)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+        top.join(brute, Seq("q_id", "vec_id"), "left")
+          .select(col("q_id"), col("rank"), col("vec_id"), col("ham"),
+            coalesce(col("hit"), lit(0L)).as("in_exact"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH pk AS (SELECT vec_id, embedding,
+                  CAST(list_sum(list_transform(
+                    range(1, LEAST(len(embedding), 32) + 1),
+                    i -> CASE WHEN embedding[i] > 0.0
+                      THEN 1::BIGINT << (i - 1) ELSE 0 END)) AS BIGINT)
+                    AS lo,
+                  CASE WHEN len(embedding) > 32
+                    THEN CAST(list_sum(list_transform(
+                      range(33, len(embedding) + 1),
+                      i -> CASE WHEN embedding[i] > 0.0
+                        THEN 1::BIGINT << (i - 33) ELSE 0 END)) AS BIGINT)
+                    ELSE 0 END AS hi
+                FROM embeddings),
+              q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                  lo AS qlo, hi AS qhi
+                FROM pk WHERE vec_id % 50 = 0),
+              h AS (SELECT q.q_id, pk.vec_id,
+                  CAST(bit_count(xor(pk.lo, q.qlo)) +
+                    bit_count(xor(pk.hi, q.qhi)) AS BIGINT) AS ham
+                FROM pk, q WHERE pk.vec_id <> q.q_id),
+              t AS (SELECT q_id, vec_id, ham,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY ham, vec_id) AS BIGINT) AS rank
+                FROM h
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY ham, vec_id) <= 10),
+              p AS (SELECT q.q_id, e.vec_id,
+                  (SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                   FROM (SELECT UNNEST(e.embedding) AS x,
+                                UNNEST(q.q_emb) AS y) z)
+                  / (SQRT((SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                           FROM UNNEST(e.embedding) AS u(x))) *
+                     SQRT((SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                           FROM UNNEST(q.q_emb) AS u(x)))) AS sim
+                FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+              r AS (SELECT q_id, vec_id FROM p
+                    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY sim DESC, vec_id) <= 10)
+              SELECT t.q_id, t.rank, t.vec_id, t.ham,
+                CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END
+                  AS in_exact
+              FROM t LEFT JOIN r
+                ON r.q_id = t.q_id AND r.vec_id = t.vec_id
+              ORDER BY t.q_id, t.rank""")),
+
     // Elementwise vector aggregation: per-(label, position) count and
     // exact component sum — the centroid numerator (divide by n
     // downstream) behind label prototypes and IVF coarse-quantizer

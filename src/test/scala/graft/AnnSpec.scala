@@ -573,6 +573,26 @@ class AnnSpec extends SparkSpec {
     assert(Set(1L, 64L).contains(r1.getLong(3)))
   }
 
+  test("q188: Hamming ranking is integer-coherent and sign bits carry signal") {
+    val rows = SparkEntry.queries("q188_hamming_ann")(spark, sfDir)
+      .collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.length === 10, s"query $q retrieved ${rs.length}")
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 10L))
+      // distance never decreases with rank; never retrieves itself
+      val hams = sorted.map(_.getLong(3))
+      assert(hams.zip(hams.tail).forall { case (a, b) => a <= b })
+      assert(sorted.forall(_.getLong(2) != q))
+    }
+    // one bit per dimension still finds a real fraction of the exact
+    // cosine top-10 (measured 30% at sf0.001; floor set with headroom)
+    val recall = rows.count(_.getLong(4) == 1L).toDouble / rows.length
+    assert(recall >= 0.15, s"sign-bit recall collapsed: $recall")
+  }
+
   test("q180: occupancy is consistent geometry over the full corpus") {
     val rows = SparkEntry.queries("q180_pc_occupancy")(spark, sfDir)
       .collect()

@@ -369,4 +369,21 @@ class DedupSpec extends SparkSpec {
       .count() == 0L, "removal left a detectable span behind")
     graft.operators.Q.releaseManaged()
   }
+  test("q189: the novelty curve saturates and partitions the gram stream") {
+    val rows = SparkEntry.queries("q189_novelty_curve")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    // cumulative count is the running sum and closes at 10000 bp
+    val news = rows.map(_.getAs[Long]("new_grams"))
+    val cums = rows.map(_.getAs[Long]("cum_new_grams"))
+    assert(cums.last == news.sum)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(rows.last.getAs[Long]("cum_share_bp") == 10000L)
+    // every decile carries gram instances; the first decile is all-new
+    assert(rows.forall(_.getAs[Long]("gram_tokens") > 0L))
+    // saturation: the opening decile's marginal novelty strictly
+    // exceeds the closing decile's (diminishing returns are the signal)
+    assert(rows.head.getAs[Long]("marginal_novelty_bp") >
+      rows.last.getAs[Long]("marginal_novelty_bp"))
+  }
 }
