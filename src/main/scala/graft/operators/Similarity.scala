@@ -1595,38 +1595,76 @@ object Similarity {
     // map-only project + single partial-agg shuffle on label — the
     // driver contributes two 64-double literals to the plan.
     "q180_pc_occupancy" -> QueryDef(
+      (s, dir) => pcOccupancy(s, dir, pcaFit(s, dir)),
+      Some(pcOccupancySql)),
+
+    // Q190: the PCA fit as a PERSISTED artifact — the sixth member of
+    // the write-once/probe-many store family (bands, grams, IVF, PQ,
+    // spans, now PCA): the fitted means/components/eigenvalues write
+    // to a 3-row parquet table ([[writePcaStore]]), a probe session
+    // re-reads them ([[pcaFitFromStore]] — doubles round-trip parquet
+    // exactly) and projects WITHOUT refitting, so the occupancy report
+    // is bitwise q180's (the oracle IS q180's SQL — one definition).
+    // IndexStoreSpec additionally proves the drop-table/register
+    // re-attach path ([[registerPcaStore]]) in the q126 discipline.
+    // At 100 TB the fit's one moment scan happens once per corpus
+    // release; every downstream projection job reads 3 rows.
+    "q190_pc_store_occupancy" -> QueryDef(
       (s, dir) => {
-        val fit = pcaFit(s, dir)
-        var cc1 = 0.0; var cc2 = 0.0
-        locally {
-          var i = 0
-          while (i < fit.dim) {
-            cc1 += fit.means(i) * fit.v1(i)
-            cc2 += fit.means(i) * fit.v2(i)
-            i += 1
-          }
+        val tag = IndexCatalog.dirTag(dir)
+        val name = s"graft_q190_$tag"
+        if (!s.catalog.tableExists(s"${name}_pca")) {
+          val path = new java.io.File(
+            System.getProperty("java.io.tmpdir"), s"graft-q190-$tag")
+          writePcaStore(s, pcaFit(s, dir), name, path.toString)
         }
-        def proj(v: Array[Double], cc: Double)
-            : org.apache.spark.sql.Column = {
-          val vlit = array(v.map(lit): _*)
-          floor((aggregate(zip_with(col("e"), vlit, (x, y) => x * y),
-            lit(0.0), (acc, z) => acc + z) - cc) * 1e6).cast("long")
-        }
-        table(s, dir, "embeddings")
-          .withColumn("e", covFixture(col("embedding")))
-          .select(col("label").cast("long").as("label"),
-            proj(fit.v1, cc1).as("p1"), proj(fit.v2, cc2).as("p2"))
-          .groupBy("label")
-          .agg(count(lit(1)).as("n"),
-            sum("p1").as("sum_pc1_micro"),
-            min("p1").as("min_pc1_micro"),
-            max("p1").as("max_pc1_micro"),
-            sum("p2").as("sum_pc2_micro"),
-            min("p2").as("min_pc2_micro"),
-            max("p2").as("max_pc2_micro"))
-          .orderBy("label")
+        pcOccupancy(s, dir, pcaFitFromStore(s, name))
       },
-      Some(s"""WITH RECURSIVE $pcaChainSql,
+      Some(pcOccupancySql))
+  )
+
+  /** The q180/q190 occupancy report under a given fit: mean-centered
+    * projection onto the top-2 components as plan literals (the
+    * declared LINEAR form dot(e,v) − dot(mean,v)), FLOOR-micro
+    * per-row quantization, integer per-label aggregation.
+    */
+  private def pcOccupancy(s: org.apache.spark.sql.SparkSession,
+      dir: String, fit: PcaFit): org.apache.spark.sql.DataFrame = {
+    var cc1 = 0.0; var cc2 = 0.0
+    locally {
+      var i = 0
+      while (i < fit.dim) {
+        cc1 += fit.means(i) * fit.v1(i)
+        cc2 += fit.means(i) * fit.v2(i)
+        i += 1
+      }
+    }
+    def proj(v: Array[Double], cc: Double)
+        : org.apache.spark.sql.Column = {
+      val vlit = array(v.map(lit): _*)
+      floor((aggregate(zip_with(col("e"), vlit, (x, y) => x * y),
+        lit(0.0), (acc, z) => acc + z) - cc) * 1e6).cast("long")
+    }
+    table(s, dir, "embeddings")
+      .withColumn("e", covFixture(col("embedding")))
+      .select(col("label").cast("long").as("label"),
+        proj(fit.v1, cc1).as("p1"), proj(fit.v2, cc2).as("p2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum("p1").as("sum_pc1_micro"),
+        min("p1").as("min_pc1_micro"),
+        max("p1").as("max_pc1_micro"),
+        sum("p2").as("sum_pc2_micro"),
+        min("p2").as("min_pc2_micro"),
+        max("p2").as("max_pc2_micro"))
+      .orderBy("label")
+  }
+
+  /** Shared q180/q190 oracle — one definition, so the in-plan fit and
+    * the store round-trip are held to the identical hash.
+    */
+  private def pcOccupancySql: String =
+    s"""WITH RECURSIVE $pcaChainSql,
               ml AS MATERIALIZED (SELECT list(s1 / n ORDER BY p) AS mv
                 FROM dims),
               cc AS MATERIALIZED (SELECT
@@ -1648,8 +1686,43 @@ object Similarity {
                 MIN(p1) AS min_pc1_micro, MAX(p1) AS max_pc1_micro,
                 CAST(SUM(p2) AS BIGINT) AS sum_pc2_micro,
                 MIN(p2) AS min_pc2_micro, MAX(p2) AS max_pc2_micro
-              FROM pcj GROUP BY label ORDER BY label"""))
-  )
+              FROM pcj GROUP BY label ORDER BY label"""
+
+  /** Persist a fitted PCA as the on-disk artifact: three rows
+    * `(part, lam, vec)` — part 0 = per-dim means with the covariance
+    * trace in `lam`, parts 1/2 = the unit components with their
+    * eigenvalues. Doubles round-trip parquet exactly, so a probe
+    * session's projection is bitwise the fitting session's.
+    */
+  private[graft] def writePcaStore(s: org.apache.spark.sql.SparkSession,
+      fit: PcaFit, name: String, path: String): Unit =
+    s.createDataFrame(Seq(
+      (0L, fit.trace, fit.means.toSeq),
+      (1L, fit.lam1, fit.v1.toSeq),
+      (2L, fit.lam2, fit.v2.toSeq)))
+      .toDF("part", "lam", "vec")
+      .write.mode("overwrite")
+      .option("path", s"$path/pca").saveAsTable(s"${name}_pca")
+
+  /** Re-attach an existing on-disk PCA store in a NEW session (the
+    * registerIvfIndex discipline — the artifact outlives the session
+    * that built it).
+    */
+  private[graft] def registerPcaStore(s: org.apache.spark.sql.SparkSession,
+      name: String, path: String): Unit =
+    s.sql(s"CREATE TABLE ${name}_pca USING parquet LOCATION '$path/pca'")
+
+  /** Read a [[writePcaStore]] artifact back into a [[PcaFit]]. */
+  private[graft] def pcaFitFromStore(s: org.apache.spark.sql.SparkSession,
+      name: String): PcaFit = {
+    val rows = s.table(s"${name}_pca").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Double](2).toArray))).toMap
+    val (trace, means) = rows(0L)
+    val (l1, v1) = rows(1L)
+    val (l2, v2) = rows(2L)
+    PcaFit(means.length, means, l1, v1, l2, v2, trace)
+  }
 
   /** q175's declared fixture: the synthetic embeddings are
     * near-isotropic (every natural |corr| is small), so the LAST

@@ -622,4 +622,31 @@ class IndexStoreSpec extends SparkSpec {
     // tags are stable across calls and fixed-width hex
     assert(dirTag(a.toString).matches("[0-9a-f]{12}"))
   }
+  test("PCA store: round-trip fit is bitwise the in-plan fit; re-attach survives a drop") {
+    import graft.operators.Similarity
+    val name = "pcastore_t_" + System.nanoTime()
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pca-store").toString
+    try {
+      val fit = Similarity.pcaFit(spark, sfDir)
+      Similarity.writePcaStore(spark, fit, name, path)
+      val back = Similarity.pcaFitFromStore(spark, name)
+      assert(back.dim == fit.dim)
+      assert(back.trace == fit.trace && back.lam1 == fit.lam1 &&
+        back.lam2 == fit.lam2, "eigen scalars must round-trip exactly")
+      assert(back.means.sameElements(fit.means) &&
+        back.v1.sameElements(fit.v1) && back.v2.sameElements(fit.v2),
+        "vectors must round-trip parquet bitwise")
+      // the artifact outlives the session that built it: drop the
+      // catalog entry, re-attach over the same files, fit again
+      spark.sql(s"DROP TABLE ${name}_pca")
+      Similarity.registerPcaStore(spark, name, path)
+      val re = Similarity.pcaFitFromStore(spark, name)
+      assert(re.v1.sameElements(fit.v1) && re.lam1 == fit.lam1,
+        "re-attached store must serve the identical fit")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_pca")
+      graft.operators.Q.releaseManaged()
+    }
+  }
 }
