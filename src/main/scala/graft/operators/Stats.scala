@@ -743,6 +743,104 @@ object Stats {
     // more than k rows. The salted-prefix hash decorrelates this
     // sample from q46's split assignment (same md5, different
     // preimage).
+    // Q191: reshard move-cost - the release-ops decision between
+    // mod-N placement and a consistent-hash ring, MEASURED on the
+    // corpus rather than quoted from the textbook: growing 8 -> 9
+    // shards, mod placement moves ~8/9 of all docs (every residue
+    // class reshuffles) while the ring moves only the slice the new
+    // shard steals (~its virtual-node share). Everything is integer by
+    // construction: doc hash = a declared LCG mix with a bounded
+    // pre-modulus (doc_id % 1000003 keeps the multiply under 2^63 at
+    // any corpus size), ring nodes = the same LCG family over
+    // (shard*64 + vnode) - an odd multiplier mod 2^31 is injective,
+    // so node hashes are distinct and the (nh, shard) tie-break never
+    // fires; ring ownership = the first node clockwise (min nh >= h,
+    // wrapping to the global min). Plan at 100 TB: doc hashing is
+    // map-only; the ring lookup joins a <=72-row broadcast node table
+    // twice; one 2-key partial agg ends it. No shuffle touches the
+    // corpus beyond the agg.
+    "q191_reshard_cost" -> QueryDef(
+      (s, dir) => {
+        val M = 2147483648L
+        val nOld = 8; val vn = 8
+        val h = ((col("doc_id") % 1000003L) * 1103515245L + 12345L) % M
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), h.as("h"))
+          .managedPersist
+        def nodes(n: Int) = s.createDataFrame(
+          (for { sh <- 0 until n; v <- 0 until vn } yield
+            (sh.toLong, ((sh * 64 + v + 1).toLong * 1103515245L
+              + 12345L) % M)).toSeq)
+          .toDF("shard", "nh")
+        def ringOwner(nodeDf: org.apache.spark.sql.DataFrame,
+            ownerCol: String) = {
+          val j = docs.crossJoin(broadcast(nodeDf))
+          val pick = j.groupBy("doc_id")
+            .agg(coalesce(min(when(col("nh") >= col("h"), col("nh"))),
+              min(col("nh"))).as("own_nh"))
+          pick.join(broadcast(nodeDf),
+              pick("own_nh") === nodeDf("nh"))
+            .groupBy("doc_id")
+            .agg(min("shard").as(ownerCol))
+        }
+        val before = ringOwner(nodes(nOld), "s_before")
+        val after = ringOwner(nodes(nOld + 1), "s_after")
+        val ring = before.join(after, "doc_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("s_before") =!= col("s_after")).cast("long"))
+              .as("n_moved"))
+          .withColumn("strategy", lit("ring"))
+        val modc = docs
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("h") % nOld =!= col("h") % (nOld + 1)).cast("long"))
+              .as("n_moved"))
+          .withColumn("strategy", lit("mod"))
+        modc.unionByName(ring)
+          .select(col("strategy"), col("n_docs"), col("n_moved"),
+            round((col("n_moved").cast("double") /
+              col("n_docs").cast("double")) * lit(10000.0)).cast("long")
+              .as("moved_bp"))
+          .orderBy("strategy")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                  ((doc_id % 1000003) * 1103515245 + 12345) % 2147483648
+                    AS h
+                FROM documents),
+              nb AS (SELECT CAST(sh AS BIGINT) AS shard,
+                  ((sh * 64 + v + 1) * 1103515245 + 12345) % 2147483648
+                    AS nh
+                FROM range(8) t(sh), range(8) u(v)),
+              na AS (SELECT CAST(sh AS BIGINT) AS shard,
+                  ((sh * 64 + v + 1) * 1103515245 + 12345) % 2147483648
+                    AS nh
+                FROM range(9) t(sh), range(8) u(v)),
+              ob AS (SELECT d.doc_id, MIN(nb2.shard) AS s_before
+                FROM (SELECT d.doc_id,
+                    COALESCE(MIN(CASE WHEN nb.nh >= d.h THEN nb.nh END),
+                      MIN(nb.nh)) AS own_nh
+                  FROM d, nb GROUP BY d.doc_id) d
+                JOIN nb nb2 ON nb2.nh = d.own_nh GROUP BY d.doc_id),
+              oa AS (SELECT d.doc_id, MIN(na2.shard) AS s_after
+                FROM (SELECT d.doc_id,
+                    COALESCE(MIN(CASE WHEN na.nh >= d.h THEN na.nh END),
+                      MIN(na.nh)) AS own_nh
+                  FROM d, na GROUP BY d.doc_id) d
+                JOIN na na2 ON na2.nh = d.own_nh GROUP BY d.doc_id),
+              r AS (SELECT 'ring' AS strategy, COUNT(*) AS n_docs,
+                  CAST(SUM(CASE WHEN s_before <> s_after THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_moved
+                FROM ob JOIN oa USING (doc_id)),
+              m AS (SELECT 'mod' AS strategy, COUNT(*) AS n_docs,
+                  CAST(SUM(CASE WHEN h % 8 <> h % 9 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved
+                FROM d)
+              SELECT strategy, n_docs, n_moved,
+                CAST(ROUND((CAST(n_moved AS DOUBLE) /
+                  CAST(n_docs AS DOUBLE)) * 10000.0) AS BIGINT)
+                  AS moved_bp
+              FROM (SELECT * FROM m UNION ALL SELECT * FROM r) u
+              ORDER BY strategy""")),
+
     "q107_hash_sample" -> QueryDef(
       (s, dir) => {
         val k = 200

@@ -196,6 +196,22 @@ class StatsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_docs")).sum === n)
   }
 
+  test("q191: the ring moves a fraction of what mod-N moves") {
+    val out = SparkEntry.queries("q191_reshard_cost")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val n = graft.operators.Q.table(spark, sfDir, "documents").count()
+    assert(out("mod")._1 === n && out("ring")._1 === n)
+    // mod-N reshuffles ~(N)/(N+1) of everything: 8/9 = 8889 bp
+    assert(out("mod")._3 > 8000L && out("mod")._3 < 9500L,
+      s"mod move share off the 8/9 law: ${out("mod")}")
+    // the ring moves only the new shard's stolen slice
+    assert(out("ring")._3 > 0L && out("ring")._3 < 2000L,
+      s"ring move share out of range: ${out("ring")}")
+    assert(out("ring")._2 * 4 < out("mod")._2,
+      "the ring must move a small fraction of what mod moves")
+  }
+
   test("q106: histogram-threshold selection equals the naive budget window") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
