@@ -381,6 +381,43 @@ object Learn {
     s.createDataFrame(admitted.toSeq).toDF("vec_id", "embedding")
   }
 
+  /** q185's deployed SCALE path: hard-negative candidates enumerated
+    * WITHIN IVF cells only (the semDedupPrunedCellLocal argument -
+    * any cell partition yields a subset of the exact pair set with
+    * identical sims, and the pairs a contrastive loss wants are the
+    * HIGH-cosine ones, which are intra-cell by construction). Returns
+    * cross-label pairs at 4-dp cosine >= simFloor; candidate work is
+    * sum-of-cell-sizes squared instead of n^2. LearnSpec asserts the
+    * subset property against the exact block-tiled frame.
+    */
+  def hardPairsCellLocal(emb: DataFrame, simFloor: Double,
+      nlist: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, normSq, cosineWithNorms}
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val base = emb.select(col("vec_id"),
+      col("label").cast("long").as("label"), col("embedding"))
+    val model = Ann.coarseQuantizer(
+      base.select(col("vec_id"), col("embedding")), nlist,
+      cheapInit = true)
+    val cells = base
+      .withColumn("cell", Ann.twoLevelAssignCol(model, col("embedding")))
+      .withColumn("nsq", normSq(col("embedding")))
+    val a = cells.select(col("cell"), col("vec_id").as("va"),
+      col("label").as("label_a"), col("embedding").as("ea"),
+      col("nsq").as("na"))
+    val b = cells.select(col("cell"), col("vec_id").as("vb"),
+      col("label").as("label_b"), col("embedding").as("eb"),
+      col("nsq").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter(col("label_a") =!= col("label_b"))
+      .withColumn("sim", round(cosineWithNorms(dot(col("ea"), col("eb")),
+        col("na"), col("nb")), 4))
+      .filter(col("sim") >= simFloor)
+      .select(col("va"), col("vb"), col("label_a"), col("label_b"),
+        col("sim"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q181: train the linear quality probe - 8 full-batch delta-rule

@@ -85,6 +85,28 @@ class LearnSpec extends SparkSpec {
       s"mined extremes do not separate: minNeg=$minNeg maxPos=$maxPos")
   }
 
+  test("hardPairsCellLocal: cell-local mining is a subset of the exact frame") {
+    import graft.operators.Similarity
+    val emb = Q.table(spark, sfDir, "embeddings")
+    val floor = 0.25
+    val local = Learn.hardPairsCellLocal(emb, floor).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    val lab = emb.select(col("vec_id"), col("label").cast("long").as("l"))
+    val exact = Similarity.tiledPairSims(spark, emb)
+      .join(lab.toDF("va", "la"), "va").join(lab.toDF("vb", "lb"), "vb")
+      .filter(col("la") =!= col("lb") && col("sim") >= floor)
+      .collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"),
+        r.getAs[Double]("sim"))).toSet
+    // any cell partition yields a subset with IDENTICAL sims
+    assert(local.subsetOf(exact),
+      s"cell-local pair outside the exact frame: ${local.diff(exact).take(3)}")
+    // the path does real work: high-cosine cross-label pairs are
+    // intra-cell by construction, so the local pass finds some
+    assert(local.nonEmpty, "cell-local mining found nothing at the floor")
+    assert(local.size <= exact.size)
+  }
+
   test("probeScore boundary: zero margin scores exactly 0.5") {
     import spark.implicits._
     val df = Seq((Array(0.125f, 0.0f), 1L)).toDF("embedding", "id")
