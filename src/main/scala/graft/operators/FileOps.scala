@@ -207,12 +207,16 @@ object FileOps {
 
   /** Outcome of one [[sync]] run: source objects seen, objects
     * actually transferred (missing or size-changed at the
-    * destination), up-to-date objects skipped without moving bytes,
-    * and extraneous destination objects deleted (0 unless
-    * `deleteExtraneous`).
+    * destination), up-to-date objects skipped without moving bytes
+    * (manifest-diff verdict — NOT planned-but-skipped copies, which
+    * are `retrySkipped`), objects that were planned for transfer but
+    * skipped inside the copy stage (idempotent-retry skip: the bytes
+    * already landed on a prior attempt), and extraneous destination
+    * objects deleted (0 unless `deleteExtraneous`).
     */
   final case class SyncStats(
-      scanned: Long, transferred: Long, upToDate: Long, deleted: Long)
+      scanned: Long, transferred: Long, upToDate: Long,
+      retrySkipped: Long, deleted: Long)
 
   /** One-way prefix sync — the incremental mirror job a pipeline runs
     * between landing zones (rsync's contract at object-store scale):
@@ -275,8 +279,13 @@ object FileOps {
           if (!deleteExtraneous) 0L
           else delete(joined.filter(col("path").isNull)
             .select(lit(dstBucket).as("bucket"), col("dpath").as("path")))
+        // ADVICE r12: upToDate counts exactly the objects the
+        // manifest diff deemed fresh; copy-level idempotent-retry
+        // skips (planned objects whose bytes turned out to already be
+        // at the destination) are surfaced as their own field instead
+        // of being folded in as "fresh"
         SyncStats(scanned, stats.transferred,
-          scanned - stats.planned + stats.skipped, deleted)
+          scanned - stats.planned, stats.skipped, deleted)
       } finally joined.unpersist()
     } finally { srcM.release(); dstM.release() }
   }

@@ -73,6 +73,16 @@ object IndexMaintenance {
         s"$table has no bucket spec — compactBucketed is for the " +
           "bucketed index tables"))
     val bucketCols = spec.bucketColumnNames
+    // ADVICE r12: the rewrite and re-registration below carry exactly
+    // one bucket column (matching registerBucketed's single-column
+    // contract). A multi-column spec would be silently re-registered
+    // on bucketCols.head alone, changing bucket placement and making
+    // downstream exchange-free probe joins read the wrong buckets —
+    // refuse loudly instead.
+    require(bucketCols.size == 1,
+      s"compactBucketed supports single-column bucket specs only " +
+        s"(registerBucketed contract); $table is bucketed on " +
+        s"${bucketCols.mkString(",")}")
     val bucketCol = bucketCols.head
     val buckets = spec.numBuckets
     val loc = new Path(meta.location)

@@ -105,7 +105,11 @@ object Learn {
     scala.collection.concurrent.TrieMap.empty[String, ProbeFit]
 
   private[graft] def probeFit(s: SparkSession, dir: String): ProbeFit =
-    probeFitCache.getOrElseUpdate(dir, probeFitUncached(s, dir))
+    // key carries a content fingerprint so a regenerated table at the
+    // same path re-fits instead of serving the stale memo (ADVICE r12)
+    probeFitCache.getOrElseUpdate(
+      dir + "#" + tableFingerprint(s, dir, "embeddings"),
+      probeFitUncached(s, dir))
 
   /** The Spark half of the training recipe: the feature frame is
     * persisted once (8 iterations re-read it - q178's contrib
@@ -353,30 +357,69 @@ object Learn {
     * store: keep rows farther than sqrt(r2) from EVERY stored center
     * (centers are coreset-sized by the packing argument, so they ride
     * a broadcast), then the declared within-batch greedy in ascending
-    * vec_id order (inherently sequential - the candidate list is
-    * bounded by the batch, and only candidates already past the store
-    * gate reach the driver). Returns the admitted `(vec_id, embedding)`
-    * frame.
+    * vec_id order (inherently sequential). Returns the admitted
+    * `(vec_id, embedding)` frame.
+    *
+    * VERDICT r12 (driver-collect bound): the far set is consumed in
+    * ascending-vec_id CHUNKS of `chunk` rows — each driver collect is
+    * a bounded TopK (`orderBy(vec_id).limit(chunk)`), never the whole
+    * far set, so a first batch over a novel corpus (where EVERY row is
+    * far) costs ceil(n_far/chunk) bounded round trips instead of one
+    * unbounded collect. Chunking preserves the declared sequential
+    * semantics exactly: within a chunk the greedy checks candidates
+    * against everything admitted so far (store + all prior chunks +
+    * this chunk's earlier rows, in vec_id order), and between chunks
+    * the surviving remainder is re-filtered DISTRIBUTED against the
+    * chunk's newly-admitted centers — the composition of those filters
+    * is precisely "farther than r from every center admitted before
+    * me", i.e. the one-shot greedy's invariant. The ADMITTED set stays
+    * packing-bounded regardless of n_far, so the in-driver center list
+    * and the broadcast both stay small. The remainder's plan deepens
+    * by one filter per chunk; micro-batches are a handful of chunks,
+    * and a genuinely huge backfill should go through q182's batch
+    * coreset instead.
     */
   private[graft] def coresetAdmit(batch: DataFrame, name: String,
-      r2: Double): DataFrame = {
+      r2: Double, chunk: Int = 4096): DataFrame = {
     val s = batch.sparkSession
-    val centers = s.table(s"${name}_centers")
-      .select(col("embedding").as("ce"))
-    val far = batch.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centers))
+    require(chunk > 0, s"chunk must be positive: $chunk")
+    def farFrom(df: DataFrame, cs: DataFrame): DataFrame = df
+      .crossJoin(broadcast(cs))
       .withColumn("d2", dist2fCol(col("embedding"), col("ce")))
       .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"), min(col("d2")).as("d2"))
+      .agg(first(col("embedding")).as("embedding"),
+        min(col("d2")).as("d2"))
       .filter(col("d2") > lit(r2))
-      .orderBy("vec_id")
-      .collect()
+      .select(col("vec_id"), col("embedding"))
+    val centers = s.table(s"${name}_centers")
+      .select(col("embedding").as("ce"))
+    var remaining =
+      farFrom(batch.select(col("vec_id"), col("embedding")), centers)
     val admitted =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
-    far.foreach { r =>
-      val e = r.getSeq[Float](1).toArray
-      if (admitted.forall(a => dist2f(a._2, e) > r2))
-        admitted += ((r.getLong(0), e))
+    var done = false
+    while (!done) {
+      // bounded collect: TakeOrderedAndProject of `chunk` rows
+      val head = remaining.orderBy("vec_id").limit(chunk).collect()
+      val newly =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+      head.foreach { r =>
+        val e = r.getSeq[Float](1).toArray
+        if (admitted.forall(a => dist2f(a._2, e) > r2) &&
+            newly.forall(a => dist2f(a._2, e) > r2))
+          newly += ((r.getLong(0), e))
+      }
+      admitted ++= newly
+      if (head.length < chunk) done = true
+      else {
+        val wm = head.last.getLong(0)
+        val rest = remaining.filter(col("vec_id") > wm)
+        remaining =
+          if (newly.isEmpty) rest
+          else farFrom(rest,
+            s.createDataFrame(newly.toSeq).toDF("vec_id", "embedding")
+              .select(col("embedding").as("ce")))
+      }
     }
     s.createDataFrame(admitted.toSeq).toDF("vec_id", "embedding")
   }

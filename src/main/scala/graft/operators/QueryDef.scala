@@ -85,6 +85,28 @@ object Q {
     }
   }
 
+  /** Cheap content fingerprint of one test table's parquet files
+    * (file count, max mtime, total bytes — one driver-side listing,
+    * no data read). Session-lifetime fit memos (probeFit, pcaFit) key
+    * on `dir + fingerprint` instead of the directory string alone, so
+    * regenerating the parquet at the same path within a session
+    * (re-scaled fixtures, refreshed corpora) invalidates the memo
+    * instead of silently serving a fit trained on the old data
+    * (ADVICE r12).
+    */
+  def tableFingerprint(
+      spark: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val files = fs.listStatus(p).filter(_.isFile)
+      val mt = if (files.isEmpty) 0L
+        else files.map(_.getModificationTime).max
+      s"${files.length}:$mt:${files.map(_.getLen).sum}"
+    }
+  }
+
   /** Spread an UNDER-partitioned frame across the cluster before a
     * heavy per-row generator (shingling, per-char gram explode, sketch
     * partials): a small local parquet reads as ONE split — one parquet

@@ -153,7 +153,11 @@ object Similarity {
 
   private[graft] def pcaFit(
       s: org.apache.spark.sql.SparkSession, dir: String): PcaFit =
-    pcaFitCache.getOrElseUpdate(dir, pcaFitUncached(s, dir))
+    // key carries a content fingerprint so a regenerated table at the
+    // same path re-fits instead of serving the stale memo (ADVICE r12)
+    pcaFitCache.getOrElseUpdate(
+      dir + "#" + tableFingerprint(s, dir, "embeddings"),
+      pcaFitUncached(s, dir))
 
   private def pcaFitUncached(
       s: org.apache.spark.sql.SparkSession, dir: String): PcaFit = {

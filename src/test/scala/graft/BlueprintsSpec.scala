@@ -354,7 +354,8 @@ class BlueprintsSpec extends SparkSpec {
 
     // idempotence: an immediate re-sync moves zero bytes
     val second = FileOps.sync(spark, uri(src), "", uri(dst), "")
-    assert(second.transferred == 0 && second.upToDate == 3,
+    assert(second.transferred == 0 && second.upToDate == 3
+      && second.retrySkipped == 0,
       s"re-sync must be a no-op: $second")
 
     // change one file's size, add one, plant one extraneous dest file

@@ -444,6 +444,49 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS ${name}_centers")
   }
 
+  test("coresetAdmit chunked driver collects match the one-shot greedy exactly") {
+    // VERDICT r12 ask #3: the admission greedy consumes the far set in
+    // bounded ascending-vec_id chunks. Chunking must be invisible: a
+    // chunk size smaller than the batch yields the identical admitted
+    // set (and a driver-side reference greedy agrees with both).
+    import spark.implicits._
+    import graft.operators.Learn
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-coreset-chunk").toString
+    val name = "corechunk_" + System.nanoTime()
+    try {
+      Learn.writeCoresetStore(
+        Seq((0L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"),
+        name, dir)
+      val r2 = 1.0
+      // a chain straddling chunk boundaries: 2 admits, 3 is within r
+      // of 2 (must be dropped even when 2 and 3 land in different
+      // chunks), 4/6/8 admit, 5/7 drop against in-batch admits, 9/10
+      // drop against the store seed
+      val pts = Seq(
+        1L -> Array(0.5f, 0.0f), 2L -> Array(2.0f, 0.0f),
+        3L -> Array(2.5f, 0.0f), 4L -> Array(0.0f, 3.0f),
+        5L -> Array(0.1f, 3.1f), 6L -> Array(-3.0f, 0.0f),
+        7L -> Array(-3.5f, 0.0f), 8L -> Array(0.0f, -3.0f),
+        9L -> Array(0.0f, 0.9f), 10L -> Array(-0.9f, 0.0f))
+      // driver-side reference greedy in ascending vec_id order
+      val ref = scala.collection.mutable.ArrayBuffer(
+        (0L, Array(0.0f, 0.0f)))
+      val expect = pts.flatMap { case (id, e) =>
+        if (ref.forall(a => Learn.dist2f(a._2, e) > r2)) {
+          ref += ((id, e)); Some(id)
+        } else None
+      }
+      val batch = pts.toDF("vec_id", "embedding")
+      def admitted(chunk: Int): Seq[Long] =
+        Learn.coresetAdmit(batch, name, r2, chunk)
+          .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(admitted(4096) == expect, "one-shot-sized chunk diverged")
+      assert(admitted(3) == expect, "chunk=3 diverged from the greedy")
+      assert(admitted(1) == expect, "chunk=1 diverged from the greedy")
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${name}_centers")
+  }
+
   test("probeGateStream scores statelessly; batch ≡ stream; keep matches the threshold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
