@@ -38,6 +38,19 @@ private[graft] object IngestLedger {
     new Path(loc, s"_ingest_ledger/batch=$batchId")
   }
 
+  /** Tagged variant for COMPOSED loops: a pipeline that chains several
+    * gates commits ONE admitted set per batch under its own namespace,
+    * so it can share an index with a standalone loop without the two
+    * ever reading each other's ledgers.
+    */
+  def dirFor(spark: SparkSession, table: String, batchId: Long,
+      tag: String): Path = {
+    val loc = new Path(
+      spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+        .location)
+    new Path(loc, s"_ingest_ledger/$tag/batch=$batchId")
+  }
+
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 

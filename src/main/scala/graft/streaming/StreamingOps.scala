@@ -553,6 +553,49 @@ object StreamingOps {
       }
       .start()
 
+  /** Score-gated diversity admission (VERDICT r12 ask #8) — the actual
+    * curation deployment shape: q183's fitted linear probe gates each
+    * arriving embedding FIRST (cheap, stateless, map-only — the same
+    * [[probeGateStream]] scoring expression, so the composed gate
+    * cannot drift from the standalone one), and only the keepers enter
+    * the coreset admission ([[coresetIngestBatch]] — fixed-radius
+    * online k-center against the persisted center store). Quality
+    * cuts before diversity: the probe drop is per-row and free, while
+    * a coreset admission permanently occupies a center slot — gating
+    * after would let low-quality outliers crowd the center store.
+    *
+    * Replay idempotency is inherited intact: the probe gate is a
+    * deterministic pure function of the row, so a replayed batch
+    * re-derives the identical keeper set, and the coreset loop's
+    * batch-id ledger then reproduces the admitted set and guards the
+    * center append exactly as in the ungated loop (StreamingSpec
+    * replays a gated batch under its original id).
+    */
+  def gatedCoresetIngestStream(
+      vecs: DataFrame,
+      indexName: String,
+      r2: Double,
+      w: Array[Double],
+      b: Double,
+      onAdmit: (DataFrame, Long) => Unit): streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        gatedCoresetIngestBatch(batch.toDF(), id, indexName, r2, w, b,
+          onAdmit)
+      }
+      .start()
+
+  /** One micro-batch of [[gatedCoresetIngestStream]] — package-private
+    * so StreamingSpec can replay a batch under its original id.
+    */
+  private[graft] def gatedCoresetIngestBatch(batch: DataFrame, id: Long,
+      indexName: String, r2: Double, w: Array[Double], b: Double,
+      onAdmit: (DataFrame, Long) => Unit): Unit =
+    coresetIngestBatch(
+      probeGateStream(batch, w, b).filter(col("keep") === 1L),
+      id, indexName, r2, onAdmit)
+
   /** One micro-batch of [[coresetIngestStream]] — package-private so
     * StreamingSpec can replay a batch under its original id.
     */
@@ -658,6 +701,164 @@ object StreamingOps {
         array_join(filter(col("__lines"),
           l => !l.isInCollection(boilerLines)), sep))
       .drop("__lines")
+  }
+
+  /** Configuration of the composed nightly ingest loop
+    * ([[corpusIngestStream]]): the three persisted index families the
+    * chain reads (band = near-dup suppression, gram = novelty floor,
+    * span = verbatim-reuse gate; the span index is write-once, the
+    * other two grow with admissions when `growIndexes`), the corpus
+    * boilerplate line set the line scrub applies, and the two gate
+    * thresholds.
+    */
+  final case class CorpusIngestConfig(
+      bandIndex: String,
+      gramIndex: String,
+      spanIndex: String,
+      boilerLines: Seq[String],
+      maxSpanTokens: Int = 10,
+      minNovelShare: Double = 0.5,
+      growIndexes: Boolean = true)
+
+  /** The composed streaming ingest pipeline (VERDICT r12 ask #2) — the
+    * nightly loop a deployment actually runs, chaining the existing
+    * gates over ONE micro-batch stream with ONE admitted set and ONE
+    * [[IngestLedger]] commit per batch:
+    *
+    *   1. PII scrub            ([[piiScrubStream]] — stateless
+    *                            transform, q167's shared chain)
+    *   2. boilerplate-line cut ([[lineScrubStream]] — stateless,
+    *                            q173's corpus line set as a literal)
+    *   3. span gate            (probe the write-once span index; a doc
+    *                            quoting ≥ maxSpanTokens of the stored
+    *                            release drops — Lee et al. at ingest)
+    *   4. band near-dup gate   (probe the band index; near-dups of the
+    *                            corpus OR of earlier admissions drop)
+    *   5. gram novelty gate    (novel-gram share ≥ minNovelShare —
+    *                            boilerplate-shaped redundance drops
+    *                            even when no single doc is a near-dup)
+    *
+    * Stage order is the batch release pipeline's cost order
+    * ([[graft.operators.Pipeline]] q100): the map-only scrubs run
+    * before anything shuffles, the cheapest index probe (span —
+    * bounded-df seed grams) cuts before the shingle-heavy band probe,
+    * and the gram scan sees only survivors.
+    *
+    * Replay idempotency is END-TO-END, not per gate: the chain decides
+    * the batch's admitted set, commits the doc_ids ONCE to a
+    * batch-id-tagged ledger (namespaced `corpus_pipeline`, anchored at
+    * the band index's shingle table), and only then mutates the two
+    * growable indexes. A replayed batch re-applies the deterministic
+    * scrubs (stateless — identical text), reproduces the admitted set
+    * from the ledger WITHOUT re-probing any index (the indexes may
+    * already contain the batch's own keys), and re-runs the appends
+    * through the guarded variants so no band/shingle/gram row ever
+    * duplicates — the same contract the standalone loops carry, now
+    * with one ledger across all grown indexes.
+    *
+    * The admitted frame handed to `onAdmit` carries the SCRUBBED text
+    * plus the scrub audit columns (`pii_hits`, `pii_clean`,
+    * `lines_removed`); the indexes likewise grow on scrubbed text, so
+    * batch attempts can never disagree about what was indexed.
+    */
+  def corpusIngestStream(
+      docs: DataFrame,
+      cfg: CorpusIngestConfig,
+      onAdmit: (DataFrame, Long) => Unit): streaming.StreamingQuery = {
+    require(cfg.maxSpanTokens >= 5,
+      s"maxSpanTokens must be >= seedLen (5): ${cfg.maxSpanTokens}")
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        corpusIngestBatch(batch.toDF(), id, cfg, onAdmit)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[corpusIngestStream]] — package-private so
+    * StreamingSpec can (a) run it over a static frame (batch mode —
+    * one definition, two modes) and (b) replay a batch under its
+    * original id, the exact retry foreachBatch promises.
+    */
+  private[graft] def corpusIngestBatch(
+      batch: DataFrame, id: Long, cfg: CorpusIngestConfig,
+      onAdmit: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    val ledger = IngestLedger.dirFor(
+      s, s"${cfg.bandIndex}_shingles", id, tag = "corpus_pipeline")
+    val replayed = IngestLedger.committed(s, ledger)
+    // stages 1-2: deterministic stateless transforms — re-applied on
+    // replay, byte-identical text
+    val scrubbed = lineScrubStream(
+      piiScrubStream(batch, "text"), cfg.boilerLines, "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stage-5 gram frame: persisted for its two consumers (total and
+    // novel counts); released with the batch, AFTER the admitted set
+    // materializes (an early unpersist would silently recompute the
+    // shingling on the first action)
+    var g: Option[DataFrame] = None
+    try {
+      val admitted = (if (replayed)
+        scrubbed.join(IngestLedger.read(s, ledger),
+          Seq("doc_id"), "left_semi")
+      else {
+        // stage 3: span gate against the write-once release index
+        val toks = scrubbed.withColumn("toks",
+          graft.operators.TextAnalysis.tokens(col("text")))
+        val spanHit = graft.operators.Dedup
+          .probeSpanIndex(s, cfg.spanIndex, toks,
+            minSpan = cfg.maxSpanTokens)
+          .select(col("da").as("doc_id")).distinct()
+        val s3 = scrubbed.join(spanHit, Seq("doc_id"), "left_anti")
+        // stage 4: band near-dup gate (stored side exchange-free)
+        val dup = graft.operators.Dedup
+          .probeBandIndex(s, cfg.bandIndex, s3)
+          .select(col("db").as("doc_id")).distinct()
+        val s4 = s3.join(dup, Seq("doc_id"), "left_anti")
+        // stage 5: gram novelty floor (the gramNoveltyBatch predicate)
+        val grams = graft.operators.Dedup.docGrams(s, s4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        g = Some(grams)
+        val tot = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val nov = grams
+          .join(s.table(s"${cfg.gramIndex}_grams"), Seq("g"),
+            "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+        val admitIds = tot
+          .join(nov, Seq("doc_id"), "left")
+          .filter(coalesce(col("n_novel"), lit(0L)) >=
+            col("n_grams") * lit(cfg.minNovelShare))
+          .select("doc_id")
+        // the semi-join keeps the scrub columns on the admitted frame
+        s4.join(admitIds, Seq("doc_id"), "left_semi")
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // ONE commit for the whole chain, BEFORE any index mutation
+        if (!replayed)
+          IngestLedger.write(admitted.select("doc_id"), ledger)
+        onAdmit(admitted, id)
+        if (cfg.growIndexes && !IngestLedger.appendDone(s, ledger)) {
+          // a replay's original attempt may have died between the two
+          // appends: the band append takes the row-guarded variant on
+          // replay, and the gram append is naturally exact-once (it
+          // only writes grams the index does not already hold)
+          if (replayed)
+            graft.operators.Dedup
+              .appendToBandIndexDedup(admitted, cfg.bandIndex)
+          else
+            graft.operators.Dedup
+              .appendToBandIndex(admitted, cfg.bandIndex)
+          graft.operators.Dedup
+            .appendToGramIndex(admitted, cfg.gramIndex)
+          IngestLedger.markAppendDone(s, ledger)
+        }
+      } finally admitted.unpersist(blocking = false)
+    } finally {
+      g.foreach(_.unpersist(blocking = false))
+      scrubbed.unpersist(blocking = false)
+      // probeBandIndex managed-persists the batch shingles per batch
+      graft.operators.Q.releaseManaged()
+    }
   }
 
   def neardupProbeIndexStream(

@@ -444,6 +444,53 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS ${name}_centers")
   }
 
+  test("gatedCoresetIngestStream cuts by probe score before diversity; replay contract intact") {
+    // VERDICT r12 ask #8: q183's probe gate composed in front of the
+    // coreset loop — low-score rows never reach the center store even
+    // when they are geometrically diverse, and the batch-id ledger
+    // still makes replays exact.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gatedcoreset").toString
+    val name = "gatedcore_" + System.nanoTime()
+    try {
+      graft.operators.Learn.writeCoresetStore(
+        Seq((0L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"),
+        name, dir)
+      // keep iff w·e + b >= 0, i.e. iff e(0) >= 0 here
+      val w = Array(1.0, 0.0); val b = 0.0
+      val batch = Seq(
+        Vec(t(1), 1L, Array(2.0f, 0.0f)),   // keep + far      -> admit
+        Vec(t(2), 2L, Array(-3.0f, 0.0f)),  // far but SCORE-DROPPED
+        Vec(t(3), 3L, Array(0.5f, 0.0f)),   // keep, near seed -> drop
+        Vec(t(4), 4L, Array(0.0f, 3.0f)))   // boundary keep + far -> admit
+      val admittedBy = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+      def cb(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        admittedBy(id) = df.select("vec_id").collect()
+          .map(_.getLong(0)).sorted.toSeq
+      val input = MemoryStream[Vec]
+      val q = StreamingOps.gatedCoresetIngestStream(
+        input.toDF().drop("ts"), name, r2 = 1.0, w, b, cb)
+      try {
+        input.addData(batch)
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(admittedBy(0L) == Seq(1L, 4L), s"admitted: $admittedBy")
+      val centers = spark.table(s"${name}_centers")
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(centers == Seq(0L, 1L, 4L),
+        s"score-dropped row reached the store: $centers")
+      // replay under the original id: same admitted set, no dup rows
+      StreamingOps.gatedCoresetIngestBatch(
+        batch.toDF().drop("ts"), 0L, name, r2 = 1.0, w, b, cb)
+      assert(admittedBy(0L) == Seq(1L, 4L), "replay changed the set")
+      val after = spark.table(s"${name}_centers")
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(after == Seq(0L, 1L, 4L), s"replay duplicated rows: $after")
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${name}_centers")
+  }
+
   test("coresetAdmit chunked driver collects match the one-shot greedy exactly") {
     // VERDICT r12 ask #3: the admission greedy consumes the far set in
     // bounded ascending-vec_id chunks. Chunking must be invisible: a
@@ -890,6 +937,115 @@ class StreamingSpec extends SparkSpec {
       q.stop()
       spark.sql("DROP TABLE IF EXISTS stream_spanidx_pgrams")
     }
+  }
+
+  test("corpusIngestStream chains all gates; batch ≡ stream; mid-chain replay duplicates nothing") {
+    // VERDICT r12 ask #2: the composed nightly ingest loop — PII scrub
+    // → line scrub → span gate → band near-dup → gram novelty — as ONE
+    // micro-batch stream with ONE ledger commit per batch.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corpusingest")
+    def words(prefix: String): String =
+      (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val base = Seq((0L, words("alpha")), (1L, words("beta")))
+      .toDF("doc_id", "text")
+    def buildIndexes(pfx: String): StreamingOps.CorpusIngestConfig = {
+      graft.operators.Dedup.writeBandIndex(base, s"${pfx}_band", s"$tmp/$pfx-b")
+      graft.operators.Dedup.writeGramIndex(base, s"${pfx}_gram", s"$tmp/$pfx-g")
+      graft.operators.Dedup.writeSpanIndex(
+        base.select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("toks")),
+        s"${pfx}_span", s"$tmp/$pfx-s")
+      StreamingOps.CorpusIngestConfig(
+        bandIndex = s"${pfx}_band", gramIndex = s"${pfx}_gram",
+        spanIndex = s"${pfx}_span",
+        boilerLines = Seq("SUBSCRIBE NOW"),
+        maxSpanTokens = 12, minNovelShare = 0.5)
+    }
+    // batch 1: 10 = fresh but needs both scrubs (admit), 11 = 14-token
+    // verbatim quote of indexed alpha (span drop), 12 = junction of
+    // alpha+beta halves — no single near-dup, but grams are stale
+    // (gram drop), 13 = fresh and clean (admit)
+    val quote = words("alpha").split(" ").slice(3, 17).mkString(" ")
+    val b1 = Seq(
+      10L -> ("SUBSCRIBE NOW\n" + words("gamma") +
+        "\ncontact bob@example.com today"),
+      11L -> s"fresh1 fresh2 fresh3 $quote tailA tailB",
+      12L -> (words("alpha").split(" ").take(10) ++
+        words("beta").split(" ").take(10)).mkString(" "),
+      13L -> words("epsilon"))
+    // batch 2: 20 = tail-edit near-dup of the JUST-ADMITTED 13 (band
+    // drop — only if the band index actually grew; the span index is
+    // write-once so it cannot catch this), 21 = fresh (admit)
+    val b2 = Seq(
+      20L -> words("epsilon").replace("epsilon20", "epsilonX"),
+      21L -> words("delta"))
+    def cleanup(pfx: String): Unit = Seq(
+      s"${pfx}_band_bands", s"${pfx}_band_shingles",
+      s"${pfx}_gram_grams", s"${pfx}_span_pgrams")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      // ---- stream mode ----
+      val cfg = buildIndexes("ci_s")
+      val admittedBy = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+      val admittedRows =
+        scala.collection.mutable.Map.empty[Long, Seq[(Long, String, Long, Long, Long)]]
+      def cb(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+        val rows = df.select("doc_id", "text", "pii_hits", "pii_clean",
+          "lines_removed").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+        admittedBy(id) = rows.map(_._1)
+        admittedRows(id) = rows
+      }
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingOps.corpusIngestStream(
+        input.toDF().toDF("doc_id", "text"), cfg, cb)
+      try {
+        input.addData(b1); q.processAllAvailable()
+        input.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      assert(admittedBy(0L) == Seq(10L, 13L), s"batch 1: $admittedBy")
+      assert(admittedBy(1L) == Seq(21L), s"batch 2: $admittedBy")
+      // the scrubs actually ran on the admitted frame
+      val d10 = admittedRows(0L).find(_._1 == 10L).get
+      assert(!d10._2.contains("bob@example.com"), "PII survived the scrub")
+      assert(!d10._2.contains("SUBSCRIBE"), "boilerplate line survived")
+      assert(d10._3 >= 1L && d10._4 == 1L && d10._5 == 1L,
+        s"scrub audit columns wrong: $d10")
+
+      // ---- batch mode over fresh identical indexes (one definition,
+      // two modes) ----
+      val cfgB = buildIndexes("ci_b")
+      val got = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+      def cbB(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        got(id) = df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      StreamingOps.corpusIngestBatch(b1.toDF("doc_id", "text"), 0L, cfgB, cbB)
+      StreamingOps.corpusIngestBatch(b2.toDF("doc_id", "text"), 1L, cfgB, cbB)
+      assert(got(0L) == admittedBy(0L) && got(1L) == admittedBy(1L),
+        s"batch mode diverged from stream: $got vs $admittedBy")
+
+      // ---- mid-chain replay under the original batch id ----
+      StreamingOps.corpusIngestBatch(b2.toDF("doc_id", "text"), 1L, cfg, cb)
+      assert(admittedBy(1L) == Seq(21L), "replay changed the admitted set")
+      // worst-case retry: appends landed but the done marker was lost
+      val ledgerDir = graft.streaming.IngestLedger.dirFor(
+        spark, s"${cfg.bandIndex}_shingles", 1L, tag = "corpus_pipeline")
+      ledgerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(ledgerDir, "_APPEND_DONE"),
+          false)
+      StreamingOps.corpusIngestBatch(b2.toDF("doc_id", "text"), 1L, cfg, cb)
+      assert(admittedBy(1L) == Seq(21L), "replay after lost done-marker")
+      // no duplicate rows across ALL grown indexes
+      for (t <- Seq(s"${cfg.bandIndex}_bands", s"${cfg.bandIndex}_shingles",
+          s"${cfg.gramIndex}_grams")) {
+        val df = spark.table(t)
+        assert(df.count() == df.distinct().count(),
+          s"$t holds duplicate rows after replay")
+      }
+    } finally { cleanup("ci_s"); cleanup("ci_b") }
   }
 
   test("replayed gram-novelty micro-batch admits the SAME docs (ledger idempotency)") {
