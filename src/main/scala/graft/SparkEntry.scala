@@ -14,7 +14,7 @@ object SparkEntry {
   def all: Seq[(String, QueryDef)] =
     Relational.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
       MultiModal.defs ++ Reshape.defs ++ Analytic.defs ++ Stats.defs ++
-      Pipeline.defs ++ Graph.defs ++ Learn.defs
+      Pipeline.defs ++ Graph.defs ++ Learn.defs ++ Maintenance.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -588,6 +588,133 @@ object Stress {
           n
         } finally emb.unpersist(blocking = false)
       },
+      // q178's PageRank on the inflated link graph: the fixture plants
+      // a constant link count per doc, so edges scale with the factor;
+      // 8 iterations of one dst-keyed partial agg + one node join,
+      // node-sized localCheckpoint per round - expected linear in
+      // edges with a fixed iteration constant
+      timed("pagerank") {
+        val docs2 = documents.withColumn("text2",
+          graft.operators.Graph.linkFixture(col("doc_id"), col("text")))
+        val edges = docs2
+          .select(col("doc_id").as("src"),
+            explode(expr(
+              "regexp_extract_all(text2, 'link->doc([0-9]+)', 1)"))
+              .as("d"))
+          .select(col("src"), col("d").cast("long").as("dst"))
+          .distinct()
+        val contrib = edges
+          .join(edges.groupBy("src").agg(count(lit(1)).as("odeg")),
+            "src")
+          .persist()
+        try {
+          val ne = contrib.count()
+          val nodes = edges.select(col("src").as("node"))
+            .union(edges.select(col("dst").as("node")))
+            .distinct().persist()
+          try {
+            var pr = nodes.withColumn("r", lit(1000000L))
+            for (_ <- 1 to 8) {
+              val inc = contrib.join(pr, contrib("src") === pr("node"))
+                .select(col("dst").as("node"), expr("r div odeg").as("c"))
+                .groupBy("node").agg(sum("c").as("inc"))
+              pr = nodes.join(inc, Seq("node"), "left")
+                .select(col("node"),
+                  expr("150000L + (85L * coalesce(inc, 0L)) div 100L")
+                    .as("r"))
+                .localCheckpoint(true)
+            }
+            pr.count()
+            ne
+          } finally nodes.unpersist(blocking = false)
+        } finally contrib.unpersist(blocking = false)
+      },
+      // q186's KN scoring at the VOCAB worst case (q133's row
+      // discipline): inflation suffixes every token per replica, so
+      // unigram/bigram tables scale with the factor. The count-table
+      // joins run UNHINTED here - the declared trillion-token
+      // graduation from q186's broadcasts to shuffle joins - so the
+      // probe times the shape that actually deploys at this scale.
+      timed("kneser_ney") {
+        val d = documents.select(col("doc_id"), col("lang"),
+            graft.operators.TextAnalysis.tokens(col("text")).as("tl"))
+          .filter(size(col("tl")) >= 2).persist()
+        try {
+          val n = d.count()
+          def bigrams(df: DataFrame) = df
+            .select(col("doc_id"),
+              explode(graft.operators.TextAnalysis.shingles(col("tl"), 2))
+                .as("g"))
+            .withColumn("v", split(col("g"), " ").getItem(0))
+            .withColumn("w", split(col("g"), " ").getItem(1))
+          val cb = bigrams(d.filter(col("doc_id") % 2 === 0))
+            .groupBy("v", "w").agg(count(lit(1)).as("cbw")).persist()
+          try {
+            cb.count()
+            val hist = cb.groupBy("v")
+              .agg(sum("cbw").as("cv"), count(lit(1)).as("nv"))
+            val cont = cb.groupBy("w").agg(count(lit(1)).as("nw"))
+            val scal = cb.agg(count(lit(1)).as("dd"))
+            val pcExpr = when(col("nw").isNotNull,
+              col("nw").cast("double") / col("dd").cast("double"))
+              .otherwise(lit(1.0) / (col("dd").cast("double") + lit(1.0)))
+            val pExpr = when(col("cv").isNotNull,
+              (greatest(coalesce(col("cbw"), lit(0L)).cast("double")
+                  - lit(0.75), lit(0.0))
+                + (lit(0.75) * col("nv").cast("double")) * col("pc"))
+                / col("cv").cast("double"))
+              .otherwise(col("pc"))
+            bigrams(d.filter(col("doc_id") % 2 === 1))
+              .join(cb, Seq("v", "w"), "left")
+              .join(hist, Seq("v"), "left")
+              .join(cont, Seq("w"), "left")
+              .crossJoin(broadcast(scal))
+              .withColumn("pc", pcExpr)
+              .withColumn("term", round(pExpr * lit(1e6)).cast("long"))
+              .groupBy("doc_id").agg(sum("term").as("s"))
+              .count()
+            n
+          } finally cb.unpersist(blocking = false)
+        } finally d.unpersist(blocking = false)
+      },
+      // q188's production shape: the corpus's 16-byte sign codes scale
+      // with the factor, the query batch stays FIXED (the base
+      // corpus's % 50 slice) - corpus x bounded-batch XOR+popcount
+      // inside codegen; expected linear in corpus
+      timed("hamming_scan") {
+        val packLo = "aggregate(transform(" +
+          "sequence(1, int(least(size(embedding), 32))), " +
+          "i -> IF(element_at(embedding, i) > 0.0, " +
+          "shiftleft(1L, i - 1), 0L)), 0L, (a, x) -> a + x)"
+        val packHi = "IF(size(embedding) > 32, aggregate(transform(" +
+          "sequence(33, size(embedding)), " +
+          "i -> IF(element_at(embedding, i) > 0.0, " +
+          "shiftleft(1L, i - 33), 0L)), 0L, (a, x) -> a + x), 0L)"
+        val packed = embeddings.select(col("vec_id"), col("embedding"))
+          .withColumn("lo", expr(packLo)).withColumn("hi", expr(packHi))
+          .select("vec_id", "lo", "hi")
+          .persist()
+        try {
+          val n = packed.count()
+          val q = Q.table(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding"))
+            .filter(col("vec_id") % 50 === 0)
+            .withColumn("lo", expr(packLo)).withColumn("hi", expr(packHi))
+            .select(col("vec_id").as("q_id"), col("lo").as("qlo"),
+              col("hi").as("qhi"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("ham"), col("vec_id"))
+          packed.crossJoin(broadcast(q))
+            .filter(col("vec_id") =!= col("q_id"))
+            .withColumn("ham",
+              expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)")
+                .cast("long"))
+            .withColumn("rank", row_number().over(w).cast("long"))
+            .filter(col("rank") <= 10)
+            .count()
+          n
+        } finally packed.unpersist(blocking = false)
+      },
       // two-pass z-score (q66 shape): fixed-size moment sketch, then
       // the tiny stats table broadcast back over the inflated facts
       timed("zscore_two_pass") {

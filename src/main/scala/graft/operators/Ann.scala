@@ -532,6 +532,9 @@ object Ann {
       .mode("overwrite")
       .bucketBy(buckets, "vec_id").sortBy("vec_id")
       .option("path", s"$path/vectors").saveAsTable(s"${name}_vectors")
+    // staleness bookkeeping (q192): code rows (= vectors) at build
+    IndexMaintenance.writeBuildMeta(spark, path,
+      spark.table(s"${name}_codes").count())
     model
   }
 
@@ -1126,6 +1129,9 @@ object Ann {
       .toDF("m", "ksub", "dsub", "codebooks", "rot").write
       .mode("overwrite")
       .option("path", s"$path/pq").saveAsTable(s"${name}_pq")
+    // staleness bookkeeping (q192): code rows (= vectors) at build
+    IndexMaintenance.writeBuildMeta(spark, path,
+      spark.table(s"${name}_codes").count())
     (model, pq)
   }
 
@@ -1207,6 +1213,11 @@ object Ann {
       batch: DataFrame, name: String): Unit = {
     val spark = batch.sparkSession
     graft.functions.VectorFunctions.register(spark)
+    // the guard must see current table state — a replay usually runs
+    // in a different session than the appends it guards against
+    // (Dedup.appendToBandIndexDedup's hazard note)
+    spark.catalog.refreshTable(s"${name}_codes")
+    spark.catalog.refreshTable(s"${name}_vectors")
     val pq = readPqModel(spark, name)
     val centroids = spark.table(s"${name}_centroids")
     val centers = centroids.collect()

@@ -31,7 +31,7 @@ import Q._
   */
 object Dedup {
 
-  private val Bands = 32
+  private[operators] val Bands = 32
   private val RowsPerBand = HashFunctions.MinHashK / Bands // 4
 
   /** The near-dup Jaccard threshold — one constant shared by the
@@ -244,6 +244,13 @@ object Dedup {
         .mode("overwrite")
         .bucketBy(buckets, "doc_id").sortBy("doc_id")
         .option("path", s"$path/shingles").saveAsTable(s"${name}_shingles")
+      // staleness bookkeeping (q192): shingled-doc count at build —
+      // counted off the persisted input frame, NOT a table read-back
+      // (an early read would cache the file listing in THIS session's
+      // catalog, and appends from foreachBatch's cloned sessions do
+      // not invalidate it — the stale-guard hazard the Dedup append
+      // variants now refresh against)
+      IndexMaintenance.writeBuildMeta(s, path, sh.count())
     } finally sh.unpersist(blocking = false)
   }
 
@@ -307,6 +314,13 @@ object Dedup {
   def appendToBandIndexDedup(
       docs: org.apache.spark.sql.DataFrame, name: String): Unit = {
     val s = docs.sparkSession
+    // the guard MUST see current table state: a replay typically runs
+    // in a different session than the appends it guards against (the
+    // original attempt ran in foreachBatch's cloned session), and a
+    // cached file listing in this session's catalog would make the
+    // anti-join silently re-admit rows the table already holds
+    s.catalog.refreshTable(s"${name}_bands")
+    s.catalog.refreshTable(s"${name}_shingles")
     val sh = shingledOf(s, docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -344,6 +358,9 @@ object Dedup {
       .mode("overwrite")
       .bucketBy(buckets, "g").sortBy("g")
       .option("path", s"$path/grams").saveAsTable(s"${name}_grams")
+    // staleness bookkeeping (q192): distinct-gram count at build
+    IndexMaintenance.writeBuildMeta(s, path,
+      s.table(s"${name}_grams").count())
   }
 
   /** Append a batch's distinct grams to a persisted [[writeGramIndex]]
@@ -355,6 +372,10 @@ object Dedup {
   def appendToGramIndex(
       docs: org.apache.spark.sql.DataFrame, name: String): Unit = {
     val s = docs.sparkSession
+    // exact-once depends on seeing CURRENT table state: appends from a
+    // foreachBatch clone session don't invalidate this session's
+    // cached file listing (appendToBandIndexDedup's hazard note)
+    s.catalog.refreshTable(s"${name}_grams")
     shingledOf(s, docs)
       .select(explode(col("sh")).as("g")).distinct()
       .join(s.table(s"${name}_grams"), Seq("g"), "left_anti")
@@ -2570,7 +2591,7 @@ object Dedup {
     * space-joined seedLen tokens). Map-only generator projection,
     * shared by [[substringDupSpans]] and the span-index family.
     */
-  private def positionedGrams(
+  private[operators] def positionedGrams(
       docs: org.apache.spark.sql.DataFrame,
       seedLen: Int): org.apache.spark.sql.DataFrame =
     docs.filter(size(col("toks")) >= seedLen)
@@ -2629,6 +2650,9 @@ object Dedup {
         .mode("overwrite")
         .bucketBy(buckets, "gk").sortBy("gk")
         .option("path", s"$path/pgrams").saveAsTable(s"${name}_pgrams")
+      // staleness bookkeeping (q192): positioned-gram rows at build
+      IndexMaintenance.writeBuildMeta(s, path,
+        s.table(s"${name}_pgrams").count())
     } finally g.unpersist(blocking = false)
   }
 

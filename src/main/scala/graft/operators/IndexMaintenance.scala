@@ -30,6 +30,185 @@ object IndexMaintenance {
   /** Files-before / files-after of one table's compaction. */
   final case class CompactStats(filesBefore: Int, filesAfter: Int)
 
+  // ---------------------------------------------------------------
+  // Staleness / rebuild decision (VERDICT r12 ask #4): q172 gave the
+  // stores a compaction discipline (HOW to maintain); this is the
+  // WHEN — the drift signals a store owner reads before deciding a
+  // rebuild, and the declared integer decision bit.
+  // ---------------------------------------------------------------
+
+  /** Row count of an index's primary table captured at (re)build time,
+    * written by every index writer as `<store root>/_BUILD_META` (the
+    * store root holds the table subdirs, so compaction — which
+    * rewrites a table subdir in place — cannot lose it; only a fresh
+    * writeXIndex resets it). One tiny text file, driver-side.
+    */
+  def writeBuildMeta(
+      spark: SparkSession, storePath: String, rows: Long): Unit = {
+    val p = new Path(storePath, "_BUILD_META")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(rows.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read the build-time row count for an index table: the meta file
+    * sits at the PARENT of the table's location (the store root).
+    * None for artifacts built before the meta existed — callers treat
+    * unknown provenance as fully stale.
+    */
+  def readBuildMeta(spark: SparkSession, table: String): Option[Long] = {
+    val loc = new Path(spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table)).location)
+    val p = new Path(loc.getParent, "_BUILD_META")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(0, n), "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** One index family's inputs to [[stalenessReport]]:
+    *
+    *  - `primaryTable` — the store table whose row count tracks what
+    *    the index has seen (shingles for bands, grams, pgrams for
+    *    spans, codes for IVF/PQ);
+    *  - `rowsNow` — override for families whose staleness is "the
+    *    CORPUS grew past the store" rather than "the store grew past
+    *    its build" (a write-once IVF/PCA artifact: pass the current
+    *    corpus count); default = current primary-table count;
+    *  - `rowsAtBuild` — override paired with `rowsNow` for stores
+    *    that don't carry a meaningful meta count (the 3-row PCA
+    *    store: pass the corpus count at fit); default = `_BUILD_META`;
+    *  - `driftMicro` — a family-specific measured drift (span df
+    *    staleness via [[spanDfDriftMicro]], PCA mean shift via
+    *    [[meanShiftMicro]]) in integer micros;
+    *  - `signalOk` — a family-specific pass/fail health bit the
+    *    caller measured (IVF cell balance via [[ivfBalanceOk]], a
+    *    probe recall watermark vs the q117/q126 swept floors, store
+    *    integrity invariants);
+    *  - the two thresholds in micros.
+    */
+  final case class FamilySpec(
+      family: String,
+      primaryTable: String,
+      rowsNow: Option[Long] = None,
+      rowsAtBuild: Option[Long] = None,
+      driftMicro: Long = 0L,
+      signalOk: Boolean = true,
+      appendThresholdMicro: Long = 200000L,
+      driftThresholdMicro: Long = Long.MaxValue)
+
+  /** The rebuild-decision report: one row per family with the drift
+    * signals and the declared integer decision bit
+    *
+    * {{{ rebuild = appended_frac_micro >= appendThreshold
+    *            || drift_micro        >= driftThreshold
+    *            || signal_ok == 0 }}}
+    *
+    * where `appended_frac_micro = (rows_now − rows_at_build) · 10⁶ /
+    * rows_now` in long division. An artifact with NO build meta
+    * (pre-meta provenance) reports `rows_at_build = −1` and a fully
+    * stale `appended_frac_micro = 10⁶` — unknown provenance rebuilds,
+    * it never silently passes. All counts are distributed jobs; only
+    * the handful of per-family scalars reach the driver (the
+    * nlist-centroid discipline).
+    */
+  def stalenessReport(
+      spark: SparkSession, specs: Seq[FamilySpec]): org.apache.spark.sql.DataFrame = {
+    val rows = specs.map { f =>
+      val built = f.rowsAtBuild.orElse(readBuildMeta(spark, f.primaryTable))
+      val now = f.rowsNow.getOrElse(spark.table(f.primaryTable).count())
+      val frac = built match {
+        case None => 1000000L
+        case Some(b) =>
+          if (now <= 0) 0L else math.max(0L, now - b) * 1000000L / now
+      }
+      val rebuild = frac >= f.appendThresholdMicro ||
+        f.driftMicro >= f.driftThresholdMicro || !f.signalOk
+      (f.family, built.getOrElse(-1L), now, frac, f.driftMicro,
+        if (f.signalOk) 1L else 0L, if (rebuild) 1L else 0L)
+    }
+    spark.createDataFrame(rows).toDF("family", "rows_at_build",
+      "rows_now", "appended_frac_micro", "drift_micro", "signal_ok",
+      "rebuild")
+  }
+
+  /** Span-index df staleness: the fraction (micros, long division) of
+    * stored distinct seed-gram keys whose document frequency over the
+    * CURRENT corpus differs from the `df_gk` materialized at build.
+    * The span index is write-once precisely because appends would
+    * stale df_gk — this measures how stale the frozen dfs have become
+    * as the corpus grew, the trigger for its periodic rebuild. One
+    * positioned-gram pass over the corpus + one gk-keyed join against
+    * the store (exchange-free on the bucketed stored side); two
+    * bounded scalar counts reach the driver.
+    */
+  def spanDfDriftMicro(
+      spark: SparkSession, name: String,
+      corpusToks: org.apache.spark.sql.DataFrame,
+      seedLen: Int = 5): Long = {
+    import org.apache.spark.sql.functions._
+    val stored = spark.table(s"${name}_pgrams")
+      .select(col("gk"), col("df_gk")).distinct()
+    val cur = Dedup.positionedGrams(corpusToks, seedLen)
+      .select("doc_id", "gk").distinct()
+      .groupBy("gk").agg(count(lit(1)).as("df_now"))
+    val agg = stored.join(cur, Seq("gk"), "left")
+      .agg(count(lit(1)).as("total"),
+        sum((col("df_now").isNull ||
+          col("df_now") =!= col("df_gk")).cast("long")).as("changed"))
+      .head()
+    val total = agg.getLong(0)
+    if (total == 0) 0L else agg.getLong(1) * 1000000L / total
+  }
+
+  /** IVF cell-balance health bit on a persisted code table: max cell
+    * occupancy ≤ 4× the mean cell load (q122's swept contract, read
+    * off the store instead of a fresh fit) — appends assign new
+    * vectors to frozen centroids, so a corpus that drifted away from
+    * the training distribution shows up as one overloaded cell long
+    * before recall visibly degrades.
+    */
+  def ivfBalanceOk(
+      spark: SparkSession, name: String, nlist: Int): Boolean = {
+    import org.apache.spark.sql.functions._
+    val r = spark.table(s"${name}_codes")
+      .groupBy("cell").agg(count(lit(1)).as("occ"))
+      .agg(max("occ").as("mx"), sum("occ").as("n")).head()
+    r.getLong(0) * nlist <= 4 * r.getLong(1)
+  }
+
+  /** Embedding mean-shift drift (micros): Σ_d ⌊|mean_now_d −
+    * mean_ref_d|·10⁶⌋ between two embedding frames — the cheap
+    * first-moment proxy for "the distribution the PCA store / IVF
+    * centroids were fit on is no longer this corpus". Means use the
+    * exact-decimal-sum-over-count arithmetic every moment query in the
+    * repo commits to (q175/q179), so the statistic is cross-engine
+    * exact.
+    */
+  def meanShiftMicro(
+      ref: org.apache.spark.sql.DataFrame,
+      cur: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    def means(df: org.apache.spark.sql.DataFrame, mc: String) = df
+      .select(posexplode(transform(col("embedding"),
+        x => x.cast("double"))))
+      .groupBy(col("pos"))
+      .agg((sum(col("col").cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1))).as(mc))
+    val r = means(ref, "m_ref").join(means(cur, "m_now"), "pos")
+      .agg(sum(floor(abs(col("m_now") - col("m_ref")) * lit(1e6))
+        .cast("long")).as("d"))
+      .head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   private def dataFiles(
       spark: SparkSession, dir: Path): Seq[Path] = {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1939,6 +1939,154 @@ object TextAnalysis {
                   (2 * COUNT(*)) AS BIGINT) AS survival_bp
               FROM p GROUP BY lang ORDER BY lang""")),
 
+    // The remaining MassiveText repetition rules (Rae et al. 2021
+    // §A.1.1; VERDICT r12 ask #5) — q170 carries the five
+    // quality-shape rules, this carries the REPETITION family over
+    // the shared q171/q173 line definition: duplicate-line fraction
+    // (≥ 0.30 of lines are repeats of an earlier line), ellipsis-line
+    // ratio (≥ 0.30 of lines end '...'), bullet-line ratio (≥ 0.90 of
+    // lines start '- '), and top-bigram character share (the most
+    // frequent adjacent token pair — count desc, bigram lexicographic
+    // on ties — covers ≥ 0.18 of non-space characters). All four
+    // gates are integer cross-multiplications; coverage = occurrences
+    // × (len(w1)+len(w2)) over summed token chars, declared exactly.
+    // Fixture (the q167/q171 discipline — each plant keeps one rule
+    // live at every SF): doc_id % 53 = 8 re-appends ⌈(nl+1)/2⌉ copies
+    // of line 1, % 59 = 13 suffixes every line with '...', % 61 = 17
+    // prefixes every line with '- ', % 67 = 21 appends ONE long
+    // 'foo bar'×4nl line (distinct — it trips only the bigram rule).
+    // Per-rule attribution counts are non-exclusive, like q170's.
+    // Plan at 100 TB: line stats are in-row HOFs (map-only); the
+    // bigram top-1 is one (doc_id, bg) partial-agg shuffle of the
+    // token stream plus two skinny per-doc aggs — no window, no sort;
+    // the per-lang rollup ends it.
+    "q193_gopher_repetition" -> QueryDef(
+      (s, dir) => {
+        val base = table(s, dir, "documents")
+          .withColumn("lines", gopherRepFixture(col("doc_id"),
+            c4Lines(col("doc_id"), col("text"))))
+          .withColumn("nl", size(col("lines")).cast("long"))
+          .withColumn("toksd",
+            flatten(transform(col("lines"), l => tokens(l))))
+          .withColumn("sumlen", aggregate(col("toksd"), lit(0L),
+            (a, x) => a + length(x).cast("long")))
+          .withColumn("ndup",
+            (col("nl") - size(array_distinct(col("lines")))).cast("long"))
+          .withColumn("nell",
+            size(filter(col("lines"), l => l.endsWith("...")))
+              .cast("long"))
+          .withColumn("nbul",
+            size(filter(col("lines"), l => l.startsWith("- ")))
+              .cast("long"))
+          .managedPersist
+        val bg = base.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toksd")) - 1),
+            i => concat(element_at(col("toksd"), i), lit(" "),
+              element_at(col("toksd"), i + 1)))).as("bg"))
+        val cnts = bg.groupBy("doc_id", "bg")
+          .agg(count(lit(1)).as("cnt"))
+        val mxs = cnts.groupBy("doc_id").agg(max("cnt").as("mx"))
+        val top = cnts.join(mxs, "doc_id")
+          .filter(col("cnt") === col("mx"))
+          .groupBy("doc_id")
+          .agg(min("bg").as("top_bg"), max("mx").as("mx"))
+        base.join(top, Seq("doc_id"), "left")
+          .withColumn("cov", coalesce(
+            (length(col("top_bg")) - 1).cast("long") * col("mx"),
+            lit(0L)))
+          .withColumn("f_dup",
+            (col("ndup") * 10 >= col("nl") * 3).cast("long"))
+          .withColumn("f_ell",
+            (col("nell") * 10 >= col("nl") * 3).cast("long"))
+          .withColumn("f_bul",
+            (col("nbul") * 10 >= col("nl") * 9).cast("long"))
+          .withColumn("f_bg",
+            (col("cov") * 50 >= col("sumlen") * 9).cast("long"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("f_dup").as("fail_dup_lines"),
+            sum("f_ell").as("fail_ellipsis"),
+            sum("f_bul").as("fail_bullet"),
+            sum("f_bg").as("fail_top_bigram"),
+            sum((lit(1) - col("f_dup")) * (lit(1) - col("f_ell")) *
+              (lit(1) - col("f_bul")) * (lit(1) - col("f_bg")))
+              .as("survivors"))
+          .withColumn("survival_bp",
+            expr("(survivors * 20000 + n_docs) div (2 * n_docs)"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $c4LinesCteSql,
+              lr AS (SELECT doc_id, lang,
+                  CASE WHEN doc_id % 67 = 21 THEN list_append(l3,
+                      array_to_string(list_transform(
+                        range(1, len(l3) * 4 + 1), i -> 'foo bar'), ' '))
+                    ELSE l3 END AS lines
+                FROM (SELECT doc_id, lang,
+                    CASE WHEN doc_id % 61 = 17
+                      THEN list_transform(l2, l -> '- ' || l)
+                      ELSE l2 END AS l3
+                  FROM (SELECT doc_id, lang,
+                      CASE WHEN doc_id % 59 = 13
+                        THEN list_transform(l1, l -> l || '...')
+                        ELSE l1 END AS l2
+                    FROM (SELECT doc_id, lang,
+                        CASE WHEN doc_id % 53 = 8 THEN lines ||
+                            list_transform(
+                              range(1, (len(lines) + 1) // 2 + 1),
+                              i -> lines[1])
+                          ELSE lines END AS l1
+                      FROM t)))),
+              st AS (SELECT doc_id, lang,
+                  CAST(LEN(lines) AS BIGINT) AS nl,
+                  flatten(list_transform(lines, l ->
+                    list_filter(string_split_regex(l, '\\s+'),
+                      x -> x <> ''))) AS toksd,
+                  CAST(LEN(lines) - LEN(list_distinct(lines)) AS BIGINT)
+                    AS ndup,
+                  CAST(LEN(list_filter(lines, l ->
+                    ends_with(l, '...'))) AS BIGINT) AS nell,
+                  CAST(LEN(list_filter(lines, l ->
+                    starts_with(l, '- '))) AS BIGINT) AS nbul
+                FROM lr),
+              sl AS (SELECT doc_id, lang, nl, ndup, nell, nbul, toksd,
+                  CAST(COALESCE(list_aggregate(
+                    list_transform(toksd, x -> strlen(x)), 'sum'), 0)
+                    AS BIGINT) AS sumlen
+                FROM st),
+              bgx AS (SELECT doc_id,
+                  UNNEST(list_transform(range(1, len(toksd)),
+                    i -> toksd[i] || ' ' || toksd[i+1])) AS bg
+                FROM sl),
+              bc AS (SELECT doc_id, bg, COUNT(*) AS cnt
+                     FROM bgx GROUP BY 1, 2),
+              bm AS (SELECT doc_id, MAX(cnt) AS mx FROM bc GROUP BY 1),
+              bt AS (SELECT bc.doc_id, MIN(bc.bg) AS top_bg,
+                       MAX(bc.cnt) AS mx
+                     FROM bc JOIN bm
+                       ON bc.doc_id = bm.doc_id AND bc.cnt = bm.mx
+                     GROUP BY 1),
+              r AS (SELECT sl.lang,
+                  CASE WHEN ndup * 10 >= nl * 3 THEN 1 ELSE 0 END
+                    AS f_dup,
+                  CASE WHEN nell * 10 >= nl * 3 THEN 1 ELSE 0 END
+                    AS f_ell,
+                  CASE WHEN nbul * 10 >= nl * 9 THEN 1 ELSE 0 END
+                    AS f_bul,
+                  CASE WHEN COALESCE((strlen(top_bg) - 1) * mx, 0) * 50
+                    >= sumlen * 9 THEN 1 ELSE 0 END AS f_bg
+                FROM sl LEFT JOIN bt ON sl.doc_id = bt.doc_id)
+              SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(f_dup) AS BIGINT) AS fail_dup_lines,
+                CAST(SUM(f_ell) AS BIGINT) AS fail_ellipsis,
+                CAST(SUM(f_bul) AS BIGINT) AS fail_bullet,
+                CAST(SUM(f_bg) AS BIGINT) AS fail_top_bigram,
+                CAST(SUM((1 - f_dup) * (1 - f_ell) * (1 - f_bul) *
+                  (1 - f_bg)) AS BIGINT) AS survivors,
+                CAST((SUM((1 - f_dup) * (1 - f_ell) * (1 - f_bul) *
+                    (1 - f_bg)) * 20000 + COUNT(*)) // (2 * COUNT(*))
+                  AS BIGINT) AS survival_bp
+              FROM r GROUP BY lang ORDER BY lang""")),
+
     // C4-style line-level cleaning (Raffel et al. 2020, §2.2) — the
     // other half of the quality surface: q91/q170 gate whole
     // documents; C4's recipe edits INSIDE them (keep only lines that
@@ -2461,6 +2609,34 @@ object TextAnalysis {
       .otherwise(base)
   }
 
+
+  /** The q193 declared repetition plants on top of [[c4Lines]] (one
+    * per MassiveText repetition rule, each live at every SF):
+    * doc_id % 53 = 8 re-appends ⌈(nl+1)/2⌉ copies of line 1
+    * (duplicate-line fraction ≥ 0.30 by construction), % 59 = 13
+    * suffixes every line with '...', % 61 = 17 prefixes every line
+    * with '- ', % 67 = 21 appends one long 'foo bar'×4nl line — a
+    * DISTINCT line (no dup-rule crosstalk) whose bigram dominates the
+    * doc's character mass.
+    */
+  private[graft] def gopherRepFixture(
+      docId: Column, lines0: Column): Column = {
+    val l1 = when(docId % 53 === 8,
+      concat(lines0, transform(
+        // int division: `/` on ints yields DOUBLE in Column algebra
+        sequence(lit(1), ((size(lines0) + 1) / 2).cast("int")),
+        _ => element_at(lines0, 1))))
+      .otherwise(lines0)
+    val l2 = when(docId % 59 === 13,
+      transform(l1, l => concat(l, lit("...")))).otherwise(l1)
+    val l3 = when(docId % 61 === 17,
+      transform(l2, l => concat(lit("- "), l))).otherwise(l2)
+    when(docId % 67 === 21,
+      concat(l3, array(array_join(
+        transform(sequence(lit(1), size(l3) * 4), _ => lit("foo bar")),
+        " "))))
+      .otherwise(l3)
+  }
 
   /** The q174 declared fixture: every 37th doc (mod 4) gains a
     * Cyrillic tail, every 43rd (mod 6) a CJK tail, every 47th (mod 9)

@@ -617,7 +617,11 @@ object StreamingOps {
       onAdmit(admitted, id)
       if (!IngestLedger.appendDone(s, ledger)) {
         // a replay's original attempt may have died mid-append: guard
-        // with a vec_id anti-join so center rows never duplicate
+        // with a vec_id anti-join so center rows never duplicate; the
+        // guard must see CURRENT table state (a replay usually runs in
+        // a different session than the append it guards against —
+        // Dedup.appendToBandIndexDedup's hazard note)
+        s.catalog.refreshTable(table)
         admitted
           .join(s.table(table).select("vec_id"), Seq("vec_id"),
             "left_anti")

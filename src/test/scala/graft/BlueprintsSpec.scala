@@ -392,4 +392,93 @@ class BlueprintsSpec extends SparkSpec {
       FileOps.sync(spark, uri(root.resolve("no-such-src")), "", uri(dst), "")
     }
   }
+
+  // --- gs:// scheme contract via the in-JVM mock connector ---
+
+  test("gs:// end-to-end: credential conf + all four blueprints + sync on the mock scheme") {
+    // VERDICT r12 ask #7: the connector-conf path (configureCredentials,
+    // chunk-size conf) and every pipeline, exercised on the gs: scheme
+    // itself instead of trusted via file:// parity. GsMockFileSystem
+    // maps gs://<bucket>/<p> onto a local root; everything above the
+    // byte transport — scheme resolution, listing, rename, delete —
+    // is the code a real deployment runs.
+    val gsRoot = Files.createTempDirectory(root, "gsmock")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.gs.impl", classOf[GsMockFileSystem].getName)
+    hc.set("fs.gs.impl.disable.cache", "true")
+    hc.set("fs.gs.mock.root", gsRoot.toString)
+    try {
+      // inline-JSON credential sniff: keyfile written + connector keys set
+      Blueprints.configureCredentials(spark,
+        """{"type": "service_account", "project_id": "p"}""")
+      assert(new java.io.File(
+        hc.get("google.cloud.auth.service.account.json.keyfile")).canRead,
+        "sniffed inline JSON must land in a readable keyfile")
+      assert(hc.get("google.cloud.auth.service.account.enable") == "true")
+      assert(hc.get("fs.gs.outputstream.upload.chunk.size") ==
+        (128 * 1024 * 1024).toString, "128 MiB chunk conf (upload_file.py:12)")
+
+      write(gsRoot.resolve("bucket-a/data/a.csv"), "a1")
+      write(gsRoot.resolve("bucket-a/data/b.csv"), "b2")
+      write(gsRoot.resolve("bucket-a/data/deep/c.csv"), "c3")
+
+      // download: gs -> local, regex always-enumerate
+      val dl = Files.createTempDirectory(root, "gsdl")
+      val st = Blueprints.download(spark,
+        DownloadConfig("gs://bucket-a", "data", ".*[.]csv",
+          MatchType.RegexMatch, "out", Some("got.csv")),
+        uri(dl))
+      assert(st.transferred == 3, s"download moved $st")
+      assert(names(dl) == Set("out/got_1.csv", "out/got_2.csv",
+        "out/got_3.csv"))
+
+      // upload: local -> gs
+      val up = freshBucket("u1.txt" -> "u-one", "u2.txt" -> "u-two")
+      Blueprints.upload(spark,
+        UploadConfig("gs://bucket-b", "", "u.*[.]txt",
+          MatchType.RegexMatch, "in"),
+        uri(up))
+      assert(names(gsRoot.resolve("bucket-b")).exists(_.endsWith(".txt")),
+        s"upload landed nothing: ${names(gsRoot.resolve("bucket-b"))}")
+      assert(Files.readString(
+        gsRoot.resolve("bucket-a/data/a.csv")) == "a1")
+
+      // move: gs bucket-a -> gs bucket-c (cross-bucket copy+verify+delete)
+      Blueprints.move(spark,
+        MoveConfig("gs://bucket-a", "gs://bucket-c", "data", "a.csv",
+          MatchType.ExactMatch, "moved"))
+      assert(Files.readString(
+        gsRoot.resolve("bucket-c/moved/a.csv")) == "a1")
+      assert(!Files.exists(gsRoot.resolve("bucket-a/data/a.csv")),
+        "move must delete the source after the verified copy")
+
+      // sync: gs -> gs, diff-only on the second pass
+      val s1 = FileOps.sync(spark, "gs://bucket-a", "data",
+        "gs://bucket-d", "mirror")
+      assert(s1.transferred == 2, s"cold sync: $s1") // a.csv moved away
+      val s2 = FileOps.sync(spark, "gs://bucket-a", "data",
+        "gs://bucket-d", "mirror")
+      assert(s2.transferred == 0 && s2.upToDate == 2, s"warm sync: $s2")
+      assert(Files.readString(
+        gsRoot.resolve("bucket-d/mirror/deep/c.csv")) == "c3")
+
+      // remove: gs regex delete
+      val removed = Blueprints.remove(spark,
+        RemoveConfig("gs://bucket-d", "mirror", ".*[.]csv",
+          MatchType.RegexMatch))
+      assert(removed == 2, s"remove deleted $removed")
+      assert(names(gsRoot.resolve("bucket-d")).isEmpty)
+
+      // exit-code mapping holds on the scheme too: missing bucket
+      val e = intercept[BlueprintError.InvalidBucket] {
+        Blueprints.download(spark,
+          DownloadConfig("gs://no-such-bucket", "", "x.csv",
+            MatchType.ExactMatch), uri(dl))
+      }
+      assert(e.exitCode == BlueprintError.ExitInvalidBucket)
+    } finally {
+      hc.unset("fs.gs.impl")
+      hc.unset("fs.gs.mock.root")
+    }
+  }
 }

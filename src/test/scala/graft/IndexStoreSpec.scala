@@ -649,4 +649,86 @@ class IndexStoreSpec extends SparkSpec {
       graft.operators.Q.releaseManaged()
     }
   }
+
+  test("staleness report: append-heavy index trips the rebuild bit; fresh rebuild clears it") {
+    // VERDICT r12 ask #4: q172's maintenance discipline applied to
+    // WHEN, not HOW — the drift report must fire on an append-heavy
+    // store, go quiet after a rebuild, and treat unknown provenance
+    // (no build meta) as fully stale.
+    import graft.operators.IndexMaintenance
+    import graft.operators.IndexMaintenance.FamilySpec
+    val docs = Q.table(spark, sfDir, "documents")
+    val tmp = Files.createTempDirectory("graft-staleband")
+    val name = "staleband_" + System.nanoTime()
+    try {
+      Dedup.writeBandIndex(docs.filter(col("doc_id") % 4 =!= 0), name,
+        s"$tmp")
+      def report() = IndexMaintenance.stalenessReport(spark,
+        Seq(FamilySpec("band", s"${name}_shingles"))).collect().head
+      val fresh = report()
+      assert(fresh.getLong(3) == 0L && fresh.getLong(6) == 0L,
+        s"fresh index must not be stale: $fresh")
+      // ~25% appended tranche trips the declared 20% threshold
+      Dedup.appendToBandIndex(docs.filter(col("doc_id") % 4 === 0), name)
+      val grown = report()
+      assert(grown.getLong(3) >= 200000L && grown.getLong(6) == 1L,
+        s"append-heavy index must trip the rebuild bit: $grown")
+      // a fresh rebuild (full corpus, meta rewritten) clears it
+      Dedup.writeBandIndex(docs, name, s"$tmp")
+      val rebuilt = report()
+      assert(rebuilt.getLong(3) == 0L && rebuilt.getLong(6) == 0L,
+        s"rebuild must clear the bit: $rebuilt")
+      // unknown provenance (pre-meta artifact) reads fully stale
+      val meta = new org.apache.hadoop.fs.Path(s"$tmp/_BUILD_META")
+      meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(meta, false)
+      val unknown = report()
+      assert(unknown.getLong(1) == -1L &&
+        unknown.getLong(3) == 1000000L && unknown.getLong(6) == 1L,
+        s"meta-less store must rebuild: $unknown")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_shingles")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
+  test("staleness report: measured probe recall feeds the health bit (recall watermark)") {
+    // the q117/q126 contracts stay the swept floors; this wires a
+    // MEASURED recall into the decision operator's signal_ok so a
+    // degraded store rebuilds even when nothing was appended.
+    import graft.operators.IndexMaintenance
+    import graft.operators.IndexMaintenance.FamilySpec
+    val emb = Q.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val tmp = Files.createTempDirectory("graft-staleivf")
+    val name = "staleivf_" + System.nanoTime()
+    try {
+      Ann.writeIvfIndex(emb, name, s"$tmp")
+      def report(ok: Boolean) = IndexMaintenance.stalenessReport(spark,
+        Seq(FamilySpec("ivf", s"${name}_codes", signalOk = ok)))
+        .collect().head
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      def top(df: org.apache.spark.sql.DataFrame) = df
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = top(Ann.bruteTopK(emb, queries, k = 10))
+      val probed = top(Ann.ivfSq8Probe(spark, name, queries, k = 10))
+      val recall = (probed & brute).size.toDouble / brute.size
+      // AnnSpec's 0.2 sanity floor: the watermark is the ALARM line,
+      // deliberately below the swept per-config contract floors
+      val healthy = report(recall >= 0.2)
+      assert(healthy.getLong(5) == 1L && healthy.getLong(6) == 0L,
+        s"healthy store must not rebuild (recall=$recall): $healthy")
+      // the same store against an impossible watermark must rebuild —
+      // the bit is the caller's floor comparison, exercised both ways
+      val degraded = report(recall >= 1.01)
+      assert(degraded.getLong(5) == 0L && degraded.getLong(6) == 1L,
+        s"failed watermark must force rebuild: $degraded")
+    } finally {
+      Seq("codes", "centroids", "vectors").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+      graft.operators.Q.releaseManaged()
+    }
+  }
 }

@@ -1042,8 +1042,12 @@ class StreamingSpec extends SparkSpec {
       for (t <- Seq(s"${cfg.bandIndex}_bands", s"${cfg.bandIndex}_shingles",
           s"${cfg.gramIndex}_grams")) {
         val df = spark.table(t)
+        val dups = if (df.columns.contains("doc_id"))
+          df.groupBy("doc_id").count()
+            .filter(col("count") > 1).collect().mkString(",")
+        else ""
         assert(df.count() == df.distinct().count(),
-          s"$t holds duplicate rows after replay")
+          s"$t holds duplicate rows after replay: $dups")
       }
     } finally { cleanup("ci_s"); cleanup("ci_b") }
   }
