@@ -475,6 +475,67 @@ object Pipeline {
     // bytes (a shard holds at most ~target/|smallest doc| ids), so the
     // collect+join inside each shard group is a bounded row, not a
     // corpus-sized concat.
+    // Deterministic weighted SYSTEMATIC sampling (the survey-sampling
+    // classic, randomness-free by construction): lay the corpus out on
+    // a char-weighted number line in declared ingest order (doc_id
+    // asc), cut it every `step = total_chars div target` chars, and
+    // admit every document whose weight interval crosses a cut — the
+    // standard way to draw a size-proportional corpus sample that (a)
+    // needs no RNG (reproducible releases, q151's manifest argument),
+    // (b) gives every document inclusion probability proportional to
+    // its mass, and (c) spreads picks evenly across the corpus instead
+    // of clustering like a hash sample (q107) can. A document heavier
+    // than the stride crosses several cuts; its multiplicity is
+    // reported (`strides` — with-replacement semantics declared).
+    // Plan at 100 TB: the cumulative position reuses q139's two-level
+    // prefix sum (per-range-partition local windows + a ≤16-row offset
+    // frame — no global-window collapse); the cut test is a map-only
+    // integer comparison.
+    "q197_systematic_sample" -> QueryDef(
+      (s, dir) => {
+        val target = 128L
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartitionByRange(16, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .managedPersist
+        val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offs = docs.groupBy("pid").agg(sum("n_chars").as("psum"))
+          .withColumn("off",
+            coalesce(sum("psum").over(Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "off")
+        val tot = docs.agg(sum("n_chars").as("m")).head().getLong(0)
+        val step = math.max(1L, tot / target)
+        docs
+          .withColumn("lc", sum("n_chars").over(wLocal))
+          .join(broadcast(offs), "pid")
+          .withColumn("cum_before", col("lc") + col("off") - col("n_chars"))
+          // integer stride arithmetic: `/` on long Columns is DOUBLE
+          .withColumn("strides",
+            expr(s"(cum_before + n_chars) div $step - " +
+              s"cum_before div $step"))
+          .filter(col("strides") >= 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("cum_before"), col("strides"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id, lang, n_chars,
+                  SUM(n_chars) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_chars AS cum_before
+                FROM documents),
+              t AS (SELECT GREATEST(1,
+                  CAST((SELECT SUM(n_chars) FROM documents) AS BIGINT)
+                    // 128) AS step)
+              SELECT doc_id, lang, n_chars,
+                CAST(cum_before AS BIGINT) AS cum_before,
+                CAST((cum_before + n_chars) // step - cum_before // step
+                  AS BIGINT) AS strides
+              FROM c CROSS JOIN t
+              WHERE (cum_before + n_chars) // step - cum_before // step >= 1
+              ORDER BY doc_id""")),
+
     "q151_shard_manifest" -> QueryDef(
       (s, dir) => {
         shardAssigned(s, dir)

@@ -38,6 +38,24 @@ object Similarity {
     */
   private[graft] val PcaIters = 30
 
+  /** q196's per-rank integer ranking-metric weights, declared BEFORE
+    * `defs` (the oracle interpolates them at object init). Standard
+    * binary-relevance nDCG@10 with the |rel| = 10 anchor: the ideal
+    * DCG is the constant Σ_{i=1..10} 1/log2(i+1), so the whole metric
+    * collapses to per-rank LITERAL contributions c(i) =
+    * round(10⁶·disc(i)/IDCG) — computed ONCE here in Scala and
+    * interpolated into both engines' plans, making the per-query sum
+    * pure integer arithmetic (a raw double DCG sum would be
+    * partial-agg-order dependent). MRR weights likewise:
+    * round(10⁶/i).
+    */
+  private[graft] val NdcgC: Seq[Long] = {
+    val disc = (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val idcg = disc.sum
+    disc.map(d => math.round(d / idcg * 1e6))
+  }
+  private[graft] val MrrC: Seq[Long] = (1 to 10).map(i => math.round(1e6 / i))
+
   /** One oracle power-iteration step on the in-scope matrix `m.m`:
     * matvec in index order, 2-norm, scale. The matvec appears twice
     * (DuckDB recursive terms can't bind a sub-CTE to the recursion) —
@@ -335,6 +353,122 @@ object Similarity {
     // Plan at 100 TB: the code table is 16 bytes/vector (a 100 TB
     // float corpus packs into ~0.4 TB of codes); candidate scoring is
     // two XOR+popcounts inside whole-stage codegen, queries broadcast.
+    // Ranking-quality EVAL of a deployed ANN path (nDCG@10 + MRR@10
+    // vs the exact-cosine anchor) — recall (q98/q117/q126/q188) says
+    // how many true neighbors survive; a ranking metric says WHERE
+    // they land, which is what a retrieval consumer actually feels
+    // (a hit at rank 1 and a hit at rank 10 are the same recall,
+    // 5.9× apart in nDCG weight). Scored here over the binary
+    // sign-code Hamming ranking (q188's path — the harshest
+    // quantization rung, where rank degradation is most visible).
+    // Binary relevance against the exact top-10 makes the ideal DCG a
+    // constant, so the metric collapses to the per-rank integer
+    // weights in [[NdcgC]]/[[MrrC]] — per-query sums are exact
+    // integer arithmetic in both engines. Per query: hits, nDCG
+    // micros, first-hit rank, MRR micros. Plan at 100 TB: q188's
+    // corpus × bounded-batch code scan plus the exact anchor (the
+    // same deliberate contract cost as every recall query); the
+    // metric itself is a bounded-key agg over ≤ 10 rows per query.
+    "q196_ranking_eval" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        val packLo = "aggregate(transform(" +
+          "sequence(1, int(least(size(embedding), 32))), " +
+          "i -> IF(element_at(embedding, i) > 0.0, " +
+          "shiftleft(1L, i - 1), 0L)), 0L, (a, x) -> a + x)"
+        val packHi = "IF(size(embedding) > 32, aggregate(transform(" +
+          "sequence(33, size(embedding)), " +
+          "i -> IF(element_at(embedding, i) > 0.0, " +
+          "shiftleft(1L, i - 33), 0L)), 0L, (a, x) -> a + x), 0L)"
+        val emb = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val packed = emb
+          .withColumn("lo", expr(packLo)).withColumn("hi", expr(packHi))
+          .select("vec_id", "lo", "hi")
+          .managedPersist
+        val q = packed.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("lo").as("qlo"),
+            col("hi").as("qhi"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("ham"), col("vec_id"))
+        val ranked = packed.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("ham",
+            expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)")
+              .cast("long"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+        val exact = Ann.bruteTopK(emb,
+            emb.filter(col("vec_id") % 50 === 0), k = 10)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+        ranked.join(exact, Seq("q_id", "vec_id"), "left")
+          .withColumn("flag", coalesce(col("hit"), lit(0L)))
+          .withColumn("c", element_at(array(NdcgC.map(lit): _*),
+            col("rank").cast("int")))
+          .withColumn("m", element_at(array(MrrC.map(lit): _*),
+            col("rank").cast("int")))
+          .groupBy("q_id")
+          .agg(sum("flag").as("n_hits"),
+            sum(col("flag") * col("c")).as("ndcg_micro"),
+            coalesce(min(when(col("flag") === 1, col("rank"))), lit(0L))
+              .as("first_hit_rank"),
+            coalesce(max(when(col("flag") === 1, col("m"))), lit(0L))
+              .as("mrr_micro"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH pk AS (SELECT vec_id, embedding,
+                  CAST(list_sum(list_transform(
+                    range(1, LEAST(len(embedding), 32) + 1),
+                    i -> CASE WHEN embedding[i] > 0.0
+                      THEN 1::BIGINT << (i - 1) ELSE 0 END)) AS BIGINT)
+                    AS lo,
+                  CASE WHEN len(embedding) > 32
+                    THEN CAST(list_sum(list_transform(
+                      range(33, len(embedding) + 1),
+                      i -> CASE WHEN embedding[i] > 0.0
+                        THEN 1::BIGINT << (i - 33) ELSE 0 END)) AS BIGINT)
+                    ELSE 0 END AS hi
+                FROM embeddings),
+              q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                  lo AS qlo, hi AS qhi
+                FROM pk WHERE vec_id % 50 = 0),
+              h AS (SELECT q.q_id, pk.vec_id,
+                  CAST(bit_count(xor(pk.lo, q.qlo)) +
+                    bit_count(xor(pk.hi, q.qhi)) AS BIGINT) AS ham
+                FROM pk JOIN q ON pk.vec_id <> q.q_id),
+              r AS (SELECT q_id, vec_id,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY ham, vec_id) AS BIGINT) AS rank
+                FROM h
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY ham, vec_id) <= 10),
+              p AS (SELECT q.q_id, e.vec_id,
+                  (SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                   FROM (SELECT UNNEST(e.embedding) AS x,
+                                UNNEST(q.q_emb) AS y) z)
+                  / (SQRT((SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                           FROM UNNEST(e.embedding) AS u(x))) *
+                     SQRT((SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                           FROM UNNEST(q.q_emb) AS u(x)))) AS sim
+                FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+              ex AS (SELECT q_id, vec_id FROM p
+                     QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, vec_id) <= 10),
+              f AS (SELECT r.q_id, r.rank,
+                  CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END AS flag
+                FROM r LEFT JOIN ex
+                  ON ex.q_id = r.q_id AND ex.vec_id = r.vec_id)
+              SELECT q_id,
+                CAST(SUM(flag) AS BIGINT) AS n_hits,
+                CAST(SUM(flag * ([${NdcgC.mkString(",")}])[rank])
+                  AS BIGINT) AS ndcg_micro,
+                CAST(COALESCE(MIN(CASE WHEN flag = 1 THEN rank END), 0)
+                  AS BIGINT) AS first_hit_rank,
+                CAST(COALESCE(MAX(CASE WHEN flag = 1
+                    THEN ([${MrrC.mkString(",")}])[rank] END), 0)
+                  AS BIGINT) AS mrr_micro
+              FROM f GROUP BY q_id ORDER BY q_id""")),
+
     "q188_hamming_ann" -> QueryDef(
       (s, dir) => {
         graft.functions.VectorFunctions.register(s)
@@ -500,6 +634,89 @@ object Similarity {
     // margin_hi column), so a drift from the measured 0.82+ band down
     // toward the hard floor flips the watermark bit and shows up in
     // CORRECTNESS rounds before the contract itself is in danger.
+    // Matryoshka / truncated-dimension retrieval (Kusupati et al.
+    // 2022's deployment question, answered on THIS corpus): how much
+    // top-10 recall survives when the stored vector is cut to its
+    // first d dims? This is the missing rung between the float
+    // baseline and the quantization ladder (float32 → SQ8 q105 → PQ
+    // q126 → 1-bit q188): dimension TRUNCATION is the cheapest
+    // capacity knob a store owner has (d=16 is a 4× byte cut with
+    // zero re-encoding — just a shorter scan), and the decision needs
+    // the measured recall curve, not the paper's. Per d ∈ {16, 32,
+    // 64}: exact cosine top-10 on the d-prefix vs the full-dim top-10
+    // anchor; the d=64 row is the self-identity sanity rail (recall
+    // = 10000 bp by construction in BOTH engines). Same proven
+    // cross-engine arithmetic as q98 (index-order double dot, sqrt
+    // product, ties by vec_id). Plan at 100 TB: each rung is the q27
+    // block-tiled exact scan over a d-prefix projection — candidate
+    // scans SHRINK with d, and the production use is d-truncated
+    // first-stage retrieval + full-dim rerank, exactly the shortlist
+    // shape the IVF paths already deploy.
+    "q194_matryoshka_recall" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+        val exact = Ann.bruteTopK(emb, queries, 10)
+          .select("q_id", "vec_id").managedPersist
+        val rows = Seq(16, 32, 64).map { d =>
+          def trunc(df: org.apache.spark.sql.DataFrame) = df.select(
+            col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+          val topD = Ann.bruteTopK(trunc(emb), trunc(queries), 10)
+            .select("q_id", "vec_id")
+          val hits = exact.join(topD, Seq("q_id", "vec_id"), "left_semi")
+          exact.agg(count(lit(1)).as("n_exact"))
+            .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+            .crossJoin(queries.agg(count(lit(1)).as("n_queries")))
+            .select(lit(d.toLong).as("d"), col("n_queries"),
+              col("n_exact"), col("n_hits"),
+              expr("(n_hits * 20000 + n_exact) div (2 * n_exact)")
+                .as("recall_bp"))
+        }
+        rows.reduce(_ unionByName _).orderBy("d")
+      },
+      Some {
+        // per-d cosine top-10 over the d-prefix — q98's proven mirror
+        // arithmetic with a list_slice; t64 IS the exact anchor
+        def pt(d: Int) =
+          s"""p$d AS (SELECT q.q_id, e.vec_id,
+                  (SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                   FROM (SELECT UNNEST(list_slice(e.embedding, 1, $d)) AS x,
+                                UNNEST(list_slice(q.q_emb, 1, $d)) AS y) z)
+                  / (SQRT((SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                           FROM UNNEST(list_slice(e.embedding, 1, $d)) AS u(x))) *
+                     SQRT((SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                           FROM UNNEST(list_slice(q.q_emb, 1, $d)) AS u(x))))
+                    AS sim
+                FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+              t$d AS (SELECT q_id, vec_id FROM p$d
+                      QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY sim DESC, vec_id) <= 10)"""
+        def row(d: Int) =
+          s"""SELECT CAST($d AS BIGINT) AS d,
+                (SELECT c FROM nq) AS n_queries,
+                (SELECT c FROM ne) AS n_exact,
+                (SELECT c FROM h$d) AS n_hits,
+                ((SELECT c FROM h$d) * 20000 + (SELECT c FROM ne)) //
+                  (2 * (SELECT c FROM ne)) AS recall_bp"""
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                       FROM embeddings WHERE vec_id % 100 = 0),
+              ${pt(64)},
+              ${pt(16)},
+              ${pt(32)},
+              h16 AS (SELECT COUNT(*) AS c FROM t64
+                      JOIN t16 USING (q_id, vec_id)),
+              h32 AS (SELECT COUNT(*) AS c FROM t64
+                      JOIN t32 USING (q_id, vec_id)),
+              h64 AS (SELECT COUNT(*) AS c FROM t64),
+              ne AS (SELECT COUNT(*) AS c FROM t64),
+              nq AS (SELECT COUNT(*) AS c FROM q)
+              ${row(16)}
+              UNION ALL ${row(32)}
+              UNION ALL ${row(64)}
+              ORDER BY d"""
+      }),
+
     "q98_ann_recall" -> QueryDef(
       (s, dir) => {
         val k = 10

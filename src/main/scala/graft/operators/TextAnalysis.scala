@@ -316,6 +316,167 @@ object TextAnalysis {
     // broadcast, and a per-doc window — each shuffle is on a real key
     // with partial aggregation, so the pipeline survives a corpus-scale
     // dictionary.
+    // Largest-remainder (Hamilton) apportionment of a training-batch
+    // slot budget across (lang, source) mixture cells — the step
+    // BETWEEN mixture weights and a data loader: q104/q184 produce
+    // per-cell weights and q140 epoch multipliers, but a loader needs
+    // an INTEGER slot count per cell that sums exactly to the batch
+    // budget, and naive rounding of B·m/M over/undershoots by up to
+    // |cells|. Hamilton's method is the standard exact answer: base
+    // quota = B·m div M per cell, then the leftover L = B − Σ base
+    // goes to the L cells with the largest remainders (B·m mod M;
+    // ties by cell key asc — fully deterministic, all integer, the
+    // apportionment literally cannot miss the budget). Output per
+    // cell: mass, base quota, remainder numerator, the +1 bit, final
+    // slots. Plan at 100 TB: one partial-agg over the corpus into a
+    // |cells|-bounded frame; the remainder rank is a window over that
+    // bounded frame, never the corpus.
+    "q198_mixture_apportion" -> QueryDef(
+      (s, dir) => {
+        val budget = 1000L
+        val cells = table(s, dir, "documents")
+          .groupBy("lang", "source")
+          .agg(sum("n_chars").as("m"))
+        val tot = cells.agg(sum("m").as("mm"))
+        val wR = Window.orderBy(desc("rem"), col("lang"), col("source"))
+        val based = cells.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"($budget * m) div mm"))
+          .withColumn("rem", expr(s"($budget * m) % mm"))
+        val leftover = based
+          .agg((lit(budget) - sum(col("base"))).as("l"))
+        based.crossJoin(broadcast(leftover))
+          .withColumn("rrank", row_number().over(wR).cast("long"))
+          .withColumn("extra", (col("rrank") <= col("l")).cast("long"))
+          .select(col("lang"), col("source"), col("m"),
+            col("base"), col("rem"), col("extra"),
+            (col("base") + col("extra")).as("slots"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH cells AS (SELECT lang, source,
+                  CAST(SUM(n_chars) AS BIGINT) AS m
+                FROM documents GROUP BY 1, 2),
+              t AS (SELECT CAST(SUM(m) AS BIGINT) AS mm FROM cells),
+              b AS (SELECT lang, source, m,
+                  CAST((1000 * m) // mm AS BIGINT) AS base,
+                  CAST((1000 * m) % mm AS BIGINT) AS rem
+                FROM cells CROSS JOIN t),
+              l AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS l FROM b),
+              r AS (SELECT lang, source, m, base, rem,
+                  CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source)
+                    AS BIGINT) AS rrank
+                FROM b)
+              SELECT lang, source, m, base, rem,
+                CAST(CASE WHEN rrank <= (SELECT l FROM l)
+                  THEN 1 ELSE 0 END AS BIGINT) AS extra,
+                CAST(base + CASE WHEN rrank <= (SELECT l FROM l)
+                  THEN 1 ELSE 0 END AS BIGINT) AS slots
+              FROM r ORDER BY lang, source""")),
+
+    // BM25 ranked retrieval (Robertson & Zaragoza 2009; k1 = 1.2,
+    // b = 0.75) — the LEXICAL retrieval surface the engine was missing
+    // next to its dense paths (q98/q117/q126 rank by embedding cosine;
+    // q56 scores tf-idf terms but retrieves nothing): per lang, the
+    // query is that slice's 3 highest-df tokens (df desc, token asc —
+    // deterministic, corpus-derived; no external query set exists) and
+    // the report is the lang-local BM25 top-10 with their scores.
+    // Cross-engine exactness, two declared choices: (1) rational idf
+    // `(N − df + 0.5)/(df + 0.5)` — the ln's argument itself, the
+    // q186-rational-sigmoid discipline (monotone per term, so
+    // single-term rankings are identical to the log form; the
+    // multi-term sum weights rare terms more strongly — declared);
+    // (2) each TERM's contribution rounds to integer micros before
+    // the per-doc sum, so the 3-term addition is order-free integer
+    // arithmetic (a raw double sum would be partial-agg-order
+    // dependent). avgdl is an exact integer sum over an exact count.
+    // Plan at 100 TB: tf/df/length stats are the inverted-index build
+    // every search engine runs (one token-keyed partial agg); scoring
+    // joins the 15-row broadcast query-term table against per-doc tf
+    // rows — candidate work is docs CONTAINING a query term, never the
+    // corpus; top-10 per lang is a bounded-key window.
+    "q195_bm25_topk" -> QueryDef(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("t"))
+          .managedPersist
+        val tf = toks.groupBy("lang", "doc_id", "t")
+          .agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy("lang", "doc_id")
+          .agg(count(lit(1)).as("dl"))
+        val stats = dl.groupBy("lang")
+          .agg(count(lit(1)).as("nd"), sum("dl").as("sumdl"))
+        val df = toks.select("lang", "doc_id", "t").distinct()
+          .groupBy("lang", "t").agg(count(lit(1)).as("df"))
+        val wq = Window.partitionBy("lang")
+          .orderBy(desc("df"), col("t"))
+        val qterms = df
+          .withColumn("qr", row_number().over(wq))
+          .filter(col("qr") <= 3)
+          .select("lang", "t", "df")
+        val term = col("idf") *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                (col("dl").cast("double") / col("avgdl")))))
+        val wd = Window.partitionBy("lang")
+          .orderBy(desc("score_micro"), col("doc_id"))
+        tf.join(broadcast(qterms), Seq("lang", "t"))
+          .join(dl, Seq("lang", "doc_id"))
+          .join(broadcast(stats), Seq("lang"))
+          .withColumn("avgdl",
+            col("sumdl").cast("double") / col("nd").cast("double"))
+          .withColumn("idf",
+            ((col("nd") - col("df")).cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5)))
+          .withColumn("term_micro", round(term * lit(1e6)).cast("long"))
+          .groupBy("lang", "doc_id")
+          .agg(sum("term_micro").as("score_micro"),
+            count(lit(1)).as("terms_hit"))
+          .withColumn("rank", row_number().over(wd).cast("long"))
+          .filter(col("rank") <= 10)
+          .select("lang", "rank", "doc_id", "score_micro", "terms_hit")
+          .orderBy("lang", "rank")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang,
+                  UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '')) AS t
+                FROM documents),
+              tf AS (SELECT lang, doc_id, t, COUNT(*) AS tf
+                     FROM toks GROUP BY 1, 2, 3),
+              dl AS (SELECT lang, doc_id, COUNT(*) AS dl
+                     FROM toks GROUP BY 1, 2),
+              stats AS (SELECT lang, COUNT(*) AS nd, SUM(dl) AS sumdl
+                        FROM dl GROUP BY 1),
+              df AS (SELECT lang, t, COUNT(*) AS df
+                     FROM (SELECT DISTINCT lang, doc_id, t FROM toks) z
+                     GROUP BY 1, 2),
+              qterms AS (SELECT lang, t, df FROM (
+                  SELECT lang, t, df, ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY df DESC, t) AS qr FROM df) z
+                WHERE qr <= 3),
+              sc AS (SELECT tf.lang, tf.doc_id,
+                  CAST(SUM(CAST(ROUND((
+                    ((CAST(stats.nd - qterms.df AS DOUBLE) + 0.5) /
+                      (CAST(qterms.df AS DOUBLE) + 0.5)) *
+                    ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                      (CAST(tf.tf AS DOUBLE) + 1.2 *
+                        (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+                          (CAST(stats.sumdl AS DOUBLE) /
+                            CAST(stats.nd AS DOUBLE))))))
+                    ) * 1e6) AS BIGINT)) AS BIGINT) AS score_micro,
+                  COUNT(*) AS terms_hit
+                FROM tf
+                JOIN qterms ON qterms.lang = tf.lang AND qterms.t = tf.t
+                JOIN dl ON dl.lang = tf.lang AND dl.doc_id = tf.doc_id
+                JOIN stats ON stats.lang = tf.lang
+                GROUP BY 1, 2)
+              SELECT lang, rank, doc_id, score_micro, terms_hit
+              FROM (SELECT lang, doc_id, score_micro, terms_hit,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+                FROM sc) z
+              WHERE rank <= 10 ORDER BY lang, rank""")),
+
     "q56_tfidf" -> QueryDef(
       (s, dir) => {
         val toks = table(s, dir, "documents")
