@@ -633,6 +633,106 @@ object Dedup {
     // shingle-keyed equi-join; only pairs sharing ≥1 shingle emit.
     // The sketch-based alternative for when exact sets are too big is
     // HashFunctions.MinHashUnionAgg (estimate tested in DedupSpec).
+    // CONTAINMENT near-duplication (Broder 1997's other resemblance
+    // measure): C(A→B) = |A∩B| / |A| over distinct 3-gram sets — the
+    // case the Jaccard threshold structurally MISSES: a document
+    // embedded whole inside a larger aggregator page has containment
+    // ≈ 1.0 but Jaccard ≈ |A|/|B|, far below any near-dup threshold
+    // (and MinHash-LSH estimates Jaccard, so the band index can't
+    // recall it either). Reported: every ordered pair with
+    // containment-of-the-smaller ≥ 0.80 alongside its Jaccard, so the
+    // delta column IS the blind spot measured. Fixture (the q178
+    // cross-reference discipline): every doc_id % 83 = 2 doc appends
+    // the FULL text of partner (doc_id·7+3) % 400 — containment 1.0,
+    // Jaccard pinned low by the host's own mass. All statistics live
+    // over the df ≤ 64 gram universe (declared — the q124/q166 df-cap
+    // discipline that keeps the pair join's per-gram fan-out bounded;
+    // a boilerplate gram shared by thousands of docs carries no
+    // containment evidence). Gates are integer cross-multiplications;
+    // ratios surface as half-up bp. Plan at 100 TB: one distinct-gram
+    // shuffle, a df-capped self-join (≤ 64²-bounded fan-out per gram),
+    // and a pair-keyed partial agg — q34's shape at doc grain.
+    "q199_containment_dup" -> QueryDef(
+      (s, dir) => {
+        HashFunctions.register(s)
+        val d0 = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val agg0 = d0.filter(col("doc_id") % 83 === 2)
+          .withColumn("pid", (col("doc_id") * 7 + 3) % 400)
+        // left join + passthrough: a partner id that doesn't exist at
+        // this SF must leave the host doc intact, never drop it
+        val fixed = agg0
+          .join(d0.select(col("doc_id").as("pid"),
+            col("text").as("ptext")), Seq("pid"), "left")
+          .select(col("doc_id"),
+            when(col("ptext").isNotNull,
+              concat(col("text"), lit(" "), col("ptext")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(d0.filter(col("doc_id") % 83 =!= 2))
+        val sh = fixed
+          .select(col("doc_id"),
+            explode(expr("graft_shingles(text, 3)")).as("g"))
+          .distinct()
+          .managedPersist
+        val keep = sh.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 64).select("g")
+        val capped = sh.join(keep, Seq("g"), "left_semi").managedPersist
+        val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val shared = capped.select(col("doc_id").as("da"), col("g"))
+          .join(capped.select(col("doc_id").as("db"), col("g")), Seq("g"))
+          .filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+        shared
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")),
+            "da")
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")),
+            "db")
+          .withColumn("m", least(col("na"), col("nb")))
+          .filter(col("shared") * 5 >= col("m") * 4)
+          .select(col("da"), col("db"), col("na"), col("nb"),
+            col("shared"),
+            expr("(20000 * shared + m) div (2 * m)").as("containment_bp"),
+            expr("(20000 * shared + (na + nb - shared)) div " +
+              "(2 * (na + nb - shared))").as("jaccard_bp"))
+          .orderBy("da", "db")
+      },
+      Some("""WITH d0 AS (SELECT doc_id, text FROM documents),
+              agg0 AS (SELECT doc_id, (doc_id * 7 + 3) % 400 AS pid, text
+                       FROM d0 WHERE doc_id % 83 = 2),
+              fixed AS (
+                SELECT a.doc_id, CASE WHEN p.text IS NOT NULL
+                    THEN a.text || ' ' || p.text ELSE a.text END AS text
+                FROM agg0 a LEFT JOIN d0 p ON p.doc_id = a.pid
+                UNION ALL
+                SELECT doc_id, text FROM d0 WHERE doc_id % 83 <> 2),
+              sh AS (SELECT DISTINCT doc_id, UNNEST(list_distinct(
+                  [array_to_string(t[i:i+2], ' ')
+                   for i in range(1, len(t)-1)])) AS g
+                FROM (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                      x -> x <> '') AS t
+                  FROM fixed) z WHERE len(t) >= 3),
+              keep AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 64),
+              capped AS (SELECT doc_id, g FROM sh
+                         WHERE g IN (SELECT g FROM keep)),
+              sizes AS (SELECT doc_id, COUNT(*) AS n
+                        FROM capped GROUP BY 1),
+              shared AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                  COUNT(*) AS shared
+                FROM capped a JOIN capped b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT da, db, x.n AS na, y.n AS nb, shared,
+                CAST((20000 * shared + LEAST(x.n, y.n)) //
+                  (2 * LEAST(x.n, y.n)) AS BIGINT) AS containment_bp,
+                CAST((20000 * shared + (x.n + y.n - shared)) //
+                  (2 * (x.n + y.n - shared)) AS BIGINT) AS jaccard_bp
+              FROM shared
+              JOIN sizes x ON x.doc_id = da
+              JOIN sizes y ON y.doc_id = db
+              WHERE shared * 5 >= LEAST(x.n, y.n) * 4
+              ORDER BY da, db""")),
+
     "q34_source_jaccard" -> QueryDef(
       (s, dir) => {
         HashFunctions.register(s)

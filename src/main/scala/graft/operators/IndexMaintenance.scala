@@ -155,9 +155,9 @@ object IndexMaintenance {
     import org.apache.spark.sql.functions._
     val stored = spark.table(s"${name}_pgrams")
       .select(col("gk"), col("df_gk")).distinct()
+    // one partial-agg shuffle (countDistinct), not distinct + count
     val cur = Dedup.positionedGrams(corpusToks, seedLen)
-      .select("doc_id", "gk").distinct()
-      .groupBy("gk").agg(count(lit(1)).as("df_now"))
+      .groupBy("gk").agg(countDistinct(col("doc_id")).as("df_now"))
     val agg = stored.join(cur, Seq("gk"), "left")
       .agg(count(lit(1)).as("total"),
         sum((col("df_now").isNull ||

@@ -89,29 +89,46 @@ object Maintenance {
           graft.operators.Ann.appendToPqIndex(
             emb.filter(col("vec_id") % 4 === 0), s"${name}_pq")
         }
-        // corpus-side counts for the write-once families
-        val nEmb = emb.count()
-        val nBaseEmb = baseEmb.count()
+        // Report-pass job budget (it's the nightly health check — it
+        // should cost scans, and as FEW as possible): every per-table
+        // statistic pair collapses into ONE agg job, and every count a
+        // signal pass already produced feeds the report as a rowsNow/
+        // rowsAtBuild override so stalenessReport re-counts nothing.
+        // corpus-side counts for the write-once families (one scan)
+        val er = emb.agg(count(lit(1)).as("n"),
+          sum((col("vec_id") % 4 =!= 0).cast("long")).as("nb")).head()
+        val (nEmb, nBaseEmb) = (er.getLong(0), er.getLong(1))
         // family drift signals (each one distributed job, scalar out)
         val spanDrift = IndexMaintenance.spanDfDriftMicro(
           s, s"${name}_span", toks(docs))
         val pcaDrift = IndexMaintenance.meanShiftMicro(baseEmb, emb)
-        // family health bits, read off the stores
-        val bandOk = s.table(s"${name}_band_bands").count() ==
-          Dedup.Bands.toLong * s.table(s"${name}_band_shingles").count()
-        val gramsT = s.table(s"${name}_gram_grams")
-        val gramOk = gramsT.count() == gramsT.distinct().count()
-        val spanT = s.table(s"${name}_span_pgrams")
-        val spanOk = spanT.select("gk").distinct().count() ==
-          spanT.select("gk", "df_gk").distinct().count()
+        // family health bits, read off the stores — one agg per store
+        val br = s.table(s"${name}_band_bands")
+          .agg(count(lit(1))).head().getLong(0)
+        val shinglesNow = s.table(s"${name}_band_shingles")
+          .agg(count(lit(1))).head().getLong(0)
+        val bandOk = br == Dedup.Bands.toLong * shinglesNow
+        val gr = s.table(s"${name}_gram_grams")
+          .agg(count(lit(1)).as("n"), countDistinct(col("g")).as("d"))
+          .head()
+        val (gramsNow, gramOk) = (gr.getLong(0), gr.getLong(0) == gr.getLong(1))
+        val sr = s.table(s"${name}_span_pgrams")
+          .agg(count(lit(1)).as("n"), countDistinct(col("gk")).as("dg"),
+            countDistinct(col("gk"), col("df_gk")).as("dgd"))
+          .head()
+        val (spanNow, spanOk) = (sr.getLong(0), sr.getLong(1) == sr.getLong(2))
         val ivfOk = IndexMaintenance.ivfBalanceOk(s, s"${name}_ivf", 16)
-        val pqOk = s.table(s"${name}_pq_codes").count() ==
-          s.table(s"${name}_pq_vectors").count()
+        val pr = s.table(s"${name}_pq_codes")
+          .agg(count(lit(1))).head().getLong(0)
+        val pvr = s.table(s"${name}_pq_vectors")
+          .agg(count(lit(1))).head().getLong(0)
+        val pqOk = pr == pvr
         import IndexMaintenance.FamilySpec
         IndexMaintenance.stalenessReport(s, Seq(
           FamilySpec("band", s"${name}_band_shingles",
-            signalOk = bandOk),
-          FamilySpec("gram", s"${name}_gram_grams", signalOk = gramOk),
+            rowsNow = Some(shinglesNow), signalOk = bandOk),
+          FamilySpec("gram", s"${name}_gram_grams",
+            rowsNow = Some(gramsNow), signalOk = gramOk),
           FamilySpec("ivf", s"${name}_ivf_codes",
             rowsNow = Some(nEmb), signalOk = ivfOk),
           // PCA carries both overrides (the 3-row store holds
@@ -120,9 +137,11 @@ object Maintenance {
           FamilySpec("pca", "embeddings", rowsNow = Some(nEmb),
             rowsAtBuild = Some(nBaseEmb), driftMicro = pcaDrift,
             driftThresholdMicro = 1000L),
-          FamilySpec("pq", s"${name}_pq_codes", signalOk = pqOk),
+          FamilySpec("pq", s"${name}_pq_codes", rowsNow = Some(pr),
+            signalOk = pqOk),
           FamilySpec("span", s"${name}_span_pgrams",
-            driftMicro = spanDrift, driftThresholdMicro = 100000L)))
+            rowsNow = Some(spanNow), driftMicro = spanDrift,
+            driftThresholdMicro = 100000L)))
           .orderBy("family")
       },
       Some(s"""WITH toks AS (SELECT doc_id,

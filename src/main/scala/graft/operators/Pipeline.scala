@@ -491,6 +491,99 @@ object Pipeline {
     // prefix sum (per-range-partition local windows + a ≤16-row offset
     // frame — no global-window collapse); the cut test is a map-only
     // integer comparison.
+    // The DATA CARD (Gebru et al. 2021's datasheet, the per-release
+    // numbers section): one row per lang with the headline statistics
+    // every release ships — volume (docs / exact tokens / non-space
+    // chars), exact-duplicate rate (docs minus distinct texts, the
+    // q22 rule as a RATE), the q91 quality-gate survival rate, floor
+    // mean document length, and the dominant source with its share
+    // (concentration — the q111-cap audit number). One query a release
+    // manager pastes into the model card instead of running five. All
+    // rates half-up bp on exact integer counts. Plan at 100 TB: one
+    // corpus pass computes the per-doc signals map-only; the per-lang
+    // rollup is a partial agg (countDistinct(text) is the one
+    // heavyweight — exactly q22's hash shuffle, unavoidable for an
+    // EXACT dup rate); the top-source pick windows only the
+    // |lang × source|-bounded cell frame.
+    "q200_data_card" -> QueryDef(
+      (s, dir) => {
+        val sig = TextAnalysis.qualitySignals(table(s, dir, "documents"))
+          .withColumn("pass",
+            (col("n_tokens") >= 10 &&
+              col("n_stop") * 10 <= col("n_tokens") * 3 &&
+              col("n_chars_ns") <= col("n_tokens") * 8).cast("long"))
+        // distinct over md5(text), not text: the count is identical
+        // (distinct digests = distinct texts) and the distinct shuffle
+        // moves 32-hex keys instead of document bodies — at 100 TB
+        // that's the difference between shuffling the corpus and
+        // shuffling ~0.1% of it
+        val byLang = sig.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("n_chars_ns").as("n_chars_ns"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup"),
+          sum("pass").as("n_pass"))
+        val wS = Window.partitionBy("lang")
+          .orderBy(desc("sc"), col("source"))
+        val topSource = sig.groupBy("lang", "source")
+          .agg(count(lit(1)).as("sc"))
+          .withColumn("rk", row_number().over(wS))
+          .filter(col("rk") === 1)
+          .select(col("lang"), col("source").as("top_source"),
+            col("sc"))
+        byLang.join(topSource, "lang")
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            col("n_chars_ns"),
+            expr("(20000 * n_dup + n_docs) div (2 * n_docs)")
+              .as("dup_bp"),
+            expr("(20000 * n_pass + n_docs) div (2 * n_docs)")
+              .as("quality_bp"),
+            expr("n_tokens div n_docs").as("mean_tokens"),
+            col("top_source"),
+            expr("(20000 * sc + n_docs) div (2 * n_docs)")
+              .as("top_source_bp"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH g AS (SELECT lang, source, text,
+                  CAST(LEN(t) AS BIGINT) AS nt,
+                  CAST(LENGTH(regexp_replace(text, '\\s', '', 'g'))
+                    AS BIGINT) AS nc,
+                  CAST(LEN(list_filter(t,
+                    x -> x IN (${TextAnalysis.stopwordsSql})))
+                    AS BIGINT) AS ns
+                FROM (SELECT lang, source, text,
+                    list_filter(string_split_regex(text, '\\s+'),
+                      x -> x <> '') AS t
+                  FROM documents) z),
+              p AS (SELECT lang, source, text, nt, nc,
+                  CASE WHEN nt >= 10 AND ns * 10 <= nt * 3
+                    AND nc <= nt * 8 THEN 1 ELSE 0 END AS pass
+                FROM g),
+              byl AS (SELECT lang, COUNT(*) AS n_docs,
+                  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                  CAST(SUM(nc) AS BIGINT) AS n_chars_ns,
+                  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+                    AS n_dup,
+                  CAST(SUM(pass) AS BIGINT) AS n_pass
+                FROM p GROUP BY 1),
+              tops AS (SELECT lang, source AS top_source, sc FROM (
+                  SELECT lang, source, COUNT(*) AS sc,
+                    ROW_NUMBER() OVER (PARTITION BY lang
+                      ORDER BY COUNT(*) DESC, source) AS rk
+                  FROM p GROUP BY lang, source) z
+                WHERE rk = 1)
+              SELECT byl.lang, n_docs, n_tokens, n_chars_ns,
+                CAST((20000 * n_dup + n_docs) // (2 * n_docs) AS BIGINT)
+                  AS dup_bp,
+                CAST((20000 * n_pass + n_docs) // (2 * n_docs) AS BIGINT)
+                  AS quality_bp,
+                CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens,
+                top_source,
+                CAST((20000 * sc + n_docs) // (2 * n_docs) AS BIGINT)
+                  AS top_source_bp
+              FROM byl JOIN tops ON tops.lang = byl.lang
+              ORDER BY byl.lang""")),
+
     "q197_systematic_sample" -> QueryDef(
       (s, dir) => {
         val target = 128L

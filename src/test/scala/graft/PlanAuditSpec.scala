@@ -565,4 +565,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       "the (line, doc) occurrence agg must combine map-side")
   }
+
+  test("q195: query-term table broadcasts; scoring stays equi with partial aggs") {
+    val p = plan("q195_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 15-row query-term table must broadcast into the tf stream")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"),
+      "tf/df/length stats must combine map-side")
+  }
+
+  test("q194: truncated-recall rungs are the bounded-broadcast exact-scan shape") {
+    val p = plan("q194_matryoshka_recall")
+    assert(!p.contains("CartesianProduct"),
+      "the pair scans must be the broadcast-query block shape, never cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "the bounded query batch must broadcast")
+  }
+
+  test("q197: systematic sample has no global window collapse") {
+    val p = plan("q197_systematic_sample")
+    // the corpus-wide running position must be per-range-partition
+    // local windows plus a bounded offset frame (q139's discipline):
+    // no window may partition the whole corpus into one task
+    assert(p.contains("Window"))
+    assert(p.contains("pid"),
+      "the cumulative position must ride the two-level prefix sum")
+  }
+
+  test("q198: apportionment windows only the cell-bounded frame") {
+    val p = plan("q198_mixture_apportion")
+    assert(p.contains("partial_"),
+      "the per-cell mass agg must combine map-side before the shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q192: the staleness report's span-df recompute aggregates partially") {
+    val p = plan("q192_index_staleness")
+    // the report frame itself is driver-assembled (6 rows); the plan
+    // shape that matters is upstream in the signal passes, which run
+    // eagerly inside the build. Here we pin the report's output shape:
+    // a LocalTableScan of per-family scalars, no corpus reference.
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      "the report must be a bounded local frame of per-family scalars")
+  }
 }
