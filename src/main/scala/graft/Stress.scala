@@ -588,6 +588,50 @@ object Stress {
           n
         } finally emb.unpersist(blocking = false)
       },
+      // q199's containment scan: the df<=64 cap is the scale claim -
+      // per-gram pair fan-out stays bounded as the corpus grows (the
+      // replica salt keeps natural grams at df ~ 1 while planted
+      // aggregator pairs grow linearly), so candidate pairs and wall
+      // must track true duplication, never corpus^2
+      timed("containment_dup") {
+        val d0 = documents.select(col("doc_id"), col("text"))
+        val agg0 = d0.filter(col("doc_id") % 83 === 2)
+          .withColumn("pid", (col("doc_id") * 7 + 3) % 400)
+        val fixed = agg0
+          .join(d0.select(col("doc_id").as("pid"),
+            col("text").as("ptext")), Seq("pid"), "left")
+          .select(col("doc_id"),
+            when(col("ptext").isNotNull,
+              concat(col("text"), lit(" "), col("ptext")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(d0.filter(col("doc_id") % 83 =!= 2))
+        val sh = fixed
+          .select(col("doc_id"),
+            explode(expr("graft_shingles(text, 3)")).as("g"))
+          .distinct()
+          .persist()
+        try {
+          val keep = sh.groupBy("g").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= 64).select("g")
+          val capped = sh.join(keep, Seq("g"), "left_semi").persist()
+          try {
+            val sizes = capped.groupBy("doc_id")
+              .agg(count(lit(1)).as("n"))
+            capped.select(col("doc_id").as("da"), col("g"))
+              .join(capped.select(col("doc_id").as("db"), col("g")),
+                Seq("g"))
+              .filter(col("da") < col("db"))
+              .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+              .join(sizes.select(col("doc_id").as("da"),
+                col("n").as("na")), "da")
+              .join(sizes.select(col("doc_id").as("db"),
+                col("n").as("nb")), "db")
+              .filter(col("shared") * 5 >=
+                least(col("na"), col("nb")) * 4)
+              .count()
+          } finally capped.unpersist(blocking = false)
+        } finally sh.unpersist(blocking = false)
+      },
       // q178's PageRank on the inflated link graph: the fixture plants
       // a constant link count per doc, so edges scale with the factor;
       // 8 iterations of one dst-keyed partial agg + one node join,
