@@ -151,10 +151,14 @@ object Bench {
                 // stage-completion events arrive on the async listener
                 // bus: spin (outside the timed region) until the
                 // counter is stable so the pass's stages are counted
-                // against the right pass
+                // against the right pass. Known limit: a TIMED-OUT
+                // pass's cancelled stages can finish during the next
+                // pass's window and inflate ITS stage column — the
+                // arrays are attribution-grade (read them with the
+                // pass wall next to them), not an accounting ledger.
                 var last = stageWallMs.get(); var tries = 0
                 var stable = false
-                while (!stable && tries < 10) {
+                while (!stable && tries < 20) {
                   Thread.sleep(15)
                   val cur = stageWallMs.get()
                   stable = cur == last; last = cur; tries += 1

@@ -594,43 +594,12 @@ object Stress {
       // aggregator pairs grow linearly), so candidate pairs and wall
       // must track true duplication, never corpus^2
       timed("containment_dup") {
-        val d0 = documents.select(col("doc_id"), col("text"))
-        val agg0 = d0.filter(col("doc_id") % 83 === 2)
-          .withColumn("pid", (col("doc_id") * 7 + 3) % 400)
-        val fixed = agg0
-          .join(d0.select(col("doc_id").as("pid"),
-            col("text").as("ptext")), Seq("pid"), "left")
-          .select(col("doc_id"),
-            when(col("ptext").isNotNull,
-              concat(col("text"), lit(" "), col("ptext")))
-              .otherwise(col("text")).as("text"))
-          .unionByName(d0.filter(col("doc_id") % 83 =!= 2))
-        val sh = fixed
-          .select(col("doc_id"),
-            explode(expr("graft_shingles(text, 3)")).as("g"))
-          .distinct()
-          .persist()
-        try {
-          val keep = sh.groupBy("g").agg(count(lit(1)).as("df"))
-            .filter(col("df") <= 64).select("g")
-          val capped = sh.join(keep, Seq("g"), "left_semi").persist()
-          try {
-            val sizes = capped.groupBy("doc_id")
-              .agg(count(lit(1)).as("n"))
-            capped.select(col("doc_id").as("da"), col("g"))
-              .join(capped.select(col("doc_id").as("db"), col("g")),
-                Seq("g"))
-              .filter(col("da") < col("db"))
-              .groupBy("da", "db").agg(count(lit(1)).as("shared"))
-              .join(sizes.select(col("doc_id").as("da"),
-                col("n").as("na")), "da")
-              .join(sizes.select(col("doc_id").as("db"),
-                col("n").as("nb")), "db")
-              .filter(col("shared") * 5 >=
-                least(col("na"), col("nb")) * 4)
-              .count()
-          } finally capped.unpersist(blocking = false)
-        } finally sh.unpersist(blocking = false)
+        // one shared definition with q199 (Dedup.containmentPairs) -
+        // the probe measures exactly the query's shape
+        val n = graft.operators.Dedup.containmentPairs(
+          documents.select(col("doc_id"), col("text"))).count()
+        graft.operators.Q.releaseManaged()
+        n
       },
       // q178's PageRank on the inflated link graph: the fixture plants
       // a constant link count per doc, so edges scale with the factor;
@@ -726,14 +695,8 @@ object Stress {
       // corpus's % 50 slice) - corpus x bounded-batch XOR+popcount
       // inside codegen; expected linear in corpus
       timed("hamming_scan") {
-        val packLo = "aggregate(transform(" +
-          "sequence(1, int(least(size(embedding), 32))), " +
-          "i -> IF(element_at(embedding, i) > 0.0, " +
-          "shiftleft(1L, i - 1), 0L)), 0L, (a, x) -> a + x)"
-        val packHi = "IF(size(embedding) > 32, aggregate(transform(" +
-          "sequence(33, size(embedding)), " +
-          "i -> IF(element_at(embedding, i) > 0.0, " +
-          "shiftleft(1L, i - 33), 0L)), 0L, (a, x) -> a + x), 0L)"
+        val packLo = graft.operators.Similarity.PackSignLo
+        val packHi = graft.operators.Similarity.PackSignHi
         val packed = embeddings.select(col("vec_id"), col("embedding"))
           .withColumn("lo", expr(packLo)).withColumn("hi", expr(packHi))
           .select("vec_id", "lo", "hi")

@@ -654,41 +654,8 @@ object Dedup {
     // and a pair-keyed partial agg — q34's shape at doc grain.
     "q199_containment_dup" -> QueryDef(
       (s, dir) => {
-        HashFunctions.register(s)
-        val d0 = table(s, dir, "documents")
-          .select(col("doc_id"), col("text"))
-        val agg0 = d0.filter(col("doc_id") % 83 === 2)
-          .withColumn("pid", (col("doc_id") * 7 + 3) % 400)
-        // left join + passthrough: a partner id that doesn't exist at
-        // this SF must leave the host doc intact, never drop it
-        val fixed = agg0
-          .join(d0.select(col("doc_id").as("pid"),
-            col("text").as("ptext")), Seq("pid"), "left")
-          .select(col("doc_id"),
-            when(col("ptext").isNotNull,
-              concat(col("text"), lit(" "), col("ptext")))
-              .otherwise(col("text")).as("text"))
-          .unionByName(d0.filter(col("doc_id") % 83 =!= 2))
-        val sh = fixed
-          .select(col("doc_id"),
-            explode(expr("graft_shingles(text, 3)")).as("g"))
-          .distinct()
-          .managedPersist
-        val keep = sh.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 64).select("g")
-        val capped = sh.join(keep, Seq("g"), "left_semi").managedPersist
-        val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val shared = capped.select(col("doc_id").as("da"), col("g"))
-          .join(capped.select(col("doc_id").as("db"), col("g")), Seq("g"))
-          .filter(col("da") < col("db"))
-          .groupBy("da", "db").agg(count(lit(1)).as("shared"))
-        shared
-          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")),
-            "da")
-          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")),
-            "db")
-          .withColumn("m", least(col("na"), col("nb")))
-          .filter(col("shared") * 5 >= col("m") * 4)
+        containmentPairs(
+          table(s, dir, "documents").select(col("doc_id"), col("text")))
           .select(col("da"), col("db"), col("na"), col("nb"),
             col("shared"),
             expr("(20000 * shared + m) div (2 * m)").as("containment_bp"),
@@ -2691,6 +2658,50 @@ object Dedup {
     * space-joined seedLen tokens). Map-only generator projection,
     * shared by [[substringDupSpans]] and the span-index family.
     */
+  /** q199's fixture + candidate pipeline, ONE definition shared with
+    * the Stress containment probe (so the probe can never measure a
+    * different shape than the query it calibrates): plant aggregator
+    * docs (doc_id % 83 = 2 appends partner (id·7+3) % 400's full text;
+    * left-join passthrough keeps hosts whose partner id is beyond the
+    * SF), distinct 3-grams capped at df ≤ 64, pair the capped grams,
+    * and keep pairs with containment-of-the-smaller ≥ 0.80. Returns
+    * `(da, db, na, nb, shared, m)`.
+    */
+  private[graft] def containmentPairs(
+      d0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = d0.sparkSession
+    HashFunctions.register(s)
+    val agg0 = d0.filter(col("doc_id") % 83 === 2)
+      .withColumn("pid", (col("doc_id") * 7 + 3) % 400)
+    val fixed = agg0
+      .join(d0.select(col("doc_id").as("pid"),
+        col("text").as("ptext")), Seq("pid"), "left")
+      .select(col("doc_id"),
+        when(col("ptext").isNotNull,
+          concat(col("text"), lit(" "), col("ptext")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(d0.filter(col("doc_id") % 83 =!= 2))
+    val sh = fixed
+      .select(col("doc_id"),
+        explode(expr("graft_shingles(text, 3)")).as("g"))
+      .distinct()
+      .managedPersist
+    val keep = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select("g")
+    val capped = sh.join(keep, Seq("g"), "left_semi").managedPersist
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    capped.select(col("doc_id").as("da"), col("g"))
+      .join(capped.select(col("doc_id").as("db"), col("g")), Seq("g"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")),
+        "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")),
+        "db")
+      .withColumn("m", least(col("na"), col("nb")))
+      .filter(col("shared") * 5 >= col("m") * 4)
+  }
+
   private[operators] def positionedGrams(
       docs: org.apache.spark.sql.DataFrame,
       seedLen: Int): org.apache.spark.sql.DataFrame =

@@ -65,9 +65,14 @@ object IndexMaintenance {
     else {
       val in = fs.open(p)
       try {
+        // read to EOF: a single read() may legally return a PREFIX of
+        // the file (chunked remote streams), and a truncated count
+        // would silently corrupt rows_at_build
+        val out = new java.io.ByteArrayOutputStream(64)
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(0, n), "UTF-8").trim.toLong)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(out.toString("UTF-8").trim.toLong)
       } finally in.close()
     }
   }
@@ -180,7 +185,10 @@ object IndexMaintenance {
     val r = spark.table(s"${name}_codes")
       .groupBy("cell").agg(count(lit(1)).as("occ"))
       .agg(max("occ").as("mx"), sum("occ").as("n")).head()
-    r.getLong(0) * nlist <= 4 * r.getLong(1)
+    // an empty code table has no balance to certify — report UNHEALTHY
+    // (force rebuild) instead of NPEing the nightly health check
+    if (r.isNullAt(0)) false
+    else r.getLong(0) * nlist <= 4 * r.getLong(1)
   }
 
   /** Embedding mean-shift drift (micros): Σ_d ⌊|mean_now_d −

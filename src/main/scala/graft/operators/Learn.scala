@@ -393,8 +393,15 @@ object Learn {
       .select(col("vec_id"), col("embedding"))
     val centers = s.table(s"${name}_centers")
       .select(col("embedding").as("ce"))
+    // an EMPTY center store (writeCoresetStore refuses to create one,
+    // but maintenance can drain it) makes "farther than r from every
+    // center" vacuously true for the whole batch — the cross join
+    // would instead yield an empty far set and silently reject
+    // everything, so bypass the store gate and run the in-batch
+    // greedy over all rows
     var remaining =
-      farFrom(batch.select(col("vec_id"), col("embedding")), centers)
+      if (centers.isEmpty) batch.select(col("vec_id"), col("embedding"))
+      else farFrom(batch.select(col("vec_id"), col("embedding")), centers)
     val admitted =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
     var done = false

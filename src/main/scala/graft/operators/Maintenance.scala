@@ -63,7 +63,16 @@ object Maintenance {
 
     "q192_index_staleness" -> QueryDef(
       (s, dir) => {
-        val tag = IndexCatalog.dirTag(dir)
+        // the store-name key carries a CONTENT fingerprint of both
+        // input tables, not just the dir tag: a fixture regenerated at
+        // the same path mid-session must rebuild the stores (else the
+        // drift signals would mix an old store with the new corpus and
+        // diverge from the oracle, which reads only current parquet) —
+        // the same staleness class ADVICE r12 flagged for the fit memos
+        val fp = java.lang.Integer.toHexString(
+          (tableFingerprint(s, dir, "documents") + "|" +
+            tableFingerprint(s, dir, "embeddings")).hashCode)
+        val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
         val name = s"graft_q192_$tag"
         val docs = table(s, dir, "documents")
         val emb = table(s, dir, "embeddings").select("vec_id", "embedding")

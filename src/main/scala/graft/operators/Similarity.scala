@@ -56,6 +56,24 @@ object Similarity {
   }
   private[graft] val MrrC: Seq[Long] = (1 to 10).map(i => math.round(1e6 / i))
 
+  /** Sign-bit packing of an embedding into two BIGINTs (bits 1–32 and
+    * 33–64) — ONE definition for every consumer (q188's Hamming ANN,
+    * q196's ranking eval, the Stress hamming_scan probe), so a packing
+    * change can never leave a probe measuring a different shape than
+    * the query it calibrates. Integer shift-folds, exact by
+    * construction.
+    */
+  private[graft] val PackSignLo: String =
+    "aggregate(transform(" +
+      "sequence(1, int(least(size(embedding), 32))), " +
+      "i -> IF(element_at(embedding, i) > 0.0, " +
+      "shiftleft(1L, i - 1), 0L)), 0L, (a, x) -> a + x)"
+  private[graft] val PackSignHi: String =
+    "IF(size(embedding) > 32, aggregate(transform(" +
+      "sequence(33, size(embedding)), " +
+      "i -> IF(element_at(embedding, i) > 0.0, " +
+      "shiftleft(1L, i - 33), 0L)), 0L, (a, x) -> a + x), 0L)"
+
   /** One oracle power-iteration step on the in-scope matrix `m.m`:
     * matvec in index order, 2-norm, scale. The matvec appears twice
     * (DuckDB recursive terms can't bind a sub-CTE to the recursion) —
@@ -372,14 +390,8 @@ object Similarity {
     "q196_ranking_eval" -> QueryDef(
       (s, dir) => {
         graft.functions.VectorFunctions.register(s)
-        val packLo = "aggregate(transform(" +
-          "sequence(1, int(least(size(embedding), 32))), " +
-          "i -> IF(element_at(embedding, i) > 0.0, " +
-          "shiftleft(1L, i - 1), 0L)), 0L, (a, x) -> a + x)"
-        val packHi = "IF(size(embedding) > 32, aggregate(transform(" +
-          "sequence(33, size(embedding)), " +
-          "i -> IF(element_at(embedding, i) > 0.0, " +
-          "shiftleft(1L, i - 33), 0L)), 0L, (a, x) -> a + x), 0L)"
+        val packLo = PackSignLo
+        val packHi = PackSignHi
         val emb = table(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         val packed = emb
@@ -472,14 +484,8 @@ object Similarity {
     "q188_hamming_ann" -> QueryDef(
       (s, dir) => {
         graft.functions.VectorFunctions.register(s)
-        val packLo = "aggregate(transform(" +
-          "sequence(1, int(least(size(embedding), 32))), " +
-          "i -> IF(element_at(embedding, i) > 0.0, " +
-          "shiftleft(1L, i - 1), 0L)), 0L, (a, x) -> a + x)"
-        val packHi = "IF(size(embedding) > 32, aggregate(transform(" +
-          "sequence(33, size(embedding)), " +
-          "i -> IF(element_at(embedding, i) > 0.0, " +
-          "shiftleft(1L, i - 33), 0L)), 0L, (a, x) -> a + x), 0L)"
+        val packLo = PackSignLo
+        val packHi = PackSignHi
         val emb = table(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         val packed = emb

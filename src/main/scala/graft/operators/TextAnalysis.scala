@@ -2211,7 +2211,7 @@ object TextAnalysis {
                 FROM lr),
               sl AS (SELECT doc_id, lang, nl, ndup, nell, nbul, toksd,
                   CAST(COALESCE(list_aggregate(
-                    list_transform(toksd, x -> strlen(x)), 'sum'), 0)
+                    list_transform(toksd, x -> LENGTH(x)), 'sum'), 0)
                     AS BIGINT) AS sumlen
                 FROM st),
               bgx AS (SELECT doc_id,
@@ -2233,7 +2233,10 @@ object TextAnalysis {
                     AS f_ell,
                   CASE WHEN nbul * 10 >= nl * 9 THEN 1 ELSE 0 END
                     AS f_bul,
-                  CASE WHEN COALESCE((strlen(top_bg) - 1) * mx, 0) * 50
+                  -- LENGTH (chars), not strlen (bytes): the Spark side
+                  -- counts characters, and byte-ratio != char-ratio on
+                  -- any multi-byte token
+                  CASE WHEN COALESCE((LENGTH(top_bg) - 1) * mx, 0) * 50
                     >= sumlen * 9 THEN 1 ELSE 0 END AS f_bg
                 FROM sl LEFT JOIN bt ON sl.doc_id = bt.doc_id)
               SELECT lang, COUNT(*) AS n_docs,

@@ -592,19 +592,27 @@ object StreamingOps {
   private[graft] def gatedCoresetIngestBatch(batch: DataFrame, id: Long,
       indexName: String, r2: Double, w: Array[Double], b: Double,
       onAdmit: (DataFrame, Long) => Unit): Unit =
+    // own ledger namespace: a gated and an ungated loop sharing one
+    // center store must never read each other's batch ledgers (the
+    // corpus_pipeline isolation argument — both checkpoints count
+    // batches from 0, so untagged they'd collide on batch ids and
+    // 'replay' the other loop's admitted set)
     coresetIngestBatch(
       probeGateStream(batch, w, b).filter(col("keep") === 1L),
-      id, indexName, r2, onAdmit)
+      id, indexName, r2, onAdmit, ledgerTag = Some("gated_coreset"))
 
   /** One micro-batch of [[coresetIngestStream]] — package-private so
     * StreamingSpec can replay a batch under its original id.
     */
   private[graft] def coresetIngestBatch(batch: DataFrame, id: Long,
       indexName: String, r2: Double,
-      onAdmit: (DataFrame, Long) => Unit): Unit = {
+      onAdmit: (DataFrame, Long) => Unit,
+      ledgerTag: Option[String] = None): Unit = {
     val s = batch.sparkSession
     val table = s"${indexName}_centers"
-    val ledger = IngestLedger.dirFor(s, table, id)
+    val ledger = ledgerTag
+      .map(IngestLedger.dirFor(s, table, id, _))
+      .getOrElse(IngestLedger.dirFor(s, table, id))
     val replayed = IngestLedger.committed(s, ledger)
     val admitted = (if (replayed)
       batch.select(col("vec_id"), col("embedding"))
