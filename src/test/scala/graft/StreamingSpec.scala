@@ -491,6 +491,46 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS ${name}_centers")
   }
 
+  test("gated and ungated coreset loops on one store never read each other's ledgers") {
+    // Both loops' checkpoints count batches from 0: with a shared
+    // (untagged) ledger namespace, whichever loop commits batch 0
+    // first would make the other loop's batch 0 read committed=true
+    // and 'replay' the FOREIGN admitted set — silently dropping its
+    // own novel rows. The gated loop therefore commits under its own
+    // tag; this pins the isolation.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-coreset-iso").toString
+    val name = "coreiso_" + System.nanoTime()
+    try {
+      graft.operators.Learn.writeCoresetStore(
+        Seq((0L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"),
+        name, dir)
+      val got = scala.collection.mutable.Map.empty[String, Seq[Long]]
+      def cb(tag: String)(df: org.apache.spark.sql.DataFrame,
+          id: Long): Unit =
+        got(tag) = df.select("vec_id").collect()
+          .map(_.getLong(0)).sorted.toSeq
+      // ungated loop commits ITS batch 0 first (admits 1)
+      StreamingOps.coresetIngestBatch(
+        Seq((1L, Array(3.0f, 0.0f))).toDF("vec_id", "embedding"),
+        0L, name, r2 = 1.0, cb("plain"))
+      assert(got("plain") == Seq(1L), s"plain: $got")
+      // the gated loop's batch 0 carries a DIFFERENT novel vector; a
+      // ledger collision would semi-join it against {1} and admit
+      // nothing
+      StreamingOps.gatedCoresetIngestBatch(
+        Seq((2L, Array(-3.0f, 0.0f))).toDF("vec_id", "embedding"),
+        0L, name, r2 = 1.0, Array(-1.0, 0.0), 0.0, cb("gated"))
+      assert(got("gated") == Seq(2L),
+        s"gated batch 0 read the ungated loop's ledger: $got")
+      val centers = spark.table(s"${name}_centers")
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(centers == Seq(0L, 1L, 2L), s"centers: $centers")
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${name}_centers")
+  }
+
   test("coresetAdmit chunked driver collects match the one-shot greedy exactly") {
     // VERDICT r12 ask #3: the admission greedy consumes the far set in
     // bounded ascending-vec_id chunks. Chunking must be invisible: a
