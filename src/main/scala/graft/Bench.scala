@@ -130,12 +130,13 @@ object Bench {
       })
     // queries whose recorded statistic involved an outlier re-run
     val rerunLog = scala.collection.mutable.ListBuffer.empty[String]
-    val results = queries.map { case (name, fn) =>
-      val observed = scala.collection.mutable.ListBuffer.empty[Double]
-      val observedGc = scala.collection.mutable.ListBuffer.empty[Double]
-      val observedStage = scala.collection.mutable.ListBuffer.empty[Double]
-      def pass(): Pass = {
-        val tag = s"bench-$name-${System.nanoTime()}"
+    // one bounded, job-grouped, timed pass of `fn` — shared by the main
+    // sweep and the cross-sweep repair phase below
+    def passFor(
+        name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Pass = {
+      val tag = s"bench-$name-${System.nanoTime()}"
         val fut = pool.submit(
           new java.util.concurrent.Callable[
             Either[String, (Double, Double, Double)]] {
@@ -174,17 +175,22 @@ object Bench {
         // bookkeeping appends happen on the main thread in the Ok
         // path — a timed-out worker that finishes late can no longer
         // append an orphan gc sample and misalign the sidecar arrays
-        try fut.get(passTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-          .fold(Crashed(_), { case (s, g, st) => Ok(s, g, st) })
-        catch {
-          case _: java.util.concurrent.TimeoutException =>
-            spark.sparkContext.cancelJobGroup(tag)
-            fut.cancel(true)
-            TimedOut
-          case e: Throwable =>
-            Crashed(e.toString.takeWhile(_ != '\n').take(200))
-        }
+      try fut.get(passTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+        .fold(Crashed(_), { case (s, g, st) => Ok(s, g, st) })
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(tag)
+          fut.cancel(true)
+          TimedOut
+        case e: Throwable =>
+          Crashed(e.toString.takeWhile(_ != '\n').take(200))
       }
+    }
+    val results = queries.map { case (name, fn) =>
+      val observed = scala.collection.mutable.ListBuffer.empty[Double]
+      val observedGc = scala.collection.mutable.ListBuffer.empty[Double]
+      val observedStage = scala.collection.mutable.ListBuffer.empty[Double]
+      def pass(): Pass = passFor(name, fn)
       def record(p: Ok): Ok = {
         observed += p.sec; observedGc += p.gcSec
         observedStage += p.stageSec; p
@@ -263,7 +269,77 @@ object Bench {
       name -> sec
     }
 
-    val ok = results.filterNot { case (n, _) => errors.exists(_._1 == n) }
+    // Cross-sweep outlier repair (VERDICT r13 ask #1): the in-sweep
+    // 3×-of-best rule above is structurally blind when EVERY pass of a
+    // query is contended — r13's q168 driver passes were 11.9–21.5 s
+    // (best pass itself poisoned, no rerun fired) vs 1.77 s in the
+    // committed clean sweep on identical code. The reference point must
+    // come from OUTSIDE the sweep: the committed clean-sweep line
+    // (BENCH_LOCAL.json, `run.queries`, qNN-prefix keys). After the
+    // main sweep — i.e. after the contended tail window has passed —
+    // any recorded number above 3× its clean reference gets one
+    // isolated re-measurement (gc, then warmup + one timed pass: the
+    // query's managed caches were released after its slot, so the
+    // warmup rebuilds them exactly as the main sweep's did). The
+    // recorded value becomes min(swept, isolated) and the artifact
+    // carries BOTH under `xsweep` plus the query name in
+    // `rerun_xsweep`, so a repaired number is never mistaken for a
+    // clean one — and a genuine regression (isolated pass confirms the
+    // slow number) stands.
+    val refPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_LOCAL.json")
+    val cleanRef: Map[String, Double] = try {
+      import org.json4s._
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(refPath)), "UTF-8")
+      val parsed = org.json4s.jackson.JsonMethods.parse(txt)
+      val qmap = (parsed \ "run" \ "queries") match {
+        case JNothing => parsed \ "queries"
+        case j => j
+      }
+      qmap match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JDecimal(v)) => k -> v.toDouble
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JLong(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+    } catch { case _: Throwable => Map.empty }
+    val xsweepLog = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double)]
+    val repairedResults = results.map { case (name, sec) =>
+      val ref = cleanRef.get(name.takeWhile(_ != '_'))
+        .orElse(cleanRef.get(name))
+      ref match {
+        case Some(r) if r > 0 && sec >= 1.0 && sec > 3 * r &&
+            !errors.exists(_._1 == name) =>
+          System.gc()
+          val iso = passFor(name, fn = SparkEntry.queries(name)) match {
+            case _: Ok => passFor(name, SparkEntry.queries(name)) match {
+              case p: Ok => Some(p)
+              case _ => None
+            }
+            case _ => None
+          }
+          graft.operators.Q.releaseManaged()
+          System.gc()
+          iso match {
+            case Some(p) =>
+              passLog(name) = passLog(name) :+ p.sec
+              gcLog(name) = gcLog(name) :+ p.gcSec
+              stageLog(name) = stageLog(name) :+ p.stageSec
+              xsweepLog(name) = (sec, p.sec)
+              name -> math.min(sec, p.sec)
+            case None => name -> sec
+          }
+        case _ => name -> sec
+      }
+    }
+
+    val ok = repairedResults
+      .filterNot { case (n, _) => errors.exists(_._1 == n) }
     // the driver archives only the TAIL of the output (~2 KiB), so the
     // reported line must stay compact or early queries get truncated
     // away: keys shrink to the unique qNN prefix and values to
@@ -309,6 +385,14 @@ object Bench {
     val rerunShort = rerunLog
       .map(n => "\"" + n.takeWhile(_ != '_') + "\"")
       .mkString("[", ",", "]")
+    // cross-sweep repairs: [swept, isolated] per repaired query — both
+    // numbers recorded, per the r13 ask (normally empty, costs nothing)
+    val xsweepJson = xsweepLog.map { case (k, (a, b)) =>
+      "\"" + k + "\":[" + cs(a) + "," + cs(b) + "]"
+    }.mkString("{", ",", "}")
+    val xsweepShort = xsweepLog.map { case (k, (a, b)) =>
+      "\"" + k.takeWhile(_ != '_') + "\":[" + cs(a) + "," + cs(b) + "]"
+    }.mkString("{", ",", "}")
     // printed line: pass arrays only for the slowest queries (≥ 1.5 s
     // recorded) — that's where regression attribution matters, and the
     // driver's ~2 KiB archived tail can't afford the full map (it lives
@@ -325,9 +409,9 @@ object Bench {
     val fileOps = benchFileOps(spark)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"queries":$qsFull,"passes":$passesFull,"gc":$gcFull,"stage":$stageFull,"rerun":$rerunJson,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"queries":$qsFull,"passes":$passesFull,"gc":$gcFull,"stage":$stageFull,"rerun":$rerunJson,"xsweep":$xsweepJson,"errors":$errJson,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"passes":$passes,"rerun":$rerunShort,"errors":$errJson,"n_failed":${errors.length},"fileops":$fileOps,"unit":"sec","value":${ms(total)}}""")
+    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"passes":$passes,"rerun":$rerunShort,"xsweep":$xsweepShort,"errors":$errJson,"n_failed":${errors.length},"fileops":$fileOps,"unit":"sec","value":${ms(total)}}""")
     spark.stop()
     // Always exit 0: per-query failures are already reported inside the
     // JSON line (`errors`/`n_failed`). A nonzero exit makes the sbt

@@ -367,8 +367,25 @@ object HashFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_contains",
-      exprs => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs.head, exprs(1)),
+      exprs => {
+        // CONTRACT (ADVICE r13): the bloom operand must be a foldable
+        // literal — build the filter first and pass `lit(bytes)`, the
+        // shape every production caller uses (Dedup.bloomHitDocs). A
+        // scalar-subquery operand makes Spark's BloomFilterMightContain
+        // emit uncompilable Java ("java.lang.Long is not an rvalue")
+        // and silently fall back to interpreted eval with only a WARN —
+        // on the hottest decontamination probe. Refuse that shape
+        // loudly instead; PlanAuditSpec pins the codegen contract.
+        val hasSubquery = exprs.head.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+        if (hasSubquery) throw new IllegalArgumentException(
+          "graft_bloom_contains: the bloom operand must be a literal " +
+            "(collect the built filter and pass lit(bytes)); a scalar " +
+            "subquery operand silently loses whole-stage codegen on " +
+            "the membership probe")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs.head, exprs(1))
+      },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cms_estimate",

@@ -47,8 +47,16 @@ object IndexMaintenance {
       spark: SparkSession, storePath: String, rows: Long): Unit = {
     val p = new Path(storePath, "_BUILD_META")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    // write-to-temp + rename: a crash mid-write must never leave a
+    // truncated count at the canonical name (readBuildMeta treats a
+    // corrupt file as unknown provenance, but the atomic swap keeps
+    // the common crash window from producing one at all) — ADVICE r13
+    val tmp = new Path(storePath, s"._BUILD_META.tmp")
+    val out = fs.create(tmp, true)
     try out.write(rows.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
   }
 
   /** Read the build-time row count for an index table: the meta file
@@ -72,7 +80,10 @@ object IndexMaintenance {
         val buf = new Array[Byte](64)
         var n = in.read(buf)
         while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-        Some(out.toString("UTF-8").trim.toLong)
+        // corrupt/empty meta == no meta == fully stale: the nightly
+        // health check must degrade to "rebuild", not throw — the
+        // documented unknown-provenance contract (ADVICE r13)
+        scala.util.Try(out.toString("UTF-8").trim.toLong).toOption
       } finally in.close()
     }
   }
@@ -215,6 +226,141 @@ object IndexMaintenance {
         .cast("long")).as("d"))
       .head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Measured per-family integrity/balance health bits of a q192-style
+    * six-family store (`<name>_band_*`, `<name>_gram_grams`,
+    * `<name>_span_pgrams`, `<name>_ivf_codes`, `<name>_pq_*`):
+    *
+    *  - band: band rows == [[Dedup.Bands]] × shingled-doc rows (a
+    *    partial append that lost one table's write breaks it);
+    *  - gram: the stored gram table is distinct (duplicate keys break
+    *    the anti-join exactness every novelty gate relies on);
+    *  - span: exactly one df per stored gk (a mixed-build table would
+    *    carry two);
+    *  - ivf: max cell occupancy ≤ 4× mean ([[ivfBalanceOk]]);
+    *  - pq: code rows == vector rows (the probe's verify side must
+    *    cover every coded vector).
+    *
+    * These feed [[FamilySpec.signalOk]] when a store OWNER runs the
+    * report; they are deliberately excluded from q192's
+    * oracle-compared output because they are measured off the store
+    * (IVF balance depends on the trained centroids) and cannot be
+    * reproduced by a cross-engine oracle reading only the raw corpus
+    * parquet (ADVICE r13). IndexStoreSpec asserts all five true on the
+    * q192 fixture and that a corrupted store flips its bit through
+    * [[stalenessReport]]'s rebuild decision.
+    */
+  def healthBits(
+      spark: SparkSession, name: String,
+      nlist: Int = 16): Map[String, Boolean] = {
+    import org.apache.spark.sql.functions._
+    val br = spark.table(s"${name}_band_bands")
+      .agg(count(lit(1))).head().getLong(0)
+    val shingles = spark.table(s"${name}_band_shingles")
+      .agg(count(lit(1))).head().getLong(0)
+    val gr = spark.table(s"${name}_gram_grams")
+      .agg(count(lit(1)).as("n"), countDistinct(col("g")).as("d"))
+      .head()
+    val sr = spark.table(s"${name}_span_pgrams")
+      .agg(countDistinct(col("gk")).as("dg"),
+        countDistinct(col("gk"), col("df_gk")).as("dgd"))
+      .head()
+    val pq = spark.table(s"${name}_pq_codes")
+      .agg(count(lit(1))).head().getLong(0)
+    val pv = spark.table(s"${name}_pq_vectors")
+      .agg(count(lit(1))).head().getLong(0)
+    Map(
+      "band" -> (br == Dedup.Bands.toLong * shingles),
+      "gram" -> (gr.getLong(0) == gr.getLong(1)),
+      "span" -> (sr.getLong(0) == sr.getLong(1)),
+      "ivf" -> ivfBalanceOk(spark, s"${name}_ivf", nlist),
+      "pq" -> (pq == pv))
+  }
+
+  /** Catalog table suffixes of each persisted index family, in the
+    * order the registrars declare them.
+    */
+  private val familyTables: Map[String, Seq[String]] = Map(
+    "band" -> Seq("bands", "shingles"),
+    "gram" -> Seq("grams"),
+    "span" -> Seq("pgrams"),
+    "ivf" -> Seq("codes", "centroids", "vectors"),
+    "pq" -> Seq("codes", "centroids", "vectors", "pq"))
+
+  /** The ACTUATOR for [[stalenessReport]]'s rebuild bit (VERDICT r13
+    * ask #2): rebuild one persisted index family from the CURRENT
+    * corpus without ever exposing a partial store at the canonical
+    * path. q192 decides WHEN, [[compactBucketed]] showed the safe-swap
+    * HOW for one table — this applies that discipline to a whole
+    * family:
+    *
+    *  1. build a complete fresh store at `<storePath>.rebuild.tmp`
+    *     with the family's own writer (identical layout, bucket
+    *     specs, and `_BUILD_META` as a first build — a rebuilt store
+    *     and a fresh build are THE SAME artifact);
+    *  2. drop the catalog entries (external tables: files untouched);
+    *  3. move the live dir aside to `<storePath>.pre-rebuild`, move
+    *     the tmp build in, re-register the canonical names with the
+    *     family's registrar, delete the aside copy last.
+    *
+    * A crash between the renames leaves either the live store or two
+    * complete copies — never a partial family. The fresh
+    * `_BUILD_META` travels with the rename, so the staleness bit
+    * clears by construction. Streaming ledger continuity is free:
+    * the ingest ledger is its own table, and every guarded append
+    * (`appendTo*Dedup`) re-reads current table state through
+    * `refreshTable` + content anti-joins, so a loop whose store was
+    * rebuilt mid-run admits exactly the rows the rebuilt corpus does
+    * not already hold (IndexStoreSpec + StreamingSpec prove both).
+    *
+    * `corpus` is the family's natural input: a documents frame for
+    * band/gram, a (doc_id, toks) frame for span, a (vec_id,
+    * embedding) frame for ivf/pq.
+    */
+  def rebuildFamily(
+      spark: SparkSession,
+      family: String,
+      name: String,
+      storePath: String,
+      corpus: org.apache.spark.sql.DataFrame): Unit = {
+    val tables = familyTables.getOrElse(family,
+      throw new IllegalArgumentException(
+        s"unknown index family '$family' — one of " +
+          familyTables.keys.toSeq.sorted.mkString("/")))
+    val live = new Path(storePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpName = s"${name}__rebuild"
+    val tmpPath = new Path(live.getParent, live.getName + ".rebuild.tmp")
+    val asidePath = new Path(live.getParent, live.getName + ".pre-rebuild")
+    fs.delete(tmpPath, true)
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${tmpName}_$t"))
+    family match {
+      case "band" => Dedup.writeBandIndex(corpus, tmpName, tmpPath.toString)
+      case "gram" => Dedup.writeGramIndex(corpus, tmpName, tmpPath.toString)
+      case "span" => Dedup.writeSpanIndex(corpus, tmpName, tmpPath.toString)
+      case "ivf" => Ann.writeIvfIndex(corpus, tmpName, tmpPath.toString)
+      case "pq" => Ann.writePqIndex(corpus, tmpName, tmpPath.toString)
+    }
+    // swap: external tables, so DROP touches only the catalog
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${tmpName}_$t"))
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    fs.delete(asidePath, true)
+    if (fs.exists(live) && !fs.rename(live, asidePath))
+      throw new java.io.IOException(s"rename $live -> $asidePath failed")
+    if (!fs.rename(tmpPath, live))
+      throw new java.io.IOException(s"rename $tmpPath -> $live failed")
+    family match {
+      case "band" => Dedup.registerBandIndex(spark, name, storePath)
+      case "gram" => Dedup.registerGramIndex(spark, name, storePath)
+      case "span" => Dedup.registerSpanIndex(spark, name, storePath)
+      case "ivf" => Ann.registerIvfIndex(spark, name, storePath)
+      case "pq" => Ann.registerPqIndex(spark, name, storePath)
+    }
+    // the new catalog entries must not serve a listing cached from the
+    // pre-swap files (the cross-session staleness class r13 fixed)
+    tables.foreach(t => spark.catalog.refreshTable(s"${name}_$t"))
+    fs.delete(asidePath, true)
   }
 
   private def dataFiles(

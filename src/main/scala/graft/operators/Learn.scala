@@ -405,6 +405,7 @@ object Learn {
     val admitted =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
     var done = false
+    var chunkIdx = 0
     while (!done) {
       // bounded collect: TakeOrderedAndProject of `chunk` rows
       val head = remaining.orderBy("vec_id").limit(chunk).collect()
@@ -419,6 +420,7 @@ object Learn {
       admitted ++= newly
       if (head.length < chunk) done = true
       else {
+        chunkIdx += 1
         val wm = head.last.getLong(0)
         val rest = remaining.filter(col("vec_id") > wm)
         remaining =
@@ -426,6 +428,15 @@ object Learn {
           else farFrom(rest,
             s.createDataFrame(newly.toSeq).toDF("vec_id", "embedding")
               .select(col("embedding").as("ce")))
+        // q182's per-step checkpoint discipline (ADVICE r13): each
+        // chunk chains another farFrom over the previous frame, so
+        // without truncation every orderBy.limit collect re-derives
+        // the whole accumulated chain from the batch scan — roughly
+        // quadratic recompute on a large all-far batch. An eager
+        // localCheckpoint every 4 chunks bounds both plan depth and
+        // recompute at a constant window.
+        if (chunkIdx % 4 == 0)
+          remaining = remaining.localCheckpoint(true)
       }
     }
     s.createDataFrame(admitted.toSeq).toDF("vec_id", "embedding")

@@ -495,6 +495,185 @@ object MultiModal {
         AudioEnergy(a.asset_id, 0L, 0L, 0L, 0L, 0L, "stub")
     }
 
+  // -----------------------------------------------------------------
+  // Perceptual near-dup (VERDICT r13 ask #3): a re-encoded or slightly
+  // shifted image has different BYTES but the same PICTURE — invisible
+  // to q136's content digest. dHash is the image analogue of q26's
+  // SimHash: a 64-bit fingerprint of the luma gradient structure,
+  // stable under re-encode/resample, compared by Hamming distance.
+  // -----------------------------------------------------------------
+
+  /** dHash banding layout: 4 bands × 16 bits. Pigeonhole: two hashes
+    * within Hamming distance [[DHashMaxHamming]] = 3 < 4 bands must
+    * agree EXACTLY on at least one band, so the banded candidate join
+    * is COMPLETE for the ≤ 3 regime — banding + XOR/popcount verify
+    * equals the all-pairs brute force by construction (q26's layout
+    * argument, MultiModalSpec asserts the identity on noisy fixtures).
+    */
+  val DHashBands = 4
+  val DHashBandBits = 16
+  val DHashMaxHamming = 3
+
+  /** 64-bit difference hash of an image payload — pure JDK decode, no
+    * model. The classic dHash recipe on the bounded sampling grid
+    * [[decodePixelFeatures]] established: mean luma over a 9×8 cell
+    * grid (integer 299/587/114 milli-luma sums; cost bounded at
+    * ≤ 128×64 sampled positions regardless of image size), bit
+    * `cy*8+cx` set iff cell (cy, cx+1) is brighter than (cy, cx).
+    * The adjacent-cell comparison is exact rational arithmetic
+    * (cross-multiplied sums, no float division), so the hash is
+    * deterministic across platforms. Gradient STRUCTURE survives
+    * re-encoding and small shifts; absolute pixel values don't need
+    * to. None for payloads no installed reader decodes.
+    */
+  def dHash64(content: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w < 9 || h < 8) None
+        else {
+          val sx = math.max(1, w / 128)
+          val sy = math.max(1, h / 64)
+          val sums = Array.ofDim[Long](8, 9)
+          val cnts = Array.ofDim[Long](8, 9)
+          var y = 0
+          while (y < h) {
+            val cy = math.min(7, y * 8 / h)
+            var x = 0
+            while (x < w) {
+              val cx = math.min(8, x * 9 / w)
+              val rgb = img.getRGB(x, y)
+              val luma = 299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+              sums(cy)(cx) += luma
+              cnts(cy)(cx) += 1
+              x += sx
+            }
+            y += sy
+          }
+          var bits = 0L
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              // mean(cy,cx+1) > mean(cy,cx), exact (cross-multiplied)
+              if (sums(cy)(cx + 1) * cnts(cy)(cx) >
+                  sums(cy)(cx) * cnts(cy)(cx + 1))
+                bits |= 1L << (cy * 8 + cx)
+              cx += 1
+            }
+            cy += 1
+          }
+          Some(bits)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The dHash stage: map-only executor-parallel, (asset_id, hash)
+    * for every decodable image payload — same no-shuffle shape as
+    * [[extractFeatures]]; undecodable payloads drop out (they have no
+    * picture to compare).
+    */
+  def dhashOf(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap(a =>
+      dHash64(a.content).map(h => (a.asset_id, h))))
+      .toDF("asset_id", "hash")
+  }
+
+  /** Banded perceptual near-dup pairs over a dHash frame: candidates
+    * share at least one of the 4 16-bit bands (equi-join per band —
+    * NEVER all-pairs; at 100 TB the band table is the bucketed
+    * persisted artifact, exactly q116's shape), then one integer
+    * XOR + popcount verify per candidate (q188's discipline). For
+    * `maxHamming` < [[DHashBands]] the result EQUALS the all-pairs
+    * brute force (pigeonhole completeness, see [[DHashBands]]).
+    * Returns (a, b, hamming), a < b.
+    */
+  def perceptualPairs(
+      hashes: DataFrame,
+      maxHamming: Int = DHashMaxHamming): DataFrame = {
+    require(maxHamming < DHashBands,
+      s"banding is complete only below the band count: " +
+        s"maxHamming=$maxHamming, bands=$DHashBands")
+    val bands = hashes.select(col("asset_id"), col("hash"),
+        explode(expr(s"sequence(0, ${DHashBands - 1})")).as("band"))
+      .withColumn("bits",
+        expr(s"(hash >> (band * $DHashBandBits)) & 65535"))
+    val l = bands.select(col("band"), col("bits"),
+      col("asset_id").as("a"), col("hash").as("ha"))
+    val r = bands.select(col("band"), col("bits"),
+      col("asset_id").as("b"), col("hash").as("hb"))
+    l.join(r, Seq("band", "bits"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "ha", "hb").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  private val SynthCellW = 32
+  private val SynthCellH = 8
+
+  /** Deterministic synthetic image for the q201 fixture (the container
+    * ships no media files; the SPARK side — decode, hashing, banding,
+    * verify — is fully real). The raster is an 8×9 grid of 32×8-px
+    * gray cells whose levels walk a per-(doc,row) FNV-seeded path with
+    * adjacent-cell level steps of 1..6 (mod 7): adjacent cell means
+    * always differ by ≥ 30 luma units, while a 1-px cyclic shift moves
+    * each cell mean by ≤ 180/32 < 6 — so by construction the shift
+    * variant's dHash is BIT-IDENTICAL to the base and the oracle's
+    * expected pair counts are engine-exact, never empirical. Variants:
+    * 0 = base PNG, 1 = BMP re-encode of the same raster (different
+    * bytes, same pixels — the crawler re-upload case), 2 = 1-px cyclic
+    * shift PNG, 3 = one cell bumped one level (Hamming ≤ 2 — the
+    * genuine near-dup regime; a bump touches only the two comparisons
+    * adjacent to the cell).
+    */
+  private[graft] def synthImageBytes(id: Long, variant: Int): Array[Byte] = {
+    val shift = if (variant == 2) 1 else 0
+    val levels = Array.ofDim[Int](8, 9)
+    def hh(cy: Int, c: Int): Int = {
+      val v = Fnv64.hashBytes(Array(
+        id.toByte, (id >> 8).toByte, (id >> 16).toByte,
+        cy.toByte, c.toByte))
+      ((v >>> 17) & 0x7fffffff).toInt
+    }
+    var cy = 0
+    while (cy < 8) {
+      levels(cy)(0) = hh(cy, 0) % 7
+      var c = 0
+      while (c < 8) {
+        levels(cy)(c + 1) = (levels(cy)(c) + 1 + hh(cy, c + 1) % 6) % 7
+        c += 1
+      }
+      cy += 1
+    }
+    if (variant == 3) levels(3)(4) = (levels(3)(4) + 1) % 7
+    val w = 9 * SynthCellW
+    val hgt = 8 * SynthCellH
+    val img = new java.awt.image.BufferedImage(
+      w, hgt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < hgt) {
+      var x = 0
+      while (x < w) {
+        val srcX = (x + shift) % w
+        val v = levels(y / SynthCellH)(srcX / SynthCellW) * 30 + 20
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, if (variant == 1) "bmp" else "png", bos)
+    bos.toByteArray
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // q28: multimodal byte stats. Payload = UTF-8 bytes of documents.text
@@ -589,6 +768,83 @@ object MultiModal {
                 CAST(SUM(n - 1) AS BIGINT) AS dup_assets,
                 CAST(SUM((n - 1) * b) AS BIGINT) AS bytes_saved,
                 ROUND(CAST(SUM(n - 1) AS DOUBLE) / SUM(n), 4) AS dup_rate
-              FROM per GROUP BY 1 ORDER BY modality"""))
+              FROM per GROUP BY 1 ORDER BY modality""")),
+
+    // q201: perceptual media near-dup — the scan q136's content digest
+    // structurally CANNOT run: a re-encoded (PNG→BMP), 1-px-shifted,
+    // or slightly-edited image has different bytes but the same
+    // picture. Pipeline: JDK image decode → 64-bit dHash
+    // ([[dHash64]]) → 4×16 banded candidate join → integer
+    // XOR+popcount verify at Hamming ≤ 3 ([[perceptualPairs]] — for
+    // that threshold banding ≡ brute force by pigeonhole, so recall
+    // is exact, not probabilistic). Fixture: 4 deterministic variants
+    // per doc_id < 40 ([[synthImageBytes]] — the level-walk raster
+    // GUARANTEES re-encode and shift variants hash bit-identical and
+    // the perturb variant lands within Hamming 2, so expected pair
+    // counts derive from doc arithmetic alone). Contract output
+    // (q57's pattern): per pair-kind expected vs found counts + the
+    // ok bit, with a zero row pinning NO false positives across
+    // different base images. The oracle cannot decode images — it
+    // states the derivable expected counts and the contract bits;
+    // MultiModalSpec carries the banding ≡ brute-force identity on
+    // noisier fixtures. Plan at 100 TB: decode+hash is map-only; the
+    // only shuffle is the 4-band equi-join (the persisted-index q116
+    // shape); verify is one integer op per candidate — never
+    // all-pairs.
+    "q201_perceptual_dedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ids = table(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 40)
+        val assets = ids
+          .select(col("doc_id"),
+            explode(expr("sequence(0, 3)")).as("variant"))
+          .as[(Long, Int)]
+          .mapPartitions(_.map { case (id, v) =>
+            MediaAsset(id * 10 + v, "image", synthImageBytes(id, v),
+              s"variant_$v")
+          })
+        val pairs = perceptualPairs(dhashOf(assets))
+        val kind = {
+          val va = expr("a % 10")
+          val vb = expr("b % 10")
+          when(expr("a div 10") =!= expr("b div 10"), "cross")
+            .when(va === 0 && vb === 1, "base_reencode")
+            .when(va === 0 && vb === 2, "base_shift")
+            .when(va === 0 && vb === 3, "base_perturb")
+            .when(va === 1 && vb === 2, "reencode_shift")
+            .when(va === 1 && vb === 3, "reencode_perturb")
+            .otherwise("shift_perturb")
+        }
+        val found = pairs.withColumn("kind", kind)
+          .groupBy("kind").agg(count(lit(1)).as("n_found"))
+        val n = ids.agg(count(lit(1)).as("n_ids"))
+        val kinds = s.createDataFrame(Seq(
+          ("base_perturb", 1L), ("base_reencode", 1L),
+          ("base_shift", 1L), ("cross", 0L),
+          ("reencode_perturb", 1L), ("reencode_shift", 1L),
+          ("shift_perturb", 1L))).toDF("kind", "per_id")
+        // 7×1 crossJoin: the sanctioned broadcast-a-scalar pattern
+        kinds.crossJoin(n)
+          .select(col("kind"),
+            (col("per_id") * col("n_ids")).as("n_expected"))
+          .join(found, Seq("kind"), "left")
+          .select(col("kind"), col("n_expected"),
+            coalesce(col("n_found"), lit(0L)).as("n_found"),
+            (coalesce(col("n_found"), lit(0L)) === col("n_expected"))
+              .cast("long").as("ok"))
+          .orderBy("kind")
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n_ids FROM documents
+                         WHERE doc_id < 40)
+              SELECT k.kind,
+                CAST(k.per_id * n.n_ids AS BIGINT) AS n_expected,
+                CAST(k.per_id * n.n_ids AS BIGINT) AS n_found,
+                CAST(1 AS BIGINT) AS ok
+              FROM (VALUES ('base_perturb', 1), ('base_reencode', 1),
+                ('base_shift', 1), ('cross', 0),
+                ('reencode_perturb', 1), ('reencode_shift', 1),
+                ('shift_perturb', 1)) AS k(kind, per_id), n
+              ORDER BY kind"""))
   )
 }

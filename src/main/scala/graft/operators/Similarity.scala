@@ -663,11 +663,19 @@ object Similarity {
         graft.functions.VectorFunctions.register(s)
         val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
         val queries = emb.filter(col("vec_id") % 100 === 0)
-        val exact = Ann.bruteTopK(emb, queries, 10)
+        def truncTo(df: org.apache.spark.sql.DataFrame, d: Int) =
+          df.select(col("vec_id"),
+            slice(col("embedding"), 1, d).as("embedding"))
+        // the anchor is the 64-PREFIX top-10 on BOTH engines (the
+        // oracle's t64), not the full-dim top-10 — symmetric by
+        // construction, so a fixture with d ≠ 64 embeddings keeps the
+        // two engines agreeing (and the d=64 self-identity rail holds
+        // everywhere) instead of silently diverging (ADVICE r13). On
+        // the 64-d corpus the two anchors are the same frame.
+        val exact = Ann.bruteTopK(truncTo(emb, 64), truncTo(queries, 64), 10)
           .select("q_id", "vec_id").managedPersist
         val rows = Seq(16, 32, 64).map { d =>
-          def trunc(df: org.apache.spark.sql.DataFrame) = df.select(
-            col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+          def trunc(df: org.apache.spark.sql.DataFrame) = truncTo(df, d)
           val topD = Ann.bruteTopK(trunc(emb), trunc(queries), 10)
             .select("q_id", "vec_id")
           val hits = exact.join(topD, Seq("q_id", "vec_id"), "left_semi")

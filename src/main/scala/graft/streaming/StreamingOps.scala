@@ -730,7 +730,18 @@ object StreamingOps {
       boilerLines: Seq[String],
       maxSpanTokens: Int = 10,
       minNovelShare: Double = 0.5,
-      growIndexes: Boolean = true)
+      growIndexes: Boolean = true,
+      // optional stages 6-7 (VERDICT r13 ask #7), both requiring an
+      // `embedding` column on the batch: the q183 probe gate drops
+      // low-quality survivors after the gram gate (quality cuts before
+      // a center slot is spent — gatedCoresetIngestStream's argument,
+      // now inside the composed chain), and the coreset stage admits
+      // diverse survivors as centers of `<coresetIndex>_centers` under
+      // the SAME single ledger commit (the ledger gains a `center`
+      // marker column; zero duplicate center rows across replays)
+      probeWeights: Option[(Array[Double], Double)] = None,
+      coresetIndex: Option[String] = None,
+      coresetR2: Double = 1.0)
 
   /** The composed streaming ingest pipeline (VERDICT r12 ask #2) — the
     * nightly loop a deployment actually runs, chaining the existing
@@ -749,6 +760,15 @@ object StreamingOps {
     *   5. gram novelty gate    (novel-gram share ≥ minNovelShare —
     *                            boilerplate-shaped redundance drops
     *                            even when no single doc is a near-dup)
+    *   6. probe quality gate   (OPTIONAL, `probeWeights` — q183's
+    *                            fitted linear probe over the batch's
+    *                            `embedding` column; stateless map-only)
+    *   7. coreset admission    (OPTIONAL, `coresetIndex` — survivors'
+    *                            embeddings through the fixed-radius
+    *                            online k-center against the persisted
+    *                            center store; picks ride the SAME
+    *                            ledger commit as a `center` marker
+    *                            column, VERDICT r13 ask #7)
     *
     * Stage order is the batch release pipeline's cost order
     * ([[graft.operators.Pipeline]] q100): the map-only scrubs run
@@ -810,9 +830,16 @@ object StreamingOps {
     // shingling on the first action)
     var g: Option[DataFrame] = None
     try {
+      // stage 6 (optional): the q183 probe gate — deterministic
+      // stateless scoring, so it re-applies identically on replay
+      // (either as the gate or as pure column re-derivation over the
+      // ledgered set — probeGateStream is ONE definition either way)
+      def probeScored(df: DataFrame): DataFrame =
+        cfg.probeWeights.fold(df) { case (w, b) =>
+          probeGateStream(df, w, b) }
       val admitted = (if (replayed)
-        scrubbed.join(IngestLedger.read(s, ledger),
-          Seq("doc_id"), "left_semi")
+        probeScored(scrubbed.join(IngestLedger.read(s, ledger),
+          Seq("doc_id"), "left_semi"))
       else {
         // stage 3: span gate against the write-once release index
         val toks = scrubbed.withColumn("toks",
@@ -841,29 +868,68 @@ object StreamingOps {
           .filter(coalesce(col("n_novel"), lit(0L)) >=
             col("n_grams") * lit(cfg.minNovelShare))
           .select("doc_id")
-        // the semi-join keeps the scrub columns on the admitted frame
-        s4.join(admitIds, Seq("doc_id"), "left_semi")
+        // the semi-join keeps the scrub columns on the admitted frame;
+        // stage 6 then drops probe-gate failures (quality cuts before
+        // anything is indexed or a center slot is spent)
+        val s5 = probeScored(s4.join(admitIds, Seq("doc_id"), "left_semi"))
+        if (cfg.probeWeights.isDefined) s5.filter(col("keep") === 1L)
+        else s5
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // ONE commit for the whole chain, BEFORE any index mutation
-        if (!replayed)
-          IngestLedger.write(admitted.select("doc_id"), ledger)
-        onAdmit(admitted, id)
-        if (cfg.growIndexes && !IngestLedger.appendDone(s, ledger)) {
-          // a replay's original attempt may have died between the two
-          // appends: the band append takes the row-guarded variant on
-          // replay, and the gram append is naturally exact-once (it
-          // only writes grams the index does not already hold)
+        // stage 7 (optional): coreset admission over the admitted
+        // survivors' embeddings. On replay the center set comes from
+        // the ledger's marker column — the center store may already
+        // hold this batch's centers, so admission must NOT re-run.
+        val centers = cfg.coresetIndex.map { cs =>
+          val vecs = admitted
+            .select(col("doc_id").as("vec_id"), col("embedding"))
           if (replayed)
+            vecs.join(IngestLedger.read(s, ledger)
+                .filter(col("center") === 1L)
+                .select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi")
+          else graft.operators.Learn.coresetAdmit(vecs, cs, cfg.coresetR2)
+        }.map(_.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        try {
+          // ONE commit for the whole chain, BEFORE any index mutation —
+          // the center picks ride the same ledger as a marker column
+          if (!replayed) {
+            val ids = admitted.select("doc_id")
+            val ledgerFrame = centers.fold(ids) { c =>
+              ids.join(c.select(col("vec_id").as("doc_id"),
+                  lit(1L).as("center")), Seq("doc_id"), "left")
+                .select(col("doc_id"),
+                  coalesce(col("center"), lit(0L)).as("center"))
+            }
+            IngestLedger.write(ledgerFrame, ledger)
+          }
+          onAdmit(admitted, id)
+          if (cfg.growIndexes && !IngestLedger.appendDone(s, ledger)) {
+            // a replay's original attempt may have died between the
+            // appends: the band append takes the row-guarded variant on
+            // replay, the gram append is naturally exact-once (it only
+            // writes grams the index does not already hold), and the
+            // center append is anti-join-guarded against current table
+            // state — zero duplicate rows in any index across replays
+            if (replayed)
+              graft.operators.Dedup
+                .appendToBandIndexDedup(admitted, cfg.bandIndex)
+            else
+              graft.operators.Dedup
+                .appendToBandIndex(admitted, cfg.bandIndex)
             graft.operators.Dedup
-              .appendToBandIndexDedup(admitted, cfg.bandIndex)
-          else
-            graft.operators.Dedup
-              .appendToBandIndex(admitted, cfg.bandIndex)
-          graft.operators.Dedup
-            .appendToGramIndex(admitted, cfg.gramIndex)
-          IngestLedger.markAppendDone(s, ledger)
-        }
+              .appendToGramIndex(admitted, cfg.gramIndex)
+            centers.foreach { c =>
+              val table = s"${cfg.coresetIndex.get}_centers"
+              s.catalog.refreshTable(table)
+              c.join(s.table(table).select("vec_id"), Seq("vec_id"),
+                  "left_anti")
+                .write.mode("append").insertInto(table)
+            }
+            IngestLedger.markAppendDone(s, ledger)
+          }
+        } finally centers.foreach(_.unpersist(blocking = false))
       } finally admitted.unpersist(blocking = false)
     } finally {
       g.foreach(_.unpersist(blocking = false))

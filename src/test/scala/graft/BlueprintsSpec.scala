@@ -404,6 +404,15 @@ class BlueprintsSpec extends SparkSpec {
     // is the code a real deployment runs.
     val gsRoot = Files.createTempDirectory(root, "gsmock")
     val hc = spark.sparkContext.hadoopConfiguration
+    // snapshot every key this test (or configureCredentials inside it)
+    // writes to the SHARED SparkContext conf, so the finally can
+    // restore all of them — a leaked credential/chunk-size key would
+    // contaminate every later test reading those keys (ADVICE r13)
+    val touchedKeys = Seq("fs.gs.impl", "fs.gs.impl.disable.cache",
+      "fs.gs.mock.root", "google.cloud.auth.service.account.enable",
+      "google.cloud.auth.service.account.json.keyfile",
+      "fs.gs.outputstream.upload.chunk.size")
+    val savedConf = touchedKeys.map(k => k -> Option(hc.get(k))).toMap
     hc.set("fs.gs.impl", classOf[GsMockFileSystem].getName)
     hc.set("fs.gs.impl.disable.cache", "true")
     hc.set("fs.gs.mock.root", gsRoot.toString)
@@ -477,8 +486,10 @@ class BlueprintsSpec extends SparkSpec {
       }
       assert(e.exitCode == BlueprintError.ExitInvalidBucket)
     } finally {
-      hc.unset("fs.gs.impl")
-      hc.unset("fs.gs.mock.root")
+      savedConf.foreach {
+        case (k, Some(v)) => hc.set(k, v)
+        case (k, None) => hc.unset(k)
+      }
     }
   }
 }

@@ -304,4 +304,63 @@ class MultiModalSpec extends SparkSpec {
     val plan = MultiModal.decodeFeatures(assets).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("dHash: re-encode and 1-px shift are hash-invariant; perturb lands within Hamming 2") {
+    // VERDICT r13 ask #3, fixture half: the perceptual hash must see
+    // through the two transformations the content digest cannot — a
+    // byte-different lossless re-encode (PNG→BMP) and a 1-px shift —
+    // and place a genuine small edit in the near-dup band.
+    def hashOf(id: Long, v: Int): Long =
+      MultiModal.dHash64(MultiModal.synthImageBytes(id, v)).get
+    (0L until 12L).foreach { id =>
+      val base = hashOf(id, 0)
+      assert(hashOf(id, 1) == base,
+        s"BMP re-encode must hash identical (id=$id)")
+      assert(hashOf(id, 2) == base,
+        s"1-px shift must hash identical by the level-walk bound (id=$id)")
+      val d = java.lang.Long.bitCount(base ^ hashOf(id, 3))
+      assert(d <= 2, s"one-cell perturb must stay within Hamming 2, got $d")
+    }
+    // different base images are far apart — the no-false-positive side
+    val bases = (0L until 12L).map(hashOf(_, 0))
+    for (i <- bases.indices; j <- bases.indices if i < j) {
+      val d = java.lang.Long.bitCount(bases(i) ^ bases(j))
+      assert(d > MultiModal.DHashMaxHamming,
+        s"distinct images too close: $i vs $j at Hamming $d")
+    }
+  }
+
+  test("perceptualPairs: banded candidates + verify equal the all-pairs brute force") {
+    // Pigeonhole completeness (4 bands × 16 bits, threshold 3 < 4):
+    // banding must return EXACTLY the brute-force Hamming ≤ 3 pairs —
+    // including near-threshold cases — on a hash set spanning
+    // distances 0..8 around several far-apart seeds.
+    import spark.implicits._
+    val seeds = Seq(0x0123456789abcdefL, 0x7ea5a5a5c3c3ffL, -0x123456789abcdL)
+    // variant k flips the k lowest of a spread bit pattern: distances
+    // from the seed run 0,1,2,3,4,6,8 — both sides of the threshold
+    def flipK(h: Long, k: Int): Long = {
+      val bits = Seq(0, 13, 21, 34, 42, 55, 60, 7) // spread across bands
+      bits.take(k).foldLeft(h)((acc, b) => acc ^ (1L << b))
+    }
+    val rows = for {
+      (s, si) <- seeds.zipWithIndex
+      k <- Seq(0, 1, 2, 3, 4, 6, 8)
+    } yield (si * 100L + k, flipK(s, k))
+    val hashes = rows.toDF("asset_id", "hash")
+    val got = MultiModal.perceptualPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= MultiModal.DHashMaxHamming
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute,
+      s"banding drifted from brute force: missing=${brute -- got}, " +
+        s"extra=${got -- brute}")
+    assert(brute.exists(_._3 == 3L),
+      "fixture must exercise the exact threshold boundary")
+    assert(brute.nonEmpty && brute.size < rows.size * (rows.size - 1) / 2,
+      "fixture must be non-trivial on both sides of the threshold")
+  }
 }

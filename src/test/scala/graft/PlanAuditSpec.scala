@@ -610,4 +610,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
       "the report must be a bounded local frame of per-family scalars")
   }
+
+  test("q101: bloom probe compiles codegen'd; subquery bloom operands refuse loudly") {
+    // ADVICE r13: BloomFilterMightContain emits uncompilable Java when
+    // the bloom operand is a scalar subquery and silently degrades to
+    // interpreted eval with only a WARN — on the hottest
+    // decontamination scan. Two pins: (1) CODEGEN_ONLY factory mode
+    // turns any interpreted fallback into a hard failure, so a green
+    // q101 run proves the production literal shape compiles; (2) the
+    // registration itself rejects the subquery shape instead of
+    // letting it silently lose codegen.
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val rows = SparkEntry.queries("q101_bloom_decontamination")(
+        spark, sfDir).collect()
+      assert(rows.nonEmpty, "q101 returned no rows under CODEGEN_ONLY")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      graft.operators.Q.releaseManaged()
+    }
+    graft.functions.HashFunctions.register(spark)
+    val e = intercept[Throwable] {
+      spark.sql(
+        """SELECT graft_bloom_contains(
+          |  (SELECT graft_bloom_build(xxhash64(CAST(id AS STRING)), 100L)
+          |   FROM range(10)),
+          |  xxhash64('x'))""".stripMargin).collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(chain.contains("graft_bloom_contains") &&
+      chain.contains("literal"),
+      s"subquery bloom operand must be refused with the contract " +
+        s"message, got: $chain")
+  }
 }

@@ -571,6 +571,19 @@ class StreamingSpec extends SparkSpec {
       assert(admitted(4096) == expect, "one-shot-sized chunk diverged")
       assert(admitted(3) == expect, "chunk=3 diverged from the greedy")
       assert(admitted(1) == expect, "chunk=1 diverged from the greedy")
+      // ADVICE r13 worst case: a batch where EVERY row is far (all
+      // admit), spanning many chunks — the shape whose accumulated
+      // farFrom chain used to recompute quadratically. The per-4-chunk
+      // localCheckpoint keeps plan depth bounded; correctness pin is
+      // the same greedy identity on a > 2× chunk batch (24 points,
+      // chunk=2 → 12 chunks, 3 checkpoint truncations).
+      val far = (1 to 24).map(i =>
+        (100L + i, Array(i * 10.0f, 0.0f)))
+      val farBatch = far.toDF("vec_id", "embedding")
+      val gotFar = Learn.coresetAdmit(farBatch, name, r2, chunk = 2)
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(gotFar == far.map(_._1),
+        s"all-far multi-chunk batch must admit every row: $gotFar")
     } finally spark.sql(s"DROP TABLE IF EXISTS ${name}_centers")
   }
 
@@ -1090,6 +1103,107 @@ class StreamingSpec extends SparkSpec {
           s"$t holds duplicate rows after replay: $dups")
       }
     } finally { cleanup("ci_s"); cleanup("ci_b") }
+  }
+
+  test("corpusIngestStream with probe gate + coreset stages: batch ≡ stream, one ledger, zero duplicate centers") {
+    // VERDICT r13 ask #7: the q183 probe gate and the coreset
+    // admission as optional stages 6-7 of the composed chain, sharing
+    // the SINGLE ledger commit (center picks ride a marker column)
+    // instead of running as a separate loop with its own ledger.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corpuscore")
+    def words(prefix: String): String =
+      (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val base = Seq((0L, words("alpha"))).toDF("doc_id", "text")
+    def build(pfx: String): StreamingOps.CorpusIngestConfig = {
+      graft.operators.Dedup.writeBandIndex(base, s"${pfx}_band", s"$tmp/$pfx-b")
+      graft.operators.Dedup.writeGramIndex(base, s"${pfx}_gram", s"$tmp/$pfx-g")
+      graft.operators.Dedup.writeSpanIndex(
+        base.select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("toks")),
+        s"${pfx}_span", s"$tmp/$pfx-s")
+      graft.operators.Learn.writeCoresetStore(
+        Seq((0L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+        s"${pfx}_core", s"$tmp/$pfx-c")
+      StreamingOps.CorpusIngestConfig(
+        bandIndex = s"${pfx}_band", gramIndex = s"${pfx}_gram",
+        spanIndex = s"${pfx}_span", boilerLines = Seq("SUBSCRIBE NOW"),
+        maxSpanTokens = 12, minNovelShare = 0.5,
+        // keep iff 2*e0 - 2*e1 - 0.25 >= 0 (probeGateStream's fixture)
+        probeWeights = Some((Array(2.0, -2.0, 0.0), -0.25)),
+        coresetIndex = Some(s"${pfx}_core"), coresetR2 = 1.0)
+    }
+    // 10: clean text, probe-keep, far embedding  -> admit + center
+    // 13: clean text, probe-DROP (e1 dominates)  -> not admitted at all
+    val b1 = Seq(
+      (10L, words("gamma"), Array(3.0f, 0.0f, 0.0f)),
+      (13L, words("epsilon"), Array(0.0f, 3.0f, 0.0f)))
+    // 21: keep, but within r of center 10        -> admit, NO center
+    // 22: keep, far from everything              -> admit + center
+    val b2 = Seq(
+      (21L, words("delta"), Array(3.1f, 0.0f, 0.5f)),
+      (22L, words("zeta"), Array(6.0f, 0.0f, 0.0f)))
+    def cleanup(pfx: String): Unit = Seq(
+      s"${pfx}_band_bands", s"${pfx}_band_shingles", s"${pfx}_gram_grams",
+      s"${pfx}_span_pgrams", s"${pfx}_core_centers")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def centersOf(pfx: String): Seq[Long] =
+      spark.table(s"${pfx}_core_centers").select("vec_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    try {
+      // ---- stream mode ----
+      val cfg = build("cc_s")
+      val admittedBy = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+      def cb(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        admittedBy(id) = df.select("doc_id").collect()
+          .map(_.getLong(0)).sorted.toSeq
+      val input = MemoryStream[(Long, String, Array[Float])]
+      val q = StreamingOps.corpusIngestStream(
+        input.toDF().toDF("doc_id", "text", "embedding"), cfg, cb)
+      try {
+        input.addData(b1); q.processAllAvailable()
+        input.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      assert(admittedBy(0L) == Seq(10L), s"probe gate in-chain: $admittedBy")
+      assert(admittedBy(1L) == Seq(21L, 22L), s"batch 2: $admittedBy")
+      assert(centersOf("cc_s") == Seq(0L, 10L, 22L),
+        s"center picks: ${centersOf("cc_s")}")
+
+      // ---- batch mode over fresh identical stores ----
+      val cfgB = build("cc_b")
+      val got = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+      def cbB(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        got(id) = df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      StreamingOps.corpusIngestBatch(
+        b1.toDF("doc_id", "text", "embedding"), 0L, cfgB, cbB)
+      StreamingOps.corpusIngestBatch(
+        b2.toDF("doc_id", "text", "embedding"), 1L, cfgB, cbB)
+      assert(got(0L) == admittedBy(0L) && got(1L) == admittedBy(1L),
+        s"batch mode diverged: $got vs $admittedBy")
+      assert(centersOf("cc_b") == centersOf("cc_s"),
+        "batch-mode centers diverged from stream")
+
+      // ---- mid-chain replay under the original id; worst case: the
+      // appends landed but the done marker was lost ----
+      StreamingOps.corpusIngestBatch(
+        b2.toDF("doc_id", "text", "embedding"), 1L, cfg, cb)
+      assert(admittedBy(1L) == Seq(21L, 22L), "replay changed admission")
+      val ledgerDir = graft.streaming.IngestLedger.dirFor(
+        spark, s"${cfg.bandIndex}_shingles", 1L, tag = "corpus_pipeline")
+      ledgerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(ledgerDir, "_APPEND_DONE"),
+          false)
+      StreamingOps.corpusIngestBatch(
+        b2.toDF("doc_id", "text", "embedding"), 1L, cfg, cb)
+      assert(admittedBy(1L) == Seq(21L, 22L), "post-marker-loss replay")
+      assert(centersOf("cc_s") == Seq(0L, 10L, 22L),
+        s"replay duplicated or changed centers: ${centersOf("cc_s")}")
+      val c = spark.table("cc_s_core_centers")
+      assert(c.count() == c.select("vec_id").distinct().count(),
+        "duplicate center rows after replay")
+    } finally { cleanup("cc_s"); cleanup("cc_b") }
   }
 
   test("replayed gram-novelty micro-batch admits the SAME docs (ledger idempotency)") {
