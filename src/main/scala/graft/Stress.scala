@@ -116,6 +116,15 @@ object Stress {
     if (selected("semdedup_probe"))
       graft.operators.Ann.writeIvfIndex(
         embeddings, "stress_ivfidx", s"$stressIdxDir/ivf")
+    // q192's scale path: the span store over the inflated corpus is the
+    // nightly artifact (untimed build); the TIMED probe below is the
+    // staleness report itself — the health check that must stay
+    // scan-linear in the store + corpus
+    if (selected("staleness_report"))
+      graft.operators.Dedup.writeSpanIndex(
+        documents.select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("toks")),
+        "stress_spanidx", s"$stressIdxDir/span")
     val batchVecs = Q.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("vec_id", -col("vec_id") - 1)
@@ -722,6 +731,107 @@ object Stress {
           n
         } finally packed.unpersist(blocking = false)
       },
+      // q192's nightly staleness report over the inflated store: the
+      // span df-drift recompute (one positioned-gram corpus pass + an
+      // exchange-free gk-keyed store join), the PCA mean-shift moment
+      // scans, and the per-family count scans — everything the report
+      // pays, with the store build amortized above. Expected linear in
+      // corpus + store; only per-family scalars reach the driver.
+      timed("staleness_report") {
+        import graft.operators.IndexMaintenance
+        import graft.operators.IndexMaintenance.FamilySpec
+        val toksAll = documents.select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+        val spanDrift = IndexMaintenance.spanDfDriftMicro(
+          spark, "stress_spanidx", toksAll)
+        val emb2 = embeddings.select("vec_id", "embedding")
+        val pcaDrift = IndexMaintenance.meanShiftMicro(
+          emb2.filter(col("vec_id") % 4 =!= 0), emb2)
+        val spanNow = spark.table("stress_spanidx_pgrams")
+          .agg(count(lit(1))).head().getLong(0)
+        IndexMaintenance.stalenessReport(spark, Seq(
+          FamilySpec("span", "stress_spanidx_pgrams",
+            rowsNow = Some(spanNow), driftMicro = spanDrift,
+            driftThresholdMicro = 100000L),
+          FamilySpec("pca", "stress_spanidx_pgrams",
+            rowsNow = Some(spanNow), rowsAtBuild = Some(spanNow),
+            driftMicro = pcaDrift, driftThresholdMicro = 1000L)))
+          .count()
+      },
+      // q195's BM25 at 10x docs: the inverted-index build (tf/df/dl
+      // partial aggs) is the linear part; the replica salt makes every
+      // token replica-local, so the top-df query terms' postings stay
+      // base-sized — candidate scoring work tracks term-posting size,
+      // NOT corpus size (the probe's claim). Same shape as the query:
+      // broadcast query terms, per-doc micro-rounded term sum, bounded
+      // per-lang top-10 window over candidates only.
+      timed("bm25_topk") {
+        import org.apache.spark.sql.expressions.Window
+        val toks = documents.select(col("doc_id"), col("lang"),
+            explode(graft.operators.TextAnalysis.tokens(col("text")))
+              .as("t"))
+          .persist()
+        try {
+          val tf = toks.groupBy("lang", "doc_id", "t")
+            .agg(count(lit(1)).as("tf"))
+          val dl = toks.groupBy("lang", "doc_id")
+            .agg(count(lit(1)).as("dl"))
+          val stats = dl.groupBy("lang")
+            .agg(count(lit(1)).as("nd"), sum("dl").as("sumdl"))
+          val df = toks.select("lang", "doc_id", "t").distinct()
+            .groupBy("lang", "t").agg(count(lit(1)).as("df"))
+          val wq = Window.partitionBy("lang").orderBy(desc("df"), col("t"))
+          val qterms = df.withColumn("qr", row_number().over(wq))
+            .filter(col("qr") <= 3).select("lang", "t", "df")
+          val term = col("idf") *
+            ((col("tf").cast("double") * lit(2.2)) /
+              (col("tf").cast("double") + lit(1.2) *
+                (lit(0.25) + lit(0.75) *
+                  (col("dl").cast("double") / col("avgdl")))))
+          val wd = Window.partitionBy("lang")
+            .orderBy(desc("score_micro"), col("doc_id"))
+          tf.join(broadcast(qterms), Seq("lang", "t"))
+            .join(dl, Seq("lang", "doc_id"))
+            .join(broadcast(stats), Seq("lang"))
+            .withColumn("avgdl",
+              col("sumdl").cast("double") / col("nd").cast("double"))
+            .withColumn("idf",
+              ((col("nd") - col("df")).cast("double") + lit(0.5)) /
+                (col("df").cast("double") + lit(0.5)))
+            .withColumn("term_micro", round(term * lit(1e6)).cast("long"))
+            .groupBy("lang", "doc_id")
+            .agg(sum("term_micro").as("score_micro"))
+            .withColumn("rank", row_number().over(wd))
+            .filter(col("rank") <= 10)
+            .count()
+        } finally toks.unpersist(blocking = false)
+      },
+      // q200's data card at 10x: one corpus pass of map-only per-doc
+      // quality signals into the per-lang partial agg; the DECLARED
+      // heavyweight is the exact-dup countDistinct(md5(text)) — a
+      // 32-hex-key distinct shuffle, the one corpus-sized exchange the
+      // datasheet cannot avoid. Expected linear.
+      timed("data_card") {
+        import org.apache.spark.sql.expressions.Window
+        val sig = graft.operators.TextAnalysis
+          .qualitySignals(documents)
+          .withColumn("pass",
+            (col("n_tokens") >= 10 &&
+              col("n_stop") * 10 <= col("n_tokens") * 3 &&
+              col("n_chars_ns") <= col("n_tokens") * 8).cast("long"))
+        val byLang = sig.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup"),
+          sum("pass").as("n_pass"))
+        val wS = Window.partitionBy("lang").orderBy(desc("sc"), col("source"))
+        val topSource = sig.groupBy("lang", "source")
+          .agg(count(lit(1)).as("sc"))
+          .withColumn("rk", row_number().over(wS))
+          .filter(col("rk") === 1)
+          .select(col("lang"), col("source").as("top_source"))
+        byLang.join(topSource, "lang").collect().length.toLong
+      },
       // two-pass z-score (q66 shape): fixed-size moment sketch, then
       // the tiny stats table broadcast back over the inflated facts
       timed("zscore_two_pass") {
@@ -745,7 +855,7 @@ object Stress {
     println(s"""{"metric":"stress","factor":$factor,"sf":"$sfDir",""" +
       s""""sec":$qs,"rows":$rows}""")
     (Seq("stress_bandidx_bands", "stress_bandidx_shingles",
-        "stress_gramidx_grams") ++
+        "stress_gramidx_grams", "stress_spanidx_pgrams") ++
         Seq("codes", "centroids", "vectors", "pq")
           .map(t => s"stress_pqidx_$t") ++
         Seq("codes", "centroids", "vectors")

@@ -616,6 +616,156 @@ object MultiModal {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** 64-bit perceptual hash of an AUDIO payload — the envelope-delta
+    * analogue of [[dHash64]] (dHash compares adjacent spatial cells;
+    * this compares adjacent TEMPORAL windows): decode to 16-bit PCM
+    * via the JDK (WAV/AIFF/AU — the [[analyzeEnergyOne]] path), fold
+    * channels, split the stream into 65 equal windows, and set bit i
+    * iff window i+1's mean |sample| exceeds window i's. The comparison
+    * is exact integer rational arithmetic (cross-multiplied sums), so
+    * the hash is platform-deterministic; envelope STRUCTURE survives
+    * lossless re-encode (WAV↔AIFF), small time shifts, and uniform
+    * gain — absolute levels don't need to. Work is bounded: at most
+    * ~2²⁰ frames are read (longer streams sample every k-th frame).
+    * None for payloads the JDK cannot decode.
+    */
+  def audioHash64(content: Array[Byte]): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val src = in.getFormat
+        val pcm = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          2 * src.getChannels, src.getSampleRate, false)
+        val s = javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, in)
+        try {
+          val ch = pcm.getChannels
+          val bytesPerFrame = 2 * ch
+          // read every frame into mono |sample| values (bounded)
+          val acc = new scala.collection.mutable.ArrayBuffer[Long](1 << 16)
+          val buf = new Array[Byte](bytesPerFrame * 1024)
+          var eof = false
+          while (!eof && acc.length < (1 << 20)) {
+            var off = 0
+            var n = s.read(buf, off, buf.length - off)
+            while (n > 0 && off + n < buf.length) {
+              off += n; n = s.read(buf, off, buf.length - off)
+            }
+            val got = if (n > 0) off + n else off
+            val nFrames = got / bytesPerFrame
+            var i = 0
+            while (i < nFrames) {
+              var c = 0; var a = 0L
+              while (c < ch) {
+                val b = i * bytesPerFrame + 2 * c
+                val lo = buf(b) & 0xff
+                val hi = buf(b + 1)
+                a += math.abs(((hi << 8) | lo).toLong)
+                c += 1
+              }
+              acc += a / ch
+              i += 1
+            }
+            if (got < buf.length) eof = true
+          }
+          val nf = acc.length
+          if (nf < 65) None
+          else {
+            val sums = new Array[Long](65)
+            val cnts = new Array[Long](65)
+            var i = 0
+            while (i < nf) {
+              val w = math.min(64, i * 65 / nf)
+              sums(w) += acc(i); cnts(w) += 1
+              i += 1
+            }
+            var bits = 0L
+            var w = 0
+            while (w < 64) {
+              if (sums(w + 1) * cnts(w) > sums(w) * cnts(w + 1))
+                bits |= 1L << w
+              w += 1
+            }
+            Some(bits)
+          }
+        } finally s.close()
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The audio-hash stage — map-only, (asset_id, hash) per decodable
+    * payload; [[dhashOf]]'s audio twin. Pairs then go through the SAME
+    * [[perceptualPairs]] banding (the hash space is identical: 64 bits,
+    * 4×16 bands, Hamming verify).
+    */
+  def audioHashOf(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap(a =>
+      audioHash64(a.content).map(h => (a.asset_id, h))))
+      .toDF("asset_id", "hash")
+  }
+
+  private val SynthWin = 512   // samples per envelope window
+  private val SynthRate = 8000f
+
+  /** Deterministic synthetic WAV/AIFF for the q202 fixture — the audio
+    * twin of [[synthImageBytes]]: 65 windows of [[SynthWin]] constant
+    * |amplitude| samples whose levels walk a per-(id, window) FNV path
+    * with steps of 1..6 (mod 7), so adjacent window means always
+    * differ by ≥ 3000 while a 32-sample cyclic shift moves a window
+    * mean by ≤ 18000·32/512 = 1125 — sign-preserving by construction,
+    * which makes the oracle's expected pair counts engine-exact.
+    * Variants: 0 = WAV, 1 = AIFF re-encode of the same samples
+    * (different container bytes, identical PCM — the transcode case),
+    * 2 = 32-sample cyclic shift WAV, 3 = one window's level bumped one
+    * step (Hamming ≤ 2).
+    */
+  private[graft] def synthWavBytes(id: Long, variant: Int): Array[Byte] = {
+    val shift = if (variant == 2) 32 else 0
+    val levels = new Array[Int](65)
+    def hh(w: Int): Int = {
+      val v = Fnv64.hashBytes(Array(
+        (id + 1000).toByte, ((id + 1000) >> 8).toByte,
+        ((id + 1000) >> 16).toByte, w.toByte, (w >> 4).toByte))
+      ((v >>> 19) & 0x7fffffff).toInt
+    }
+    levels(0) = hh(0) % 7
+    var w = 0
+    while (w < 64) {
+      levels(w + 1) = (levels(w) + 1 + hh(w + 1) % 6) % 7
+      w += 1
+    }
+    if (variant == 3) levels(31) = (levels(31) + 1) % 7
+    val nf = 65 * SynthWin
+    // the AIFF container is big-endian PCM; lay the bytes out in the
+    // target container's own endianness so the writer never converts
+    val big = variant == 1
+    val bytes = new Array[Byte](2 * nf)
+    var i = 0
+    while (i < nf) {
+      val src = (i + shift) % nf
+      val amp = levels(src / SynthWin) * 3000 + 1000
+      // alternate sign per sample: zero-mean audio, |amp| constant
+      val v = if ((i & 1) == 0) amp else -amp
+      val (b0, b1) = if (big) (((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        else ((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      bytes(2 * i) = b0
+      bytes(2 * i + 1) = b1
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      SynthRate, 16, 1, 2, SynthRate, big)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, nf.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    val t = if (variant == 1) javax.sound.sampled.AudioFileFormat.Type.AIFF
+      else javax.sound.sampled.AudioFileFormat.Type.WAVE
+    javax.sound.sampled.AudioSystem.write(ais, t, bos)
+    bos.toByteArray
+  }
+
   private val SynthCellW = 32
   private val SynthCellH = 8
 
@@ -845,6 +995,76 @@ object MultiModal {
                 ('base_shift', 1), ('cross', 0),
                 ('reencode_perturb', 1), ('reencode_shift', 1),
                 ('shift_perturb', 1)) AS k(kind, per_id), n
+              ORDER BY kind""")),
+
+    // q202: perceptual AUDIO near-dup — q201's twin for the second
+    // modality, over REAL JDK audio decode: a transcoded (WAV→AIFF),
+    // time-shifted, or one-window-edited recording has different bytes
+    // but the same sound, invisible to q136's digest. The
+    // envelope-delta hash ([[audioHash64]] — 65 temporal windows'
+    // mean |sample|, adjacent-window sign bits, exact integer
+    // comparisons) feeds the SAME 4×16 banding + XOR/popcount verify
+    // ([[perceptualPairs]] — one candidate machinery for every 64-bit
+    // perceptual hash space, image or audio). Fixture and contract
+    // mirror q201: 4 deterministic variants per doc_id < 30
+    // ([[synthWavBytes]] — the level-walk waveform GUARANTEES
+    // transcode/shift hash-identity and the perturb within Hamming 2),
+    // expected counts derive from doc arithmetic, zero-false-positive
+    // cross row pinned. Same 100 TB plan: map-only decode+hash, one
+    // 4-band equi-join, integer verify.
+    "q202_audio_perceptual_dedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ids = table(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 30)
+        val assets = ids
+          .select(col("doc_id"),
+            explode(expr("sequence(0, 3)")).as("variant"))
+          .as[(Long, Int)]
+          .mapPartitions(_.map { case (id, v) =>
+            MediaAsset(id * 10 + v, "audio", synthWavBytes(id, v),
+              s"variant_$v")
+          })
+        val pairs = perceptualPairs(audioHashOf(assets))
+        val kind = {
+          val va = expr("a % 10")
+          val vb = expr("b % 10")
+          when(expr("a div 10") =!= expr("b div 10"), "cross")
+            .when(va === 0 && vb === 1, "base_transcode")
+            .when(va === 0 && vb === 2, "base_shift")
+            .when(va === 0 && vb === 3, "base_perturb")
+            .when(va === 1 && vb === 2, "transcode_shift")
+            .when(va === 1 && vb === 3, "transcode_perturb")
+            .otherwise("shift_perturb")
+        }
+        val found = pairs.withColumn("kind", kind)
+          .groupBy("kind").agg(count(lit(1)).as("n_found"))
+        val n = ids.agg(count(lit(1)).as("n_ids"))
+        val kinds = s.createDataFrame(Seq(
+          ("base_perturb", 1L), ("base_shift", 1L),
+          ("base_transcode", 1L), ("cross", 0L),
+          ("shift_perturb", 1L), ("transcode_perturb", 1L),
+          ("transcode_shift", 1L))).toDF("kind", "per_id")
+        kinds.crossJoin(n)
+          .select(col("kind"),
+            (col("per_id") * col("n_ids")).as("n_expected"))
+          .join(found, Seq("kind"), "left")
+          .select(col("kind"), col("n_expected"),
+            coalesce(col("n_found"), lit(0L)).as("n_found"),
+            (coalesce(col("n_found"), lit(0L)) === col("n_expected"))
+              .cast("long").as("ok"))
+          .orderBy("kind")
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n_ids FROM documents
+                         WHERE doc_id < 30)
+              SELECT k.kind,
+                CAST(k.per_id * n.n_ids AS BIGINT) AS n_expected,
+                CAST(k.per_id * n.n_ids AS BIGINT) AS n_found,
+                CAST(1 AS BIGINT) AS ok
+              FROM (VALUES ('base_perturb', 1), ('base_shift', 1),
+                ('base_transcode', 1), ('cross', 0),
+                ('shift_perturb', 1), ('transcode_perturb', 1),
+                ('transcode_shift', 1)) AS k(kind, per_id), n
               ORDER BY kind"""))
   )
 }

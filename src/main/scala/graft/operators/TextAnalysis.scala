@@ -62,7 +62,7 @@ object TextAnalysis {
     * stopword hits — one definition so the "q31 signals" the gate
     * composes can never drift from q31 itself.
     */
-  private[operators] def qualitySignals(df: DataFrame): DataFrame = df
+  private[graft] def qualitySignals(df: DataFrame): DataFrame = df
     .withColumn("toks", tokens(col("text")))
     .withColumn("n_tokens", size(col("toks")).cast("long"))
     .withColumn("n_chars_ns",

@@ -741,7 +741,23 @@ object StreamingOps {
       // marker column; zero duplicate center rows across replays)
       probeWeights: Option[(Array[Double], Double)] = None,
       coresetIndex: Option[String] = None,
-      coresetR2: Double = 1.0)
+      coresetR2: Double = 1.0,
+      // optional per-family rebuild scheduling (VERDICT r13 ask #8):
+      // every `maintainEvery` batches the loop reads the q192
+      // staleness report for the band family AFTER the batch's appends
+      // commit; if the rebuild bit trips, the actuator
+      // (IndexMaintenance.rebuildFamily) rebuilds the store in place
+      // from `rebuildCorpus()` — the caller's view of the CURRENT
+      // corpus (base + admitted docs) — between micro-batches.
+      // `onRebuild(family, batchId)` observes each firing (specs
+      // assert exactly-once). Admission semantics are unchanged
+      // across the swap: the rebuilt store holds the same docs, the
+      // ledger is untouched, and every guarded append re-reads
+      // current table state.
+      maintainEvery: Int = 0,
+      bandStorePath: Option[String] = None,
+      rebuildCorpus: Option[() => DataFrame] = None,
+      onRebuild: Option[(String, Long) => Unit] = None)
 
   /** The composed streaming ingest pipeline (VERDICT r12 ask #2) — the
     * nightly loop a deployment actually runs, chaining the existing
@@ -931,6 +947,23 @@ object StreamingOps {
           }
         } finally centers.foreach(_.unpersist(blocking = false))
       } finally admitted.unpersist(blocking = false)
+      // scheduled maintenance (ask #8): after this batch's appends are
+      // durable, read the staleness report every `maintainEvery`
+      // batches and actuate a rebuild when the bit trips — the
+      // between-micro-batches window is the loop's natural
+      // single-writer maintenance slot
+      if (cfg.maintainEvery > 0 && (id + 1) % cfg.maintainEvery == 0)
+        for (path <- cfg.bandStorePath; corpus <- cfg.rebuildCorpus) {
+          import graft.operators.IndexMaintenance
+          val row = IndexMaintenance.stalenessReport(s, Seq(
+            IndexMaintenance.FamilySpec("band",
+              s"${cfg.bandIndex}_shingles"))).collect().head
+          if (row.getLong(6) == 1L) {
+            IndexMaintenance.rebuildFamily(
+              s, "band", cfg.bandIndex, path, corpus())
+            cfg.onRebuild.foreach(_("band", id))
+          }
+        }
     } finally {
       g.foreach(_.unpersist(blocking = false))
       scrubbed.unpersist(blocking = false)

@@ -330,6 +330,30 @@ class MultiModalSpec extends SparkSpec {
     }
   }
 
+  test("audioHash64: transcode and time shift are hash-invariant; perturb lands within Hamming 2") {
+    // q202's fixture contract (the audio twin of the dHash test): the
+    // envelope hash must see through a lossless container transcode
+    // (WAV→AIFF) and a small cyclic time shift, and place a one-window
+    // edit in the near-dup band — all through REAL JDK decode.
+    def hashOf(id: Long, v: Int): Long =
+      MultiModal.audioHash64(MultiModal.synthWavBytes(id, v)).get
+    (0L until 10L).foreach { id =>
+      val base = hashOf(id, 0)
+      assert(hashOf(id, 1) == base,
+        s"AIFF transcode must hash identical (id=$id)")
+      assert(hashOf(id, 2) == base,
+        s"32-sample shift must hash identical by the level-walk bound (id=$id)")
+      val d = java.lang.Long.bitCount(base ^ hashOf(id, 3))
+      assert(d <= 2, s"one-window perturb must stay within Hamming 2, got $d")
+    }
+    val bases = (0L until 10L).map(hashOf(_, 0))
+    for (i <- bases.indices; j <- bases.indices if i < j) {
+      val d = java.lang.Long.bitCount(bases(i) ^ bases(j))
+      assert(d > MultiModal.DHashMaxHamming,
+        s"distinct recordings too close: $i vs $j at Hamming $d")
+    }
+  }
+
   test("perceptualPairs: banded candidates + verify equal the all-pairs brute force") {
     // Pigeonhole completeness (4 bands × 16 bits, threshold 3 < 4):
     // banding must return EXACTLY the brute-force Hamming ≤ 3 pairs —

@@ -1206,6 +1206,83 @@ class StreamingSpec extends SparkSpec {
     } finally { cleanup("cc_s"); cleanup("cc_b") }
   }
 
+  test("scheduled maintenance: an append-heavy run triggers exactly one band rebuild; admission semantics survive the swap") {
+    // VERDICT r13 ask #8: q192's signals wired into the ingest loop —
+    // every maintainEvery batches the loop reads the staleness report
+    // and, when the bit trips, runs the rebuild actuator between
+    // micro-batches. Exactly one rebuild must fire here (the fresh
+    // build's meta covers the earlier appends; later admissions stay
+    // under the 20% threshold), and a near-dup of a PRE-rebuild
+    // admission must still drop afterwards.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-maint")
+    def words(prefix: String): String =
+      (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val baseRows = Seq((0L, words("alpha")), (1L, words("beta")))
+    val base = baseRows.toDF("doc_id", "text")
+    graft.operators.Dedup.writeBandIndex(base, "mt_band", s"$tmp/b")
+    graft.operators.Dedup.writeGramIndex(base, "mt_gram", s"$tmp/g")
+    graft.operators.Dedup.writeSpanIndex(
+      base.select(col("doc_id"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("toks")),
+      "mt_span", s"$tmp/s")
+    val admittedTexts =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val rebuilds =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val admittedBy = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    val cfg = StreamingOps.CorpusIngestConfig(
+      bandIndex = "mt_band", gramIndex = "mt_gram", spanIndex = "mt_span",
+      boilerLines = Seq("SUBSCRIBE NOW"), maxSpanTokens = 12,
+      minNovelShare = 0.5,
+      maintainEvery = 2, bandStorePath = Some(s"$tmp/b"),
+      rebuildCorpus =
+        Some(() => (baseRows ++ admittedTexts).toDF("doc_id", "text")),
+      onRebuild = Some((f, id) => rebuilds += ((f, id))))
+    def cb(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val rows = df.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      admittedBy(id) = rows.map(_._1).toSeq
+      admittedTexts ++= rows
+    }
+    try {
+      // batches 0-1: three fresh admissions push the appended fraction
+      // to 3/5 = 60% >= 20% -> the id=1 maintenance window rebuilds
+      StreamingOps.corpusIngestBatch(
+        Seq((10L, words("gamma")), (11L, words("delta")))
+          .toDF("doc_id", "text"), 0L, cfg, cb)
+      StreamingOps.corpusIngestBatch(
+        Seq((12L, words("epsilon"))).toDF("doc_id", "text"), 1L, cfg, cb)
+      assert(admittedBy(0L) == Seq(10L, 11L) && admittedBy(1L) == Seq(12L))
+      assert(rebuilds.toSeq == Seq(("band", 1L)),
+        s"exactly one rebuild must fire at the id=1 window: $rebuilds")
+      // the rebuilt store reports clean
+      val row = graft.operators.IndexMaintenance.stalenessReport(spark,
+        Seq(graft.operators.IndexMaintenance.FamilySpec("band",
+          "mt_band_shingles"))).collect().head
+      assert(row.getLong(3) == 0L && row.getLong(6) == 0L,
+        s"rebuild must clear staleness: $row")
+      // batch 2: a tail-edit near-dup of PRE-rebuild admission 10 must
+      // still drop (the swap preserved admission semantics); no fresh
+      // docs, so no appended fraction accrues
+      StreamingOps.corpusIngestBatch(
+        Seq((20L, words("gamma").replace("gamma20", "gammaX")))
+          .toDF("doc_id", "text"), 2L, cfg, cb)
+      assert(admittedBy(2L) == Seq(),
+        s"near-dup of a pre-rebuild admission must drop: $admittedBy")
+      // batch 3: one fresh admission keeps the fraction at 1/6 < 20%,
+      // so the id=3 maintenance window must NOT rebuild again
+      StreamingOps.corpusIngestBatch(
+        Seq((21L, words("zeta"))).toDF("doc_id", "text"), 3L, cfg, cb)
+      assert(admittedBy(3L) == Seq(21L))
+      assert(rebuilds.size == 1,
+        s"quiet store must not rebuild at the id=3 window: $rebuilds")
+    } finally Seq("mt_band_bands", "mt_band_shingles", "mt_gram_grams",
+      "mt_span_pgrams").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("replayed gram-novelty micro-batch admits the SAME docs (ledger idempotency)") {
     // foreachBatch retry contract (ADVICE r10): a batch retried AFTER
     // appendToGramIndex wrote its admitted grams must not re-probe the
