@@ -832,6 +832,35 @@ object Stress {
           .select(col("lang"), col("source").as("top_source"))
         byLang.join(topSource, "lang").collect().length.toLong
       },
+      // q203's content-defined chunking at 10x docs: chunking is ALL
+      // in-row HOFs (no window, no per-doc shuffle), so the only
+      // corpus-sized exchange is the (lang, hash) partial agg over
+      // 32-hex keys. The replica salt makes every chunk unique, so
+      // chunk counts grow exactly linearly. Expected linear.
+      timed("cdc_chunking") {
+        graft.operators.Dedup.cdcChunks(
+            documents.select("doc_id", "lang", "text"))
+          .groupBy("lang", "h")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("lang").agg(sum("cnt"), count(lit(1)))
+          .collect().length.toLong
+      },
+      // q201/q202's banded perceptual candidate join at 10x assets:
+      // hashes synthesized in-plan (the decode stage is map-only and
+      // trivially linear; the JOIN is the scale question). Each base
+      // asset plants one 2-bit-flipped variant, so verified pairs
+      // track true duplication exactly while the replica-salted hash
+      // population grows 10x. Expected linear.
+      timed("perceptual_bands") {
+        val base = documents.select(col("doc_id"),
+          xxhash64(col("doc_id"), lit("phash")).as("hash"))
+        val variants = base.select((-col("doc_id") - 1).as("doc_id"),
+          expr("hash ^ 9L").as("hash"))   // flip bits 0 and 3
+        val pairs = graft.operators.MultiModal.perceptualPairs(
+          base.unionByName(variants)
+            .select(col("doc_id").as("asset_id"), col("hash")))
+        pairs.count()
+      },
       // two-pass z-score (q66 shape): fixed-size moment sketch, then
       // the tiny stats table broadcast back over the inflated facts
       timed("zscore_two_pass") {

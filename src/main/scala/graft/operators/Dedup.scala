@@ -544,7 +544,108 @@ object Dedup {
        SELECT da, db, ROUND(j, 4) AS jaccard FROM p
        WHERE j >= 0.8 ORDER BY da, db"""
 
+  /** Token-grain content-defined chunking (q203's core): a chunk
+    * boundary falls AFTER token i iff md5(token_i) starts with '0' or
+    * '1' (expected chunk length 8 tokens). The cut decision is a pure
+    * per-token function — no rolling state — so chunking is entirely
+    * in-row HOFs over the token array: no window, no per-doc shuffle,
+    * and an edit anywhere re-synchronizes at the first cut point after
+    * it (the LBFS/FastCDC property fixed windows lack; DedupSpec pins
+    * the re-sync against the fixed-window strawman). Input (doc_id,
+    * lang, text) → one row per chunk (doc_id, lang, h = md5 of the
+    * space-joined chunk tokens, l = token count).
+    */
+  def cdcChunks(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = d
+    .select(col("doc_id"), col("lang"),
+      TextAnalysis.tokens(col("text")).as("t"))
+    .withColumn("n", size(col("t")))
+    .filter(col("n") >= 1)
+    .withColumn("bounds", expr(
+      """concat(array(0),
+        |  IF(n >= 2, filter(sequence(1, n - 1),
+        |    i -> substring(md5(element_at(t, i)), 1, 1)
+        |           IN ('0', '1')),
+        |    CAST(array() AS array<int>)),
+        |  array(n))""".stripMargin))
+    .select(col("doc_id"), col("lang"), explode(expr(
+      """transform(sequence(1, size(bounds) - 1), j -> named_struct(
+        |  'h', md5(array_join(slice(t, element_at(bounds, j) + 1,
+        |         element_at(bounds, j + 1) - element_at(bounds, j)),
+        |       ' ')),
+        |  'l', element_at(bounds, j + 1) - element_at(bounds, j)))"""
+        .stripMargin)).as("c"))
+    .select(col("doc_id"), col("lang"), col("c.h").as("h"),
+      col("c.l").cast("long").as("l"))
+
   val defs: Seq[(String, QueryDef)] = Seq(
+
+    // q203: CONTENT-DEFINED chunk dedup — the LBFS/FastCDC idea at
+    // token grain, the granularity q112's fixed windows structurally
+    // miss: a single inserted prefix shifts every fixed window (zero
+    // dup chunks detected on a re-crawl with an added banner), while
+    // content-defined cut points re-synchronize at the first boundary
+    // after the edit. Cut rule: a chunk boundary falls AFTER token i
+    // iff md5(token_i) starts with '0' or '1' (expected chunk length
+    // 16/2 = 8 tokens; q46's proven cross-engine hex-gate recipe —
+    // deterministic, no rolling state, so chunking is a pure in-row
+    // function of the token array). The fixture plants re-crawls: every
+    // doc_id % 9 == 4 doc re-appears under a fresh id with a 2-token
+    // banner prepended — only its FIRST chunk differs, every chunk
+    // after the first cut point dedups against the original. Per lang:
+    // chunk instances, distinct chunks, duplicate chunks/tokens, dup
+    // share (half-up bp), mean chunk tokens (integer div). Plan at
+    // 100 TB: chunking is ALL in-row HOFs (no window, no per-doc
+    // shuffle — compare q112); the only exchange is the (lang, hash)
+    // partial agg, and chunk hashes are 32-hex keys, never chunk text.
+    "q203_cdc_chunk_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val d = docs.select(col("doc_id"), col("lang"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 9 === 4)
+            .select((-col("doc_id") - 1).as("doc_id"), col("lang"),
+              concat(lit("zznew1 zzname2 "), col("text")).as("text")))
+        cdcChunks(d).groupBy("lang", "h")
+          .agg(count(lit(1)).as("cnt"), min("l").as("l"))
+          .groupBy("lang")
+          .agg(sum("cnt").as("n_chunks"),
+            count(lit(1)).as("n_unique"),
+            sum(col("cnt") - 1).as("dup_chunks"),
+            sum((col("cnt") - 1) * col("l")).as("dup_tokens"))
+          .select(col("lang"), col("n_chunks"), col("n_unique"),
+            col("dup_chunks"), col("dup_tokens"),
+            expr("(20000 * dup_chunks + n_chunks) div (2 * n_chunks)")
+              .as("dup_bp"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, text FROM documents
+                UNION ALL
+                SELECT -doc_id - 1, lang, 'zznew1 zzname2 ' || text
+                FROM documents WHERE doc_id % 9 = 4),
+              toks AS (SELECT doc_id, lang,
+                  list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS t
+                FROM d),
+              b AS (SELECT doc_id, lang, t,
+                  [0] || [i for i in range(1, len(t))
+                          if substring(md5(t[i]), 1, 1) IN ('0', '1')]
+                    || [len(t)] AS bounds
+                FROM toks WHERE len(t) >= 1),
+              ch AS (SELECT lang,
+                  UNNEST([md5(array_to_string(
+                      t[bounds[j] + 1:bounds[j + 1]], ' '))
+                    for j in range(1, len(bounds))]) AS h,
+                  UNNEST([CAST(bounds[j + 1] - bounds[j] AS BIGINT)
+                    for j in range(1, len(bounds))]) AS l
+                FROM b),
+              per AS (SELECT lang, h, COUNT(*) AS cnt, MIN(l) AS l
+                      FROM ch GROUP BY 1, 2)
+              SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+                COUNT(*) AS n_unique,
+                CAST(SUM(cnt - 1) AS BIGINT) AS dup_chunks,
+                CAST(SUM((cnt - 1) * l) AS BIGINT) AS dup_tokens,
+                CAST((20000 * SUM(cnt - 1) + SUM(cnt)) //
+                  (2 * SUM(cnt)) AS BIGINT) AS dup_bp
+              FROM per GROUP BY lang ORDER BY lang""")),
 
     // Q22 exact dedup on text: survivors = min-doc_id row per distinct
     // text (one shuffle, partial agg), then per-lang survivor counts.

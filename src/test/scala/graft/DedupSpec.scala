@@ -386,4 +386,43 @@ class DedupSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("marginal_novelty_bp") >
       rows.last.getAs[Long]("marginal_novelty_bp"))
   }
+
+  test("CDC chunking re-syncs after a prefix insertion; fixed windows find nothing") {
+    // q203's structural claim: content-defined cut points make a
+    // re-crawl with a prepended banner share every chunk after the
+    // first boundary, while the fixed-window strawman (q112's
+    // granularity) is shifted everywhere and shares zero windows.
+    import spark.implicits._
+    val toks = (1 to 80).map(i => s"tok$i")
+    val text = toks.mkString(" ")
+    val d = Seq((1L, "en", text), (2L, "en", "banner1 banner2 " + text))
+      .toDF("doc_id", "lang", "text")
+    val ch = Dedup.cdcChunks(d).select("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val a = ch.collect { case (1L, h) => h }.toSet
+    val b = ch.collect { case (2L, h) => h }.toSet
+    // only the first chunk of each side is unshared (the banner merges
+    // into it); everything after the first cut point re-syncs
+    assert((a -- b).size == 1 && (b -- a).size == 1,
+      s"CDC must re-sync after the insertion: a-b=${a -- b}, b-a=${b -- a}")
+    assert((a & b).size >= 5, s"shared chunks: ${(a & b).size}")
+    // chunk multiset is identical to a driver-side reference chunker
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val cuts = toks.zipWithIndex.init
+      .collect { case (t, i) if "01".contains(md5hex(t).head) => i + 1 }
+    val bounds = 0 +: cuts :+ toks.length
+    val ref = bounds.zip(bounds.tail)
+      .map { case (s0, e0) => md5hex(toks.slice(s0, e0).mkString(" ")) }
+      .toSet
+    assert(a == ref, "engine chunks must equal the reference chunker")
+    // the fixed-window strawman: 8-token tumbling windows of the two
+    // docs share NOTHING — the banner shifted every window
+    def fixed(ts: Seq[String]) =
+      ts.grouped(8).map(g => md5hex(g.mkString(" "))).toSet
+    assert((fixed(toks) &
+      fixed(Seq("banner1", "banner2") ++ toks)).isEmpty,
+      "fixed windows must miss the shifted re-crawl entirely")
+  }
 }
