@@ -286,7 +286,8 @@ object IndexMaintenance {
     "gram" -> Seq("grams"),
     "span" -> Seq("pgrams"),
     "ivf" -> Seq("codes", "centroids", "vectors"),
-    "pq" -> Seq("codes", "centroids", "vectors", "pq"))
+    "pq" -> Seq("codes", "centroids", "vectors", "pq"),
+    "phash" -> Seq("phash"))
 
   /** The ACTUATOR for [[stalenessReport]]'s rebuild bit (VERDICT r13
     * ask #2): rebuild one persisted index family from the CURRENT
@@ -316,7 +317,8 @@ object IndexMaintenance {
     *
     * `corpus` is the family's natural input: a documents frame for
     * band/gram, a (doc_id, toks) frame for span, a (vec_id,
-    * embedding) frame for ivf/pq.
+    * embedding) frame for ivf/pq, an (asset_id, hash) frame for
+    * phash.
     */
   def rebuildFamily(
       spark: SparkSession,
@@ -341,6 +343,8 @@ object IndexMaintenance {
       case "span" => Dedup.writeSpanIndex(corpus, tmpName, tmpPath.toString)
       case "ivf" => Ann.writeIvfIndex(corpus, tmpName, tmpPath.toString)
       case "pq" => Ann.writePqIndex(corpus, tmpName, tmpPath.toString)
+      case "phash" =>
+        MultiModal.writePhashIndex(corpus, tmpName, tmpPath.toString)
     }
     // swap: external tables, so DROP touches only the catalog
     tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${tmpName}_$t"))
@@ -356,6 +360,7 @@ object IndexMaintenance {
       case "span" => Dedup.registerSpanIndex(spark, name, storePath)
       case "ivf" => Ann.registerIvfIndex(spark, name, storePath)
       case "pq" => Ann.registerPqIndex(spark, name, storePath)
+      case "phash" => MultiModal.registerPhashIndex(spark, name, storePath)
     }
     // the new catalog entries must not serve a listing cached from the
     // pre-swap files (the cross-session staleness class r13 fixed)

@@ -706,6 +706,109 @@ object MultiModal {
       .toDF("asset_id", "hash")
   }
 
+  /** Modality-dispatched perceptual hash stage: images through
+    * [[dHash64]], audio through [[audioHash64]] — one (asset_id, hash)
+    * frame because the two hashes share one space (64 bits, the same
+    * 4×16 banding). Undecodable or unhashable modalities drop out.
+    */
+  def mediaHashOf(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      (a.modality match {
+        case "image" => dHash64(a.content)
+        case "audio" => audioHash64(a.content)
+        case _ => None
+      }).map(h => (a.asset_id, h))
+    }).toDF("asset_id", "hash")
+  }
+
+  /** Banded layout of a perceptual-hash frame: 4 rows per asset with
+    * `bk = band · 2¹⁶ + band-bits` — ONE integer key carrying both the
+    * band index and its 16 bits, so the candidate join is a
+    * single-column equi-join a bucketed store satisfies exchange-free
+    * (the band-index trick, `Dedup.writeBandIndex`, applied to the
+    * perceptual space).
+    */
+  private def bandedPhash(hashes: DataFrame): DataFrame = hashes
+    .select(col("asset_id"), col("hash"),
+      explode(expr(s"sequence(0, ${DHashBands - 1})")).as("band"))
+    .withColumn("bk", expr(
+      s"band * 65536 + ((hash >> (band * $DHashBandBits)) & 65535)"))
+    .select("asset_id", "hash", "bk")
+
+  /** Write-once PERCEPTUAL-HASH index — the seventh persisted artifact
+    * family: one bucketed external table `<name>_phash` (asset_id,
+    * hash, bk) bucketed AND sorted on the banded key `bk`, so every
+    * ingest batch's near-dup probe joins the accumulated 100 TB media
+    * corpus with zero exchange on the stored side. `_BUILD_META` rows
+    * at build feed q192's staleness report;
+    * [[IndexMaintenance.rebuildFamily]] knows the family.
+    */
+  def writePhashIndex(
+      hashes: DataFrame, name: String, path: String,
+      buckets: Int = 32): Unit = {
+    val s = hashes.sparkSession
+    bandedPhash(hashes).write.mode("overwrite")
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .option("path", s"$path/phash").saveAsTable(s"${name}_phash")
+    IndexMaintenance.writeBuildMeta(s, path,
+      s.table(s"${name}_phash").count())
+  }
+
+  /** Re-attach a [[writePhashIndex]] artifact in a NEW SparkSession —
+    * `Dedup.registerBandIndex`'s contract for the perceptual family.
+    */
+  def registerPhashIndex(
+      spark: SparkSession, name: String, path: String,
+      buckets: Int = 32): Unit =
+    IndexCatalog.registerBucketed(spark, s"${name}_phash",
+      s"$path/phash", "bk", buckets)
+
+  /** Probe a persisted [[writePhashIndex]] index with a batch's hash
+    * frame: (a = stored asset, b = batch asset, hamming) for every
+    * pair within `maxHamming` — result-identical to running
+    * [[perceptualPairs]] over store ∪ batch and keeping the cross
+    * pairs (IndexStoreSpec asserts it), but the stored side reads the
+    * bucketed `bk` layout exchange-free and only the batch's 4 rows
+    * per asset shuffle.
+    */
+  def probePhashIndex(
+      spark: SparkSession, name: String, batchHashes: DataFrame,
+      maxHamming: Int = DHashMaxHamming): DataFrame = {
+    require(maxHamming < DHashBands,
+      s"banding is complete only below the band count: " +
+        s"maxHamming=$maxHamming, bands=$DHashBands")
+    spark.table(s"${name}_phash")
+      .select(col("bk"), col("asset_id").as("a"), col("hash").as("ha"))
+      .join(bandedPhash(batchHashes).select(col("bk"),
+        col("asset_id").as("b"), col("hash").as("hb")), Seq("bk"))
+      .select("a", "b", "ha", "hb").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Append a batch's banded hashes to a persisted [[writePhashIndex]]
+    * index (`insertInto` honors the bucket spec — the probe stays
+    * exchange-free).
+    */
+  def appendToPhashIndex(hashes: DataFrame, name: String): Unit =
+    bandedPhash(hashes).write.mode("append").insertInto(s"${name}_phash")
+
+  /** [[appendToPhashIndex]] guarded against rows already present — the
+    * replay path of the media ingest loop (the
+    * `Dedup.appendToBandIndexDedup` contract, including the
+    * cross-session refresh).
+    */
+  def appendToPhashIndexDedup(hashes: DataFrame, name: String): Unit = {
+    val s = hashes.sparkSession
+    s.catalog.refreshTable(s"${name}_phash")
+    val present = s.table(s"${name}_phash")
+      .select("asset_id").distinct()
+    bandedPhash(hashes).join(present, Seq("asset_id"), "left_anti")
+      .write.mode("append").insertInto(s"${name}_phash")
+  }
+
   private val SynthWin = 512   // samples per envelope window
   private val SynthRate = 8000f
 

@@ -972,6 +972,78 @@ object StreamingOps {
     }
   }
 
+  /** Streaming perceptual MEDIA near-dup ingest — the band-index loop's
+    * shape for the multimodal column: each micro-batch of binary
+    * assets is hashed modality-dispatched ([[graft.operators.MultiModal
+    * .mediaHashOf]]: dHash for images, envelope hash for audio — one
+    * 64-bit space), probed against the persisted phash index (the
+    * bucketed `bk` store side never shuffles), and only assets with NO
+    * stored near-dup within Hamming ≤ 3 are admitted. `growIndex`
+    * folds admissions in so the NEXT batch dedups against them too —
+    * with the same batch-id ledger replay contract as every grown
+    * index (commit admitted ids before mutation; a replay reproduces
+    * the set from the ledger and re-appends through the asset-guarded
+    * variant, so no banded row ever duplicates).
+    */
+  def mediaIngestStream(
+      assets: DataFrame,
+      indexName: String,
+      growIndex: Boolean,
+      onNovel: (DataFrame, Long) => Unit): streaming.StreamingQuery =
+    assets.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mediaIngestBatch(batch.toDF(), id, indexName, growIndex, onNovel)
+      }
+      .start()
+
+  /** One micro-batch of [[mediaIngestStream]] — package-private so
+    * StreamingSpec can replay a batch under its original id.
+    */
+  private[graft] def mediaIngestBatch(
+      batch: DataFrame, id: Long, indexName: String, growIndex: Boolean,
+      onNovel: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val ledger =
+      if (growIndex)
+        Some(IngestLedger.dirFor(s, s"${indexName}_phash", id))
+      else None
+    val replayed = ledger.exists(IngestLedger.committed(s, _))
+    // the hash stage is deterministic (exact integer comparisons over
+    // decoded bytes), so replays re-derive identical hashes
+    val hashes = graft.operators.MultiModal.mediaHashOf(
+        batch.as[graft.operators.MediaAsset])
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val novel = (if (replayed)
+        batch.join(IngestLedger.read(s, ledger.get),
+          Seq("asset_id"), "left_semi")
+      else {
+        val dup = graft.operators.MultiModal
+          .probePhashIndex(s, indexName, hashes)
+          .select(col("b").as("asset_id")).distinct()
+        batch.join(dup, Seq("asset_id"), "left_anti")
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!replayed)
+          ledger.foreach(IngestLedger.write(novel.select("asset_id"), _))
+        onNovel(novel, id)
+        if (growIndex && !ledger.exists(IngestLedger.appendDone(s, _))) {
+          val novelHashes = hashes
+            .join(novel.select("asset_id"), Seq("asset_id"), "left_semi")
+          if (replayed)
+            graft.operators.MultiModal
+              .appendToPhashIndexDedup(novelHashes, indexName)
+          else
+            graft.operators.MultiModal
+              .appendToPhashIndex(novelHashes, indexName)
+          ledger.foreach(IngestLedger.markAppendDone(s, _))
+        }
+      } finally novel.unpersist(blocking = false)
+    } finally hashes.unpersist(blocking = false)
+  }
+
   def neardupProbeIndexStream(
       docs: DataFrame,
       indexName: String,

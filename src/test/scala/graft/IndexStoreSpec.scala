@@ -732,6 +732,77 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("phash index: persisted probe equals the in-plan cross pairs; stored side exchange-free; rebuild supported") {
+    // the perceptual family's write-once/probe-many path (round 14):
+    // result identity vs the in-plan perceptualPairs, the exchange-free
+    // bucketed-bk contract, and membership in the rebuild actuator.
+    import spark.implicits._
+    import graft.operators.MultiModal
+    val tmp = Files.createTempDirectory("graft-phashidx")
+    val name = "phashidx_" + System.nanoTime()
+    def img(id: Long, v: Int): (Long, Long) =
+      (id * 10 + v,
+        MultiModal.dHash64(MultiModal.synthImageBytes(id, v)).get)
+    // store: base images of ids 0..9; batch: near-dup variants of ids
+    // 0..4 plus fresh images 20..24
+    val store = (0L until 10L).map(img(_, 0))
+    val batch = (0L until 5L).flatMap(id => Seq(img(id, 1), img(id, 3))) ++
+      (20L until 25L).map(img(_, 0))
+    val storeDf = store.toDF("asset_id", "hash")
+    val batchDf = batch.toDF("asset_id", "hash")
+    try {
+      MultiModal.writePhashIndex(storeDf, name, s"$tmp")
+      def probed() = MultiModal.probePhashIndex(spark, name, batchDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // in-plan reference: all-pairs over store ∪ batch, cross only
+      val ref = (for {
+        (a, ha) <- store; (b, hb) <- batch
+        d = java.lang.Long.bitCount(ha ^ hb)
+        if d <= MultiModal.DHashMaxHamming
+      } yield (a, b, d.toLong)).toSet
+      assert(probed() == ref && ref.nonEmpty,
+        s"persisted probe drifted from in-plan pairs: got=${probed()}, ref=$ref")
+      // exchange-free on the stored side: the bk join consumes the
+      // bucketed layout; only the batch side may exchange
+      withNoBroadcast {
+        val p = finalPlan(MultiModal.probePhashIndex(spark, name, batchDf))
+        assert(p.contains("Bucketed: true"),
+          s"probe did not consume the bucketed phash table:\n$p")
+        val bkExchanges =
+          "Exchange hashpartitioning\\(bk".r.findAllIn(p).length
+        assert(bkExchanges <= 1,
+          s"stored phash side shuffled ($bkExchanges bk exchanges):\n$p")
+      }
+      // staleness + rebuild: append the batch, bit trips, actuator
+      // rebuilds from the full hash frame, bit clears, probe of a
+      // fresh query is identical to a from-scratch build
+      MultiModal.appendToPhashIndex(batchDf, name)
+      import graft.operators.IndexMaintenance
+      import graft.operators.IndexMaintenance.FamilySpec
+      def report() = IndexMaintenance.stalenessReport(spark,
+        Seq(FamilySpec("phash", s"${name}_phash"))).collect().head
+      assert(report().getLong(6) == 1L, s"append must trip: ${report()}")
+      IndexMaintenance.rebuildFamily(spark, "phash", name, s"$tmp",
+        storeDf.unionByName(batchDf))
+      assert(report().getLong(3) == 0L && report().getLong(6) == 0L,
+        s"rebuild must clear: ${report()}")
+      val fresh = s"${name}_f"
+      MultiModal.writePhashIndex(storeDf.unionByName(batchDf), fresh,
+        s"$tmp/fresh")
+      val q = Seq(img(0L, 2), img(30L, 0)).toDF("asset_id", "hash")
+      def rows(n: String) = MultiModal.probePhashIndex(spark, n, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(rows(name) == rows(fresh) && rows(name).nonEmpty,
+        "rebuilt phash store must probe identical to a fresh build")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_phash")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_f_phash")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
   test("health bits: all five true on a q192-style store; a corrupted table flips its bit into rebuild") {
     // ADVICE r13 (medium): the measured signal_ok bits are excluded
     // from q192's oracle-compared output because a cross-engine oracle

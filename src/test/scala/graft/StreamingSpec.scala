@@ -1283,6 +1283,83 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("mediaIngestStream: perceptual dups of the store AND earlier admissions drop; batch ≡ stream; replay duplicates nothing") {
+    // round 14: the band-index ingest discipline applied to the
+    // multimodal column — a re-encoded image of a stored asset and a
+    // 1-px shift of a JUST-ADMITTED asset must both drop, across both
+    // modes, with the ledger replay contract intact.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{MediaAsset, MultiModal}
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mediaidx")
+    def asset(aid: Long, imgId: Long, v: Int): MediaAsset =
+      MediaAsset(aid, "image", MultiModal.synthImageBytes(imgId, v), "t")
+    def buildStore(name: String, path: String): Unit =
+      MultiModal.writePhashIndex(
+        (0L until 4L).map(i =>
+          (i, MultiModal.dHash64(MultiModal.synthImageBytes(i, 0)).get))
+          .toDF("asset_id", "hash"),
+        name, path)
+    // 100 = BMP re-encode of stored image 0 -> drop against the store
+    // 101 = fresh image                      -> admit
+    val b1 = Seq(asset(100L, 0L, 1), asset(101L, 50L, 0))
+    // 200 = 1-px shift of ADMITTED 101      -> drop (the index grew)
+    // 201 = fresh image                      -> admit
+    val b2 = Seq(asset(200L, 50L, 2), asset(201L, 60L, 0))
+    try {
+      // ---- batch mode ----
+      val nb = "mediaidx_b_" + System.nanoTime()
+      buildStore(nb, s"$tmp/b")
+      val got = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+      def cb(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        got(id) = df.select("asset_id").collect().map(_.getLong(0))
+          .sorted.toSeq
+      StreamingOps.mediaIngestBatch(b1.toDF(), 0L, nb, growIndex = true, cb)
+      StreamingOps.mediaIngestBatch(b2.toDF(), 1L, nb, growIndex = true, cb)
+      assert(got(0L) == Seq(101L) && got(1L) == Seq(201L),
+        s"batch admissions wrong: $got")
+      // ---- stream mode over a fresh identical store ----
+      val ns = "mediaidx_s_" + System.nanoTime()
+      buildStore(ns, s"$tmp/s")
+      val gotS = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+      def cbS(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        gotS(id) = df.select("asset_id").collect().map(_.getLong(0))
+          .sorted.toSeq
+      val input = MemoryStream[MediaAsset]
+      val q = StreamingOps.mediaIngestStream(
+        input.toDF(), ns, growIndex = true, cbS)
+      try {
+        input.addData(b1); q.processAllAvailable()
+        input.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      assert(gotS(0L) == got(0L) && gotS(1L) == got(1L),
+        s"stream diverged from batch: $gotS vs $got")
+      // ---- replay batch 2 under its original id; then the worst
+      // case: appends landed but the done marker was lost ----
+      StreamingOps.mediaIngestBatch(b2.toDF(), 1L, nb, growIndex = true, cb)
+      assert(got(1L) == Seq(201L), "replay changed the admitted set")
+      val ledgerDir = graft.streaming.IngestLedger.dirFor(
+        spark, s"${nb}_phash", 1L)
+      ledgerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(ledgerDir, "_APPEND_DONE"),
+          false)
+      StreamingOps.mediaIngestBatch(b2.toDF(), 1L, nb, growIndex = true, cb)
+      assert(got(1L) == Seq(201L), "post-marker-loss replay")
+      val t = spark.table(s"${nb}_phash")
+      assert(t.count() == t.select("asset_id", "bk").distinct().count(),
+        "duplicate banded rows after replay")
+      // exactly the store + the two admitted assets, 4 bands each
+      assert(t.count() == (4 + 2) * 4,
+        s"unexpected phash row count: ${t.count()}")
+    } finally Seq("mediaidx_b", "mediaidx_s").foreach { p =>
+      // names carry nanoTime suffixes; drop by catalog listing
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith(p))
+        .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS ${tb.name}"))
+    }
+  }
+
   test("replayed gram-novelty micro-batch admits the SAME docs (ledger idempotency)") {
     // foreachBatch retry contract (ADVICE r10): a batch retried AFTER
     // appendToGramIndex wrote its admitted grams must not re-probe the
