@@ -38,6 +38,76 @@ object Stats {
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
+    // q204: two-sample Kolmogorov–Smirnov drift between hash splits —
+    // the DISTRIBUTION-level drift test next to q109's decile means
+    // and q128's token drift: per lang, D = max_x |F_train(x) −
+    // F_holdout(x)| over doc char length, with the split q46's md5
+    // hex gate (first hex c–f ⇒ holdout, 25%). Exact by construction:
+    // the statistic is computed as the integer numerator
+    // |ia·nb − ib·na| maximized over distinct lengths (cross-
+    // multiplied ECDFs — no division until the one reported micro),
+    // ties broken to the smallest length, so both engines pick the
+    // identical argmax row. Output per lang: split sizes, ks_micro,
+    // the length where the gap peaks. Plan at 100 TB: one partial agg
+    // to the (lang, length)-bounded value frame; the running ECDF and
+    // the argmax window both order that BOUNDED frame (distinct
+    // lengths per lang), never corpus rows — q198's bounded-window
+    // discipline.
+    "q204_ks_split_drift" -> QueryDef(
+      (s, dir) => {
+        val grp = when(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("c", "d", "e", "f"), 1L).otherwise(0L)
+        val sdf = table(s, dir, "documents")
+          .select(col("lang"), col("n_chars").cast("long").as("x"),
+            grp.as("grp"))
+        val n = sdf.groupBy("lang")
+          .agg(sum(lit(1L) - col("grp")).as("na"), sum("grp").as("nb"))
+        val v = sdf.groupBy("lang", "x")
+          .agg(sum(lit(1L) - col("grp")).as("ca"), sum("grp").as("cb"))
+        val wc = Window.partitionBy("lang").orderBy("x")
+        val c = v
+          .withColumn("ia", sum("ca").over(wc))
+          .withColumn("ib", sum("cb").over(wc))
+          .join(n, "lang")
+          .withColumn("dn", abs(col("ia") * col("nb") -
+            col("ib") * col("na")))
+        val wr = Window.partitionBy("lang")
+          .orderBy(desc("dn"), col("x"))
+        c.withColumn("rk", row_number().over(wr))
+          .filter(col("rk") === 1)
+          .select(col("lang"), col("na").as("n_train"),
+            col("nb").as("n_holdout"),
+            expr("dn * 1000000 div (na * nb)").as("ks_micro"),
+            col("x").as("at_length"))
+          .orderBy("lang")
+      },
+      Some("""WITH s AS (SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('c', 'd', 'e', 'f') THEN 1 ELSE 0 END AS grp
+                FROM documents),
+              n AS (SELECT lang,
+                  CAST(SUM(1 - grp) AS BIGINT) AS na,
+                  CAST(SUM(grp) AS BIGINT) AS nb
+                FROM s GROUP BY lang),
+              v AS (SELECT lang, x,
+                  CAST(SUM(1 - grp) AS BIGINT) AS ca,
+                  CAST(SUM(grp) AS BIGINT) AS cb
+                FROM s GROUP BY lang, x),
+              c AS (SELECT lang, x,
+                  SUM(ca) OVER (PARTITION BY lang ORDER BY x) AS ia,
+                  SUM(cb) OVER (PARTITION BY lang ORDER BY x) AS ib
+                FROM v),
+              d AS (SELECT c.lang, x,
+                  ABS(ia * nb - ib * na) AS dn, na, nb
+                FROM c JOIN n USING (lang))
+              SELECT lang, na AS n_train, nb AS n_holdout,
+                CAST(dn * 1000000 // (na * nb) AS BIGINT) AS ks_micro,
+                x AS at_length
+              FROM d
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY dn DESC, x) = 1
+              ORDER BY lang""")),
+
     // Pearson correlation per group, computed from exact decimal sums
     // (n, Σx, Σy, Σxy, Σx², Σy²) — a fixed-size moment sketch per group,
     // merged associatively by partial aggregation, so partition order
