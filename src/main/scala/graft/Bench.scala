@@ -293,10 +293,20 @@ object Bench {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(refPath)), "UTF-8")
       val parsed = org.json4s.jackson.JsonMethods.parse(txt)
-      val qmap = (parsed \ "run" \ "queries") match {
-        case JNothing => parsed \ "queries"
-        case j => j
+      // scale-factor guard: a reference recorded at a different SF
+      // would make nearly every query read >3× and the repair phase
+      // would re-run most of the sweep — a scale mismatch, not
+      // contention. No same-SF reference ⇒ no cross-sweep repair.
+      val refSf = (parsed \ "run" \ "sf") match {
+        case JString(v) => v
+        case _ => parsed \ "sf" match { case JString(v) => v; case _ => "" }
       }
+      val qmap =
+        if (refSf != sfDir) JNothing
+        else (parsed \ "run" \ "queries") match {
+          case JNothing => parsed \ "queries"
+          case j => j
+        }
       qmap match {
         case JObject(fields) => fields.collect {
           case (k, JDouble(v)) => k -> v

@@ -74,9 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .BloomFilterAggregate(exprs.head, exprs(1))
     }
     inject("graft_bloom_contains",
-      "graft_bloom_contains(bloom, xxhash64(key)) - bloom membership probe") {
-      exprs => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs.head, exprs(1))
+      "graft_bloom_contains(bloom, xxhash64(key)) - bloom membership " +
+        "probe (bloom operand must be a literal - see " +
+        "HashFunctions.bloomContainsExpr)") {
+      HashFunctions.bloomContainsExpr
     }
     inject("graft_cms_estimate",
       "graft_cms_estimate(sketch, key) - count estimate from a " +

@@ -317,6 +317,31 @@ object HashFunctions {
     * Number so both work, and fail non-foldable / non-numeric arguments
     * with a message naming the function.
     */
+  /** The ONE guarded builder for `graft_bloom_contains` — shared by
+    * [[register]] and the `GraftExtensions` SQL injection so both
+    * entry points enforce the same contract (ADVICE r13): the bloom
+    * operand must be a foldable literal — build the filter first and
+    * pass `lit(bytes)`, the shape every production caller uses
+    * (Dedup.bloomHitDocs). A scalar-subquery operand makes Spark's
+    * BloomFilterMightContain emit uncompilable Java ("java.lang.Long
+    * is not an rvalue") and silently fall back to interpreted eval
+    * with only a WARN — on the hottest decontamination probe. Refuse
+    * that shape loudly instead; PlanAuditSpec pins the codegen
+    * contract.
+    */
+  private[graft] def bloomContainsExpr(
+      exprs: Seq[Expression]): Expression = {
+    val hasSubquery = exprs.head.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+    if (hasSubquery) throw new IllegalArgumentException(
+      "graft_bloom_contains: the bloom operand must be a literal " +
+        "(collect the built filter and pass lit(bytes)); a scalar " +
+        "subquery operand silently loses whole-stage codegen on " +
+        "the membership probe")
+    org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(exprs.head, exprs(1))
+  }
+
   private[graft] def intArg(fn: String, e: Expression): Int =
     numArg(fn, e).intValue()
 
@@ -366,27 +391,7 @@ object HashFunctions {
         .BloomFilterAggregate(exprs.head, exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_contains",
-      exprs => {
-        // CONTRACT (ADVICE r13): the bloom operand must be a foldable
-        // literal — build the filter first and pass `lit(bytes)`, the
-        // shape every production caller uses (Dedup.bloomHitDocs). A
-        // scalar-subquery operand makes Spark's BloomFilterMightContain
-        // emit uncompilable Java ("java.lang.Long is not an rvalue")
-        // and silently fall back to interpreted eval with only a WARN —
-        // on the hottest decontamination probe. Refuse that shape
-        // loudly instead; PlanAuditSpec pins the codegen contract.
-        val hasSubquery = exprs.head.exists(_.isInstanceOf[
-          org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
-        if (hasSubquery) throw new IllegalArgumentException(
-          "graft_bloom_contains: the bloom operand must be a literal " +
-            "(collect the built filter and pass lit(bytes)); a scalar " +
-            "subquery operand silently loses whole-stage codegen on " +
-            "the membership probe")
-        org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(exprs.head, exprs(1))
-      },
-      "built-in")
+      "graft_bloom_contains", bloomContainsExpr, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cms_estimate",
       exprs => CmsEstimate(exprs.head, exprs(1)),

@@ -308,12 +308,16 @@ object IndexMaintenance {
     * A crash between the renames leaves either the live store or two
     * complete copies — never a partial family. The fresh
     * `_BUILD_META` travels with the rename, so the staleness bit
-    * clears by construction. Streaming ledger continuity is free:
-    * the ingest ledger is its own table, and every guarded append
-    * (`appendTo*Dedup`) re-reads current table state through
-    * `refreshTable` + content anti-joins, so a loop whose store was
-    * rebuilt mid-run admits exactly the rows the rebuilt corpus does
-    * not already hold (IndexStoreSpec + StreamingSpec prove both).
+    * clears by construction. Streaming ledger continuity is EXPLICIT:
+    * [[graft.streaming.IngestLedger]] anchors each batch's
+    * commit/append markers inside the table directories, so the swap
+    * moves the `_ingest_ledger` trees from the aside copy back under
+    * the rebuilt tables before deleting it — a foreachBatch retry
+    * after the rebuild still finds its ledger, reproduces the
+    * admitted set, and re-appends through the guarded variants
+    * (`appendTo*Dedup` refresh + content anti-joins), so no row ever
+    * duplicates across the swap (IndexStoreSpec + StreamingSpec prove
+    * both, including a post-rebuild replay).
     *
     * `corpus` is the family's natural input: a documents frame for
     * band/gram, a (doc_id, toks) frame for span, a (vec_id,
@@ -365,6 +369,25 @@ object IndexMaintenance {
     // the new catalog entries must not serve a listing cached from the
     // pre-swap files (the cross-session staleness class r13 fixed)
     tables.foreach(t => spark.catalog.refreshTable(s"${name}_$t"))
+    // CARRY THE LEDGERS (the r13 ask's explicit clause, and a real
+    // data-loss hazard without it): IngestLedger anchors each batch's
+    // commit/append markers INSIDE the table directory
+    // (`<table location>/_ingest_ledger/...`), so they rode the aside
+    // rename. Move them back under the rebuilt tables BEFORE the aside
+    // copy is deleted — otherwise a foreachBatch retry of a batch whose
+    // streaming checkpoint had not yet committed would find no ledger,
+    // take the non-replay path against a store that now CONTAINS that
+    // batch's rows (the rebuild corpus included them), score every
+    // previously-admitted row as a duplicate, and silently commit an
+    // empty admitted set.
+    tables.foreach { t =>
+      val from = new Path(new Path(asidePath, t), "_ingest_ledger")
+      if (fs.exists(from)) {
+        val to = new Path(new Path(live, t), "_ingest_ledger")
+        if (!fs.rename(from, to))
+          throw new java.io.IOException(s"rename $from -> $to failed")
+      }
+    }
     fs.delete(asidePath, true)
   }
 

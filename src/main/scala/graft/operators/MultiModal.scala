@@ -625,12 +625,24 @@ object MultiModal {
     * is exact integer rational arithmetic (cross-multiplied sums), so
     * the hash is platform-deterministic; envelope STRUCTURE survives
     * lossless re-encode (WAV↔AIFF), small time shifts, and uniform
-    * gain — absolute levels don't need to. Work is bounded: at most
-    * ~2²⁰ frames are read (longer streams sample every k-th frame).
-    * None for payloads the JDK cannot decode.
+    * gain — absolute levels don't need to. The WHOLE stream hashes in
+    * one O(1)-memory pass (window boundaries come from the header's
+    * declared frame count; decode has to read every byte regardless,
+    * so the bounded claim is memory, not IO); only a stream that
+    * declares NO length falls back to a 2²⁰-frame prefix. None for
+    * payloads the JDK cannot decode.
     */
   def audioHash64(content: Array[Byte]): Option[Long] =
     try {
+      // total frame count from the HEADER: window boundaries need the
+      // length up-front, and the JDK-decodable containers (WAV/AIFF/
+      // AU) all carry it. Streams that don't declare it fall back to
+      // hashing a bounded prefix (documented below).
+      val headerFrames = try {
+        javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(content))
+          .getFrameLength.toLong
+      } catch { case scala.util.control.NonFatal(_) => -1L }
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(content))
       try {
@@ -643,11 +655,21 @@ object MultiModal {
         try {
           val ch = pcm.getChannels
           val bytesPerFrame = 2 * ch
-          // read every frame into mono |sample| values (bounded)
-          val acc = new scala.collection.mutable.ArrayBuffer[Long](1 << 16)
+          // the frame budget the window assignment is planned against:
+          // the declared header length when available (the WHOLE
+          // stream streams through the 65 window sums in one O(1)-
+          // memory pass — decode must read every byte anyway, so the
+          // bounded claim is memory, not IO), else a 2^20-frame prefix
+          // (length-unknown streams only; the prefix bound is then the
+          // documented semantics, not a silent truncation)
+          val planned =
+            if (headerFrames > 0) headerFrames else (1L << 20)
+          val sums = new Array[Long](65)
+          val cnts = new Array[Long](65)
           val buf = new Array[Byte](bytesPerFrame * 1024)
+          var idx = 0L
           var eof = false
-          while (!eof && acc.length < (1 << 20)) {
+          while (!eof && idx < planned) {
             var off = 0
             var n = s.read(buf, off, buf.length - off)
             while (n > 0 && off + n < buf.length) {
@@ -656,7 +678,7 @@ object MultiModal {
             val got = if (n > 0) off + n else off
             val nFrames = got / bytesPerFrame
             var i = 0
-            while (i < nFrames) {
+            while (i < nFrames && idx < planned) {
               var c = 0; var a = 0L
               while (c < ch) {
                 val b = i * bytesPerFrame + 2 * c
@@ -665,26 +687,26 @@ object MultiModal {
                 a += math.abs(((hi << 8) | lo).toLong)
                 c += 1
               }
-              acc += a / ch
+              val w = math.min(64L, idx * 65L / planned).toInt
+              sums(w) += a / ch
+              cnts(w) += 1
+              idx += 1
               i += 1
             }
             if (got < buf.length) eof = true
           }
-          val nf = acc.length
-          if (nf < 65) None
+          // fewer than 65 frames (or a truncated payload that never
+          // filled the last window) has no 65-window envelope to hash
+          if (idx < 65 || cnts(64) == 0) None
           else {
-            val sums = new Array[Long](65)
-            val cnts = new Array[Long](65)
-            var i = 0
-            while (i < nf) {
-              val w = math.min(64, i * 65 / nf)
-              sums(w) += acc(i); cnts(w) += 1
-              i += 1
-            }
             var bits = 0L
             var w = 0
             while (w < 64) {
-              if (sums(w + 1) * cnts(w) > sums(w) * cnts(w + 1))
+              // BigInt cross-multiply: per-window sums of a multi-hour
+              // recording can push the long product past 2^63 — 65
+              // comparisons, so exactness costs nothing
+              if (BigInt(sums(w + 1)) * cnts(w) >
+                  BigInt(sums(w)) * cnts(w + 1))
                 bits |= 1L << w
               w += 1
             }

@@ -73,11 +73,23 @@ object Stats {
             col("ib") * col("na")))
         val wr = Window.partitionBy("lang")
           .orderBy(desc("dn"), col("x"))
-        c.withColumn("rk", row_number().over(wr))
+        // floor(dn·10⁶ / (na·nb)) via six exact base-10 long-division
+        // steps (invariant dn·10ᵏ = q·m + r): a direct dn * 1000000
+        // silently wraps past 2⁶³ once na·nb exceeds ~9.2e12 — at
+        // 100 TB per-lang splits that is a real corpus size. The chain
+        // keeps every intermediate ≤ 10·m, exact for
+        // na·nb ≤ Long.MaxValue/10 (≈ 0.9e9 docs per split per lang).
+        var sel = c.withColumn("rk", row_number().over(wr))
           .filter(col("rk") === 1)
-          .select(col("lang"), col("na").as("n_train"),
+          .withColumn("m", col("na") * col("nb"))
+          .withColumn("q", expr("(dn * 10) div m"))
+          .withColumn("r", expr("(dn * 10) % m"))
+        for (_ <- 1 to 5) sel = sel
+          .withColumn("q", expr("q * 10 + (r * 10) div m"))
+          .withColumn("r", expr("(r * 10) % m"))
+        sel.select(col("lang"), col("na").as("n_train"),
             col("nb").as("n_holdout"),
-            expr("dn * 1000000 div (na * nb)").as("ks_micro"),
+            col("q").as("ks_micro"),
             col("x").as("at_length"))
           .orderBy("lang")
       },
@@ -99,14 +111,27 @@ object Stats {
                 FROM v),
               d AS (SELECT c.lang, x,
                   ABS(ia * nb - ib * na) AS dn, na, nb
-                FROM c JOIN n USING (lang))
+                FROM c JOIN n USING (lang)),
+              sel AS (SELECT lang, na, nb, dn, x, na * nb AS m FROM d
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY dn DESC, x) = 1),
+              -- floor(dn*1e6/m) via six exact base-10 division steps
+              -- (dn*1000000 would overflow BIGINT at large splits)
+              k1 AS (SELECT *, (dn * 10) // m AS q, (dn * 10) % m AS r
+                     FROM sel),
+              k2 AS (SELECT * EXCLUDE (q, r),
+                  q * 10 + (r * 10) // m AS q, (r * 10) % m AS r FROM k1),
+              k3 AS (SELECT * EXCLUDE (q, r),
+                  q * 10 + (r * 10) // m AS q, (r * 10) % m AS r FROM k2),
+              k4 AS (SELECT * EXCLUDE (q, r),
+                  q * 10 + (r * 10) // m AS q, (r * 10) % m AS r FROM k3),
+              k5 AS (SELECT * EXCLUDE (q, r),
+                  q * 10 + (r * 10) // m AS q, (r * 10) % m AS r FROM k4),
+              k6 AS (SELECT * EXCLUDE (q, r),
+                  q * 10 + (r * 10) // m AS q, (r * 10) % m AS r FROM k5)
               SELECT lang, na AS n_train, nb AS n_holdout,
-                CAST(dn * 1000000 // (na * nb) AS BIGINT) AS ks_micro,
-                x AS at_length
-              FROM d
-              QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
-                ORDER BY dn DESC, x) = 1
-              ORDER BY lang""")),
+                CAST(q AS BIGINT) AS ks_micro, x AS at_length
+              FROM k6 ORDER BY lang""")),
 
     // Pearson correlation per group, computed from exact decimal sums
     // (n, Σx, Σy, Σxy, Σx², Σy²) — a fixed-size moment sketch per group,

@@ -1263,6 +1263,28 @@ class StreamingSpec extends SparkSpec {
           "mt_band_shingles"))).collect().head
       assert(row.getLong(3) == 0L && row.getLong(6) == 0L,
         s"rebuild must clear staleness: $row")
+      // REPLAY ACROSS THE SWAP (review r14: the ledger lives inside
+      // the store dir, so the rebuild must carry it): retry batch 1
+      // under its original id — the rebuilt index CONTAINS batch 1's
+      // docs, so without the preserved ledger the non-replay path
+      // would score them as dups and silently commit an empty set
+      StreamingOps.corpusIngestBatch(
+        Seq((12L, words("epsilon"))).toDF("doc_id", "text"), 1L, cfg, cb)
+      assert(admittedBy(1L) == Seq(12L),
+        s"post-rebuild replay lost the admitted set: $admittedBy")
+      // worst case: the append marker was also lost — the guarded
+      // append must find the rows already present and add nothing
+      val ld = graft.streaming.IngestLedger.dirFor(
+        spark, "mt_band_shingles", 1L, tag = "corpus_pipeline")
+      ld.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(ld, "_APPEND_DONE"), false)
+      val shinglesBefore = spark.table("mt_band_shingles").count()
+      StreamingOps.corpusIngestBatch(
+        Seq((12L, words("epsilon"))).toDF("doc_id", "text"), 1L, cfg, cb)
+      assert(admittedBy(1L) == Seq(12L))
+      assert(spark.table("mt_band_shingles").count() == shinglesBefore,
+        "post-rebuild lost-marker replay duplicated shingle rows")
+      assert(rebuilds.size == 1, s"replay must not re-rebuild: $rebuilds")
       // batch 2: a tail-edit near-dup of PRE-rebuild admission 10 must
       // still drop (the swap preserved admission semantics); no fresh
       // docs, so no appended fraction accrues
