@@ -611,6 +611,39 @@ class PlanAuditSpec extends SparkSpec {
       "the report must be a bounded local frame of per-family scalars")
   }
 
+  test("q201/q202: perceptual pair scans are band equi-joins — no cartesian; candidates hash-join on the band bits") {
+    for (q <- Seq("q201_perceptual_dedup", "q202_audio_perceptual_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q planned a cartesian:\n$p")
+      // candidates come from the (band, bits) HASH join — an all-pairs
+      // nested loop over the hashes is the regression this pins against
+      // (the only sort-merge allowed is the 7-row report-edge join)
+      assert(p.matches("(?s).*HashJoin.*bits.*"),
+        s"$q lost the banded hash candidate join:\n$p")
+      assert(!p.matches("(?s).*BroadcastNestedLoopJoin[^\\n]*(ha|hb).*"),
+        s"$q nested-looped the hash frames:\n$p")
+    }
+  }
+
+  test("q203: content-defined chunking is window-free — chunk assembly never shuffles per doc") {
+    val p = plan("q203_cdc_chunk_dedup")
+    // the whole cut/assemble stage is in-row HOFs; the first exchange
+    // is the (lang, hash) partial agg
+    assert(!p.contains("Window"), s"chunking fell back to a window:\n$p")
+    assert(p.contains("partial_"), "chunk rollup lost map-side combine")
+  }
+
+  test("q204: KS windows run over the bounded value frame after partial aggregation") {
+    val p = plan("q204_ks_split_drift")
+    // the corpus collapses to (lang, length) rows BEFORE any window:
+    // partial aggregation must appear, and no corpus-wide sort
+    // precedes the first aggregate
+    assert(p.contains("partial_"),
+      "value-frame aggregation lost map-side combine")
+    assert(p.contains("Window"), "the ECDF window vanished")
+  }
+
   test("q101: bloom probe compiles codegen'd; subquery bloom operands refuse loudly") {
     // ADVICE r13: BloomFilterMightContain emits uncompilable Java when
     // the bloom operand is a scalar subquery and silently degrades to
