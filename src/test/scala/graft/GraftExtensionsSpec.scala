@@ -43,18 +43,36 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
       assert(r.getBoolean(4))
       assert(r.getInt(5) == 2) // one bucket per LSH table
-      // sketch build + probe round-trips through pure SQL (bloom: an
-      // aggregate feeding a scalar subquery; cms: same shape)
+      // sketch build + probe round-trips through pure SQL. The bloom
+      // probe takes the LITERAL shape (build, then inline the bytes as
+      // a hex literal) — the r13-reviewed contract: a scalar-subquery
+      // bloom operand is REFUSED loudly because it silently loses
+      // whole-stage codegen (PlanAuditSpec pins both halves); cms has
+      // no such limitation and keeps the subquery shape
+      val bloomBytes = s.sql(
+        """SELECT graft_bloom_build(xxhash64(g), 64L)
+           FROM (SELECT explode(array('x','y','z')) AS g)""")
+        .head().getAs[Array[Byte]](0)
+      val hex = bloomBytes.map("%02X".format(_)).mkString
       val sk = s.sql(
-        """WITH t AS (SELECT explode(array('x','y','z')) AS g)
-           SELECT graft_bloom_contains(
-                    (SELECT graft_bloom_build(xxhash64(g), 64L) FROM t),
-                    xxhash64('y')) AS hit,
+        s"""WITH t AS (SELECT explode(array('x','y','z')) AS g)
+           SELECT graft_bloom_contains(X'$hex', xxhash64('y')) AS hit,
                   graft_cms_estimate(
                     (SELECT count_min_sketch(g, 0.01d, 0.99d, 7) FROM t),
                     'y') AS est""").head()
       assert(sk.getBoolean(0))
       assert(sk.getLong(1) == 1L)
+      // and the refused shape refuses through THIS entry point too
+      val err = intercept[Throwable] {
+        s.sql("""SELECT graft_bloom_contains(
+                   (SELECT graft_bloom_build(xxhash64(g), 64L)
+                    FROM (SELECT explode(array('x','y')) AS g)),
+                   xxhash64('y'))""").collect()
+      }
+      val chain = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+      assert(chain.contains("literal"),
+        s"subquery bloom operand must refuse via GraftExtensions: $chain")
       // PQ triple through pure SQL: a 1-subspace, 2-code toy codebook
       // ([0,0] and [1,1]); residual [0.9, 1.1] encodes to code 1, the
       // LUT holds dots with both entries, and ADC looks up code 1's dot
