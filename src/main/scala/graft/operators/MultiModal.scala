@@ -1190,6 +1190,83 @@ object MultiModal {
                 ('base_transcode', 1), ('cross', 0),
                 ('shift_perturb', 1), ('transcode_perturb', 1),
                 ('transcode_shift', 1)) AS k(kind, per_id), n
+              ORDER BY kind""")),
+
+    // q205: persisted phash-index probe — the perceptual family's
+    // q116/q166/q172 rung: every other index family's probe path is
+    // oracle-checked, so the seventh is too. The store holds the BASE
+    // images of doc_id < 40 ([[writePhashIndex]], built once per
+    // corpus fingerprint, the q192 memo discipline); the probe batch
+    // carries the three near-dup variants of every base (each
+    // guaranteed within Hamming ≤ 2 of its stored base by the
+    // level-walk fixture) plus fresh decoys (images of ids 1000+i —
+    // no stored twin). Contract output: per batch-variant kind the
+    // store-pair count vs expected (40 each), the decoy row pinned at
+    // zero, and the zero row for cross-base pairs — all derivable
+    // from doc arithmetic, no pixel ever decoded by the oracle.
+    // Plan: the candidate join reads the bucketed bk layout
+    // exchange-free (IndexStoreSpec plan-asserts the shape); only the
+    // batch's 4 rows/asset shuffle.
+    "q205_phash_index_probe" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val fp = java.lang.Integer.toHexString(
+          tableFingerprint(s, dir, "documents").hashCode)
+        val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
+        val name = s"graft_q205_$tag"
+        val ids = table(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 40)
+        if (!s.catalog.tableExists(s"${name}_phash")) {
+          val path = new java.io.File(
+            System.getProperty("java.io.tmpdir"), s"graft-q205-$tag")
+          val baseHashes = dhashOf(ids.as[Long].mapPartitions(_.map(id =>
+            MediaAsset(id, "image", synthImageBytes(id, 0), "base"))))
+          writePhashIndex(baseHashes, name, path.toString)
+        }
+        val batch = ids
+          .select(col("doc_id"),
+            explode(expr("sequence(1, 3)")).as("variant"))
+          .as[(Long, Int)]
+          .mapPartitions(_.map { case (id, v) =>
+            MediaAsset(id * 10 + v, "image", synthImageBytes(id, v),
+              s"variant_$v")
+          })
+          .union(ids.filter(col("doc_id") < 10).as[Long]
+            .mapPartitions(_.map(id => MediaAsset(9000 + id, "image",
+              synthImageBytes(1000 + id, 0), "decoy"))))
+        val pairs = probePhashIndex(s, name, dhashOf(batch))
+        val kind =
+          when(expr("b >= 9000"), "decoy")
+            .when(expr("a != b div 10"), "cross")
+            .when(expr("b % 10 = 1"), "store_reencode")
+            .when(expr("b % 10 = 2"), "store_shift")
+            .otherwise("store_perturb")
+        val found = pairs.withColumn("kind", kind)
+          .groupBy("kind").agg(count(lit(1)).as("n_found"))
+        val n = ids.agg(count(lit(1)).as("n_ids"))
+        val kinds = s.createDataFrame(Seq(
+          ("cross", 0L), ("decoy", 0L), ("store_perturb", 1L),
+          ("store_reencode", 1L), ("store_shift", 1L)))
+          .toDF("kind", "per_id")
+        kinds.crossJoin(n)
+          .select(col("kind"),
+            (col("per_id") * col("n_ids")).as("n_expected"))
+          .join(found, Seq("kind"), "left")
+          .select(col("kind"), col("n_expected"),
+            coalesce(col("n_found"), lit(0L)).as("n_found"),
+            (coalesce(col("n_found"), lit(0L)) === col("n_expected"))
+              .cast("long").as("ok"))
+          .orderBy("kind")
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n_ids FROM documents
+                         WHERE doc_id < 40)
+              SELECT k.kind,
+                CAST(k.per_id * n.n_ids AS BIGINT) AS n_expected,
+                CAST(k.per_id * n.n_ids AS BIGINT) AS n_found,
+                CAST(1 AS BIGINT) AS ok
+              FROM (VALUES ('cross', 0), ('decoy', 0),
+                ('store_perturb', 1), ('store_reencode', 1),
+                ('store_shift', 1)) AS k(kind, per_id), n
               ORDER BY kind"""))
   )
 }
