@@ -125,6 +125,15 @@ object Stress {
         documents.select(col("doc_id"),
           graft.operators.TextAnalysis.tokens(col("text")).as("toks")),
         "stress_spanidx", s"$stressIdxDir/span")
+    // q205's scale path: the persisted phash store over the inflated
+    // asset population is the nightly artifact (untimed); the timed
+    // probe below pays batch banding + the bucketed bk join + the
+    // integer verify — exactly what an ingest batch pays
+    if (selected("phash_probe"))
+      graft.operators.MultiModal.writePhashIndex(
+        documents.select(col("doc_id").as("asset_id"),
+          xxhash64(col("doc_id"), lit("phash")).as("hash")),
+        "stress_phashidx", s"$stressIdxDir/phash")
     val batchVecs = Q.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("vec_id", -col("vec_id") - 1)
@@ -861,6 +870,20 @@ object Stress {
             .select(col("doc_id").as("asset_id"), col("hash")))
         pairs.count()
       },
+      // q205's deployed shape: a FIXED batch (each hash a 2-bit
+      // variant of its stored replica-0 twin) probed against the
+      // PERSISTED phash store as the store grows 10x — the stored
+      // side reads the bucketed bk layout exchange-free, so probe
+      // cost should track the batch, not the accumulated store;
+      // verified pairs stay constant (one stored twin per batch row).
+      timed("phash_probe") {
+        val batch = Q.table(spark, sfDir, "documents")
+          .select((col("doc_id") * factor).as("sid"))
+          .select((-col("sid") - 1).as("asset_id"),
+            expr("xxhash64(sid, 'phash') ^ 9L").as("hash"))
+        graft.operators.MultiModal
+          .probePhashIndex(spark, "stress_phashidx", batch).count()
+      },
       // two-pass z-score (q66 shape): fixed-size moment sketch, then
       // the tiny stats table broadcast back over the inflated facts
       timed("zscore_two_pass") {
@@ -884,7 +907,8 @@ object Stress {
     println(s"""{"metric":"stress","factor":$factor,"sf":"$sfDir",""" +
       s""""sec":$qs,"rows":$rows}""")
     (Seq("stress_bandidx_bands", "stress_bandidx_shingles",
-        "stress_gramidx_grams", "stress_spanidx_pgrams") ++
+        "stress_gramidx_grams", "stress_spanidx_pgrams",
+        "stress_phashidx_phash") ++
         Seq("codes", "centroids", "vectors", "pq")
           .map(t => s"stress_pqidx_$t") ++
         Seq("codes", "centroids", "vectors")
