@@ -949,6 +949,32 @@ object MultiModal {
     bos.toByteArray
   }
 
+  /** The q57-pattern contract report edge shared by q201/q202/q205:
+    * per pair-kind expected count (`perId · |ids|`) vs found, with the
+    * ok bit and a stable kind ordering — ONE definition so the three
+    * perceptual contracts can never diverge on null handling, types,
+    * or ordering.
+    */
+  private def contractReport(
+      s: SparkSession,
+      pairKinds: DataFrame,
+      kinds: Seq[(String, Long)],
+      nIds: DataFrame): DataFrame = {
+    val found = pairKinds.groupBy("kind")
+      .agg(count(lit(1)).as("n_found"))
+    // bounded crossJoin: the |kinds|×1 broadcast-a-scalar pattern
+    s.createDataFrame(kinds).toDF("kind", "per_id")
+      .crossJoin(nIds)
+      .select(col("kind"),
+        (col("per_id") * col("n_ids")).as("n_expected"))
+      .join(found, Seq("kind"), "left")
+      .select(col("kind"), col("n_expected"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        (coalesce(col("n_found"), lit(0L)) === col("n_expected"))
+          .cast("long").as("ok"))
+      .orderBy("kind")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // q28: multimodal byte stats. Payload = UTF-8 bytes of documents.text
@@ -1091,24 +1117,12 @@ object MultiModal {
             .when(va === 1 && vb === 3, "reencode_perturb")
             .otherwise("shift_perturb")
         }
-        val found = pairs.withColumn("kind", kind)
-          .groupBy("kind").agg(count(lit(1)).as("n_found"))
-        val n = ids.agg(count(lit(1)).as("n_ids"))
-        val kinds = s.createDataFrame(Seq(
+        contractReport(s, pairs.withColumn("kind", kind), Seq(
           ("base_perturb", 1L), ("base_reencode", 1L),
           ("base_shift", 1L), ("cross", 0L),
           ("reencode_perturb", 1L), ("reencode_shift", 1L),
-          ("shift_perturb", 1L))).toDF("kind", "per_id")
-        // 7×1 crossJoin: the sanctioned broadcast-a-scalar pattern
-        kinds.crossJoin(n)
-          .select(col("kind"),
-            (col("per_id") * col("n_ids")).as("n_expected"))
-          .join(found, Seq("kind"), "left")
-          .select(col("kind"), col("n_expected"),
-            coalesce(col("n_found"), lit(0L)).as("n_found"),
-            (coalesce(col("n_found"), lit(0L)) === col("n_expected"))
-              .cast("long").as("ok"))
-          .orderBy("kind")
+          ("shift_perturb", 1L)),
+          ids.agg(count(lit(1)).as("n_ids")))
       },
       Some("""WITH n AS (SELECT COUNT(*) AS n_ids FROM documents
                          WHERE doc_id < 40)
@@ -1162,23 +1176,12 @@ object MultiModal {
             .when(va === 1 && vb === 3, "transcode_perturb")
             .otherwise("shift_perturb")
         }
-        val found = pairs.withColumn("kind", kind)
-          .groupBy("kind").agg(count(lit(1)).as("n_found"))
-        val n = ids.agg(count(lit(1)).as("n_ids"))
-        val kinds = s.createDataFrame(Seq(
+        contractReport(s, pairs.withColumn("kind", kind), Seq(
           ("base_perturb", 1L), ("base_shift", 1L),
           ("base_transcode", 1L), ("cross", 0L),
           ("shift_perturb", 1L), ("transcode_perturb", 1L),
-          ("transcode_shift", 1L))).toDF("kind", "per_id")
-        kinds.crossJoin(n)
-          .select(col("kind"),
-            (col("per_id") * col("n_ids")).as("n_expected"))
-          .join(found, Seq("kind"), "left")
-          .select(col("kind"), col("n_expected"),
-            coalesce(col("n_found"), lit(0L)).as("n_found"),
-            (coalesce(col("n_found"), lit(0L)) === col("n_expected"))
-              .cast("long").as("ok"))
-          .orderBy("kind")
+          ("transcode_shift", 1L)),
+          ids.agg(count(lit(1)).as("n_ids")))
       },
       Some("""WITH n AS (SELECT COUNT(*) AS n_ids FROM documents
                          WHERE doc_id < 30)
@@ -1241,22 +1244,10 @@ object MultiModal {
             .when(expr("b % 10 = 1"), "store_reencode")
             .when(expr("b % 10 = 2"), "store_shift")
             .otherwise("store_perturb")
-        val found = pairs.withColumn("kind", kind)
-          .groupBy("kind").agg(count(lit(1)).as("n_found"))
-        val n = ids.agg(count(lit(1)).as("n_ids"))
-        val kinds = s.createDataFrame(Seq(
+        contractReport(s, pairs.withColumn("kind", kind), Seq(
           ("cross", 0L), ("decoy", 0L), ("store_perturb", 1L),
-          ("store_reencode", 1L), ("store_shift", 1L)))
-          .toDF("kind", "per_id")
-        kinds.crossJoin(n)
-          .select(col("kind"),
-            (col("per_id") * col("n_ids")).as("n_expected"))
-          .join(found, Seq("kind"), "left")
-          .select(col("kind"), col("n_expected"),
-            coalesce(col("n_found"), lit(0L)).as("n_found"),
-            (coalesce(col("n_found"), lit(0L)) === col("n_expected"))
-              .cast("long").as("ok"))
-          .orderBy("kind")
+          ("store_reencode", 1L), ("store_shift", 1L)),
+          ids.agg(count(lit(1)).as("n_ids")))
       },
       Some("""WITH n AS (SELECT COUNT(*) AS n_ids FROM documents
                          WHERE doc_id < 40)

@@ -618,9 +618,13 @@ class PlanAuditSpec extends SparkSpec {
         s"$q planned a cartesian:\n$p")
       // candidates come from the (band, bits) HASH join — an all-pairs
       // nested loop over the hashes is the regression this pins against
-      // (the only sort-merge allowed is the 7-row report-edge join)
-      assert(p.matches("(?s).*HashJoin.*bits.*"),
+      // (the only sort-merge allowed is the 7-row report-edge join).
+      // The match is anchored to ONE plan line so the report-edge
+      // broadcast join on `kind` can never satisfy it by accident.
+      assert(p.matches("(?s).*HashJoin[^\\n]*bits.*"),
         s"$q lost the banded hash candidate join:\n$p")
+      assert(!p.matches("(?s).*SortMergeJoin[^\\n]*bits.*"),
+        s"$q sort-merged the banded candidate join:\n$p")
       assert(!p.matches("(?s).*BroadcastNestedLoopJoin[^\\n]*(ha|hb).*"),
         s"$q nested-looped the hash frames:\n$p")
     }
@@ -637,11 +641,18 @@ class PlanAuditSpec extends SparkSpec {
   test("q204: KS windows run over the bounded value frame after partial aggregation") {
     val p = plan("q204_ks_split_drift")
     // the corpus collapses to (lang, length) rows BEFORE any window:
-    // partial aggregation must appear, and no corpus-wide sort
-    // precedes the first aggregate
+    // the FIRST Window node must sit above the first partial
+    // aggregation in the plan text (plans print top-down, so the
+    // deeper partial agg appears AFTER its consumer window) — a
+    // window moved back over raw corpus rows flips that order
     assert(p.contains("partial_"),
       "value-frame aggregation lost map-side combine")
-    assert(p.contains("Window"), "the ECDF window vanished")
+    val w = p.indexOf("Window")
+    assert(w >= 0, "the ECDF window vanished")
+    val agg = p.indexOf("partial_")
+    assert(w < agg,
+      s"a Window ran below the value-frame aggregation " +
+        s"(Window@$w, partial_@$agg):\n$p")
   }
 
   test("q101: bloom probe compiles codegen'd; subquery bloom operands refuse loudly") {
