@@ -240,7 +240,11 @@ object IndexMaintenance {
     *    carry two);
     *  - ivf: max cell occupancy ≤ 4× mean ([[ivfBalanceOk]]);
     *  - pq: code rows == vector rows (the probe's verify side must
-    *    cover every coded vector).
+    *    cover every coded vector);
+    *  - phash (when the store carries the seventh family): banded-row
+    *    conservation — table rows == 4 × distinct assets (every hashed
+    *    asset lays down exactly [[MultiModal.DHashBands]] banded rows;
+    *    a partial append or a duplicated row breaks the identity).
     *
     * These feed [[FamilySpec.signalOk]] when a store OWNER runs the
     * report; they are deliberately excluded from q192's
@@ -270,12 +274,24 @@ object IndexMaintenance {
       .agg(count(lit(1))).head().getLong(0)
     val pv = spark.table(s"${name}_pq_vectors")
       .agg(count(lit(1))).head().getLong(0)
-    Map(
+    val base = Map(
       "band" -> (br == Dedup.Bands.toLong * shingles),
       "gram" -> (gr.getLong(0) == gr.getLong(1)),
       "span" -> (sr.getLong(0) == sr.getLong(1)),
       "ivf" -> ivfBalanceOk(spark, s"${name}_ivf", nlist),
       "pq" -> (pq == pv))
+    // the perceptual family is optional on a q192-style store (older
+    // fixtures carry six families); measure its conservation bit only
+    // when the table is present
+    if (!spark.catalog.tableExists(s"${name}_phash_phash")) base
+    else {
+      val phr = spark.table(s"${name}_phash_phash")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("asset_id")).as("a"))
+        .head()
+      base + ("phash" ->
+        (phr.getLong(0) == MultiModal.DHashBands.toLong * phr.getLong(1)))
+    }
   }
 
   /** Catalog table suffixes of each persisted index family, in the
@@ -306,7 +322,13 @@ object IndexMaintenance {
     *     family's registrar, delete the aside copy last.
     *
     * A crash between the renames leaves either the live store or two
-    * complete copies — never a partial family. The fresh
+    * complete copies — never a partial family of FILES. The catalog
+    * window is recovered separately: the DROPs precede the renames, so
+    * a crash in between leaves complete files with no catalog entries
+    * — [[repairFamilyCatalog]] detects that state and re-runs the
+    * registrar on startup/retry (ADVICE r14), and a re-run of THIS
+    * function first salvages any `_ingest_ledger` trees stranded in a
+    * stale aside copy before deleting it. The fresh
     * `_BUILD_META` travels with the rename, so the staleness bit
     * clears by construction. Streaming ledger continuity is EXPLICIT:
     * [[graft.streaming.IngestLedger]] anchors each batch's
@@ -339,6 +361,30 @@ object IndexMaintenance {
     val tmpName = s"${name}__rebuild"
     val tmpPath = new Path(live.getParent, live.getName + ".rebuild.tmp")
     val asidePath = new Path(live.getParent, live.getName + ".pre-rebuild")
+    // the same salvage discipline for a stale TMP build (second-order
+    // crash: a prior re-run salvaged aside ledgers into its tmp build
+    // and then died before rename(tmp -> live)) — deleting it blind
+    // would destroy the only ledger copy exactly like the aside case
+    if (fs.exists(tmpPath)) tables.foreach { t =>
+      val from = new Path(new Path(tmpPath, t), "_ingest_ledger")
+      if (fs.exists(from)) {
+        if (!fs.exists(live))
+          throw new java.io.IOException(
+            s"refusing rebuild: $from holds an ingest ledger and no " +
+              s"live store exists at $live — the previous rebuild " +
+              "died before its final rename; move the tmp build to " +
+              "the live path manually before rebuilding")
+        val to = new Path(new Path(live, t), "_ingest_ledger")
+        if (fs.exists(to))
+          throw new java.io.IOException(
+            s"refusing rebuild: both $from and $to exist — resolve " +
+              "manually before rebuilding")
+        if (!fs.exists(to.getParent)) fs.mkdirs(to.getParent)
+        if (!fs.rename(from, to))
+          throw new java.io.IOException(
+            s"ledger salvage rename $from -> $to failed")
+      }
+    }
     fs.delete(tmpPath, true)
     tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${tmpName}_$t"))
     family match {
@@ -349,6 +395,41 @@ object IndexMaintenance {
       case "pq" => Ann.writePqIndex(corpus, tmpName, tmpPath.toString)
       case "phash" =>
         MultiModal.writePhashIndex(corpus, tmpName, tmpPath.toString)
+    }
+    // SALVAGE before the unconditional delete (ADVICE r14, medium): a
+    // stale aside copy here means a PRIOR rebuild crashed somewhere
+    // between its renames and its ledger move — and that copy may hold
+    // the only `_ingest_ledger` trees (the crashed run's live store
+    // rode into the aside rename with them). Deleting it blind would
+    // permanently destroy the admitted sets and recreate the
+    // silent-empty-replay hazard this function exists to prevent. Move
+    // any stranded ledgers into the store that is about to become
+    // live: the current live copy when one exists (it rides the normal
+    // aside rename below and the post-swap move brings the ledgers
+    // back), else the fresh tmp build (live missing = the prior crash
+    // hit between its two renames; tmp is renamed to live below). If
+    // BOTH sides hold a ledger for the same table the window was not
+    // single-writer — refuse loudly rather than guess which admitted
+    // set is authoritative. This block runs BEFORE the catalog DROPs:
+    // a refusal must leave the family fully served, not half-dropped.
+    if (fs.exists(asidePath)) {
+      val dest = if (fs.exists(live)) live else tmpPath
+      tables.foreach { t =>
+        val from = new Path(new Path(asidePath, t), "_ingest_ledger")
+        if (fs.exists(from)) {
+          val to = new Path(new Path(dest, t), "_ingest_ledger")
+          if (fs.exists(to))
+            throw new java.io.IOException(
+              s"refusing rebuild: both $from and $to exist — a stale " +
+                "pre-rebuild copy and the current store both carry an " +
+                "ingest ledger for the same table; resolve manually " +
+                "before rebuilding")
+          if (!fs.exists(to.getParent)) fs.mkdirs(to.getParent)
+          if (!fs.rename(from, to))
+            throw new java.io.IOException(
+              s"ledger salvage rename $from -> $to failed")
+        }
+      }
     }
     // swap: external tables, so DROP touches only the catalog
     tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${tmpName}_$t"))
@@ -389,6 +470,49 @@ object IndexMaintenance {
       }
     }
     fs.delete(asidePath, true)
+  }
+
+  /** Crash-recovery for [[rebuildFamily]]'s catalog window (ADVICE
+    * r14): the swap DROPs the family's catalog entries before the
+    * renames, so a crash in between leaves the data files intact but
+    * INVISIBLE — no catalog entry serves them. On startup (or before
+    * retrying a rebuild) a store owner calls this: when the live store
+    * directory exists but any of the family's canonical tables is
+    * missing from the catalog, the family registrar re-runs (DROP +
+    * CREATE over the same external location — idempotent, touches no
+    * data file) and every table's cached listing refreshes. Returns
+    * true when a repair fired. A missing live directory is NOT
+    * repaired here — that state means the rebuild crashed between its
+    * renames and the next [[rebuildFamily]] run completes it (the
+    * ledger-salvage block above keeps the admitted sets across that
+    * path).
+    */
+  def repairFamilyCatalog(
+      spark: SparkSession,
+      family: String,
+      name: String,
+      storePath: String): Boolean = {
+    val tables = familyTables.getOrElse(family,
+      throw new IllegalArgumentException(
+        s"unknown index family '$family' — one of " +
+          familyTables.keys.toSeq.sorted.mkString("/")))
+    val live = new Path(storePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val missing = tables.exists(t =>
+      !spark.catalog.tableExists(s"${name}_$t"))
+    if (!missing || !fs.exists(live)) false
+    else {
+      family match {
+        case "band" => Dedup.registerBandIndex(spark, name, storePath)
+        case "gram" => Dedup.registerGramIndex(spark, name, storePath)
+        case "span" => Dedup.registerSpanIndex(spark, name, storePath)
+        case "ivf" => Ann.registerIvfIndex(spark, name, storePath)
+        case "pq" => Ann.registerPqIndex(spark, name, storePath)
+        case "phash" => MultiModal.registerPhashIndex(spark, name, storePath)
+      }
+      tables.foreach(t => spark.catalog.refreshTable(s"${name}_$t"))
+      true
+    }
   }
 
   private def dataFiles(

@@ -12,7 +12,7 @@ import Q._
   * The staleness taxonomy the report covers, one live exemplar per
   * persisted family:
   *
-  *  - '''append-grown stores''' (band, gram, PQ): the index HAS the
+  *  - '''append-grown stores''' (band, gram, PQ, phash): the index HAS the
   *    new rows, but every appended batch lays down files and dilutes
   *    the build-time assumptions (band probe fan-out, PQ codebooks
   *    trained on the base distribution). Signal: appended fraction
@@ -105,6 +105,25 @@ object Maintenance {
             s"$path/pq")
           graft.operators.Ann.appendToPqIndex(
             emb.filter(col("vec_id") % 4 === 0), s"${name}_pq")
+          // seventh family (VERDICT r14 ask #1): the perceptual media
+          // index — images of doc_id < 40 (the q201/q205 fixture),
+          // base built, the % 4 == 0 tranche appended, so its
+          // append-grown signal fires with the others. Every banded
+          // row count is 4 × assets by construction (each synth image
+          // decodes and hashes deterministically), so the oracle
+          // derives both counts from doc arithmetic alone.
+          import s.implicits._
+          def imgHashes(d: org.apache.spark.sql.DataFrame) =
+            MultiModal.dhashOf(d.select("doc_id").as[Long]
+              .mapPartitions(_.map(i => MediaAsset(i, "image",
+                MultiModal.synthImageBytes(i, 0), "base"))))
+          val media = docs.filter(col("doc_id") < 40)
+          MultiModal.writePhashIndex(
+            imgHashes(media.filter(col("doc_id") % 4 =!= 0)),
+            s"${name}_phash", s"$path/phash")
+          MultiModal.appendToPhashIndex(
+            imgHashes(media.filter(col("doc_id") % 4 === 0)),
+            s"${name}_phash")
         }
         // Report-pass job budget (it's the nightly health check — it
         // should cost scans, and as FEW as possible): every per-table
@@ -131,6 +150,8 @@ object Maintenance {
           .agg(count(lit(1))).head().getLong(0)
         val pr = s.table(s"${name}_pq_codes")
           .agg(count(lit(1))).head().getLong(0)
+        val phNow = s.table(s"${name}_phash_phash")
+          .agg(count(lit(1))).head().getLong(0)
         import IndexMaintenance.FamilySpec
         IndexMaintenance.stalenessReport(s, Seq(
           FamilySpec("band", s"${name}_band_shingles",
@@ -145,6 +166,8 @@ object Maintenance {
           FamilySpec("pca", "embeddings", rowsNow = Some(nEmb),
             rowsAtBuild = Some(nBaseEmb), driftMicro = pcaDrift,
             driftThresholdMicro = 1000L),
+          FamilySpec("phash", s"${name}_phash_phash",
+            rowsNow = Some(phNow)),
           FamilySpec("pq", s"${name}_pq_codes", rowsNow = Some(pr)),
           FamilySpec("span", s"${name}_span_pgrams",
             rowsNow = Some(spanNow), driftMicro = spanDrift,
@@ -192,6 +215,15 @@ object Maintenance {
                   CAST(COALESCE(SUM(CASE WHEN dfn.df <> dfb.df THEN 1
                                     ELSE 0 END), 0) AS BIGINT) AS changed
                 FROM dfb JOIN dfn USING (gk)),
+              -- phash family: banded rows = 4 x media assets (images
+              -- of doc_id < 40, base built, % 4 = 0 tranche appended;
+              -- every synth image hashes, so counts are doc arithmetic)
+              phc AS (SELECT
+                  CAST(4 * (SELECT COUNT(*) FROM documents
+                            WHERE doc_id < 40 AND doc_id % 4 <> 0)
+                    AS BIGINT) AS b,
+                  CAST(4 * (SELECT COUNT(*) FROM documents
+                            WHERE doc_id < 40) AS BIGINT) AS n),
               -- embedding families: vector counts, base vs full
               vc AS (SELECT
                   (SELECT COUNT(*) FROM embeddings WHERE vec_id % 4 <> 0)
@@ -237,6 +269,11 @@ object Maintenance {
                   CAST((n - b) * 1000000 // n >= 200000
                     OR (SELECT drift FROM pcad) >= 1000 AS BIGINT)
                 FROM vc
+                UNION ALL
+                SELECT 'phash', b, n, (n - b) * 1000000 // n,
+                  CAST(0 AS BIGINT),
+                  CAST((n - b) * 1000000 // n >= 200000 AS BIGINT)
+                FROM phc
                 UNION ALL
                 SELECT 'pq', b, n, (n - b) * 1000000 // n,
                   CAST(0 AS BIGINT),

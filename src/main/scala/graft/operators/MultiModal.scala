@@ -949,6 +949,57 @@ object MultiModal {
     bos.toByteArray
   }
 
+  /** Hamming distance between the BASE and PERTURB dHashes of
+    * [[synthImageBytes]]`(id, 0)` vs `(id, 3)`, derived from the level
+    * walk alone — every cell is constant gray, so each cell-mean
+    * comparison in [[dHash64]] reduces to the integer LEVEL comparison
+    * and the perturb bump (cell (3,4) + 1 mod 7) can only move the two
+    * adjacent bits (3,3) and (3,4). No pixel is ever produced; the
+    * value is the doc-arithmetic ground truth q206's oracle
+    * interpolates as a literal table (the q196 weight-table recipe),
+    * and MultiModalSpec pins it against the decoded hashes.
+    */
+  private[graft] def synthPerturbHamming(id: Long): Int = {
+    def hh(cy: Int, c: Int): Int = {
+      val v = graft.functions.Fnv64.hashBytes(Array(
+        id.toByte, (id >> 8).toByte, (id >> 16).toByte,
+        cy.toByte, c.toByte))
+      ((v >>> 17) & 0x7fffffff).toInt
+    }
+    val row = new Array[Int](9)
+    row(0) = hh(3, 0) % 7
+    var c = 0
+    while (c < 8) { row(c + 1) = (row(c) + 1 + hh(3, c + 1) % 6) % 7; c += 1 }
+    val bumped = (row(4) + 1) % 7
+    ((if ((row(4) > row(3)) != (bumped > row(3))) 1 else 0) +
+      (if ((row(5) > row(4)) != (row(5) > bumped)) 1 else 0))
+  }
+
+  /** q206's oracle literal: `(doc_id, hamming(base, perturb))` for the
+    * fixture ids — built once at init from [[synthPerturbHamming]].
+    */
+  private lazy val perturbHpValues: String =
+    (0L until 40L).map(id => s"($id, ${synthPerturbHamming(id)})")
+      .mkString(", ")
+
+  /** q207's oracle literals: per fixture id the TOTAL payload bytes of
+    * its four variants and the bytes of the three non-survivors
+    * (variants 1-3 — the canonical min-asset_id survivor is the base).
+    * The synth encoders are deterministic pure functions of (id,
+    * variant), so the sizes are ground truth both engines share.
+    */
+  private lazy val imgSizeValues: String =
+    (0L until 40L).map { id =>
+      val sz = (0 to 3).map(v => synthImageBytes(id, v).length.toLong)
+      s"($id, ${sz.sum}, ${sz.drop(1).sum})"
+    }.mkString(", ")
+
+  private lazy val audSizeValues: String =
+    (0L until 30L).map { id =>
+      val sz = (0 to 3).map(v => synthWavBytes(id, v).length.toLong)
+      s"($id, ${sz.sum}, ${sz.drop(1).sum})"
+    }.mkString(", ")
+
   /** The q57-pattern contract report edge shared by q201/q202/q205:
     * per pair-kind expected count (`perId · |ids|`) vs found, with the
     * ok bit and a stable kind ordering — ONE definition so the three
@@ -1258,6 +1309,189 @@ object MultiModal {
               FROM (VALUES ('cross', 0), ('decoy', 0),
                 ('store_perturb', 1), ('store_reencode', 1),
                 ('store_shift', 1)) AS k(kind, per_id), n
-              ORDER BY kind"""))
+              ORDER BY kind""")),
+
+    // q206: perceptual THRESHOLD SWEEP (VERDICT r14 ask #4 — q142's
+    // threshold-sweep pattern for the media family): before a store
+    // owner fixes the dedup Hamming radius, they read pairs / assets
+    // touched / dup rate at every candidate radius — from ONE banded
+    // candidate pass ([[perceptualPairs]] at the pigeonhole-complete
+    // radius 3; each smaller radius is an integer filter over the
+    // SAME verified pair set, never a re-scan). Expected counts are
+    // doc arithmetic: the re-encode/shift variants hash bit-identical
+    // to their base (radius-0 trio, 3 pairs/id at every radius), and
+    // the perturb variant sits at the per-id hamming the level walk
+    // determines ([[synthPerturbHamming]] — interpolated into both
+    // plans as a literal table, the q196 weight-table recipe, so the
+    // oracle derives every radius cut without decoding a pixel).
+    // Plan at 100 TB: one map-only decode+hash, ONE 4-band equi-join
+    // + integer verify (PlanAuditSpec pins the single candidate
+    // pass), then bounded-key aggs over the pair set.
+    "q206_perceptual_threshold_sweep" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ids = table(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 40)
+        val assets = ids
+          .select(col("doc_id"),
+            explode(expr("sequence(0, 3)")).as("variant"))
+          .as[(Long, Int)]
+          .mapPartitions(_.map { case (id, v) =>
+            MediaAsset(id * 10 + v, "image", synthImageBytes(id, v),
+              s"variant_$v")
+          })
+        val radii = array((0L to 3L).map(lit): _*)
+        // ONE banded pass at the complete radius; radius cuts filter it
+        val byR = perceptualPairs(dhashOf(assets))
+          .select(explode(radii).as("radius"),
+            col("a"), col("b"), col("hamming"))
+          .filter(col("hamming") <= col("radius"))
+          .managedPersist
+        val nP = byR.groupBy("radius")
+          .agg(count(lit(1)).as("n_pairs_found"))
+        val nA = byR
+          .select(col("radius"), explode(array(col("a"), col("b"))).as("x"))
+          .groupBy("radius").agg(countDistinct("x").as("n_assets_found"))
+        val hp = (0L until 40L)
+          .map(id => (id, synthPerturbHamming(id).toLong))
+          .toDF("doc_id", "hp")
+        val exp = broadcast(hp).join(ids, "doc_id")
+          .select(explode(radii).as("radius"), col("hp"))
+          .groupBy("radius")
+          .agg((lit(3L) * count(lit(1)) + lit(3L) *
+            sum((col("hp") <= col("radius")).cast("long")))
+            .as("n_pairs_expected"),
+            (lit(3L) * count(lit(1)) +
+              sum((col("hp") <= col("radius")).cast("long")))
+              .as("n_assets_expected"),
+            count(lit(1)).as("n_ids"))
+        exp.join(nP, Seq("radius"), "left")
+          .join(nA, Seq("radius"), "left")
+          .select(col("radius"), col("n_pairs_expected"),
+            coalesce(col("n_pairs_found"), lit(0L)).as("n_pairs_found"),
+            col("n_assets_expected"),
+            coalesce(col("n_assets_found"), lit(0L)).as("n_assets_found"),
+            expr("coalesce(n_assets_found, 0L) * 1000000" +
+              " div (4 * n_ids)").as("dup_rate_micro"),
+            (coalesce(col("n_pairs_found"), lit(0L)) ===
+              col("n_pairs_expected") &&
+              coalesce(col("n_assets_found"), lit(0L)) ===
+                col("n_assets_expected")).cast("long").as("ok"))
+          .orderBy("radius")
+      },
+      Some(s"""WITH hp(doc_id, h) AS (VALUES $perturbHpValues),
+              j AS (SELECT hp.h FROM hp
+                    JOIN documents d ON d.doc_id = hp.doc_id
+                    WHERE d.doc_id < 40),
+              r(radius) AS (VALUES (0), (1), (2), (3)),
+              e AS (SELECT r.radius,
+                  CAST(3 * COUNT(*) + 3 * SUM(CASE WHEN j.h <= r.radius
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_expected,
+                  CAST(3 * COUNT(*) + SUM(CASE WHEN j.h <= r.radius
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_assets_expected,
+                  CAST(COUNT(*) AS BIGINT) AS n_ids
+                FROM r CROSS JOIN j GROUP BY r.radius)
+              SELECT CAST(radius AS BIGINT) AS radius,
+                n_pairs_expected,
+                n_pairs_expected AS n_pairs_found,
+                n_assets_expected,
+                n_assets_expected AS n_assets_found,
+                n_assets_expected * 1000000 // (4 * n_ids)
+                  AS dup_rate_micro,
+                CAST(1 AS BIGINT) AS ok
+              FROM e ORDER BY radius""")),
+
+    // q207: media duplicate-cluster CANONICAL SURVIVORS (VERDICT r14
+    // ask #5 — the store-once decision q136 makes for exact bytes,
+    // extended to perceptual identity): compose the q201/q202 pair
+    // graphs with q45's connected components (ONE definition —
+    // [[Dedup.minLabelPropagate]]) and q83's anti-join removal; keep
+    // the min-asset_id survivor of every perceptual cluster, report
+    // per-modality before/after counts and the payload bytes a
+    // store-once-per-cluster layout reclaims. Pair graphs are built
+    // PER MODALITY (the two 64-bit hash spaces are disjoint by
+    // construction, not by type — a cross-modality band collision
+    // must never edge the graph), asset id ranges disjoint by
+    // construction. The oracle derives everything from doc arithmetic
+    // plus the deterministic synth payload sizes interpolated as
+    // literal tables. Plan at 100 TB: banded pair joins (never
+    // all-pairs), CC rounds on the skinny label frame, and removal is
+    // the broadcast-able anti-join of the non-canonical vertex list.
+    "q207_media_cluster_survivors" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        def variants(maxId: Int) = docs
+          .filter(col("doc_id") < maxId).select(col("doc_id"),
+            explode(expr("sequence(0, 3)")).as("variant"))
+          .as[(Long, Int)]
+        val img = variants(40).mapPartitions(_.map { case (id, v) =>
+          MediaAsset(id * 10 + v, "image", synthImageBytes(id, v),
+            s"variant_$v")
+        })
+        val aud = variants(30).mapPartitions(_.map { case (id, v) =>
+          MediaAsset(100000 + id * 10 + v, "audio", synthWavBytes(id, v),
+            s"variant_$v")
+        })
+        val meta = img.union(aud)
+          .map(a => (a.asset_id, a.modality, a.content.length.toLong))
+          .toDF("asset_id", "modality", "n_bytes").managedPersist
+        val pairs = perceptualPairs(dhashOf(img))
+          .unionByName(perceptualPairs(audioHashOf(aud)))
+          .select(col("a").as("da"), col("b").as("db"))
+        val labels = Dedup.minLabelPropagate(pairs)
+        val removed = labels.filter(col("v") =!= col("lbl"))
+          .select(col("v").as("asset_id"))
+        val surv = meta.join(removed, Seq("asset_id"), "left_anti")
+        val clusters = meta
+          .join(labels.select(col("v").as("asset_id"), col("lbl")),
+            Seq("asset_id"), "left")
+          // an asset in no pair is its own (singleton) cluster
+          .select(col("modality"),
+            coalesce(col("lbl"), col("asset_id")).as("lbl"))
+          .groupBy("modality").agg(countDistinct("lbl").as("n_clusters"))
+        meta.groupBy("modality")
+          .agg(count(lit(1)).as("n_assets"),
+            sum("n_bytes").as("bytes_before"))
+          .join(surv.groupBy("modality")
+            .agg(count(lit(1)).as("n_survivors"),
+              sum("n_bytes").as("bytes_surv")), "modality")
+          .join(clusters, "modality")
+          .select(col("modality"), col("n_assets"), col("n_clusters"),
+            col("n_survivors"),
+            (col("n_assets") - col("n_survivors")).as("n_removed"),
+            col("bytes_before"),
+            (col("bytes_before") - col("bytes_surv"))
+              .as("bytes_reclaimed"),
+            expr("(bytes_before - bytes_surv) * 1000000" +
+              " div bytes_before").as("reclaim_rate_micro"))
+          .orderBy("modality")
+      },
+      Some(s"""WITH isz(doc_id, tot, rem) AS (VALUES $imgSizeValues),
+              asz(doc_id, tot, rem) AS (VALUES $audSizeValues),
+              img AS (SELECT COUNT(*) AS n, SUM(tot) AS t, SUM(rem) AS r
+                FROM isz JOIN documents d ON d.doc_id = isz.doc_id
+                WHERE d.doc_id < 40),
+              aud AS (SELECT COUNT(*) AS n, SUM(tot) AS t, SUM(rem) AS r
+                FROM asz JOIN documents d ON d.doc_id = asz.doc_id
+                WHERE d.doc_id < 30)
+              SELECT * FROM (
+                SELECT 'audio' AS modality,
+                  CAST(4 * n AS BIGINT) AS n_assets,
+                  CAST(n AS BIGINT) AS n_clusters,
+                  CAST(n AS BIGINT) AS n_survivors,
+                  CAST(3 * n AS BIGINT) AS n_removed,
+                  CAST(t AS BIGINT) AS bytes_before,
+                  CAST(r AS BIGINT) AS bytes_reclaimed,
+                  CAST(r AS BIGINT) * 1000000 // CAST(t AS BIGINT)
+                    AS reclaim_rate_micro
+                FROM aud
+                UNION ALL
+                SELECT 'image', CAST(4 * n AS BIGINT), CAST(n AS BIGINT),
+                  CAST(n AS BIGINT), CAST(3 * n AS BIGINT),
+                  CAST(t AS BIGINT), CAST(r AS BIGINT),
+                  CAST(r AS BIGINT) * 1000000 // CAST(t AS BIGINT)
+                FROM img
+              ) ORDER BY modality"""))
   )
 }

@@ -899,11 +899,20 @@ object StreamingOps {
         val centers = cfg.coresetIndex.map { cs =>
           val vecs = admitted
             .select(col("doc_id").as("vec_id"), col("embedding"))
-          if (replayed)
-            vecs.join(IngestLedger.read(s, ledger)
-                .filter(col("center") === 1L)
-                .select(col("doc_id").as("vec_id")),
+          if (replayed) {
+            // a ledger written BEFORE the coreset stage was enabled
+            // (config upgraded between runs) has no `center` marker
+            // column — that batch spent no center slots, so its replay
+            // reproduces ZERO centers rather than failing the read
+            // (ADVICE r14)
+            val led = IngestLedger.read(s, ledger)
+            val centerIds =
+              if (led.columns.contains("center"))
+                led.filter(col("center") === 1L)
+              else led.limit(0)
+            vecs.join(centerIds.select(col("doc_id").as("vec_id")),
               Seq("vec_id"), "left_semi")
+          }
           else graft.operators.Learn.coresetAdmit(vecs, cs, cfg.coresetR2)
         }.map(_.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -977,23 +986,45 @@ object StreamingOps {
     * assets is hashed modality-dispatched ([[graft.operators.MultiModal
     * .mediaHashOf]]: dHash for images, envelope hash for audio — one
     * 64-bit space), probed against the persisted phash index (the
-    * bucketed `bk` store side never shuffles), and only assets with NO
-    * stored near-dup within Hamming ≤ 3 are admitted. `growIndex`
-    * folds admissions in so the NEXT batch dedups against them too —
-    * with the same batch-id ledger replay contract as every grown
-    * index (commit admitted ids before mutation; a replay reproduces
-    * the set from the ledger and re-appends through the asset-guarded
-    * variant, so no banded row ever duplicates).
+    * bucketed `bk` store side never shuffles), and an asset is
+    * admitted only when it has NO near-dup within Hamming ≤ 3 in the
+    * store OR earlier in its own micro-batch — intra-batch pairs run
+    * through the same [[graft.operators.MultiModal.perceptualPairs]]
+    * banding and the LOWER asset_id of each pair wins (deterministic;
+    * without it two near-dup assets arriving together would both be
+    * admitted and the near-dup rows would live in the store forever —
+    * ADVICE r14). `growIndex` folds admissions in so the NEXT batch
+    * dedups against them too — with the same batch-id ledger replay
+    * contract as every grown index (commit admitted ids before
+    * mutation; a replay reproduces the set from the ledger and
+    * re-appends through the asset-guarded variant, so no banded row
+    * ever duplicates).
+    *
+    * Optional scheduled maintenance (the band loop's r13-ask-#8
+    * discipline applied to the media family, VERDICT r14 ask #2):
+    * every `maintainEvery` batches, after the appends are durable, the
+    * loop reads the q192 staleness row for the phash family and — when
+    * the rebuild bit trips — runs [[graft.operators.IndexMaintenance
+    * .rebuildFamily]] from `rebuildCorpus()` (the caller's (asset_id,
+    * hash) view of the CURRENT media corpus) between micro-batches.
+    * Admission semantics are unchanged across the swap: same assets in
+    * the rebuilt store, ledgers carried, guarded appends re-read
+    * current state.
     */
   def mediaIngestStream(
       assets: DataFrame,
       indexName: String,
       growIndex: Boolean,
-      onNovel: (DataFrame, Long) => Unit): streaming.StreamingQuery =
+      onNovel: (DataFrame, Long) => Unit,
+      maintainEvery: Int = 0,
+      storePath: Option[String] = None,
+      rebuildCorpus: Option[() => DataFrame] = None,
+      onRebuild: Option[(String, Long) => Unit] = None): streaming.StreamingQuery =
     assets.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        mediaIngestBatch(batch.toDF(), id, indexName, growIndex, onNovel)
+        mediaIngestBatch(batch.toDF(), id, indexName, growIndex, onNovel,
+          maintainEvery, storePath, rebuildCorpus, onRebuild)
       }
       .start()
 
@@ -1002,7 +1033,11 @@ object StreamingOps {
     */
   private[graft] def mediaIngestBatch(
       batch: DataFrame, id: Long, indexName: String, growIndex: Boolean,
-      onNovel: (DataFrame, Long) => Unit): Unit = {
+      onNovel: (DataFrame, Long) => Unit,
+      maintainEvery: Int = 0,
+      storePath: Option[String] = None,
+      rebuildCorpus: Option[() => DataFrame] = None,
+      onRebuild: Option[(String, Long) => Unit] = None): Unit = {
     val s = batch.sparkSession
     import s.implicits._
     val ledger =
@@ -1023,7 +1058,15 @@ object StreamingOps {
         val dup = graft.operators.MultiModal
           .probePhashIndex(s, indexName, hashes)
           .select(col("b").as("asset_id")).distinct()
-        batch.join(dup, Seq("asset_id"), "left_anti")
+        // intra-batch near-dups (ADVICE r14): perceptualPairs returns
+        // (a, b) with a < b, so dropping every b keeps the LOWEST
+        // asset_id of each pair — two near-dup assets arriving in the
+        // same micro-batch admit exactly one
+        val intra = graft.operators.MultiModal
+          .perceptualPairs(hashes)
+          .select(col("b").as("asset_id")).distinct()
+        batch.join(dup.unionByName(intra).distinct(),
+          Seq("asset_id"), "left_anti")
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (!replayed)
@@ -1041,6 +1084,23 @@ object StreamingOps {
           ledger.foreach(IngestLedger.markAppendDone(s, _))
         }
       } finally novel.unpersist(blocking = false)
+      // scheduled maintenance (VERDICT r14 ask #2 — the band loop's
+      // r13-ask-#8 window for the media family): after this batch's
+      // appends are durable, read the staleness row every
+      // `maintainEvery` batches and actuate the rebuild when the bit
+      // trips — between micro-batches is the loop's single-writer slot
+      if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+        for (path <- storePath; corpus <- rebuildCorpus) {
+          import graft.operators.IndexMaintenance
+          val row = IndexMaintenance.stalenessReport(s, Seq(
+            IndexMaintenance.FamilySpec("phash",
+              s"${indexName}_phash"))).collect().head
+          if (row.getLong(6) == 1L) {
+            IndexMaintenance.rebuildFamily(
+              s, "phash", indexName, path, corpus())
+            onRebuild.foreach(_("phash", id))
+          }
+        }
     } finally hashes.unpersist(blocking = false)
   }
 

@@ -796,6 +796,26 @@ class IndexStoreSpec extends SparkSpec {
         .toSet
       assert(rows(name) == rows(fresh) && rows(name).nonEmpty,
         "rebuilt phash store must probe identical to a fresh build")
+      // THE ORACLE PATH (VERDICT r14 ask #1): the family's staleness
+      // row must flow through q192's oracle-compared report, not just
+      // the generic FamilySpec call above — run the real QueryDef and
+      // pin the phash row to the doc-arithmetic values the DuckDB
+      // oracle derives (banded rows = 4 × assets; base = % 4 != 0 of
+      // doc_id < 40; 25% append trips the 20% threshold).
+      val rep = SparkEntry.queries("q192_index_staleness")(spark, sfDir)
+        .filter(col("family") === "phash").collect()
+      assert(rep.length == 1, s"q192 must report the phash family: " +
+        rep.mkString(","))
+      val docs = Q.table(spark, sfDir, "documents")
+        .filter(col("doc_id") < 40)
+      val nAll = 4L * docs.count()
+      val nBase = 4L * docs.filter(col("doc_id") % 4 =!= 0).count()
+      val r = rep.head
+      assert(r.getLong(1) == nBase && r.getLong(2) == nAll &&
+        r.getLong(3) == (nAll - nBase) * 1000000L / nAll &&
+        r.getLong(5) == (if (r.getLong(3) >= 200000L) 1L else 0L),
+        s"phash staleness row drifted from doc arithmetic: $r " +
+          s"(expect build=$nBase now=$nAll)")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS ${name}_phash")
       spark.sql(s"DROP TABLE IF EXISTS ${name}_f_phash")
@@ -803,7 +823,7 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
-  test("health bits: all five true on a q192-style store; a corrupted table flips its bit into rebuild") {
+  test("health bits: all six true on a q192-style store; a corrupted table flips its bit into rebuild") {
     // ADVICE r13 (medium): the measured signal_ok bits are excluded
     // from q192's oracle-compared output because a cross-engine oracle
     // reading only raw parquet cannot reproduce them — so THIS is
@@ -828,7 +848,16 @@ class IndexStoreSpec extends SparkSpec {
       Dedup.writeSpanIndex(toks(base), s"${name}_span", s"$tmp/span")
       Ann.writeIvfIndex(baseEmb, s"${name}_ivf", s"$tmp/ivf")
       Ann.writePqIndex(baseEmb, s"${name}_pq", s"$tmp/pq")
+      // seventh family (round 15): banded-row conservation bit
+      import spark.implicits._
+      graft.operators.MultiModal.writePhashIndex(
+        (0L until 8L).map(i => (i, graft.operators.MultiModal
+          .dHash64(graft.operators.MultiModal.synthImageBytes(i, 0)).get))
+          .toDF("asset_id", "hash"),
+        s"${name}_phash", s"$tmp/phash")
       val bits = IndexMaintenance.healthBits(spark, name)
+      assert(bits.size == 6 && bits.contains("phash"),
+        s"phash store present: its bit must be measured: $bits")
       assert(bits.values.forall(identity),
         s"fresh q192-style store must measure healthy: $bits")
       // corrupt the gram store: a duplicate key breaks the
@@ -847,10 +876,17 @@ class IndexStoreSpec extends SparkSpec {
           signalOk = corrupt("gram")))).collect().head
       assert(row.getLong(5) == 0L && row.getLong(6) == 1L,
         s"corrupted store must decide rebuild: $row")
+      // corrupt the phash store: one duplicated banded row breaks the
+      // 4-rows-per-asset conservation the probe's completeness rests on
+      spark.table(s"${name}_phash_phash").limit(1)
+        .write.mode("append").insertInto(s"${name}_phash_phash")
+      spark.catalog.refreshTable(s"${name}_phash_phash")
+      assert(!IndexMaintenance.healthBits(spark, name)("phash"),
+        "duplicated banded row must flip the phash bit")
     } finally {
       Seq("band_bands", "band_shingles", "gram_grams", "span_pgrams",
         "ivf_codes", "ivf_centroids", "ivf_vectors", "pq_codes",
-        "pq_centroids", "pq_vectors", "pq_pq").foreach(t =>
+        "pq_centroids", "pq_vectors", "pq_pq", "phash_phash").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
       graft.operators.Q.releaseManaged()
     }
@@ -914,6 +950,99 @@ class IndexStoreSpec extends SparkSpec {
     } finally {
       Seq(s"${name}_bands", s"${name}_shingles", s"${fresh}_bands",
         s"${fresh}_shingles", s"${name}_g_grams").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
+  test("rebuildFamily crash recovery: stranded aside ledgers salvage into the re-run; a double ledger refuses; missing catalog entries repair") {
+    // ADVICE r14 (medium): a rebuild that crashed between its renames
+    // and its ledger move leaves the ONLY copy of the _ingest_ledger
+    // trees in the .pre-rebuild aside dir — a re-run used to delete it
+    // blind, permanently losing the admitted sets. Both crash windows:
+    //  (a) between rename(live->aside) and rename(tmp->live): live
+    //      missing, aside holds store + ledgers -> salvage into the
+    //      fresh tmp build;
+    //  (b) after both renames, before the ledger move: live = rebuilt
+    //      store without ledgers, aside holds them -> salvage into
+    //      live, ride the normal swap.
+    // Plus the refuse-loudly path (both sides carry a ledger) and the
+    // ADVICE r14 (low) catalog window: DROPs landed, re-register did
+    // not -> repairFamilyCatalog re-runs the registrar over the intact
+    // files.
+    import graft.operators.IndexMaintenance
+    import graft.streaming.IngestLedger
+    import org.apache.hadoop.fs.Path
+    val docs = Q.table(spark, sfDir, "documents")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val tmp = Files.createTempDirectory("graft-salvage")
+    val name = "salvage_" + System.nanoTime()
+    val live = new Path(s"$tmp/live")
+    val aside = new Path(s"$tmp/live.pre-rebuild")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ledgerDir(batch: Long) =
+      IngestLedger.dirFor(spark, s"${name}_shingles", batch)
+    try {
+      Dedup.writeBandIndex(base, name, live.toString)
+      // a committed streaming batch: its ledger lives INSIDE the table
+      IngestLedger.write(
+        base.select("doc_id").limit(3), ledgerDir(7L))
+      IngestLedger.markAppendDone(spark, ledgerDir(7L))
+      assert(IngestLedger.committed(spark, ledgerDir(7L)))
+      // ---- window (a): live -> aside rename landed, tmp -> live did
+      // not. Simulate by renaming the whole live dir aside.
+      assert(fs.rename(live, aside), "test setup rename failed")
+      IndexMaintenance.rebuildFamily(spark, "band", name,
+        live.toString, docs)
+      assert(IngestLedger.committed(spark, ledgerDir(7L)) &&
+        IngestLedger.appendDone(spark, ledgerDir(7L)),
+        "window (a): salvaged ledger must survive the re-run")
+      assert(!fs.exists(aside), "aside copy must be gone after the run")
+      // ---- window (b): both renames landed, ledger move did not.
+      // Simulate: strand a second batch's ledger in a reconstructed
+      // aside copy while live (the `rebuilt` store) carries none of it.
+      val strandedSrc = new Path(new Path(live, "shingles"),
+        "_ingest_ledger")
+      fs.mkdirs(new Path(aside, "shingles"))
+      assert(fs.rename(strandedSrc,
+        new Path(new Path(aside, "shingles"), "_ingest_ledger")),
+        "test setup strand failed")
+      assert(!IngestLedger.committed(spark, ledgerDir(7L)),
+        "setup: ledger must be stranded aside")
+      IndexMaintenance.rebuildFamily(spark, "band", name,
+        live.toString, docs)
+      assert(IngestLedger.committed(spark, ledgerDir(7L)) &&
+        IngestLedger.appendDone(spark, ledgerDir(7L)),
+        "window (b): salvaged ledger must ride the swap back into live")
+      // ---- refuse loudly: aside AND live both carry a ledger for the
+      // same table — ambiguous admitted sets must not be guessed at
+      fs.mkdirs(new Path(new Path(aside, "shingles"),
+        "_ingest_ledger/batch=99"))
+      val ex = intercept[java.io.IOException] {
+        IndexMaintenance.rebuildFamily(spark, "band", name,
+          live.toString, docs)
+      }
+      assert(ex.getMessage.contains("refusing rebuild"),
+        s"double ledger must refuse, got: ${ex.getMessage}")
+      assert(IngestLedger.committed(spark, ledgerDir(7L)),
+        "refusal must leave the live ledger untouched")
+      fs.delete(aside, true)
+      // ---- catalog window (ADVICE r14 low): DROPs landed, the
+      // re-register did not — files intact, tables invisible
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_shingles")
+      assert(IndexMaintenance.repairFamilyCatalog(spark, "band", name,
+        live.toString), "missing entries over a live store must repair")
+      assert(spark.catalog.tableExists(s"${name}_shingles") &&
+        spark.table(s"${name}_shingles").count() > 0,
+        "repaired catalog must serve the intact files")
+      assert(!IndexMaintenance.repairFamilyCatalog(spark, "band", name,
+        live.toString), "a healthy catalog must not re-register")
+      assert(!IndexMaintenance.repairFamilyCatalog(spark, "band",
+        s"${name}_ghost", s"$tmp/ghost"),
+        "a missing live dir is the rebuild path, not a catalog repair")
+    } finally {
+      Seq(s"${name}_bands", s"${name}_shingles").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
       graft.operators.Q.releaseManaged()
     }

@@ -387,4 +387,23 @@ class MultiModalSpec extends SparkSpec {
     assert(brute.nonEmpty && brute.size < rows.size * (rows.size - 1) / 2,
       "fixture must be non-trivial on both sides of the threshold")
   }
+
+  test("synthPerturbHamming: level-walk derivation equals the decoded base/perturb hash distance (q206's oracle literal)") {
+    // the q206 oracle interpolates synthPerturbHamming(id) as ground
+    // truth — it must equal what the REAL decode+dHash path measures,
+    // for every fixture id, and the fixture must exercise more than
+    // one distance value (a constant table would not sweep anything)
+    val hs = (0L until 40L).map { id =>
+      val base = MultiModal.dHash64(MultiModal.synthImageBytes(id, 0)).get
+      val pert = MultiModal.dHash64(MultiModal.synthImageBytes(id, 3)).get
+      val measured = java.lang.Long.bitCount(base ^ pert)
+      val derived = MultiModal.synthPerturbHamming(id)
+      assert(derived == measured,
+        s"id=$id: derived=$derived != measured=$measured")
+      measured
+    }
+    assert(hs.forall(_ <= 2), s"perturb must stay within Hamming 2: $hs")
+    assert(hs.distinct.size > 1,
+      s"fixture must produce a non-constant distance sweep: $hs")
+  }
 }

@@ -630,6 +630,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q206: the radius sweep runs ONE banded candidate pass — radii are filters over the cached pair set") {
+    val p = plan("q206_perceptual_threshold_sweep")
+    assert(!p.contains("CartesianProduct"), s"q206 planned a cartesian:\n$p")
+    // ONE materialized pair set feeds both per-radius aggs (q142's
+    // one-pass sweep discipline): the pair/asset counts must both read
+    // the cached frame — a per-radius re-probe would scan fresh hashes
+    // instead. The cached build's banded hash join prints once per
+    // cache consumer, so its count is bounded by the cache scans.
+    val imts = "InMemoryTableScan".r.findAllIn(p).length
+    assert(imts >= 2,
+      s"both radius aggs must read the ONE cached pair set ($imts):\n$p")
+    val candidateJoins = "HashJoin[^\\n]*bits".r.findAllIn(p).length
+    assert(candidateJoins <= imts,
+      s"a banded candidate join ran OUTSIDE the cached pair build " +
+        s"($candidateJoins joins, $imts cache scans):\n$p")
+    assert(!p.matches("(?s).*BroadcastNestedLoopJoin[^\\n]*(ha|hb).*"),
+      s"q206 nested-looped the hash frames:\n$p")
+  }
+
+  test("q207: survivors come from the checkpointed CC label frame; removal is an anti-join, never a cartesian") {
+    val p = plan("q207_media_cluster_survivors")
+    assert(!p.contains("CartesianProduct"), s"q207 planned a cartesian:\n$p")
+    // the banded candidate joins run EAGERLY inside minLabelPropagate
+    // (q201/q202 pin that shape); the final plan must consume the
+    // bounded checkpointed label frame, not recompute the pair graph
+    assert(p.contains("Scan ExistingRDD"),
+      s"q207 lost the checkpointed label frame:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"survivor selection lost the anti-join removal shape:\n$p")
+  }
+
   test("q203: content-defined chunking is window-free — chunk assembly never shuffles per doc") {
     val p = plan("q203_cdc_chunk_dedup")
     // the whole cut/assemble stage is in-row HOFs; the first exchange

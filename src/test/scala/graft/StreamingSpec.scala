@@ -1305,7 +1305,7 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
-  test("mediaIngestStream: perceptual dups of the store AND earlier admissions drop; batch ≡ stream; replay duplicates nothing") {
+  test("mediaIngestStream: perceptual dups of the store, earlier admissions AND the same batch drop; batch ≡ stream; replay duplicates nothing") {
     // round 14: the band-index ingest discipline applied to the
     // multimodal column — a re-encoded image of a stored asset and a
     // 1-px shift of a JUST-ADMITTED asset must both drop, across both
@@ -1325,7 +1325,10 @@ class StreamingSpec extends SparkSpec {
         name, path)
     // 100 = BMP re-encode of stored image 0 -> drop against the store
     // 101 = fresh image                      -> admit
-    val b1 = Seq(asset(100L, 0L, 1), asset(101L, 50L, 0))
+    // 102 = 1-px shift of 101, SAME batch   -> drop (intra-batch pair;
+    //       the lower asset_id 101 wins — ADVICE r14)
+    val b1 = Seq(asset(100L, 0L, 1), asset(101L, 50L, 0),
+      asset(102L, 50L, 2))
     // 200 = 1-px shift of ADMITTED 101      -> drop (the index grew)
     // 201 = fresh image                      -> admit
     val b2 = Seq(asset(200L, 50L, 2), asset(201L, 60L, 0))
@@ -1380,6 +1383,145 @@ class StreamingSpec extends SparkSpec {
         .filter(_.name.startsWith(p))
         .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS ${tb.name}"))
     }
+  }
+
+  test("media scheduled maintenance: an append-heavy run triggers exactly one phash rebuild; admission semantics and ledgers survive the swap") {
+    // VERDICT r14 ask #2: the band loop's r13-ask-#8 rebuild window
+    // wired into mediaIngestBatch — exactly one rebuild fires on the
+    // append-heavy run, a near-dup of a PRE-rebuild admission still
+    // drops afterwards, a quiet window does not re-fire, and a replay
+    // of a pre-rebuild batch reproduces its admitted set (the ledgers
+    // rode rebuildFamily's carry).
+    import spark.implicits._
+    import graft.operators.{MediaAsset, MultiModal, IndexMaintenance}
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mediamaint")
+    val name = "mediamaint_" + System.nanoTime()
+    def asset(aid: Long, imgId: Long, v: Int): MediaAsset =
+      MediaAsset(aid, "image", MultiModal.synthImageBytes(imgId, v), "t")
+    def hashOf(imgId: Long): Long =
+      MultiModal.dHash64(MultiModal.synthImageBytes(imgId, 0)).get
+    // store: base images 0, 1; the asset->image map of everything the
+    // loop may admit, for the rebuild corpus
+    val baseAssets = Seq((0L, 0L), (1L, 1L))
+    val imageOf = Map(10L -> 50L, 11L -> 60L, 12L -> 70L, 21L -> 80L)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rebuilds = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    def cb(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val ids = df.select("asset_id").collect().map(_.getLong(0))
+        .sorted.toSeq
+      got(id) = ids
+      admitted ++= ids
+    }
+    def run(batch: Seq[MediaAsset], id: Long): Unit =
+      StreamingOps.mediaIngestBatch(batch.toDF(), id, name,
+        growIndex = true, cb, maintainEvery = 2,
+        storePath = Some(s"$tmp/live"),
+        rebuildCorpus = Some(() =>
+          (baseAssets ++ admitted.map(a => (a, imageOf(a))))
+            .map { case (a, img) => (a, hashOf(img)) }
+            .toDF("asset_id", "hash")),
+        onRebuild = Some((f, id) => rebuilds += ((f, id))))
+    try {
+      MultiModal.writePhashIndex(
+        baseAssets.map { case (a, img) => (a, hashOf(img)) }
+          .toDF("asset_id", "hash"), name, s"$tmp/live")
+      // batches 0-1: three fresh admissions push the appended fraction
+      // to 12/20 = 60% >= 20% -> the id=1 maintenance window rebuilds
+      run(Seq(asset(10L, 50L, 0), asset(11L, 60L, 0)), 0L)
+      run(Seq(asset(12L, 70L, 0)), 1L)
+      assert(got(0L) == Seq(10L, 11L) && got(1L) == Seq(12L),
+        s"admissions wrong: $got")
+      assert(rebuilds.toSeq == Seq(("phash", 1L)),
+        s"exactly one rebuild must fire at the id=1 window: $rebuilds")
+      val cleared = IndexMaintenance.stalenessReport(spark, Seq(
+        IndexMaintenance.FamilySpec("phash", s"${name}_phash")))
+        .collect().head
+      assert(cleared.getLong(3) == 0L && cleared.getLong(6) == 0L,
+        s"rebuilt store must report clean: $cleared")
+      // batch 2: a 1-px shift of PRE-rebuild admission 10 must still
+      // drop (the rebuilt store holds it); one fresh admit -> 24 rows
+      run(Seq(asset(20L, 50L, 2), asset(21L, 80L, 0)), 2L)
+      assert(got(2L) == Seq(21L),
+        s"near-dup of a pre-rebuild admission must drop: $got")
+      // batch 3: nothing admits; the id=3 window reads 4/24 = 16.7% <
+      // 20% -> the quiet store must NOT re-fire
+      run(Seq(asset(30L, 0L, 1)), 3L)
+      assert(got(3L) == Seq.empty, s"re-encode of stored must drop: $got")
+      assert(rebuilds.size == 1,
+        s"quiet store must not rebuild at the id=3 window: $rebuilds")
+      // replay a PRE-rebuild batch under its original id: the ledger
+      // rode the rebuild swap, so the admitted set reproduces and the
+      // guarded append duplicates nothing
+      val admittedBefore = admitted.toSeq
+      run(Seq(asset(12L, 70L, 0)), 1L)
+      assert(got(1L) == Seq(12L),
+        "pre-rebuild batch replay changed the admitted set")
+      admitted.clear(); admitted ++= admittedBefore
+      val t = spark.table(s"${name}_phash")
+      assert(t.count() == t.select("asset_id", "bk").distinct().count(),
+        "duplicate banded rows after post-rebuild replay")
+      assert(t.count() == (2 + 4) * 4,
+        s"unexpected phash row count: ${t.count()}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_phash")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
+  test("corpusIngestBatch replay tolerates a pre-coreset ledger (no center column)") {
+    // ADVICE r14: a ledger written before the coreset stage was
+    // enabled (config upgraded between runs) has no `center` marker —
+    // its replay must reproduce the admitted set with ZERO centers,
+    // not throw on the missing column.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-precoreset")
+    def words(prefix: String): String =
+      (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val base = Seq((0L, words("alpha"))).toDF("doc_id", "text")
+    graft.operators.Dedup.writeBandIndex(base, "pc_band", s"$tmp/b")
+    graft.operators.Dedup.writeGramIndex(base, "pc_gram", s"$tmp/g")
+    graft.operators.Dedup.writeSpanIndex(
+      base.select(col("doc_id"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("toks")),
+      "pc_span", s"$tmp/s")
+    val cfgNoCore = StreamingOps.CorpusIngestConfig(
+      bandIndex = "pc_band", gramIndex = "pc_gram", spanIndex = "pc_span",
+      boilerLines = Seq.empty, maxSpanTokens = 12, minNovelShare = 0.5)
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    def cb(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      got(id) = df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Seq((10L, words("gamma"), Array(3.0f, 0.0f, 0.0f)))
+      .toDF("doc_id", "text", "embedding")
+    try {
+      // original run WITHOUT the coreset stage: marker-less ledger
+      StreamingOps.corpusIngestBatch(b, 0L, cfgNoCore, cb)
+      assert(got(0L) == Seq(10L))
+      // config upgraded between runs; worst-case replay (append marker
+      // lost) under the original id must not fail on the missing
+      // column and must admit zero centers beyond the store seed
+      graft.operators.Learn.writeCoresetStore(
+        Seq((0L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+        "pc_core", s"$tmp/c")
+      val ledgerDir = graft.streaming.IngestLedger.dirFor(
+        spark, "pc_band_shingles", 0L, tag = "corpus_pipeline")
+      ledgerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(ledgerDir, "_APPEND_DONE"),
+          false)
+      StreamingOps.corpusIngestBatch(b, 0L,
+        cfgNoCore.copy(coresetIndex = Some("pc_core"), coresetR2 = 1.0),
+        cb)
+      assert(got(0L) == Seq(10L),
+        "pre-coreset replay changed the admitted set")
+      val centers = spark.table("pc_core_centers").select("vec_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(centers == Seq(0L),
+        s"marker-less ledger must reproduce ZERO centers: $centers")
+    } finally Seq("pc_band_bands", "pc_band_shingles", "pc_gram_grams",
+      "pc_span_pgrams", "pc_core_centers").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("replayed gram-novelty micro-batch admits the SAME docs (ledger idempotency)") {
