@@ -2643,7 +2643,119 @@ object TextAnalysis {
                 CAST(SUM(lines_in - lines_kept) AS BIGINT)
                   AS lines_removed,
                 CAST(SUM(toks_removed) AS BIGINT) AS tokens_removed
-              FROM m GROUP BY lang ORDER BY lang"""))
+              FROM m GROUP BY lang ORDER BY lang""")),
+
+    // q208: unigram-LM tokenizer training report (VERDICT r14 ask #3 —
+    // q123/q134's coverage/fertility shape against the TRAINED vocab).
+    // Two tiers in one report, the q90/q201 contract discipline:
+    //  - tiers the oracle derives EXACTLY from the parquet: corpus word
+    //    statistics and the SEED construction (weighted substring
+    //    counts through the SAME substring HOF the trainer uses —
+    //    [[substringsExpr]], one definition; top-8 multi-char seed
+    //    pieces by (count desc, piece asc));
+    //  - contract bits about the artifact [[unigramTrain]] actually
+    //    trains (vocab within target, every corpus character retained,
+    //    zero OOV when re-segmenting the dictionary, total Viterbi
+    //    tokens bounded by total chars) — each structurally guaranteed
+    //    by the trainer, so the oracle states 1 and any training
+    //    regression breaks the hash. The EM equivalence/monotonicity
+    //    meat lives in UnigramSpec (the BpeSpec discipline).
+    // Plan at 100 TB: one corpus pass to the vocab-bounded word
+    // dictionary; seed + EM rounds run on that bounded frame (map-only
+    // typed Viterbi + bounded-key aggs, driver holds only the
+    // seed-bounded vocab map); the report itself assembles
+    // driver-side from per-run scalars (q192's LocalTableScan shape).
+    "q208_unigram_tokenizer" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select("text")
+        val words = docs.select(explode(tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .managedPersist
+        val st = words.agg(sum("cnt").as("nw"),
+          count(lit(1)).as("ndw"),
+          sum(col("cnt") * length(col("word"))).as("nc")).head()
+        val (nWords, nDistinct, nChars) =
+          (st.getLong(0), st.getLong(1), st.getLong(2))
+        val pieceCounts = words
+          .select(explode(substringsExpr(4)).as("piece"), col("cnt"))
+          .groupBy("piece").agg(sum("cnt").as("n"))
+          .managedPersist
+        val nSeedChars = pieceCounts
+          .filter(length(col("piece")) === 1).count()
+        val top8 = pieceCounts.filter(length(col("piece")) >= 2)
+          .orderBy(desc("n"), col("piece")).limit(8)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        // the trained artifact + its contract measurements
+        val vocab = unigramTrain(docs, vocabSize = 64, maxPieceLen = 4,
+          seedSize = 200, emIters = 3)
+        val vmap = vocab.toMap
+        val vset = vocab.map(_._1).toSet
+        val total = vocab.iterator.map(_._2).sum
+        val mpl = vocab.iterator.map(_._1.length).max
+        val bcm = s.sparkContext.broadcast(vmap)
+        val bcs = s.sparkContext.broadcast(vset)
+        val seg = words.as[UnigramWord].map { e =>
+          val ps = viterbiSegment(e.word, bcm.value, total, mpl)
+          (e.cnt * ps.length,
+            if (ps.forall(bcs.value.contains)) 0L else e.cnt)
+        }.toDF("toks", "oov")
+          .agg(sum("toks").as("t"), sum("oov").as("o")).head()
+        val (toksTotal, oovWords) = (seg.getLong(0), seg.getLong(1))
+        val report =
+          top8.zipWithIndex.map { case ((p, n), i) =>
+            ((i + 1).toLong, p, n)
+          }.toSeq ++ Seq(
+            (90L, "n_words", nWords),
+            (91L, "n_distinct_words", nDistinct),
+            (92L, "n_chars", nChars),
+            (93L, "n_seed_chars", nSeedChars),
+            (100L, "vocab_le_target",
+              if (vocab.size <= 64) 1L else 0L),
+            // chars enter the vocab at seed time and are never pruned,
+            // so equality of the two char counts IS full coverage
+            (101L, "covers_all_chars",
+              if (vocab.count(_._1.length == 1).toLong == nSeedChars)
+                1L else 0L),
+            (102L, "oov_zero", if (oovWords == 0L) 1L else 0L),
+            (103L, "tokens_le_chars",
+              if (toksTotal <= nChars) 1L else 0L))
+        s.createDataFrame(report).toDF("rk", "piece", "n").orderBy("rk")
+      },
+      Some(s"""WITH w AS (SELECT t AS word, COUNT(*) AS cnt
+                FROM (SELECT UNNEST(list_filter(
+                        string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+                      FROM documents) z
+                GROUP BY 1),
+              pos AS (SELECT word, cnt,
+                  UNNEST(range(1, length(word) + 1)) AS i FROM w),
+              subs AS (SELECT substring(word, CAST(i AS INT),
+                    CAST(l AS INT)) AS piece, cnt
+                FROM (SELECT word, cnt, i,
+                        UNNEST(range(1, least(4, length(word) - i + 1)
+                          + 1)) AS l
+                      FROM pos) z),
+              pc AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n
+                     FROM subs GROUP BY 1),
+              top8 AS (SELECT piece, n,
+                  ROW_NUMBER() OVER (ORDER BY n DESC, piece) AS rk
+                FROM pc WHERE length(piece) >= 2
+                QUALIFY rk <= 8)
+              SELECT * FROM (
+                SELECT CAST(rk AS BIGINT) AS rk, piece, n FROM top8
+                UNION ALL SELECT 90, 'n_words',
+                  (SELECT CAST(SUM(cnt) AS BIGINT) FROM w)
+                UNION ALL SELECT 91, 'n_distinct_words',
+                  (SELECT COUNT(*) FROM w)
+                UNION ALL SELECT 92, 'n_chars',
+                  (SELECT CAST(SUM(cnt * length(word)) AS BIGINT) FROM w)
+                UNION ALL SELECT 93, 'n_seed_chars',
+                  (SELECT COUNT(*) FROM pc WHERE length(piece) = 1)
+                UNION ALL SELECT 100, 'vocab_le_target', CAST(1 AS BIGINT)
+                UNION ALL SELECT 101, 'covers_all_chars', CAST(1 AS BIGINT)
+                UNION ALL SELECT 102, 'oov_zero', CAST(1 AS BIGINT)
+                UNION ALL SELECT 103, 'tokens_le_chars', CAST(1 AS BIGINT)
+              ) ORDER BY rk"""))
   )
 
   /** PII pattern set — the dialect-shared regex subset (character
@@ -2920,4 +3032,197 @@ object TextAnalysis {
     merges.foldLeft(word.split("").toSeq) {
       case (syms, (a, b)) => bpeMergePair(syms, a, b)
     }
+
+  // -----------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer trainer — VERDICT r14
+  // ask #3, [[bpeTrain]]'s sibling for the EM-pruned unigram family
+  // (Kudo 2018): instead of growing a vocab by merges, START from a
+  // rich substring seed and let EM + pruning keep the pieces the
+  // corpus actually uses.
+  // -----------------------------------------------------------------
+
+  /** One row of the unigram training dictionary. */
+  final case class UnigramWord(word: String, cnt: Long)
+
+  /** Exact-rational Viterbi segmentation under a unigram piece model:
+    * maximize `Π score(pᵢ) / total^k` over segmentations of `word` —
+    * the likelihood comparison is BigInt CROSS-MULTIPLIED
+    * (`P₁·T^k₂ vs P₂·T^k₁`), never a float log-sum, so the best
+    * segmentation is deterministic across platforms and engines (the
+    * q186 integer/rational discipline). Ties prefer FEWER pieces, then
+    * the lexicographically smaller piece sequence. Single characters
+    * absent from `score` fall back to weight 1 (the unpruned-char
+    * floor — every word stays segmentable; such pieces are the
+    * caller's OOV signal). ONE definition shared by the distributed
+    * trainer, [[unigramEncode]], and UnigramSpec's sequential
+    * reference — the BpeSpec/bpeMergePair sharing discipline.
+    */
+  private[graft] def viterbiSegment(
+      word: String,
+      score: scala.collection.Map[String, Long],
+      total: Long,
+      maxPieceLen: Int): Seq[String] = {
+    val n = word.length
+    val T = BigInt(total)
+    // dp(i) = best (likelihood-ordered) segmentation of word[0, i)
+    final case class St(prod: BigInt, k: Int, pieces: List[String])
+    def better(a: St, b: St): St = {
+      val cmp = (a.prod * T.pow(b.k)).compare(b.prod * T.pow(a.k))
+      if (cmp > 0) a
+      else if (cmp < 0) b
+      else if (a.k != b.k) { if (a.k < b.k) a else b }
+      else {
+        // identical likelihood and piece count: smaller piece sequence
+        // (pieces lists are reversed — both the same way)
+        val la = a.pieces; val lb = b.pieces
+        val it = la.iterator.zip(lb.iterator)
+        var r = 0
+        while (r == 0 && it.hasNext) {
+          val (x, y) = it.next(); r = x.compare(y)
+        }
+        if (r <= 0) a else b
+      }
+    }
+    val dp = new Array[St](n + 1)
+    dp(0) = St(BigInt(1), 0, Nil)
+    var i = 1
+    while (i <= n) {
+      var best: St = null
+      val maxL = math.min(maxPieceLen, i)
+      var l = 1
+      while (l <= maxL) {
+        val prev = dp(i - l)
+        if (prev != null) {
+          val piece = word.substring(i - l, i)
+          val w =
+            if (l == 1) math.max(score.getOrElse(piece, 1L), 1L)
+            else score.getOrElse(piece, 0L)
+          if (w > 0) {
+            val cand = St(prev.prod * w, prev.k + 1, piece :: prev.pieces)
+            best = if (best == null) cand else better(best, cand)
+          }
+        }
+        l += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    dp(n).pieces.reverse
+  }
+
+  /** Distributed unigram-LM tokenizer training. The loop:
+    *
+    *  1. '''word dictionary''' — the corpus is read ONCE into (word,
+    *     count), the same vocab-bounded frame [[bpeTrain]] trains on;
+    *  2. '''seed''' — every substring of length 1..`maxPieceLen` of
+    *     every word, weighted by word count (one explode + partial-agg
+    *     shuffle); ALL single characters enter the vocab (never
+    *     pruned — the coverage floor), plus the top `seedSize`
+    *     multi-character substrings by (count desc, piece asc) —
+    *     TakeOrdered over the bounded piece frame, no global sort;
+    *  3. '''EM''' (`emIters` rounds of hard/Viterbi EM): E-step
+    *     re-segments the word dictionary under the current piece
+    *     weights ([[viterbiSegment]] as a typed map over the bounded
+    *     frame — map-only, the broadcast vocab is driver-bounded) and
+    *     aggregates weighted piece usage (one bounded-key shuffle);
+    *     M-step sets each piece's weight to its usage — multi-char
+    *     pieces the best segmentations stopped using are pruned
+    *     immediately, characters floor at weight 1;
+    *  4. '''final prune''' — all characters + the top
+    *     `vocabSize − nChars` multi-char pieces by (weight desc,
+    *     piece asc).
+    *
+    * Hard (Viterbi) EM is the documented simplification vs full
+    * forward-backward EM — each round's complete-data likelihood is
+    * non-decreasing (UnigramSpec asserts it in exact BigInt
+    * arithmetic), and every comparison is integer/rational, so the
+    * trained vocab is deterministic (UnigramSpec: distributed ≡
+    * sequential reference, rerun ≡ rerun). Driver state is one
+    * (piece, weight) map bounded by `seedSize + nChars` — the
+    * nlist-centroid collect discipline. Returns the vocab ordered by
+    * (weight desc, piece asc).
+    *
+    * `onIteration` observes each EM round's post-M-step vocab
+    * (UnigramSpec reads it for the exact monotonicity assertion).
+    */
+  def unigramTrain(
+      docs: org.apache.spark.sql.DataFrame,
+      vocabSize: Int,
+      maxPieceLen: Int = 4,
+      seedSize: Int = 200,
+      emIters: Int = 3,
+      onIteration: (Int, Map[String, Long]) => Unit = (_, _) => ()):
+      Seq[(String, Long)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dict = docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .as[UnigramWord]
+      .persist(level)
+    try {
+      val pieceCounts = dict.toDF()
+        .select(explode(substringsExpr(maxPieceLen)).as("piece"),
+          col("cnt"))
+        .groupBy("piece").agg(sum("cnt").as("n"))
+        .persist(level)
+      val chars = pieceCounts.filter(length(col("piece")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val multi = pieceCounts.filter(length(col("piece")) >= 2)
+        .orderBy(desc("n"), col("piece")).limit(seedSize)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      pieceCounts.unpersist(blocking = false)
+      var vocab: Map[String, Long] = (chars ++ multi).toMap
+      var it = 0
+      while (it < emIters) {
+        val total = vocab.valuesIterator.sum
+        val bc = s.sparkContext.broadcast(vocab)
+        val mpl = maxPieceLen
+        val obs = dict
+          .flatMap(e => viterbiSegment(e.word, bc.value, total, mpl)
+            .map(p => (p, e.cnt)))
+          .toDF("piece", "w")
+          .groupBy("piece").agg(sum("w").as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        bc.unpersist(blocking = false)
+        vocab = vocab.keysIterator.flatMap { p =>
+          val o = obs.getOrElse(p, 0L)
+          if (p.length == 1) Some(p -> math.max(o, 1L))
+          else if (o > 0L) Some(p -> o)
+          else None
+        }.toMap
+        it += 1
+        onIteration(it, vocab)
+      }
+      val charPieces = vocab.filter(_._1.length == 1)
+      val multiKeep = vocab.iterator.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, w) => (-w, p) }
+        .take(math.max(0, vocabSize - charPieces.size))
+      (charPieces.toSeq ++ multiKeep)
+        .sortBy { case (p, w) => (-w, p) }
+    } finally dict.unpersist(blocking = false)
+  }
+
+  /** The substring-enumeration HOF the seed pass and q208's oracle
+    * share (every substring of length 1..`maxPieceLen`, with
+    * multiplicity): one definition so the two can never drift.
+    */
+  private[graft] def substringsExpr(maxPieceLen: Int): Column = expr(
+    s"""flatten(transform(sequence(1, char_length(word)),
+       |  i -> transform(
+       |    sequence(1, least($maxPieceLen, char_length(word) - i + 1)),
+       |    l -> substring(word, i, l))))""".stripMargin)
+
+  /** Segment one word with a trained unigram vocab — Viterbi under the
+    * trained weights (the standard unigram inference rule). Corpus-
+    * scale encoding is a typed map of this over the word dictionary.
+    */
+  def unigramEncode(
+      word: String, vocab: Seq[(String, Long)]): Seq[String] = {
+    val m = vocab.toMap
+    val total = vocab.iterator.map(_._2).sum
+    val mpl =
+      if (vocab.isEmpty) 1 else vocab.iterator.map(_._1.length).max
+    viterbiSegment(word, m, total, mpl)
+  }
 }

@@ -611,6 +611,18 @@ class PlanAuditSpec extends SparkSpec {
       "the report must be a bounded local frame of per-family scalars")
   }
 
+  test("q208: the tokenizer report is a bounded local frame — corpus passes ran eagerly on the word dictionary") {
+    val p = plan("q208_unigram_tokenizer")
+    // corpus scans, the seed top-K (TakeOrdered over the bounded piece
+    // frame) and the EM rounds all run EAGERLY inside the build; the
+    // compared output must assemble from per-run scalars (q192's
+    // report shape), never re-reference the corpus
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      s"q208 report must be a bounded local frame:\n$p")
+    assert(!p.contains("FileScan"),
+      s"q208 report re-scanned the corpus:\n$p")
+  }
+
   test("q201/q202: perceptual pair scans are band equi-joins — no cartesian; candidates hash-join on the band bits") {
     for (q <- Seq("q201_perceptual_dedup", "q202_audio_perceptual_dedup")) {
       val p = plan(q)
