@@ -949,6 +949,103 @@ object MultiModal {
     bos.toByteArray
   }
 
+  // -----------------------------------------------------------------
+  // Video frame-hash near-dup (round 15) — the q201 machinery over a
+  // FRAME STREAM. Real-world codecs (mp4/H.264 frame extraction) are
+  // environmental (absent from this container, the documented
+  // quarantine); the Spark-side plumbing is exercised end-to-end over
+  // an openly-defined FRAME-STACK container (magic + count + length-
+  // prefixed PNG frames) whose parsing and per-frame decode+hash are
+  // fully real — when a codec appears, only [[decodeFrameStack]]
+  // swaps for the demuxer, exactly as VERDICT r14 carried.
+  // -----------------------------------------------------------------
+
+  private val FrameStackMagic = Array[Byte]('G', 'F', 'S', '1')
+
+  /** Encode PNG frame payloads into the frame-stack container:
+    * `"GFS1" | int32 n | n × (int32 len | bytes)` (big-endian). The
+    * fixture/test encoder for [[decodeFrameStack]].
+    */
+  private[graft] def frameStackBytes(
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(FrameStackMagic)
+    out.writeInt(frames.length)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Strict frame-stack parse: the frame payloads in container order,
+    * or empty for anything malformed (wrong magic, truncated lengths,
+    * short payloads) — an undecodable video has no frames to hash,
+    * the [[dHash64]] None contract at container grain.
+    */
+  private[graft] def decodeFrameStack(
+      content: Array[Byte]): Seq[Array[Byte]] =
+    try {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      if (!java.util.Arrays.equals(magic, FrameStackMagic)) Seq.empty
+      else {
+        val n = in.readInt()
+        if (n < 0 || n > (1 << 20)) Seq.empty
+        else (0 until n).map { _ =>
+          val len = in.readInt()
+          if (len < 0 || len > content.length)
+            throw new java.io.EOFException()
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          buf
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** The video hash stage — map-only, one (asset_id, frame_idx, hash)
+    * row per decodable frame of every `video` asset: parse the
+    * container, [[dHash64]] each frame (undecodable frames drop,
+    * keeping their index gap). [[dhashOf]]'s shape one grain finer.
+    */
+  def videoFrameHashes(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      if (a.modality != "video") Iterator.empty
+      else decodeFrameStack(a.content).iterator.zipWithIndex
+        .flatMap { case (f, i) =>
+          dHash64(f).map(h => (a.asset_id, i.toLong, h)) }
+    }).toDF("asset_id", "frame_idx", "hash")
+  }
+
+  /** Asset-level video near-dup from a frame-hash frame: for every
+    * asset pair (a < b) the count of DISTINCT frames of `a` with at
+    * least one frame of `b` within Hamming ≤ `maxHamming` — the
+    * containment statistic clip/re-encode/edit detection thresholds
+    * on. Candidates come from the ONE shared banding
+    * ([[perceptualPairs]], applied to packed per-frame ids), so the
+    * join is complete at the ≤ 3 regime and never all-pairs; the
+    * asset rollup is a bounded (a, b)-keyed agg over verified frame
+    * pairs. `maxFrames` bounds frame_idx for the id packing.
+    */
+  def videoPairs(
+      frameHashes: DataFrame,
+      maxHamming: Int = DHashMaxHamming,
+      maxFrames: Int = 4096): DataFrame = {
+    val packed = frameHashes
+      .select((col("asset_id") * maxFrames + col("frame_idx"))
+        .as("asset_id"), col("hash"))
+    perceptualPairs(packed, maxHamming)
+      .select(expr(s"a div $maxFrames").as("va"),
+        (col("a") % maxFrames).as("fa"),
+        expr(s"b div $maxFrames").as("vb"))
+      .filter(col("va") =!= col("vb"))
+      .select("va", "fa", "vb").distinct()
+      .groupBy(col("va").as("a"), col("vb").as("b"))
+      .agg(count(lit(1)).as("matched"))
+  }
+
   /** Hamming distance between the BASE and PERTURB dHashes of
     * [[synthImageBytes]]`(id, 0)` vs `(id, 3)`, derived from the level
     * walk alone — every cell is constant gray, so each cell-mean
@@ -1492,6 +1589,99 @@ object MultiModal {
                   CAST(t AS BIGINT), CAST(r AS BIGINT),
                   CAST(r AS BIGINT) * 1000000 // CAST(t AS BIGINT)
                 FROM img
-              ) ORDER BY modality"""))
+              ) ORDER BY modality""")),
+
+    // q209: VIDEO frame-hash near-dup (round 15 — the third modality
+    // through the ONE perceptual machinery): a re-encoded, clipped, or
+    // partially-edited video has different bytes but mostly the same
+    // frames — invisible to q136's digest and outside q201's
+    // whole-image hash. Pipeline: frame-stack parse ([[decodeFrameStack]]
+    // — the real-codec demux stands behind the documented environmental
+    // quarantine; this container's parsing and per-frame PNG decode are
+    // fully real) → per-frame dHash ([[videoFrameHashes]], map-only) →
+    // the SHARED 4×16 banding over packed frame ids → asset-level
+    // containment rollup ([[videoPairs]]: distinct matched frames of
+    // the smaller asset). Fixture: 4 variants per doc_id < 24 — base
+    // (6 frames), per-frame 1-px shift re-encode (frame hashes
+    // bit-identical by the level-walk guarantee), head clip (frames
+    // 1-5), and a 2-frame edit — so every kind's pair and matched-frame
+    // counts derive from doc arithmetic (MultiModalSpec pins the
+    // fixture's no-cross-collision premise and the brute-force
+    // identity). Plan at 100 TB: parse+hash map-only; the only shuffle
+    // is the banded frame join (frames of one asset are ~10²,
+    // candidates track true duplication); the rollup is a bounded
+    // (a, b)-keyed agg.
+    "q209_video_frame_dedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ids = table(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 24)
+        val assets = ids
+          .select(col("doc_id"),
+            explode(expr("sequence(0, 3)")).as("variant"))
+          .as[(Long, Int)]
+          .mapPartitions(_.map { case (id, v) =>
+            def img(f: Long, variant: Int = 0): Array[Byte] =
+              synthImageBytes(2000L + id * 8 + f, variant)
+            val frames: Seq[Array[Byte]] = v match {
+              case 0 => (0L to 5L).map(img(_))
+              case 1 => (0L to 5L).map(img(_, 2))
+              case 2 => (1L to 5L).map(img(_))
+              case _ => (0L to 5L).map(f =>
+                if (f == 2L || f == 3L) img(f + 4) else img(f))
+            }
+            MediaAsset(id * 10 + v, "video", frameStackBytes(frames),
+              s"variant_$v")
+          })
+        val pairs = videoPairs(videoFrameHashes(assets))
+        val kind = {
+          val va = expr("a % 10")
+          val vb = expr("b % 10")
+          when(expr("a div 10") =!= expr("b div 10"), "cross")
+            .when(va === 0 && vb === 1, "reencode")
+            .when(va === 0 && vb === 2, "clip_base")
+            .when(va === 1 && vb === 2, "clip_reencode")
+            .when(va === 0 && vb === 3, "edit_base")
+            .when(va === 1 && vb === 3, "edit_reencode")
+            .otherwise("clip_edit")
+        }
+        val found = pairs.withColumn("kind", kind).groupBy("kind")
+          .agg(count(lit(1)).as("n_pairs_found"),
+            sum("matched").as("matched_found"))
+        val kinds = Seq(
+          ("clip_base", 1L, 5L), ("clip_edit", 1L, 3L),
+          ("clip_reencode", 1L, 5L), ("cross", 0L, 0L),
+          ("edit_base", 1L, 4L), ("edit_reencode", 1L, 4L),
+          ("reencode", 1L, 6L))
+        s.createDataFrame(kinds)
+          .toDF("kind", "pairs_per_id", "matched_per_id")
+          .crossJoin(broadcast(ids.agg(count(lit(1)).as("n_ids"))))
+          .select(col("kind"),
+            (col("pairs_per_id") * col("n_ids")).as("n_pairs_expected"),
+            (col("matched_per_id") * col("n_ids")).as("matched_expected"))
+          .join(found, Seq("kind"), "left")
+          .select(col("kind"), col("n_pairs_expected"),
+            coalesce(col("n_pairs_found"), lit(0L)).as("n_pairs_found"),
+            col("matched_expected"),
+            coalesce(col("matched_found"), lit(0L)).as("matched_found"),
+            (coalesce(col("n_pairs_found"), lit(0L)) ===
+              col("n_pairs_expected") &&
+              coalesce(col("matched_found"), lit(0L)) ===
+                col("matched_expected")).cast("long").as("ok"))
+          .orderBy("kind")
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n_ids FROM documents
+                         WHERE doc_id < 24)
+              SELECT k.kind,
+                CAST(k.pairs * n.n_ids AS BIGINT) AS n_pairs_expected,
+                CAST(k.pairs * n.n_ids AS BIGINT) AS n_pairs_found,
+                CAST(k.m * n.n_ids AS BIGINT) AS matched_expected,
+                CAST(k.m * n.n_ids AS BIGINT) AS matched_found,
+                CAST(1 AS BIGINT) AS ok
+              FROM (VALUES ('clip_base', 1, 5), ('clip_edit', 1, 3),
+                ('clip_reencode', 1, 5), ('cross', 0, 0),
+                ('edit_base', 1, 4), ('edit_reencode', 1, 4),
+                ('reencode', 1, 6)) AS k(kind, pairs, m), n
+              ORDER BY kind"""))
   )
 }

@@ -388,6 +388,77 @@ class MultiModalSpec extends SparkSpec {
       "fixture must be non-trivial on both sides of the threshold")
   }
 
+  test("frame-stack container round-trips; malformed payloads decode to zero frames") {
+    val frames = (0L until 4L)
+      .map(i => MultiModal.synthImageBytes(5000 + i, 0))
+    val packed = MultiModal.frameStackBytes(frames)
+    val got = MultiModal.decodeFrameStack(packed)
+    assert(got.length == 4 &&
+      got.zip(frames).forall { case (a, b) =>
+        java.util.Arrays.equals(a, b) },
+      "frame payloads must round-trip byte-identical")
+    // malformed: wrong magic, truncated header, truncated payload
+    assert(MultiModal.decodeFrameStack("XYZ!rest".getBytes).isEmpty)
+    assert(MultiModal.decodeFrameStack(packed.take(6)).isEmpty)
+    assert(MultiModal.decodeFrameStack(packed.dropRight(10)).isEmpty)
+    assert(MultiModal.decodeFrameStack(Array.emptyByteArray).isEmpty)
+  }
+
+  test("q209 fixture premise: distinct frame images sit beyond Hamming 3 of each other") {
+    // the oracle's zero-cross / exact-containment arithmetic rests on
+    // distinct level-walk images never banding together at radius 3 —
+    // the fixture is deterministic, so this pins the premise for the
+    // whole image-id population q209 draws from (24 ids × 8 slots)
+    val hs = (0L until 24L).flatMap(id => (0L until 8L).map(f =>
+      MultiModal.dHash64(
+        MultiModal.synthImageBytes(2000L + id * 8 + f, 0)).get))
+    for (i <- hs.indices; j <- (i + 1) until hs.length)
+      assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) >
+        MultiModal.DHashMaxHamming,
+        s"fixture images $i and $j collide within the verify radius")
+  }
+
+  test("videoPairs: banded containment rollup equals the brute-force frame matching") {
+    import spark.implicits._
+    // hand-built 64-bit frame hashes exercising ties, partial overlap,
+    // and the distinct-frame rule (two frames of b matching ONE frame
+    // of a count once)
+    def flip(h: Long, bits: Int*): Long =
+      bits.foldLeft(h)((acc, b) => acc ^ (1L << b))
+    val base = 0x0123456789abcdefL
+    val rows = Seq(
+      // asset 1: three frames
+      (1L, 0L, base), (1L, 1L, flip(base, 10, 20, 30, 40, 50)),
+      (1L, 2L, flip(base, 1, 2, 3, 4, 5, 6, 7, 8)),
+      // asset 2: frame 0 matches a1f0 exactly, frame 1 within 2,
+      // frame 2 unrelated
+      (2L, 0L, base), (2L, 1L, flip(base, 0, 63)),
+      (2L, 2L, flip(base, 11, 22, 33, 44, 55, 60)),
+      // asset 3: both frames match a1f1's hash (distinct-frame rule:
+      // a1f1 counts ONCE toward (1,3))
+      (3L, 0L, flip(base, 10, 20, 30, 40, 50)),
+      (3L, 1L, flip(base, 10, 20, 30, 40, 50, 63)))
+    val fh = rows.toDF("asset_id", "frame_idx", "hash")
+    val got = MultiModal.videoPairs(fh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (va, _, _) <- rows.map(r => (r._1, 0, 0)).distinct
+      (vb, _, _) <- rows.map(r => (r._1, 0, 0)).distinct
+      if va < vb
+    } yield {
+      val matched = rows.filter(_._1 == va).count { a =>
+        rows.filter(_._1 == vb).exists(b =>
+          java.lang.Long.bitCount(a._3 ^ b._3) <=
+            MultiModal.DHashMaxHamming)
+      }.toLong
+      (va, vb, matched)
+    }).filter(_._3 > 0).toSet
+    assert(got == brute,
+      s"containment drifted from brute force:\n got  $got\n want $brute")
+    assert(brute.contains((1L, 3L, 1L)),
+      "fixture must exercise the distinct-frame counting rule")
+  }
+
   test("synthPerturbHamming: level-walk derivation equals the decoded base/perturb hash distance (q206's oracle literal)") {
     // the q206 oracle interpolates synthPerturbHamming(id) as ground
     // truth — it must equal what the REAL decode+dHash path measures,

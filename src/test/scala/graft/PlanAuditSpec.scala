@@ -673,6 +673,17 @@ class PlanAuditSpec extends SparkSpec {
       s"survivor selection lost the anti-join removal shape:\n$p")
   }
 
+  test("q209: video frame candidates hash-join on the band bits; the containment rollup combines map-side") {
+    val p = plan("q209_video_frame_dedup")
+    assert(!p.contains("CartesianProduct"), s"q209 planned a cartesian:\n$p")
+    assert(p.matches("(?s).*HashJoin[^\\n]*bits.*"),
+      s"q209 lost the banded frame candidate join:\n$p")
+    assert(!p.matches("(?s).*SortMergeJoin[^\\n]*bits.*"),
+      s"q209 sort-merged the banded candidate join:\n$p")
+    assert(p.contains("partial_"),
+      "the (a, b) containment rollup lost map-side combine")
+  }
+
   test("q203: content-defined chunking is window-free — chunk assembly never shuffles per doc") {
     val p = plan("q203_cdc_chunk_dedup")
     // the whole cut/assemble stage is in-row HOFs; the first exchange
