@@ -1046,6 +1046,67 @@ object MultiModal {
       .agg(count(lit(1)).as("matched"))
   }
 
+  /** Frame-id packing bound shared by [[videoPairs]] and the persisted
+    * video index: `fid = asset_id · VideoMaxFrames + frame_idx`.
+    */
+  val VideoMaxFrames = 4096
+
+  private[graft] def packFids(frameHashes: DataFrame): DataFrame = frameHashes
+    .select((col("asset_id") * VideoMaxFrames + col("frame_idx"))
+      .as("asset_id"), col("hash"))
+
+  /** Persisted VIDEO frame-hash index — NOT an eighth family: it IS
+    * the phash family's layout over PACKED frame ids, so the whole
+    * seventh-family machinery (bucketed `bk` store, registrar,
+    * `_BUILD_META` staleness row, [[IndexMaintenance.rebuildFamily]],
+    * compaction, the ingest-ledger replay discipline) applies to the
+    * frame grain unchanged — ONE layout definition for whole-asset
+    * and per-frame perceptual identity. Input: (asset_id, frame_idx,
+    * hash) from [[videoFrameHashes]].
+    */
+  def writeVideoIndex(
+      frameHashes: DataFrame, name: String, path: String,
+      buckets: Int = 32): Unit =
+    writePhashIndex(packFids(frameHashes), name, path, buckets)
+
+  /** Re-attach a [[writeVideoIndex]] artifact — the phash registrar. */
+  def registerVideoIndex(
+      spark: SparkSession, name: String, path: String,
+      buckets: Int = 32): Unit =
+    registerPhashIndex(spark, name, path, buckets)
+
+  /** Probe a persisted [[writeVideoIndex]] index with a batch's frame
+    * hashes: (a = stored asset, b = batch asset, matched = DISTINCT
+    * batch frames of `b` with a stored frame of `a` within
+    * `maxHamming`) — the containment statistic an ingest admission
+    * thresholds on, counted on the BATCH side (how much of the
+    * arriving video the store already holds). Result-identical to
+    * [[videoPairs]] over store ∪ batch restricted to cross pairs with
+    * the batch side counted (IndexStoreSpec asserts it); the stored
+    * side reads the bucketed layout exchange-free.
+    */
+  def probeVideoIndex(
+      spark: SparkSession, name: String, frameHashes: DataFrame,
+      maxHamming: Int = DHashMaxHamming): DataFrame =
+    probePhashIndex(spark, name, packFids(frameHashes), maxHamming)
+      .select(expr(s"a div $VideoMaxFrames").as("va"),
+        expr(s"b div $VideoMaxFrames").as("vb"),
+        (col("b") % VideoMaxFrames).as("fb"))
+      .distinct()
+      .groupBy(col("va").as("a"), col("vb").as("b"))
+      .agg(count(lit(1)).as("matched"))
+
+  /** Append a batch's frame hashes to a persisted [[writeVideoIndex]]
+    * index; the Dedup variant is asset-guarded against rows already
+    * present (packed fids — a replayed batch's frames drop wholesale).
+    */
+  def appendToVideoIndex(frameHashes: DataFrame, name: String): Unit =
+    appendToPhashIndex(packFids(frameHashes), name)
+
+  def appendToVideoIndexDedup(
+      frameHashes: DataFrame, name: String): Unit =
+    appendToPhashIndexDedup(packFids(frameHashes), name)
+
   /** Hamming distance between the BASE and PERTURB dHashes of
     * [[synthImageBytes]]`(id, 0)` vs `(id, 3)`, derived from the level
     * walk alone — every cell is constant gray, so each cell-mean
@@ -1682,6 +1743,98 @@ object MultiModal {
                 ('clip_reencode', 1, 5), ('cross', 0, 0),
                 ('edit_base', 1, 4), ('edit_reencode', 1, 4),
                 ('reencode', 1, 6)) AS k(kind, pairs, m), n
+              ORDER BY kind""")),
+
+    // q210: persisted VIDEO-index probe — q205's rung at the frame
+    // grain: the store holds the BASE videos' frame hashes
+    // ([[writeVideoIndex]] — the phash family's layout over packed
+    // frame ids, built once per corpus fingerprint), the batch carries
+    // each base's re-encode/clip/edit variants plus fresh decoy
+    // videos, and [[probeVideoIndex]] reports batch-side containment
+    // (distinct batch frames the store already holds) — the number an
+    // ingest admission thresholds on. Every kind's pair and matched
+    // count is doc arithmetic (same fixture family as q209; decoys
+    // draw from ids 24-29 of the same spec-pinned no-collision image
+    // population). Plan: the candidate join reads the bucketed bk
+    // store exchange-free; only the batch's banded frame rows shuffle.
+    "q210_video_index_probe" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val fp = java.lang.Integer.toHexString(
+          tableFingerprint(s, dir, "documents").hashCode)
+        val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
+        val name = s"graft_q210_$tag"
+        val ids = table(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 24)
+        def img(id: Long, f: Long, variant: Int = 0): Array[Byte] =
+          synthImageBytes(2000L + id * 8 + f, variant)
+        if (!s.catalog.tableExists(s"${name}_phash")) {
+          val path = new java.io.File(
+            System.getProperty("java.io.tmpdir"), s"graft-q210-$tag")
+          val baseAssets = ids.as[Long].mapPartitions(_.map(id =>
+            MediaAsset(id, "video",
+              frameStackBytes((0L to 5L).map(img(id, _))), "base")))
+          writeVideoIndex(videoFrameHashes(baseAssets), name,
+            path.toString)
+        }
+        val batch = ids
+          .select(col("doc_id"),
+            explode(expr("sequence(1, 3)")).as("variant"))
+          .as[(Long, Int)]
+          .mapPartitions(_.map { case (id, v) =>
+            val frames: Seq[Array[Byte]] = v match {
+              case 1 => (0L to 5L).map(img(id, _, 2))
+              case 2 => (1L to 5L).map(img(id, _))
+              case _ => (0L to 5L).map(f =>
+                if (f == 2L || f == 3L) img(id, f + 4) else img(id, f))
+            }
+            MediaAsset(id * 10 + v, "video", frameStackBytes(frames),
+              s"variant_$v")
+          })
+          .union(ids.filter(col("doc_id") < 6).as[Long]
+            .mapPartitions(_.map(d => MediaAsset(9000 + d, "video",
+              frameStackBytes((0L to 5L).map(img(24 + d, _))), "decoy"))))
+        val pairs = probeVideoIndex(s, name, videoFrameHashes(batch))
+        val kind =
+          when(expr("b >= 9000"), "decoy")
+            .when(expr("a != b div 10"), "cross")
+            .when(expr("b % 10 = 1"), "store_reencode")
+            .when(expr("b % 10 = 2"), "store_clip")
+            .otherwise("store_edit")
+        val found = pairs.withColumn("kind", kind).groupBy("kind")
+          .agg(count(lit(1)).as("n_pairs_found"),
+            sum("matched").as("matched_found"))
+        val kinds = Seq(
+          ("cross", 0L, 0L), ("decoy", 0L, 0L), ("store_clip", 1L, 5L),
+          ("store_edit", 1L, 4L), ("store_reencode", 1L, 6L))
+        s.createDataFrame(kinds)
+          .toDF("kind", "pairs_per_id", "matched_per_id")
+          .crossJoin(broadcast(ids.agg(count(lit(1)).as("n_ids"))))
+          .select(col("kind"),
+            (col("pairs_per_id") * col("n_ids")).as("n_pairs_expected"),
+            (col("matched_per_id") * col("n_ids")).as("matched_expected"))
+          .join(found, Seq("kind"), "left")
+          .select(col("kind"), col("n_pairs_expected"),
+            coalesce(col("n_pairs_found"), lit(0L)).as("n_pairs_found"),
+            col("matched_expected"),
+            coalesce(col("matched_found"), lit(0L)).as("matched_found"),
+            (coalesce(col("n_pairs_found"), lit(0L)) ===
+              col("n_pairs_expected") &&
+              coalesce(col("matched_found"), lit(0L)) ===
+                col("matched_expected")).cast("long").as("ok"))
+          .orderBy("kind")
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n_ids FROM documents
+                         WHERE doc_id < 24)
+              SELECT k.kind,
+                CAST(k.pairs * n.n_ids AS BIGINT) AS n_pairs_expected,
+                CAST(k.pairs * n.n_ids AS BIGINT) AS n_pairs_found,
+                CAST(k.m * n.n_ids AS BIGINT) AS matched_expected,
+                CAST(k.m * n.n_ids AS BIGINT) AS matched_found,
+                CAST(1 AS BIGINT) AS ok
+              FROM (VALUES ('cross', 0, 0), ('decoy', 0, 0),
+                ('store_clip', 1, 5), ('store_edit', 1, 4),
+                ('store_reencode', 1, 6)) AS k(kind, pairs, m), n
               ORDER BY kind"""))
   )
 }

@@ -964,6 +964,12 @@ object StreamingOps {
       if (cfg.maintainEvery > 0 && (id + 1) % cfg.maintainEvery == 0)
         for (path <- cfg.bandStorePath; corpus <- cfg.rebuildCorpus) {
           import graft.operators.IndexMaintenance
+          // catalog-window recovery first (ADVICE r14): a prior rebuild
+          // that crashed between its DROPs and re-register left intact
+          // files with no catalog entries — re-register before reading
+          // the report (no-op on a healthy catalog)
+          IndexMaintenance.repairFamilyCatalog(s, "band",
+            cfg.bandIndex, path)
           val row = IndexMaintenance.stalenessReport(s, Seq(
             IndexMaintenance.FamilySpec("band",
               s"${cfg.bandIndex}_shingles"))).collect().head
@@ -1092,6 +1098,10 @@ object StreamingOps {
       if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
         for (path <- storePath; corpus <- rebuildCorpus) {
           import graft.operators.IndexMaintenance
+          // catalog-window recovery first (ADVICE r14) — the band
+          // loop's discipline, no-op on a healthy catalog
+          IndexMaintenance.repairFamilyCatalog(s, "phash",
+            indexName, path)
           val row = IndexMaintenance.stalenessReport(s, Seq(
             IndexMaintenance.FamilySpec("phash",
               s"${indexName}_phash"))).collect().head
@@ -1102,6 +1112,125 @@ object StreamingOps {
           }
         }
     } finally hashes.unpersist(blocking = false)
+  }
+
+  /** Streaming VIDEO ingest — [[mediaIngestStream]]'s discipline at
+    * the FRAME grain: each micro-batch of video assets is frame-hashed
+    * ([[graft.operators.MultiModal.videoFrameHashes]], map-only),
+    * probed against the persisted video index
+    * ([[graft.operators.MultiModal.probeVideoIndex]] — batch-side
+    * containment over the exchange-free bucketed store), and a video
+    * is admitted only when
+    *
+    *  - NO stored asset already holds ≥ ⌈`minSharedFrac` × its frame
+    *    count⌉ of its frames (re-encodes, clips, and light edits of
+    *    stored content drop; genuinely new footage passes), and
+    *  - no earlier video IN THE SAME BATCH duplicates it: intra-batch
+    *    pairs run through [[graft.operators.MultiModal.videoPairs]],
+    *    a pair is a duplicate when the shared frames cover ≥
+    *    ⌈`minSharedFrac` × the LOWER asset's frame count⌉, and the
+    *    lower asset_id wins (the media loop's ADVICE-r14 rule).
+    *
+    * Ledger replay contract identical to the other grown indexes
+    * (commit admitted ids before mutation, tag-namespaced so a media
+    * loop on the same store family never shares a ledger; replays
+    * reproduce the set and re-append through the fid-guarded variant).
+    * The optional maintenance window mirrors the media loop — the
+    * video store IS the phash family, so catalog repair, the q192
+    * staleness row, and the rebuild actuator apply unchanged
+    * (`rebuildCorpus()` returns the CURRENT corpus as a raw
+    * (asset_id, frame_idx, hash) frame).
+    */
+  def videoIngestStream(
+      assets: DataFrame,
+      indexName: String,
+      growIndex: Boolean,
+      onNovel: (DataFrame, Long) => Unit,
+      minSharedFrac: Double = 0.5,
+      maintainEvery: Int = 0,
+      storePath: Option[String] = None,
+      rebuildCorpus: Option[() => DataFrame] = None,
+      onRebuild: Option[(String, Long) => Unit] = None): streaming.StreamingQuery =
+    assets.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        videoIngestBatch(batch.toDF(), id, indexName, growIndex, onNovel,
+          minSharedFrac, maintainEvery, storePath, rebuildCorpus,
+          onRebuild)
+      }
+      .start()
+
+  /** One micro-batch of [[videoIngestStream]] — package-private so
+    * StreamingSpec can replay a batch under its original id.
+    */
+  private[graft] def videoIngestBatch(
+      batch: DataFrame, id: Long, indexName: String, growIndex: Boolean,
+      onNovel: (DataFrame, Long) => Unit,
+      minSharedFrac: Double = 0.5,
+      maintainEvery: Int = 0,
+      storePath: Option[String] = None,
+      rebuildCorpus: Option[() => DataFrame] = None,
+      onRebuild: Option[(String, Long) => Unit] = None): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    import graft.operators.MultiModal
+    val ledger =
+      if (growIndex)
+        Some(IngestLedger.dirFor(s, s"${indexName}_phash", id,
+          tag = "video_ingest"))
+      else None
+    val replayed = ledger.exists(IngestLedger.committed(s, _))
+    val fh = MultiModal.videoFrameHashes(
+        batch.as[graft.operators.MediaAsset])
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val novel = (if (replayed)
+        batch.join(IngestLedger.read(s, ledger.get),
+          Seq("asset_id"), "left_semi")
+      else {
+        val nf = fh.groupBy("asset_id").agg(count(lit(1)).as("nf"))
+        val storeDup = MultiModal.probeVideoIndex(s, indexName, fh)
+          .groupBy("b").agg(max("matched").as("mx"))
+          .join(nf.select(col("asset_id").as("b"), col("nf")), "b")
+          .filter(col("mx") >= ceil(lit(minSharedFrac) * col("nf")))
+          .select(col("b").as("asset_id"))
+        val intra = MultiModal.videoPairs(fh)
+          .join(nf.select(col("asset_id").as("a"), col("nf").as("na")),
+            "a")
+          .filter(col("matched") >=
+            ceil(lit(minSharedFrac) * col("na")))
+          .select(col("b").as("asset_id"))
+        batch.join(storeDup.unionByName(intra).distinct(),
+          Seq("asset_id"), "left_anti")
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!replayed)
+          ledger.foreach(IngestLedger.write(novel.select("asset_id"), _))
+        onNovel(novel, id)
+        if (growIndex && !ledger.exists(IngestLedger.appendDone(s, _))) {
+          val novelFh = fh
+            .join(novel.select("asset_id"), Seq("asset_id"), "left_semi")
+          if (replayed)
+            MultiModal.appendToVideoIndexDedup(novelFh, indexName)
+          else MultiModal.appendToVideoIndex(novelFh, indexName)
+          ledger.foreach(IngestLedger.markAppendDone(s, _))
+        }
+      } finally novel.unpersist(blocking = false)
+      if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+        for (path <- storePath; corpus <- rebuildCorpus) {
+          import graft.operators.IndexMaintenance
+          IndexMaintenance.repairFamilyCatalog(s, "phash",
+            indexName, path)
+          val row = IndexMaintenance.stalenessReport(s, Seq(
+            IndexMaintenance.FamilySpec("phash",
+              s"${indexName}_phash"))).collect().head
+          if (row.getLong(6) == 1L) {
+            IndexMaintenance.rebuildFamily(s, "phash", indexName, path,
+              MultiModal.packFids(corpus()))
+            onRebuild.foreach(_("phash", id))
+          }
+        }
+    } finally fh.unpersist(blocking = false)
   }
 
   def neardupProbeIndexStream(

@@ -823,6 +823,85 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("video index: persisted probe equals the in-plan batch-side containment; stored side exchange-free; phash-family rebuild applies") {
+    // round 15: the frame-grain member of the phash family — packed
+    // fids ride the same bucketed layout, so probe/exchange/rebuild
+    // contracts are inherited, and the probe must agree with the
+    // in-plan videoPairs restricted to cross (store, batch) pairs
+    // counted on the batch side.
+    import spark.implicits._
+    import graft.operators.MultiModal
+    val tmp = Files.createTempDirectory("graft-videoidx")
+    val name = "videoidx_" + System.nanoTime()
+    def fh(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("asset_id", "frame_idx", "hash")
+    def flip(h: Long, bits: Int*): Long =
+      bits.foldLeft(h)((acc, b) => acc ^ (1L << b))
+    val base = 0x0fedcba987654321L
+    def frame(a: Long, f: Long): Long =
+      flip(base, (a * 7 % 60).toInt, (f * 5 % 60 + 1).toInt,
+        ((a + f) * 3 % 60 + 2).toInt, 59, 58, 57, 56)
+    // store: assets 1..4, 5 frames each
+    val store = for (a <- 1L to 4L; f <- 0L until 5L)
+      yield (a, f, frame(a, f))
+    // batch: 100 = re-encode of 1 (per-frame ≤ 2-bit flips), 101 =
+    // 3-frame clip of 2, 102 = fresh
+    val batch =
+      (0L until 5L).map(f => (100L, f, flip(frame(1L, f), 0))) ++
+        (0L until 3L).map(f => (101L, f, frame(2L, f + 1))) ++
+        (0L until 4L).map(f => (102L, f, flip(frame(3L, f), 10, 20, 30, 40, 50)))
+    try {
+      MultiModal.writeVideoIndex(fh(store), name, s"$tmp")
+      def probed() = MultiModal.probeVideoIndex(spark, name, fh(batch))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val ref = (for {
+        sa <- store.map(_._1).distinct
+        ba <- batch.map(_._1).distinct
+      } yield {
+        val matched = batch.filter(_._1 == ba).count { b =>
+          store.filter(_._1 == sa).exists(s0 =>
+            java.lang.Long.bitCount(s0._3 ^ b._3) <=
+              MultiModal.DHashMaxHamming)
+        }.toLong
+        (sa, ba, matched)
+      }).filter(_._3 > 0).toSet
+      assert(probed() == ref && ref.nonEmpty,
+        s"video probe drifted from in-plan containment: " +
+          s"got=${probed()}, ref=$ref")
+      assert(ref.contains((1L, 100L, 5L)) && ref.contains((2L, 101L, 3L)),
+        s"fixture must exercise full and clip containment: $ref")
+      withNoBroadcast {
+        val p = finalPlan(MultiModal.probeVideoIndex(spark, name,
+          fh(batch)))
+        assert(p.contains("Bucketed: true"),
+          s"probe did not consume the bucketed store:\n$p")
+        val bkExchanges =
+          "Exchange hashpartitioning\\(bk".r.findAllIn(p).length
+        assert(bkExchanges <= 1,
+          s"stored video side shuffled ($bkExchanges bk exchanges):\n$p")
+      }
+      // the family rebuild applies unchanged to the packed layout
+      MultiModal.appendToVideoIndex(fh(batch), name)
+      import graft.operators.IndexMaintenance
+      import graft.operators.IndexMaintenance.FamilySpec
+      def report() = IndexMaintenance.stalenessReport(spark,
+        Seq(FamilySpec("phash", s"${name}_phash"))).collect().head
+      assert(report().getLong(6) == 1L, s"append must trip: ${report()}")
+      IndexMaintenance.rebuildFamily(spark, "phash", name, s"$tmp",
+        graft.operators.MultiModal.packFids(fh(store ++ batch)))
+      assert(report().getLong(3) == 0L && report().getLong(6) == 0L,
+        s"rebuild must clear: ${report()}")
+      val q = fh(Seq((200L, 0L, frame(4L, 2L)), (200L, 1L, flip(base, 55))))
+      assert(MultiModal.probeVideoIndex(spark, name, q).collect()
+        .exists(r => r.getLong(1) == 200L && r.getLong(2) >= 1L),
+        "rebuilt store must still answer frame containment probes")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_phash")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
   test("health bits: all six true on a q192-style store; a corrupted table flips its bit into rebuild") {
     // ADVICE r13 (medium): the measured signal_ok bits are excluded
     // from q192's oracle-compared output because a cross-engine oracle

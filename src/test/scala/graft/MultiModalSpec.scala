@@ -408,8 +408,9 @@ class MultiModalSpec extends SparkSpec {
     // the oracle's zero-cross / exact-containment arithmetic rests on
     // distinct level-walk images never banding together at radius 3 —
     // the fixture is deterministic, so this pins the premise for the
-    // whole image-id population q209 draws from (24 ids × 8 slots)
-    val hs = (0L until 24L).flatMap(id => (0L until 8L).map(f =>
+    // whole image-id population q209/q210 draw from (24 fixture ids +
+    // 6 decoy ids, 8 slots each)
+    val hs = (0L until 30L).flatMap(id => (0L until 8L).map(f =>
       MultiModal.dHash64(
         MultiModal.synthImageBytes(2000L + id * 8 + f, 0)).get))
     for (i <- hs.indices; j <- (i + 1) until hs.length)

@@ -684,6 +684,21 @@ class PlanAuditSpec extends SparkSpec {
       "the (a, b) containment rollup lost map-side combine")
   }
 
+  test("q210: the video-index probe candidates hash-join on bk; no cartesian") {
+    val p = plan("q210_video_index_probe")
+    assert(!p.contains("CartesianProduct"), s"q210 planned a cartesian:\n$p")
+    // the store side is the bucketed phash-family table keyed on bk —
+    // the candidate join must be the single-key hash join, never a
+    // nested loop over the hash frames (IndexStoreSpec separately
+    // asserts the exchange-free stored side)
+    assert(p.matches("(?s).*HashJoin[^\\n]*bk.*"),
+      s"q210 lost the bucketed bk candidate join:\n$p")
+    assert(!p.matches("(?s).*BroadcastNestedLoopJoin[^\\n]*(ha|hb).*"),
+      s"q210 nested-looped the hash frames:\n$p")
+    assert(p.contains("partial_"),
+      "the containment rollup lost map-side combine")
+  }
+
   test("q203: content-defined chunking is window-free — chunk assembly never shuffles per doc") {
     val p = plan("q203_cdc_chunk_dedup")
     // the whole cut/assemble stage is in-row HOFs; the first exchange

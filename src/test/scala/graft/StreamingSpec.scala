@@ -1470,6 +1470,94 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("videoIngestStream: re-encodes and clips of the store drop, intra-batch dup drops, fresh admits; batch ≡ stream; replay duplicates nothing") {
+    // round 15: the media ingest discipline at the FRAME grain — a
+    // per-frame re-encode of stored footage, a clip of a JUST-admitted
+    // video, and a clip arriving in the SAME batch as its source must
+    // all drop (containment ≥ ceil(0.5 × frames)), across both modes,
+    // with the ledger replay contract intact.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{MediaAsset, MultiModal}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-videoing")
+    def img(id: Long, f: Long, v: Int = 0): Array[Byte] =
+      MultiModal.synthImageBytes(2000L + id * 8 + f, v)
+    def video(aid: Long, frames: Seq[Array[Byte]]): MediaAsset =
+      MediaAsset(aid, "video", MultiModal.frameStackBytes(frames), "t")
+    def buildStore(name: String, path: String): Unit =
+      MultiModal.writeVideoIndex(
+        MultiModal.videoFrameHashes(
+          Seq(0L, 1L).map(id =>
+            video(id, (0L to 5L).map(img(id, _)))).toDS()),
+        name, path)
+    // 100 = per-frame 1-px-shift re-encode of stored 0  -> drop (6/6)
+    // 101 = fresh footage (id 10)                        -> admit
+    // 102 = clip of 101's OWN batch (frames 1-5)         -> drop intra
+    val b1 = Seq(
+      video(100L, (0L to 5L).map(img(0L, _, 2))),
+      video(101L, (0L to 5L).map(img(10L, _))),
+      video(102L, (1L to 5L).map(img(10L, _))))
+    // 200 = 3-frame clip of ADMITTED 101                 -> drop (3/3)
+    // 201 = fresh footage (id 11)                        -> admit
+    val b2 = Seq(
+      video(200L, (0L to 2L).map(img(10L, _))),
+      video(201L, (0L to 5L).map(img(11L, _))))
+    try {
+      // ---- batch mode ----
+      val nb = "videoing_b_" + System.nanoTime()
+      buildStore(nb, s"$tmp/b")
+      val got = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+      def cb(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        got(id) = df.select("asset_id").collect().map(_.getLong(0))
+          .sorted.toSeq
+      StreamingOps.videoIngestBatch(b1.toDF(), 0L, nb,
+        growIndex = true, cb)
+      StreamingOps.videoIngestBatch(b2.toDF(), 1L, nb,
+        growIndex = true, cb)
+      assert(got(0L) == Seq(101L) && got(1L) == Seq(201L),
+        s"batch admissions wrong: $got")
+      // ---- stream mode over a fresh identical store ----
+      val ns = "videoing_s_" + System.nanoTime()
+      buildStore(ns, s"$tmp/s")
+      val gotS = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+      def cbS(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        gotS(id) = df.select("asset_id").collect().map(_.getLong(0))
+          .sorted.toSeq
+      val input = MemoryStream[MediaAsset]
+      val q = StreamingOps.videoIngestStream(
+        input.toDF(), ns, growIndex = true, cbS)
+      try {
+        input.addData(b1); q.processAllAvailable()
+        input.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      assert(gotS(0L) == got(0L) && gotS(1L) == got(1L),
+        s"stream diverged from batch: $gotS vs $got")
+      // ---- replay batch 1 under its original id; then the worst
+      // case: appends landed but the done marker was lost ----
+      StreamingOps.videoIngestBatch(b1.toDF(), 0L, nb,
+        growIndex = true, cb)
+      assert(got(0L) == Seq(101L), "replay changed the admitted set")
+      val ledgerDir = graft.streaming.IngestLedger.dirFor(
+        spark, s"${nb}_phash", 0L, tag = "video_ingest")
+      ledgerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(ledgerDir, "_APPEND_DONE"),
+          false)
+      StreamingOps.videoIngestBatch(b1.toDF(), 0L, nb,
+        growIndex = true, cb)
+      assert(got(0L) == Seq(101L), "post-marker-loss replay")
+      val t = spark.table(s"${nb}_phash")
+      assert(t.count() == t.select("asset_id", "bk").distinct().count(),
+        "duplicate banded rows after replay")
+      // store (2 videos) + admitted 101 + 201, 6 frames x 4 bands each
+      assert(t.count() == (2 + 2) * 6 * 4,
+        s"unexpected banded row count: ${t.count()}")
+    } finally Seq("videoing_b", "videoing_s").foreach { p =>
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith(p))
+        .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS ${tb.name}"))
+    }
+  }
+
   test("corpusIngestBatch replay tolerates a pre-coreset ledger (no center column)") {
     // ADVICE r14: a ledger written before the coreset stage was
     // enabled (config upgraded between runs) has no `center` marker —
