@@ -138,6 +138,16 @@ object Stress {
         documents.select(col("doc_id").as("asset_id"),
           xxhash64(col("doc_id"), lit("mphash")).as("hash")),
         "stress_mediaidx", s"$stressIdxDir/mediaphash")
+    // round 15: the VIDEO loop's store — synthetic frame hashes (8
+    // frames per inflated asset; the decode stage is map-only and the
+    // batch is fixed, so the frame-grain JOIN is the scale question)
+    if (selected("video_ingest_admission"))
+      graft.operators.MultiModal.writeVideoIndex(
+        documents.select(col("doc_id").as("asset_id"),
+          explode(expr("sequence(0L, 7L)")).as("frame_idx"))
+          .withColumn("hash",
+            xxhash64(col("asset_id"), col("frame_idx"), lit("vf"))),
+        "stress_videoidx", s"$stressIdxDir/videophash")
     if (selected("phash_probe"))
       graft.operators.MultiModal.writePhashIndex(
         documents.select(col("doc_id").as("asset_id"),
@@ -928,6 +938,27 @@ object Stress {
           (df, _) => admitted = df.count())
         admitted
       },
+      // the VIDEO ingest loop (round 15): a FIXED batch of real
+      // frame-stack payloads through videoIngestBatch against the
+      // 10x-inflated persisted frame-hash store — decode + per-frame
+      // hash + intra-batch containment (all fixed) plus the
+      // frame-grain store probe (the scale question; exchange-free
+      // stored side) and the ledger/append tail. Expected flat-ish;
+      // the batch's 30 fresh videos all admit (their synth frames
+      // live outside the store's hash population).
+      timed("video_ingest_admission") {
+        import spark.implicits._
+        val batch = spark.range(30).as[Long].mapPartitions(_.map(id =>
+          graft.operators.MediaAsset(id, "video",
+            graft.operators.MultiModal.frameStackBytes((0L to 5L).map(
+              f => graft.operators.MultiModal.synthImageBytes(
+                2000L + id * 8 + f, 0))), "v"))).toDF()
+        var admitted = -1L
+        graft.streaming.StreamingOps.videoIngestBatch(batch, 888L,
+          "stress_videoidx", growIndex = true,
+          (df, _) => admitted = df.count())
+        admitted
+      },
       // two-pass z-score (q66 shape): fixed-size moment sketch, then
       // the tiny stats table broadcast back over the inflated facts
       timed("zscore_two_pass") {
@@ -952,7 +983,8 @@ object Stress {
       s""""sec":$qs,"rows":$rows}""")
     (Seq("stress_bandidx_bands", "stress_bandidx_shingles",
         "stress_gramidx_grams", "stress_spanidx_pgrams",
-        "stress_phashidx_phash", "stress_mediaidx_phash") ++
+        "stress_phashidx_phash", "stress_mediaidx_phash",
+        "stress_videoidx_phash") ++
         Seq("codes", "centroids", "vectors", "pq")
           .map(t => s"stress_pqidx_$t") ++
         Seq("codes", "centroids", "vectors")

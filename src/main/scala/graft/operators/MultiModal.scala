@@ -1107,6 +1107,45 @@ object MultiModal {
       frameHashes: DataFrame, name: String): Unit =
     appendToPhashIndexDedup(packFids(frameHashes), name)
 
+  /** Ordered adjacent frame-hash bigrams of every asset: one row per
+    * consecutive (frame_idx, frame_idx + 1) pair — a dropped
+    * (undecodable) frame breaks adjacency, so no bigram spans a gap.
+    * One per-asset equi-join on (asset_id, frame_idx + 1); at scale
+    * both sides shuffle on the same key once.
+    */
+  private def videoBigrams(frameHashes: DataFrame): DataFrame =
+    frameHashes.as("x")
+      .join(frameHashes.as("y"),
+        col("x.asset_id") === col("y.asset_id") &&
+          col("y.frame_idx") === col("x.frame_idx") + 1)
+      .select(col("x.asset_id").as("asset_id"),
+        col("x.frame_idx").as("pos"),
+        col("x.hash").as("h1"), col("y.hash").as("h2"))
+
+  /** TEMPORAL containment between asset pairs (a < b): the count of
+    * DISTINCT bigram POSITIONS of `a` whose adjacent frame-hash
+    * bigram also appears as an adjacent ordered bigram of `b` — the order-aware statistic
+    * that separates a re-encode or clip (order preserved → temporal ≈
+    * bag containment) from a re-ordered compilation of the same
+    * frames (bag high, temporal ~0), which [[videoPairs]]'s bag count
+    * cannot see. Bigram matching is EXACT on the two 64-bit hashes
+    * (the hash-invariance classes — re-encode, small shift — hash
+    * bit-identical per frame; a per-frame perturbed copy degrades to
+    * the bag statistic, the documented limitation). The candidate
+    * join is a two-column equi-join on (h1, h2) — skinny keys, never
+    * all-pairs.
+    */
+  def videoTemporalPairs(frameHashes: DataFrame): DataFrame = {
+    val bg = videoBigrams(frameHashes)
+    bg.select(col("asset_id").as("a"), col("pos").as("pa"),
+        col("h1"), col("h2"))
+      .join(bg.select(col("asset_id").as("b"), col("h1"), col("h2")),
+        Seq("h1", "h2"))
+      .filter(col("a") < col("b"))
+      .select("a", "pa", "b").distinct()
+      .groupBy("a", "b").agg(count(lit(1)).as("temporal_matched"))
+  }
+
   /** Hamming distance between the BASE and PERTURB dHashes of
     * [[synthImageBytes]]`(id, 0)` vs `(id, 3)`, derived from the level
     * walk alone — every cell is constant gray, so each cell-mean
@@ -1835,6 +1874,107 @@ object MultiModal {
               FROM (VALUES ('cross', 0, 0), ('decoy', 0, 0),
                 ('store_clip', 1, 5), ('store_edit', 1, 4),
                 ('store_reencode', 1, 6)) AS k(kind, pairs, m), n
+              ORDER BY kind""")),
+
+    // q211: ORDER-AWARE video containment — the statistic q209's bag
+    // count cannot see: a re-ordered compilation of stored footage has
+    // bag containment ≈ 1 but shares almost no ADJACENT frame bigrams,
+    // while a re-encode or clip preserves order (temporal ≈ bag). One
+    // fixture (base / reversed / head-clip / per-frame-shift re-encode
+    // per doc_id < 24), both statistics from the SAME frame-hash
+    // frame: [[videoPairs]]'s banded bag count and
+    // [[videoTemporalPairs]]'s exact bigram join — every expected
+    // (pairs, bag, temporal) triple is doc arithmetic (reversal
+    // zeroes bigrams, a clip loses exactly its cut boundary's bigram,
+    // re-encode preserves all five). Plan: the bigram build is one
+    // per-asset equi-join; the cross-asset candidate joins are the
+    // banded bk join (bag) and a skinny (h1, h2) equi-join (temporal);
+    // rollups are bounded (a, b)-keyed partial aggs.
+    "q211_video_temporal_containment" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ids = table(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 24)
+        val assets = ids
+          .select(col("doc_id"),
+            explode(expr("sequence(0, 3)")).as("variant"))
+          .as[(Long, Int)]
+          .mapPartitions(_.map { case (id, v) =>
+            def img(f: Long, variant: Int = 0): Array[Byte] =
+              synthImageBytes(2000L + id * 8 + f, variant)
+            val frames: Seq[Array[Byte]] = v match {
+              case 0 => (0L to 5L).map(img(_))
+              case 1 => (0L to 5L).reverse.map(img(_))
+              case 2 => (1L to 5L).map(img(_))
+              case _ => (0L to 5L).map(img(_, 2))
+            }
+            MediaAsset(id * 10 + v, "video", frameStackBytes(frames),
+              s"variant_$v")
+          })
+        val fh = videoFrameHashes(assets).managedPersist
+        val pairs = videoPairs(fh)
+          .join(videoTemporalPairs(fh), Seq("a", "b"), "left")
+          .select(col("a"), col("b"), col("matched").as("bag"),
+            coalesce(col("temporal_matched"), lit(0L)).as("temporal"))
+        val kind = {
+          val va = expr("a % 10")
+          val vb = expr("b % 10")
+          when(expr("a div 10") =!= expr("b div 10"), "cross")
+            .when(va === 0 && vb === 1, "reorder")
+            .when(va === 0 && vb === 2, "clip")
+            .when(va === 0 && vb === 3, "reencode")
+            .when(va === 1 && vb === 2, "reorder_clip")
+            .when(va === 1 && vb === 3, "reorder_reencode")
+            .otherwise("clip_reencode")
+        }
+        val found = pairs.withColumn("kind", kind).groupBy("kind")
+          .agg(count(lit(1)).as("n_pairs_found"),
+            sum("bag").as("bag_found"),
+            sum("temporal").as("temporal_found"))
+        val kinds = Seq(
+          ("clip", 1L, 5L, 4L), ("clip_reencode", 1L, 5L, 4L),
+          ("cross", 0L, 0L, 0L), ("reencode", 1L, 6L, 5L),
+          ("reorder", 1L, 6L, 0L), ("reorder_clip", 1L, 5L, 0L),
+          ("reorder_reencode", 1L, 6L, 0L))
+        s.createDataFrame(kinds)
+          .toDF("kind", "pairs_per_id", "bag_per_id", "temporal_per_id")
+          .crossJoin(broadcast(ids.agg(count(lit(1)).as("n_ids"))))
+          .select(col("kind"),
+            (col("pairs_per_id") * col("n_ids")).as("n_pairs_expected"),
+            (col("bag_per_id") * col("n_ids")).as("bag_expected"),
+            (col("temporal_per_id") * col("n_ids"))
+              .as("temporal_expected"))
+          .join(found, Seq("kind"), "left")
+          .select(col("kind"), col("n_pairs_expected"),
+            coalesce(col("n_pairs_found"), lit(0L)).as("n_pairs_found"),
+            col("bag_expected"),
+            coalesce(col("bag_found"), lit(0L)).as("bag_found"),
+            col("temporal_expected"),
+            coalesce(col("temporal_found"), lit(0L))
+              .as("temporal_found"),
+            (coalesce(col("n_pairs_found"), lit(0L)) ===
+              col("n_pairs_expected") &&
+              coalesce(col("bag_found"), lit(0L)) ===
+                col("bag_expected") &&
+              coalesce(col("temporal_found"), lit(0L)) ===
+                col("temporal_expected")).cast("long").as("ok"))
+          .orderBy("kind")
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n_ids FROM documents
+                         WHERE doc_id < 24)
+              SELECT k.kind,
+                CAST(k.pairs * n.n_ids AS BIGINT) AS n_pairs_expected,
+                CAST(k.pairs * n.n_ids AS BIGINT) AS n_pairs_found,
+                CAST(k.bag * n.n_ids AS BIGINT) AS bag_expected,
+                CAST(k.bag * n.n_ids AS BIGINT) AS bag_found,
+                CAST(k.temporal * n.n_ids AS BIGINT) AS temporal_expected,
+                CAST(k.temporal * n.n_ids AS BIGINT) AS temporal_found,
+                CAST(1 AS BIGINT) AS ok
+              FROM (VALUES ('clip', 1, 5, 4), ('clip_reencode', 1, 5, 4),
+                ('cross', 0, 0, 0), ('reencode', 1, 6, 5),
+                ('reorder', 1, 6, 0), ('reorder_clip', 1, 5, 0),
+                ('reorder_reencode', 1, 6, 0))
+                AS k(kind, pairs, bag, temporal), n
               ORDER BY kind"""))
   )
 }

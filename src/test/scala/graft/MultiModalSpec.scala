@@ -460,6 +460,47 @@ class MultiModalSpec extends SparkSpec {
       "fixture must exercise the distinct-frame counting rule")
   }
 
+  test("videoTemporalPairs: exact bigram containment equals brute force; gaps break adjacency; reorder zeroes it") {
+    import spark.implicits._
+    val h = (0L until 6L).map(i => 0x1111111111110000L + i * 977L)
+    val rows = Seq(
+      // asset 1: frames 0..4 = h0..h4
+      (1L, 0L, h(0)), (1L, 1L, h(1)), (1L, 2L, h(2)), (1L, 3L, h(3)),
+      (1L, 4L, h(4)),
+      // asset 2: same frames REVERSED — bag-identical, zero bigrams
+      (2L, 0L, h(4)), (2L, 1L, h(3)), (2L, 2L, h(2)), (2L, 3L, h(1)),
+      (2L, 4L, h(0)),
+      // asset 3: frames 1..4 with a GAP at index 2 (undecodable frame
+      // dropped) — bigram (h1,h2) must NOT span the gap
+      (3L, 0L, h(1)), (3L, 1L, h(2)), (3L, 3L, h(3)), (3L, 4L, h(4)),
+      // asset 4: clip 2..4, order kept
+      (4L, 0L, h(2)), (4L, 1L, h(3)), (4L, 2L, h(4)))
+    val fh = rows.toDF("asset_id", "frame_idx", "hash")
+    val got = MultiModal.videoTemporalPairs(fh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def bigrams(a: Long): Seq[(Long, Long, Long)] = {
+      val fs = rows.filter(_._1 == a)
+      fs.flatMap { case (_, p, x) =>
+        fs.find(_._2 == p + 1).map(n => (p, x, n._3)) }
+    }
+    val brute = (for {
+      a <- rows.map(_._1).distinct; b <- rows.map(_._1).distinct
+      if a < b
+    } yield {
+      val bb = bigrams(b).map(g => (g._2, g._3)).toSet
+      (a, b, bigrams(a).count(g => bb.contains((g._2, g._3))).toLong)
+    }).filter(_._3 > 0).toSet
+    assert(got == brute,
+      s"temporal containment drifted:\n got  $got\n want $brute")
+    assert(!got.exists(p => p._1 == 1L && p._2 == 2L),
+      "reversed asset must share ZERO ordered bigrams")
+    // the gap: asset 3's bigrams are (h1,h2) and (h3,h4) only — its
+    // containment in 1 is 2, NOT 3
+    assert(got.contains((1L, 3L, 2L)),
+      s"gap handling wrong: $got")
+    assert(got.contains((1L, 4L, 2L)), s"clip bigrams wrong: $got")
+  }
+
   test("synthPerturbHamming: level-walk derivation equals the decoded base/perturb hash distance (q206's oracle literal)") {
     // the q206 oracle interpolates synthPerturbHamming(id) as ground
     // truth — it must equal what the REAL decode+dHash path measures,

@@ -699,6 +699,19 @@ class PlanAuditSpec extends SparkSpec {
       "the containment rollup lost map-side combine")
   }
 
+  test("q211: bag candidates band-join, temporal candidates equi-join on the bigram key — no cartesian") {
+    val p = plan("q211_video_temporal_containment")
+    assert(!p.contains("CartesianProduct"), s"q211 planned a cartesian:\n$p")
+    assert(p.matches("(?s).*HashJoin[^\\n]*bits.*"),
+      s"q211 lost the banded bag candidate join:\n$p")
+    // the temporal candidate join is keyed on BOTH bigram hashes —
+    // a one-sided or nested-loop match would explode at scale
+    assert(p.matches("(?s).*Join[^\\n]*h1[^\\n]*h2.*"),
+      s"q211 lost the (h1, h2) bigram equi-join:\n$p")
+    assert(p.contains("partial_"),
+      "the containment rollups lost map-side combine")
+  }
+
   test("q203: content-defined chunking is window-free — chunk assembly never shuffles per doc") {
     val p = plan("q203_cdc_chunk_dedup")
     // the whole cut/assemble stage is in-row HOFs; the first exchange
