@@ -623,6 +623,14 @@ class PlanAuditSpec extends SparkSpec {
       s"q208 report re-scanned the corpus:\n$p")
   }
 
+  test("q212: the drift report is a bounded local frame — segmentation ran on the distinct-word frame eagerly") {
+    val p = plan("q212_vocab_store_drift")
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      s"q212 report must be a bounded local frame:\n$p")
+    assert(!p.contains("FileScan"),
+      s"q212 report re-scanned the corpus:\n$p")
+  }
+
   test("q201/q202: perceptual pair scans are band equi-joins — no cartesian; candidates hash-join on the band bits") {
     for (q <- Seq("q201_perceptual_dedup", "q202_audio_perceptual_dedup")) {
       val p = plan(q)

@@ -163,6 +163,31 @@ class UnigramSpec extends SparkSpec {
       "unseen char must surface as an out-of-vocab piece")
   }
 
+  test("vocab store round-trips exactly and survives the writing session (drop catalog, re-register, read back)") {
+    import spark.implicits._
+    val docs = toyTexts.toDF("text")
+    val vocab = TextAnalysis.unigramTrain(docs, vocabSize = 32,
+      maxPieceLen = 4, seedSize = 40, emIters = 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vocab")
+    val name = "vocabstore_" + System.nanoTime()
+    try {
+      TextAnalysis.writeVocabStore(spark, vocab, name, s"$tmp")
+      assert(TextAnalysis.vocabFromStore(spark, name) == vocab,
+        "stored vocab must read back in the exact training order")
+      // a NEW session re-attaches by path alone
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_vocab")
+      TextAnalysis.registerVocabStore(spark, name, s"$tmp")
+      assert(TextAnalysis.vocabFromStore(spark, name) == vocab,
+        "re-registered store must serve the identical artifact")
+      // segmentation under the stored artifact is segmentation under
+      // the in-memory one — the property q212's drift scan rests on
+      val stored = TextAnalysis.vocabFromStore(spark, name)
+      for (w <- Seq("nation", "internationalization", "naXon"))
+        assert(TextAnalysis.unigramEncode(w, stored) ==
+          TextAnalysis.unigramEncode(w, vocab))
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${name}_vocab")
+  }
+
   test("pruning keeps every corpus character and respects the vocab target") {
     import spark.implicits._
     val docs = toyTexts.toDF("text")
