@@ -132,12 +132,29 @@ object Stress {
     // round-15 ask #6: the media ingest LOOP through the ledger/replay
     // path — its own store (the loop appends + writes ledger markers
     // into the table dir, which must not disturb phash_probe's store)
+    def stressMediaBatch(): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      spark.range(40).as[Long].mapPartitions(_.flatMap(id =>
+        (0 to 3).map(v => graft.operators.MediaAsset(id * 10 + v,
+          "image", graft.operators.MultiModal.synthImageBytes(id, v),
+          s"v$v")))).toDF()
+    }
     if (selected("media_ingest_admission") ||
-        selected("media_ingest_replay"))
+        selected("media_ingest_replay")) {
       graft.operators.MultiModal.writePhashIndex(
         documents.select(col("doc_id").as("asset_id"),
           xxhash64(col("doc_id"), lit("mphash")).as("hash")),
         "stress_mediaidx", s"$stressIdxDir/mediaphash")
+      // the replay row must measure a TRUE replay: when the admission
+      // row is subset-excluded, prime the batch-777 ledger UNTIMED so
+      // the timed block below takes the ledger path, not a mislabeled
+      // first admission
+      if (selected("media_ingest_replay") &&
+          !selected("media_ingest_admission"))
+        graft.streaming.StreamingOps.mediaIngestBatch(
+          stressMediaBatch(), 777L, "stress_mediaidx",
+          growIndex = true, (_, _) => ())
+    }
     // round 15: the VIDEO loop's store — synthetic frame hashes (8
     // frames per inflated asset; the decode stage is map-only and the
     // batch is fixed, so the frame-grain JOIN is the scale question)
@@ -912,30 +929,22 @@ object Stress {
       // the store grows; admitted count constant (one survivor per
       // base image — the three variants drop intra-batch).
       timed("media_ingest_admission") {
-        import spark.implicits._
-        val batch = spark.range(40).as[Long].mapPartitions(_.flatMap(id =>
-          (0 to 3).map(v => graft.operators.MediaAsset(id * 10 + v,
-            "image", graft.operators.MultiModal.synthImageBytes(id, v),
-            s"v$v")))).toDF()
         var admitted = -1L
-        graft.streaming.StreamingOps.mediaIngestBatch(batch, 777L,
-          "stress_mediaidx", growIndex = true,
-          (df, _) => admitted = df.count())
+        graft.streaming.StreamingOps.mediaIngestBatch(
+          stressMediaBatch(), 777L, "stress_mediaidx",
+          growIndex = true, (df, _) => admitted = df.count())
         admitted
       },
       // the same batch REPLAYED under its original id: the ledger
       // semi-join reproduces the admitted set and the guarded append
       // no-ops — the foreachBatch retry cost, also store-size-flat
+      // (the setup primes the ledger when the admission row is
+      // subset-excluded, so this is ALWAYS a true replay)
       timed("media_ingest_replay") {
-        import spark.implicits._
-        val batch = spark.range(40).as[Long].mapPartitions(_.flatMap(id =>
-          (0 to 3).map(v => graft.operators.MediaAsset(id * 10 + v,
-            "image", graft.operators.MultiModal.synthImageBytes(id, v),
-            s"v$v")))).toDF()
         var admitted = -1L
-        graft.streaming.StreamingOps.mediaIngestBatch(batch, 777L,
-          "stress_mediaidx", growIndex = true,
-          (df, _) => admitted = df.count())
+        graft.streaming.StreamingOps.mediaIngestBatch(
+          stressMediaBatch(), 777L, "stress_mediaidx",
+          growIndex = true, (df, _) => admitted = df.count())
         admitted
       },
       // the VIDEO ingest loop (round 15): a FIXED batch of real

@@ -951,8 +951,13 @@ object Ann {
     * memoized artifacts through [[ivfPqTopK]]'s `quantizer`/`codebooks`
     * injection points. The key carries the embeddings table's content
     * fingerprint (a regenerated corpus at the same path re-fits — the
-    * ADVICE r12 staleness class) plus every training parameter. A
-    * racing double-compute is harmless (identical result).
+    * ADVICE r12 staleness class) plus every training parameter; the
+    * training frame is derived HERE from (s, dir) rather than taken
+    * from the caller, so the key can never disagree with what was
+    * trained on (a caller-supplied filtered frame would silently
+    * poison or serve the shared entry — ADVICE r15). Entries are
+    * bounded by distinct (corpus, params) pairs per session. A racing
+    * double-compute is harmless (identical result).
     */
   private val pqFitCache = scala.collection.concurrent.TrieMap
     .empty[String, (org.apache.spark.ml.clustering.KMeansModel, PqModel)]
@@ -960,7 +965,6 @@ object Ann {
   def pqFitMemo(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
-      corpus: DataFrame,
       nlist: Int = 16,
       m: Int = 8,
       ksub: Int = 16,
@@ -971,6 +975,8 @@ object Ann {
     pqFitCache.getOrElseUpdate(
       dir + "#" + Q.tableFingerprint(s, dir, "embeddings") +
         s"#$nlist#$m#$ksub#$seed#$trainTarget#$opqIters", {
+        val corpus = Q.table(s, dir, "embeddings")
+          .select("vec_id", "embedding")
         val model = coarseQuantizer(corpus, nlist, seed, trainTarget)
         (model, pqCodebooks(corpus, model, m, ksub, trainTarget,
           opqIters = opqIters))

@@ -364,25 +364,37 @@ object IndexMaintenance {
     // the same salvage discipline for a stale TMP build (second-order
     // crash: a prior re-run salvaged aside ledgers into its tmp build
     // and then died before rename(tmp -> live)) — deleting it blind
-    // would destroy the only ledger copy exactly like the aside case
-    if (fs.exists(tmpPath)) tables.foreach { t =>
-      val from = new Path(new Path(tmpPath, t), "_ingest_ledger")
-      if (fs.exists(from)) {
-        if (!fs.exists(live))
+    // would destroy the only ledger copy exactly like the aside case.
+    // Ledgers only ever enter tmp AFTER its build completed (the aside
+    // salvage below runs after the family write), and a completed
+    // build carries `_BUILD_META`, so a ledgered tmp with NO live
+    // store is a COMPLETE build that merely missed its final rename —
+    // promote it to live (completing the crashed run) and let this
+    // run rebuild fresh on top, rather than refusing.
+    if (fs.exists(tmpPath)) {
+      val tmpLedgered = tables.exists(t => fs.exists(
+        new Path(new Path(tmpPath, t), "_ingest_ledger")))
+      if (tmpLedgered && !fs.exists(live)) {
+        if (!fs.exists(new Path(tmpPath, "_BUILD_META")))
           throw new java.io.IOException(
-            s"refusing rebuild: $from holds an ingest ledger and no " +
-              s"live store exists at $live — the previous rebuild " +
-              "died before its final rename; move the tmp build to " +
-              "the live path manually before rebuilding")
-        val to = new Path(new Path(live, t), "_ingest_ledger")
-        if (fs.exists(to))
+            s"refusing rebuild: $tmpPath holds ingest ledgers but no " +
+              "_BUILD_META and no live store exists — resolve manually")
+        if (!fs.rename(tmpPath, live))
           throw new java.io.IOException(
-            s"refusing rebuild: both $from and $to exist — resolve " +
-              "manually before rebuilding")
-        if (!fs.exists(to.getParent)) fs.mkdirs(to.getParent)
-        if (!fs.rename(from, to))
-          throw new java.io.IOException(
-            s"ledger salvage rename $from -> $to failed")
+            s"promotion rename $tmpPath -> $live failed")
+      } else if (tmpLedgered) tables.foreach { t =>
+        val from = new Path(new Path(tmpPath, t), "_ingest_ledger")
+        if (fs.exists(from)) {
+          val to = new Path(new Path(live, t), "_ingest_ledger")
+          if (fs.exists(to))
+            throw new java.io.IOException(
+              s"refusing rebuild: both $from and $to exist — resolve " +
+                "manually before rebuilding")
+          if (!fs.exists(to.getParent)) fs.mkdirs(to.getParent)
+          if (!fs.rename(from, to))
+            throw new java.io.IOException(
+              s"ledger salvage rename $from -> $to failed")
+        }
       }
     }
     fs.delete(tmpPath, true)
@@ -513,6 +525,33 @@ object IndexMaintenance {
       tables.foreach(t => spark.catalog.refreshTable(s"${name}_$t"))
       true
     }
+  }
+
+  /** FULL startup/retry recovery for one family (ADVICE r15 — the
+    * ingest loops call this at batch START, before any probe touches
+    * the family's tables, so a crashed rebuild can never wedge the
+    * loop): a healthy catalog is a no-op; missing catalog entries
+    * over a live store re-register ([[repairFamilyCatalog]]); missing
+    * catalog entries with NO live store mean the crash hit between
+    * the renames — [[rebuildFamily]] completes it (promoting a
+    * ledgered complete tmp build when one exists, else building fresh
+    * from `corpus`, which is only evaluated on this path). Returns
+    * true when any recovery action fired.
+    */
+  def recoverFamily(
+      spark: SparkSession,
+      family: String,
+      name: String,
+      storePath: String,
+      corpus: => org.apache.spark.sql.DataFrame): Boolean = {
+    val tables = familyTables.getOrElse(family,
+      throw new IllegalArgumentException(
+        s"unknown index family '$family' — one of " +
+          familyTables.keys.toSeq.sorted.mkString("/")))
+    if (tables.forall(t => spark.catalog.tableExists(s"${name}_$t")))
+      false
+    else if (repairFamilyCatalog(spark, family, name, storePath)) true
+    else { rebuildFamily(spark, family, name, storePath, corpus); true }
   }
 
   private def dataFiles(

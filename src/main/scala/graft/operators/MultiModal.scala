@@ -1032,18 +1032,52 @@ object MultiModal {
   def videoPairs(
       frameHashes: DataFrame,
       maxHamming: Int = DHashMaxHamming,
-      maxFrames: Int = 4096): DataFrame = {
+      maxFrames: Int = 4096): DataFrame =
+    videoFramePairs(frameHashes, maxHamming, maxFrames)
+      .select("va", "fa", "vb").distinct()
+      .groupBy(col("va").as("a"), col("vb").as("b"))
+      .agg(count(lit(1)).as("matched"))
+
+  /** [[videoPairs]] counted on the HIGHER asset's side: (a, b,
+    * matched = distinct frames of `b` with a frame of `a` within the
+    * radius) — the containment of the asset a lower-id-wins dedup
+    * would DROP, measured against its own footage (the same
+    * batch-side counting [[probeVideoIndex]] uses; an ingest loop
+    * thresholding on the lower side would discard a long novel video
+    * because a short clip of it happened to sort first — ADVICE r15).
+    */
+  def videoPairsHigherSide(
+      frameHashes: DataFrame,
+      maxHamming: Int = DHashMaxHamming,
+      maxFrames: Int = 4096): DataFrame =
+    videoFramePairs(frameHashes, maxHamming, maxFrames)
+      .select("va", "vb", "fb").distinct()
+      .groupBy(col("va").as("a"), col("vb").as("b"))
+      .agg(count(lit(1)).as("matched"))
+
+  /** The shared frame-pair core of [[videoPairs]] and
+    * [[videoPairsHigherSide]]: verified cross-asset frame pairs
+    * (va < vb, fa, fb) from the ONE banding over packed frame ids.
+    * Frames at index ≥ `maxFrames` are EXCLUDED (filtered before
+    * packing — without the filter a longer video's high frames would
+    * silently alias into the NEXT asset id's space); `maxFrames` is
+    * the family's declared per-asset frame bound, shared with the
+    * persisted index's packing.
+    */
+  private def videoFramePairs(
+      frameHashes: DataFrame,
+      maxHamming: Int,
+      maxFrames: Int): DataFrame = {
     val packed = frameHashes
+      .filter(col("frame_idx") >= 0 && col("frame_idx") < maxFrames)
       .select((col("asset_id") * maxFrames + col("frame_idx"))
         .as("asset_id"), col("hash"))
     perceptualPairs(packed, maxHamming)
       .select(expr(s"a div $maxFrames").as("va"),
         (col("a") % maxFrames).as("fa"),
-        expr(s"b div $maxFrames").as("vb"))
+        expr(s"b div $maxFrames").as("vb"),
+        (col("b") % maxFrames).as("fb"))
       .filter(col("va") =!= col("vb"))
-      .select("va", "fa", "vb").distinct()
-      .groupBy(col("va").as("a"), col("vb").as("b"))
-      .agg(count(lit(1)).as("matched"))
   }
 
   /** Frame-id packing bound shared by [[videoPairs]] and the persisted
@@ -1052,6 +1086,10 @@ object MultiModal {
   val VideoMaxFrames = 4096
 
   private[graft] def packFids(frameHashes: DataFrame): DataFrame = frameHashes
+    // frames beyond the packing bound are EXCLUDED from perceptual
+    // identity (they would alias into the NEXT asset's fid space —
+    // ADVICE r15); the bound is the family's declared per-asset limit
+    .filter(col("frame_idx") >= 0 && col("frame_idx") < VideoMaxFrames)
     .select((col("asset_id") * VideoMaxFrames + col("frame_idx"))
       .as("asset_id"), col("hash"))
 

@@ -963,7 +963,7 @@ object Similarity {
         // which was the q126 sweep-variance source (the fit is the
         // only nondeterministic-DURATION stage; its RESULT is
         // deterministic either way)
-        val (q126Model, q126Pq) = Ann.pqFitMemo(s, dir, emb, opqIters = 8)
+        val (q126Model, q126Pq) = Ann.pqFitMemo(s, dir, opqIters = 8)
         val inPlan = Ann.ivfPqTopK(emb, queries, k, nprobe = 8,
           rerank = 128, quantizer = Some(q126Model),
           codebooks = Some(q126Pq)).select("q_id", "vec_id", "rank")

@@ -2688,7 +2688,7 @@ object TextAnalysis {
           .collect().map(r => (r.getString(0), r.getLong(1)))
         // the trained artifact + its contract measurements (fit-once
         // memo — bench passes probe the warmup pass's vocab)
-        val vocab = unigramTrainMemo(s, dir, docs, vocabSize = 64,
+        val vocab = unigramTrainMemo(s, dir, vocabSize = 64,
           maxPieceLen = 4, seedSize = 200, emIters = 3)
         val vmap = vocab.toMap
         val vset = vocab.map(_._1).toSet
@@ -2781,8 +2781,8 @@ object TextAnalysis {
       (s, dir) => {
         import s.implicits._
         val docs = table(s, dir, "documents")
-        val vocab = unigramTrainMemo(s, dir, docs.select("text"),
-          vocabSize = 64, maxPieceLen = 4, seedSize = 200, emIters = 3)
+        val vocab = unigramTrainMemo(s, dir, vocabSize = 64,
+          maxPieceLen = 4, seedSize = 200, emIters = 3)
         val fp = java.lang.Integer.toHexString(
           tableFingerprint(s, dir, "documents").hashCode)
         val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
@@ -3293,7 +3293,10 @@ object TextAnalysis {
     * function of (corpus content, params), so contract queries and
     * bench passes train ONCE per session and probe the memoized
     * artifact. Keyed by the documents table's content fingerprint
-    * plus every training parameter.
+    * plus every training parameter; the training frame is derived
+    * HERE from (s, dir), never taken from the caller, so the key can
+    * never disagree with what was trained on (ADVICE r15). Entries
+    * are bounded by distinct (corpus, params) pairs per session.
     */
   private val unigramFitCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
@@ -3301,7 +3304,6 @@ object TextAnalysis {
   def unigramTrainMemo(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
-      docs: org.apache.spark.sql.DataFrame,
       vocabSize: Int,
       maxPieceLen: Int = 4,
       seedSize: Int = 200,
@@ -3309,7 +3311,8 @@ object TextAnalysis {
     unigramFitCache.getOrElseUpdate(
       dir + "#" + tableFingerprint(s, dir, "documents") +
         s"#$vocabSize#$maxPieceLen#$seedSize#$emIters",
-      unigramTrain(docs, vocabSize, maxPieceLen, seedSize, emIters))
+      unigramTrain(table(s, dir, "documents").select("text"),
+        vocabSize, maxPieceLen, seedSize, emIters))
 
   /** Persist a trained unigram vocab as a tiny parquet artifact
     * (`<name>_vocab` external table at `<path>/vocab`): the tokenizer

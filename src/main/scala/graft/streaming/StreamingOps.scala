@@ -832,6 +832,13 @@ object StreamingOps {
       batch: DataFrame, id: Long, cfg: CorpusIngestConfig,
       onAdmit: (DataFrame, Long) => Unit): Unit = {
     val s = batch.sparkSession
+    // startup/retry recovery BEFORE any probe touches the family's
+    // tables (ADVICE r15): a rebuild that crashed in its catalog or
+    // rename window must not wedge the loop — healthy catalog = no-op
+    if (cfg.maintainEvery > 0)
+      for (path <- cfg.bandStorePath; corpus <- cfg.rebuildCorpus)
+        graft.operators.IndexMaintenance.recoverFamily(
+          s, "band", cfg.bandIndex, path, corpus())
     val ledger = IngestLedger.dirFor(
       s, s"${cfg.bandIndex}_shingles", id, tag = "corpus_pipeline")
     val replayed = IngestLedger.committed(s, ledger)
@@ -964,12 +971,6 @@ object StreamingOps {
       if (cfg.maintainEvery > 0 && (id + 1) % cfg.maintainEvery == 0)
         for (path <- cfg.bandStorePath; corpus <- cfg.rebuildCorpus) {
           import graft.operators.IndexMaintenance
-          // catalog-window recovery first (ADVICE r14): a prior rebuild
-          // that crashed between its DROPs and re-register left intact
-          // files with no catalog entries — re-register before reading
-          // the report (no-op on a healthy catalog)
-          IndexMaintenance.repairFamilyCatalog(s, "band",
-            cfg.bandIndex, path)
           val row = IndexMaintenance.stalenessReport(s, Seq(
             IndexMaintenance.FamilySpec("band",
               s"${cfg.bandIndex}_shingles"))).collect().head
@@ -1004,7 +1005,10 @@ object StreamingOps {
     * contract as every grown index (commit admitted ids before
     * mutation; a replay reproduces the set from the ledger and
     * re-appends through the asset-guarded variant, so no banded row
-    * ever duplicates).
+    * ever duplicates). An UNDECODABLE asset has no hash, so it is
+    * admitted and never indexed — perceptual identity cannot be
+    * computed for it, and byte-identical re-uploads are the content-
+    * digest scan's job (q136), not this loop's.
     *
     * Optional scheduled maintenance (the band loop's r13-ask-#8
     * discipline applied to the media family, VERDICT r14 ask #2):
@@ -1046,6 +1050,13 @@ object StreamingOps {
       onRebuild: Option[(String, Long) => Unit] = None): Unit = {
     val s = batch.sparkSession
     import s.implicits._
+    // startup/retry recovery BEFORE the probe (ADVICE r15): a rebuild
+    // that crashed in its catalog/rename window must not wedge the
+    // loop — healthy catalog = no-op
+    if (maintainEvery > 0)
+      for (path <- storePath; corpus <- rebuildCorpus)
+        graft.operators.IndexMaintenance.recoverFamily(
+          s, "phash", indexName, path, corpus())
     val ledger =
       if (growIndex)
         Some(IngestLedger.dirFor(s, s"${indexName}_phash", id))
@@ -1098,10 +1109,6 @@ object StreamingOps {
       if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
         for (path <- storePath; corpus <- rebuildCorpus) {
           import graft.operators.IndexMaintenance
-          // catalog-window recovery first (ADVICE r14) — the band
-          // loop's discipline, no-op on a healthy catalog
-          IndexMaintenance.repairFamilyCatalog(s, "phash",
-            indexName, path)
           val row = IndexMaintenance.stalenessReport(s, Seq(
             IndexMaintenance.FamilySpec("phash",
               s"${indexName}_phash"))).collect().head
@@ -1126,15 +1133,20 @@ object StreamingOps {
     *    count⌉ of its frames (re-encodes, clips, and light edits of
     *    stored content drop; genuinely new footage passes), and
     *  - no earlier video IN THE SAME BATCH duplicates it: intra-batch
-    *    pairs run through [[graft.operators.MultiModal.videoPairs]],
-    *    a pair is a duplicate when the shared frames cover ≥
-    *    ⌈`minSharedFrac` × the LOWER asset's frame count⌉, and the
-    *    lower asset_id wins (the media loop's ADVICE-r14 rule).
+    *    pairs run through
+    *    [[graft.operators.MultiModal.videoPairsHigherSide]] — the
+    *    HIGHER asset of a pair drops when the shared frames cover ≥
+    *    ⌈`minSharedFrac` × ITS OWN frame count⌉ (the same self-
+    *    relative containment the store probe uses; measuring against
+    *    the lower side would discard a long novel video because a
+    *    short clip of it sorted first), lower asset_id wins.
     *
     * Ledger replay contract identical to the other grown indexes
     * (commit admitted ids before mutation, tag-namespaced so a media
     * loop on the same store family never shares a ledger; replays
     * reproduce the set and re-append through the fid-guarded variant).
+    * A video with NO decodable frames is admitted and never indexed —
+    * the media loop's undecodable-asset rule at frame grain.
     * The optional maintenance window mirrors the media loop — the
     * video store IS the phash family, so catalog repair, the q192
     * staleness row, and the rebuild actuator apply unchanged
@@ -1174,6 +1186,12 @@ object StreamingOps {
     val s = batch.sparkSession
     import s.implicits._
     import graft.operators.MultiModal
+    // startup/retry recovery BEFORE the probe (ADVICE r15) — the
+    // media loop's discipline at frame grain
+    if (maintainEvery > 0)
+      for (path <- storePath; corpus <- rebuildCorpus)
+        graft.operators.IndexMaintenance.recoverFamily(
+          s, "phash", indexName, path, MultiModal.packFids(corpus()))
     val ledger =
       if (growIndex)
         Some(IngestLedger.dirFor(s, s"${indexName}_phash", id,
@@ -1194,11 +1212,16 @@ object StreamingOps {
           .join(nf.select(col("asset_id").as("b"), col("nf")), "b")
           .filter(col("mx") >= ceil(lit(minSharedFrac) * col("nf")))
           .select(col("b").as("asset_id"))
-        val intra = MultiModal.videoPairs(fh)
-          .join(nf.select(col("asset_id").as("a"), col("nf").as("na")),
-            "a")
+        // the intra-batch containment is measured against the asset
+        // that would be DROPPED (the higher id), exactly like the
+        // store probe measures the arriving asset — thresholding on
+        // the lower side would discard a long novel video because a
+        // short clip of it sorted first (ADVICE r15)
+        val intra = MultiModal.videoPairsHigherSide(fh)
+          .join(nf.select(col("asset_id").as("b"), col("nf").as("nb")),
+            "b")
           .filter(col("matched") >=
-            ceil(lit(minSharedFrac) * col("na")))
+            ceil(lit(minSharedFrac) * col("nb")))
           .select(col("b").as("asset_id"))
         batch.join(storeDup.unionByName(intra).distinct(),
           Seq("asset_id"), "left_anti")
@@ -1219,8 +1242,6 @@ object StreamingOps {
       if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
         for (path <- storePath; corpus <- rebuildCorpus) {
           import graft.operators.IndexMaintenance
-          IndexMaintenance.repairFamilyCatalog(s, "phash",
-            indexName, path)
           val row = IndexMaintenance.stalenessReport(s, Seq(
             IndexMaintenance.FamilySpec("phash",
               s"${indexName}_phash"))).collect().head

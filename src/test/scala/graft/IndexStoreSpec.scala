@@ -1034,6 +1034,67 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("recoverFamily: healthy no-op; dropped catalog repairs; crashed-between-renames completes via tmp promotion; destroyed store rebuilds") {
+    // ADVICE r15: the ingest loops call this at batch START — every
+    // crash window of a scheduled rebuild must self-heal before the
+    // first probe touches the family's tables.
+    import graft.operators.IndexMaintenance
+    import graft.streaming.IngestLedger
+    import org.apache.hadoop.fs.Path
+    val docs = Q.table(spark, sfDir, "documents")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val tmp = Files.createTempDirectory("graft-recover")
+    val name = "recover_" + System.nanoTime()
+    val live = new Path(s"$tmp/live")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def drop(): Unit = Seq("bands", "shingles").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    try {
+      Dedup.writeBandIndex(base, name, live.toString)
+      IngestLedger.write(base.select("doc_id").limit(2),
+        IngestLedger.dirFor(spark, s"${name}_shingles", 3L))
+      IngestLedger.markAppendDone(spark,
+        IngestLedger.dirFor(spark, s"${name}_shingles", 3L))
+      // healthy catalog: no action, corpus never evaluated
+      assert(!IndexMaintenance.recoverFamily(spark, "band", name,
+        live.toString, sys.error("corpus must not be evaluated")),
+        "healthy family must be a no-op")
+      // catalog window: DROPs landed, re-register did not
+      drop()
+      assert(IndexMaintenance.recoverFamily(spark, "band", name,
+        live.toString, docs), "dropped catalog must repair")
+      assert(spark.table(s"${name}_shingles").count() > 0)
+      assert(IngestLedger.committed(spark,
+        IngestLedger.dirFor(spark, s"${name}_shingles", 3L)),
+        "catalog repair must not touch the ledger")
+      // crashed between renames: live went aside... and the completed
+      // tmp build (META + ledgers inside) never made its final rename.
+      // Simulate the exact on-disk state by moving live to the tmp name.
+      drop()
+      assert(fs.rename(live, new Path(s"$tmp", "live.rebuild.tmp")),
+        "test setup rename failed")
+      assert(IndexMaintenance.recoverFamily(spark, "band", name,
+        live.toString, docs),
+        "rename-window crash must complete via promotion + rebuild")
+      assert(spark.table(s"${name}_shingles").count() > 0)
+      assert(IngestLedger.committed(spark,
+        IngestLedger.dirFor(spark, s"${name}_shingles", 3L)) &&
+        IngestLedger.appendDone(spark,
+          IngestLedger.dirFor(spark, s"${name}_shingles", 3L)),
+        "promoted tmp's ledgers must survive into the rebuilt live")
+      // store destroyed entirely: fresh rebuild from the corpus
+      drop()
+      fs.delete(live, true)
+      assert(IndexMaintenance.recoverFamily(spark, "band", name,
+        live.toString, docs), "destroyed store must rebuild")
+      assert(spark.table(s"${name}_shingles").count() > 0)
+    } finally {
+      Seq("bands", "shingles").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
   test("rebuildFamily crash recovery: stranded aside ledgers salvage into the re-run; a double ledger refuses; missing catalog entries repair") {
     // ADVICE r14 (medium): a rebuild that crashed between its renames
     // and its ledger move leaves the ONLY copy of the _ingest_ledger

@@ -458,6 +458,35 @@ class MultiModalSpec extends SparkSpec {
       s"containment drifted from brute force:\n got  $got\n want $brute")
     assert(brute.contains((1L, 3L, 1L)),
       "fixture must exercise the distinct-frame counting rule")
+    // the higher-side variant (the ingest drop rule's statistic):
+    // distinct frames of b matched in a
+    val gotHi = MultiModal.videoPairsHigherSide(fh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bruteHi = (for {
+      (va, _, _) <- rows.map(r => (r._1, 0, 0)).distinct
+      (vb, _, _) <- rows.map(r => (r._1, 0, 0)).distinct
+      if va < vb
+    } yield {
+      val matched = rows.filter(_._1 == vb).count { b =>
+        rows.filter(_._1 == va).exists(a =>
+          java.lang.Long.bitCount(a._3 ^ b._3) <=
+            MultiModal.DHashMaxHamming)
+      }.toLong
+      (va, vb, matched)
+    }).filter(_._3 > 0).toSet
+    assert(gotHi == bruteHi,
+      s"higher-side containment drifted:\n got  $gotHi\n want $bruteHi")
+    // both of asset 3's frames match asset 1's ONE frame — the two
+    // sides genuinely differ on this fixture
+    assert(bruteHi.contains((1L, 3L, 2L)) && brute.contains((1L, 3L, 1L)),
+      "fixture must separate the two counting sides")
+    // the packing bound: a frame at index >= maxFrames is excluded,
+    // never aliased into the next asset's id space
+    val aliased = rows :+ (1L, 4096L, rows.head._3)
+    assert(MultiModal.videoPairs(aliased.toDF("asset_id", "frame_idx",
+      "hash")).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSet == brute,
+      "an out-of-bound frame_idx must be excluded, not aliased")
   }
 
   test("videoTemporalPairs: exact bigram containment equals brute force; gaps break adjacency; reorder zeroes it") {

@@ -1499,9 +1499,16 @@ class StreamingSpec extends SparkSpec {
       video(102L, (1L to 5L).map(img(10L, _))))
     // 200 = 3-frame clip of ADMITTED 101                 -> drop (3/3)
     // 201 = fresh footage (id 11)                        -> admit
+    // 202 = 3-frame clip of 203's footage, LOWER id      -> admit
+    // 203 = long fresh video (8 frames) sharing 202's 3  -> admit:
+    //       the drop rule measures containment against the HIGHER
+    //       asset's OWN frames (3/8 < 0.5) — a short clip sorting
+    //       first must never discard the long video's unique footage
     val b2 = Seq(
       video(200L, (0L to 2L).map(img(10L, _))),
-      video(201L, (0L to 5L).map(img(11L, _))))
+      video(201L, (0L to 5L).map(img(11L, _))),
+      video(202L, (0L to 2L).map(img(12L, _))),
+      video(203L, (0L to 7L).map(img(12L, _))))
     try {
       // ---- batch mode ----
       val nb = "videoing_b_" + System.nanoTime()
@@ -1514,7 +1521,8 @@ class StreamingSpec extends SparkSpec {
         growIndex = true, cb)
       StreamingOps.videoIngestBatch(b2.toDF(), 1L, nb,
         growIndex = true, cb)
-      assert(got(0L) == Seq(101L) && got(1L) == Seq(201L),
+      assert(got(0L) == Seq(101L) &&
+        got(1L) == Seq(201L, 202L, 203L),
         s"batch admissions wrong: $got")
       // ---- stream mode over a fresh identical store ----
       val ns = "videoing_s_" + System.nanoTime()
@@ -1548,8 +1556,9 @@ class StreamingSpec extends SparkSpec {
       val t = spark.table(s"${nb}_phash")
       assert(t.count() == t.select("asset_id", "bk").distinct().count(),
         "duplicate banded rows after replay")
-      // store (2 videos) + admitted 101 + 201, 6 frames x 4 bands each
-      assert(t.count() == (2 + 2) * 6 * 4,
+      // store (2 videos x 6) + admitted 101 (6) + 201 (6) + 202 (3) +
+      // 203 (8) frames, 4 bands each
+      assert(t.count() == (12 + 6 + 6 + 3 + 8) * 4,
         s"unexpected banded row count: ${t.count()}")
     } finally Seq("videoing_b", "videoing_s").foreach { p =>
       spark.catalog.listTables().collect()
