@@ -968,6 +968,17 @@ object Stress {
           (df, _) => admitted = df.count())
         admitted
       },
+      // the unigram-LM trainer (round 15) at 10x docs: the replica
+      // salt multiplies the distinct-word dictionary by the factor,
+      // so this measures the claimed linearity of the seed explode +
+      // the per-round typed-Viterbi E-steps over the growing (but
+      // vocab-bounded-output) word frame. Expected near-linear in the
+      // token volume.
+      timed("unigram_train") {
+        graft.operators.TextAnalysis.unigramTrain(
+          documents.select("text"), vocabSize = 64, maxPieceLen = 4,
+          seedSize = 200, emIters = 2).length.toLong
+      },
       // two-pass z-score (q66 shape): fixed-size moment sketch, then
       // the tiny stats table broadcast back over the inflated facts
       timed("zscore_two_pass") {
