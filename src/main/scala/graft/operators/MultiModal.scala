@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fnv64
 import Q._
@@ -1184,6 +1185,39 @@ object MultiModal {
       .groupBy("a", "b").agg(count(lit(1)).as("temporal_matched"))
   }
 
+  /** Scene segmentation over a frame-hash stream: a CUT falls between
+    * consecutive decodable frames whose dHash Hamming distance exceeds
+    * `cutHamming` (0 = any visual change cuts); a SCENE is a maximal
+    * cut-free run. The shot-boundary statistic keyframe extraction and
+    * static-content detection threshold on — one keyframe per scene is
+    * the standard frame-sampling reduction. Returns one row per asset
+    * with ≥ 1 decodable frame: (asset_id, n_frames, n_scenes, n_cuts,
+    * longest_run). The consecutive-frame compare is a lag window
+    * PARTITIONED BY asset — per-video frame counts are bounded by the
+    * container parse cap ([[decodeFrameStack]], ≤ 2²⁰), so the window
+    * partition is bounded by construction, never corpus-sized (q211's
+    * declared discipline); the run rollup is a bounded
+    * (asset, scene)-keyed agg.
+    */
+  def videoSceneRuns(frameHashes: DataFrame, cutHamming: Int): DataFrame = {
+    val wSeq = Window.partitionBy("asset_id").orderBy("frame_idx")
+    val cuts = frameHashes
+      .withColumn("prev", lag(col("hash"), 1).over(wSeq))
+      .withColumn("cut",
+        (col("prev").isNotNull &&
+          expr(s"CAST(bit_count(hash ^ prev) AS BIGINT)") > cutHamming)
+          .cast("long"))
+      .withColumn("scene", sum(col("cut")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cuts.groupBy("asset_id", "scene")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("asset_id")
+      .agg(sum("run_len").as("n_frames"),
+        count(lit(1)).as("n_scenes"),
+        (count(lit(1)) - lit(1L)).as("n_cuts"),
+        max("run_len").as("longest_run"))
+  }
+
   /** Hamming distance between the BASE and PERTURB dHashes of
     * [[synthImageBytes]]`(id, 0)` vs `(id, 3)`, derived from the level
     * walk alone — every cell is constant gray, so each cell-mean
@@ -2013,6 +2047,60 @@ object MultiModal {
                 ('reorder', 1, 6, 0), ('reorder_clip', 1, 5, 0),
                 ('reorder_reencode', 1, 6, 0))
                 AS k(kind, pairs, bag, temporal), n
-              ORDER BY kind"""))
+              ORDER BY kind""")),
+
+    // q214: video SCENE-CUT detection / keyframe reduction
+    // ([[videoSceneRuns]]) — the intra-video statistic next to
+    // q209-q211's inter-video family: a cut between consecutive frames
+    // whose dHash Hamming exceeds the threshold, scenes = cut-free
+    // runs, one keyframe per scene. Fixture: doc_id < 32, one 12-frame
+    // video each with s = 1 + id%4 scenes of equal length 12/s; scene
+    // j's frames alternate the scene anchor image and its 1-px-shift
+    // re-encode (hash-identical by the level-walk guarantee, exactly
+    // q209's variant-1 premise) so intra-scene Hamming is EXACTLY 0,
+    // and adjacent scene anchors are distinct images (premise pinned
+    // by MultiModalSpec against decoded hashes — the q209
+    // no-cross-collision discipline). Expected counts are pure id
+    // arithmetic, so the oracle derives every row without decoding a
+    // pixel. Plan at 100 TB: parse+hash map-only; the lag window is
+    // per-video bounded (≤ 2²⁰ frames by the container cap); run
+    // rollup is a bounded-key agg — no joins at all.
+    "q214_video_scene_runs" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ids = table(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 32)
+        val assets = ids.as[Long].mapPartitions(_.map { id =>
+          val sc = 1 + (id % 4).toInt
+          val frames = (0 until 12).map { f =>
+            val j = f * sc / 12
+            synthImageBytes(3000L + id * 4 + j, if (f % 2 == 0) 0 else 2)
+          }
+          MediaAsset(id, "video", frameStackBytes(frames),
+            "scene_fixture")
+        })
+        val runs = videoSceneRuns(videoFrameHashes(assets), 0)
+        ids.select(col("doc_id").as("asset_id"))
+          .withColumn("s", lit(1L) + col("asset_id") % 4)
+          .join(runs, Seq("asset_id"), "left")
+          .select(col("asset_id"),
+            coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+            coalesce(col("n_scenes"), lit(0L)).as("n_scenes"),
+            coalesce(col("n_cuts"), lit(-1L)).as("n_cuts"),
+            coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+            (coalesce(col("n_frames"), lit(0L)) === 12L &&
+              coalesce(col("n_scenes"), lit(0L)) === col("s") &&
+              coalesce(col("n_cuts"), lit(-1L)) === col("s") - 1L &&
+              coalesce(col("longest_run"), lit(0L)) ===
+                expr("12 div s")).cast("long").as("ok"))
+          .orderBy("asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id,
+                CAST(12 AS BIGINT) AS n_frames,
+                CAST(1 + doc_id % 4 AS BIGINT) AS n_scenes,
+                CAST(doc_id % 4 AS BIGINT) AS n_cuts,
+                CAST(12 // (1 + doc_id % 4) AS BIGINT) AS longest_run,
+                CAST(1 AS BIGINT) AS ok
+              FROM documents WHERE doc_id < 32 ORDER BY doc_id"""))
   )
 }

@@ -144,6 +144,59 @@ object TextAnalysis {
     "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u0434\u0430\u043d\u043d\u044b\u0435"
   private[graft] val CjkPlant = "\u6570\u636e \u6d41 \u8868"
 
+  /** Per-lang BM25 top-`k` (Robertson & Zaragoza 2009; k1 = 1.2,
+    * b = 0.75) over the corpus-derived query set (each lang's 3
+    * highest-df tokens, df desc / token asc) — ONE definition shared
+    * by q195 (the inline retrieval contract) and q213 (the lexical leg
+    * of the reciprocal-rank fusion). Exactness discipline as declared
+    * at q195: rational idf `(N − df + 0.5)/(df + 0.5)`, each term's
+    * contribution rounded to integer micros BEFORE the per-doc sum so
+    * the multi-term addition is order-free integer arithmetic.
+    * Columns: (lang, doc_id, score_micro, terms_hit, rank), rank ≤ k.
+    */
+  private[operators] def bm25LangTopK(
+      s: SparkSession, dir: String, k: Int): DataFrame = {
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("t"))
+      .managedPersist
+    val tf = toks.groupBy("lang", "doc_id", "t")
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("lang", "doc_id")
+      .agg(count(lit(1)).as("dl"))
+    val stats = dl.groupBy("lang")
+      .agg(count(lit(1)).as("nd"), sum("dl").as("sumdl"))
+    val df = toks.select("lang", "doc_id", "t").distinct()
+      .groupBy("lang", "t").agg(count(lit(1)).as("df"))
+    val wq = Window.partitionBy("lang")
+      .orderBy(desc("df"), col("t"))
+    val qterms = df
+      .withColumn("qr", row_number().over(wq))
+      .filter(col("qr") <= 3)
+      .select("lang", "t", "df")
+    val term = col("idf") *
+      ((col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") / col("avgdl")))))
+    val wd = Window.partitionBy("lang")
+      .orderBy(desc("score_micro"), col("doc_id"))
+    tf.join(broadcast(qterms), Seq("lang", "t"))
+      .join(dl, Seq("lang", "doc_id"))
+      .join(broadcast(stats), Seq("lang"))
+      .withColumn("avgdl",
+        col("sumdl").cast("double") / col("nd").cast("double"))
+      .withColumn("idf",
+        ((col("nd") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("term_micro", round(term * lit(1e6)).cast("long"))
+      .groupBy("lang", "doc_id")
+      .agg(sum("term_micro").as("score_micro"),
+        count(lit(1)).as("terms_hit"))
+      .withColumn("rank", row_number().over(wd).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Q24 token counting: whitespace tokenize, global top-20.
@@ -394,49 +447,9 @@ object TextAnalysis {
     // rows — candidate work is docs CONTAINING a query term, never the
     // corpus; top-10 per lang is a bounded-key window.
     "q195_bm25_topk" -> QueryDef(
-      (s, dir) => {
-        val toks = table(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            explode(tokens(col("text"))).as("t"))
-          .managedPersist
-        val tf = toks.groupBy("lang", "doc_id", "t")
-          .agg(count(lit(1)).as("tf"))
-        val dl = toks.groupBy("lang", "doc_id")
-          .agg(count(lit(1)).as("dl"))
-        val stats = dl.groupBy("lang")
-          .agg(count(lit(1)).as("nd"), sum("dl").as("sumdl"))
-        val df = toks.select("lang", "doc_id", "t").distinct()
-          .groupBy("lang", "t").agg(count(lit(1)).as("df"))
-        val wq = Window.partitionBy("lang")
-          .orderBy(desc("df"), col("t"))
-        val qterms = df
-          .withColumn("qr", row_number().over(wq))
-          .filter(col("qr") <= 3)
-          .select("lang", "t", "df")
-        val term = col("idf") *
-          ((col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) *
-                (col("dl").cast("double") / col("avgdl")))))
-        val wd = Window.partitionBy("lang")
-          .orderBy(desc("score_micro"), col("doc_id"))
-        tf.join(broadcast(qterms), Seq("lang", "t"))
-          .join(dl, Seq("lang", "doc_id"))
-          .join(broadcast(stats), Seq("lang"))
-          .withColumn("avgdl",
-            col("sumdl").cast("double") / col("nd").cast("double"))
-          .withColumn("idf",
-            ((col("nd") - col("df")).cast("double") + lit(0.5)) /
-              (col("df").cast("double") + lit(0.5)))
-          .withColumn("term_micro", round(term * lit(1e6)).cast("long"))
-          .groupBy("lang", "doc_id")
-          .agg(sum("term_micro").as("score_micro"),
-            count(lit(1)).as("terms_hit"))
-          .withColumn("rank", row_number().over(wd).cast("long"))
-          .filter(col("rank") <= 10)
-          .select("lang", "rank", "doc_id", "score_micro", "terms_hit")
-          .orderBy("lang", "rank")
-      },
+      (s, dir) => bm25LangTopK(s, dir, 10)
+        .select("lang", "rank", "doc_id", "score_micro", "terms_hit")
+        .orderBy("lang", "rank"),
       Some(s"""WITH toks AS (SELECT doc_id, lang,
                   UNNEST(list_filter(string_split_regex(text, '\\s+'),
                     x -> x <> '')) AS t
@@ -476,6 +489,144 @@ object TextAnalysis {
                     ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
                 FROM sc) z
               WHERE rank <= 10 ORDER BY lang, rank""")),
+
+    // q213: HYBRID retrieval — reciprocal-rank fusion (Cormack, Clarke
+    // & Buettcher, SIGIR 2009; k = 60) of the engine's two ranking
+    // families: the lexical BM25 top-10 (q195's ranking, ONE shared
+    // definition — [[bm25LangTopK]]) and a dense exact-cosine top-10
+    // (q23's arithmetic against a per-lang anchor vector = the lang's
+    // lowest doc_id, deterministic and corpus-derived like q195's
+    // query terms). Production retrieval stacks run both rankers and
+    // fuse per-document RANKS, not scores — RRF needs no score
+    // calibration across spaces, which is exactly why it's the
+    // standard fusion. Cross-engine exactness: each leg's contribution
+    // is the INTEGER 1e6 div (60 + rank) (integer division — no float
+    // enters the fusion), the dense leg ranks by cosine micros
+    // (round-then-rank, the q23/q27 discipline), ties to the lower
+    // doc_id everywhere. Per lang: fused top-10 with both legs' ranks
+    // (0 = not retrieved by that leg). Plan at 100 TB: both legs are
+    // bounded-k per-lang windows over candidate sets that track the
+    // broadcast query (BM25: docs containing a query term; dense: one
+    // broadcast anchor per lang scanned map-side); the fusion itself
+    // joins two ≤(10·|langs|)-row frames — driver-free, broadcast-able.
+    "q213_hybrid_rrf" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        import graft.functions.VectorFunctions.cosine
+        val lex = bm25LangTopK(s, dir, 10)
+          .select(col("lang"), col("doc_id"), col("rank").as("bm25_rank"))
+        val docs = table(s, dir, "documents").select("doc_id", "lang")
+        val emb = table(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val withLang = docs.join(emb, "doc_id")
+        val anchors = withLang.groupBy("lang")
+          .agg(min("doc_id").as("a_id"))
+          .join(emb.select(col("doc_id").as("a_id"),
+            col("embedding").as("a_emb")), "a_id")
+        val wd = Window.partitionBy("lang")
+          .orderBy(desc("sim_micro"), col("doc_id"))
+        val dense = withLang.join(broadcast(anchors), Seq("lang"))
+          .filter(col("doc_id") =!= col("a_id"))
+          .withColumn("sim_micro",
+            round(cosine(col("embedding"), col("a_emb")) * lit(1e6))
+              .cast("long"))
+          .withColumn("cr", row_number().over(wd).cast("long"))
+          .filter(col("cr") <= 10)
+          .select(col("lang"), col("doc_id"), col("cr").as("cos_rank"))
+        val wf = Window.partitionBy("lang")
+          .orderBy(desc("rrf_micro"), col("doc_id"))
+        lex.join(dense, Seq("lang", "doc_id"), "full_outer")
+          .withColumn("rrf_micro",
+            coalesce(expr("1000000 div (60 + bm25_rank)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + cos_rank)"), lit(0L)))
+          .withColumn("frank", row_number().over(wf).cast("long"))
+          .filter(col("frank") <= 10)
+          .select(col("lang"), col("frank"), col("doc_id"),
+            col("rrf_micro"),
+            coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+            coalesce(col("cos_rank"), lit(0L)).as("cos_rank"))
+          .orderBy("lang", "frank")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang,
+                  UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '')) AS t
+                FROM documents),
+              tf AS (SELECT lang, doc_id, t, COUNT(*) AS tf
+                     FROM toks GROUP BY 1, 2, 3),
+              dl AS (SELECT lang, doc_id, COUNT(*) AS dl
+                     FROM toks GROUP BY 1, 2),
+              stats AS (SELECT lang, COUNT(*) AS nd, SUM(dl) AS sumdl
+                        FROM dl GROUP BY 1),
+              df AS (SELECT lang, t, COUNT(*) AS df
+                     FROM (SELECT DISTINCT lang, doc_id, t FROM toks) z
+                     GROUP BY 1, 2),
+              qterms AS (SELECT lang, t, df FROM (
+                  SELECT lang, t, df, ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY df DESC, t) AS qr FROM df) z
+                WHERE qr <= 3),
+              sc AS (SELECT tf.lang, tf.doc_id,
+                  CAST(SUM(CAST(ROUND((
+                    ((CAST(stats.nd - qterms.df AS DOUBLE) + 0.5) /
+                      (CAST(qterms.df AS DOUBLE) + 0.5)) *
+                    ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                      (CAST(tf.tf AS DOUBLE) + 1.2 *
+                        (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+                          (CAST(stats.sumdl AS DOUBLE) /
+                            CAST(stats.nd AS DOUBLE))))))
+                    ) * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+                FROM tf
+                JOIN qterms ON qterms.lang = tf.lang AND qterms.t = tf.t
+                JOIN dl ON dl.lang = tf.lang AND dl.doc_id = tf.doc_id
+                JOIN stats ON stats.lang = tf.lang
+                GROUP BY 1, 2),
+              lex AS (SELECT lang, doc_id, rank AS bm25_rank
+                FROM (SELECT lang, doc_id,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+                  FROM sc) z
+                WHERE rank <= 10),
+              wl AS (SELECT d.lang, e.vec_id AS doc_id, e.embedding
+                FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+              anch AS (SELECT lang, MIN(doc_id) AS a_id
+                       FROM wl GROUP BY 1),
+              ae AS (SELECT anch.lang, anch.a_id, wl.embedding AS a_emb
+                FROM anch JOIN wl ON wl.lang = anch.lang
+                  AND wl.doc_id = anch.a_id),
+              cand AS (SELECT wl.lang, wl.doc_id,
+                  (SELECT SUM(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE))
+                   FROM (SELECT UNNEST(wl.embedding) AS x,
+                                UNNEST(ae.a_emb) AS y) z) AS dotab,
+                  (SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                   FROM UNNEST(wl.embedding) AS u(x)) AS na,
+                  (SELECT SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+                   FROM UNNEST(ae.a_emb) AS u(x)) AS nb
+                FROM wl JOIN ae ON ae.lang = wl.lang
+                WHERE wl.doc_id <> ae.a_id),
+              dense AS (SELECT lang, doc_id, cr AS cos_rank
+                FROM (SELECT lang, doc_id,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                      ORDER BY CAST(ROUND(dotab / (SQRT(na) * SQRT(nb))
+                        * 1e6) AS BIGINT) DESC, doc_id) AS BIGINT) AS cr
+                  FROM cand) z
+                WHERE cr <= 10),
+              f AS (SELECT COALESCE(lex.lang, dense.lang) AS lang,
+                  COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+                  lex.bm25_rank, dense.cos_rank
+                FROM lex FULL OUTER JOIN dense
+                  ON lex.lang = dense.lang AND lex.doc_id = dense.doc_id),
+              g AS (SELECT lang, doc_id,
+                  CAST(COALESCE(1000000 // (60 + bm25_rank), 0) +
+                    COALESCE(1000000 // (60 + cos_rank), 0)
+                    AS BIGINT) AS rrf_micro,
+                  CAST(COALESCE(bm25_rank, 0) AS BIGINT) AS bm25_rank,
+                  CAST(COALESCE(cos_rank, 0) AS BIGINT) AS cos_rank
+                FROM f)
+              SELECT lang, frank, doc_id, rrf_micro, bm25_rank, cos_rank
+              FROM (SELECT lang, doc_id, rrf_micro, bm25_rank, cos_rank,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS frank
+                FROM g) z
+              WHERE frank <= 10 ORDER BY lang, frank""")),
 
     "q56_tfidf" -> QueryDef(
       (s, dir) => {

@@ -419,6 +419,65 @@ class MultiModalSpec extends SparkSpec {
         s"fixture images $i and $j collide within the verify radius")
   }
 
+  test("q214 fixture premise: shift re-encode is hash-identical; adjacent scene anchors differ") {
+    // the scene-run arithmetic rests on two deterministic facts about
+    // the synth fixture: (1) variant 2 (1-px shift) hashes
+    // bit-identically to the base (the level-walk guarantee q209's
+    // variant-1 leg already relies on), so intra-scene Hamming is
+    // exactly 0; (2) ADJACENT scene anchors have distinct hashes, so
+    // every boundary is a cut at threshold 0
+    for (id <- 0L until 32L) {
+      val sc = 1 + (id % 4).toInt
+      val anchors = (0 until sc).map(j =>
+        MultiModal.dHash64(
+          MultiModal.synthImageBytes(3000L + id * 4 + j, 0)).get)
+      for (j <- 0 until sc) {
+        val shifted = MultiModal.dHash64(
+          MultiModal.synthImageBytes(3000L + id * 4 + j, 2)).get
+        assert(shifted == anchors(j),
+          s"id=$id scene=$j: shift re-encode changed the hash")
+      }
+      for (j <- 1 until sc)
+        assert(anchors(j) != anchors(j - 1),
+          s"id=$id: adjacent scene anchors $j-1/$j collide — no cut")
+    }
+  }
+
+  test("videoSceneRuns equals brute-force run segmentation, nonzero threshold included") {
+    import spark.implicits._
+    def flip(h: Long, bits: Int*): Long =
+      bits.foldLeft(h)((acc, b) => acc ^ (1L << b))
+    val base = 0x0123456789abcdefL
+    // asset 1: cuts of Hamming 1 (sub-threshold at cutHamming=2) and
+    // Hamming 5 (cut); asset 2: monotone drift, every step Hamming 3;
+    // asset 3: single frame (one scene, zero cuts)
+    val rows = Seq(
+      (1L, 0L, base), (1L, 1L, flip(base, 7)),
+      (1L, 2L, flip(base, 7, 10, 20, 30, 40)),
+      (1L, 3L, flip(base, 7, 10, 20, 30, 40)),
+      (2L, 0L, base), (2L, 1L, flip(base, 1, 2, 3)),
+      (2L, 2L, flip(base, 1, 2, 3, 11, 12, 13)),
+      (3L, 0L, flip(base, 63)))
+    val fh = rows.toDF("asset_id", "frame_idx", "hash")
+    for (thr <- Seq(0, 2)) {
+      val got = MultiModal.videoSceneRuns(fh, thr).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val brute = rows.groupBy(_._1).map { case (aid, fr) =>
+        val hs = fr.sortBy(_._2).map(_._3)
+        val cutAt = hs.zip(hs.tail).map { case (a, b) =>
+          java.lang.Long.bitCount(a ^ b) > thr }
+        val runs = cutAt.foldLeft(List(1)) { (acc, cut) =>
+          if (cut) 1 :: acc else (acc.head + 1) :: acc.tail }
+        (aid, hs.length.toLong, runs.length.toLong,
+          (runs.length - 1).toLong, runs.max.toLong)
+      }.toSet
+      assert(got == brute,
+        s"thr=$thr: scene runs drifted from brute force:\n" +
+          s" got  $got\n want $brute")
+    }
+  }
+
   test("videoPairs: banded containment rollup equals the brute-force frame matching") {
     import spark.implicits._
     // hand-built 64-bit frame hashes exercising ties, partial overlap,

@@ -575,6 +575,33 @@ class PlanAuditSpec extends SparkSpec {
       "tf/df/length stats must combine map-side")
   }
 
+  test("q213: both retrieval legs broadcast their bounded side; fusion never goes cartesian") {
+    val p = plan("q213_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"),
+      s"q213 planned a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the query-term table and the per-lang anchor vectors must " +
+        s"broadcast into their candidate streams:\n$p")
+    // the dense leg scans candidates once against ONE broadcast anchor
+    // per lang — an anchor-side shuffle would mean the corpus moved to
+    // meet a |langs|-row frame
+    assert(!p.matches("(?s).*SortMergeJoin[^\\n]*a_emb.*"),
+      s"q213 shuffled the corpus against the anchor frame:\n$p")
+    assert(p.contains("partial_"),
+      s"tf/df/length stats must combine map-side:\n$p")
+  }
+
+  test("q214: scene runs are windows + bounded-key aggs — no joins on the hash path at all") {
+    val p = plan("q214_video_scene_runs")
+    assert(!p.contains("CartesianProduct"), s"q214 planned a cartesian:\n$p")
+    assert(p.contains("Window"),
+      s"q214 lost the per-video lag window:\n$p")
+    // the only join is the 32-row expected-vs-found report edge —
+    // the frame-hash path itself must never join hashes with hashes
+    assert(!p.matches("(?s).*Join[^\\n]*hash[^\\n]*hash.*"),
+      s"q214 joined the frame-hash stream against itself:\n$p")
+  }
+
   test("q194: truncated-recall rungs are the bounded-broadcast exact-scan shape") {
     val p = plan("q194_matryoshka_recall")
     assert(!p.contains("CartesianProduct"),
