@@ -244,7 +244,11 @@ object IndexMaintenance {
     *  - phash (when the store carries the seventh family): banded-row
     *    conservation — table rows == 4 × distinct assets (every hashed
     *    asset lays down exactly [[MultiModal.DHashBands]] banded rows;
-    *    a partial append or a duplicated row breaks the identity).
+    *    a partial append or a duplicated row breaks the identity);
+    *  - lexical (when the store carries the eighth family):
+    *    dictionary-vs-postings conservation — Σ df == postings rows
+    *    (a postings append without a dictionary rebuild, a partial
+    *    family write, or duplicated postings all break it).
     *
     * These feed [[FamilySpec.signalOk]] when a store OWNER runs the
     * report; they are deliberately excluded from q192's
@@ -280,17 +284,32 @@ object IndexMaintenance {
       "span" -> (sr.getLong(0) == sr.getLong(1)),
       "ivf" -> ivfBalanceOk(spark, s"${name}_ivf", nlist),
       "pq" -> (pq == pv))
-    // the perceptual family is optional on a q192-style store (older
-    // fixtures carry six families); measure its conservation bit only
-    // when the table is present
-    if (!spark.catalog.tableExists(s"${name}_phash_phash")) base
+    // the perceptual and lexical families are optional on a q192-style
+    // store (older fixtures carry six families); measure their
+    // conservation bits only when the tables are present
+    val withPhash =
+      if (!spark.catalog.tableExists(s"${name}_phash_phash")) base
+      else {
+        val phr = spark.table(s"${name}_phash_phash")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("asset_id")).as("a"))
+          .head()
+        base + ("phash" ->
+          (phr.getLong(0) == MultiModal.DHashBands.toLong * phr.getLong(1)))
+      }
+    // lexical: dictionary-vs-postings conservation — the frozen df
+    // table must sum to exactly the postings row count (every posting
+    // is one (lang, doc, term) occurrence counted once in its term's
+    // df). A postings append without a dictionary rebuild (the
+    // write-once rule violated), a partial family write, or duplicated
+    // posting rows all break the identity.
+    if (!spark.catalog.tableExists(s"${name}_lexical_postings")) withPhash
     else {
-      val phr = spark.table(s"${name}_phash_phash")
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("asset_id")).as("a"))
-        .head()
-      base + ("phash" ->
-        (phr.getLong(0) == MultiModal.DHashBands.toLong * phr.getLong(1)))
+      val pn = spark.table(s"${name}_lexical_postings")
+        .agg(count(lit(1))).head().getLong(0)
+      val dfs = spark.table(s"${name}_lexical_df")
+        .agg(sum(col("df"))).head()
+      withPhash + ("lexical" -> (!dfs.isNullAt(0) && dfs.getLong(0) == pn))
     }
   }
 
@@ -303,7 +322,8 @@ object IndexMaintenance {
     "span" -> Seq("pgrams"),
     "ivf" -> Seq("codes", "centroids", "vectors"),
     "pq" -> Seq("codes", "centroids", "vectors", "pq"),
-    "phash" -> Seq("phash"))
+    "phash" -> Seq("phash"),
+    "lexical" -> Seq("postings", "df", "stats"))
 
   /** The ACTUATOR for [[stalenessReport]]'s rebuild bit (VERDICT r13
     * ask #2): rebuild one persisted index family from the CURRENT
@@ -407,6 +427,8 @@ object IndexMaintenance {
       case "pq" => Ann.writePqIndex(corpus, tmpName, tmpPath.toString)
       case "phash" =>
         MultiModal.writePhashIndex(corpus, tmpName, tmpPath.toString)
+      case "lexical" =>
+        TextAnalysis.writeLexicalIndex(corpus, tmpName, tmpPath.toString)
     }
     // SALVAGE before the unconditional delete (ADVICE r14, medium): a
     // stale aside copy here means a PRIOR rebuild crashed somewhere
@@ -458,6 +480,8 @@ object IndexMaintenance {
       case "ivf" => Ann.registerIvfIndex(spark, name, storePath)
       case "pq" => Ann.registerPqIndex(spark, name, storePath)
       case "phash" => MultiModal.registerPhashIndex(spark, name, storePath)
+      case "lexical" =>
+        TextAnalysis.registerLexicalIndex(spark, name, storePath)
     }
     // the new catalog entries must not serve a listing cached from the
     // pre-swap files (the cross-session staleness class r13 fixed)
@@ -521,6 +545,8 @@ object IndexMaintenance {
         case "ivf" => Ann.registerIvfIndex(spark, name, storePath)
         case "pq" => Ann.registerPqIndex(spark, name, storePath)
         case "phash" => MultiModal.registerPhashIndex(spark, name, storePath)
+        case "lexical" =>
+          TextAnalysis.registerLexicalIndex(spark, name, storePath)
       }
       tables.foreach(t => spark.catalog.refreshTable(s"${name}_$t"))
       true

@@ -20,9 +20,10 @@ import Q._
   *    `rows_at_build` captured by every index writer in a
   *    `_BUILD_META` sidecar at the store root.
   *  - '''write-once stores left behind by the corpus''' (IVF here,
-  *    PCA): the store never grew while the corpus did. Signal: the
-  *    same fraction with `rows_now` overridden to the CURRENT corpus
-  *    count.
+  *    PCA, and the lexical inverted index — its df/stats freeze at
+  *    build, the span discipline): the store never grew while the
+  *    corpus did. Signal: the same fraction with `rows_now` overridden
+  *    to the CURRENT corpus count.
   *  - '''frozen statistics gone stale''' (span): df_gk is
   *    materialized at build by design (append would stale it — the
   *    family's declared reason to be write-once); the drift signal is
@@ -124,6 +125,12 @@ object Maintenance {
           MultiModal.appendToPhashIndex(
             imgHashes(media.filter(col("doc_id") % 4 === 0)),
             s"${name}_phash")
+          // eighth family (round 15): the lexical inverted index —
+          // write-once like span/IVF (its df/stats freeze at build),
+          // built on the base tranche and never told about the rest,
+          // so its left-behind signal fires with the others
+          TextAnalysis.writeLexicalIndex(baseDocs, s"${name}_lexical",
+            s"$path/lexical")
         }
         // Report-pass job budget (it's the nightly health check — it
         // should cost scans, and as FEW as possible): every per-table
@@ -152,6 +159,13 @@ object Maintenance {
           .agg(count(lit(1))).head().getLong(0)
         val phNow = s.table(s"${name}_phash_phash")
           .agg(count(lit(1))).head().getLong(0)
+        // lexical is write-once: rows_now overridden to the CURRENT
+        // corpus postings count (distinct (doc, term) pairs — one
+        // partial-agg scan), the left-behind signal shape IVF uses
+        val lexNow = docs
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("t"))
+          .agg(countDistinct(col("doc_id"), col("t"))).head().getLong(0)
         import IndexMaintenance.FamilySpec
         IndexMaintenance.stalenessReport(s, Seq(
           FamilySpec("band", s"${name}_band_shingles",
@@ -160,6 +174,8 @@ object Maintenance {
             rowsNow = Some(gramsNow)),
           FamilySpec("ivf", s"${name}_ivf_codes",
             rowsNow = Some(nEmb)),
+          FamilySpec("lexical", s"${name}_lexical_postings",
+            rowsNow = Some(lexNow)),
           // PCA carries both overrides (the 3-row store holds
           // components, not corpus rows); primaryTable is
           // informational only on this row
@@ -224,6 +240,14 @@ object Maintenance {
                     AS BIGINT) AS b,
                   CAST(4 * (SELECT COUNT(*) FROM documents
                             WHERE doc_id < 40) AS BIGINT) AS n),
+              -- lexical family (write-once): postings = distinct
+              -- (doc, term) pairs, base build vs current corpus
+              tok1 AS (SELECT doc_id, UNNEST(t) AS w FROM toks),
+              lexc AS (SELECT
+                  (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, w
+                     FROM tok1 WHERE doc_id % 4 <> 0) z) AS b,
+                  (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, w
+                     FROM tok1) z2) AS n),
               -- embedding families: vector counts, base vs full
               vc AS (SELECT
                   (SELECT COUNT(*) FROM embeddings WHERE vec_id % 4 <> 0)
@@ -263,6 +287,11 @@ object Maintenance {
                   CAST(0 AS BIGINT),
                   CAST((n - b) * 1000000 // n >= 200000 AS BIGINT)
                 FROM vc
+                UNION ALL
+                SELECT 'lexical', b, n, (n - b) * 1000000 // n,
+                  CAST(0 AS BIGINT),
+                  CAST((n - b) * 1000000 // n >= 200000 AS BIGINT)
+                FROM lexc
                 UNION ALL
                 SELECT 'pca', b, n, (n - b) * 1000000 // n,
                   (SELECT drift FROM pcad),

@@ -168,12 +168,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("nd"), sum("dl").as("sumdl"))
     val df = toks.select("lang", "doc_id", "t").distinct()
       .groupBy("lang", "t").agg(count(lit(1)).as("df"))
-    val wq = Window.partitionBy("lang")
-      .orderBy(desc("df"), col("t"))
-    val qterms = df
-      .withColumn("qr", row_number().over(wq))
-      .filter(col("qr") <= 3)
+    val cand = tf.join(broadcast(topDfTerms(df, 3)), Seq("lang", "t"))
+      .join(dl, Seq("lang", "doc_id"))
+      .join(broadcast(stats), Seq("lang"))
+    bm25RankCandidates(cand, k)
+  }
+
+  /** Per-lang top-`n` query terms from a df dictionary (df desc, token
+    * asc — the deterministic corpus-derived query set q195 declared):
+    * one bounded-key window over the dictionary, shared by the inline
+    * path and the persisted-index probe (the store's `_df` table has
+    * the same shape).
+    */
+  def topDfTerms(df: DataFrame, n: Int): DataFrame = {
+    val wq = Window.partitionBy("lang").orderBy(desc("df"), col("t"))
+    df.withColumn("qr", row_number().over(wq))
+      .filter(col("qr") <= n)
       .select("lang", "t", "df")
+  }
+
+  /** The BM25 scoring + per-lang top-k over an already-joined
+    * candidate frame (lang, doc_id, tf, dl, df, nd, sumdl) — ONE
+    * arithmetic definition shared by [[bm25LangTopK]] (stats computed
+    * from the corpus inline) and [[probeBm25Index]] (stats read from
+    * the persisted lexical store). Exactness discipline as declared at
+    * q195: rational idf, per-term integer micros before the per-doc
+    * sum. Returns (lang, doc_id, score_micro, terms_hit, rank ≤ k).
+    */
+  private def bm25RankCandidates(cand: DataFrame, k: Int): DataFrame = {
     val term = col("idf") *
       ((col("tf").cast("double") * lit(2.2)) /
         (col("tf").cast("double") + lit(1.2) *
@@ -181,9 +203,7 @@ object TextAnalysis {
             (col("dl").cast("double") / col("avgdl")))))
     val wd = Window.partitionBy("lang")
       .orderBy(desc("score_micro"), col("doc_id"))
-    tf.join(broadcast(qterms), Seq("lang", "t"))
-      .join(dl, Seq("lang", "doc_id"))
-      .join(broadcast(stats), Seq("lang"))
+    cand
       .withColumn("avgdl",
         col("sumdl").cast("double") / col("nd").cast("double"))
       .withColumn("idf",
@@ -196,6 +216,128 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(wd).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Write-once LEXICAL inverted index — the eighth persisted artifact
+    * family (the retrieval counterpart of the dedup/media stores, and
+    * what a production search stack actually materializes): the
+    * postings list `<name>_postings` (lang, doc_id, t, tf, dl —
+    * doc length denormalized onto the posting so scoring needs no
+    * doc-side join) bucketed AND sorted on the term, the dictionary
+    * `<name>_df` (lang, t, df) bucketed on the term, and the per-lang
+    * collection stats `<name>_stats` (lang, nd, sumdl) — a bounded
+    * frame. Interactive probes broadcast their query terms; BULK
+    * probes (contamination sweeps with 10⁵ query terms) equi-join the
+    * bucketed term layout with zero exchange on the stored side.
+    * `_BUILD_META` feeds q192's staleness report;
+    * [[IndexMaintenance.rebuildFamily]] knows the family. df/stats are
+    * frozen at build (the span-family discipline: appends would stale
+    * them), so the family is write-once and its staleness signal is
+    * append pressure measured against the frozen stats.
+    */
+  def writeLexicalIndex(
+      docs: DataFrame, name: String, path: String,
+      buckets: Int = 32): Unit = {
+    val s = docs.sparkSession
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("t"))
+    val tf = toks.groupBy("lang", "doc_id", "t")
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("lang", "doc_id")
+      .agg(count(lit(1)).as("dl"))
+    tf.join(dl, Seq("lang", "doc_id"))
+      .select("lang", "doc_id", "t", "tf", "dl")
+      .write.mode("overwrite").bucketBy(buckets, "t").sortBy("t")
+      .option("path", s"$path/postings").saveAsTable(s"${name}_postings")
+    // the dictionary derives from the postings already written — one
+    // partial agg over the store, never a corpus re-scan
+    s.table(s"${name}_postings").groupBy("lang", "t")
+      .agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").bucketBy(buckets, "t").sortBy("t")
+      .option("path", s"$path/df").saveAsTable(s"${name}_df")
+    s.table(s"${name}_postings")
+      .select("lang", "doc_id", "dl").distinct()
+      .groupBy("lang").agg(count(lit(1)).as("nd"), sum("dl").as("sumdl"))
+      .write.mode("overwrite")
+      .option("path", s"$path/stats").saveAsTable(s"${name}_stats")
+    IndexMaintenance.writeBuildMeta(s, path,
+      s.table(s"${name}_postings").count())
+  }
+
+  /** Re-attach a [[writeLexicalIndex]] artifact in a NEW SparkSession
+    * — `Dedup.registerBandIndex`'s contract for the lexical family.
+    */
+  def registerLexicalIndex(
+      spark: SparkSession, name: String, path: String,
+      buckets: Int = 32): Unit = {
+    IndexCatalog.registerBucketed(spark, s"${name}_postings",
+      s"$path/postings", "t", buckets)
+    IndexCatalog.registerBucketed(spark, s"${name}_df",
+      s"$path/df", "t", buckets)
+    IndexCatalog.registerPlain(spark, s"${name}_stats", s"$path/stats")
+  }
+
+  /** BM25 top-`k` off a persisted [[writeLexicalIndex]] store:
+    * `queryTerms` is (lang, t, df) — typically [[topDfTerms]] over the
+    * store's own `_df` dictionary, or any external query set joined
+    * against it. Result-identical to [[bm25LangTopK]] over the corpus
+    * the index was built from (IndexStoreSpec asserts it), but the
+    * corpus-side work is one broadcast-join scan of the postings table
+    * — no tokenize, no tf/dl/df aggregation, no corpus shuffle at all.
+    */
+  def probeBm25Index(
+      spark: SparkSession, name: String, queryTerms: DataFrame,
+      k: Int): DataFrame = {
+    val cand = spark.table(s"${name}_postings")
+      .join(broadcast(queryTerms), Seq("lang", "t"))
+      .join(broadcast(spark.table(s"${name}_stats")), Seq("lang"))
+    bm25RankCandidates(cand, k)
+  }
+
+  /** q195's DuckDB oracle — ONE SQL definition shared verbatim by q195
+    * (the inline BM25) and q215 (the persisted-index probe), because
+    * the probe's declared contract is result-identity with the inline
+    * ranking over the same corpus.
+    */
+  private val Bm25TopKOracle: String =
+    s"""WITH toks AS (SELECT doc_id, lang,
+                  UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '')) AS t
+                FROM documents),
+              tf AS (SELECT lang, doc_id, t, COUNT(*) AS tf
+                     FROM toks GROUP BY 1, 2, 3),
+              dl AS (SELECT lang, doc_id, COUNT(*) AS dl
+                     FROM toks GROUP BY 1, 2),
+              stats AS (SELECT lang, COUNT(*) AS nd, SUM(dl) AS sumdl
+                        FROM dl GROUP BY 1),
+              df AS (SELECT lang, t, COUNT(*) AS df
+                     FROM (SELECT DISTINCT lang, doc_id, t FROM toks) z
+                     GROUP BY 1, 2),
+              qterms AS (SELECT lang, t, df FROM (
+                  SELECT lang, t, df, ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY df DESC, t) AS qr FROM df) z
+                WHERE qr <= 3),
+              sc AS (SELECT tf.lang, tf.doc_id,
+                  CAST(SUM(CAST(ROUND((
+                    ((CAST(stats.nd - qterms.df AS DOUBLE) + 0.5) /
+                      (CAST(qterms.df AS DOUBLE) + 0.5)) *
+                    ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                      (CAST(tf.tf AS DOUBLE) + 1.2 *
+                        (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+                          (CAST(stats.sumdl AS DOUBLE) /
+                            CAST(stats.nd AS DOUBLE))))))
+                    ) * 1e6) AS BIGINT)) AS BIGINT) AS score_micro,
+                  COUNT(*) AS terms_hit
+                FROM tf
+                JOIN qterms ON qterms.lang = tf.lang AND qterms.t = tf.t
+                JOIN dl ON dl.lang = tf.lang AND dl.doc_id = tf.doc_id
+                JOIN stats ON stats.lang = tf.lang
+                GROUP BY 1, 2)
+              SELECT lang, rank, doc_id, score_micro, terms_hit
+              FROM (SELECT lang, doc_id, score_micro, terms_hit,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+                FROM sc) z
+              WHERE rank <= 10 ORDER BY lang, rank"""
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -450,45 +592,7 @@ object TextAnalysis {
       (s, dir) => bm25LangTopK(s, dir, 10)
         .select("lang", "rank", "doc_id", "score_micro", "terms_hit")
         .orderBy("lang", "rank"),
-      Some(s"""WITH toks AS (SELECT doc_id, lang,
-                  UNNEST(list_filter(string_split_regex(text, '\\s+'),
-                    x -> x <> '')) AS t
-                FROM documents),
-              tf AS (SELECT lang, doc_id, t, COUNT(*) AS tf
-                     FROM toks GROUP BY 1, 2, 3),
-              dl AS (SELECT lang, doc_id, COUNT(*) AS dl
-                     FROM toks GROUP BY 1, 2),
-              stats AS (SELECT lang, COUNT(*) AS nd, SUM(dl) AS sumdl
-                        FROM dl GROUP BY 1),
-              df AS (SELECT lang, t, COUNT(*) AS df
-                     FROM (SELECT DISTINCT lang, doc_id, t FROM toks) z
-                     GROUP BY 1, 2),
-              qterms AS (SELECT lang, t, df FROM (
-                  SELECT lang, t, df, ROW_NUMBER() OVER (PARTITION BY lang
-                    ORDER BY df DESC, t) AS qr FROM df) z
-                WHERE qr <= 3),
-              sc AS (SELECT tf.lang, tf.doc_id,
-                  CAST(SUM(CAST(ROUND((
-                    ((CAST(stats.nd - qterms.df AS DOUBLE) + 0.5) /
-                      (CAST(qterms.df AS DOUBLE) + 0.5)) *
-                    ((CAST(tf.tf AS DOUBLE) * 2.2) /
-                      (CAST(tf.tf AS DOUBLE) + 1.2 *
-                        (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
-                          (CAST(stats.sumdl AS DOUBLE) /
-                            CAST(stats.nd AS DOUBLE))))))
-                    ) * 1e6) AS BIGINT)) AS BIGINT) AS score_micro,
-                  COUNT(*) AS terms_hit
-                FROM tf
-                JOIN qterms ON qterms.lang = tf.lang AND qterms.t = tf.t
-                JOIN dl ON dl.lang = tf.lang AND dl.doc_id = tf.doc_id
-                JOIN stats ON stats.lang = tf.lang
-                GROUP BY 1, 2)
-              SELECT lang, rank, doc_id, score_micro, terms_hit
-              FROM (SELECT lang, doc_id, score_micro, terms_hit,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY lang
-                    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
-                FROM sc) z
-              WHERE rank <= 10 ORDER BY lang, rank""")),
+      Some(Bm25TopKOracle)),
 
     // q213: HYBRID retrieval — reciprocal-rank fusion (Cormack, Clarke
     // & Buettcher, SIGIR 2009; k = 60) of the engine's two ranking
@@ -627,6 +731,43 @@ object TextAnalysis {
                     ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS frank
                 FROM g) z
               WHERE frank <= 10 ORDER BY lang, frank""")),
+
+    // q215: persisted LEXICAL-index probe — the retrieval stack's
+    // persisted rung (q116 gave dedup a band store, q117/q126 gave ANN
+    // code stores, q205/q210 gave media hash stores; this gives BM25
+    // its inverted index): [[writeLexicalIndex]] materializes
+    // postings/dictionary/stats once per corpus fingerprint,
+    // [[probeBm25Index]] answers the q195 query off the store alone.
+    // Declared contract: the probe's ranking is RESULT-IDENTICAL to
+    // the inline q195 (the oracle IS q195's SQL, shared verbatim —
+    // [[Bm25TopKOracle]]); IndexStoreSpec asserts the identity
+    // frame-to-frame and the store lifecycle (register in a fresh
+    // session, health bit, rebuild). Plan at 100 TB: the build is the
+    // amortized nightly artifact (one tokenize + two partial aggs);
+    // the probe reads ONLY postings rows whose term is in the
+    // broadcast query set — no tokenize, no corpus shuffle; a bulk
+    // probe (10⁵-term contamination sweep) equi-joins the bucketed
+    // term layout exchange-free on the stored side.
+    "q215_lexical_index_probe" -> QueryDef(
+      (s, dir) => {
+        val fp = java.lang.Integer.toHexString(
+          tableFingerprint(s, dir, "documents").hashCode)
+        val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
+        val name = s"graft_q215_$tag"
+        if (!s.catalog.tableExists(s"${name}_postings")) {
+          val path = new java.io.File(
+            System.getProperty("java.io.tmpdir"), s"graft-q215-$tag")
+          writeLexicalIndex(table(s, dir, "documents"), name,
+            path.toString)
+        }
+        // the query set comes from the STORE's own dictionary — the
+        // same per-lang top-3-df terms q195 derives from the corpus
+        val qterms = topDfTerms(s.table(s"${name}_df"), 3)
+        probeBm25Index(s, name, qterms, 10)
+          .select("lang", "rank", "doc_id", "score_micro", "terms_hit")
+          .orderBy("lang", "rank")
+      },
+      Some(Bm25TopKOracle)),
 
     "q56_tfidf" -> QueryDef(
       (s, dir) => {

@@ -902,7 +902,68 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
-  test("health bits: all six true on a q192-style store; a corrupted table flips its bit into rebuild") {
+  test("lexical index: persisted BM25 probe equals the inline ranking; probe never re-scans the corpus; write-once rebuild applies") {
+    import graft.operators.{IndexMaintenance, TextAnalysis}
+    import IndexMaintenance.FamilySpec
+    // the q215 contract, frame-to-frame: the persisted-store probe's
+    // ranking is identical to the inline q195 over the same corpus
+    val inline = SparkEntry.queries("q195_bm25_topk")(spark, sfDir)
+      .collect().toSeq
+    val probe = SparkEntry.queries("q215_lexical_index_probe")(
+      spark, sfDir)
+    assert(probe.collect().toSeq == inline && inline.nonEmpty,
+      "persisted probe must rank identically to the inline BM25")
+    // the probe reads ONLY the store — no corpus tokenize, no
+    // documents scan anywhere in the final plan
+    val pp = finalPlan(probe)
+    assert(!pp.contains("documents"),
+      s"the lexical probe re-scanned the corpus:\n$pp")
+    // write-once lifecycle: base-built store left behind by the
+    // corpus trips the rebuild bit; rebuildFamily clears it and the
+    // rebuilt store probes identically to a fresh full build
+    val docs = Q.table(spark, sfDir, "documents")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val tmp = Files.createTempDirectory("graft-lexlife")
+    val name = "lexlife_" + System.nanoTime()
+    try {
+      TextAnalysis.writeLexicalIndex(base, name, s"$tmp/store")
+      val lexNow = docs
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .agg(countDistinct(col("doc_id"), col("t"))).head().getLong(0)
+      def report() = IndexMaintenance.stalenessReport(spark,
+        Seq(FamilySpec("lexical", s"${name}_postings",
+          rowsNow = Some(lexNow)))).collect().head
+      assert(report().getLong(6) == 1L,
+        s"left-behind corpus must trip the rebuild bit: ${report()}")
+      IndexMaintenance.rebuildFamily(spark, "lexical", name,
+        s"$tmp/store", docs)
+      assert(report().getLong(3) == 0L && report().getLong(6) == 0L,
+        s"rebuild must clear the staleness: ${report()}")
+      val fresh = s"${name}_f"
+      TextAnalysis.writeLexicalIndex(docs, fresh, s"$tmp/fresh")
+      def rows(n: String) = TextAnalysis.probeBm25Index(spark, n,
+          TextAnalysis.topDfTerms(spark.table(s"${n}_df"), 3), 10)
+        .select("lang", "rank", "doc_id", "score_micro", "terms_hit")
+        .collect().map(_.toSeq).toSet
+      assert(rows(name) == rows(fresh) && rows(name).nonEmpty,
+        "rebuilt lexical store must probe identical to a fresh build")
+      // re-attach in a fresh catalog state (the registrar contract)
+      Seq("postings", "df", "stats").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+      TextAnalysis.registerLexicalIndex(spark, name, s"$tmp/store")
+      assert(rows(name) == rows(fresh),
+        "re-registered lexical store must probe identically")
+    } finally {
+      Seq("postings", "df", "stats").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_$t")
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_f_$t")
+      }
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
+  test("health bits: all seven true on a q192-style store; a corrupted table flips its bit into rebuild") {
     // ADVICE r13 (medium): the measured signal_ok bits are excluded
     // from q192's oracle-compared output because a cross-engine oracle
     // reading only raw parquet cannot reproduce them — so THIS is
@@ -934,9 +995,13 @@ class IndexStoreSpec extends SparkSpec {
           .dHash64(graft.operators.MultiModal.synthImageBytes(i, 0)).get))
           .toDF("asset_id", "hash"),
         s"${name}_phash", s"$tmp/phash")
+      // eighth family (round 15): dictionary-vs-postings conservation
+      graft.operators.TextAnalysis.writeLexicalIndex(
+        base, s"${name}_lexical", s"$tmp/lexical")
       val bits = IndexMaintenance.healthBits(spark, name)
-      assert(bits.size == 6 && bits.contains("phash"),
-        s"phash store present: its bit must be measured: $bits")
+      assert(bits.size == 7 && bits.contains("phash") &&
+        bits.contains("lexical"),
+        s"phash + lexical stores present: bits must be measured: $bits")
       assert(bits.values.forall(identity),
         s"fresh q192-style store must measure healthy: $bits")
       // corrupt the gram store: a duplicate key breaks the
@@ -962,10 +1027,19 @@ class IndexStoreSpec extends SparkSpec {
       spark.catalog.refreshTable(s"${name}_phash_phash")
       assert(!IndexMaintenance.healthBits(spark, name)("phash"),
         "duplicated banded row must flip the phash bit")
+      // corrupt the lexical store: a posting appended WITHOUT a
+      // dictionary rebuild violates the family's write-once rule and
+      // must break Σ df == postings rows
+      spark.table(s"${name}_lexical_postings").limit(1)
+        .write.mode("append").insertInto(s"${name}_lexical_postings")
+      spark.catalog.refreshTable(s"${name}_lexical_postings")
+      assert(!IndexMaintenance.healthBits(spark, name)("lexical"),
+        "a postings append without a df rebuild must flip the lexical bit")
     } finally {
       Seq("band_bands", "band_shingles", "gram_grams", "span_pgrams",
         "ivf_codes", "ivf_centroids", "ivf_vectors", "pq_codes",
-        "pq_centroids", "pq_vectors", "pq_pq", "phash_phash").foreach(t =>
+        "pq_centroids", "pq_vectors", "pq_pq", "phash_phash",
+        "lexical_postings", "lexical_df", "lexical_stats").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
       graft.operators.Q.releaseManaged()
     }

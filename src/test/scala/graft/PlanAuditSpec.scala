@@ -591,6 +591,18 @@ class PlanAuditSpec extends SparkSpec {
       s"tf/df/length stats must combine map-side:\n$p")
   }
 
+  test("q215: the lexical probe broadcast-joins the store — no corpus scan, no cartesian") {
+    val p = plan("q215_lexical_index_probe")
+    assert(!p.contains("CartesianProduct"), s"q215 planned a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query-term set and the stats frame must broadcast:\n$p")
+    // the probe's entire input is the persisted store: a documents
+    // scan would mean the probe re-tokenized the corpus the index
+    // exists to replace
+    assert(!p.contains("documents"),
+      s"q215 re-scanned the corpus instead of the store:\n$p")
+  }
+
   test("q214: scene runs are windows + bounded-key aggs — no joins on the hash path at all") {
     val p = plan("q214_video_scene_runs")
     assert(!p.contains("CartesianProduct"), s"q214 planned a cartesian:\n$p")
