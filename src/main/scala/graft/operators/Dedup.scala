@@ -577,6 +577,49 @@ object Dedup {
     .select(col("doc_id"), col("lang"), col("c.h").as("h"),
       col("c.l").cast("long").as("l"))
 
+  /** The q216 dedup-stage yield cascade over any (doc_id, text) frame:
+    * the declared stage ladder (exact → normalized → 8-token prefix →
+    * 8-token suffix), each stage keeping the min-doc_id survivor per
+    * key among the PREVIOUS stage's survivors, with per-stage marginal
+    * counts. Returns (stage_order, stage, n_in, n_removed, n_out) —
+    * a 4-row local frame; the corpus passes run eagerly (one key
+    * shuffle + one survivor semi-join per stage). Public so DedupSpec
+    * can drive handcrafted corpora through the exact cascade.
+    */
+  def dedupStageYield(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    val toks = TextAnalysis.tokens(col("text"))
+    val d = docs
+      .select(col("doc_id"), col("text"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .as("ntext"),
+        array_join(slice(toks, 1, 8), " ").as("p8"),
+        array_join(slice(toks,
+          greatest(lit(1), size(toks) - lit(7)), lit(8)), " ")
+          .as("s8"))
+      .managedPersist
+    def survive(df: org.apache.spark.sql.DataFrame,
+        key: String): org.apache.spark.sql.DataFrame = {
+      val keep = df.groupBy(col(key))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      df.join(keep, Seq("doc_id"), "left_semi")
+    }
+    val stages = Seq("text" -> "exact", "ntext" -> "normalized",
+      "p8" -> "prefix8", "s8" -> "suffix8")
+    val (counts, _) = stages.foldLeft(
+      (Seq((0L, d.count())), d)) { case ((acc, cur), (key, _)) =>
+      val nxt = survive(cur, key).managedPersist
+      (acc :+ (acc.last._2, nxt.count()), nxt)
+    }
+    val rows = stages.zipWithIndex.map { case ((_, nm), i) =>
+      val (nIn, nOut) = counts(i + 1)
+      ((i + 1).toLong, nm, nIn, nIn - nOut, nOut)
+    }
+    s.createDataFrame(rows)
+      .toDF("stage_order", "stage", "n_in", "n_removed", "n_out")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // q203: CONTENT-DEFINED chunk dedup — the LBFS/FastCDC idea at
@@ -660,6 +703,65 @@ object Dedup {
                 SELECT arg_min(lang, doc_id) AS lang
                 FROM documents GROUP BY text) t
               GROUP BY lang ORDER BY lang""")),
+
+    // q216: dedup-stage YIELD waterfall — the budget artifact a
+    // pipeline owner reads before sizing a dedup run: the declared
+    // stage ladder (exact bytes → whitespace/case-normalized →
+    // 8-token prefix → 8-token suffix, cheapest-first, the q121
+    // filter-funnel shape applied to dedup) applied SEQUENTIALLY, with
+    // each stage's marginal removals counted against the previous
+    // stage's survivors. Stage k's key is NOT a coarsening of stage
+    // k-1's (a case change moves the prefix key too), so the marginal
+    // counts genuinely depend on the cascade order — this is the
+    // number the one-stage reports (q22/q113/q118/q148) cannot give.
+    // Survivor rule everywhere: min doc_id per key (q83's canonical
+    // pick). Exactness: pure integer counts. Plan at 100 TB: the
+    // keyed projection is map-only; each stage is ONE partial-agg key
+    // shuffle plus a semi-join of the (shrinking) survivor set on
+    // doc_id; the report itself is a 4-row local frame of scalars
+    // (q192's report shape).
+    "q216_dedup_stage_yield" -> QueryDef(
+      (s, dir) => dedupStageYield(table(s, dir, "documents"))
+        .orderBy("stage_order"),
+      Some("""WITH t0 AS (SELECT doc_id, text,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                    AS ntext,
+                  list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '') AS t
+                FROM documents),
+              d AS (SELECT doc_id, text, ntext,
+                  array_to_string(t[1:8], ' ') AS p8,
+                  array_to_string(t[greatest(1, len(t)-7):len(t)], ' ')
+                    AS s8
+                FROM t0),
+              s1 AS (SELECT * FROM d QUALIFY
+                  doc_id = MIN(doc_id) OVER (PARTITION BY text)),
+              s2 AS (SELECT * FROM s1 QUALIFY
+                  doc_id = MIN(doc_id) OVER (PARTITION BY ntext)),
+              s3 AS (SELECT * FROM s2 QUALIFY
+                  doc_id = MIN(doc_id) OVER (PARTITION BY p8)),
+              s4 AS (SELECT * FROM s3 QUALIFY
+                  doc_id = MIN(doc_id) OVER (PARTITION BY s8)),
+              c AS (SELECT
+                  (SELECT COUNT(*) FROM d) AS n0,
+                  (SELECT COUNT(*) FROM s1) AS n1,
+                  (SELECT COUNT(*) FROM s2) AS n2,
+                  (SELECT COUNT(*) FROM s3) AS n3,
+                  (SELECT COUNT(*) FROM s4) AS n4)
+              SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS stage_order,
+                  'exact' AS stage, n0 AS n_in, n0 - n1 AS n_removed,
+                  n1 AS n_out FROM c
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), 'normalized', n1, n1 - n2, n2
+                FROM c
+                UNION ALL
+                SELECT CAST(3 AS BIGINT), 'prefix8', n2, n2 - n3, n3
+                FROM c
+                UNION ALL
+                SELECT CAST(4 AS BIGINT), 'suffix8', n3, n3 - n4, n4
+                FROM c
+              ) ORDER BY stage_order""")),
 
     // MinHash-LSH near-dup: banded bucket join for candidates, exact
     // Jaccard (ratio of exact ints — bitwise engine-identical) on the

@@ -425,4 +425,30 @@ class DedupSpec extends SparkSpec {
       fixed(Seq("banner1", "banner2") ++ toks)).isEmpty,
       "fixed windows must miss the shifted re-crawl entirely")
   }
+
+  test("q216 cascade: marginal removals per stage match the hand-computed waterfall") {
+    import spark.implicits._
+    // one doc per removal cause: 1 = byte-identical (exact), 2 = case
+    // + whitespace variant (normalized), 3/6 = shared 8-token head
+    // (prefix8 — two removals in one group), 4 = shared 8-token tail
+    // (suffix8); 0 is the canonical min-doc survivor, 5 is unrelated
+    val docs = Seq(
+      (0L, "alpha beta gamma delta eps zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta eps zeta eta theta iota kappa"),
+      (2L, "Alpha  beta gamma delta eps zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta eps zeta eta theta XXX YYY"),
+      (4L, "one two gamma delta eps zeta eta theta iota kappa"),
+      (5L, "totally different content here"),
+      (6L, "alpha beta gamma delta eps zeta eta theta OTHER TAIL")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupStageYield(docs).orderBy("stage_order")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, "exact", 7L, 1L, 6L),
+      (2L, "normalized", 6L, 1L, 5L),
+      (3L, "prefix8", 5L, 2L, 3L),
+      (4L, "suffix8", 3L, 1L, 2L)), s"waterfall drifted: $got")
+    graft.operators.Q.releaseManaged()
+  }
 }

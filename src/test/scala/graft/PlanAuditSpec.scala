@@ -614,6 +614,18 @@ class PlanAuditSpec extends SparkSpec {
       s"q214 joined the frame-hash stream against itself:\n$p")
   }
 
+  test("q216: the stage-yield report is a bounded local frame — cascade passes ran eagerly") {
+    val p = plan("q216_dedup_stage_yield")
+    // the four stage passes (key shuffle + survivor semi-join each)
+    // run eagerly inside the build; the compared output assembles from
+    // per-stage scalars (q192's report shape), never re-reads the
+    // corpus
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      s"q216 report must be a bounded local frame:\n$p")
+    assert(!p.contains("FileScan"),
+      s"q216 report re-scanned the corpus:\n$p")
+  }
+
   test("q194: truncated-recall rungs are the bounded-broadcast exact-scan shape") {
     val p = plan("q194_matryoshka_recall")
     assert(!p.contains("CartesianProduct"),
