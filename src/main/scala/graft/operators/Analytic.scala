@@ -729,6 +729,167 @@ object Analytic {
                   ELSE 'unchanged' END AS category
                 FROM base FULL OUTER JOIN nxt USING (o_orderkey))
               SELECT category, COUNT(*) AS n FROM j
-              GROUP BY 1 ORDER BY category"""))
+              GROUP BY 1 ORDER BY category""")),
+
+    // Markov transition matrix over per-user event sequences: the
+    // sequence-modeling profile a pipeline computes before training on
+    // behavioral logs (which state follows which, and how often). The
+    // LEAD window partitions by user_id — each user's history sorts
+    // independently, so the stage scales with the user count, never a
+    // global sort. The transition rollup shuffles once onto a key space
+    // bounded by |event_type|^2 (25 here) at ANY corpus size; the
+    // per-from-state share runs as a window over that bounded frame.
+    // Ties on ts break on event_id for a deterministic sequence.
+    "q220_event_transitions" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("from_type"))
+          .withColumn("to_type", lead(col("from_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("tot",
+            sum("n").over(Window.partitionBy("from_type")))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("(20000 * n + tot) div (2 * tot)").as("share_bp"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH o AS (SELECT event_type AS from_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS to_type
+                FROM events),
+              c AS (SELECT from_type, to_type, COUNT(*) AS n
+                FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2),
+              t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+              SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+                CAST((20000 * c.n + t.tot) // (2 * t.tot) AS BIGINT)
+                  AS share_bp
+              FROM c JOIN t USING (from_type)
+              ORDER BY c.from_type, c.to_type""")),
+
+    // SCD2-style validity intervals by gaps-and-islands: collapse each
+    // user's consecutive runs of the same event_type into
+    // [valid_from, valid_to) intervals (the type-2 dimension-history
+    // build every warehouse runs on change streams), then roll up per
+    // state: interval count, still-open count, and the exact closed
+    // duration in epoch milliseconds. Change points come from a
+    // null-safe LAG compare; island ids from a running sum — both
+    // windows partition by user_id, so the stage scales with users.
+    // The island collapse is one groupBy on (user, island); the final
+    // rollup key space is |event_type|. Integer-only output
+    // (unix_millis diffs), so the oracle hash is exact.
+    "q221_scd2_intervals" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val islands = table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w) <=> col("event_type"),
+              0L).otherwise(1L))
+          .withColumn("island", sum("chg").over(wRun))
+          .groupBy("user_id", "island")
+          .agg(min("event_type").as("event_type"),
+            min("ts").as("valid_from"),
+            count(lit(1)).as("n_events"))
+        val wIsl = Window.partitionBy("user_id").orderBy("island")
+        islands
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wIsl))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(when(col("valid_to").isNull, 1L).otherwise(0L))
+              .as("n_open"),
+            sum(when(col("valid_to").isNotNull,
+              unix_millis(col("valid_to")) -
+                unix_millis(col("valid_from"))).otherwise(0L))
+              .as("closed_dur_ms"),
+            sum("n_events").as("n_events"))
+          .orderBy("event_type")
+      },
+      Some("""WITH o AS (SELECT user_id, event_type, ts, event_id,
+                  CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) IS NOT DISTINCT FROM
+                      event_type THEN 0 ELSE 1 END AS chg
+                FROM events),
+              i AS (SELECT user_id, event_type, ts,
+                  SUM(chg) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS island
+                FROM o),
+              g AS (SELECT user_id, island,
+                  MIN(event_type) AS event_type,
+                  MIN(ts) AS valid_from, COUNT(*) AS n_events
+                FROM i GROUP BY 1, 2),
+              v AS (SELECT event_type, valid_from, n_events,
+                  LEAD(valid_from) OVER (PARTITION BY user_id
+                    ORDER BY island) AS valid_to
+                FROM g)
+              SELECT event_type, COUNT(*) AS n_intervals,
+                CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_open,
+                CAST(SUM(CASE WHEN valid_to IS NOT NULL THEN
+                  epoch_ms(valid_to) - epoch_ms(valid_from) ELSE 0 END)
+                  AS BIGINT) AS closed_dur_ms,
+                CAST(SUM(n_events) AS BIGINT) AS n_events
+              FROM v GROUP BY 1 ORDER BY event_type""")),
+
+    // Sliding-window distinct users (trailing 7 days, per calendar
+    // day) WITHOUT a per-day distinct scan: the naive plan re-counts
+    // every user 7× per week of data; the scalable form turns each
+    // user's active days into coverage intervals [d, d+6], merges
+    // overlapping ones per user (gaps-and-islands, window PARTITIONED
+    // by user), and emits ±1 difference-array events at interval
+    // edges. The day-level delta agg shuffles onto the bounded
+    // calendar key space, and the final running sum windows over that
+    // bounded frame only — corpus-sized data never crosses a window
+    // unpartitioned. The oracle is the naive day×activity join, so
+    // the compare proves the interval algebra exactly.
+    "q223_sliding_distinct" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct().managedPersist
+        val w = Window.partitionBy("user_id").orderBy("d")
+        val wRun = w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val spans = e
+          .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(w)))
+          .withColumn("brk",
+            when(col("gap").isNull || col("gap") > 6, 1L).otherwise(0L))
+          .withColumn("isl", sum("brk").over(wRun))
+          .groupBy("user_id", "isl")
+          .agg(min("d").as("cov_start"),
+            date_add(max("d"), 7).as("cov_stop")) // exclusive stop
+        val deltas = spans
+          .select(col("cov_start").as("day"), lit(1L).as("delta"))
+          .unionByName(spans.select(col("cov_stop").as("day"),
+            lit(-1L).as("delta")))
+          .groupBy("day").agg(sum("delta").as("delta"))
+        val b = e.agg(min("d").as("lo"), max("d").as("hi")).head()
+        val cal = s.range(1).select(explode(sequence(
+          lit(b.getDate(0)), lit(b.getDate(1)))).as("day"))
+        cal.join(deltas, Seq("day"), "left")
+          .na.fill(0L, Seq("delta"))
+          .withColumn("n_active_7d",
+            sum("delta").over(Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("day"), col("n_active_7d"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+              cal AS (SELECT CAST(unnest(generate_series(
+                  CAST((SELECT MIN(d) FROM e) AS TIMESTAMP),
+                  CAST((SELECT MAX(d) FROM e) AS TIMESTAMP),
+                  INTERVAL 1 DAY)) AS DATE) AS day)
+              SELECT cal.day,
+                CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active_7d
+              FROM cal LEFT JOIN e
+                ON e.d BETWEEN cal.day - 6 AND cal.day
+              GROUP BY 1 ORDER BY cal.day"""))
   )
 }

@@ -2752,7 +2752,44 @@ object Dedup {
               SELECT lang, docs_touched, tokens_removed, res.n_residual,
                 CAST(CASE WHEN res.n_residual = 0 THEN 1 ELSE 0 END
                   AS BIGINT) AS residual_ok
-              FROM rep_out, res ORDER BY lang"""))
+              FROM rep_out, res ORDER BY lang""")),
+
+    // Duplicate ARRIVAL-LAG histogram: for every exact-dup row (same
+    // text, later doc_id — ingest order), how far behind its group's
+    // first copy did it land? Gap = doc_id − first_id, bucketed by
+    // floor(log2) via the binary-string length (pure integer — no
+    // float log). This is the observability artifact that sizes a
+    // STREAMING dedup window: the bucket where the histogram's mass
+    // ends is the lookback an incremental pass (q115's shape) needs
+    // to catch 100 % of duplicates. Scale: the group key is the md5
+    // fingerprint, so the shuffle moves 16-byte keys, never text;
+    // one fp groupBy + one fp equi-join + a ≤64-key histogram agg —
+    // no windows, no pairs.
+    "q222_dup_arrival_lag" -> QueryDef(
+      (s, dir) => {
+        val f = table(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+        val g = f.groupBy("fp").agg(min("doc_id").as("first_id"))
+        f.join(g, "fp")
+          .filter(col("doc_id") > col("first_id"))
+          .select((col("doc_id") - col("first_id"))
+            .cast("long").as("gap"))
+          .groupBy((length(bin(col("gap"))) - 1).cast("long")
+            .as("bucket"))
+          .agg(count(lit(1)).as("n_dups"),
+            min("gap").as("min_gap"), max("gap").as("max_gap"))
+          .orderBy("bucket")
+      },
+      Some("""WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+              g AS (SELECT fp, MIN(doc_id) AS first_id
+                FROM f GROUP BY 1),
+              d AS (SELECT CAST(f.doc_id - g.first_id AS BIGINT) AS gap
+                FROM f JOIN g USING (fp) WHERE f.doc_id > g.first_id)
+              SELECT CAST(length(bin(gap)) - 1 AS BIGINT) AS bucket,
+                COUNT(*) AS n_dups,
+                CAST(MIN(gap) AS BIGINT) AS min_gap,
+                CAST(MAX(gap) AS BIGINT) AS max_gap
+              FROM d GROUP BY 1 ORDER BY bucket"""))
   )
 
   /** Maximal cross-doc verbatim token spans (the q165 operator, reusable

@@ -648,7 +648,48 @@ object Pipeline {
                 CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
                 md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id))
                   AS manifest_md5
-              FROM c GROUP BY 1 ORDER BY shard"""))
+              FROM c GROUP BY 1 ORDER BY shard""")),
+
+    // Pareto-front (skyline) document selection on length × lexical
+    // diversity: keep every doc no other doc strictly beats on BOTH
+    // token count and distinct-token count — the frontier a curation
+    // pass keeps when it refuses to collapse two quality axes into one
+    // weighted score. Naive skyline is all-pairs; this is the exact
+    // two-phase form: (1) per-token-count max diversity via ONE groupBy
+    // (key space = distinct token counts, bounded by the max doc length
+    // at any corpus size), (2) the strictly-longer threshold as a
+    // range-frame window over that bounded frame, (3) one join back,
+    // keep docs whose diversity clears the threshold. No pair of docs
+    // is ever formed; every stage is a shuffle on a real key.
+    "q217_pareto_front" -> QueryDef(
+      (s, dir) => {
+        val words = split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), size(words).cast("long").as("n_words"),
+            size(array_distinct(words)).cast("long").as("n_distinct"))
+        val thr = d.groupBy("n_words")
+          .agg(max("n_distinct").as("mx"))
+          .withColumn("thr", max("mx").over(Window.orderBy("n_words")
+            .rangeBetween(1L, Window.unboundedFollowing)))
+          .select("n_words", "thr")
+        d.join(broadcast(thr), "n_words")
+          .filter(col("thr").isNull || col("n_distinct") >= col("thr"))
+          .select("doc_id", "n_words", "n_distinct")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(trim(regexp_replace(lower(text),
+                    '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_words,
+                  CAST(len(list_distinct(string_split(trim(
+                    regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))
+                    AS BIGINT) AS n_distinct
+                FROM documents)
+              SELECT doc_id, n_words, n_distinct FROM d a
+              WHERE NOT EXISTS (SELECT 1 FROM d b
+                WHERE b.n_words > a.n_words
+                  AND b.n_distinct > a.n_distinct)
+              ORDER BY doc_id"""))
   )
 
   /** q139's streaming bin-pack shard assignment as a reusable frame:

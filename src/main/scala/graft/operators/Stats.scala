@@ -1328,6 +1328,104 @@ object Stats {
                 MAX(vec_id) - MIN(vec_id) + 1 - COUNT(DISTINCT vec_id),
                 COUNT(*) - COUNT(DISTINCT vec_id)
               FROM embeddings
-              ORDER BY tbl"""))
+              ORDER BY tbl""")),
+
+    // Cross-source quantile normalization: sources score length on
+    // different scales, so per-source ranks are mapped onto the POOLED
+    // empirical distribution — doc at within-source rank r of n_s gets
+    // the global order statistic at position ceil((2r-1)·N / (2n_s)),
+    // all integer arithmetic (the batch-effect correction step before
+    // mixing heterogeneous sources). Scale: the within-source rank is
+    // a window PARTITIONED by source; the global CDF never
+    // materializes per-row order statistics — it aggregates to one row
+    // per DISTINCT value (bounded by the max doc length) and the
+    // unpartitioned cumulative window runs over that bounded frame
+    // only. The rank→value lookup is a broadcast range join against
+    // that frame; each rank matches exactly one CDF step.
+    "q219_quantile_normalize" -> QueryDef(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("long").as("v"))
+          .managedPersist
+        val nTot = d.count()
+        val wSrc = Window.partitionBy("source").orderBy("v", "doc_id")
+        val ranked = d
+          .withColumn("r", row_number().over(wSrc).cast("long"))
+          .withColumn("ns",
+            count(lit(1)).over(Window.partitionBy("source")))
+          .withColumn("k",
+            expr(s"((2 * r - 1) * ${nTot}L + 2 * ns - 1) div (2 * ns)"))
+        val cdf = d.groupBy("v").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("prev", col("cum") - col("cnt"))
+          .select(col("v").as("norm_v"), col("cum"), col("prev"))
+        ranked.join(broadcast(cdf),
+            col("cum") >= col("k") && col("prev") < col("k"))
+          .select(col("doc_id"), col("source"), col("v"), col("norm_v"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+                  CAST(n_chars AS BIGINT) AS v FROM documents),
+              r AS (SELECT doc_id, source, v,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY v, doc_id) AS r,
+                  COUNT(*) OVER (PARTITION BY source) AS ns,
+                  (SELECT COUNT(*) FROM d) AS n
+                FROM d),
+              k AS (SELECT doc_id, source, v,
+                  ((2 * r - 1) * n + 2 * ns - 1) // (2 * ns) AS k
+                FROM r),
+              c AS (SELECT v AS norm_v, COUNT(*) AS cnt
+                FROM d GROUP BY 1),
+              cc AS (SELECT norm_v,
+                  SUM(cnt) OVER (ORDER BY norm_v
+                    ROWS UNBOUNDED PRECEDING) AS cum,
+                  SUM(cnt) OVER (ORDER BY norm_v
+                    ROWS UNBOUNDED PRECEDING) - cnt AS prev
+                FROM c)
+              SELECT k.doc_id, k.source, k.v,
+                CAST(cc.norm_v AS BIGINT) AS norm_v
+              FROM k JOIN cc ON cc.cum >= k.k AND cc.prev < k.k
+              ORDER BY k.doc_id"""))
+  ) ++ rareComboDefs
+
+  /** k-anonymity suppression audit (k = 5) over the quasi-identifier
+    * (lang, source, length bin): a release that publishes per-document
+    * metadata must suppress rows whose QI combination identifies
+    * fewer than k documents — this reports, per language, how many QI
+    * groups exist, how many are rare, and how many documents the
+    * suppression would drop (the privacy-side sibling of q167's
+    * content-side PII scrub). Scale: ONE partial-agg shuffle onto the
+    * QI key (bounded by |lang|·|source|·8 bins at any corpus size)
+    * then a ≤|lang|-key rollup. q109's fixed 100-char bins keep the
+    * key space constant as the corpus grows.
+    */
+  private[operators] def rareComboDefs: Seq[(String, QueryDef)] = Seq(
+    "q224_rare_combo_suppress" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .groupBy(col("lang"), col("source"),
+          least(floor(col("n_chars") / 100), lit(7)).cast("long")
+            .as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_rare_groups"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L))
+            .as("n_docs_suppressed"),
+          sum("n").as("n_docs"))
+        .orderBy("lang"),
+      Some("""WITH q AS (SELECT lang, source,
+                  LEAST(CAST(FLOOR(n_chars / 100) AS BIGINT), 7) AS bin,
+                  COUNT(*) AS n
+                FROM documents GROUP BY 1, 2, 3)
+              SELECT lang, COUNT(*) AS n_groups,
+                CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_rare_groups,
+                CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                  AS n_docs_suppressed,
+                CAST(SUM(n) AS BIGINT) AS n_docs
+              FROM q GROUP BY 1 ORDER BY lang"""))
   )
 }

@@ -3122,7 +3122,48 @@ object TextAnalysis {
                   AS oov_docs,
                 CAST(1 AS BIGINT) AS store_roundtrip_ok,
                 CAST((SELECT COUNT(*) FROM documents
-                      WHERE doc_id % 53 = 0) > 0 AS BIGINT) AS rebuild"""))
+                      WHERE doc_id % 53 = 0) > 0 AS BIGINT) AS rebuild""")),
+
+    // Positional phrase search ("hash join") through posting-list
+    // adjacency: explode (doc_id, pos, word) postings, keep ONLY the
+    // phrase's two terms (the filter lands before the shuffle, so the
+    // join moves posting lists, never the corpus), and match on
+    // (doc_id, pos+1). This is the positional-index query shape — the
+    // equi-join Spark shuffles on (doc_id, pos) with partial
+    // aggregation on the per-doc hit count. Overlap-free by
+    // construction (the two phrase words differ), and the token
+    // adjacency definition makes the DuckDB oracle expressible as a
+    // per-row list scan with no self-join.
+    "q218_phrase_posting" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val postings = docs
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+          .filter(col("word").isin("hash", "join"))
+        val w1 = postings.filter(col("word") === "hash")
+          .select(col("doc_id"), col("pos"))
+        val w2 = postings.filter(col("word") === "join")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        w1.join(w2, Seq("doc_id", "pos"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"),
+            min(col("pos")).cast("long").as("first_pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                  list_filter(string_split(trim(regexp_replace(
+                    lower(text), '\s+', ' ', 'g')), ' '),
+                    t -> t <> '') AS toks
+                FROM documents),
+              h AS (SELECT doc_id,
+                  list_filter(range(1, len(toks)),
+                    i -> toks[i] = 'hash' AND toks[i + 1] = 'join')
+                    AS hits
+                FROM d)
+              SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+                CAST(hits[1] - 1 AS BIGINT) AS first_pos
+              FROM h WHERE len(hits) > 0 ORDER BY doc_id"""))
   )
 
   /** PII pattern set — the dialect-shared regex subset (character

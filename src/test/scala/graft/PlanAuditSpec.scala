@@ -834,4 +834,85 @@ class PlanAuditSpec extends SparkSpec {
       s"subquery bloom operand must be refused with the contract " +
         s"message, got: $chain")
   }
+
+  test("q217: skyline is two-phase — bounded threshold frame broadcasts, no pair join") {
+    val p = plan("q217_pareto_front")
+    assert(!p.contains("CartesianProduct"), s"q217 formed doc pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q217 must join back on n_words equality, not a theta join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the distinct-token-count threshold frame must broadcast:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"the per-token-count max must combine map-side:\n$p")
+  }
+
+  test("q218: phrase postings filter to the two terms before the adjacency join") {
+    val p = plan("q218_phrase_posting")
+    assert(!p.contains("CartesianProduct"), s"q218 planned a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the adjacency match must be an equi-join on (doc_id, pos):\n$p")
+    // the isin filter must land between the Generate (posexplode) and
+    // the join — the join moves posting lists, never the corpus
+    assert(p.contains("Generate"), s"q218 lost the posting explode:\n$p")
+    assert(p.matches("(?s).*Filter[^\\n]*(hash|join).*"),
+      s"the phrase-term filter must precede the shuffle:\n$p")
+  }
+
+  test("q219: quantile map joins a bounded broadcast CDF; the rank window partitions by source") {
+    val p = plan("q219_quantile_normalize")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the rank->value lookup must be a broadcast range join " +
+        s"against the bounded CDF frame:\n$p")
+    assert(p.contains("Window"), s"q219 lost the per-source rank window:\n$p")
+    assert(p.contains("partial_"),
+      s"the distinct-value CDF agg must combine map-side:\n$p")
+  }
+
+  test("q222: arrival-lag shuffles 16-byte fingerprints, never text; no windows") {
+    val p = plan("q222_dup_arrival_lag")
+    assert(!p.contains("CartesianProduct"), s"q222 formed doc pairs:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"q222 must be groupBy+join only — no window:\n$p")
+    // the fp groupBy and the join-back both move md5 keys; the text
+    // column must be pruned at the scan (doc_id + text read once,
+    // hashed in the projection)
+    assert(p.matches("(?s).*ReadSchema[^\\n]*doc_id.*"),
+      s"q222 scan must prune to (doc_id, text):\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"the first-id agg must combine map-side:\n$p")
+  }
+
+  test("q223: sliding distinct is interval algebra — user-partitioned windows + bounded calendar frame") {
+    val p = plan("q223_sliding_distinct")
+    assert(!p.contains("CartesianProduct"), s"q223 planned a cartesian:\n$p")
+    assert(p.matches("(?s).*Window[^\\n]*user_id.*"),
+      s"the island window must partition by user_id:\n$p")
+    // the only unpartitioned window is the running sum over the
+    // calendar frame (bounded by the corpus time span); the per-day
+    // distinct-user recount (a 7x scan) must never appear as a
+    // day-range join against the activity frame
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q223 fell back to the naive day-range join:\n$p")
+  }
+
+  test("q224: k-anonymity audit is two partial aggs on bounded keys") {
+    val p = plan("q224_rare_combo_suppress")
+    assert(p.contains("partial_"),
+      s"the QI-group agg must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"q224 must be join-free:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"q224 must be window-free:\n$p")
+  }
+
+  test("q220/q221: event-sequence windows partition by user; rollups aggregate partially") {
+    for (q <- Seq("q220_event_transitions", "q221_scd2_intervals")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      assert(p.contains("Window"), s"$q lost its sequence window:\n$p")
+      assert(p.matches("(?s).*Window[^\\n]*user_id.*"),
+        s"$q's sequence window must partition by user_id:\n$p")
+      assert(p.contains("partial_"),
+        s"$q's rollup must combine map-side:\n$p")
+    }
+  }
 }
