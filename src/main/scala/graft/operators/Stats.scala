@@ -1403,6 +1403,61 @@ object Stats {
     * key space constant as the corpus grows.
     */
   private[operators] def rareComboDefs: Seq[(String, QueryDef)] = Seq(
+    // Vocabulary coverage curve — the tokenizer-sizing artifact: the
+    // smallest vocabulary (by corpus frequency rank) covering 50/90/99 %
+    // of token mass, with the exact covered share in bp. Heaps' law
+    // says the vocab frame grows sublinearly with the corpus, and the
+    // house dictionary-bounded discipline (q156/q208) applies: the
+    // corpus-sized work is ONE token-count partial agg; the rank /
+    // cumulative windows run over the aggregated vocab frame only, and
+    // the 3-row percent grid broadcasts against it. Determinism: ranks
+    // tie-break on the token string; all outputs integer.
+    "q226_vocab_coverage" -> QueryDef(
+      (s, dir) => {
+        val wc = table(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+          .managedPersist
+        val tot = wc.agg(sum("freq")).head().getLong(0)
+        val wRank = Window.orderBy(desc("freq"), col("token"))
+        val ranked = wc
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .withColumn("cum", sum("freq").over(wRank
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val pcts = s.createDataFrame(Seq(Tuple1(50L), Tuple1(90L),
+          Tuple1(99L))).toDF("pct")
+        ranked.crossJoin(broadcast(pcts))
+          .filter(col("cum") * 100 >= col("pct") * tot)
+          .groupBy("pct")
+          .agg(min("rank").as("vocab_size"),
+            min_by(col("cum"), col("rank")).as("cum_tokens"))
+          .withColumn("total_tokens", lit(tot))
+          .withColumn("covered_bp",
+            expr("(20000 * cum_tokens + total_tokens)" +
+              " div (2 * total_tokens)"))
+          .orderBy("pct")
+      },
+      Some("""WITH w AS (SELECT unnest(list_filter(
+                  string_split_regex(text, '\s+'), x -> x <> ''))
+                  AS token
+                FROM documents),
+              f AS (SELECT token, COUNT(*) AS freq FROM w GROUP BY 1),
+              t AS (SELECT CAST(SUM(freq) AS BIGINT) AS tot FROM f),
+              r AS (SELECT freq,
+                  ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank,
+                  SUM(freq) OVER (ORDER BY freq DESC, token
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM f)
+              SELECT CAST(p.pct AS BIGINT) AS pct,
+                CAST(MIN(r.rank) AS BIGINT) AS vocab_size,
+                CAST(arg_min(r.cum, r.rank) AS BIGINT) AS cum_tokens,
+                t.tot AS total_tokens,
+                CAST((20000 * arg_min(r.cum, r.rank) + t.tot)
+                  // (2 * t.tot) AS BIGINT) AS covered_bp
+              FROM (VALUES (50), (90), (99)) p(pct), r, t
+              WHERE r.cum * 100 >= p.pct * t.tot
+              GROUP BY p.pct, t.tot ORDER BY pct""")),
+
     "q224_rare_combo_suppress" -> QueryDef(
       (s, dir) => table(s, dir, "documents")
         .groupBy(col("lang"), col("source"),

@@ -3163,7 +3163,86 @@ object TextAnalysis {
                 FROM d)
               SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
                 CAST(hits[1] - 1 AS BIGINT) AS first_pos
-              FROM h WHERE len(hits) > 0 ORDER BY doc_id"""))
+              FROM h WHERE len(hits) > 0 ORDER BY doc_id""")),
+
+    // Filter-ensemble agreement (Cohen's kappa, exact integer bp): do
+    // two independent quality gates — unigram lexical diversity ≥ 0.46
+    // and q97's trigram non-repetition rule — agree beyond chance? A
+    // pipeline stacking filters needs this redundancy audit before it
+    // pays for both. Kappa is a ratio of integer contingency products
+    // (κ = (N·agree − Σ margins)/(N² − Σ margins)), so the output is
+    // hash-exact with no float discipline needed; the sign-split
+    // half-up rounding keeps Spark's truncating `div` and DuckDB's
+    // flooring `//` on the agreeing non-negative domain. Scale: one
+    // map-only verdict scan into a 4-cell partial agg — the cheapest
+    // shape a corpus-wide audit can have.
+    "q225_filter_agreement" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashFunctions.register(s)
+        val d = table(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("n", size(col("toks")).cast("long"))
+          .filter(col("n") > 0)
+          .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
+          .withColumn("g3", greatest(col("n") - 2, lit(0L)))
+          .withColumn("g3d", when(col("n") >= 3,
+            size(expr("graft_shingles(text, 3)")).cast("long"))
+            .otherwise(0L))
+          .withColumn("a",
+            (col("nd") * 100 >= col("n") * 46).cast("long"))
+          .withColumn("b",
+            (col("g3") > 0 && col("g3d") * 100 >= col("g3") * 98)
+              .cast("long"))
+        d.agg(count(lit(1)).as("n_docs"),
+            sum(col("a") * col("b")).as("c11"),
+            sum(col("a") * (lit(1L) - col("b"))).as("c10"),
+            sum((lit(1L) - col("a")) * col("b")).as("c01"),
+            sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("c00"))
+          .withColumn("pe_num",
+            expr("(c11 + c10) * (c11 + c01) + (c01 + c00) * (c10 + c00)"))
+          .withColumn("num", expr("n_docs * (c11 + c00) - pe_num"))
+          .withColumn("den", expr("n_docs * n_docs - pe_num"))
+          .select(col("n_docs"), col("c11"), col("c10"), col("c01"),
+            col("c00"),
+            expr("""CASE WHEN den = 0 THEN 0L
+                    WHEN num >= 0 THEN (20000 * num + den) div (2 * den)
+                    ELSE -((20000 * -num + den) div (2 * den))
+                    END""").as("kappa_bp"))
+      },
+      Some("""WITH toks AS (SELECT
+                  list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '') AS t
+                FROM documents),
+              d AS (SELECT len(t) AS n, len(list_distinct(t)) AS nd,
+                  GREATEST(len(t) - 2, 0) AS g3,
+                  CASE WHEN len(t) >= 3 THEN len(list_distinct(
+                    [array_to_string(t[i:i+2], ' ')
+                     for i in range(1, len(t)-1)])) ELSE 0 END AS g3d
+                FROM toks WHERE len(t) > 0),
+              f AS (SELECT
+                  CASE WHEN nd * 100 >= n * 46 THEN 1 ELSE 0 END AS a,
+                  CASE WHEN g3 > 0 AND g3d * 100 >= g3 * 98
+                    THEN 1 ELSE 0 END AS b
+                FROM d),
+              c AS (SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(a * b) AS BIGINT) AS c11,
+                  CAST(SUM(a * (1 - b)) AS BIGINT) AS c10,
+                  CAST(SUM((1 - a) * b) AS BIGINT) AS c01,
+                  CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS c00
+                FROM f),
+              k AS (SELECT *,
+                  (c11 + c10) * (c11 + c01) + (c01 + c00) * (c10 + c00)
+                    AS pe_num
+                FROM c),
+              m AS (SELECT *, n_docs * (c11 + c00) - pe_num AS num,
+                  n_docs * n_docs - pe_num AS den
+                FROM k)
+              SELECT n_docs, c11, c10, c01, c00,
+                CAST(CASE WHEN den = 0 THEN 0
+                  WHEN num >= 0 THEN (20000 * num + den) // (2 * den)
+                  ELSE -((20000 * -num + den) // (2 * den))
+                  END AS BIGINT) AS kappa_bp
+              FROM m"""))
   )
 
   /** PII pattern set — the dialect-shared regex subset (character

@@ -904,6 +904,24 @@ class PlanAuditSpec extends SparkSpec {
       s"q224 must be window-free:\n$p")
   }
 
+  test("q225: kappa is one map-only verdict scan into a 4-cell agg — no joins, no windows") {
+    val p = plan("q225_filter_agreement")
+    assert(!p.contains("Join"), s"q225 must be join-free:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"q225 must be window-free:\n$p")
+    assert(p.contains("partial_"),
+      s"the contingency agg must combine map-side:\n$p")
+  }
+
+  test("q226: coverage windows run over the aggregated vocab frame; the pct grid broadcasts") {
+    val p = plan("q226_vocab_coverage")
+    assert(!p.contains("CartesianProduct"),
+      s"the 3-row pct grid must broadcast, not cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"the token-count agg must combine map-side:\n$p")
+    assert(p.contains("Window"), s"q226 lost the rank window:\n$p")
+  }
+
   test("q220/q221: event-sequence windows partition by user; rollups aggregate partially") {
     for (q <- Seq("q220_event_transitions", "q221_scd2_intervals")) {
       val p = plan(q)
