@@ -992,6 +992,85 @@ object Stress {
         events.join(broadcast(stats), "event_type")
           .filter(abs(col("value") - col("mean")) > lit(2.0) * col("std"))
           .count()
+      },
+      // q222 shape: dup arrival-lag histogram — the shuffle moves md5
+      // prefix fingerprints, dup rows grow linearly (each replica keeps
+      // the base corpus's internal dup groups under the shared salt)
+      timed("dup_arrival_lag") {
+        val f = documents.select(col("doc_id"),
+          md5(array_join(slice(graft.operators.TextAnalysis
+            .tokens(col("text")), 1, 8), " ")).as("fp"))
+        val g = f.groupBy("fp").agg(min("doc_id").as("first_id"))
+        f.join(g, "fp").filter(col("doc_id") > col("first_id"))
+          .select((col("doc_id") - col("first_id")).cast("long").as("gap"))
+          .groupBy((length(bin(col("gap"))) - 1).as("bucket"))
+          .count().collect().map(_.getLong(1)).sum
+      },
+      // q223 shape: sliding 7-day distinct users with the user
+      // population salted N× — islands and difference events grow
+      // linearly while the calendar frame stays fixed
+      timed("sliding_distinct") {
+        import org.apache.spark.sql.expressions.Window
+        val e = events
+          .withColumn("user_id",
+            col("user_id") * factor + col("replica"))
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("d")
+        val spans = e
+          .withColumn("gap",
+            datediff(col("d"), lag(col("d"), 1).over(w)))
+          .withColumn("brk",
+            when(col("gap").isNull || col("gap") > 6, 1L).otherwise(0L))
+          .withColumn("isl", sum("brk").over(w.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "isl")
+          .agg(min("d").as("s"), date_add(max("d"), 7).as("x"))
+        spans.select(col("s").as("day"), lit(1L).as("delta"))
+          .unionByName(spans.select(col("x").as("day"),
+            lit(-1L).as("delta")))
+          .groupBy("day").agg(sum("delta").as("delta"))
+          .count()
+      },
+      // q226 shape: vocab coverage with the salt inflating both token
+      // volume AND vocabulary N× — the dictionary-bounded discipline's
+      // worst case (the vocab frame itself grows with the factor)
+      timed("vocab_coverage") {
+        import org.apache.spark.sql.expressions.Window
+        val wc = documents
+          .select(explode(graft.operators.TextAnalysis
+            .tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+        val tot = wc.agg(sum("freq")).head().getLong(0)
+        val wRank = Window.orderBy(desc("freq"), col("token"))
+        wc.withColumn("rank", row_number().over(wRank).cast("long"))
+          .withColumn("cum", sum("freq").over(wRank.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cum") * 100 >= lit(90L) * tot)
+          .agg(min("rank")).head().getLong(0) // 90% vocab size
+      },
+      // q219 shape: the broadcast range join against the bounded CDF —
+      // probe rows grow N×, the CDF frame stays fixed, so the nested-
+      // loop term is linear in the corpus
+      timed("quantile_normalize") {
+        import org.apache.spark.sql.expressions.Window
+        val d = documents.select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("v"))
+        val nTot = d.count()
+        val wSrc = Window.partitionBy("source").orderBy("v", "doc_id")
+        val ranked = d
+          .withColumn("r", row_number().over(wSrc).cast("long"))
+          .withColumn("ns",
+            count(lit(1)).over(Window.partitionBy("source")))
+          .withColumn("k",
+            expr(s"((2 * r - 1) * ${nTot}L + 2 * ns - 1) div (2 * ns)"))
+        val cdf = d.groupBy("v").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("prev", col("cum") - col("cnt"))
+          .select(col("v").as("norm_v"), col("cum"), col("prev"))
+        ranked.join(broadcast(cdf),
+            col("cum") >= col("k") && col("prev") < col("k"))
+          .count()
       })
 
     val ran = results.filter(_._2 >= 0.0)

@@ -2754,21 +2754,25 @@ object Dedup {
                   AS BIGINT) AS residual_ok
               FROM rep_out, res ORDER BY lang""")),
 
-    // Duplicate ARRIVAL-LAG histogram: for every exact-dup row (same
-    // text, later doc_id — ingest order), how far behind its group's
-    // first copy did it land? Gap = doc_id − first_id, bucketed by
-    // floor(log2) via the binary-string length (pure integer — no
-    // float log). This is the observability artifact that sizes a
-    // STREAMING dedup window: the bucket where the histogram's mass
-    // ends is the lookback an incremental pass (q115's shape) needs
-    // to catch 100 % of duplicates. Scale: the group key is the md5
-    // fingerprint, so the shuffle moves 16-byte keys, never text;
-    // one fp groupBy + one fp equi-join + a ≤64-key histogram agg —
-    // no windows, no pairs.
+    // Duplicate ARRIVAL-LAG histogram: for every duplicate row (same
+    // 8-token prefix key — q118/q125's affix-duplicate family, the key
+    // with real duplicate mass at every SF; doc_id = ingest order),
+    // how far behind its group's first copy did it land? Gap =
+    // doc_id − first_id, bucketed by floor(log2) via the
+    // binary-string length (pure integer — no float log). This is the
+    // observability artifact that sizes a STREAMING dedup window: the
+    // bucket where the histogram's mass ends is the lookback an
+    // incremental pass (q115's shape) needs to catch 100 % of
+    // duplicates. Scale: the group key is the md5 of the bounded
+    // prefix, so the shuffle moves 16-byte keys, never text; one fp
+    // groupBy + one fp equi-join + a ≤64-key histogram agg — no
+    // windows, no pairs.
     "q222_dup_arrival_lag" -> QueryDef(
       (s, dir) => {
         val f = table(s, dir, "documents")
-          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .select(col("doc_id"),
+            md5(array_join(slice(TextAnalysis.tokens(col("text")),
+              1, 8), " ")).as("fp"))
         val g = f.groupBy("fp").agg(min("doc_id").as("first_id"))
         f.join(g, "fp")
           .filter(col("doc_id") > col("first_id"))
@@ -2780,7 +2784,11 @@ object Dedup {
             min("gap").as("min_gap"), max("gap").as("max_gap"))
           .orderBy("bucket")
       },
-      Some("""WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      Some("""WITH f AS (SELECT doc_id,
+                  md5(array_to_string(list_filter(
+                    string_split_regex(text, '\s+'),
+                    x -> x <> '')[1:8], ' ')) AS fp
+                FROM documents),
               g AS (SELECT fp, MIN(doc_id) AS first_id
                 FROM f GROUP BY 1),
               d AS (SELECT CAST(f.doc_id - g.first_id AS BIGINT) AS gap
