@@ -120,6 +120,12 @@ object Stress {
     // nightly artifact (untimed build); the TIMED probe below is the
     // staleness report itself — the health check that must stay
     // scan-linear in the store + corpus
+    // q227's scale path: the positional posting store over the
+    // inflated corpus persisted once (untimed); the fixed replica-0
+    // phrase probe is timed — bucket-pruned posting reads only
+    if (selected("phrase_probe"))
+      graft.operators.TextAnalysis.writePositionalIndex(
+        documents, "stress_positionalidx", s"$stressIdxDir/positional")
     if (selected("staleness_report"))
       graft.operators.Dedup.writeSpanIndex(
         documents.select(col("doc_id"),
@@ -803,6 +809,18 @@ object Stress {
             driftMicro = pcaDrift, driftThresholdMicro = 1000L)))
           .count()
       },
+      // q227's deployed shape: the PERSISTED positional index over the
+      // inflated corpus is the nightly artifact (untimed build); the
+      // timed probe is a fixed phrase whose salt pins it to replica 0,
+      // so its posting lists stay base-sized as the store grows 10x —
+      // probe cost must track the phrase's postings (bucket-pruned
+      // reads), never the store
+      timed("phrase_probe") {
+        graft.operators.TextAnalysis
+          .probePhraseIndex(spark, "stress_positionalidx",
+            Seq("hashr0", "joinr0"))
+          .count()
+      },
       // q195's BM25 at 10x docs: the inverted-index build (tf/df/dl
       // partial aggs) is the linear part; the replica salt makes every
       // token replica-local, so the top-df query terms' postings stay
@@ -1083,7 +1101,7 @@ object Stress {
     (Seq("stress_bandidx_bands", "stress_bandidx_shingles",
         "stress_gramidx_grams", "stress_spanidx_pgrams",
         "stress_phashidx_phash", "stress_mediaidx_phash",
-        "stress_videoidx_phash") ++
+        "stress_videoidx_phash", "stress_positionalidx_postings") ++
         Seq("codes", "centroids", "vectors", "pq")
           .map(t => s"stress_pqidx_$t") ++
         Seq("codes", "centroids", "vectors")

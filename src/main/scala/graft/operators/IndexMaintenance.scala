@@ -248,7 +248,12 @@ object IndexMaintenance {
     *  - lexical (when the store carries the eighth family):
     *    dictionary-vs-postings conservation — Σ df == postings rows
     *    (a postings append without a dictionary rebuild, a partial
-    *    family write, or duplicated postings all break it).
+    *    family write, or duplicated postings all break it);
+    *  - positional (when the store carries the ninth family):
+    *    position-contiguity conservation — per doc, postings count ==
+    *    max(pos)+1 == distinct positions (every indexed document lays
+    *    down exactly one posting per token position 0..n−1; a partial
+    *    write, a duplicated posting, or a dropped position breaks it).
     *
     * These feed [[FamilySpec.signalOk]] when a store OWNER runs the
     * report; they are deliberately excluded from q192's
@@ -303,13 +308,27 @@ object IndexMaintenance {
     // df). A postings append without a dictionary rebuild (the
     // write-once rule violated), a partial family write, or duplicated
     // posting rows all break the identity.
-    if (!spark.catalog.tableExists(s"${name}_lexical_postings")) withPhash
+    val withLexical =
+      if (!spark.catalog.tableExists(s"${name}_lexical_postings")) withPhash
+      else {
+        val pn = spark.table(s"${name}_lexical_postings")
+          .agg(count(lit(1))).head().getLong(0)
+        val dfs = spark.table(s"${name}_lexical_df")
+          .agg(sum(col("df"))).head()
+        withPhash + ("lexical" -> (!dfs.isNullAt(0) && dfs.getLong(0) == pn))
+      }
+    // positional: per-doc contiguity — one groupBy over the store, one
+    // scalar verdict; an empty store is conservatively healthy
+    if (!spark.catalog.tableExists(s"${name}_positional_postings"))
+      withLexical
     else {
-      val pn = spark.table(s"${name}_lexical_postings")
-        .agg(count(lit(1))).head().getLong(0)
-      val dfs = spark.table(s"${name}_lexical_df")
-        .agg(sum(col("df"))).head()
-      withPhash + ("lexical" -> (!dfs.isNullAt(0) && dfs.getLong(0) == pn))
+      val bad = spark.table(s"${name}_positional_postings")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+          countDistinct(col("pos")).as("nd"))
+        .filter(col("n") =!= col("mx") + 1 || col("n") =!= col("nd"))
+        .limit(1).count()
+      withLexical + ("positional" -> (bad == 0L))
     }
   }
 
@@ -323,7 +342,8 @@ object IndexMaintenance {
     "ivf" -> Seq("codes", "centroids", "vectors"),
     "pq" -> Seq("codes", "centroids", "vectors", "pq"),
     "phash" -> Seq("phash"),
-    "lexical" -> Seq("postings", "df", "stats"))
+    "lexical" -> Seq("postings", "df", "stats"),
+    "positional" -> Seq("postings"))
 
   /** The ACTUATOR for [[stalenessReport]]'s rebuild bit (VERDICT r13
     * ask #2): rebuild one persisted index family from the CURRENT
@@ -429,6 +449,8 @@ object IndexMaintenance {
         MultiModal.writePhashIndex(corpus, tmpName, tmpPath.toString)
       case "lexical" =>
         TextAnalysis.writeLexicalIndex(corpus, tmpName, tmpPath.toString)
+      case "positional" =>
+        TextAnalysis.writePositionalIndex(corpus, tmpName, tmpPath.toString)
     }
     // SALVAGE before the unconditional delete (ADVICE r14, medium): a
     // stale aside copy here means a PRIOR rebuild crashed somewhere
@@ -482,6 +504,8 @@ object IndexMaintenance {
       case "phash" => MultiModal.registerPhashIndex(spark, name, storePath)
       case "lexical" =>
         TextAnalysis.registerLexicalIndex(spark, name, storePath)
+      case "positional" =>
+        TextAnalysis.registerPositionalIndex(spark, name, storePath)
     }
     // the new catalog entries must not serve a listing cached from the
     // pre-swap files (the cross-session staleness class r13 fixed)
@@ -547,6 +571,8 @@ object IndexMaintenance {
         case "phash" => MultiModal.registerPhashIndex(spark, name, storePath)
         case "lexical" =>
           TextAnalysis.registerLexicalIndex(spark, name, storePath)
+        case "positional" =>
+          TextAnalysis.registerPositionalIndex(spark, name, storePath)
       }
       tables.foreach(t => spark.catalog.refreshTable(s"${name}_$t"))
       true

@@ -20,10 +20,11 @@ import Q._
   *    `rows_at_build` captured by every index writer in a
   *    `_BUILD_META` sidecar at the store root.
   *  - '''write-once stores left behind by the corpus''' (IVF here,
-  *    PCA, and the lexical inverted index — its df/stats freeze at
-  *    build, the span discipline): the store never grew while the
-  *    corpus did. Signal: the same fraction with `rows_now` overridden
-  *    to the CURRENT corpus count.
+  *    PCA, the lexical inverted index — its df/stats freeze at
+  *    build, the span discipline — and the positional posting index,
+  *    whose positions freeze the same way): the store never grew while
+  *    the corpus did. Signal: the same fraction with `rows_now`
+  *    overridden to the CURRENT corpus count.
   *  - '''frozen statistics gone stale''' (span): df_gk is
   *    materialized at build by design (append would stale it — the
   *    family's declared reason to be write-once); the drift signal is
@@ -131,6 +132,11 @@ object Maintenance {
           // so its left-behind signal fires with the others
           TextAnalysis.writeLexicalIndex(baseDocs, s"${name}_lexical",
             s"$path/lexical")
+          // ninth family (round 15): the positional posting index —
+          // write-once like lexical (positions freeze at build), built
+          // on the base tranche so its left-behind signal fires too
+          TextAnalysis.writePositionalIndex(baseDocs,
+            s"${name}_positional", s"$path/positional")
         }
         // Report-pass job budget (it's the nightly health check — it
         // should cost scans, and as FEW as possible): every per-table
@@ -166,6 +172,12 @@ object Maintenance {
           .select(col("doc_id"),
             explode(TextAnalysis.tokens(col("text"))).as("t"))
           .agg(countDistinct(col("doc_id"), col("t"))).head().getLong(0)
+        // positional is write-once too: rows_now overridden to the
+        // CURRENT corpus token count (one posting per token position —
+        // a single partial-agg scan)
+        val posNow = docs
+          .agg(sum(size(TextAnalysis.tokens(col("text")))).cast("long"))
+          .head().getLong(0)
         import IndexMaintenance.FamilySpec
         IndexMaintenance.stalenessReport(s, Seq(
           FamilySpec("band", s"${name}_band_shingles",
@@ -184,6 +196,8 @@ object Maintenance {
             driftThresholdMicro = 1000L),
           FamilySpec("phash", s"${name}_phash_phash",
             rowsNow = Some(phNow)),
+          FamilySpec("positional", s"${name}_positional_postings",
+            rowsNow = Some(posNow)),
           FamilySpec("pq", s"${name}_pq_codes", rowsNow = Some(pr)),
           FamilySpec("span", s"${name}_span_pgrams",
             rowsNow = Some(spanNow), driftMicro = spanDrift,
@@ -248,6 +262,13 @@ object Maintenance {
                      FROM tok1 WHERE doc_id % 4 <> 0) z) AS b,
                   (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, w
                      FROM tok1) z2) AS n),
+              -- positional family (write-once): one posting per token
+              -- position, base build vs current corpus
+              posc AS (SELECT
+                  (SELECT CAST(COALESCE(SUM(len(t)), 0) AS BIGINT)
+                     FROM toks WHERE doc_id % 4 <> 0) AS b,
+                  (SELECT CAST(COALESCE(SUM(len(t)), 0) AS BIGINT)
+                     FROM toks) AS n),
               -- embedding families: vector counts, base vs full
               vc AS (SELECT
                   (SELECT COUNT(*) FROM embeddings WHERE vec_id % 4 <> 0)
@@ -303,6 +324,11 @@ object Maintenance {
                   CAST(0 AS BIGINT),
                   CAST((n - b) * 1000000 // n >= 200000 AS BIGINT)
                 FROM phc
+                UNION ALL
+                SELECT 'positional', b, n, (n - b) * 1000000 // n,
+                  CAST(0 AS BIGINT),
+                  CAST((n - b) * 1000000 // n >= 200000 AS BIGINT)
+                FROM posc
                 UNION ALL
                 SELECT 'pq', b, n, (n - b) * 1000000 // n,
                   CAST(0 AS BIGINT),

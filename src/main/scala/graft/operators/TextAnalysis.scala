@@ -276,6 +276,63 @@ object TextAnalysis {
     IndexCatalog.registerPlain(spark, s"${name}_stats", s"$path/stats")
   }
 
+  /** Ninth persisted index family (round 15): the POSITIONAL posting
+    * index behind q218's phrase search — postings (t, doc_id, pos),
+    * bucketed + sorted by term so a phrase probe touches only its
+    * terms' buckets (Spark prunes buckets on the equality filter) and
+    * the adjacency join shuffles posting lists, never the corpus.
+    * Write-once like the lexical family: positions freeze at build,
+    * so corpus growth surfaces as q192's left-behind staleness signal
+    * rather than an append path.
+    */
+  def writePositionalIndex(
+      docs: DataFrame, name: String, path: String,
+      buckets: Int = 32): Unit = {
+    val s = docs.sparkSession
+    docs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select("t", "doc_id", "pos")
+      .write.mode("overwrite").bucketBy(buckets, "t").sortBy("t")
+      .option("path", s"$path/postings").saveAsTable(s"${name}_postings")
+    IndexMaintenance.writeBuildMeta(s, path,
+      s.table(s"${name}_postings").count())
+  }
+
+  /** Re-attach a [[writePositionalIndex]] artifact in a NEW
+    * SparkSession — the registrar contract the family machinery
+    * ([[IndexMaintenance.rebuildFamily]], catalog repair) requires.
+    */
+  def registerPositionalIndex(
+      spark: SparkSession, name: String, path: String,
+      buckets: Int = 32): Unit =
+    IndexCatalog.registerBucketed(spark, s"${name}_postings",
+      s"$path/postings", "t", buckets)
+
+  /** Phrase probe off a persisted [[writePositionalIndex]] store:
+    * result-identical to q218's inline adjacency plan over the corpus
+    * the index was built from (IndexStoreSpec asserts it), but the
+    * probe never tokenizes — it reads the phrase terms' pruned
+    * buckets and equi-joins the L posting streams on
+    * (doc_id, pos − offset). Cost tracks the PHRASE's posting-list
+    * lengths, not the corpus or store size.
+    */
+  def probePhraseIndex(
+      spark: SparkSession, name: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val p = spark.table(s"${name}_postings")
+    val streams = phrase.zipWithIndex.map { case (wd, i) =>
+      p.filter(col("t") === wd)
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+    }
+    streams.reduce((a, b) => a.join(b, Seq("doc_id", "pos")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 top-`k` off a persisted [[writeLexicalIndex]] store:
     * `queryTerms` is (lang, t, df) — typically [[topDfTerms]] over the
     * store's own `_df` dictionary, or any external query set joined
@@ -338,6 +395,26 @@ object TextAnalysis {
                     ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
                 FROM sc) z
               WHERE rank <= 10 ORDER BY lang, rank"""
+
+  /** The phrase-search DuckDB oracle — ONE SQL definition shared
+    * verbatim by q218 (the inline positional adjacency) and q227 (the
+    * persisted positional-index probe), because the probe's declared
+    * contract is result-identity with the inline plan over the same
+    * corpus.
+    */
+  private val PhrasePostingOracle: String =
+    """WITH d AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                    t -> t <> '') AS toks
+                FROM documents),
+              h AS (SELECT doc_id,
+                  list_filter(range(1, len(toks)),
+                    i -> toks[i] = 'hash' AND toks[i + 1] = 'join')
+                    AS hits
+                FROM d)
+              SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+                CAST(hits[1] - 1 AS BIGINT) AS first_pos
+              FROM h WHERE len(hits) > 0 ORDER BY doc_id"""
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -3151,19 +3228,30 @@ object TextAnalysis {
             min(col("pos")).cast("long").as("first_pos"))
           .orderBy("doc_id")
       },
-      Some("""WITH d AS (SELECT doc_id,
-                  list_filter(string_split(trim(regexp_replace(
-                    lower(text), '\s+', ' ', 'g')), ' '),
-                    t -> t <> '') AS toks
-                FROM documents),
-              h AS (SELECT doc_id,
-                  list_filter(range(1, len(toks)),
-                    i -> toks[i] = 'hash' AND toks[i + 1] = 'join')
-                    AS hits
-                FROM d)
-              SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
-                CAST(hits[1] - 1 AS BIGINT) AS first_pos
-              FROM h WHERE len(hits) > 0 ORDER BY doc_id""")),
+      Some(PhrasePostingOracle)),
+
+    // q218's phrase search through the NINTH persisted index family:
+    // the positional posting store is the amortized nightly artifact
+    // (one tokenize into a bucketed-by-term layout); the probe reads
+    // ONLY the phrase terms' pruned buckets and equi-joins the posting
+    // streams on (doc_id, pos − offset) — no tokenize, no corpus scan,
+    // cost tracks the phrase's posting-list lengths at any store size.
+    // Result-identical to the inline q218 plan (shared oracle).
+    "q227_phrase_index_probe" -> QueryDef(
+      (s, dir) => {
+        val fp = java.lang.Integer.toHexString(
+          tableFingerprint(s, dir, "documents").hashCode)
+        val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
+        val name = s"graft_q227_$tag"
+        if (!s.catalog.tableExists(s"${name}_postings")) {
+          val path = new java.io.File(
+            System.getProperty("java.io.tmpdir"), s"graft-q227-$tag")
+          writePositionalIndex(table(s, dir, "documents"), name,
+            path.toString)
+        }
+        probePhraseIndex(s, name, Seq("hash", "join"))
+      },
+      Some(PhrasePostingOracle)),
 
     // Filter-ensemble agreement (Cohen's kappa, exact integer bp): do
     // two independent quality gates — unigram lexical diversity ≥ 0.46

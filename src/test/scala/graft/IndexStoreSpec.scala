@@ -902,6 +902,61 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("positional index: persisted phrase probe equals the inline adjacency plan; probe never re-scans the corpus; write-once rebuild applies") {
+    import graft.operators.{IndexMaintenance, TextAnalysis}
+    import IndexMaintenance.FamilySpec
+    // the q227 contract, frame-to-frame: the persisted-store probe is
+    // result-identical to the inline q218 over the same corpus
+    val inline = SparkEntry.queries("q218_phrase_posting")(spark, sfDir)
+      .collect().toSeq
+    val probe = SparkEntry.queries("q227_phrase_index_probe")(
+      spark, sfDir)
+    assert(probe.collect().toSeq == inline && inline.nonEmpty,
+      "persisted phrase probe must match the inline adjacency plan")
+    // the probe reads ONLY the store - no tokenize, no documents scan
+    val pp = finalPlan(probe)
+    assert(!pp.contains("documents"),
+      s"the positional probe re-scanned the corpus:\n$pp")
+    // write-once lifecycle: base-built store left behind by the corpus
+    // trips the rebuild bit; rebuildFamily clears it and the rebuilt
+    // store probes identically to a fresh full build
+    val docs = Q.table(spark, sfDir, "documents")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val tmp = Files.createTempDirectory("graft-poslife")
+    val name = "poslife_" + System.nanoTime()
+    try {
+      TextAnalysis.writePositionalIndex(base, name, s"$tmp/store")
+      val posNow = docs
+        .agg(sum(size(graft.operators.TextAnalysis.tokens(col("text"))))
+          .cast("long")).head().getLong(0)
+      def report() = IndexMaintenance.stalenessReport(spark,
+        Seq(FamilySpec("positional", s"${name}_postings",
+          rowsNow = Some(posNow)))).collect().head
+      assert(report().getLong(6) == 1L,
+        s"left-behind corpus must trip the rebuild bit: ${report()}")
+      IndexMaintenance.rebuildFamily(spark, "positional", name,
+        s"$tmp/store", docs)
+      assert(report().getLong(3) == 0L && report().getLong(6) == 0L,
+        s"rebuild must clear the staleness: ${report()}")
+      val fresh = s"${name}_f"
+      TextAnalysis.writePositionalIndex(docs, fresh, s"$tmp/fresh")
+      def rows(n: String) = TextAnalysis
+        .probePhraseIndex(spark, n, Seq("hash", "join"))
+        .collect().map(_.toSeq).toSet
+      assert(rows(name) == rows(fresh) && rows(name).nonEmpty,
+        "rebuilt positional store must probe identical to a fresh build")
+      // re-attach in a fresh catalog state (the registrar contract)
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_postings")
+      TextAnalysis.registerPositionalIndex(spark, name, s"$tmp/store")
+      assert(rows(name) == rows(fresh),
+        "re-registered positional store must probe identically")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_postings")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_f_postings")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
   test("lexical index: persisted BM25 probe equals the inline ranking; probe never re-scans the corpus; write-once rebuild applies") {
     import graft.operators.{IndexMaintenance, TextAnalysis}
     import IndexMaintenance.FamilySpec
@@ -963,7 +1018,7 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
-  test("health bits: all seven true on a q192-style store; a corrupted table flips its bit into rebuild") {
+  test("health bits: all eight true on a q192-style store; a corrupted table flips its bit into rebuild") {
     // ADVICE r13 (medium): the measured signal_ok bits are excluded
     // from q192's oracle-compared output because a cross-engine oracle
     // reading only raw parquet cannot reproduce them — so THIS is
@@ -998,10 +1053,14 @@ class IndexStoreSpec extends SparkSpec {
       // eighth family (round 15): dictionary-vs-postings conservation
       graft.operators.TextAnalysis.writeLexicalIndex(
         base, s"${name}_lexical", s"$tmp/lexical")
+      // ninth family (round 15): position-contiguity conservation
+      graft.operators.TextAnalysis.writePositionalIndex(
+        base, s"${name}_positional", s"$tmp/positional")
       val bits = IndexMaintenance.healthBits(spark, name)
-      assert(bits.size == 7 && bits.contains("phash") &&
-        bits.contains("lexical"),
-        s"phash + lexical stores present: bits must be measured: $bits")
+      assert(bits.size == 8 && bits.contains("phash") &&
+        bits.contains("lexical") && bits.contains("positional"),
+        s"phash + lexical + positional stores present: " +
+          s"bits must be measured: $bits")
       assert(bits.values.forall(identity),
         s"fresh q192-style store must measure healthy: $bits")
       // corrupt the gram store: a duplicate key breaks the
@@ -1035,11 +1094,19 @@ class IndexStoreSpec extends SparkSpec {
       spark.catalog.refreshTable(s"${name}_lexical_postings")
       assert(!IndexMaintenance.healthBits(spark, name)("lexical"),
         "a postings append without a df rebuild must flip the lexical bit")
+      // corrupt the positional store: one duplicated posting breaks
+      // the per-doc position contiguity the phrase probe relies on
+      spark.table(s"${name}_positional_postings").limit(1)
+        .write.mode("append").insertInto(s"${name}_positional_postings")
+      spark.catalog.refreshTable(s"${name}_positional_postings")
+      assert(!IndexMaintenance.healthBits(spark, name)("positional"),
+        "a duplicated posting must flip the positional bit")
     } finally {
       Seq("band_bands", "band_shingles", "gram_grams", "span_pgrams",
         "ivf_codes", "ivf_centroids", "ivf_vectors", "pq_codes",
         "pq_centroids", "pq_vectors", "pq_pq", "phash_phash",
-        "lexical_postings", "lexical_df", "lexical_stats").foreach(t =>
+        "lexical_postings", "lexical_df", "lexical_stats",
+        "positional_postings").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
       graft.operators.Q.releaseManaged()
     }

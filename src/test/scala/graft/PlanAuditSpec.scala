@@ -904,6 +904,18 @@ class PlanAuditSpec extends SparkSpec {
       s"q224 must be window-free:\n$p")
   }
 
+  test("q227: the phrase probe reads only the positional store — no corpus scan, no cartesian") {
+    val p = plan("q227_phrase_index_probe")
+    assert(!p.contains("CartesianProduct"), s"q227 planned a cartesian:\n$p")
+    // the probe's entire input is the persisted postings table: a
+    // documents scan would mean the probe re-tokenized the corpus the
+    // index exists to replace
+    assert(!p.contains("documents"),
+      s"q227 re-scanned the corpus instead of the store:\n$p")
+    assert(!p.contains("Generate"),
+      s"q227 must read postings, never re-explode tokens:\n$p")
+  }
+
   test("q225: kappa is one map-only verdict scan into a 4-cell agg — no joins, no windows") {
     val p = plan("q225_filter_agreement")
     assert(!p.contains("Join"), s"q225 must be join-free:\n$p")
