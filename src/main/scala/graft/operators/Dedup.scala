@@ -2797,7 +2797,180 @@ object Dedup {
                 COUNT(*) AS n_dups,
                 CAST(MIN(gap) AS BIGINT) AS min_gap,
                 CAST(MAX(gap) AS BIGINT) AS max_gap
-              FROM d GROUP BY 1 ORDER BY bucket"""))
+              FROM d GROUP BY 1 ORDER BY bucket""")),
+
+    // Multi-suite decontamination MATRIX — q96 guards one eval set;
+    // a release guards many, and per (suite × source) attribution is
+    // what tells the pipeline owner WHICH crawl slice leaks WHICH
+    // benchmark. Three eval-suite stand-ins (doc_id residues 41/43/47),
+    // contamination = a training doc sharing ≥ 3 distinct 3-gram
+    // shingles with any suite member (a lower bar than q96's ≥ 5 —
+    // the matrix's job is surfacing the weaker cross-suite signal the
+    // single-suite gate would miss). The full zero-filled grid is
+    // emitted so a clean (suite, source) cell is an auditable 0, not
+    // an absent row. Scale: ONE shingling pass feeds both join sides;
+    // the candidate join moves (suite, doc, bench, shingle) posting
+    // rows keyed on the shingle; the grid is |suites|·|sources| —
+    // bounded — and broadcast-joined against the flag counts.
+    "q228_decontamination_matrix" -> QueryDef(
+      (s, dir) => {
+        val suites = Seq(("suiteA", 41), ("suiteB", 43), ("suiteC", 47))
+        val isEval = suites.map { case (_, m) => col("doc_id") % m === 0 }
+          .reduce(_ || _)
+        val sh = shingled(s, dir).managedPersist
+        val bench = suites.map { case (nm, m) =>
+          sh.filter(col("doc_id") % m === 0)
+            .select(lit(nm).as("suite"), col("doc_id").as("bench_id"),
+              explode(col("sh")).as("g"))
+        }.reduce(_ unionByName _)
+        val train = sh.filter(!isEval)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        val flagged = train.join(bench, "g")
+          .groupBy("suite", "doc_id", "bench_id")
+          .agg(count(lit(1)).as("ns"))
+          .filter(col("ns") >= 3)
+          .select("suite", "doc_id").distinct()
+        val trainDocs = table(s, dir, "documents").filter(!isEval)
+          .select(col("doc_id"), col("source"))
+        val counts = flagged.join(trainDocs, "doc_id")
+          .groupBy("suite", "source")
+          .agg(count(lit(1)).as("n_flagged"))
+        val grid = trainDocs.groupBy("source")
+          .agg(count(lit(1)).as("n_train"))
+          .crossJoin(s.createDataFrame(suites.map(p => Tuple1(p._1)))
+            .toDF("suite"))
+        grid.join(broadcast(counts), Seq("suite", "source"), "left")
+          .na.fill(0L, Seq("n_flagged"))
+          .select(col("suite"), col("source"), col("n_flagged"),
+            col("n_train"),
+            expr("(20000 * n_flagged + n_train) div (2 * n_train)")
+              .as("flagged_bp"))
+          .orderBy("suite", "source")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              bg AS (SELECT su.suite, sh.doc_id AS bench_id,
+                  UNNEST(sh.s) AS g
+                FROM sh, (VALUES ('suiteA', 41), ('suiteB', 43),
+                  ('suiteC', 47)) su(suite, m)
+                WHERE sh.doc_id % su.m = 0),
+              tr AS (SELECT doc_id, source FROM documents
+                WHERE doc_id % 41 <> 0 AND doc_id % 43 <> 0
+                  AND doc_id % 47 <> 0),
+              cg AS (SELECT sh.doc_id, UNNEST(sh.s) AS g FROM sh
+                WHERE sh.doc_id % 41 <> 0 AND sh.doc_id % 43 <> 0
+                  AND sh.doc_id % 47 <> 0),
+              fl AS (SELECT DISTINCT suite, doc_id FROM (
+                  SELECT bg.suite, cg.doc_id, bg.bench_id,
+                    COUNT(*) AS ns
+                  FROM cg JOIN bg USING (g) GROUP BY 1, 2, 3) z
+                WHERE ns >= 3),
+              cnt AS (SELECT fl.suite, tr.source, COUNT(*) AS n_flagged
+                FROM fl JOIN tr USING (doc_id) GROUP BY 1, 2),
+              grid AS (SELECT su.suite, t2.source, t2.n_train FROM
+                (SELECT source, COUNT(*) AS n_train FROM tr
+                 GROUP BY 1) t2,
+                (VALUES ('suiteA'), ('suiteB'), ('suiteC')) su(suite))
+              SELECT grid.suite, grid.source,
+                CAST(COALESCE(cnt.n_flagged, 0) AS BIGINT) AS n_flagged,
+                grid.n_train,
+                CAST((20000 * COALESCE(cnt.n_flagged, 0) + grid.n_train)
+                  // (2 * grid.n_train) AS BIGINT) AS flagged_bp
+              FROM grid LEFT JOIN cnt
+                ON cnt.suite = grid.suite AND cnt.source = grid.source
+              ORDER BY grid.suite, grid.source""")),
+
+    // Mixture drift under dedup — the feedback edge every pipeline
+    // owner forgets: near-dup removal (q83's cluster survivors) does
+    // NOT shrink sources uniformly, so sampling weights computed on
+    // the raw corpus (q104/q198's apportionment inputs) are stale the
+    // moment dedup runs. Per source: token mass before/after removal
+    // and the exact share drift in bp (integer half-up on both shares,
+    // then a plain subtraction — negative drift means the source was
+    // duplicate-heavy and lost mixture mass). Scale: the removed list
+    // is the skinny CC vertex frame (broadcastable); token sums are
+    // partial-agg scans; the share windows run over the bounded
+    // |sources| frame only.
+    "q229_dedup_mixture_drift" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(lit(1))
+        val removed = ccLabels(s, dir)
+          .filter(col("v") =!= col("lbl"))
+          .select(col("v").as("doc_id"))
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long")
+              .as("n_tok"))
+          .managedPersist
+        val before = d.groupBy("source")
+          .agg(sum("n_tok").as("tok_before"))
+        val after = d.join(removed, Seq("doc_id"), "left_anti")
+          .groupBy("source").agg(sum("n_tok").as("tok_after"))
+        before.join(after, "source")
+          .withColumn("tb", sum("tok_before").over(w))
+          .withColumn("ta", sum("tok_after").over(w))
+          .select(col("source"), col("tok_before"), col("tok_after"),
+            expr("(20000 * tok_before + tb) div (2 * tb)")
+              .as("share_before_bp"),
+            expr("(20000 * tok_after + ta) div (2 * ta)")
+              .as("share_after_bp"),
+            (expr("(20000 * tok_after + ta) div (2 * ta)") -
+              expr("(20000 * tok_before + tb) div (2 * tb)"))
+              .as("drift_bp"))
+          .orderBy("source")
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.8),
+              edges AS (SELECT da AS a, db AS b FROM p
+                        UNION SELECT db, da FROM p),
+              reach AS (SELECT a, a AS b
+                          FROM (SELECT DISTINCT a FROM edges) n
+                        UNION
+                        SELECT r.a, e.b
+                          FROM reach r JOIN edges e ON r.b = e.a),
+              labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+                         FROM reach GROUP BY a),
+              removed AS (SELECT doc_id FROM labels
+                          WHERE doc_id <> cluster_id),
+              dt AS (SELECT doc_id, source,
+                  CAST(len(t) AS BIGINT) AS n_tok FROM toks
+                JOIN documents USING (doc_id)),
+              bf AS (SELECT source, SUM(n_tok) AS tok_before
+                     FROM dt GROUP BY 1),
+              af AS (SELECT source, SUM(n_tok) AS tok_after FROM dt
+                     WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+                     GROUP BY 1),
+              tt AS (SELECT (SELECT SUM(tok_before) FROM bf) AS tb,
+                            (SELECT SUM(tok_after) FROM af) AS ta)
+              SELECT bf.source,
+                CAST(bf.tok_before AS BIGINT) AS tok_before,
+                CAST(af.tok_after AS BIGINT) AS tok_after,
+                CAST((20000 * bf.tok_before + tt.tb) // (2 * tt.tb)
+                  AS BIGINT) AS share_before_bp,
+                CAST((20000 * af.tok_after + tt.ta) // (2 * tt.ta)
+                  AS BIGINT) AS share_after_bp,
+                CAST((20000 * af.tok_after + tt.ta) // (2 * tt.ta) -
+                  (20000 * bf.tok_before + tt.tb) // (2 * tt.tb)
+                  AS BIGINT) AS drift_bp
+              FROM bf JOIN af USING (source), tt
+              ORDER BY bf.source"""))
   )
 
   /** Maximal cross-doc verbatim token spans (the q165 operator, reusable

@@ -916,6 +916,24 @@ class PlanAuditSpec extends SparkSpec {
       s"q227 must read postings, never re-explode tokens:\n$p")
   }
 
+  test("q228: the matrix joins shingle postings, never doc pairs; the grid broadcasts") {
+    val p = plan("q228_decontamination_matrix")
+    assert(!p.contains("CartesianProduct"), s"q228 planned a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded suite x source grid must broadcast-join:\n$p")
+    assert(p.contains("partial_"),
+      s"the shared-shingle agg must combine map-side:\n$p")
+  }
+
+  test("q229: mixture drift windows only the bounded source frame; removal is an anti-join") {
+    val p = plan("q229_dedup_mixture_drift")
+    assert(!p.contains("CartesianProduct"), s"q229 planned a cartesian:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"survivor selection must be the skinny anti-join:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      s"the token sums must combine map-side:\n$p")
+  }
+
   test("q225: kappa is one map-only verdict scan into a 4-cell agg — no joins, no windows") {
     val p = plan("q225_filter_agreement")
     assert(!p.contains("Join"), s"q225 must be join-free:\n$p")
