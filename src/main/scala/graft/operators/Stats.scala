@@ -1341,7 +1341,11 @@ object Stats {
     // per DISTINCT value (bounded by the max doc length) and the
     // unpartitioned cumulative window runs over that bounded frame
     // only. The rank→value lookup is a broadcast range join against
-    // that frame; each rank matches exactly one CDF step.
+    // that frame; each rank matches exactly one CDF step. Long-math
+    // bound: the position product (2r−1)·N stays exact while
+    // n_s·N < 2⁶², i.e. comfortably past 10⁹ docs (a 100 TB corpus at
+    // ~100 KB/doc); past that the k computation moves to
+    // DECIMAL(38,0).
     "q219_quantile_normalize" -> QueryDef(
       (s, dir) => {
         val d = table(s, dir, "documents")
