@@ -2899,7 +2899,6 @@ object Dedup {
     // |sources| frame only.
     "q229_dedup_mixture_drift" -> QueryDef(
       (s, dir) => {
-        val w = Window.partitionBy(lit(1))
         val removed = ccLabels(s, dir)
           .filter(col("v") =!= col("lbl"))
           .select(col("v").as("doc_id"))
@@ -2912,9 +2911,15 @@ object Dedup {
           .agg(sum("n_tok").as("tok_before"))
         val after = d.join(removed, Seq("doc_id"), "left_anti")
           .groupBy("source").agg(sum("n_tok").as("tok_after"))
-        before.join(after, "source")
-          .withColumn("tb", sum("tok_before").over(w))
-          .withColumn("ta", sum("tok_after").over(w))
+        // denominators come from the UN-joined frames (a source whose
+        // every doc was removed must still weigh in tb and appear in
+        // the report with tok_after = 0), as a 1-row broadcast — not
+        // a window over the join result
+        val totals = before.agg(sum("tok_before").as("tb"))
+          .crossJoin(after.agg(sum("tok_after").as("ta")))
+        before.join(after, Seq("source"), "left")
+          .na.fill(0L, Seq("tok_after"))
+          .crossJoin(broadcast(totals))
           .select(col("source"), col("tok_before"), col("tok_after"),
             expr("(20000 * tok_before + tb) div (2 * tb)")
               .as("share_before_bp"),
@@ -2961,15 +2966,16 @@ object Dedup {
                             (SELECT SUM(tok_after) FROM af) AS ta)
               SELECT bf.source,
                 CAST(bf.tok_before AS BIGINT) AS tok_before,
-                CAST(af.tok_after AS BIGINT) AS tok_after,
+                CAST(COALESCE(af.tok_after, 0) AS BIGINT) AS tok_after,
                 CAST((20000 * bf.tok_before + tt.tb) // (2 * tt.tb)
                   AS BIGINT) AS share_before_bp,
-                CAST((20000 * af.tok_after + tt.ta) // (2 * tt.ta)
-                  AS BIGINT) AS share_after_bp,
-                CAST((20000 * af.tok_after + tt.ta) // (2 * tt.ta) -
+                CAST((20000 * COALESCE(af.tok_after, 0) + tt.ta)
+                  // (2 * tt.ta) AS BIGINT) AS share_after_bp,
+                CAST((20000 * COALESCE(af.tok_after, 0) + tt.ta)
+                  // (2 * tt.ta) -
                   (20000 * bf.tok_before + tt.tb) // (2 * tt.tb)
                   AS BIGINT) AS drift_bp
-              FROM bf JOIN af USING (source), tt
+              FROM bf LEFT JOIN af USING (source), tt
               ORDER BY bf.source"""))
   )
 

@@ -168,16 +168,18 @@ object Maintenance {
         // lexical is write-once: rows_now overridden to the CURRENT
         // corpus postings count (distinct (doc, term) pairs — one
         // partial-agg scan), the left-behind signal shape IVF uses
-        val lexNow = docs
+        // one exploded-token scan feeds BOTH write-once text families
+        // (the one-agg-per-statistic job budget above): lexical's
+        // distinct (doc, term) postings and positional's total token
+        // count (one posting per position)
+        val lexPos = docs
           .select(col("doc_id"),
             explode(TextAnalysis.tokens(col("text"))).as("t"))
-          .agg(countDistinct(col("doc_id"), col("t"))).head().getLong(0)
-        // positional is write-once too: rows_now overridden to the
-        // CURRENT corpus token count (one posting per token position —
-        // a single partial-agg scan)
-        val posNow = docs
-          .agg(sum(size(TextAnalysis.tokens(col("text")))).cast("long"))
-          .head().getLong(0)
+          .agg(countDistinct(col("doc_id"), col("t")),
+            count(lit(1)))
+          .head()
+        val lexNow = lexPos.getLong(0)
+        val posNow = lexPos.getLong(1)
         import IndexMaintenance.FamilySpec
         IndexMaintenance.stalenessReport(s, Seq(
           FamilySpec("band", s"${name}_band_shingles",
