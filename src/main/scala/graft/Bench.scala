@@ -466,14 +466,24 @@ object Bench {
       val resyncSec = (System.nanoTime() - t2) / 1e9
       require(s1.transferred == n && s2.transferred == 0,
         s"sync contract broke in bench: $s1 / $s2")
+      // digest-verified re-sync (rsync -c): every same-size pair is
+      // read once per side — the documented linear-read upper bound
+      // over the matched set
+      val t2c = System.nanoTime()
+      val s2c = graft.operators.FileOps.sync(spark,
+        s"file://$root/bkt", "data", s"file://$root/mirror", "",
+        verifyContent = true)
+      val checkedSec = (System.nanoTime() - t2c) / 1e9
+      require(s2c.transferred == 0,
+        s"verified re-sync contract broke in bench: $s2c")
       val t3 = System.nanoTime()
       Blueprints.remove(spark,
         RemoveConfig(s"file://$root/dl", "out", ".*", MatchType.RegexMatch))
       val rmSec = (System.nanoTime() - t3) / 1e9
       String.format(java.util.Locale.ROOT,
-        """{"n_files":%d,"download_sec":%.3f,"sync_sec":%.3f,"resync_sec":%.3f,"remove_sec":%.3f}""",
+        """{"n_files":%d,"download_sec":%.3f,"sync_sec":%.3f,"resync_sec":%.3f,"checked_resync_sec":%.3f,"remove_sec":%.3f}""",
         Integer.valueOf(n), Double.box(dlSec), Double.box(syncSec),
-        Double.box(resyncSec), Double.box(rmSec))
+        Double.box(resyncSec), Double.box(checkedSec), Double.box(rmSec))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fileops FAILED: ${e.toString.take(200)}")

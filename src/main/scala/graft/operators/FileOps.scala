@@ -236,11 +236,50 @@ object FileOps {
     * preserve mtime across copies); a size-equal content change needs
     * a digest layer a caller can stack on the same plan.
     */
+  /** Executor-side md5 content digests for manifest rows: one stream
+    * read per file (128 KiB buffer), FileSystem resolved once per
+    * (partition, bucket). Returns (rp, digest) keyed by the caller's
+    * relative-path column. Cost is linear in the digested BYTES — the
+    * price `rsync -c` documents — so [[sync]] only routes the
+    * same-size candidate set through it, never the whole tree.
+    */
+  private def contentDigests(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val conf = new SerializableConfiguration(FileManifest.hadoopConf(spark))
+    import spark.implicits._
+    val n = df.count()
+    df.select("rp", "bucket", "path").as[(String, String, String)]
+      .repartition(parallelism(spark, n))
+      .mapPartitions { it =>
+        val c = conf.value
+        val fsCache = scala.collection.mutable.HashMap.empty[String, FileSystem]
+        def fsFor(bucket: String): FileSystem =
+          fsCache.getOrElseUpdate(bucket, FileSystem.get(new URI(bucket), c))
+        it.map { case (rp, b, p) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val in = fsFor(b).open(new Path(s"$b/$p"))
+          try {
+            val buf = new Array[Byte](131072)
+            var r = in.read(buf)
+            while (r > 0) { md.update(buf, 0, r); r = in.read(buf) }
+          } finally in.close()
+          (rp, md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF("rp", "digest")
+  }
+
+  /** @param verifyContent rsync's `-c`: same-size pairs are digest-
+    *   compared executor-side and re-copied on mismatch — catches the
+    *   same-size content change the size diff is blind to, at the
+    *   documented linear-read cost over the matched set only.
+    */
   def sync(
       spark: SparkSession,
       srcBucket: String, srcPrefix: String,
       dstBucket: String, dstPrefix: String,
-      deleteExtraneous: Boolean = false): SyncStats = {
+      deleteExtraneous: Boolean = false,
+      verifyContent: Boolean = false): SyncStats = {
     import org.apache.spark.sql.Column
     val srcM = FileManifest.scanManaged(spark, srcBucket, srcPrefix)
     // rsync semantics on the destination: a root that doesn't exist
@@ -268,8 +307,27 @@ object FileOps {
       val joined = src.join(dst, Seq("rp"), "full_outer").cache()
       try {
         val scanned = joined.filter(col("path").isNotNull).count()
-        val toCopy = joined.filter(col("path").isNotNull &&
-            (col("dsize").isNull || col("dsize") =!= col("size")))
+        val sizeDiff = joined.filter(col("path").isNotNull &&
+          (col("dsize").isNull || col("dsize") =!= col("size")))
+        val stale =
+          if (!verifyContent) sizeDiff
+          else {
+            // same-size pairs are the ONLY candidates the size diff
+            // can miss; digest both sides and union the mismatches
+            val same = joined.filter(col("path").isNotNull &&
+              col("dsize") === col("size"))
+            val srcDig = contentDigests(
+              same.select(col("rp"), col("bucket"), col("path")))
+            val dstDig = contentDigests(
+              same.select(col("rp"), lit(dstBucket).as("bucket"),
+                col("dpath").as("path")))
+              .withColumnRenamed("digest", "ddigest")
+            val changed = srcDig.join(dstDig, "rp")
+              .filter(col("digest") =!= col("ddigest")).select("rp")
+            sizeDiff.unionByName(same.join(changed, "rp")
+              .select(sizeDiff.columns.map(col): _*))
+          }
+        val toCopy = stale
           .select(col("bucket"), col("path"),
             (if (dp.isEmpty) col("rp")
              else concat(lit(dp + "/"), col("rp"))).as("dest"))

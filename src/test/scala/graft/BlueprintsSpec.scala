@@ -370,6 +370,30 @@ class BlueprintsSpec extends SparkSpec {
     assert(Files.readString(dst.resolve("a.txt")) == "alpha-changed")
   }
 
+  test("sync verifyContent catches the same-size content change the size diff is blind to") {
+    import graft.operators.FileOps
+    val src = freshBucket("a.txt" -> "alpha", "b.txt" -> "beta!")
+    val dst = Files.createTempDirectory(root, "syncc")
+    assert(FileOps.sync(spark, uri(src), "", uri(dst), "")
+      .transferred == 2)
+    // rot one destination byte WITHOUT changing its size: the plain
+    // size diff must call it fresh, the digest pass must not
+    write(dst.resolve("a.txt"), "aXpha")
+    val blind = FileOps.sync(spark, uri(src), "", uri(dst), "")
+    assert(blind.transferred == 0 && blind.upToDate == 2,
+      s"size-only sync must be blind to the rot: $blind")
+    val checked = FileOps.sync(spark, uri(src), "", uri(dst), "",
+      verifyContent = true)
+    assert(checked.transferred == 1 && checked.upToDate == 1,
+      s"digest sync must re-copy exactly the rotted file: $checked")
+    assert(Files.readString(dst.resolve("a.txt")) == "alpha")
+    // and a verified re-sync is a no-op again
+    val again = FileOps.sync(spark, uri(src), "", uri(dst), "",
+      verifyContent = true)
+    assert(again.transferred == 0 && again.upToDate == 2,
+      s"verified re-sync must be a no-op: $again")
+  }
+
   test("sync maps across differing prefixes") {
     import graft.operators.FileOps
     val src = freshBucket(
