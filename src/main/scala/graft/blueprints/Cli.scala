@@ -127,3 +127,35 @@ object RemoveFile {
     spark.stop()
   }
 }
+
+/** CLI edge for the declared §2A extension `FileOps.sync` (the
+  * operation users script around the reference's four unconditional
+  * pipelines): one-way prefix mirror, diff-only transfer. Flags follow
+  * the four blueprints' kebab style; `--delete-extraneous true` adds
+  * rsync's `--delete`, `--verify-content true` adds rsync's `-c`
+  * (digest-compare same-size pairs — the size diff's blind spot).
+  */
+object SyncPrefix {
+  def main(args: Array[String]): Unit = BlueprintError.exitOnError {
+    val f = Cli.parseFlags(args)
+    val spark = Cli.session()
+    f.get("service-account").foreach(Blueprints.configureCredentials(spark, _))
+    def boolFlag(key: String): Boolean =
+      f.get(key).exists(v => v.equalsIgnoreCase("true") || v == "1")
+    val st = graft.operators.FileOps.sync(spark,
+      srcBucket = Cli.required(f, "source-bucket-name"),
+      srcPrefix = f.getOrElse("source-folder-name", ""),
+      dstBucket = Cli.required(f, "destination-bucket-name"),
+      dstPrefix = f.getOrElse("destination-folder-name", ""),
+      deleteExtraneous = boolFlag("delete-extraneous"),
+      verifyContent = boolFlag("verify-content"))
+    val extras = Seq(
+      if (st.deleted > 0) Some(s"${st.deleted} deleted") else None,
+      if (st.retrySkipped > 0) Some(s"${st.retrySkipped} skipped")
+      else None).flatten
+    val suffix = if (extras.isEmpty) "" else extras.mkString(" (", ", ", ")")
+    println(s"synced ${st.transferred} of ${st.scanned} file(s), " +
+      s"${st.upToDate} up-to-date$suffix")
+    spark.stop()
+  }
+}
