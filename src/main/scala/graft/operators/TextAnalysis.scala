@@ -333,6 +333,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Proximity (slop) probe off a [[writePositionalIndex]] store:
+    * ordered (w1, w2) pairs with 1 ≤ pos(w2) − pos(w1) ≤ slop, counted
+    * per doc. Same cost model as [[probePhraseIndex]]: two pruned
+    * bucket reads, one doc_id equi-join over posting lists (per-doc
+    * fan-out bounded by term frequency), integer distance filter.
+    */
+  def probeProximityIndex(
+      spark: SparkSession, name: String,
+      w1: String, w2: String, slop: Int): DataFrame = {
+    val p = spark.table(s"${name}_postings")
+    val a = p.filter(col("t") === w1)
+      .select(col("doc_id"), col("pos").as("p1"))
+    val b = p.filter(col("t") === w2)
+      .select(col("doc_id"), col("pos").as("p2"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("p2") > col("p1") && col("p2") <= col("p1") + slop)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("doc_id")
+  }
+
+  /** The q227/q230 fixture store: ONE positional index per
+    * (sfDir, corpus fingerprint), built on first use in the session —
+    * the probes share it the way a deployment shares its nightly
+    * artifact.
+    */
+  private def fixtureStore(s: SparkSession, dir: String): String = {
+    val fp = java.lang.Integer.toHexString(
+      tableFingerprint(s, dir, "documents").hashCode)
+    val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
+    val name = s"graft_q227_$tag"
+    if (!s.catalog.tableExists(s"${name}_postings")) {
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-q227-$tag")
+      writePositionalIndex(table(s, dir, "documents"), name,
+        path.toString)
+    }
+    name
+  }
+
   /** BM25 top-`k` off a persisted [[writeLexicalIndex]] store:
     * `queryTerms` is (lang, t, df) — typically [[topDfTerms]] over the
     * store's own `_df` dictionary, or any external query set joined
@@ -3238,20 +3278,38 @@ object TextAnalysis {
     // cost tracks the phrase's posting-list lengths at any store size.
     // Result-identical to the inline q218 plan (shared oracle).
     "q227_phrase_index_probe" -> QueryDef(
-      (s, dir) => {
-        val fp = java.lang.Integer.toHexString(
-          tableFingerprint(s, dir, "documents").hashCode)
-        val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
-        val name = s"graft_q227_$tag"
-        if (!s.catalog.tableExists(s"${name}_postings")) {
-          val path = new java.io.File(
-            System.getProperty("java.io.tmpdir"), s"graft-q227-$tag")
-          writePositionalIndex(table(s, dir, "documents"), name,
-            path.toString)
-        }
-        probePhraseIndex(s, name, Seq("hash", "join"))
-      },
+      (s, dir) => probePhraseIndex(s, fixtureStore(s, dir),
+        Seq("hash", "join")),
       Some(PhrasePostingOracle)),
+
+    // Proximity (slop) search off the SAME persisted positional store:
+    // count ordered ("hash", "join") pairs at token distance 1..3 per
+    // doc — the sloppy-phrase query an IR stack answers from positions
+    // alone. The probe reads the two terms' pruned buckets; the pair
+    // match is one equi-join on doc_id over posting lists (bounded by
+    // term frequency per doc) plus the integer distance filter — no
+    // corpus scan, no tokenize. The DuckDB oracle recomputes the pair
+    // count with a nested per-row list scan, proving the posting-join
+    // arithmetic exactly.
+    "q230_proximity_search" -> QueryDef(
+      (s, dir) => probeProximityIndex(s, fixtureStore(s, dir),
+        "hash", "join", slop = 3),
+      Some("""WITH d AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                    t -> t <> '') AS toks
+                FROM documents),
+              h AS (SELECT doc_id,
+                  CAST(list_sum(list_transform(
+                    range(1, len(toks) + 1),
+                    i -> CASE WHEN toks[i] = 'hash' THEN
+                        len(list_filter(
+                          range(i + 1, LEAST(i + 3, len(toks)) + 1),
+                          j -> toks[j] = 'join'))
+                      ELSE 0 END)) AS BIGINT) AS n_pairs,
+                  CAST(len(toks) AS BIGINT) AS n_toks
+                FROM d)
+              SELECT doc_id, n_pairs FROM h
+              WHERE n_pairs > 0 ORDER BY doc_id""")),
 
     // Filter-ensemble agreement (Cohen's kappa, exact integer bp): do
     // two independent quality gates — unigram lexical diversity ≥ 0.46

@@ -934,6 +934,15 @@ class PlanAuditSpec extends SparkSpec {
       s"the token sums must combine map-side:\n$p")
   }
 
+  test("q230: the proximity probe reads only the store; pair match is a doc_id equi-join") {
+    val p = plan("q230_proximity_search")
+    assert(!p.contains("CartesianProduct"), s"q230 planned a cartesian:\n$p")
+    assert(!p.contains("documents"),
+      s"q230 re-scanned the corpus instead of the store:\n$p")
+    assert(!p.contains("Generate"),
+      s"q230 must read postings, never re-explode tokens:\n$p")
+  }
+
   test("q225: kappa is one map-only verdict scan into a 4-cell agg — no joins, no windows") {
     val p = plan("q225_filter_agreement")
     assert(!p.contains("Join"), s"q225 must be join-free:\n$p")
