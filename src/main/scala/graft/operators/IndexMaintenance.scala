@@ -260,7 +260,7 @@ object IndexMaintenance {
     * oracle-compared output because they are measured off the store
     * (IVF balance depends on the trained centroids) and cannot be
     * reproduced by a cross-engine oracle reading only the raw corpus
-    * parquet (ADVICE r13). IndexStoreSpec asserts all five true on the
+    * parquet (ADVICE r13). IndexStoreSpec asserts all eight true on the
     * q192 fixture and that a corrupted store flips its bit through
     * [[stalenessReport]]'s rebuild decision.
     */

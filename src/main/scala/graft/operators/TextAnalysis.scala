@@ -3311,6 +3311,47 @@ object TextAnalysis {
               SELECT doc_id, n_pairs FROM h
               WHERE n_pairs > 0 ORDER BY doc_id""")),
 
+    // Positional-BIAS profile off the same store: where in documents
+    // do the corpus's top terms occur? Boilerplate headers live at
+    // relative position ≈ 0, footers at ≈ 1 — the positional family's
+    // analytics face beyond search. Everything derives from the STORE:
+    // doc lengths are max(pos)+1 per doc (one store agg), the top-3
+    // terms come from a store count (dictionary-bounded frame), and
+    // the decile histogram is one semi-joined groupBy onto a
+    // ≤ 3·10-key space. No corpus scan, no tokenize; the oracle
+    // recomputes the profile from raw text with per-row list scans.
+    "q231_position_bias" -> QueryDef(
+      (s, dir) => {
+        val p = s.table(s"${fixtureStore(s, dir)}_postings")
+        val dl = p.groupBy("doc_id")
+          .agg((max("pos") + 1).cast("long").as("len"))
+        val top = p.groupBy("t").agg(count(lit(1)).as("freq"))
+          .orderBy(desc("freq"), col("t")).limit(3)
+          .select("t")
+        p.join(broadcast(top), "t")
+          .join(dl, "doc_id")
+          .groupBy(col("t"),
+            expr("(10 * pos) div len").cast("long").as("decile"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("t", "decile")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                    t -> t <> '') AS toks
+                FROM documents),
+              pos AS (SELECT doc_id, UNNEST(toks) AS t,
+                  UNNEST(range(0, len(toks))) AS pos,
+                  len(toks) AS len
+                FROM d),
+              top AS (SELECT t FROM (SELECT t, COUNT(*) AS freq
+                  FROM pos GROUP BY 1
+                  ORDER BY freq DESC, t LIMIT 3) z)
+              SELECT pos.t,
+                CAST((10 * pos.pos) // pos.len AS BIGINT) AS decile,
+                COUNT(*) AS n
+              FROM pos JOIN top USING (t)
+              GROUP BY 1, 2 ORDER BY pos.t, decile""")),
+
     // Filter-ensemble agreement (Cohen's kappa, exact integer bp): do
     // two independent quality gates — unigram lexical diversity ≥ 0.46
     // and q97's trigram non-repetition rule — agree beyond chance? A

@@ -1022,7 +1022,7 @@ class IndexStoreSpec extends SparkSpec {
     // ADVICE r13 (medium): the measured signal_ok bits are excluded
     // from q192's oracle-compared output because a cross-engine oracle
     // reading only raw parquet cannot reproduce them — so THIS is
-    // where they are verified: all five true on the exact q192 fixture
+    // where they are verified: all eight true on the exact q192 fixture
     // shape, and a store corruption flips its bit through the
     // stalenessReport rebuild decision.
     import graft.operators.IndexMaintenance

@@ -943,6 +943,17 @@ class PlanAuditSpec extends SparkSpec {
       s"q230 must read postings, never re-explode tokens:\n$p")
   }
 
+  test("q231: the bias profile derives everything from the store; the top-term frame broadcasts") {
+    val p = plan("q231_position_bias")
+    assert(!p.contains("CartesianProduct"), s"q231 planned a cartesian:\n$p")
+    assert(!p.contains("documents"),
+      s"q231 re-scanned the corpus instead of the store:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 3-row top-term frame must broadcast:\n$p")
+    assert(p.contains("partial_"),
+      s"the store aggs must combine map-side:\n$p")
+  }
+
   test("q225: kappa is one map-only verdict scan into a 4-cell agg — no joins, no windows") {
     val p = plan("q225_filter_agreement")
     assert(!p.contains("Join"), s"q225 must be join-free:\n$p")
