@@ -2886,6 +2886,70 @@ object Dedup {
                 ON cnt.suite = grid.suite AND cnt.source = grid.source
               ORDER BY grid.suite, grid.source""")),
 
+    // Contamination SEVERITY direction for q228's flagged pairs: a
+    // training doc whose overlap covers the bench doc's ENTIRE shingle
+    // set (ns == |bench shingles|) contains the benchmark verbatim-ish
+    // — an immediate drop; a majority overlap (2·ns ≥ |bench|) is a
+    // paraphrase-grade leak; the rest are shared-boilerplate noise a
+    // reviewer triages. Per suite: pair count and the two severity
+    // tallies. Same shingle-keyed posting join as q228 (ONE shingling
+    // pass, no doc pairs outside the candidate set); the bench-side
+    // set size rides the posting rows as a constant per bench doc, so
+    // severity classification costs nothing extra.
+    "q232_contamination_severity" -> QueryDef(
+      (s, dir) => {
+        val suites = Seq(("suiteA", 41), ("suiteB", 43), ("suiteC", 47))
+        val isEval = suites.map { case (_, m) => col("doc_id") % m === 0 }
+          .reduce(_ || _)
+        val sh = shingled(s, dir).managedPersist
+        val bench = suites.map { case (nm, m) =>
+          sh.filter(col("doc_id") % m === 0)
+            .select(lit(nm).as("suite"), col("doc_id").as("bench_id"),
+              size(col("sh")).cast("long").as("blen"),
+              explode(col("sh")).as("g"))
+        }.reduce(_ unionByName _)
+        val train = sh.filter(!isEval)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        train.join(bench, "g")
+          .groupBy("suite", "doc_id", "bench_id")
+          .agg(min("blen").as("blen"), count(lit(1)).as("ns"))
+          .filter(col("ns") >= 3)
+          .groupBy("suite")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("ns") === col("blen"), 1L).otherwise(0L))
+              .as("n_superset"),
+            sum(when(col("ns") * 2 >= col("blen") &&
+              col("ns") < col("blen"), 1L).otherwise(0L))
+              .as("n_major"))
+          .orderBy("suite")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t)-1)]) AS s
+                FROM toks WHERE len(t) >= 3),
+              bg AS (SELECT su.suite, sh.doc_id AS bench_id,
+                  len(sh.s) AS blen, UNNEST(sh.s) AS g
+                FROM sh, (VALUES ('suiteA', 41), ('suiteB', 43),
+                  ('suiteC', 47)) su(suite, m)
+                WHERE sh.doc_id % su.m = 0),
+              cg AS (SELECT doc_id, UNNEST(s) AS g FROM sh
+                WHERE doc_id % 41 <> 0 AND doc_id % 43 <> 0
+                  AND doc_id % 47 <> 0),
+              pairs AS (SELECT bg.suite, cg.doc_id, bg.bench_id,
+                  MIN(bg.blen) AS blen, COUNT(*) AS ns
+                FROM cg JOIN bg USING (g) GROUP BY 1, 2, 3
+                HAVING COUNT(*) >= 3)
+              SELECT suite, COUNT(*) AS n_pairs,
+                CAST(SUM(CASE WHEN ns = blen THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_superset,
+                CAST(SUM(CASE WHEN 2 * ns >= blen AND ns < blen
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_major
+              FROM pairs GROUP BY 1 ORDER BY suite""")),
+
     // Mixture drift under dedup — the feedback edge every pipeline
     // owner forgets: near-dup removal (q83's cluster survivors) does
     // NOT shrink sources uniformly, so sampling weights computed on

@@ -689,7 +689,46 @@ object Pipeline {
               WHERE NOT EXISTS (SELECT 1 FROM d b
                 WHERE b.n_words > a.n_words
                   AND b.n_distinct > a.n_distinct)
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // Shard-plan SKEW audit — the check a release runs on q139's
+    // streaming bin-pack before writing: shard count, byte extremes,
+    // max-over-mean skew in bp, and how many shards exceed 1.5× the
+    // 64 KiB target (a shard can only overshoot when one document
+    // straddles its boundary, so overshoot measures the doc-length
+    // tail, and a pathological value means re-planning with a bigger
+    // target). One groupBy over the assigned frame onto the shard key,
+    // then a single-row rollup — the assignment itself reuses q139's
+    // two-level prefix sum (no global window).
+    "q233_shard_skew" -> QueryDef(
+      (s, dir) => {
+        val perShard = shardAssigned(s, dir)
+          .groupBy("shard").agg(sum("n_chars").as("sc"))
+        perShard.agg(count(lit(1)).as("n_shards"),
+            min("sc").as("min_chars"), max("sc").as("max_chars"),
+            sum("sc").as("total_chars"))
+          .select(col("n_shards"), col("min_chars"), col("max_chars"),
+            expr("(20000 * max_chars * n_shards + total_chars)" +
+              " div (2 * total_chars)").as("skew_bp"))
+          .crossJoin(broadcast(perShard
+            .agg(sum(when(col("sc") * 2 > 3 * 65536L, 1L).otherwise(0L))
+              .as("n_over_150pct"))))
+      },
+      Some("""WITH c AS (SELECT doc_id, n_chars,
+                  SUM(n_chars) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum_end
+                FROM documents),
+              ps AS (SELECT (cum_end - n_chars) // 65536 AS shard,
+                  SUM(n_chars) AS sc
+                FROM c GROUP BY 1)
+              SELECT COUNT(*) AS n_shards,
+                CAST(MIN(sc) AS BIGINT) AS min_chars,
+                CAST(MAX(sc) AS BIGINT) AS max_chars,
+                CAST((20000 * MAX(sc) * COUNT(*) + SUM(sc))
+                  // (2 * SUM(sc)) AS BIGINT) AS skew_bp,
+                CAST(SUM(CASE WHEN sc * 2 > 3 * 65536 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_over_150pct
+              FROM ps"""))
   )
 
   /** q139's streaming bin-pack shard assignment as a reusable frame:

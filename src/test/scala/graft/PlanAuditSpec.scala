@@ -954,6 +954,19 @@ class PlanAuditSpec extends SparkSpec {
       s"the store aggs must combine map-side:\n$p")
   }
 
+  test("q232/q233: severity rides the posting join; the skew audit is two bounded aggs") {
+    val p232 = plan("q232_contamination_severity")
+    assert(!p232.contains("CartesianProduct"),
+      s"q232 planned a cartesian:\n$p232")
+    assert(p232.contains("partial_"),
+      s"q232's pair agg must combine map-side:\n$p232")
+    val p233 = plan("q233_shard_skew")
+    assert(!p233.contains("CartesianProduct"),
+      s"q233 planned a cartesian:\n$p233")
+    assert(p233.contains("pid"),
+      s"q233's assignment must ride the two-level prefix sum:\n$p233")
+  }
+
   test("q225: kappa is one map-only verdict scan into a 4-cell agg — no joins, no windows") {
     val p = plan("q225_filter_agreement")
     assert(!p.contains("Join"), s"q225 must be join-free:\n$p")
