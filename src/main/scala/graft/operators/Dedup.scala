@@ -53,7 +53,7 @@ object Dedup {
     * corpus pipeline (q100), which shingles intermediate survivor sets
     * rather than the raw table.
     */
-  private[operators] def shingledOf(
+  private[graft] def shingledOf(
       s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     HashFunctions.register(s)
@@ -133,13 +133,89 @@ object Dedup {
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
   }
 
+  /** Per-band-bucket occupancy cap — the guard that keeps the LSH
+    * candidate join linear under adversarial skew. A boilerplate
+    * template family of m near-identical documents (one byte apart, so
+    * exact dedup keeps them all) lands all m members in the SAME band
+    * bucket, and an uncapped bucket self-join fans out m(m−1)/2
+    * candidate rows before the verify filter — the classic LSH skew
+    * killer: invisible at sf0.1, the job that never finishes at 100 TB
+    * of template-heavy crawl. Buckets at or under the cap pair
+    * all-ways as before; an over-full bucket routes through the
+    * bucket-as-cluster STAR instead — band equality at 4 signature
+    * slots already certifies the members mutually similar, so each
+    * member is verified once against the bucket's min-doc_id hub
+    * (O(m) verify work) and connected-component clustering stitches
+    * the family together exactly as the all-pairs list would.
+    * 64 matches the gram index's df ≤ 64 discipline (q29/q124/q199):
+    * a bucket past it carries cluster membership, not pair evidence.
+    * Occupancy at the cap boundary is health-audited by
+    * q234_band_occupancy; DedupSpec asserts the O(m) candidate count
+    * on a planted 500-doc template family.
+    */
+  private[graft] val BandOccupancyCap = 64
+
+  /** A banded frame annotated with its bucket occupancy and hub
+    * (min doc id): ONE hash-shuffle on `band` — the same key every
+    * consumer joins on next, so the exchange is shared, and on the
+    * persisted band index (bucketed + sorted on `band`) the window
+    * consumes the bucketed layout with no exchange and no sort.
+    */
+  private def bandAnnotated(
+      banded: org.apache.spark.sql.DataFrame,
+      docCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("band")
+    banded.withColumn("occ", count(lit(1)).over(w))
+      .withColumn("hub", min(col(docCol)).over(w))
+  }
+
   private def lshCandidatePairs(
-      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val banded = bandedOf(sh)
-    banded.select(col("doc_id").as("da"), col("band"))
-      .join(banded.select(col("doc_id").as("db"), col("band")),
-        Seq("band"))
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cappedSelfCandidates(bandedOf(sh))
+
+  /** Occupancy-capped candidate pairs from a banded self-join
+    * (da < db): buckets ≤ cap pair all-ways; over-full buckets emit
+    * the hub star only. The hub is the bucket min, so da < db holds
+    * by construction on the star rows too.
+    */
+  private[graft] def cappedSelfCandidates(
+      banded: org.apache.spark.sql.DataFrame,
+      cap: Int = BandOccupancyCap): org.apache.spark.sql.DataFrame = {
+    val ann = bandAnnotated(banded, "doc_id")
+    val cold = ann.filter(col("occ") <= cap)
+      .select(col("doc_id"), col("band"))
+    val coldPairs = cold.select(col("doc_id").as("da"), col("band"))
+      .join(cold.select(col("doc_id").as("db"), col("band")), Seq("band"))
       .filter(col("da") < col("db"))
+      .select("da", "db")
+    val hotStar = ann
+      .filter(col("occ") > cap && col("doc_id") =!= col("hub"))
+      .select(col("hub").as("da"), col("doc_id").as("db"))
+    coldPairs.union(hotStar).distinct()
+  }
+
+  /** Occupancy-capped base-vs-batch candidates (`baseIdx` = (da, band),
+    * `batchBands` = (db, band)): cold base buckets join all members
+    * against the batch; a hot base bucket contributes ONLY its hub, so
+    * per-batch-doc fan-out is ≤ cap + 1 per band regardless of how
+    * many template-family members the accumulated corpus holds. Shared
+    * by the in-plan incremental build (q115) and the persisted-index
+    * probe ([[probeBandIndex]]) so the two shapes cannot drift.
+    */
+  private[graft] def cappedProbeCandidates(
+      baseIdx: org.apache.spark.sql.DataFrame,
+      batchBands: org.apache.spark.sql.DataFrame,
+      cap: Int = BandOccupancyCap): org.apache.spark.sql.DataFrame = {
+    val ann = bandAnnotated(baseIdx, "da")
+    // a hot bucket keeps exactly its hub's OWN row (the hub is the
+    // bucket min, so that row exists) — a pure FILTER, not a
+    // union/distinct, so the window's band partitioning flows through
+    // to the join and the bucketed store side still never exchanges
+    // (IndexStoreSpec asserts ≤ 1 band exchange on the probe plan)
+    val pruned = ann
+      .filter(col("occ") <= cap || col("da") === col("hub"))
+      .select(col("da"), col("band"))
+    pruned.join(batchBands, Seq("band"))
       .select("da", "db")
       .distinct()
   }
@@ -171,7 +247,7 @@ object Dedup {
     * (q100) so the banding layout and verify arithmetic have exactly
     * one definition.
     */
-  private[operators] def verifiedPairsOf(
+  private[graft] def verifiedPairsOf(
       sh: org.apache.spark.sql.DataFrame,
       minJ: Double = MinJaccard): org.apache.spark.sql.DataFrame =
     verifyCand(lshCandidatePairs(sh), sh, minJ)
@@ -451,8 +527,7 @@ object Dedup {
       .select(col("doc_id").as("da"), col("band"))
     val batchBands = bandedOf(shBatch)
       .select(col("doc_id").as("db"), col("band"))
-    val cand = baseIdx.join(batchBands, Seq("band"))
-      .select("da", "db").distinct()
+    val cand = cappedProbeCandidates(baseIdx, batchBands)
     verifyCandTwo(cand, spark.table(s"${name}_shingles"), shBatch, minJ)
   }
 
@@ -620,7 +695,129 @@ object Dedup {
       .toDF("stage_order", "stage", "n_in", "n_removed", "n_out")
   }
 
+  /** The q116/q234 fixture store: ONE persisted band index over the
+    * even-doc_id half per (sfDir), built on first use in the session —
+    * the probe (q116) and the occupancy audit (q234) share it the way
+    * a deployment's health report reads the same nightly artifact the
+    * ingest loop probes.
+    */
+  private def bandStoreFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tag = IndexCatalog.dirTag(dir)
+    val name = s"graft_q116_$tag"
+    if (!s.catalog.tableExists(s"${name}_bands")) {
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-q116-$tag")
+      writeBandIndex(
+        table(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        name, path.toString)
+    }
+    name
+  }
+
+  /** Numeric band-bucket occupancy profile of a banded (doc_id, band)
+    * frame — the operational health numbers a dedup owner reads before
+    * trusting a nightly near-dup pass (the band-store analogue of
+    * q122's IVF cell balance and q132's PQ code balance): bucket
+    * count, max and mean occupancy (mean as half-up ×100 — the q219
+    * integer idiom, no engine-divergent doubles), and how many buckets
+    * exceed [[BandOccupancyCap]] (every one of those routed through
+    * the O(m) hub star instead of the m² pair join). ONE groupBy on
+    * `band` + a single-row rollup; on the persisted store the groupBy
+    * consumes the bucketed layout exchange-free.
+    */
+  def bandOccupancyStats(
+      banded: org.apache.spark.sql.DataFrame,
+      cap: Int = BandOccupancyCap): org.apache.spark.sql.DataFrame =
+    banded.groupBy("band").agg(count(lit(1)).as("occ"))
+      .agg(count(lit(1)).as("n_buckets"), sum("occ").as("occ_sum"),
+        max("occ").as("max_occ"),
+        sum(when(col("occ") > cap, 1L).otherwise(0L)).as("n_over_cap"))
+      .select(col("n_buckets"), col("occ_sum"), col("max_occ"),
+        expr("(200 * occ_sum + n_buckets) div (2 * n_buckets)")
+          .as("mean_occ_x100"),
+        col("n_over_cap"))
+
   val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Band-bucket occupancy HEALTH audit — the row a dedup owner reads
+    // next to q122 (IVF cells) and q132 (PQ codes) before signing off
+    // a crawl-scale near-dup pass: for the in-plan corpus banding AND
+    // the persisted band-index artifact (the q116 fixture store, even
+    // half), is every band bucket within [[BandOccupancyCap]], how
+    // many are over (each such bucket runs the O(m) hub star, not the
+    // m² pair join), and do the bucket totals reconcile with the
+    // corpus? Contract columns (the q122 discipline — booleans the
+    // oracle can recompute from raw parquet, no engine-specific hash
+    // values in the hashed output):
+    //   occ_sum_ok    — Σ occupancy == 32 bands × shingled-doc count
+    //                   (every shingled doc emits exactly 32 band rows);
+    //   dup_floor_ok  — max occupancy ≥ the largest exact-duplicate
+    //                   text group (exact dups share ALL bands, so any
+    //                   banding reporting less has lost rows);
+    //   cap_ok        — max occupancy ≤ cap (the health bit: 0 means
+    //                   the star path is live and the corpus has a
+    //                   template family worth investigating);
+    //   n_over_cap    — how many buckets are over (0 here; planted
+    //                   template families drive it in DedupSpec, which
+    //                   also asserts the O(m) candidate count).
+    // Plan at 100 TB: one groupBy per store on the band key — the
+    // stored side exchange-free off the bucketed layout — plus two
+    // scalar rollups; nothing pairwise anywhere.
+    "q234_band_occupancy" -> QueryDef(
+      (s, dir) => {
+        // single consumer of the shingle frame (the banding) — no
+        // persist; the store side reads the fixture artifact instead
+        val sh = shingled(s, dir)
+        val storeName = bandStoreFixture(s, dir)
+        def row(stats: org.apache.spark.sql.DataFrame,
+            store: String, docCount: org.apache.spark.sql.Column,
+            docs: org.apache.spark.sql.DataFrame) = {
+          val maxDup = docs.groupBy("text")
+            .agg(count(lit(1)).as("n"))
+            .agg(coalesce(max("n"), lit(0L)).as("max_dup"))
+          stats
+            .crossJoin(docs.agg(docCount.as("n_docs")))
+            .crossJoin(maxDup)
+            .select(lit(store).as("store"), col("n_docs"),
+              (col("occ_sum") === col("n_docs") * Bands)
+                .cast("long").as("occ_sum_ok"),
+              (col("max_occ") >= col("max_dup"))
+                .cast("long").as("dup_floor_ok"),
+              (col("max_occ") <= BandOccupancyCap)
+                .cast("long").as("cap_ok"),
+              col("n_over_cap"))
+        }
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .managedPersist
+        val corpusRow = row(bandOccupancyStats(bandedOf(sh)),
+          "corpus", count(lit(1)), docs)
+        val storeRow = row(
+          bandOccupancyStats(
+            s.table(s"${storeName}_bands").select("doc_id", "band")),
+          "store_even", count(lit(1)),
+          docs.filter(col("doc_id") % 2 === 0))
+        corpusRow.unionByName(storeRow).orderBy("store")
+      },
+      Some("""WITH toks AS (SELECT doc_id, text,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+              sh AS (SELECT doc_id, text FROM toks WHERE len(t) >= 3)
+              SELECT 'corpus' AS store,
+                (SELECT COUNT(*) FROM sh) AS n_docs,
+                CAST(1 AS BIGINT) AS occ_sum_ok,
+                CAST(1 AS BIGINT) AS dup_floor_ok,
+                CAST(1 AS BIGINT) AS cap_ok,
+                CAST(0 AS BIGINT) AS n_over_cap
+              UNION ALL
+              SELECT 'store_even',
+                (SELECT COUNT(*) FROM sh WHERE doc_id % 2 = 0),
+                CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+                CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+              ORDER BY store""")),
 
     // q203: CONTENT-DEFINED chunk dedup — the LBFS/FastCDC idea at
     // token grain, the granularity q112's fixed windows structurally
@@ -1728,8 +1925,7 @@ object Dedup {
           .select(col("doc_id").as("da"), col("band"))
         val batch = banded.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id").as("db"), col("band"))
-        val cand = baseIdx.join(batch, Seq("band"))
-          .select("da", "db").distinct()
+        val cand = cappedProbeCandidates(baseIdx, batch)
         verifyCand(cand, sh, MinJaccard)
           .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
           .orderBy("da", "db")
@@ -1750,14 +1946,7 @@ object Dedup {
     "q116_band_index_probe" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val tag = IndexCatalog.dirTag(dir)
-        val name = s"graft_q116_$tag"
-        if (!s.catalog.tableExists(s"${name}_bands")) {
-          val path = new java.io.File(
-            System.getProperty("java.io.tmpdir"), s"graft-q116-$tag")
-          writeBandIndex(docs.filter(col("doc_id") % 2 === 0), name,
-            path.toString)
-        }
+        val name = bandStoreFixture(s, dir)
         probeBandIndex(s, name, docs.filter(col("doc_id") % 2 === 1))
           .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
           .orderBy("da", "db")

@@ -260,8 +260,14 @@ object FileOps {
           val in = fsFor(b).open(new Path(s"$b/$p"))
           try {
             val buf = new Array[Byte](131072)
+            // loop to -1, not 0: an InputStream may legally return 0
+            // bytes without EOF; treating 0 as EOF would truncate the
+            // digest and corrupt the verifyContent decision (ADVICE r15)
             var r = in.read(buf)
-            while (r > 0) { md.update(buf, 0, r); r = in.read(buf) }
+            while (r != -1) {
+              if (r > 0) md.update(buf, 0, r)
+              r = in.read(buf)
+            }
           } finally in.close()
           (rp, md.digest().map("%02x".format(_)).mkString)
         }

@@ -37,6 +37,21 @@ private[graft] object IndexCatalog {
     d.take(6).map(b => f"$b%02x").mkString
   }
 
+  /** Collision-proof tag for a CONTENT fingerprint string (the
+    * [[QueryDef.tableFingerprint]] output a fixture-store name embeds
+    * so a corpus regenerated at the same path rebuilds the store):
+    * md5, first 12 hex chars — the same 48-bit discipline as
+    * [[dirTag]]. Replaces the earlier `String.hashCode` idiom at the
+    * fixture-store sites, whose 32-bit non-cryptographic tag could
+    * collide after a corpus regeneration and silently probe a stale
+    * store (ADVICE r15).
+    */
+  def fpTag(fingerprint: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(fingerprint.getBytes("UTF-8"))
+    d.take(6).map(b => f"$b%02x").mkString
+  }
+
   /** Declare a bucketed external parquet table over existing files. */
   def registerBucketed(
       spark: SparkSession,

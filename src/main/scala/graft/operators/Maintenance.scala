@@ -79,9 +79,9 @@ object Maintenance {
         // drift signals would mix an old store with the new corpus and
         // diverge from the oracle, which reads only current parquet) —
         // the same staleness class ADVICE r12 flagged for the fit memos
-        val fp = java.lang.Integer.toHexString(
-          (tableFingerprint(s, dir, "documents") + "|" +
-            tableFingerprint(s, dir, "embeddings")).hashCode)
+        val fp = IndexCatalog.fpTag(
+          tableFingerprint(s, dir, "documents") + "|" +
+            tableFingerprint(s, dir, "embeddings"))
         val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
         val name = s"graft_q192_$tag"
         val docs = table(s, dir, "documents")

@@ -1533,8 +1533,8 @@ object MultiModal {
     "q205_phash_index_probe" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val fp = java.lang.Integer.toHexString(
-          tableFingerprint(s, dir, "documents").hashCode)
+        val fp = IndexCatalog.fpTag(
+          tableFingerprint(s, dir, "documents"))
         val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
         val name = s"graft_q205_$tag"
         val ids = table(s, dir, "documents")
@@ -1871,8 +1871,8 @@ object MultiModal {
     "q210_video_index_probe" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val fp = java.lang.Integer.toHexString(
-          tableFingerprint(s, dir, "documents").hashCode)
+        val fp = IndexCatalog.fpTag(
+          tableFingerprint(s, dir, "documents"))
         val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
         val name = s"graft_q210_$tag"
         val ids = table(s, dir, "documents")

@@ -708,6 +708,13 @@ object Pipeline {
             min("sc").as("min_chars"), max("sc").as("max_chars"),
             sum("sc").as("total_chars"))
           .select(col("n_shards"), col("min_chars"), col("max_chars"),
+            // skew = max/mean in half-up bp via the q219 long-math
+            // idiom. Overflow bound (ADVICE r15): the numerator is
+            // 20000 · max_chars · n_shards; with 64 KiB shards
+            // (max_chars ≈ 2¹⁷ worst case, one straddling doc) Long
+            // holds n_shards up to ~2⁶³/(2·10⁴·2¹⁷) ≈ 3.5·10¹²
+            // shards ≈ 200 EB of corpus — comfortably past 100 TB.
+            // Re-derive before shrinking the shard target below ~1 KiB.
             expr("(20000 * max_chars * n_shards + total_chars)" +
               " div (2 * total_chars)").as("skew_bp"))
           .crossJoin(broadcast(perShard

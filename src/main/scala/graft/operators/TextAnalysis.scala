@@ -360,8 +360,8 @@ object TextAnalysis {
     * artifact.
     */
   private def fixtureStore(s: SparkSession, dir: String): String = {
-    val fp = java.lang.Integer.toHexString(
-      tableFingerprint(s, dir, "documents").hashCode)
+    val fp = IndexCatalog.fpTag(
+          tableFingerprint(s, dir, "documents"))
     val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
     val name = s"graft_q227_$tag"
     if (!s.catalog.tableExists(s"${name}_postings")) {
@@ -867,8 +867,8 @@ object TextAnalysis {
     // term layout exchange-free on the stored side.
     "q215_lexical_index_probe" -> QueryDef(
       (s, dir) => {
-        val fp = java.lang.Integer.toHexString(
-          tableFingerprint(s, dir, "documents").hashCode)
+        val fp = IndexCatalog.fpTag(
+          tableFingerprint(s, dir, "documents"))
         val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
         val name = s"graft_q215_$tag"
         if (!s.catalog.tableExists(s"${name}_postings")) {
@@ -3192,8 +3192,8 @@ object TextAnalysis {
         val docs = table(s, dir, "documents")
         val vocab = unigramTrainMemo(s, dir, vocabSize = 64,
           maxPieceLen = 4, seedSize = 200, emIters = 3)
-        val fp = java.lang.Integer.toHexString(
-          tableFingerprint(s, dir, "documents").hashCode)
+        val fp = IndexCatalog.fpTag(
+          tableFingerprint(s, dir, "documents"))
         val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
         val name = s"graft_q212_$tag"
         if (!s.catalog.tableExists(s"${name}_vocab")) {

@@ -451,4 +451,96 @@ class DedupSpec extends SparkSpec {
       (4L, "suffix8", 3L, 1L, 2L)), s"waterfall drifted: $got")
     graft.operators.Q.releaseManaged()
   }
+
+  /** A planted m-member template family as a banded frame: every member
+    * carries the SAME `nBands` band values (what identical/near-identical
+    * texts produce — exact dups share all 32 bands), ids offset so they
+    * can coexist with a cold population.
+    */
+  private def templateBands(m: Int, nBands: Int = 32, idOffset: Long = 0L,
+      bandBase: Long = 1000000L) = {
+    import spark.implicits._
+    (0 until m).flatMap(i => (0 until nBands).map(b =>
+      (idOffset + i, bandBase + b))).toDF("doc_id", "band")
+  }
+
+  test("band occupancy cap: a 500-doc template family yields O(m) candidates, not m^2") {
+    // 500-member family (every bucket occupancy 500 > cap 64) + a cold
+    // population of 3 docs sharing one band (occupancy 3 <= cap)
+    import spark.implicits._
+    val hot = templateBands(500)
+    val cold = Seq((9001L, 5L), (9002L, 5L), (9003L, 5L))
+      .toDF("doc_id", "band")
+    val cand = Dedup.cappedSelfCandidates(hot.union(cold))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot family: hub star only — 499 pairs (uncapped would be 124 750)
+    val star = (1 until 500).map(i => (0L, i.toLong)).toSet
+    val coldPairs = Set((9001L, 9002L), (9001L, 9003L), (9002L, 9003L))
+    assert(cand == star ++ coldPairs,
+      s"expected ${star.size + 3} capped candidates, got ${cand.size}")
+  }
+
+  test("band occupancy cap: at-cap buckets still pair all-ways") {
+    // exactly cap members -> the all-pairs path, no star routing
+    val atCap = templateBands(Dedup.BandOccupancyCap)
+    val n = Dedup.cappedSelfCandidates(atCap).count()
+    val m = Dedup.BandOccupancyCap.toLong
+    assert(n == m * (m - 1) / 2, s"at-cap bucket must pair all-ways, got $n")
+  }
+
+  test("band occupancy cap: hot BASE bucket probes through its hub only") {
+    import spark.implicits._
+    // base: 500-member template family; batch: 2 docs, one sharing the
+    // family band, one unrelated
+    val base = templateBands(500)
+      .select(col("doc_id").as("da"), col("band"))
+    val batch = Seq((8000L, 1000000L), (8001L, 42L))
+      .toDF("db", "band")
+    val cand = Dedup.cappedProbeCandidates(base, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: 500 candidates for db=8000; capped: the hub (min da) only
+    assert(cand == Set((0L, 8000L)),
+      s"hot base bucket must emit only its hub, got ${cand.size} candidates")
+  }
+
+  test("band occupancy stats: planted family drives max_occ and n_over_cap") {
+    val stats = Dedup.bandOccupancyStats(
+        templateBands(500).union(
+          templateBands(3, nBands = 32, idOffset = 600, bandBase = 2000000L)))
+      .collect().head
+    assert(stats.getAs[Long]("max_occ") == 500L)
+    // 32 hot buckets (occ 500) + 32 cold buckets (occ 3)
+    assert(stats.getAs[Long]("n_buckets") == 64L)
+    assert(stats.getAs[Long]("n_over_cap") == 32L)
+    // mean = (500*32 + 3*32)/64 = 251.5 -> 25150 at x100
+    assert(stats.getAs[Long]("mean_occ_x100") == 25150L)
+  }
+
+  test("end-to-end: near-identical >cap family still collapses to ONE cluster via the star") {
+    import spark.implicits._
+    // 100 docs (> cap 64) sharing a long template, each with a unique
+    // trailing token — near-identical, J ~ 48/52 > 0.8 against the hub
+    val tmpl = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 100).map(i => (i.toLong, s"$tmpl unique$i"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingledOf(spark, docs).cache()
+    val pairs = Dedup.verifiedPairsOf(sh).cache()
+    // hub stars only: a handful of hubs (a member's unique shingle can
+    // win a signature slot and split it into its own bucket, electing
+    // a second hub), but pair work stays O(m) — uncapped all-pairs
+    // would emit 4 950
+    val got = pairs.select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size <= 3 * 100,
+      s"capped family must stay O(m), got ${got.size} pairs")
+    assert(got.map(_._1).size <= got.size &&
+      got.groupBy(_._1).size <= 5,
+      s"pairs must be hub stars, saw hubs ${got.map(_._1)}")
+    // and connected components still see ONE 100-member family
+    val labels = Dedup.minLabelPropagate(pairs.select("da", "db"))
+    assert(labels.select("lbl").distinct().count() == 1L)
+    assert(labels.count() == 100L)
+    pairs.unpersist(); sh.unpersist()
+    graft.operators.Q.releaseManaged()
+  }
 }
