@@ -14,7 +14,8 @@ object SparkEntry {
   def all: Seq[(String, QueryDef)] =
     Relational.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
       MultiModal.defs ++ Reshape.defs ++ Analytic.defs ++ Stats.defs ++
-      Pipeline.defs ++ Graph.defs ++ Learn.defs ++ Maintenance.defs
+      Pipeline.defs ++ Graph.defs ++ Learn.defs ++ Maintenance.defs ++
+      Release.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

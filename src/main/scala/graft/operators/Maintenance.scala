@@ -137,6 +137,14 @@ object Maintenance {
           // on the base tranche so its left-behind signal fires too
           TextAnalysis.writePositionalIndex(baseDocs,
             s"${name}_positional", s"$path/positional")
+          // tenth family (round 16): the tokenized-corpus RELEASE
+          // artifact — write-once by nature (a release is a snapshot),
+          // built on the base tranche with the SHIPPED q212 vocab, so
+          // its left-behind signal fires as the corpus outgrows it
+          Release.writeTokenCorpus(baseDocs,
+            TextAnalysis.vocabFromStore(
+              s, TextAnalysis.vocabStoreFixture(s, dir)),
+            s"${name}_tokrel", s"$path/tokrel")
         }
         // Report-pass job budget (it's the nightly health check — it
         // should cost scans, and as FEW as possible): every per-table
@@ -203,7 +211,12 @@ object Maintenance {
           FamilySpec("pq", s"${name}_pq_codes", rowsNow = Some(pr)),
           FamilySpec("span", s"${name}_span_pgrams",
             rowsNow = Some(spanNow), driftMicro = spanDrift,
-            driftThresholdMicro = 100000L)))
+            driftThresholdMicro = 100000L),
+          // write-once release snapshot: rows_now = current corpus
+          // docs vs the base-tranche count frozen in _BUILD_META —
+          // the left-behind signal shape lexical/positional use
+          FamilySpec("tokrel", s"${name}_tokrel_seqs",
+            rowsNow = Some(docs.count()))))
           .drop("signal_ok")
           .orderBy("family")
       },
@@ -343,6 +356,20 @@ object Maintenance {
                   CAST((SELECT changed * 1000000 // total FROM spandrift)
                     >= 100000 AS BIGINT)
                 FROM spanrows
+                UNION ALL
+                -- tokrel family (write-once release snapshot): doc
+                -- counts, base tranche vs current corpus
+                SELECT 'tokrel',
+                  (SELECT COUNT(*) FROM documents WHERE doc_id % 4 <> 0),
+                  (SELECT COUNT(*) FROM documents),
+                  ((SELECT COUNT(*) FROM documents) -
+                   (SELECT COUNT(*) FROM documents WHERE doc_id % 4 <> 0))
+                    * 1000000 // (SELECT COUNT(*) FROM documents),
+                  CAST(0 AS BIGINT),
+                  CAST(((SELECT COUNT(*) FROM documents) -
+                    (SELECT COUNT(*) FROM documents WHERE doc_id % 4 <> 0))
+                    * 1000000 // (SELECT COUNT(*) FROM documents)
+                    >= 200000 AS BIGINT)
               ) ORDER BY family"""))
   )
 }

@@ -1,0 +1,343 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** The tokenized-corpus RELEASE artifact — the last mile of the
+  * training-data pipeline, the file a dataloader actually mounts.
+  * Everything upstream already exists in the engine: the tokenizer
+  * trains (q208) and ships as a persisted vocab (q212), fertility and
+  * coverage are measured (q123/q134/q226), packing (q71) and sharding
+  * (q139/q151) are planned — this module runs the chain END-TO-END and
+  * writes the result as the TENTH persisted artifact family:
+  *
+  *  - `<name>_seqs` — packed token-id sequences, BUCKETED on `shard`
+  *    (the dataloader's parallel-read unit; bucketed so a per-shard
+  *    consumer or a re-pack job reads its slice exchange-free). Each
+  *    row carries `doc_ids` + per-doc `tok_cnts` alongside the flat
+  *    `token_ids`, so any sequence is independently decodable — the
+  *    self-describing property a released shard needs for audits;
+  *  - `<name>_manifest` — the q151 checksum discipline per shard:
+  *    doc/word/token counts and the md5 of the ordered doc_id list, so
+  *    a consumer can prove it holds the exact released membership.
+  *
+  * Encoding (SentencePiece-style): each word segments under the
+  * SHIPPED q212 vocab via the ONE `viterbiSegment` definition (BigInt
+  * cross-multiplied rationals — platform-deterministic), pieces map to
+  * ids by the vocab's canonical (weight desc, piece asc) order, and a
+  * reserved BEGIN-OF-WORD marker id (= vocab size, the ▁ discipline)
+  * precedes every word's pieces so the flat id stream is losslessly
+  * word-segmentable: round-trip decode reconstructs the whitespace-
+  * normalized text exactly (the q235 contract gates it for 100 % of
+  * docs). A piece outside the vocab (possible only when the corpus
+  * gained characters the shipped tokenizer never saw) encodes as the
+  * OOV id −1 — counted, never silently dropped; the release gate
+  * pins the count to zero (ReleaseSpec drives the non-zero path with
+  * a planted character).
+  *
+  * Plan at 100 TB: segmentation runs ONCE per distinct word (typed map
+  * over the dictionary-bounded word frame, broadcast ≤65-entry vocab —
+  * the q208 discipline), docs encode through a word-keyed join (never
+  * a per-token map), and the packer's running token offsets use the
+  * q139 two-level prefix sum — per-range-partition local windows plus
+  * a broadcast ≤(shards×16)-row offset frame, never a global window.
+  */
+object Release {
+
+  /** Packed sequence length (tokens incl. BOW markers). */
+  val SeqLen = 512
+  /** Release shard count — the bucket spec of `<name>_seqs`. */
+  val NumShards = 8
+  /** OOV piece id: a segmentation fell back to a character the shipped
+    * vocab does not contain. Counted by the release gate, never
+    * dropped.
+    */
+  val OovId: Int = -1
+
+  /** Piece → id by the canonical (weight desc, piece asc) vocab order;
+    * the BOW marker takes id = vocab.size. One definition shared by
+    * the encoder, the decoder map, and ReleaseSpec's reference.
+    */
+  def pieceIds(vocab: Seq[(String, Long)]): Map[String, Int] =
+    vocab.iterator.map(_._1).zipWithIndex.toMap
+
+  /** The BOW marker id for a vocab. */
+  def bowId(vocab: Seq[(String, Long)]): Int = vocab.size
+
+  /** id → piece decode map (BOW ↦ " ") as a Column literal — tiny
+    * (≤ vocab+1 entries), every consumer broadcasts it in-row.
+    */
+  private def decodeMap(vocab: Seq[(String, Long)]): Column = {
+    val m = pieceIds(vocab).map(_.swap) + (bowId(vocab) -> " ")
+    typedLit(m)
+  }
+
+  /** Segment the distinct-word dictionary under the shipped vocab:
+    * (word, pids) where pids = the word's piece ids (no BOW marker —
+    * that is per-occurrence, added at doc assembly). ONE Viterbi per
+    * distinct word, the q212 machinery.
+    */
+  private[graft] def encodedWords(
+      s: SparkSession,
+      words: DataFrame,
+      vocab: Seq[(String, Long)]): DataFrame = {
+    import s.implicits._
+    val vmap = vocab.toMap
+    val pid = pieceIds(vocab)
+    val total = vocab.iterator.map(_._2).sum
+    val mpl = if (vocab.isEmpty) 1 else vocab.iterator.map(_._1.length).max
+    val bcV = s.sparkContext.broadcast(vmap)
+    val bcP = s.sparkContext.broadcast(pid)
+    words.select("word").distinct().as[String]
+      .map { w =>
+        val pieces = TextAnalysis.viterbiSegment(w, bcV.value, total, mpl)
+        (w, pieces.map(p => bcP.value.getOrElse(p, OovId)).toArray)
+      }
+      .toDF("word", "pids")
+  }
+
+  /** Per-document token-id arrays under the shipped vocab:
+    * (doc_id, token_ids, n_words, n_pieces, n_oov), where token_ids =
+    * ⟨BOW, word₁ pieces…, BOW, word₂ pieces…⟩. Empty-text docs keep a
+    * row with an empty id array — a release must account for every
+    * document it was given.
+    */
+  def encodeCorpus(
+      s: SparkSession,
+      docs: DataFrame,
+      vocab: Seq[(String, Long)]): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val words = toks.select(explode(col("toks")).as("word"))
+    val enc = encodedWords(s, words, vocab)
+    val bow = bowId(vocab)
+    val assembled = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "word")))
+      .join(enc, "word")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("pids"))))
+        .as("ws"))
+      .select(col("doc_id"),
+        flatten(transform(col("ws"),
+          w => concat(array(lit(bow)), w.getField("pids"))))
+          .as("token_ids"),
+        size(col("ws")).as("n_words"))
+    docs.select(col("doc_id"))
+      .join(assembled, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("token_ids"), typedLit(Array.empty[Int]))
+          .as("token_ids"),
+        coalesce(col("n_words"), lit(0)).cast("long").as("n_words"))
+      .withColumn("n_pieces",
+        (size(col("token_ids")) - col("n_words")).cast("long"))
+      .withColumn("n_oov",
+        size(filter(col("token_ids"), t => t === OovId)).cast("long"))
+  }
+
+  /** q71's packer at token grain with q139's two-level prefix sum:
+    * shard = doc_id mod [[NumShards]], docs pack in doc_id order into
+    * [[SeqLen]]-token bins (a doc is never split — the bin of its
+    * cumulative start, the q71 rule). The running within-shard token
+    * offset never crosses a global window: per-range-partition local
+    * sums plus a broadcast (shard × partition) offset frame.
+    * Input: [[encodeCorpus]]'s frame. Output: one row per packed
+    * sequence (shard, seq, doc_ids, tok_cnts, token_ids, n_tokens).
+    */
+  def packSequences(enc: DataFrame): DataFrame = {
+    val sharded = enc
+      .withColumn("shard", pmod(col("doc_id"), lit(NumShards)))
+      .withColumn("ntok", size(col("token_ids")).cast("long"))
+      .repartitionByRange(16, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .managedPersist
+    val wLocal = Window.partitionBy("shard", "pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exclusive per-shard prefix of the per-(shard, pid) totals —
+    // ≤ NumShards×16 rows, a bounded frame (the q139 discipline)
+    val offs = sharded.groupBy("shard", "pid")
+      .agg(sum("ntok").as("psum"))
+      .withColumn("off",
+        coalesce(sum("psum").over(Window.partitionBy("shard")
+          .orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("shard", "pid", "off")
+    sharded
+      .withColumn("lc", sum("ntok").over(wLocal))
+      .join(broadcast(offs), Seq("shard", "pid"))
+      .withColumn("cum_before", col("lc") + col("off") - col("ntok"))
+      .withColumn("seq", expr(s"cum_before div $SeqLen"))
+      .groupBy("shard", "seq")
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("token_ids")))).as("ds"))
+      .select(col("shard"), col("seq"),
+        transform(col("ds"), d => d.getField("doc_id")).as("doc_ids"),
+        transform(col("ds"), d => size(d.getField("token_ids")))
+          .as("tok_cnts"),
+        flatten(transform(col("ds"), d => d.getField("token_ids")))
+          .as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** The q151-discipline release manifest: per shard, doc/word/token
+    * counts and the md5 of the ordered doc_id list — the membership
+    * checksum a consumer verifies before training.
+    */
+  def manifestOf(enc: DataFrame): DataFrame = enc
+    .withColumn("shard", pmod(col("doc_id"), lit(NumShards)))
+    .groupBy("shard")
+    .agg(count(lit(1)).as("n_docs"),
+      sum("n_words").as("n_words"),
+      sum(size(col("token_ids")).cast("long")).as("n_tokens"),
+      sum("n_oov").as("n_oov"),
+      md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        x => x.cast("string")), ",")).as("manifest_md5"))
+
+  /** Write the release artifact: `<name>_seqs` bucketed on `shard`
+    * (+ sorted, so a shard consumer streams in order) and
+    * `<name>_manifest`, plus `_BUILD_META` for the q192 staleness
+    * rung. The encode runs once and feeds both tables.
+    */
+  def writeTokenCorpus(
+      docs: DataFrame,
+      vocab: Seq[(String, Long)],
+      name: String,
+      path: String): Unit = {
+    val s = docs.sparkSession
+    val enc = encodeCorpus(s, docs, vocab)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      packSequences(enc).write
+        .mode("overwrite")
+        .bucketBy(NumShards, "shard").sortBy("shard")
+        .option("path", s"$path/seqs").saveAsTable(s"${name}_seqs")
+      manifestOf(enc).write
+        .mode("overwrite")
+        .option("path", s"$path/manifest")
+        .saveAsTable(s"${name}_manifest")
+      IndexMaintenance.writeBuildMeta(s, path, enc.count())
+    } finally {
+      enc.unpersist(blocking = false)
+      Q.releaseManaged()
+    }
+  }
+
+  /** Re-attach a [[writeTokenCorpus]] artifact in a new session — the
+    * artifact's truth is the bucketed parquet; the catalog entry is
+    * session state (the IndexCatalog discipline shared by all ten
+    * families).
+    */
+  def registerTokenCorpus(
+      s: SparkSession, name: String, path: String): Unit = {
+    IndexCatalog.registerBucketed(
+      s, s"${name}_seqs", s"$path/seqs", "shard", NumShards)
+    IndexCatalog.registerPlain(s, s"${name}_manifest", s"$path/manifest")
+  }
+
+  /** Per-document round-trip decode FROM the packed store: explode
+    * each sequence back into its member docs via the per-doc token
+    * counts (running offsets built in-row with `aggregate` — no
+    * window), map ids back to pieces, and reassemble the text (BOW ↦
+    * space). Returns (doc_id, rec) — the whitespace-normalized
+    * reconstruction the q235 contract compares against the corpus.
+    */
+  def decodeStore(
+      seqs: DataFrame, vocab: Seq[(String, Long)]): DataFrame = {
+    val dm = decodeMap(vocab)
+    seqs
+      .withColumn("offs", expr(
+        """aggregate(tok_cnts, array(0),
+          |  (a, x) -> array_append(a, element_at(a, -1) + x))"""
+          .stripMargin))
+      .select(col("offs"), col("token_ids"),
+        posexplode(arrays_zip(col("doc_ids"), col("tok_cnts")))
+          .as(Seq("i", "dc")))
+      .select(col("dc.doc_ids").as("doc_id"),
+        slice(col("token_ids"), element_at(col("offs"), col("i") + 1) + 1,
+          col("dc.tok_cnts")).as("ids"))
+      .select(col("doc_id"),
+        ltrim(aggregate(col("ids"), lit(""),
+          (acc, t) => concat(acc, element_at(dm, t)))).as("rec"))
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // q235: the tokenized-corpus RELEASE gate — the contract a release
+    // job checks before shipping the dataloader artifact, run OFF the
+    // persisted store (the fixture builds once per corpus fingerprint
+    // with the shipped q212 vocab). Per shard: membership (n_docs,
+    // n_words, manifest_md5 — oracle-exact, the q151 discipline) plus
+    // the release contract bits:
+    //   roundtrip_ok — decoding the PACKED sequences reconstructs the
+    //     whitespace-normalized text for 100 % of the shard's docs
+    //     (the lossless-encode guarantee; decode runs off the store
+    //     alone — ids → pieces → words, no corpus access);
+    //   oov_zero_ok  — zero OOV ids in the shard (the shipped vocab
+    //     covers its own training corpus by construction; a non-zero
+    //     count means corpus/tokenizer drift — q212's alarm);
+    //   pack_ok      — the packed sequences cover exactly the
+    //     manifest's token and doc totals (nothing dropped, nothing
+    //     duplicated by the packer).
+    // Plan at 100 TB: encode = one Viterbi per DISTINCT word (typed
+    // map, broadcast vocab) + a word-keyed join; packing = q139's
+    // two-level prefix sum; the gate reads the bucketed store
+    // exchange-free and every check is a per-shard partial agg.
+    "q235_token_release" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val vocab = TextAnalysis.vocabFromStore(
+          s, TextAnalysis.vocabStoreFixture(s, dir))
+        val fp = IndexCatalog.fpTag(
+          tableFingerprint(s, dir, "documents"))
+        val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
+        val name = s"graft_q235_$tag"
+        if (!s.catalog.tableExists(s"${name}_seqs")) {
+          val path = new java.io.File(
+            System.getProperty("java.io.tmpdir"), s"graft-q235-$tag")
+          writeTokenCorpus(docs, vocab, name, path.toString)
+        }
+        val seqs = s.table(s"${name}_seqs")
+        val man = s.table(s"${name}_manifest")
+        val rt = decodeStore(seqs, vocab)
+          .join(docs.select(col("doc_id"),
+            array_join(TextAnalysis.tokens(col("text")), " ")
+              .as("norm")), "doc_id")
+          .withColumn("shard", pmod(col("doc_id"), lit(NumShards)))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_rt"),
+            sum(when(col("rec") === col("norm"), 1L).otherwise(0L))
+              .as("n_rt_ok"))
+        val pk = seqs
+          .groupBy("shard")
+          .agg(sum("n_tokens").as("tok_sum"),
+            sum(size(col("doc_ids")).cast("long")).as("doc_sum"),
+            sum(size(filter(col("token_ids"), t => t === OovId))
+              .cast("long")).as("oov_sum"))
+        man.join(rt, "shard").join(pk, "shard")
+          .select(col("shard"), col("n_docs"), col("n_words"),
+            col("manifest_md5"),
+            (col("n_rt") === col("n_docs") &&
+              col("n_rt_ok") === col("n_docs"))
+              .cast("long").as("roundtrip_ok"),
+            (col("oov_sum") === 0L && col("n_oov") === 0L)
+              .cast("long").as("oov_zero_ok"),
+            (col("tok_sum") === col("n_tokens") &&
+              col("doc_sum") === col("n_docs"))
+              .cast("long").as("pack_ok"))
+          .orderBy("shard")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+                  len(list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '')) AS nw
+                FROM documents)
+              SELECT shard, COUNT(*) AS n_docs,
+                CAST(SUM(nw) AS BIGINT) AS n_words,
+                md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id))
+                  AS manifest_md5,
+                CAST(1 AS BIGINT) AS roundtrip_ok,
+                CAST(1 AS BIGINT) AS oov_zero_ok,
+                CAST(1 AS BIGINT) AS pack_ok
+              FROM d GROUP BY shard ORDER BY shard"""))
+  )
+}

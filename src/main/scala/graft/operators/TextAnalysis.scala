@@ -3192,15 +3192,7 @@ object TextAnalysis {
         val docs = table(s, dir, "documents")
         val vocab = unigramTrainMemo(s, dir, vocabSize = 64,
           maxPieceLen = 4, seedSize = 200, emIters = 3)
-        val fp = IndexCatalog.fpTag(
-          tableFingerprint(s, dir, "documents"))
-        val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
-        val name = s"graft_q212_$tag"
-        if (!s.catalog.tableExists(s"${name}_vocab")) {
-          val path = new java.io.File(
-            System.getProperty("java.io.tmpdir"), s"graft-q212-$tag")
-          writeVocabStore(s, vocab, name, path.toString)
-        }
+        val name = vocabStoreFixture(s, dir)
         val stored = vocabFromStore(s, name)
         val roundtripOk = if (stored == vocab) 1L else 0L
         val planted = docs.select(col("doc_id"),
@@ -3912,6 +3904,28 @@ object TextAnalysis {
         s"#$vocabSize#$maxPieceLen#$seedSize#$emIters",
       unigramTrain(table(s, dir, "documents").select("text"),
         vocabSize, maxPieceLen, seedSize, emIters))
+
+  /** The q212/q235 fixture store: ONE persisted unigram vocab per
+    * (sfDir, corpus fingerprint) — the tokenizer artifact a release
+    * SHIPS, trained once per session (the `unigramTrainMemo`
+    * discipline) and shared by the drift check (q212) and the
+    * tokenized-corpus release encoder (q235), which must encode with
+    * the exact shipped vocab or the release is self-inconsistent.
+    */
+  def vocabStoreFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val vocab = unigramTrainMemo(s, dir, vocabSize = 64,
+      maxPieceLen = 4, seedSize = 200, emIters = 3)
+    val fp = IndexCatalog.fpTag(tableFingerprint(s, dir, "documents"))
+    val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
+    val name = s"graft_q212_$tag"
+    if (!s.catalog.tableExists(s"${name}_vocab")) {
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-q212-$tag")
+      writeVocabStore(s, vocab, name, path.toString)
+    }
+    name
+  }
 
   /** Persist a trained unigram vocab as a tiny parquet artifact
     * (`<name>_vocab` external table at `<path>/vocab`): the tokenizer

@@ -1328,4 +1328,53 @@ class IndexStoreSpec extends SparkSpec {
       graft.operators.Q.releaseManaged()
     }
   }
+
+  test("token-corpus release: re-attach serves identical sequences; shard reads stay exchange-free") {
+    import graft.operators.{Release, TextAnalysis}
+    val docs = Q.table(spark, sfDir, "documents").limit(120)
+      .select("doc_id", "text")
+    val vocab = TextAnalysis.unigramTrain(docs.select("text"),
+      vocabSize = 48, maxPieceLen = 3, seedSize = 80, emIters = 2)
+    val tmp = Files.createTempDirectory("graft-tokrel")
+    val name = "tokrel_t"
+    try {
+      Release.writeTokenCorpus(docs, vocab, name, s"$tmp")
+      val before = spark.table(s"${name}_seqs")
+        .orderBy("shard", "seq").collect().toSeq
+      val manBefore = spark.table(s"${name}_manifest")
+        .orderBy("shard").collect().toSeq
+      assert(before.nonEmpty && manBefore.size == Release.NumShards)
+      // the artifact outlives the catalog: drop + re-register
+      spark.sql(s"DROP TABLE ${name}_seqs")
+      spark.sql(s"DROP TABLE ${name}_manifest")
+      Release.registerTokenCorpus(spark, name, s"$tmp")
+      val after = spark.table(s"${name}_seqs")
+        .orderBy("shard", "seq").collect().toSeq
+      val manAfter = spark.table(s"${name}_manifest")
+        .orderBy("shard").collect().toSeq
+      assert(after == before && manAfter == manBefore,
+        "re-attached release artifact drifted from the written one")
+      // a per-shard consumer aggregates off the bucketed layout with
+      // no exchange on the shard key (the dataloader-read contract)
+      val agg = spark.table(s"${name}_seqs")
+        .groupBy("shard").agg(sum("n_tokens").as("t"))
+      val plan = finalPlan(agg)
+      assert(plan.contains("Bucketed: true"),
+        s"shard agg did not consume the bucketed layout:\n$plan")
+      assert(!"Exchange hashpartitioning\\(shard".r
+        .findFirstIn(plan).isDefined,
+        s"per-shard aggregate shuffled on the shard key:\n$plan")
+      // round-trip decode off the RE-ATTACHED store still exact
+      val rec = Release.decodeStore(spark.table(s"${name}_seqs"), vocab)
+        .join(docs.select(col("doc_id"),
+          array_join(TextAnalysis.tokens(col("text")), " ").as("norm")),
+          "doc_id")
+      assert(rec.count() == 120L &&
+        rec.filter(col("rec") =!= col("norm")).count() == 0L)
+    } finally {
+      Seq(s"${name}_seqs", s"${name}_manifest").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.operators.Q.releaseManaged()
+    }
+  }
 }
