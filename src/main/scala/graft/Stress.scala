@@ -201,6 +201,28 @@ object Stress {
       toks.unionByName(quotes)
     }
 
+    // q237's scale split: the edge extraction is the corpus-linear
+    // part (untimed build + cache, the nightly-artifact treatment);
+    // the TIMED probe below is the BFS round phase over a FIXED seed
+    // set (10 replica-0 seeds; the fixture's target space is < 400,
+    // so the frontier and per-round shuffle are factor-invariant) —
+    // comparing factors reads how much of a round is the cached edge
+    // scan vs the frontier work
+    val khopEdges = if (selected("khop_rounds")) {
+      val e = documents
+        .withColumn("text2", graft.operators.Graph.linkFixture(
+          col("doc_id"), col("text")))
+        .select(col("doc_id").as("src"),
+          explode(expr(
+            "regexp_extract_all(text2, 'link->doc([0-9]+)', 1)"))
+            .as("d"))
+        .select(col("src"), col("d").cast("long").as("dst"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      Some(e)
+    } else None
+
     val results = Seq(
       // partial+final hash agg over the inflated fact table
       timed("agg_tpchq1") {
@@ -1089,6 +1111,17 @@ object Stress {
         ranked.join(broadcast(cdf),
             col("cum") >= col("k") && col("prev") < col("k"))
           .count()
+      },
+      // q237 shape: 4 BFS rounds over the pre-built cached edge list,
+      // fixed 10-seed frontier — per-round shuffle is factor-invariant
+      // (target space < 400); growth across factors reads the cached
+      // edge-scan term only
+      timed("khop_rounds") {
+        val seeds = documents
+          .filter(col("doc_id") < 500 && col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("node")).distinct()
+        graft.operators.Graph.khopCounts(khopEdges.get, seeds, 4)
+          .agg(max("n_cum")).head().getLong(0)
       })
 
     val ran = results.filter(_._2 >= 0.0)

@@ -89,6 +89,66 @@ object Graph {
                     JOIN odeg o ON o.src = p.node
                     GROUP BY e.dst) i ON i.node = n.node)"""
 
+  /** Distinct (src, dst) edges extracted from the fixture-augmented
+    * corpus — ONE definition shared by q178's PageRank and q237's
+    * reachability so the two graph queries can never disagree on the
+    * graph.
+    */
+  private def linkEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("text2", linkFixture(col("doc_id"), col("text")))
+      .select(col("doc_id").as("src"),
+        explode(expr(
+          "regexp_extract_all(text2, 'link->doc([0-9]+)', 1)"))
+          .as("d"))
+      .select(col("src"), col("d").cast("long").as("dst"))
+      .distinct()
+
+  /** Bounded-depth BFS reachability over an edge list — the
+    * recursive-CTE shape expressed the distributed way: per hop, join
+    * the FRONTIER (newly-reached nodes only, never the visited set)
+    * against the edge list, anti-join away already-visited nodes, and
+    * localCheckpoint both skinny frames so plan depth stays O(1) in k
+    * (the q178/q45 fixpoint discipline). Per-round SHUFFLE volume
+    * tracks |frontier| × mean out-degree — never the corpus: the edge
+    * list is scanned from cache each round (the standard Pregel-
+    * superstep cost, one in-memory columnar pass) but only frontier-
+    * matched rows survive to the exchange, and the visited/frontier
+    * frames stay two-longs-per-node skinny (the Stress khop probe
+    * times the round phase against the untimed edge build as the
+    * corpus inflates). Returns (hop, n_new, n_cum); a hop that
+    * reaches nothing emits no row (both engines derive rows from the
+    * reached set).
+    */
+  def khopCounts(
+      edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("hop", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select("node")
+    var h = 1
+    while (h <= k) {
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited
+        .union(next.withColumn("hop", lit(h.toLong)))
+        .localCheckpoint(true)
+      frontier = next
+      h += 1
+    }
+    e.unpersist(blocking = false)
+    // the rollup window runs over ≤ k+1 rows — bounded by declaration
+    visited.groupBy("hop").agg(count(lit(1)).as("n_new"))
+      .withColumn("n_cum", sum("n_new").over(Window.orderBy("hop")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("hop")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // PageRank over the extracted link graph: rank in integer micros,
@@ -99,15 +159,7 @@ object Graph {
     // hash-checks every rank value exactly.
     "q178_link_rank" -> QueryDef(
       (s, dir) => {
-        val docs = table(s, dir, "documents")
-          .withColumn("text2", linkFixture(col("doc_id"), col("text")))
-        val edges = docs
-          .select(col("doc_id").as("src"),
-            explode(expr(
-              "regexp_extract_all(text2, 'link->doc([0-9]+)', 1)"))
-              .as("d"))
-          .select(col("src"), col("d").cast("long").as("dst"))
-          .distinct()
+        val edges = linkEdges(s, dir)
         // (src, dst, odeg) — the only corpus-sized frame the loop
         // touches, built once and reused by all 8 iterations
         val contrib = edges
@@ -165,6 +217,52 @@ object Graph {
               FROM pr$PrIters p
               LEFT JOIN odeg o ON o.src = p.node
               LEFT JOIN ideg i ON i.dst = p.node
-              ORDER BY rank_micro DESC, node LIMIT 20"""))
+              ORDER BY rank_micro DESC, node LIMIT 20""")),
+
+    // q237: bounded-depth REACHABILITY over the same link graph — the
+    // recursive-CTE idiom (the last common relational shape the engine
+    // lacked), expressed as k-hop frontier BFS: which documents does a
+    // seed set (every 50th doc — the crawl-frontier question "what can
+    // these seeds reach in ≤ 4 clicks?") reach, and at what depth?
+    // Per-hop newly-reached and cumulative counts; a hop that reaches
+    // nothing emits no row in either engine. The oracle unrolls the
+    // same 4 frontier/visited CTE pairs (the q178 unroll discipline),
+    // so the BFS's visited-dedup arithmetic is hash-exact. Plan at
+    // 100 TB: each round joins the edge list against the FRONTIER
+    // only (never the visited set, never the corpus), anti-joins the
+    // skinny visited frame, and localCheckpoints both — per-round
+    // shuffle volume tracks frontier size × out-degree over a cached
+    // edge scan (the Stress khop probe times the round phase
+    // separately from the untimed edge build).
+    "q237_khop_reachability" -> QueryDef(
+      (s, dir) => {
+        val seeds = table(s, dir, "documents")
+          .filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("node"))
+        khopCounts(linkEdges(s, dir), seeds, 4)
+      },
+      Some {
+        def hopSql(h: Int): String =
+          s"""f$h AS (SELECT DISTINCT e.dst AS node
+                FROM edges e JOIN f${h - 1} f ON e.src = f.node
+                WHERE e.dst NOT IN (SELECT node FROM v${h - 1})),
+              v$h AS (SELECT node, hop FROM v${h - 1}
+                UNION ALL SELECT node, $h FROM f$h)"""
+        s"""WITH $linkFixtureSql,
+              edges AS (SELECT DISTINCT doc_id AS src,
+                  CAST(m AS BIGINT) AS dst
+                FROM (SELECT doc_id,
+                    UNNEST(regexp_extract_all(text2,
+                      'link->doc([0-9]+)', 1)) AS m
+                  FROM docs) q),
+              f0 AS (SELECT DISTINCT doc_id AS node FROM documents
+                WHERE doc_id % 50 = 0),
+              v0 AS (SELECT node, 0 AS hop FROM f0),
+              ${(1 to 4).map(hopSql).mkString(",\n              ")}
+              SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS n_new,
+                CAST(SUM(COUNT(*)) OVER (ORDER BY hop) AS BIGINT)
+                  AS n_cum
+              FROM v4 GROUP BY hop ORDER BY hop"""
+      })
   )
 }

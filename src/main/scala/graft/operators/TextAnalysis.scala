@@ -3303,6 +3303,54 @@ object TextAnalysis {
               SELECT doc_id, n_pairs FROM h
               WHERE n_pairs > 0 ORDER BY doc_id""")),
 
+    // q236: KEYWORD-IN-CONTEXT (KWIC) snippets off the positional
+    // store — the user-facing face of the positional family and a TRUE
+    // index-only query: for every q227 phrase hit, the ±5-token window
+    // is reconstructed from POSTINGS ALONE (positions → term lookup
+    // via the store; the documents table is never scanned — the
+    // PlanAuditSpec pin). Hit positions come from the same pruned
+    // two-bucket adjacency join as q227; the window terms come from
+    // ONE map-only pass over the store joined against the BROADCAST
+    // hit list (a phrase-selective hit frame is small by construction;
+    // a bulk KWIC sweep over many phrases would swap the broadcast for
+    // a doc_id key join — same plan shape, declared). Window assembly
+    // is a per-(doc, hit) partial agg over ≤ 12 surviving rows; the
+    // snippet is the position-ordered term join. The oracle recomputes
+    // every window from raw text with per-row list slices, so the
+    // store's position arithmetic (clipping included) is hash-exact.
+    "q236_kwic_snippets" -> QueryDef(
+      (s, dir) => {
+        val p = s.table(s"${fixtureStore(s, dir)}_postings")
+        val w1 = p.filter(col("t") === "hash")
+          .select(col("doc_id"), col("pos"))
+        val w2 = p.filter(col("t") === "join")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        val hits = w1.join(w2, Seq("doc_id", "pos"))
+          .select(col("doc_id"), col("pos").as("hit"))
+        p.join(broadcast(hits), Seq("doc_id"))
+          .filter(col("pos") >= col("hit") - 5 &&
+            col("pos") <= col("hit") + 6)
+          .groupBy(col("doc_id"), col("hit"))
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("t")))),
+            w => w.getField("t")), " ").as("snippet"))
+          .select(col("doc_id"), col("hit").cast("long").as("hit"),
+            col("snippet"))
+          .orderBy("doc_id", "hit")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                    t -> t <> '') AS toks
+                FROM documents),
+              h AS (SELECT doc_id, i - 1 AS hit, toks
+                FROM d, UNNEST(range(1, len(toks))) AS u(i)
+                WHERE toks[i] = 'hash' AND toks[i + 1] = 'join')
+              SELECT doc_id, CAST(hit AS BIGINT) AS hit,
+                array_to_string(
+                  toks[GREATEST(1, hit - 4) : LEAST(len(toks), hit + 7)],
+                  ' ') AS snippet
+              FROM h ORDER BY doc_id, hit""")),
+
     // Positional-BIAS profile off the same store: where in documents
     // do the corpus's top terms occur? Boilerplate headers live at
     // relative position ≈ 0, footers at ≈ 1 — the positional family's

@@ -66,4 +66,31 @@ class GraphSpec extends SparkSpec {
     assert(again.toSeq === expect)
     Q.releaseManaged()
   }
+  test("khopCounts: chain/diamond/cycle BFS — dedup, depth cap, bounded rollup") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // chain 0->1->2->3->4->5, diamond 0->10, 0->11, 10->12, 11->12,
+    // cycle 12->0, and an unreachable island 90->91
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (0L, 10L), (0L, 11L), (10L, 12L), (11L, 12L), (12L, 0L),
+      (90L, 91L)
+    ).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = Graph.khopCounts(edges, seeds, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // hop 0: {0}; hop 1: {1,10,11}; hop 2: {2,12} (diamond merges,
+    // cycle back to 0 deduped); hop 3: {3}; hop 4: {4}
+    assert(got == Seq((0L, 1L, 1L), (1L, 3L, 4L), (2L, 2L, 6L),
+      (3L, 1L, 7L), (4L, 1L, 8L)), s"BFS drifted: $got")
+    // depth cap honored: node 5 (hop 5) is not reached at k=4
+    val got5 = Graph.khopCounts(edges, seeds, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got5(5L) == 1L, "k=5 must reach the chain tail")
+    // a dead frontier emits no further rows
+    val island = Graph.khopCounts(edges, Seq(91L).toDF("node"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(island == Seq((0L, 1L)), s"dead frontier must stop: $island")
+    graft.operators.Q.releaseManaged()
+  }
 }

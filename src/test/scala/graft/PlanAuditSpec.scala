@@ -954,6 +954,22 @@ class PlanAuditSpec extends SparkSpec {
       s"the store aggs must combine map-side:\n$p")
   }
 
+  test("q236: KWIC windows assemble from the store alone; the hit list broadcasts") {
+    val p = plan("q236_kwic_snippets")
+    assert(!p.contains("CartesianProduct"), s"q236 planned a cartesian:\n$p")
+    // the whole point of the query: a TRUE index-only snippet — a
+    // documents scan would mean the window terms came from re-reading
+    // raw text instead of store positions
+    assert(!p.contains("documents"),
+      s"q236 re-scanned the corpus instead of the store:\n$p")
+    assert(!p.contains("Generate"),
+      s"q236 must read postings, never re-explode tokens:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the phrase-selective hit list must broadcast:\n$p")
+    assert(p.contains("partial_"),
+      s"window assembly must combine map-side:\n$p")
+  }
+
   test("q232/q233: severity rides the posting join; the skew audit is two bounded aggs") {
     val p232 = plan("q232_contamination_severity")
     assert(!p232.contains("CartesianProduct"),
