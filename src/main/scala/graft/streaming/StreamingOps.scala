@@ -1309,6 +1309,106 @@ object StreamingOps {
       graft.operators.Q.releaseManaged()
     }
   }
+
+  /** Config for the TEXT-RETRIEVAL index ingest loop — the lifecycle
+    * the lexical (BM25) and positional families were missing (VERDICT
+    * r15 ask #7). The two families get DIFFERENT treatments, each
+    * deliberate:
+    *
+    *  - '''positional''': guarded APPEND per batch — a posting
+    *    (t, doc_id, pos) is doc-local with no frozen corpus statistic,
+    *    so appending new docs' postings is semantically exact (the
+    *    band/gram discipline; replay goes through the doc-guarded
+    *    variant, fragmentation through `compactBucketed`);
+    *  - '''lexical''': REBUILD-ONLY — df and avgdl freeze at build, so
+    *    an append would serve BM25 scores mixing old statistics with
+    *    new postings (silently wrong ranks, not stale ranks). The loop
+    *    never appends it; instead the maintenance window reads the
+    *    q192 staleness row (rows_now = the CURRENT corpus postings)
+    *    and actuates `rebuildFamily` when the append-pressure bit
+    *    trips. Between rebuilds, probes serve the frozen store — stale
+    *    by a declared bounded fraction, never wrong.
+    */
+  final case class TextIndexIngestConfig(
+      lexicalIndex: String,
+      positionalIndex: String,
+      lexicalPath: String,
+      maintainEvery: Int = 1,
+      rebuildCorpus: Option[() => DataFrame] = None,
+      onRebuild: Option[(String, Long) => Unit] = None)
+
+  /** Streaming text-retrieval index ingest ([[TextIndexIngestConfig]]
+    * for the two-family policy). Batch rows: (doc_id, lang, text).
+    */
+  def textIndexIngestStream(
+      docs: DataFrame,
+      cfg: TextIndexIngestConfig,
+      onLanded: (DataFrame, Long) => Unit): streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        textIndexIngestBatch(batch.toDF(), id, cfg, onLanded)
+      }
+      .start()
+
+  /** One micro-batch of [[textIndexIngestStream]] — package-private so
+    * StreamingSpec can drive batch mode and replay under the original
+    * id (one definition, two modes — the house loop discipline).
+    */
+  private[graft] def textIndexIngestBatch(
+      batch: DataFrame, id: Long, cfg: TextIndexIngestConfig,
+      onLanded: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    // startup/retry recovery BEFORE any store touch: a lexical rebuild
+    // that crashed in its catalog/rename window must not wedge the
+    // loop — healthy catalog = no-op (the media-loop discipline)
+    if (cfg.maintainEvery > 0)
+      for (corpus <- cfg.rebuildCorpus)
+        graft.operators.IndexMaintenance.recoverFamily(
+          s, "lexical", cfg.lexicalIndex, cfg.lexicalPath, corpus())
+    val ledger = IngestLedger.dirFor(
+      s, s"${cfg.positionalIndex}_postings", id, tag = "text_index")
+    val replayed = IngestLedger.committed(s, ledger)
+    // the landed set is the whole batch (dedup/quality gating is the
+    // corpus loop's job upstream; this loop owns index freshness) —
+    // commit it BEFORE any index mutation, the one-ledger rule
+    if (!replayed) IngestLedger.write(batch.select("doc_id"), ledger)
+    onLanded(batch, id)
+    if (!IngestLedger.appendDone(s, ledger)) {
+      // positional: exact-once append (doc-guarded on replay)
+      if (replayed)
+        graft.operators.TextAnalysis
+          .appendToPositionalIndexDedup(batch, cfg.positionalIndex)
+      else
+        graft.operators.TextAnalysis
+          .appendToPositionalIndex(batch, cfg.positionalIndex)
+      IngestLedger.markAppendDone(s, ledger)
+    }
+    // lexical: NEVER appended — the maintenance window decides when
+    // the frozen store has fallen far enough behind to re-cut
+    if (cfg.maintainEvery > 0 && (id + 1) % cfg.maintainEvery == 0)
+      for (corpus <- cfg.rebuildCorpus) {
+        import graft.operators.{IndexMaintenance, TextAnalysis}
+        val cur = corpus()
+        // rows_now = the postings the CURRENT corpus would index —
+        // q192's lexical override (distinct (doc, term) pairs)
+        val lexNow = cur
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("t"))
+          .agg(countDistinct(col("doc_id"), col("t")))
+          .head().getLong(0)
+        val row = IndexMaintenance.stalenessReport(s, Seq(
+          IndexMaintenance.FamilySpec("lexical",
+            s"${cfg.lexicalIndex}_postings",
+            rowsNow = Some(lexNow)))).collect().head
+        if (row.getLong(6) == 1L) {
+          IndexMaintenance.rebuildFamily(
+            s, "lexical", cfg.lexicalIndex, cfg.lexicalPath, cur)
+          cfg.onRebuild.foreach(_("lexical", id))
+        }
+      }
+    graft.operators.Q.releaseManaged()
+  }
 }
 
 /** StatefulProcessor behind [[StreamingOps.userRunningStatsTws]]: one

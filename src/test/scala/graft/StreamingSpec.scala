@@ -1737,4 +1737,82 @@ class StreamingSpec extends SparkSpec {
       Seq("codes", "centroids", "vectors", "pq").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS repl_pqidx_$t"))
   }
+
+  test("text-index loop: positional appends exactly-once; lexical is rebuild-only and re-cuts on staleness") {
+    // VERDICT r15 ask #7 — the deliberate two-family policy: a
+    // positional posting is doc-local (append is exact), lexical
+    // df/avgdl freeze at build (append would be WRONG, so the loop
+    // never appends it and the staleness window re-cuts instead)
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val tmp = java.nio.file.Files.createTempDirectory("graft-textidx")
+    val suf = System.nanoTime()
+    val nl = s"textidx_lex_$suf"
+    val np = s"textidx_pos_$suf"
+    // 8 base docs x 6 distinct words = 48 lexical postings at build
+    val base = (0L until 8L).map(i =>
+      (i, "en", s"alpha beta doc$i hash join gamma"))
+      .toDF("doc_id", "lang", "text")
+    TextAnalysis.writeLexicalIndex(base, nl, s"$tmp/lex")
+    TextAnalysis.writePositionalIndex(base, np, s"$tmp/pos")
+    // 1 new doc, 4 new postings: 4/52 < 20% append pressure -> frozen
+    val b0 = Seq((100L, "en", "hash join extra new0"))
+      .toDF("doc_id", "lang", "text")
+    // 3 docs x 6 fresh words: (70-48)/70 > 20% -> rebuild fires
+    val b1 = (0 until 3).map(i => (200L + i, "en",
+      (0 until 6).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    var landed = base
+    val rebuilds = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    val cfg = StreamingOps.TextIndexIngestConfig(nl, np, s"$tmp/lex",
+      maintainEvery = 1, rebuildCorpus = Some(() => landed),
+      onRebuild = Some((f, id) => rebuilds += ((f, id))))
+    try {
+      landed = base.unionByName(b0)
+      StreamingOps.textIndexIngestBatch(b0, 0L, cfg, (_, _) => ())
+      // positional grew by doc 100's 4 postings; lexical stayed frozen
+      assert(spark.table(s"${np}_postings").count() == 48L + 4L)
+      assert(spark.table(s"${nl}_postings").count() == 48L,
+        "lexical store must never be appended")
+      assert(rebuilds.isEmpty,
+        s"sub-threshold append pressure must not rebuild: $rebuilds")
+      landed = landed.unionByName(b1)
+      StreamingOps.textIndexIngestBatch(b1, 1L, cfg, (_, _) => ())
+      assert(rebuilds.toList == List(("lexical", 1L)),
+        s"exactly one lexical rebuild expected: $rebuilds")
+      // the re-cut lexical store covers the FULL landed corpus
+      spark.catalog.refreshTable(s"${nl}_postings")
+      assert(spark.table(s"${nl}_postings").count() == 70L,
+        "rebuilt lexical store must index the current corpus")
+      val posCount = spark.table(s"${np}_postings").count()
+      assert(posCount == 48L + 4L + 18L)
+      // full replay under the original id: nothing changes
+      StreamingOps.textIndexIngestBatch(b1, 1L, cfg, (_, _) => ())
+      assert(spark.table(s"${np}_postings").count() == posCount,
+        "replay must not duplicate positional postings")
+      assert(rebuilds.size == 1,
+        "a fresh store must not re-trip the staleness bit on replay")
+      // worst case: appends landed but the done marker was lost
+      val ledgerDir = graft.streaming.IngestLedger.dirFor(
+        spark, s"${np}_postings", 1L, tag = "text_index")
+      ledgerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(ledgerDir, "_APPEND_DONE"),
+          false)
+      StreamingOps.textIndexIngestBatch(b1, 1L, cfg, (_, _) => ())
+      assert(spark.table(s"${np}_postings").count() == posCount,
+        "post-marker-loss replay must go through the doc guard")
+      // the appended positional store still serves the phrase probe —
+      // old AND new docs (doc 100 carries the phrase)
+      val hits = TextAnalysis.probePhraseIndex(
+        spark, np, Seq("hash", "join"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(hits == ((0L until 8L) :+ 100L).sorted,
+        s"phrase probe must see base + appended docs: $hits")
+    } finally {
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("textidx_"))
+        .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS ${tb.name}"))
+      graft.operators.Q.releaseManaged()
+    }
+  }
 }
