@@ -181,7 +181,16 @@ object Dedup {
   private[graft] def cappedSelfCandidates(
       banded: org.apache.spark.sql.DataFrame,
       cap: Int = BandOccupancyCap): org.apache.spark.sql.DataFrame = {
+    // persist the annotated frame: it feeds THREE plan branches (both
+    // cold self-join sides + the hot star), and a self-join duplicates
+    // uncached subtrees — without this the minhash sketch and the
+    // occupancy window would each run three times per query (the
+    // r16 bench measured the q25 family at ~2× without the cache).
+    // The frame is skinny (four longs × 32 rows/doc — the same shape
+    // a persisted band index stores), so executor-local residency is
+    // cheap at any corpus size.
     val ann = bandAnnotated(banded, "doc_id")
+      .managedPersist
     val cold = ann.filter(col("occ") <= cap)
       .select(col("doc_id"), col("band"))
     val coldPairs = cold.select(col("doc_id").as("da"), col("band"))
@@ -773,7 +782,9 @@ object Dedup {
         def row(stats: org.apache.spark.sql.DataFrame,
             store: String, docCount: org.apache.spark.sql.Column,
             docs: org.apache.spark.sql.DataFrame) = {
-          val maxDup = docs.groupBy("text")
+          // dup groups keyed on md5(text) — the q222 discipline: the
+          // shuffle moves 16-byte keys, never document text
+          val maxDup = docs.groupBy(md5(col("text")).as("h"))
             .agg(count(lit(1)).as("n"))
             .agg(coalesce(max("n"), lit(0L)).as("max_dup"))
           stats
