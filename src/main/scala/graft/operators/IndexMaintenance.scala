@@ -253,7 +253,13 @@ object IndexMaintenance {
     *    position-contiguity conservation — per doc, postings count ==
     *    max(pos)+1 == distinct positions (every indexed document lays
     *    down exactly one posting per token position 0..n−1; a partial
-    *    write, a duplicated posting, or a dropped position breaks it).
+    *    write, a duplicated posting, or a dropped position breaks it);
+    *  - tokrel (when the store carries the tenth family — the
+    *    tokenized-corpus release): seqs-vs-manifest conservation —
+    *    per shard, Σ sequence token counts == the manifest's n_tokens
+    *    and exploded doc_ids count == the manifest's n_docs (a partial
+    *    seq write, a duplicated sequence, or a manifest written from
+    *    a different encode all break the identity).
     *
     * These feed [[FamilySpec.signalOk]] when a store OWNER runs the
     * report; they are deliberately excluded from q192's
@@ -319,16 +325,34 @@ object IndexMaintenance {
       }
     // positional: per-doc contiguity — one groupBy over the store, one
     // scalar verdict; an empty store is conservatively healthy
-    if (!spark.catalog.tableExists(s"${name}_positional_postings"))
-      withLexical
+    val withPositional =
+      if (!spark.catalog.tableExists(s"${name}_positional_postings"))
+        withLexical
+      else {
+        val bad = spark.table(s"${name}_positional_postings")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+            countDistinct(col("pos")).as("nd"))
+          .filter(col("n") =!= col("mx") + 1 || col("n") =!= col("nd"))
+          .limit(1).count()
+        withLexical + ("positional" -> (bad == 0L))
+      }
+    // tokrel: per-shard seqs-vs-manifest conservation (one agg per
+    // table + a bounded |shards|-row compare)
+    if (!spark.catalog.tableExists(s"${name}_tokrel_seqs"))
+      withPositional
     else {
-      val bad = spark.table(s"${name}_positional_postings")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
-          countDistinct(col("pos")).as("nd"))
-        .filter(col("n") =!= col("mx") + 1 || col("n") =!= col("nd"))
+      val fromSeqs = spark.table(s"${name}_tokrel_seqs")
+        .groupBy("shard")
+        .agg(sum("n_tokens").as("st"),
+          sum(size(col("doc_ids")).cast("long")).as("sd"))
+      val bad = spark.table(s"${name}_tokrel_manifest")
+        .join(fromSeqs, Seq("shard"), "full_outer")
+        .filter(col("st").isNull || col("sd").isNull ||
+          col("n_tokens").isNull ||
+          col("st") =!= col("n_tokens") || col("sd") =!= col("n_docs"))
         .limit(1).count()
-      withLexical + ("positional" -> (bad == 0L))
+      withPositional + ("tokrel" -> (bad == 0L))
     }
   }
 

@@ -1018,7 +1018,7 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
-  test("health bits: all eight true on a q192-style store; a corrupted table flips its bit into rebuild") {
+  test("health bits: all nine true on a q192-style store; a corrupted table flips its bit into rebuild") {
     // ADVICE r13 (medium): the measured signal_ok bits are excluded
     // from q192's oracle-compared output because a cross-engine oracle
     // reading only raw parquet cannot reproduce them — so THIS is
@@ -1056,10 +1056,16 @@ class IndexStoreSpec extends SparkSpec {
       // ninth family (round 15): position-contiguity conservation
       graft.operators.TextAnalysis.writePositionalIndex(
         base, s"${name}_positional", s"$tmp/positional")
+      // tenth family (round 16): seqs-vs-manifest conservation
+      graft.operators.Release.writeTokenCorpus(base,
+        graft.operators.TextAnalysis.unigramTrain(base.select("text"),
+          vocabSize = 48, maxPieceLen = 3, seedSize = 80, emIters = 1),
+        s"${name}_tokrel", s"$tmp/tokrel")
       val bits = IndexMaintenance.healthBits(spark, name)
-      assert(bits.size == 8 && bits.contains("phash") &&
-        bits.contains("lexical") && bits.contains("positional"),
-        s"phash + lexical + positional stores present: " +
+      assert(bits.size == 9 && bits.contains("phash") &&
+        bits.contains("lexical") && bits.contains("positional") &&
+        bits.contains("tokrel"),
+        s"phash + lexical + positional + tokrel stores present: " +
           s"bits must be measured: $bits")
       assert(bits.values.forall(identity),
         s"fresh q192-style store must measure healthy: $bits")
@@ -1101,12 +1107,19 @@ class IndexStoreSpec extends SparkSpec {
       spark.catalog.refreshTable(s"${name}_positional_postings")
       assert(!IndexMaintenance.healthBits(spark, name)("positional"),
         "a duplicated posting must flip the positional bit")
+      // corrupt the release store: one duplicated sequence breaks the
+      // seqs-vs-manifest token/doc conservation a consumer audits
+      spark.table(s"${name}_tokrel_seqs").limit(1)
+        .write.mode("append").insertInto(s"${name}_tokrel_seqs")
+      spark.catalog.refreshTable(s"${name}_tokrel_seqs")
+      assert(!IndexMaintenance.healthBits(spark, name)("tokrel"),
+        "a duplicated sequence must flip the tokrel bit")
     } finally {
       Seq("band_bands", "band_shingles", "gram_grams", "span_pgrams",
         "ivf_codes", "ivf_centroids", "ivf_vectors", "pq_codes",
         "pq_centroids", "pq_vectors", "pq_pq", "phash_phash",
         "lexical_postings", "lexical_df", "lexical_stats",
-        "positional_postings").foreach(t =>
+        "positional_postings", "tokrel_seqs", "tokrel_manifest").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
       graft.operators.Q.releaseManaged()
     }
