@@ -1117,7 +1117,11 @@ object Stress {
       // (target space < 400); growth across factors reads the cached
       // edge-scan term only
       timed("khop_rounds") {
-        val seeds = documents
+        // seeds from the BASE table (ids < 500 exist at every factor):
+        // deriving them from the inflated frame would re-run the
+        // factor-sized salting scan inside the timed window and charge
+        // the rounds for corpus work they never do
+        val seeds = Q.table(spark, sfDir, "documents")
           .filter(col("doc_id") < 500 && col("doc_id") % 50 === 0)
           .select(col("doc_id").as("node")).distinct()
         graft.operators.Graph.khopCounts(khopEdges.get, seeds, 4)
