@@ -209,15 +209,9 @@ object Stress {
     // comparing factors reads how much of a round is the cached edge
     // scan vs the frontier work
     val khopEdges = if (selected("khop_rounds")) {
-      val e = documents
-        .withColumn("text2", graft.operators.Graph.linkFixture(
-          col("doc_id"), col("text")))
-        .select(col("doc_id").as("src"),
-          explode(expr(
-            "regexp_extract_all(text2, 'link->doc([0-9]+)', 1)"))
-            .as("d"))
-        .select(col("src"), col("d").cast("long").as("dst"))
-        .distinct()
+      // the ONE edge definition (Graph.linkEdgesOf) — a drifted copy
+      // here would make the probe measure a different graph than q237
+      val e = graft.operators.Graph.linkEdgesOf(documents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e.count()
       Some(e)

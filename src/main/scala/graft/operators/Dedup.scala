@@ -143,15 +143,24 @@ object Dedup {
     * of template-heavy crawl. Buckets at or under the cap pair
     * all-ways as before; an over-full bucket routes through the
     * bucket-as-cluster STAR instead — band equality at 4 signature
-    * slots already certifies the members mutually similar, so each
-    * member is verified once against the bucket's min-doc_id hub
-    * (O(m) verify work) and connected-component clustering stitches
-    * the family together exactly as the all-pairs list would.
-    * 64 matches the gram index's df ≤ 64 discipline (q29/q124/q199):
-    * a bucket past it carries cluster membership, not pair evidence.
-    * Occupancy at the cap boundary is health-audited by
-    * q234_band_occupancy; DedupSpec asserts the O(m) candidate count
-    * on a planted 500-doc template family.
+    * slots makes co-bucketed members mutually similar with HIGH
+    * PROBABILITY (P[collide] = J⁴ per band; this is probabilistic, not
+    * a guarantee), so each member is verified once against the
+    * bucket's min-doc_id hub (O(m) verify work) and connected-
+    * component clustering stitches the family together as the
+    * all-pairs list would. DECLARED precision/recall tradeoff past the
+    * cap: a pair whose members share a hot bucket but whose Jaccards
+    * to the HUB differ across the threshold is not emitted (on the
+    * probe path there is no CC pass to recover it) — the accepted
+    * price of keeping adversarial skew linear; below the cap,
+    * semantics are exact. 64 matches the gram index's df ≤ 64
+    * discipline (q29/q124/q199): a bucket past it carries cluster
+    * membership, not pair evidence. The guard is LOUD, not silent:
+    * q234_band_occupancy's cap_ok/n_over_cap contract bits go red in
+    * the correctness gate the moment the fixture corpus ever grows a
+    * past-cap bucket (at which point the q25-family oracles need the
+    * declared capped semantics mirrored); DedupSpec asserts the O(m)
+    * candidate count on a planted 500-doc template family.
     */
   private[graft] val BandOccupancyCap = 64
 
@@ -712,7 +721,13 @@ object Dedup {
     */
   private def bandStoreFixture(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val tag = IndexCatalog.dirTag(dir)
+    // the tag carries the corpus CONTENT fingerprint, not just the
+    // dir: a fixture regenerated at the same path mid-session must
+    // rebuild the store — q234 cross-compares store counts against
+    // the current documents table, and a stale store would flip its
+    // contract bits (the ADVICE r15 fixture-tag discipline)
+    val fp = IndexCatalog.fpTag(tableFingerprint(s, dir, "documents"))
+    val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
     val name = s"graft_q116_$tag"
     if (!s.catalog.tableExists(s"${name}_bands")) {
       val path = new java.io.File(
@@ -1986,7 +2001,8 @@ object Dedup {
     "q172_compacted_index_probe" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val tag = IndexCatalog.dirTag(dir)
+        val tag = s"${IndexCatalog.dirTag(dir)}_" +
+          IndexCatalog.fpTag(tableFingerprint(s, dir, "documents"))
         val name = s"graft_q172_$tag"
         if (!s.catalog.tableExists(s"${name}_bands")) {
           val path = new java.io.File(
@@ -2754,7 +2770,8 @@ object Dedup {
       (s, dir) => {
         val d0 = table(s, dir, "documents")
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-        val tag = IndexCatalog.dirTag(dir)
+        val tag = s"${IndexCatalog.dirTag(dir)}_" +
+          IndexCatalog.fpTag(tableFingerprint(s, dir, "documents"))
         val name = s"graft_q166_$tag"
         if (!s.catalog.tableExists(s"${name}_pgrams")) {
           val path = new java.io.File(

@@ -94,9 +94,16 @@ object Graph {
     * reachability so the two graph queries can never disagree on the
     * graph.
     */
-  private def linkEdges(
+  private[graft] def linkEdges(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents")
+    linkEdgesOf(table(s, dir, "documents"))
+
+  /** Df-based core of [[linkEdges]] — the Stress probe extracts edges
+    * from its in-plan inflated corpus through the SAME definition, so
+    * the probe can never measure a different graph than q178/q237.
+    */
+  private[graft] def linkEdgesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("text2", linkFixture(col("doc_id"), col("text")))
       .select(col("doc_id").as("src"),
         explode(expr(
@@ -124,8 +131,15 @@ object Graph {
   def khopCounts(
       edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = edges
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // respect a caller-owned cache: persist (and later release) the
+    // edge frame only when the caller has not already done so —
+    // unpersisting someone else's cache mid-pipeline is the silent
+    // recompute hazard the managed-registry discipline exists to avoid
+    val preCached =
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val e = if (preCached) edges
+      else edges
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var visited = seeds.select(col("node")).distinct()
       .withColumn("hop", lit(0L)).localCheckpoint(true)
     var frontier = visited.select("node")
@@ -141,7 +155,7 @@ object Graph {
       frontier = next
       h += 1
     }
-    e.unpersist(blocking = false)
+    if (!preCached) e.unpersist(blocking = false)
     // the rollup window runs over ≤ k+1 rows — bounded by declaration
     visited.groupBy("hop").agg(count(lit(1)).as("n_new"))
       .withColumn("n_cum", sum("n_new").over(Window.orderBy("hop")

@@ -32,8 +32,16 @@ private[graft] object IndexCatalog {
     val canonical =
       try new java.io.File(dir).getCanonicalPath
       catch { case _: java.io.IOException => new java.io.File(dir).getAbsolutePath }
+    md5Tag(canonical)
+  }
+
+  /** The one 48-bit tag arithmetic both tag kinds share — md5 over
+    * UTF-8 bytes, first 12 hex chars. A single definition so a future
+    * width/digest change cannot diverge the two.
+    */
+  private def md5Tag(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(canonical.getBytes("UTF-8"))
+      .digest(s.getBytes("UTF-8"))
     d.take(6).map(b => f"$b%02x").mkString
   }
 
@@ -46,11 +54,7 @@ private[graft] object IndexCatalog {
     * collide after a corpus regeneration and silently probe a stale
     * store (ADVICE r15).
     */
-  def fpTag(fingerprint: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(fingerprint.getBytes("UTF-8"))
-    d.take(6).map(b => f"$b%02x").mkString
-  }
+  def fpTag(fingerprint: String): String = md5Tag(fingerprint)
 
   /** Declare a bucketed external parquet table over existing files. */
   def registerBucketed(

@@ -316,6 +316,13 @@ object IndexMaintenance {
     // posting rows all break the identity.
     val withLexical =
       if (!spark.catalog.tableExists(s"${name}_lexical_postings")) withPhash
+      else if (!spark.catalog.tableExists(s"${name}_lexical_df") ||
+        !spark.catalog.tableExists(s"${name}_lexical_stats"))
+        // postings present but a sibling table missing = a PARTIAL
+        // family write — report unhealthy (rebuild), never throw: the
+        // nightly health check must survive the corruption it exists
+        // to detect
+        withPhash + ("lexical" -> false)
       else {
         val pn = spark.table(s"${name}_lexical_postings")
           .agg(count(lit(1))).head().getLong(0)
@@ -341,6 +348,10 @@ object IndexMaintenance {
     // table + a bounded |shards|-row compare)
     if (!spark.catalog.tableExists(s"${name}_tokrel_seqs"))
       withPositional
+    else if (!spark.catalog.tableExists(s"${name}_tokrel_manifest"))
+      // seqs without a manifest = a partial release write — the exact
+      // corruption the bit detects; unhealthy, never an exception
+      withPositional + ("tokrel" -> false)
     else {
       val fromSeqs = spark.table(s"${name}_tokrel_seqs")
         .groupBy("shard")

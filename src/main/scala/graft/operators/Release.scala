@@ -145,13 +145,23 @@ object Release {
     * Input: [[encodeCorpus]]'s frame. Output: one row per packed
     * sequence (shard, seq, doc_ids, tok_cnts, token_ids, n_tokens).
     */
-  def packSequences(enc: DataFrame): DataFrame = {
-    val sharded = enc
+  def packSequences(enc: DataFrame): DataFrame =
+    packSequencesBy(enc, _.managedPersist)
+
+  /** [[packSequences]] with caller-controlled persistence — the store
+    * writer plain-persists and releases its own frames so it never
+    * touches the session-global managed registry (a builder running
+    * mid-plan must not unpersist a caller's managed caches — the
+    * writeBandIndex discipline).
+    */
+  private def packSequencesBy(
+      enc: DataFrame,
+      persist: DataFrame => DataFrame): DataFrame = {
+    val sharded = persist(enc
       .withColumn("shard", pmod(col("doc_id"), lit(NumShards)))
       .withColumn("ntok", size(col("token_ids")).cast("long"))
       .repartitionByRange(16, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .managedPersist
+      .withColumn("pid", spark_partition_id()))
     val wLocal = Window.partitionBy("shard", "pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // exclusive per-shard prefix of the per-(shard, pid) totals —
@@ -205,10 +215,15 @@ object Release {
       name: String,
       path: String): Unit = {
     val s = docs.sparkSession
-    val enc = encodeCorpus(s, docs, vocab)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // plain persists (not managed), released synchronously below: a
+    // builder can run mid-plan inside a caller that holds managed
+    // caches of its own, so it must never clear the global registry
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val enc = encodeCorpus(s, docs, vocab).persist(level)
+    val local = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
-      packSequences(enc).write
+      packSequencesBy(enc, df => { val p = df.persist(level); local += p; p })
+        .write
         .mode("overwrite")
         .bucketBy(NumShards, "shard").sortBy("shard")
         .option("path", s"$path/seqs").saveAsTable(s"${name}_seqs")
@@ -218,8 +233,8 @@ object Release {
         .saveAsTable(s"${name}_manifest")
       IndexMaintenance.writeBuildMeta(s, path, enc.count())
     } finally {
+      local.foreach(_.unpersist(blocking = false))
       enc.unpersist(blocking = false)
-      Q.releaseManaged()
     }
   }
 

@@ -871,7 +871,8 @@ object Similarity {
         val k = 10
         val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
         val queries = emb.filter(col("vec_id") % 10 === 0)
-        val tag = IndexCatalog.dirTag(dir)
+        val tag = s"${IndexCatalog.dirTag(dir)}_" +
+          IndexCatalog.fpTag(tableFingerprint(s, dir, "embeddings"))
         val name = s"graft_q117_$tag"
         if (!s.catalog.tableExists(s"${name}_codes")) {
           val path = new java.io.File(
@@ -945,7 +946,8 @@ object Similarity {
         val k = 10
         val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
         val queries = emb.filter(col("vec_id") % 10 === 0)
-        val tag = IndexCatalog.dirTag(dir)
+        val tag = s"${IndexCatalog.dirTag(dir)}_" +
+          IndexCatalog.fpTag(tableFingerprint(s, dir, "embeddings"))
         val name = s"graft_q126_$tag"
         if (!s.catalog.tableExists(s"${name}_codes")) {
           val path = new java.io.File(
@@ -1024,7 +1026,8 @@ object Similarity {
         val k = 10
         val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
         val queries = emb.filter(col("vec_id") % 10 === 5)
-        val tag = IndexCatalog.dirTag(dir)
+        val tag = s"${IndexCatalog.dirTag(dir)}_" +
+          IndexCatalog.fpTag(tableFingerprint(s, dir, "embeddings"))
         val name = s"graft_q131_$tag"
         if (!s.catalog.tableExists(s"${name}_codes")) {
           val path = new java.io.File(
@@ -1096,7 +1099,8 @@ object Similarity {
     "q132_pq_code_balance" -> QueryDef(
       (s, dir) => {
         val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
-        val tag = IndexCatalog.dirTag(dir)
+        val tag = s"${IndexCatalog.dirTag(dir)}_" +
+          IndexCatalog.fpTag(tableFingerprint(s, dir, "embeddings"))
         val name = s"graft_q132_$tag"
         if (!s.catalog.tableExists(s"${name}_codes")) {
           val path = new java.io.File(
@@ -1620,7 +1624,8 @@ object Similarity {
     "q169_semdedup_probe" -> QueryDef(
       (s, dir) => {
         val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
-        val tag = IndexCatalog.dirTag(dir)
+        val tag = s"${IndexCatalog.dirTag(dir)}_" +
+          IndexCatalog.fpTag(tableFingerprint(s, dir, "embeddings"))
         val name = s"graft_q169_$tag"
         if (!s.catalog.tableExists(s"${name}_codes")) {
           val path = new java.io.File(
@@ -1854,7 +1859,8 @@ object Similarity {
     // release; every downstream projection job reads 3 rows.
     "q190_pc_store_occupancy" -> QueryDef(
       (s, dir) => {
-        val tag = IndexCatalog.dirTag(dir)
+        val tag = s"${IndexCatalog.dirTag(dir)}_" +
+          IndexCatalog.fpTag(tableFingerprint(s, dir, "embeddings"))
         val name = s"graft_q190_$tag"
         if (!s.catalog.tableExists(s"${name}_pca")) {
           val path = new java.io.File(
