@@ -208,6 +208,18 @@ object Stress {
     // so the frontier and per-round shuffle are factor-invariant) —
     // comparing factors reads how much of a round is the cached edge
     // scan vs the frontier work
+    // q235's scale split: the tokenizer is the SHIPPED artifact — it
+    // does not retrain per release, so training on the base corpus is
+    // the untimed fixture; the timed probe below pays exactly what a
+    // release job pays per run — one Viterbi per distinct word of the
+    // (salted, so N×-sized) dictionary, the word-keyed join, and the
+    // two-level prefix-sum pack
+    val releaseVocab = if (selected("token_release"))
+      Some(graft.operators.TextAnalysis.unigramTrain(
+        Q.table(spark, sfDir, "documents").select("text"),
+        vocabSize = 64, maxPieceLen = 4, seedSize = 200, emIters = 1))
+    else None
+
     val khopEdges = if (selected("khop_rounds")) {
       // the ONE edge definition (Graph.linkEdgesOf) — a drifted copy
       // here would make the probe measure a different graph than q237
@@ -1105,6 +1117,20 @@ object Stress {
         ranked.join(broadcast(cdf),
             col("cum") >= col("k") && col("prev") < col("k"))
           .count()
+      },
+      // q235 shape: tokenized-release encode+pack over the inflated
+      // corpus under a FIXED vocab trained on the base corpus (the
+      // shipped-artifact premise — the tokenizer does not retrain per
+      // release). The salt is this path's worst case: distinct words
+      // grow N×, so the per-distinct-word Viterbi stage grows with the
+      // factor — the claim under test is LINEAR growth (dictionary-
+      // bounded segmentation + one word-keyed join + the two-level
+      // prefix-sum pack), never a per-token or per-pair blowup
+      timed("token_release") {
+        val enc = graft.operators.Release.encodeCorpus(
+          spark, documents.select("doc_id", "text"), releaseVocab.get)
+        graft.operators.Release.packSequences(enc)
+          .agg(sum("n_tokens")).head().getLong(0)
       },
       // q237 shape: 4 BFS rounds over the pre-built cached edge list,
       // fixed 10-seed frontier — per-round shuffle is factor-invariant
