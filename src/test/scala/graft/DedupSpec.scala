@@ -488,6 +488,22 @@ class DedupSpec extends SparkSpec {
     assert(n == m * (m - 1) / 2, s"at-cap bucket must pair all-ways, got $n")
   }
 
+  test("band occupancy cap: at-cap BASE bucket probes all members; one past cap collapses to the hub") {
+    import spark.implicits._
+    val batch = Seq((8000L, 1000000L)).toDF("db", "band")
+    val atCap = templateBands(Dedup.BandOccupancyCap, nBands = 1)
+      .select(col("doc_id").as("da"), col("band"))
+    assert(Dedup.cappedProbeCandidates(atCap, batch).count() ==
+      Dedup.BandOccupancyCap.toLong,
+      "an at-cap base bucket must emit every member as a candidate")
+    val overCap = templateBands(Dedup.BandOccupancyCap + 1, nBands = 1)
+      .select(col("doc_id").as("da"), col("band"))
+    val got = Dedup.cappedProbeCandidates(overCap, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 8000L)),
+      s"one past cap must collapse to the hub, got $got")
+  }
+
   test("band occupancy cap: hot BASE bucket probes through its hub only") {
     import spark.implicits._
     // base: 500-member template family; batch: 2 docs, one sharing the
