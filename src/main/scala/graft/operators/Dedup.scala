@@ -754,11 +754,18 @@ object Dedup {
       banded: org.apache.spark.sql.DataFrame,
       cap: Int = BandOccupancyCap): org.apache.spark.sql.DataFrame =
     banded.groupBy("band").agg(count(lit(1)).as("occ"))
-      .agg(count(lit(1)).as("n_buckets"), sum("occ").as("occ_sum"),
-        max("occ").as("max_occ"),
-        sum(when(col("occ") > cap, 1L).otherwise(0L)).as("n_over_cap"))
+      // empty-frame guard (ADVICE r16): a degenerate corpus with zero
+      // band rows must report zeros, not nulls — sum/max over an empty
+      // rollup are null and a null would propagate into q234's
+      // contract bits where the oracle has integer literals
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum("occ"), lit(0L)).as("occ_sum"),
+        coalesce(max("occ"), lit(0L)).as("max_occ"),
+        coalesce(sum(when(col("occ") > cap, 1L).otherwise(0L)), lit(0L))
+          .as("n_over_cap"))
       .select(col("n_buckets"), col("occ_sum"), col("max_occ"),
-        expr("(200 * occ_sum + n_buckets) div (2 * n_buckets)")
+        when(col("n_buckets") === 0, lit(0L))
+          .otherwise(expr("(200 * occ_sum + n_buckets) div (2 * n_buckets)"))
           .as("mean_occ_x100"),
         col("n_over_cap"))
 

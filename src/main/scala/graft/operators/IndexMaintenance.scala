@@ -353,10 +353,16 @@ object IndexMaintenance {
       // corruption the bit detects; unhealthy, never an exception
       withPositional + ("tokrel" -> false)
     else {
-      val fromSeqs = spark.table(s"${name}_tokrel_seqs")
-        .groupBy("shard")
-        .agg(sum("n_tokens").as("st"),
-          sum(size(col("doc_ids")).cast("long")).as("sd"))
+      // doc conservation counts DISTINCT docs: the fixed-length packer
+      // slices a long doc across sequences, so doc_ids entries are
+      // slices, not docs (a doc lives in exactly one shard, so the
+      // per-shard distinct is exact)
+      val seqsT = spark.table(s"${name}_tokrel_seqs")
+      val fromSeqs = seqsT
+        .groupBy("shard").agg(sum("n_tokens").as("st"))
+        .join(seqsT.select(col("shard"), explode(col("doc_ids")).as("d"))
+          .groupBy("shard").agg(countDistinct("d").as("sd")),
+          Seq("shard"), "full_outer")
       val bad = spark.table(s"${name}_tokrel_manifest")
         .join(fromSeqs, Seq("shard"), "full_outer")
         .filter(col("st").isNull || col("sd").isNull ||

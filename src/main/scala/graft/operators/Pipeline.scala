@@ -587,9 +587,13 @@ object Pipeline {
     "q197_systematic_sample" -> QueryDef(
       (s, dir) => {
         val target = 128L
+        // range width tracks the cluster (VERDICT r16: a fixed 16 is
+        // harmless on this skinny frame but caps the offset pass's
+        // parallelism at scale); the offset frame stays ≤ par rows
+        val par = math.max(1, s.sparkContext.defaultParallelism)
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
-          .repartitionByRange(16, col("doc_id"))
+          .repartitionByRange(par, col("doc_id"))
           .withColumn("pid", spark_partition_id())
           .managedPersist
         val wLocal = Window.partitionBy("pid").orderBy("doc_id")
@@ -741,17 +745,20 @@ object Pipeline {
   /** q139's streaming bin-pack shard assignment as a reusable frame:
     * (doc_id, n_chars, shard) with shard = floor(exclusive-prefix-sum
     * of n_chars in doc_id order / 64 KiB), built with the two-level
-    * prefix-sum decomposition (partition-local running sums + a ≤16-row
-    * broadcast offset frame) so NO stage collapses the corpus onto one
-    * task. Shared by the shard plan (q139) and the manifest-checksum
-    * report (q151); partitioning-invariance is suite-asserted.
+    * prefix-sum decomposition (partition-local running sums + a
+    * broadcast offset frame bounded by the range width, which tracks
+    * `defaultParallelism` — VERDICT r16 lifted the fixed 16) so NO
+    * stage collapses the corpus onto one task. Shared by the shard
+    * plan (q139) and the manifest-checksum report (q151);
+    * partitioning-invariance is suite-asserted.
     */
   private def shardAssigned(
       s: org.apache.spark.sql.SparkSession, dir: String,
       target: Long = 65536L): org.apache.spark.sql.DataFrame = {
+    val par = math.max(1, s.sparkContext.defaultParallelism)
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
-      .repartitionByRange(16, col("doc_id"))
+      .repartitionByRange(par, col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .managedPersist
     val wLocal = Window.partitionBy("pid").orderBy("doc_id")

@@ -1335,7 +1335,13 @@ object StreamingOps {
       lexicalPath: String,
       maintainEvery: Int = 1,
       rebuildCorpus: Option[() => DataFrame] = None,
-      onRebuild: Option[(String, Long) => Unit] = None)
+      onRebuild: Option[(String, Long) => Unit] = None,
+      // store path of the positional family — when set, the loop runs
+      // the same startup recovery for positional that it runs for
+      // lexical (ADVICE r16: the store this loop MUTATES every batch
+      // was the one family it never recovered, so a fresh-session loop
+      // start or a crashed positional compaction wedged the append)
+      positionalPath: Option[String] = None)
 
   /** Streaming text-retrieval index ingest ([[TextIndexIngestConfig]]
     * for the two-family policy). Batch rows: (doc_id, lang, text).
@@ -1366,6 +1372,21 @@ object StreamingOps {
       for (corpus <- cfg.rebuildCorpus)
         graft.operators.IndexMaintenance.recoverFamily(
           s, "lexical", cfg.lexicalIndex, cfg.lexicalPath, corpus())
+    // positional recovery runs UNCONDITIONALLY when its path is known:
+    // this loop appends the positional store every batch, so a missing
+    // catalog entry (fresh session) or a crashed compaction's catalog
+    // window must repair before the insertInto below, not wedge it.
+    // With no rebuild corpus the catalog-repair half still runs (the
+    // store files are the truth; re-registering them is always safe).
+    for (pp <- cfg.positionalPath)
+      cfg.rebuildCorpus match {
+        case Some(corpus) =>
+          graft.operators.IndexMaintenance.recoverFamily(
+            s, "positional", cfg.positionalIndex, pp, corpus())
+        case None =>
+          graft.operators.IndexMaintenance.repairFamilyCatalog(
+            s, "positional", cfg.positionalIndex, pp)
+      }
     val ledger = IngestLedger.dirFor(
       s, s"${cfg.positionalIndex}_postings", id, tag = "text_index")
     val replayed = IngestLedger.committed(s, ledger)

@@ -69,7 +69,7 @@ class ReleaseSpec extends SparkSpec {
     graft.operators.Q.releaseManaged()
   }
 
-  test("packer partitions docs: every doc in exactly one sequence, totals tie") {
+  test("packer covers every doc exactly once at slice grain; totals tie") {
     import spark.implicits._
     val docs = tinyDocs
     val vocab = train(docs)
@@ -77,9 +77,8 @@ class ReleaseSpec extends SparkSpec {
     val packed = Release.packSequences(enc).cache()
     val packedDocs = packed
       .select(explode(col("doc_ids")).as("doc_id"))
-    assert(packedDocs.count() == 20L &&
-      packedDocs.distinct().count() == 20L,
-      "each doc must land in exactly one packed sequence")
+    assert(packedDocs.distinct().count() == 20L,
+      "every doc must appear in the packed store")
     val tokTotal = enc.agg(sum(size(col("token_ids")))).head().getLong(0)
     val seqTotal = packed.agg(sum("n_tokens")).head().getLong(0)
     assert(tokTotal == seqTotal, "packed token total must tie to encode")
@@ -87,17 +86,37 @@ class ReleaseSpec extends SparkSpec {
     assert(packed.filter(
       expr("aggregate(tok_cnts, 0, (a, x) -> a + x) != size(token_ids)"))
       .count() == 0L)
+    // slice coverage: per doc, the slices' (tok_off, tok_cnt) tile the
+    // doc's token array exactly — no gap, no overlap
+    val slices = packed.select(posexplode(arrays_zip(col("doc_ids"),
+        col("tok_offs"), col("tok_cnts"))).as(Seq("i", "s")))
+      .select(col("s.doc_ids").as("doc_id"),
+        col("s.tok_offs").as("off"), col("s.tok_cnts").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    val ntok = enc.select(col("doc_id"), size(col("token_ids")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((d, ss) <- slices) {
+      val sorted = ss.sortBy(_._2).toSeq
+      var expect = 0
+      for ((_, off, cnt) <- sorted) {
+        assert(off == expect, s"doc $d slice gap/overlap at $off")
+        expect += cnt
+      }
+      assert(expect == ntok(d), s"doc $d slices cover $expect/${ntok(d)}")
+    }
     enc.unpersist(); packed.unpersist()
     graft.operators.Q.releaseManaged()
   }
 
-  test("packing respects the q71 bin rule within each shard") {
+  test("fixed-length boundary cut: bins follow the per-shard prefix sum") {
     import spark.implicits._
     val docs = tinyDocs
     val vocab = train(docs)
     val enc = Release.encodeCorpus(spark, docs, vocab).cache()
     val packed = Release.packSequences(enc)
-    // reference: per shard, docs in doc_id order, bin = cumBefore/512
+    // reference: per shard, docs in doc_id order; each doc's token
+    // range [cum, cum+n) slices at every SeqLen multiple it overlaps
     val ref = enc.select(col("doc_id"), size(col("token_ids")).as("n"))
       .collect().map(r => (r.getLong(0), r.getInt(1)))
       .sortBy(_._1)
@@ -105,18 +124,101 @@ class ReleaseSpec extends SparkSpec {
       .toSeq
       .flatMap { case (shard, ds) =>
         var cum = 0L
-        ds.toSeq.map { case (id, n) =>
-          val bin = cum / Release.SeqLen; cum += n
-          ((shard, bin), id)
+        ds.toSeq.flatMap { case (id, n) =>
+          val b0 = cum / Release.SeqLen
+          val b1 = if (n == 0) b0 else (cum + n - 1) / Release.SeqLen
+          val out = (b0 to b1).map { b =>
+            val gs = math.max(cum, b * Release.SeqLen)
+            val ge = math.min(cum + n, (b + 1) * Release.SeqLen)
+            ((shard, b), (id, (gs - cum).toInt, (ge - gs).toInt))
+          }
+          cum += n
+          out
         }
       }
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
-    val got = packed.select(col("shard"), col("seq"), col("doc_ids"))
+    val got = packed.select(col("shard"), col("seq"), col("doc_ids"),
+        col("tok_offs"), col("tok_cnts"))
       .collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
-        r.getSeq[Long](2).toSeq)).toMap
+        r.getSeq[Long](2).zip(r.getSeq[Int](3)).zip(r.getSeq[Int](4))
+          .map { case ((d, o), c) => (d, o, c) }.toSeq.sorted)).toMap
     assert(got == ref, s"bin assignment drifted:\ngot=$got\nref=$ref")
     enc.unpersist()
+    graft.operators.Q.releaseManaged()
+  }
+
+  test("long docs split across fixed-length sequences and round-trip") {
+    import spark.implicits._
+    // doc 1 encodes to far more than SeqLen tokens (700 words, each ≥
+    // 2 ids with its BOW marker); docs 0/2 are short neighbours in
+    // other shards so the split interleaves with whole docs
+    val docs = Seq(
+      (0L, "abba cab dada1"),
+      (1L, (0 until 700).map(i => s"ab${"b" * (i % 3)}a").mkString(" ")),
+      (2L, "bab cab abba"),
+      (9L, "dada2 abba bab")) // shard 1 companion for doc 1
+      .toDF("doc_id", "text")
+    val vocab = train(tinyDocs)
+    val enc = Release.encodeCorpus(spark, docs, vocab).cache()
+    val packed = Release.packSequences(enc).cache()
+    val nLong = enc.filter(col("doc_id") === 1)
+      .select(size(col("token_ids"))).head().getInt(0)
+    assert(nLong > Release.SeqLen,
+      s"fixture must exceed SeqLen, got $nLong")
+    // the dataloader contract: no row exceeds SeqLen, and within each
+    // shard every row except the last is exactly SeqLen
+    val rows = packed.select("shard", "seq", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._3 <= Release.SeqLen),
+      s"a packed row exceeded SeqLen: ${rows.mkString(",")}")
+    for ((shard, ss) <- rows.groupBy(_._1)) {
+      val bySeq = ss.sortBy(_._2)
+      assert(bySeq.init.forall(_._3 == Release.SeqLen),
+        s"shard $shard has a partial non-final row: ${bySeq.mkString(",")}")
+    }
+    // doc 1 spans multiple sequences…
+    val nSlices = packed
+      .select(explode(col("doc_ids")).as("d")).filter(col("d") === 1)
+      .count()
+    assert(nSlices >= 2L, s"long doc must split, got $nSlices slice(s)")
+    // …and the round-trip decode reassembles it (and its neighbours)
+    val rec = Release.decodeStore(packed, vocab)
+      .join(docs.select(col("doc_id"),
+        array_join(TextAnalysis.tokens(col("text")), " ").as("norm")),
+        "doc_id")
+    assert(rec.count() == 4L &&
+      rec.filter(col("rec") =!= col("norm")).count() == 0L,
+      "round-trip across a split boundary drifted")
+    enc.unpersist(); packed.unpersist()
+    graft.operators.Q.releaseManaged()
+  }
+
+  test("the token payload never crosses a range exchange; one hash shuffle to (shard, seq)") {
+    // VERDICT r16 ask #1: the offset pass runs on the skinny frame —
+    // a range exchange carrying token_ids would put the whole payload
+    // through the offset stage's limited width at 100 TB
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val docs = tinyDocs
+    val vocab = train(docs)
+    val enc = Release.encodeCorpus(spark, docs, vocab)
+    // the identity-persist variant: the plan is the real packer plan
+    // with no InMemoryRelation hiding the skinny subtree's exchanges
+    val packed = Release.packSequencesBy(enc, identity)
+    val shuffles = packed.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    val rangeWithPayload = shuffles.filter(e =>
+      e.outputPartitioning.isInstanceOf[RangePartitioning] &&
+        e.output.exists(_.name == "token_ids"))
+    assert(rangeWithPayload.isEmpty,
+      s"token_ids rode a range exchange:\n${rangeWithPayload.mkString("\n")}")
+    // the skinny offset pass DOES range-partition (that's the prefix
+    // sum's contract) — just never with the payload aboard
+    assert(shuffles.exists(e =>
+      e.outputPartitioning.isInstanceOf[RangePartitioning]),
+      "the skinny offset pass lost its range partitioning")
     graft.operators.Q.releaseManaged()
   }
 }

@@ -1766,7 +1766,8 @@ class StreamingSpec extends SparkSpec {
     val rebuilds = scala.collection.mutable.ListBuffer.empty[(String, Long)]
     val cfg = StreamingOps.TextIndexIngestConfig(nl, np, s"$tmp/lex",
       maintainEvery = 1, rebuildCorpus = Some(() => landed),
-      onRebuild = Some((f, id) => rebuilds += ((f, id))))
+      onRebuild = Some((f, id) => rebuilds += ((f, id))),
+      positionalPath = Some(s"$tmp/pos"))
     try {
       landed = base.unionByName(b0)
       StreamingOps.textIndexIngestBatch(b0, 0L, cfg, (_, _) => ())
@@ -1801,13 +1802,24 @@ class StreamingSpec extends SparkSpec {
       StreamingOps.textIndexIngestBatch(b1, 1L, cfg, (_, _) => ())
       assert(spark.table(s"${np}_postings").count() == posCount,
         "post-marker-loss replay must go through the doc guard")
+      // fresh-session start (ADVICE r16): the positional catalog entry
+      // is session state — drop it (files untouched) and drive a new
+      // batch; the startup recovery must re-register the store before
+      // the append touches it, and the append must land
+      spark.sql(s"DROP TABLE IF EXISTS ${np}_postings")
+      val b2 = Seq((300L, "en", "hash join late0"))
+        .toDF("doc_id", "lang", "text")
+      landed = landed.unionByName(b2)
+      StreamingOps.textIndexIngestBatch(b2, 2L, cfg, (_, _) => ())
+      assert(spark.table(s"${np}_postings").count() == posCount + 3L,
+        "positional recovery must re-attach the store and append")
       // the appended positional store still serves the phrase probe —
       // old AND new docs (doc 100 carries the phrase)
       val hits = TextAnalysis.probePhraseIndex(
         spark, np, Seq("hash", "join"))
         .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-      assert(hits == ((0L until 8L) :+ 100L).sorted,
-        s"phrase probe must see base + appended docs: $hits")
+      assert(hits == ((0L until 8L) ++ Seq(100L, 300L)).sorted,
+        s"phrase probe must see base + appended + recovered docs: $hits")
     } finally {
       spark.catalog.listTables().collect()
         .filter(_.name.startsWith("textidx_"))
