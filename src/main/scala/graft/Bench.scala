@@ -81,8 +81,8 @@ object Bench {
         val t = new Thread(r, "bench-pass"); t.setDaemon(true); t
       })
     sealed trait Pass
-    final case class Ok(sec: Double, gcSec: Double, stageSec: Double)
-      extends Pass
+    final case class Ok(sec: Double, gcSec: Double, stageSec: Double,
+      shufMb: Double, spillMb: Double) extends Pass
     case object TimedOut extends Pass
     final case class Crashed(msg: String) extends Pass
 
@@ -117,7 +117,20 @@ object Bench {
     // from the artifact, no re-run needed.
     val stageLog =
       scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    // per-pass shuffle bytes (read + write) and spill bytes (memory +
+    // disk), from the same stage-completion listener (VERDICT r16 ask
+    // #4): with wall/gc/stage/shuffle/spill side by side, a 20×
+    // outlier is attributable from the artifact alone — excess wall
+    // with flat shuffle and zero gc is host contention; excess wall
+    // WITH excess spill is a memory-pressure regression; excess
+    // shuffle is a plan change
+    val shufLog =
+      scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    val spillLog =
+      scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     val stageWallMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -126,6 +139,14 @@ object Bench {
           val si = ev.stageInfo
           for (s <- si.submissionTime; c <- si.completionTime)
             stageWallMs.addAndGet(math.max(0L, c - s))
+          val tm = si.taskMetrics
+          if (tm != null) {
+            shufBytes.addAndGet(
+              tm.shuffleReadMetrics.totalBytesRead +
+                tm.shuffleWriteMetrics.bytesWritten)
+            spillBytes.addAndGet(
+              tm.memoryBytesSpilled + tm.diskBytesSpilled)
+          }
         }
       })
     // queries whose recorded statistic involved an outlier re-run
@@ -139,13 +160,16 @@ object Bench {
       val tag = s"bench-$name-${System.nanoTime()}"
         val fut = pool.submit(
           new java.util.concurrent.Callable[
-            Either[String, (Double, Double, Double)]] {
-            def call(): Either[String, (Double, Double, Double)] =
+            Either[String, (Double, Double, Double, Double, Double)]] {
+            def call()
+                : Either[String, (Double, Double, Double, Double, Double)] =
               try {
                 spark.sparkContext.setJobGroup(tag, name,
                   interruptOnCancel = true)
                 val g0 = gcMillis()
                 val s0 = stageWallMs.get()
+                val sh0 = shufBytes.get()
+                val sp0 = spillBytes.get()
                 val t0 = System.nanoTime()
                 fn(spark, sfDir).collect()
                 val sec = (System.nanoTime() - t0) / 1e9
@@ -165,7 +189,9 @@ object Bench {
                   stable = cur == last; last = cur; tries += 1
                 }
                 Right((sec, (gcMillis() - g0) / 1e3,
-                  (last - s0) / 1e3))
+                  (last - s0) / 1e3,
+                  (shufBytes.get() - sh0) / 1e6,
+                  (spillBytes.get() - sp0) / 1e6))
               } catch {
                 case e: Throwable =>
                   Left(e.toString.takeWhile(_ != '\n').take(200))
@@ -176,7 +202,8 @@ object Bench {
         // path — a timed-out worker that finishes late can no longer
         // append an orphan gc sample and misalign the sidecar arrays
       try fut.get(passTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-        .fold(Crashed(_), { case (s, g, st) => Ok(s, g, st) })
+        .fold(Crashed(_),
+          { case (s, g, st, sh, sp) => Ok(s, g, st, sh, sp) })
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(tag)
@@ -216,10 +243,13 @@ object Bench {
       val observed = scala.collection.mutable.ListBuffer.empty[Double]
       val observedGc = scala.collection.mutable.ListBuffer.empty[Double]
       val observedStage = scala.collection.mutable.ListBuffer.empty[Double]
+      val observedShuf = scala.collection.mutable.ListBuffer.empty[Double]
+      val observedSpill = scala.collection.mutable.ListBuffer.empty[Double]
       def pass(): Pass = passFor(name, fn)
       def record(p: Ok): Ok = {
         observed += p.sec; observedGc += p.gcSec
-        observedStage += p.stageSec; p
+        observedStage += p.stageSec
+        observedShuf += p.shufMb; observedSpill += p.spillMb; p
       }
       // warmup pass (JVM/codegen/IO cache + the query's own persisted
       // fragments); its ordinary failures defer to the timed pass for
@@ -292,6 +322,8 @@ object Bench {
       passLog(name) = observed.toList
       gcLog(name) = observedGc.toList
       stageLog(name) = observedStage.toList
+      shufLog(name) = observedShuf.toList
+      spillLog(name) = observedSpill.toList
       name -> sec
     }
 
@@ -366,6 +398,8 @@ object Bench {
               passLog(name) = passLog(name) :+ p.sec
               gcLog(name) = gcLog(name) :+ p.gcSec
               stageLog(name) = stageLog(name) :+ p.stageSec
+              shufLog(name) = shufLog(name) :+ p.shufMb
+              spillLog(name) = spillLog(name) :+ p.spillMb
               xsweepLog(name) = (sec, p.sec)
               name -> math.min(sec, p.sec)
             case None => name -> sec
@@ -415,6 +449,14 @@ object Bench {
     val stageFull = stageLog.map { case (k, vs) =>
       "\"" + k + "\":[" + vs.map(cs).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // sidecar-only: per-pass shuffle (read+write) and spill MB — same
+    // index alignment as passes/gc/stage
+    val shufFull = shufLog.map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.map(cs).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val spillFull = spillLog.map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.map(cs).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val rerunJson =
       rerunLog.map("\"" + _ + "\"").mkString("[", ",", "]")
     // compact form for the printed line (qNN prefixes)
@@ -448,7 +490,7 @@ object Bench {
     }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"queries":$qsFull,"passes":$passesFull,"gc":$gcFull,"stage":$stageFull,"rerun":$rerunJson,"xsweep":$xsweepJson,"store_warmup":$storeWarmFull,"store_warmup_sec":${cs(storeWarmupSec)},"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"queries":$qsFull,"passes":$passesFull,"gc":$gcFull,"stage":$stageFull,"shuffle_mb":$shufFull,"spill_mb":$spillFull,"rerun":$rerunJson,"xsweep":$xsweepJson,"store_warmup":$storeWarmFull,"store_warmup_sec":${cs(storeWarmupSec)},"errors":$errJson,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"passes":$passes,"rerun":$rerunShort,"xsweep":$xsweepShort,"store_warmup":${cs(storeWarmupSec)},"errors":$errJson,"n_failed":${errors.length},"fileops":$fileOps,"unit":"sec","value":${ms(total)}}""")
     spark.stop()
