@@ -307,6 +307,50 @@ object Release {
     }
   }
 
+  /** ATOMIC re-cut of a [[writeTokenCorpus]] artifact — the release
+    * family's rebuild actuator (VERDICT r16 ask #6). The family is
+    * deliberately OUTSIDE [[IndexMaintenance.rebuildFamily]]'s
+    * registry (a re-cut needs the shipped vocab alongside the corpus,
+    * not just a corpus frame), but the swap discipline is the same:
+    * build a COMPLETE fresh release at `<path>.recut.tmp`, drop the
+    * canonical catalog entries (external tables — files untouched),
+    * move the live dir aside, move the tmp build in, re-register, and
+    * delete the aside copy last. A crash between the renames leaves
+    * either the old complete release or two complete copies — never a
+    * partial artifact at the canonical path; a crash in the catalog
+    * window is repaired by re-running this or by
+    * [[registerTokenCorpus]] over the live files. No ingest ledgers to
+    * carry: the family is write-once by declaration (q192's tokrel
+    * row), so there is no append stream to replay across the swap.
+    */
+  def recutTokenCorpus(
+      s: SparkSession,
+      docs: DataFrame,
+      vocab: Seq[(String, Long)],
+      name: String,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tables = Seq("seqs", "manifest")
+    val tmpName = s"${name}__recut"
+    val tmpPath = new Path(live.getParent, live.getName + ".recut.tmp")
+    val asidePath = new Path(live.getParent, live.getName + ".pre-recut")
+    fs.delete(tmpPath, true)
+    tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS ${tmpName}_$t"))
+    writeTokenCorpus(docs, vocab, tmpName, tmpPath.toString)
+    tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS ${tmpName}_$t"))
+    tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    fs.delete(asidePath, true)
+    if (fs.exists(live) && !fs.rename(live, asidePath))
+      throw new java.io.IOException(s"rename $live -> $asidePath failed")
+    if (!fs.rename(tmpPath, live))
+      throw new java.io.IOException(s"rename $tmpPath -> $live failed")
+    registerTokenCorpus(s, name, path)
+    tables.foreach(t => s.catalog.refreshTable(s"${name}_$t"))
+    fs.delete(asidePath, true)
+  }
+
   /** Re-attach a [[writeTokenCorpus]] artifact in a new session — the
     * artifact's truth is the bucketed parquet; the catalog entry is
     * session state (the IndexCatalog discipline shared by all ten

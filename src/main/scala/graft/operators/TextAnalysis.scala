@@ -368,6 +368,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** KEYWORD-IN-CONTEXT snippets off a [[writePositionalIndex]] store
+    * (VERDICT r16 ask #7 — q236's machinery as a reusable operator):
+    * for every exact-adjacency hit of `phrase` (the
+    * [[probePhraseIndex]] rule, any length ≥ 1), reconstruct the
+    * `window`-token context around the phrase from POSTINGS ALONE —
+    * a TRUE index-only snippet, the documents table is never scanned
+    * (PlanAuditSpec pins it on q236). Returns (doc_id, hit, snippet)
+    * with `hit` = the phrase's first-term position and `snippet` the
+    * position-ordered terms of [hit − window, hit + |phrase| − 1 +
+    * window], clipped at doc edges by construction (absent positions
+    * simply have no postings). The hit frame is phrase-selective and
+    * broadcasts; a bulk KWIC sweep over many phrases would swap the
+    * broadcast for a doc_id key join — same plan shape, declared.
+    */
+  def kwicSnippets(
+      spark: SparkSession, name: String,
+      phrase: Seq[String], window: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    require(window >= 0, "window must be non-negative")
+    val p = spark.table(s"${name}_postings")
+    val streams = phrase.zipWithIndex.map { case (wd, i) =>
+      p.filter(col("t") === wd)
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+    }
+    val hits = streams.reduce((a, b) => a.join(b, Seq("doc_id", "pos")))
+      .select(col("doc_id"), col("pos").as("hit"))
+    p.join(broadcast(hits), Seq("doc_id"))
+      .filter(col("pos") >= col("hit") - window &&
+        col("pos") <= col("hit") + (phrase.size - 1) + window)
+      .groupBy(col("doc_id"), col("hit"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("t")))),
+        w => w.getField("t")), " ").as("snippet"))
+      .select(col("doc_id"), col("hit").cast("long").as("hit"),
+        col("snippet"))
+      .orderBy("doc_id", "hit")
+  }
+
   /** Proximity (slop) probe off a [[writePositionalIndex]] store:
     * ordered (w1, w2) pairs with 1 ≤ pos(w2) − pos(w1) ≤ slop, counted
     * per doc. Same cost model as [[probePhraseIndex]]: two pruned
@@ -3353,26 +3391,11 @@ object TextAnalysis {
     // snippet is the position-ordered term join. The oracle recomputes
     // every window from raw text with per-row list slices, so the
     // store's position arithmetic (clipping included) is hash-exact.
+    // The machinery is the reusable [[kwicSnippets]] operator (any
+    // phrase length, any window) — this query is its fixture probe.
     "q236_kwic_snippets" -> QueryDef(
-      (s, dir) => {
-        val p = s.table(s"${fixtureStore(s, dir)}_postings")
-        val w1 = p.filter(col("t") === "hash")
-          .select(col("doc_id"), col("pos"))
-        val w2 = p.filter(col("t") === "join")
-          .select(col("doc_id"), (col("pos") - 1).as("pos"))
-        val hits = w1.join(w2, Seq("doc_id", "pos"))
-          .select(col("doc_id"), col("pos").as("hit"))
-        p.join(broadcast(hits), Seq("doc_id"))
-          .filter(col("pos") >= col("hit") - 5 &&
-            col("pos") <= col("hit") + 6)
-          .groupBy(col("doc_id"), col("hit"))
-          .agg(array_join(transform(
-            sort_array(collect_list(struct(col("pos"), col("t")))),
-            w => w.getField("t")), " ").as("snippet"))
-          .select(col("doc_id"), col("hit").cast("long").as("hit"),
-            col("snippet"))
-          .orderBy("doc_id", "hit")
-      },
+      (s, dir) => kwicSnippets(s, fixtureStore(s, dir),
+        Seq("hash", "join"), window = 5),
       Some("""WITH d AS (SELECT doc_id,
                   list_filter(string_split_regex(text, '\s+'),
                     t -> t <> '') AS toks

@@ -957,6 +957,48 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("kwicSnippets: any phrase length and window, clipped at doc edges, index-only") {
+    // VERDICT r16 ask #7 — the q236 machinery as an operator: a
+    // 3-term phrase and a narrow window, reference computed from the
+    // raw token arrays (the store never sees this reference)
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "merge sort is fast and merge sort is stable"),
+      (2L, "merge sort"),                   // hit at both doc edges
+      (3L, "a merge sort inside some longer text body here"),
+      (4L, "no phrase here at all"),
+      (5L, "sort merge sort merge sort"))   // overlapping-ish hits
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft-kwic")
+    val name = "kwicop_" + System.nanoTime()
+    try {
+      TextAnalysis.writePositionalIndex(docs, name, s"$tmp/store")
+      for ((phrase, w) <- Seq(Seq("merge", "sort") -> 2,
+          Seq("merge", "sort", "is") -> 1, Seq("sort") -> 3)) {
+        val got = TextAnalysis.kwicSnippets(spark, name, phrase, w)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+          .toSet
+        val ref = docs.collect().flatMap { r =>
+          val toks = r.getString(1).split("\\s+").filter(_.nonEmpty)
+          toks.indices
+            .filter(i => i + phrase.size <= toks.length &&
+              phrase.indices.forall(j => toks(i + j) == phrase(j)))
+            .map { i =>
+              val lo = math.max(0, i - w)
+              val hi = math.min(toks.length, i + phrase.size + w)
+              (r.getLong(0), i.toLong, toks.slice(lo, hi).mkString(" "))
+            }
+        }.toSet
+        assert(got == ref && (phrase != Seq("merge", "sort") || got.nonEmpty),
+          s"kwic($phrase, $w) drifted:\ngot=$got\nref=$ref")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_postings")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
   test("lexical index: persisted BM25 probe equals the inline ranking; probe never re-scans the corpus; write-once rebuild applies") {
     import graft.operators.{IndexMaintenance, TextAnalysis}
     import IndexMaintenance.FamilySpec
@@ -1386,6 +1428,66 @@ class IndexStoreSpec extends SparkSpec {
         rec.filter(col("rec") =!= col("norm")).count() == 0L)
     } finally {
       Seq(s"${name}_seqs", s"${name}_manifest").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
+  test("token-corpus release lifecycle: staleness red on corpus drift, atomic re-cut green, re-attach survives") {
+    // VERDICT r16 ask #6 — the write-once family's full lifecycle,
+    // the way the lexical rebuild-only test covers its own: a release
+    // cut on the base tranche goes RED as the corpus grows past it,
+    // recutTokenCorpus swaps a complete fresh artifact in atomically
+    // (no partial store ever at the canonical path), the staleness row
+    // goes green, and the re-cut store round-trips the full corpus
+    import graft.operators.{IndexMaintenance, Release, TextAnalysis}
+    import IndexMaintenance.FamilySpec
+    val docs = Q.table(spark, sfDir, "documents").limit(160)
+      .select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val vocab = TextAnalysis.unigramTrain(docs.select("text"),
+      vocabSize = 48, maxPieceLen = 3, seedSize = 80, emIters = 2)
+    val tmp = Files.createTempDirectory("graft-tokrel-life")
+    val name = "tokrellife_" + System.nanoTime()
+    val path = s"$tmp/store"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Release.writeTokenCorpus(base, vocab, name, path)
+      val nAll = docs.count()
+      def report() = IndexMaintenance.stalenessReport(spark,
+        Seq(FamilySpec("tokrel", s"${name}_seqs",
+          rowsNow = Some(nAll)))).collect().head
+      // RED: the q192 tokrel row — base-cut release left behind by
+      // the corpus (~25% appended tranche > the 20% threshold)
+      assert(report().getLong(6) == 1L,
+        s"left-behind corpus must trip the tokrel rebuild bit: ${report()}")
+      Release.recutTokenCorpus(spark, docs, vocab, name, path)
+      // GREEN: fresh _BUILD_META rode the swap
+      assert(report().getLong(3) == 0L && report().getLong(6) == 0L,
+        s"re-cut must clear the staleness: ${report()}")
+      // the swap left no debris and the canonical store is complete
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.recut.tmp")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$path.pre-recut")),
+        "re-cut must clean up its tmp and aside dirs")
+      // the re-cut artifact round-trips the FULL corpus…
+      def decoded() = Release
+        .decodeStore(spark.table(s"${name}_seqs"), vocab)
+        .join(docs.select(col("doc_id"),
+          array_join(TextAnalysis.tokens(col("text")), " ").as("norm")),
+          "doc_id")
+      assert(decoded().count() == nAll &&
+        decoded().filter(col("rec") =!= col("norm")).count() == 0L,
+        "re-cut release must round-trip the full corpus")
+      // …and survives a session restart (catalog dropped, files live)
+      spark.sql(s"DROP TABLE ${name}_seqs")
+      spark.sql(s"DROP TABLE ${name}_manifest")
+      Release.registerTokenCorpus(spark, name, path)
+      assert(decoded().count() == nAll,
+        "re-attached re-cut release must serve decode")
+    } finally {
+      Seq(s"${name}_seqs", s"${name}_manifest",
+        s"${name}__recut_seqs", s"${name}__recut_manifest").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
       graft.operators.Q.releaseManaged()
     }
