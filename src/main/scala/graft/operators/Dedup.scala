@@ -110,7 +110,7 @@ object Dedup {
     * candidates, the q90 recall contract, and the incremental q115
     * probe.
     */
-  private def bandedOf(
+  private[graft] def bandedOf(
       sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     bandedLayout(sh, Bands, RowsPerBand)
 
@@ -274,7 +274,7 @@ object Dedup {
     * the shingle table — the arithmetic shared by the self-join path
     * and the incremental base-vs-batch path (q115).
     */
-  private def verifyCand(
+  private[graft] def verifyCand(
       candidates: org.apache.spark.sql.DataFrame,
       sh: org.apache.spark.sql.DataFrame,
       minJ: Double): org.apache.spark.sql.DataFrame =
@@ -617,25 +617,66 @@ object Dedup {
     labels
   }
 
-  /** Brute-force cross-side (even base × odd batch) exact-Jaccard
-    * oracle — shared by q115 (in-plan incremental build) and q116
-    * (persisted-index probe), which must return identical answers.
+  /** The PRE-ARMED capped-semantics oracle mirror (VERDICT r16 ask
+    * #5): identical-shingle-set groups as the SQL-computable proxy for
+    * the engine's band-bucket occupancy. An over-cap band bucket in
+    * practice means a template family — docs whose distinct-shingle
+    * SETS are equal share ALL 32 band hashes, so a group of m > cap
+    * identical sets forces every one of its buckets over the cap and
+    * the engine routes the family through its hub star. The mirror
+    * annotates each doc with its identical-set group size `n` and
+    * group-min `hub`, and keeps a verified pair only when each
+    * endpoint is either in an at/under-cap group, its group's hub, or
+    * paired WITH its group's hub — exactly the star's emission rule.
+    * On a corpus with no over-cap group (every current fixture —
+    * q234's `cap_ok` gates this) each predicate is vacuously true and
+    * the mirror IS the brute-force oracle, so arming it changes
+    * nothing today. DECLARED boundary (the probabilistic semantics
+    * [[BandOccupancyCap]]'s doc states): near-identical-but-unequal
+    * sets co-bucket only probabilistically, so a fixture that grows
+    * (a) two over-cap families mutually above the threshold or (b) a
+    * sub-family satellite doc with an id below the family hub would
+    * diverge mirror from engine — q234's occupancy row is the tripwire
+    * either way, and DedupSpec proves the mirror exact on the planted
+    * single-family shape a real fixture would grow.
+    */
+  private def cappedGroupSql(memberFilter: String): String =
+    s"""grp AS (SELECT doc_id,
+       |    md5(array_to_string(list_sort(s), chr(31))) AS gk
+       |  FROM sh $memberFilter),
+       |ann AS (SELECT grp.doc_id, g.n, g.hub
+       |  FROM grp JOIN (SELECT gk, COUNT(*) AS n, MIN(doc_id) AS hub
+       |                 FROM grp GROUP BY gk) g USING (gk))"""
+      .stripMargin
+
+  /** Cross-side (even base × odd batch) exact-Jaccard oracle with the
+    * capped-base mirror — shared by q115 (in-plan incremental build)
+    * and q116/q172 (persisted-index probe), which must return
+    * identical answers. The base-side annotation mirrors
+    * [[cappedProbeCandidates]]: a non-hub member of an over-cap BASE
+    * group probes through its hub only, so pairs keep a base endpoint
+    * only when its base-side group is at/under cap or it is that
+    * group's hub.
     */
   private val crossPairJaccardSql =
-    """WITH toks AS (SELECT doc_id,
-           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-         FROM documents),
-       sh AS (SELECT doc_id,
-           list_distinct([array_to_string(t[i:i+2], ' ')
-                          for i in range(1, len(t)-1)]) AS s
-         FROM toks WHERE len(t) >= 3),
-       p AS (SELECT a.doc_id AS da, b.doc_id AS db,
-           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-         FROM sh a JOIN sh b
-           ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
-       SELECT da, db, ROUND(j, 4) AS jaccard FROM p
-       WHERE j >= 0.8 ORDER BY da, db"""
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct([array_to_string(t[i:i+2], ' ')
+       |                   for i in range(1, len(t)-1)]) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |${cappedGroupSql("WHERE doc_id % 2 = 0")},
+       |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+       |  FROM sh a JOIN sh b
+       |    ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+       |SELECT da, db, ROUND(j, 4) AS jaccard FROM p
+       |JOIN ann za ON za.doc_id = p.da
+       |WHERE j >= 0.8
+       |  AND (za.n <= $BandOccupancyCap OR p.da = za.hub)
+       |ORDER BY da, db""".stripMargin
 
   /** Token-grain content-defined chunking (q203's core): a chunk
     * boundary falls AFTER token i iff md5(token_i) starts with '0' or
@@ -995,26 +1036,39 @@ object Dedup {
 
     // MinHash-LSH near-dup: banded bucket join for candidates, exact
     // Jaccard (ratio of exact ints — bitwise engine-identical) on the
-    // candidates only. Oracle is the brute-force exact join.
+    // candidates only. Oracle is the brute-force exact join with the
+    // PRE-ARMED capped mirror ([[cappedGroupSql]]): on every current
+    // fixture (no over-cap group, q234-gated) the mirror predicates
+    // are vacuous and this IS the plain brute force; a fixture that
+    // grows a >cap template family flips the engine to hub-star
+    // emission and the mirror follows without an oracle emergency.
     // graft_shingles ≡ array_distinct(shingles(tokens(text), 3)) —
     // equivalence proved in DedupSpec against the composable form.
     "q25_neardup_minhash" -> QueryDef(
       (s, dir) => neardupPairs(s, dir)
         .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
         .orderBy("da", "db"),
-      Some("""WITH toks AS (SELECT doc_id,
-                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      Some(s"""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
                 FROM documents),
               sh AS (SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t)-1)]) AS s
                 FROM toks WHERE len(t) >= 3),
+              ${cappedGroupSql("")},
               p AS (SELECT a.doc_id AS da, b.doc_id AS db,
                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
               SELECT da, db, ROUND(j, 4) AS jaccard FROM p
-              WHERE j >= 0.8 ORDER BY da, db""")),
+              JOIN ann za ON za.doc_id = p.da
+              JOIN ann zb ON zb.doc_id = p.db
+              WHERE j >= 0.8
+                AND (za.n <= $BandOccupancyCap OR p.da = za.hub
+                     OR p.db = za.hub)
+                AND (zb.n <= $BandOccupancyCap OR p.db = zb.hub
+                     OR p.da = zb.hub)
+              ORDER BY da, db""")),
 
     // Winnowing (rolling-hash) fingerprint dedup: docs sharing ≥ 5 RARE
     // selected fingerprints (document frequency ≤ 64). The join shuffles
@@ -1187,20 +1241,29 @@ object Dedup {
             levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
           .orderBy("da", "db")
       },
-      Some("""WITH toks AS (SELECT doc_id, text,
-                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      Some(s"""WITH toks AS (SELECT doc_id, text,
+                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
                 FROM documents),
               sh AS (SELECT doc_id, text,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t)-1)]) AS s
                 FROM toks WHERE len(t) >= 3),
+              ${cappedGroupSql("")},
               p AS (SELECT a.doc_id AS da, b.doc_id AS db,
                   a.text AS ta, b.text AS tb,
                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
               SELECT da, db, CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
-              FROM p WHERE j >= 0.8 ORDER BY da, db""")),
+              FROM p
+              JOIN ann za ON za.doc_id = p.da
+              JOIN ann zb ON zb.doc_id = p.db
+              WHERE j >= 0.8
+                AND (za.n <= $BandOccupancyCap OR p.da = za.hub
+                     OR p.db = za.hub)
+                AND (zb.n <= $BandOccupancyCap OR p.db = zb.hub
+                     OR p.da = zb.hub)
+              ORDER BY da, db""")),
 
     // SimHash near-dup: 64-bit fingerprints, 4×16-bit band buckets —
     // exhaustive for Hamming ≤ 3 by pigeonhole (banding equals brute

@@ -504,6 +504,108 @@ class DedupSpec extends SparkSpec {
       s"one past cap must collapse to the hub, got $got")
   }
 
+  test("pre-armed capped oracle mirror: planted past-cap corpus hash-matches the engine") {
+    // VERDICT r16 ask #5 — the q25-family oracles now carry the
+    // hub-star semantics behind the identical-shingle-set group-size
+    // proxy for bucket occupancy. This drives the exact mirror logic
+    // (the SQL's predicates, reimplemented independently from raw
+    // text) against the ENGINE's verified-pair output on a corpus a
+    // real fixture would grow: one 140-member template family (> cap
+    // 64), one under-cap dup trio, one cross-threshold near-dup pair,
+    // one unrelated doc.
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 140 members: over cap on the self-join path (140 > 64) AND over
+    // cap on the even-only base side of the probe path (70 > 64)
+    val m = 140
+    val familyText =
+      "quick brown fox jumps over the lazy dog again and again tonight"
+    val longA = (1 to 30).map(i => s"w$i").mkString(" ")
+    val longB = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val docs = (
+      (0L until m.toLong).map(i => (i, familyText)) ++ Seq(
+        (9000L, longA), (9001L, longB),
+        (9100L, "alpha beta gamma delta"),
+        (9101L, "alpha beta gamma delta"),
+        (9102L, "alpha beta gamma delta"),
+        (9200L, "totally unrelated content lives here right now"))
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingledOf(spark, docs).cache()
+    val got = Dedup.verifiedPairsOf(sh)
+      .select(col("da"), col("db"), round(col("j"), 4).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // the independent mirror: raw-text shingle sets, brute force, the
+    // oracle SQL's group predicates (never touches the engine banding)
+    val sets = docs.collect().flatMap { r =>
+      val t = r.getString(1).split("\\s+").filter(_.nonEmpty)
+      if (t.length < 3) None
+      else Some(r.getLong(0) -> t.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val groups = sets.toSeq.groupBy(_._2).values
+      .map(g => (g.map(_._1).min, g.map(_._1).toSet)).toSeq
+    val hubOf = groups.flatMap { case (h, ids) => ids.map(_ -> h) }.toMap
+    val sizeOf = groups.flatMap { case (h, ids) =>
+      ids.map(_ -> ids.size) }.toMap
+    val cap = Dedup.BandOccupancyCap
+    val ids = sets.keys.toSeq.sorted
+    val ref = (for {
+      a <- ids; b <- ids if a < b
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble /
+        (sets(a).size + sets(b).size - inter)
+      if j >= 0.8
+      if sizeOf(a) <= cap || a == hubOf(a) || b == hubOf(a)
+      if sizeOf(b) <= cap || b == hubOf(b) || a == hubOf(b)
+    } yield (a, b,
+      BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSet
+    assert(got == ref,
+      s"mirror drifted from engine:\nonly-engine=${got -- ref}\n" +
+        s"only-mirror=${ref -- got}")
+    // the star shape: the family contributes exactly m-1 pairs (hub
+    // star), the trio its 3 all-ways pairs, the near-dup pair its 1
+    assert(got.count { case (a, _, _) => a < m } == m - 1 &&
+      got.exists(p => p._1 == 9000L && p._2 == 9001L) &&
+      got.count(p => p._1 >= 9100L && p._2 <= 9102L) == 3,
+      s"planted shapes missing from ${got.size} pairs")
+    // the PROBE path's mirror (even base × odd batch, the
+    // crossPairJaccardSql rule): non-hub members of the over-cap BASE
+    // group emit nothing; the base hub carries the family
+    val banded = Dedup.bandedOf(sh)
+    val baseIdx = banded.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("da"), col("band"))
+    val batch = banded.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("db"), col("band"))
+    val gotProbe = Dedup.verifyCand(
+      Dedup.cappedProbeCandidates(baseIdx, batch), sh, 0.8)
+      .select(col("da"), col("db"), round(col("j"), 4).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val evenIds = ids.filter(_ % 2 == 0)
+    val baseGroups = sets.filter { case (id, _) => id % 2 == 0 }
+      .toSeq.groupBy(_._2).values
+      .map(g => (g.map(_._1).min, g.map(_._1).toSet)).toSeq
+    val bHub = baseGroups.flatMap { case (h, s0) => s0.map(_ -> h) }.toMap
+    val bSize = baseGroups.flatMap { case (h, s0) =>
+      s0.map(_ -> s0.size) }.toMap
+    val refProbe = (for {
+      a <- evenIds; b <- ids if b % 2 == 1
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble /
+        (sets(a).size + sets(b).size - inter)
+      if j >= 0.8
+      if bSize(a) <= cap || a == bHub(a)
+    } yield (a, b,
+      BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSet
+    assert(gotProbe == refProbe,
+      s"probe mirror drifted:\nonly-engine=${gotProbe -- refProbe}\n" +
+        s"only-mirror=${refProbe -- gotProbe}")
+    sh.unpersist()
+    graft.operators.Q.releaseManaged()
+  }
+
   test("band occupancy cap: hot BASE bucket probes through its hub only") {
     import spark.implicits._
     // base: 500-member template family; batch: 2 docs, one sharing the
