@@ -739,7 +739,108 @@ object Pipeline {
                   // (2 * SUM(sc)) AS BIGINT) AS skew_bp,
                 CAST(SUM(CASE WHEN sc * 2 > 3 * 65536 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_over_150pct
-              FROM ps"""))
+              FROM ps""")),
+
+    // q238: FIXED-LENGTH packing fill audit at WORD grain — the q235
+    // release packer's boundary-split bin arithmetic (shard stream cut
+    // at every 512-token multiple, docs spanning continuation slices)
+    // replayed over whitespace tokens, where the whole computation IS
+    // SQL-expressible: this is the cross-engine oracle check of the
+    // split math that q235's token-grain artifact can only gate with
+    // contract bits (piece counts depend on the trained vocab). Per
+    // release shard (doc_id mod 8): docs, words, bins, full bins,
+    // fill in half-up bp (the q187 padding-waste accounting — with
+    // boundary cut, only each shard's tail bin is partial, so fill_bp
+    // is pinned near 10000 by construction), and how many docs split
+    // across a bin boundary (the dataloader's doc-fragmentation rate).
+    // Plan at 100 TB: the q139/q235 skinny two-level prefix sum at
+    // defaultParallelism, in-row HOF slicing (counts only — no payload
+    // anywhere), ONE (shard, seq) partial agg on a words-per-bin
+    // number, two bounded per-shard rollups.
+    "q238_packed_fill" -> QueryDef(
+      (s, dir) => {
+        val seqLen = 512L
+        val par = math.max(1, s.sparkContext.defaultParallelism)
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("nw"))
+          .withColumn("shard", pmod(col("doc_id"), lit(8)))
+          .repartitionByRange(par, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .managedPersist
+        val wLocal = Window.partitionBy("shard", "pid").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offs = docs.groupBy("shard", "pid").agg(sum("nw").as("psum"))
+          .withColumn("off",
+            coalesce(sum("psum").over(Window.partitionBy("shard")
+              .orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("shard", "pid", "off")
+        val assigned = docs
+          .withColumn("lc", sum("nw").over(wLocal))
+          .join(broadcast(offs), Seq("shard", "pid"))
+          .withColumn("cum", col("lc") + col("off") - col("nw"))
+          .withColumn("b0", expr(s"cum div $seqLen"))
+          .withColumn("b1",
+            expr(s"if(nw = 0, b0, (cum + nw - 1) div $seqLen)"))
+          .managedPersist
+        val bins = assigned
+          .select(col("shard"), explode(expr(
+            s"""transform(sequence(b0, b1), b -> struct(b as seq,
+               |  least(cum + nw, (b + 1) * $seqLen)
+               |    - greatest(cum, b * $seqLen) as cnt))""".stripMargin))
+            .as("sl"))
+          .groupBy(col("shard"), col("sl.seq").as("seq"))
+          .agg(sum("sl.cnt").as("bt"))
+        val perShard = bins.groupBy("shard")
+          .agg(count(lit(1)).as("n_seqs"), sum("bt").as("n_words"),
+            sum(when(col("bt") === seqLen, 1L).otherwise(0L))
+              .as("n_full"))
+        val splits = assigned.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("b1") > col("b0"), 1L).otherwise(0L))
+              .as("n_split_docs"))
+        perShard.join(splits, "shard")
+          .select(col("shard"), col("n_docs"), col("n_words"),
+            col("n_seqs"), col("n_full"),
+            expr(s"(20000 * n_words + n_seqs * $seqLen)" +
+              s" div (2 * n_seqs * $seqLen)").as("fill_bp"),
+            col("n_split_docs"))
+          .orderBy("shard")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '')) AS BIGINT) AS nw
+                FROM documents),
+              c AS (SELECT doc_id, shard, nw,
+                  CAST(SUM(nw) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - nw AS BIGINT) AS cum
+                FROM d),
+              a AS (SELECT *, CAST(cum // 512 AS BIGINT) AS b0,
+                  CAST(CASE WHEN nw = 0 THEN cum // 512
+                    ELSE (cum + nw - 1) // 512 END AS BIGINT) AS b1
+                FROM c),
+              sl AS (SELECT shard, b AS seq,
+                  LEAST(cum + nw, (b + 1) * 512)
+                    - GREATEST(cum, b * 512) AS cnt
+                FROM a, UNNEST(range(b0, b1 + 1)) AS u(b)),
+              bins AS (SELECT shard, seq, SUM(cnt) AS bt
+                FROM sl GROUP BY 1, 2),
+              ps AS (SELECT shard, COUNT(*) AS n_seqs,
+                  CAST(SUM(bt) AS BIGINT) AS n_words,
+                  CAST(SUM(CASE WHEN bt = 512 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_full
+                FROM bins GROUP BY 1),
+              sp AS (SELECT shard, COUNT(*) AS n_docs,
+                  CAST(SUM(CASE WHEN b1 > b0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_split_docs
+                FROM a GROUP BY 1)
+              SELECT ps.shard, n_docs, n_words, n_seqs, n_full,
+                CAST((20000 * n_words + n_seqs * 512)
+                  // (2 * n_seqs * 512) AS BIGINT) AS fill_bp,
+                n_split_docs
+              FROM ps JOIN sp ON sp.shard = ps.shard
+              ORDER BY ps.shard"""))
   )
 
   /** q139's streaming bin-pack shard assignment as a reusable frame:

@@ -406,6 +406,46 @@ object TextAnalysis {
       .orderBy("doc_id", "hit")
   }
 
+  /** BULK variant of [[kwicSnippets]] — the declared scale path made
+    * real: many phrases in ONE store pass, with the hit frame joined
+    * on the doc_id KEY instead of broadcast (a multi-phrase hit list
+    * is not small by construction, so the single-phrase broadcast
+    * assumption no longer holds). Per phrase the hits come from the
+    * same pruned-bucket adjacency join; the union of tagged hit frames
+    * then key-joins the postings once, the window filter reads each
+    * row's own phrase length, and assembly is one (phrase, doc, hit)
+    * partial agg. Returns (phrase, doc_id, hit, snippet); per-phrase
+    * rows are identical to [[kwicSnippets]] (IndexStoreSpec asserts
+    * it).
+    */
+  def kwicSnippetsBulk(
+      spark: SparkSession, name: String,
+      phrases: Seq[Seq[String]], window: Int): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "phrases must be non-empty")
+    require(window >= 0, "window must be non-negative")
+    val p = spark.table(s"${name}_postings")
+    val hits = phrases.map { ph =>
+      val streams = ph.zipWithIndex.map { case (wd, i) =>
+        p.filter(col("t") === wd)
+          .select(col("doc_id"), (col("pos") - i).as("pos"))
+      }
+      streams.reduce((a, b) => a.join(b, Seq("doc_id", "pos")))
+        .select(lit(ph.mkString(" ")).as("phrase"), col("doc_id"),
+          col("pos").as("hit"), lit(ph.size).as("plen"))
+    }.reduce(_.unionByName(_))
+    p.join(hits, Seq("doc_id"))
+      .filter(col("pos") >= col("hit") - window &&
+        col("pos") <= col("hit") + col("plen") - 1 + window)
+      .groupBy(col("phrase"), col("doc_id"), col("hit"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("t")))),
+        w => w.getField("t")), " ").as("snippet"))
+      .select(col("phrase"), col("doc_id"),
+        col("hit").cast("long").as("hit"), col("snippet"))
+      .orderBy("phrase", "doc_id", "hit")
+  }
+
   /** Proximity (slop) probe off a [[writePositionalIndex]] store:
     * ordered (w1, w2) pairs with 1 ≤ pos(w2) − pos(w1) ≤ slop, counted
     * per doc. Same cost model as [[probePhraseIndex]]: two pruned
@@ -3408,6 +3448,44 @@ object TextAnalysis {
                   toks[GREATEST(1, hit - 4) : LEAST(len(toks), hit + 7)],
                   ' ') AS snippet
               FROM h ORDER BY doc_id, hit""")),
+
+    // q239: BULK KWIC — the multi-phrase sweep q236's doc comment
+    // declared as the scale path, made real: three phrases (two
+    // adjacency pairs + one unigram) answered in ONE pass over the
+    // positional store via [[kwicSnippetsBulk]]. The hit frame is no
+    // longer phrase-selective-small (a unigram phrase hits a large
+    // fraction of docs), so it joins the postings on the doc_id KEY —
+    // no broadcast assumption, the shape that survives an arbitrary
+    // phrase workload at any store size. Still a TRUE index-only
+    // query: no documents scan, no tokenize (PlanAuditSpec pins it);
+    // the oracle recomputes every window from raw text per phrase.
+    "q239_bulk_kwic" -> QueryDef(
+      (s, dir) => kwicSnippetsBulk(s, fixtureStore(s, dir),
+        Seq(Seq("hash", "join"), Seq("merge", "join"), Seq("window")),
+        window = 5),
+      Some("""WITH d AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                    t -> t <> '') AS toks
+                FROM documents),
+              h AS (
+                SELECT 'hash join' AS phrase, doc_id, i - 1 AS hit,
+                    2 AS plen, toks
+                  FROM d, UNNEST(range(1, len(toks))) AS u(i)
+                  WHERE toks[i] = 'hash' AND toks[i + 1] = 'join'
+                UNION ALL
+                SELECT 'merge join', doc_id, i - 1, 2, toks
+                  FROM d, UNNEST(range(1, len(toks))) AS u(i)
+                  WHERE toks[i] = 'merge' AND toks[i + 1] = 'join'
+                UNION ALL
+                SELECT 'window', doc_id, i - 1, 1, toks
+                  FROM d, UNNEST(range(1, len(toks) + 1)) AS u(i)
+                  WHERE toks[i] = 'window')
+              SELECT phrase, doc_id, CAST(hit AS BIGINT) AS hit,
+                array_to_string(
+                  toks[GREATEST(1, hit + 1 - 5)
+                       : LEAST(len(toks), hit + plen + 5)],
+                  ' ') AS snippet
+              FROM h ORDER BY phrase, doc_id, hit""")),
 
     // Positional-BIAS profile off the same store: where in documents
     // do the corpus's top terms occur? Boilerplate headers live at

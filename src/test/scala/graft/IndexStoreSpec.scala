@@ -993,6 +993,19 @@ class IndexStoreSpec extends SparkSpec {
         assert(got == ref && (phrase != Seq("merge", "sort") || got.nonEmpty),
           s"kwic($phrase, $w) drifted:\ngot=$got\nref=$ref")
       }
+      // the bulk sweep returns exactly the per-phrase union, tagged
+      val phrases = Seq(Seq("merge", "sort"), Seq("sort"))
+      val bulk = TextAnalysis.kwicSnippetsBulk(spark, name, phrases, 2)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      val single = phrases.flatMap { ph =>
+        TextAnalysis.kwicSnippets(spark, name, ph, 2).collect()
+          .map(r => (ph.mkString(" "), r.getLong(0), r.getLong(1),
+            r.getString(2)))
+      }.toSet
+      assert(bulk == single && bulk.nonEmpty,
+        s"bulk kwic drifted from the per-phrase path:\n$bulk\nvs\n$single")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS ${name}_postings")
       graft.operators.Q.releaseManaged()

@@ -970,6 +970,28 @@ class PlanAuditSpec extends SparkSpec {
       s"window assembly must combine map-side:\n$p")
   }
 
+  test("q239: bulk KWIC stays index-only; the multi-phrase hit frame key-joins, never cartesian") {
+    val p = plan("q239_bulk_kwic")
+    assert(!p.contains("CartesianProduct"), s"q239 planned a cartesian:\n$p")
+    assert(!p.contains("documents"),
+      s"q239 re-scanned the corpus instead of the store:\n$p")
+    assert(!p.contains("Generate"),
+      s"q239 must read postings, never re-explode tokens:\n$p")
+    assert(p.contains("partial_"),
+      s"window assembly must combine map-side:\n$p")
+  }
+
+  test("q238: packed-fill rides the two-level prefix sum; bin agg combines map-side") {
+    val p = plan("q238_packed_fill")
+    assert(!p.contains("CartesianProduct"), s"q238 planned a cartesian:\n$p")
+    assert(p.contains("pid"),
+      s"q238's offsets must ride the two-level prefix sum:\n$p")
+    assert(p.contains("partial_"),
+      s"the bin agg must combine map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded offset frame must broadcast:\n$p")
+  }
+
   test("q232/q233: severity rides the posting join; the skew audit is two bounded aggs") {
     val p232 = plan("q232_contamination_severity")
     assert(!p232.contains("CartesianProduct"),
