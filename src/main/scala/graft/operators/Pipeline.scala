@@ -840,7 +840,85 @@ object Pipeline {
                   // (2 * n_seqs * 512) AS BIGINT) AS fill_bp,
                 n_split_docs
               FROM ps JOIN sp ON sp.shard = ps.shard
-              ORDER BY ps.shard"""))
+              ORDER BY ps.shard""")),
+
+    // q240: CURRICULUM phase schedule — the training-prep op between
+    // selection (q106 token budget, q111 domain caps) and release
+    // (q235): order the corpus by a quality score and cut the token
+    // stream into equal-budget phases, so the dataloader consumes
+    // highest-quality tokens first and each phase's boundary is a
+    // token count, not a doc count (docs vary 100× in length — a
+    // doc-count split would skew phase sizes). Score = lexical
+    // diversity in half-up bp (distinct/total tokens — the q31
+    // integer discipline, hash-exact cross-engine); order =
+    // (score DESC, doc_id) — a total order, so the schedule is
+    // deterministic; budget = total/4 (integer), phase = running
+    // token offset div budget. Per phase: docs, tokens, score
+    // extremes — the report a curriculum owner signs off. Plan at
+    // 100 TB: the same skinny two-level prefix sum as q139/q197/q238,
+    // range-partitioned on the CURRICULUM key (score desc, doc_id)
+    // at defaultParallelism; one scalar total (like q197's stride),
+    // one bounded per-phase rollup; no payload, no global window.
+    "q240_curriculum_phases" -> QueryDef(
+      (s, dir) => {
+        val par = math.max(1, s.sparkContext.defaultParallelism)
+        val toks = TextAnalysis.tokens(col("text"))
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), size(toks).cast("long").as("nt"),
+            size(array_distinct(toks)).cast("long").as("nd"))
+          .filter(col("nt") > 0)
+          .withColumn("score_bp",
+            expr("(20000 * nd + nt) div (2 * nt)"))
+          .repartitionByRange(par, col("score_bp").desc, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .managedPersist
+        val wLocal = Window.partitionBy("pid")
+          .orderBy(col("score_bp").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offs = docs.groupBy("pid").agg(sum("nt").as("psum"))
+          .withColumn("off",
+            coalesce(sum("psum").over(Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "off")
+        val total = docs.agg(sum("nt")).head().getLong(0)
+        val budget = math.max(1L, total / 4)
+        docs
+          .withColumn("lc", sum("nt").over(wLocal))
+          .join(broadcast(offs), "pid")
+          .withColumn("cum_before", col("lc") + col("off") - col("nt"))
+          .withColumn("phase", expr(s"cum_before div ${budget}L"))
+          .groupBy("phase")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+            min("score_bp").as("min_score_bp"),
+            max("score_bp").as("max_score_bp"))
+          .orderBy("phase")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                  CAST(len(t) AS BIGINT) AS nt,
+                  CAST(len(list_distinct(t)) AS BIGINT) AS nd
+                FROM (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                      x -> x <> '') AS t
+                  FROM documents) z
+                WHERE len(t) > 0),
+              sc AS (SELECT doc_id, nt,
+                  CAST((20000 * nd + nt) // (2 * nt) AS BIGINT)
+                    AS score_bp
+                FROM d),
+              c AS (SELECT doc_id, nt, score_bp,
+                  CAST(SUM(nt) OVER (ORDER BY score_bp DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) - nt AS BIGINT) AS cum
+                FROM sc),
+              t AS (SELECT GREATEST(1,
+                  CAST((SELECT SUM(nt) FROM d) AS BIGINT) // 4)
+                    AS budget)
+              SELECT CAST(cum // budget AS BIGINT) AS phase,
+                COUNT(*) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                MIN(score_bp) AS min_score_bp,
+                MAX(score_bp) AS max_score_bp
+              FROM c CROSS JOIN t
+              GROUP BY 1 ORDER BY phase"""))
   )
 
   /** q139's streaming bin-pack shard assignment as a reusable frame:
