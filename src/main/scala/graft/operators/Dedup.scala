@@ -158,9 +158,13 @@ object Dedup {
     * membership, not pair evidence. The guard is LOUD, not silent:
     * q234_band_occupancy's cap_ok/n_over_cap contract bits go red in
     * the correctness gate the moment the fixture corpus ever grows a
-    * past-cap bucket (at which point the q25-family oracles need the
-    * declared capped semantics mirrored); DedupSpec asserts the O(m)
-    * candidate count on a planted 500-doc template family.
+    * past-cap bucket — and the q25-family oracles already carry the
+    * capped semantics PRE-ARMED behind the identical-shingle-set
+    * group-size proxy ([[cappedGroupSql]], round 17), so a template
+    * family past the cap changes nothing except q234's occupancy
+    * numbers; DedupSpec asserts the O(m) candidate count on a planted
+    * 500-doc template family and engine==mirror equality on a planted
+    * 140-member past-cap corpus.
     */
   private[graft] val BandOccupancyCap = 64
 
