@@ -632,6 +632,9 @@ object Dedup {
     * group-min `hub`, and keeps a verified pair only when each
     * endpoint is either in an at/under-cap group, its group's hub, or
     * paired WITH its group's hub — exactly the star's emission rule.
+    * (For the smaller endpoint `da` the paired-with-hub branch is
+    * unsatisfiable — the hub is the group MIN and da < db — so its
+    * predicate carries only the two live clauses.)
     * On a corpus with no over-cap group (every current fixture —
     * q234's `cap_ok` gates this) each predicate is vacuously true and
     * the mirror IS the brute-force oracle, so arming it changes
@@ -1068,8 +1071,7 @@ object Dedup {
               JOIN ann za ON za.doc_id = p.da
               JOIN ann zb ON zb.doc_id = p.db
               WHERE j >= 0.8
-                AND (za.n <= $BandOccupancyCap OR p.da = za.hub
-                     OR p.db = za.hub)
+                AND (za.n <= $BandOccupancyCap OR p.da = za.hub)
                 AND (zb.n <= $BandOccupancyCap OR p.db = zb.hub
                      OR p.da = zb.hub)
               ORDER BY da, db""")),
@@ -1263,8 +1265,7 @@ object Dedup {
               JOIN ann za ON za.doc_id = p.da
               JOIN ann zb ON zb.doc_id = p.db
               WHERE j >= 0.8
-                AND (za.n <= $BandOccupancyCap OR p.da = za.hub
-                     OR p.db = za.hub)
+                AND (za.n <= $BandOccupancyCap OR p.da = za.hub)
                 AND (zb.n <= $BandOccupancyCap OR p.db = zb.hub
                      OR p.da = zb.hub)
               ORDER BY da, db""")),

@@ -587,28 +587,17 @@ object Pipeline {
     "q197_systematic_sample" -> QueryDef(
       (s, dir) => {
         val target = 128L
-        // range width tracks the cluster (VERDICT r16: a fixed 16 is
-        // harmless on this skinny frame but caps the offset pass's
-        // parallelism at scale); the offset frame stays ≤ par rows
-        val par = math.max(1, s.sparkContext.defaultParallelism)
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("n_chars"))
-          .repartitionByRange(par, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
+        // the running offsets are the one Q.twoLevelPrefix definition
+        // (range width tracks defaultParallelism, offsets bounded)
+        val docs = Q.twoLevelPrefix(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          groupCols = Nil, orderCols = Seq(col("doc_id")),
+          valueCol = "n_chars")
           .managedPersist
-        val wLocal = Window.partitionBy("pid").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val offs = docs.groupBy("pid").agg(sum("n_chars").as("psum"))
-          .withColumn("off",
-            coalesce(sum("psum").over(Window.orderBy("pid")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("pid", "off")
         val tot = docs.agg(sum("n_chars").as("m")).head().getLong(0)
         val step = math.max(1L, tot / target)
         docs
-          .withColumn("lc", sum("n_chars").over(wLocal))
-          .join(broadcast(offs), "pid")
-          .withColumn("cum_before", col("lc") + col("off") - col("n_chars"))
           // integer stride arithmetic: `/` on long Columns is DOUBLE
           .withColumn("strides",
             expr(s"(cum_before + n_chars) div $step - " +
@@ -760,26 +749,17 @@ object Pipeline {
     "q238_packed_fill" -> QueryDef(
       (s, dir) => {
         val seqLen = 512L
-        val par = math.max(1, s.sparkContext.defaultParallelism)
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id"),
-            size(TextAnalysis.tokens(col("text"))).cast("long").as("nw"))
-          .withColumn("shard", pmod(col("doc_id"), lit(8)))
-          .repartitionByRange(par, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-          .managedPersist
-        val wLocal = Window.partitionBy("shard", "pid").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val offs = docs.groupBy("shard", "pid").agg(sum("nw").as("psum"))
-          .withColumn("off",
-            coalesce(sum("psum").over(Window.partitionBy("shard")
-              .orderBy("pid")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("shard", "pid", "off")
-        val assigned = docs
-          .withColumn("lc", sum("nw").over(wLocal))
-          .join(broadcast(offs), Seq("shard", "pid"))
-          .withColumn("cum", col("lc") + col("off") - col("nw"))
+        // per-shard running offsets: the one Q.twoLevelPrefix
+        // definition over the skinny (doc_id, shard, nw) frame
+        val assigned = Q.twoLevelPrefix(
+          table(s, dir, "documents")
+            .select(col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).cast("long")
+                .as("nw"))
+            .withColumn("shard", pmod(col("doc_id"), lit(8))),
+          groupCols = Seq("shard"), orderCols = Seq(col("doc_id")),
+          valueCol = "nw")
+          .withColumnRenamed("cum_before", "cum")
           .withColumn("b0", expr(s"cum div $seqLen"))
           .withColumn("b1",
             expr(s"if(nw = 0, b0, (cum + nw - 1) div $seqLen)"))
@@ -861,31 +841,27 @@ object Pipeline {
     // one bounded per-phase rollup; no payload, no global window.
     "q240_curriculum_phases" -> QueryDef(
       (s, dir) => {
-        val par = math.max(1, s.sparkContext.defaultParallelism)
         val toks = TextAnalysis.tokens(col("text"))
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id"), size(toks).cast("long").as("nt"),
-            size(array_distinct(toks)).cast("long").as("nd"))
-          .filter(col("nt") > 0)
-          .withColumn("score_bp",
-            expr("(20000 * nd + nt) div (2 * nt)"))
-          .repartitionByRange(par, col("score_bp").desc, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
+        // running token offsets under the CURRICULUM total order
+        // (score desc, doc_id) — the one Q.twoLevelPrefix definition
+        val docs = Q.twoLevelPrefix(
+          table(s, dir, "documents")
+            .select(col("doc_id"), size(toks).cast("long").as("nt"),
+              size(array_distinct(toks)).cast("long").as("nd"))
+            .filter(col("nt") > 0)
+            .withColumn("score_bp",
+              expr("(20000 * nd + nt) div (2 * nt)")),
+          groupCols = Nil,
+          orderCols = Seq(col("score_bp").desc, col("doc_id")),
+          valueCol = "nt")
           .managedPersist
-        val wLocal = Window.partitionBy("pid")
-          .orderBy(col("score_bp").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val offs = docs.groupBy("pid").agg(sum("nt").as("psum"))
-          .withColumn("off",
-            coalesce(sum("psum").over(Window.orderBy("pid")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("pid", "off")
-        val total = docs.agg(sum("nt")).head().getLong(0)
+        // coalesce: an all-empty corpus leaves zero scored docs and a
+        // null sum — the oracle returns an empty frame there, so the
+        // engine must too, not NPE (the bandOccupancyStats guard class)
+        val total = docs.agg(coalesce(sum("nt"), lit(0L)))
+          .head().getLong(0)
         val budget = math.max(1L, total / 4)
         docs
-          .withColumn("lc", sum("nt").over(wLocal))
-          .join(broadcast(offs), "pid")
-          .withColumn("cum_before", col("lc") + col("off") - col("nt"))
           .withColumn("phase", expr(s"cum_before div ${budget}L"))
           .groupBy("phase")
           .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
@@ -933,25 +909,10 @@ object Pipeline {
     */
   private def shardAssigned(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      target: Long = 65536L): org.apache.spark.sql.DataFrame = {
-    val par = math.max(1, s.sparkContext.defaultParallelism)
-    val docs = table(s, dir, "documents")
-      .select(col("doc_id"), col("n_chars"))
-      .repartitionByRange(par, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .managedPersist
-    val wLocal = Window.partitionBy("pid").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // exclusive prefix of the per-partition totals: ≤16 rows, so the
-    // unpartitioned window is a bounded frame, not a data collapse
-    val offs = docs.groupBy("pid").agg(sum("n_chars").as("psum"))
-      .withColumn("off",
-        coalesce(sum("psum").over(Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("pid", "off")
-    docs
-      .withColumn("lc", sum("n_chars").over(wLocal))
-      .join(broadcast(offs), "pid")
-      .withColumn("shard", expr(s"(lc + off - n_chars) div $target"))
-  }
+      target: Long = 65536L): org.apache.spark.sql.DataFrame =
+    Q.twoLevelPrefix(
+      table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      groupCols = Nil, orderCols = Seq(col("doc_id")),
+      valueCol = "n_chars")
+      .withColumn("shard", expr(s"cum_before div $target"))
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -128,6 +129,58 @@ object Q {
     // this does is the planning the frame's consumer reuses.
     if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p)
     else df
+  }
+
+  /** THE two-level prefix-sum offset idiom (q139's discipline), now
+    * with one definition instead of five hand-rolled copies (round-17
+    * review): returns `df` plus a `cum_before` column — the EXCLUSIVE
+    * running sum of `valueCol` within each `groupCols` group under the
+    * `orderCols` total order — computed without ever collapsing the
+    * frame onto one task:
+    *
+    *  1. range-partition on `orderCols` at `defaultParallelism` (so
+    *     partition order IS the global order) and stamp
+    *     `spark_partition_id`;
+    *  2. per-(group, pid) LOCAL running sums — a partitioned window,
+    *     never a global one;
+    *  3. the exclusive prefix of the per-(group, pid) totals is a
+    *     BOUNDED frame (≤ |groups| × parallelism rows) that
+    *     broadcast-joins back.
+    *
+    * `orderCols` must be a total order (callers append a key column),
+    * or the running sum is nondeterministic. The ranged frame feeds
+    * two plan branches, so it persists via `persist` — the default
+    * managed registry for query builders; store WRITERS pass their own
+    * plain-persist (the packSequencesBy discipline: a builder must not
+    * touch the caller's managed caches). Internals (`pid`, local sums,
+    * offsets) are dropped from the output.
+    */
+  def twoLevelPrefix(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: String,
+      persist: DataFrame => DataFrame = managed): DataFrame = {
+    val par =
+      math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val ranged = persist(df
+      .repartitionByRange(par, orderCols: _*)
+      .withColumn("pid", spark_partition_id()))
+    val grp = groupCols.map(col)
+    val wLocal = Window.partitionBy(grp :+ col("pid"): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(grp: _*).orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranged.groupBy(grp :+ col("pid"): _*)
+      .agg(sum(valueCol).as("psum"))
+      .withColumn("off", coalesce(sum("psum").over(wOff), lit(0L)))
+      .select((groupCols :+ "pid").map(col) :+ col("off"): _*)
+    ranged
+      .withColumn("lc", sum(valueCol).over(wLocal))
+      .join(broadcast(offs), groupCols :+ "pid")
+      .withColumn("cum_before", col("lc") + col("off") - col(valueCol))
+      .drop("lc", "off", "pid")
   }
 
   /** Exact, order-independent sum of a floating column: cast every value to

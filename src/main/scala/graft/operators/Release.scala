@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -189,31 +188,16 @@ object Release {
   private[graft] def packSequencesBy(
       enc: DataFrame,
       persist: DataFrame => DataFrame): DataFrame = {
-    val par = math.max(1,
-      enc.sparkSession.sparkContext.defaultParallelism)
     // 1. SKINNY offset pass: (doc_id, shard, ntok) only — ~20 bytes a
-    //    doc through the range exchange, never the token payload
-    val skinny = persist(enc
-      .select(col("doc_id"), size(col("token_ids")).cast("long").as("ntok"))
-      .withColumn("shard", pmod(col("doc_id"), lit(NumShards)))
-      .repartitionByRange(par, col("doc_id"))
-      .withColumn("pid", spark_partition_id()))
-    val wLocal = Window.partitionBy("shard", "pid").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // exclusive per-shard prefix of the per-(shard, pid) totals —
-    // ≤ NumShards×par rows, a bounded frame (the q139 discipline)
-    val offs = skinny.groupBy("shard", "pid")
-      .agg(sum("ntok").as("psum"))
-      .withColumn("off",
-        coalesce(sum("psum").over(Window.partitionBy("shard")
-          .orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("shard", "pid", "off")
-    val assigned = skinny
-      .withColumn("lc", sum("ntok").over(wLocal))
-      .join(broadcast(offs), Seq("shard", "pid"))
-      .select(col("doc_id"), col("shard"), col("ntok"),
-        (col("lc") + col("off") - col("ntok")).as("cum_before"))
+    //    doc through the range exchange, never the token payload; the
+    //    running per-shard offsets are the ONE [[Q.twoLevelPrefix]]
+    //    definition (local windows + bounded broadcast offset frame)
+    val assigned = Q.twoLevelPrefix(
+      enc.select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("ntok"))
+        .withColumn("shard", pmod(col("doc_id"), lit(NumShards))),
+      groupCols = Seq("shard"), orderCols = Seq(col("doc_id")),
+      valueCol = "ntok", persist = persist)
     // 2. assignment joins BACK to the payload (doc_id hash equi-join
     //    at full parallelism), slices cut in-row at SeqLen multiples:
     //    bin b of the shard stream takes the doc's tokens overlapping

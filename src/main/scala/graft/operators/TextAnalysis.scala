@@ -425,7 +425,10 @@ object TextAnalysis {
       "phrases must be non-empty")
     require(window >= 0, "window must be non-negative")
     val p = spark.table(s"${name}_postings")
-    val hits = phrases.map { ph =>
+    // dedupe the request: a repeated phrase would union identical hit
+    // rows, fan the postings join out 2x, and double every collected
+    // window token inside the snippet (round-17 review finding)
+    val hits = phrases.distinct.map { ph =>
       val streams = ph.zipWithIndex.map { case (wd, i) =>
         p.filter(col("t") === wd)
           .select(col("doc_id"), (col("pos") - i).as("pos"))

@@ -1378,7 +1378,12 @@ object StreamingOps {
     // window must repair before the insertInto below, not wedge it.
     // With no rebuild corpus the catalog-repair half still runs (the
     // store files are the truth; re-registering them is always safe).
-    for (pp <- cfg.positionalPath)
+    // When a recovery FIRED, the append below must go through the doc
+    // guard regardless of the ledger: a destroyed-store recovery
+    // rebuilds from the caller's landed corpus, which by the loop's
+    // convention already includes THIS batch — the plain append would
+    // double-index every batch doc (round-17 review finding).
+    val positionalRecovered = cfg.positionalPath.exists { pp =>
       cfg.rebuildCorpus match {
         case Some(corpus) =>
           graft.operators.IndexMaintenance.recoverFamily(
@@ -1387,6 +1392,7 @@ object StreamingOps {
           graft.operators.IndexMaintenance.repairFamilyCatalog(
             s, "positional", cfg.positionalIndex, pp)
       }
+    }
     val ledger = IngestLedger.dirFor(
       s, s"${cfg.positionalIndex}_postings", id, tag = "text_index")
     val replayed = IngestLedger.committed(s, ledger)
@@ -1396,8 +1402,10 @@ object StreamingOps {
     if (!replayed) IngestLedger.write(batch.select("doc_id"), ledger)
     onLanded(batch, id)
     if (!IngestLedger.appendDone(s, ledger)) {
-      // positional: exact-once append (doc-guarded on replay)
-      if (replayed)
+      // positional: exact-once append — doc-guarded on replay AND
+      // after a recovery (the recovered store may already hold this
+      // batch's docs via the rebuild corpus)
+      if (replayed || positionalRecovered)
         graft.operators.TextAnalysis
           .appendToPositionalIndexDedup(batch, cfg.positionalIndex)
       else

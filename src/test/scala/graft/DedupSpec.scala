@@ -555,7 +555,9 @@ class DedupSpec extends SparkSpec {
       j = inter.toDouble /
         (sets(a).size + sets(b).size - inter)
       if j >= 0.8
-      if sizeOf(a) <= cap || a == hubOf(a) || b == hubOf(a)
+      // a's paired-with-hub branch is unsatisfiable (hub = group min,
+      // a < b) — the oracle SQL carries the same two live clauses
+      if sizeOf(a) <= cap || a == hubOf(a)
       if sizeOf(b) <= cap || b == hubOf(b) || a == hubOf(b)
     } yield (a, b,
       BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP)

@@ -1813,12 +1813,29 @@ class StreamingSpec extends SparkSpec {
       StreamingOps.textIndexIngestBatch(b2, 2L, cfg, (_, _) => ())
       assert(spark.table(s"${np}_postings").count() == posCount + 3L,
         "positional recovery must re-attach the store and append")
+      // destroyed store (crash left neither catalog nor files): the
+      // recovery REBUILDS from the landed corpus — which by the loop
+      // convention already includes this batch — so the append must
+      // go through the doc guard or every batch doc double-indexes
+      // (round-17 review finding)
+      spark.sql(s"DROP TABLE IF EXISTS ${np}_postings")
+      val posDir = new org.apache.hadoop.fs.Path(s"$tmp/pos")
+      posDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(posDir, true)
+      val b3 = Seq((400L, "en", "hash join late1"))
+        .toDF("doc_id", "lang", "text")
+      landed = landed.unionByName(b3)
+      StreamingOps.textIndexIngestBatch(b3, 3L, cfg, (_, _) => ())
+      spark.catalog.refreshTable(s"${np}_postings")
+      assert(spark.table(s"${np}_postings").count() == posCount + 6L,
+        "rebuild-from-landed + guarded append must index batch docs " +
+          "exactly once")
       // the appended positional store still serves the phrase probe —
       // old AND new docs (doc 100 carries the phrase)
       val hits = TextAnalysis.probePhraseIndex(
         spark, np, Seq("hash", "join"))
         .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-      assert(hits == ((0L until 8L) ++ Seq(100L, 300L)).sorted,
+      assert(hits == ((0L until 8L) ++ Seq(100L, 300L, 400L)).sorted,
         s"phrase probe must see base + appended + recovered docs: $hits")
     } finally {
       spark.catalog.listTables().collect()
