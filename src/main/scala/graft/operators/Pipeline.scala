@@ -894,7 +894,80 @@ object Pipeline {
                 MIN(score_bp) AS min_score_bp,
                 MAX(score_bp) AS max_score_bp
               FROM c CROSS JOIN t
-              GROUP BY 1 ORDER BY phase"""))
+              GROUP BY 1 ORDER BY phase""")),
+
+    // q241: curriculum SOURCE-MIX audit — the diversity cross-check on
+    // q240's schedule: a quality ordering that correlates with source
+    // front-loads one source and starves the early phases of mixture
+    // diversity (the failure mode a curation owner cross-checks
+    // against q104's mixture weights before signing the schedule).
+    // Per (phase, source): docs, tokens, and the source's token share
+    // of its phase in half-up bp. Same q240 schedule definition (ONE
+    // Q.twoLevelPrefix pass carries `source` along for free); the
+    // per-phase totals frame is ≤ 5 rows and broadcast-joins back.
+    "q241_phase_source_mix" -> QueryDef(
+      (s, dir) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val docs = Q.twoLevelPrefix(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              size(toks).cast("long").as("nt"),
+              size(array_distinct(toks)).cast("long").as("nd"))
+            .filter(col("nt") > 0)
+            .withColumn("score_bp",
+              expr("(20000 * nd + nt) div (2 * nt)")),
+          groupCols = Nil,
+          orderCols = Seq(col("score_bp").desc, col("doc_id")),
+          valueCol = "nt")
+          .managedPersist
+        val total = docs.agg(coalesce(sum("nt"), lit(0L)))
+          .head().getLong(0)
+        val budget = math.max(1L, total / 4)
+        val phased = docs
+          .withColumn("phase", expr(s"cum_before div ${budget}L"))
+        val perPhase = phased.groupBy("phase")
+          .agg(sum("nt").as("phase_tokens"))
+        phased.groupBy("phase", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+          .join(broadcast(perPhase), "phase")
+          .select(col("phase"), col("source"), col("n_docs"),
+            col("n_tokens"),
+            expr("(20000 * n_tokens + phase_tokens)" +
+              " div (2 * phase_tokens)").as("share_bp"))
+          .orderBy("phase", "source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+                  CAST(len(t) AS BIGINT) AS nt,
+                  CAST(len(list_distinct(t)) AS BIGINT) AS nd
+                FROM (SELECT doc_id, source,
+                    list_filter(string_split_regex(text, '\s+'),
+                      x -> x <> '') AS t
+                  FROM documents) z
+                WHERE len(t) > 0),
+              sc AS (SELECT doc_id, source, nt,
+                  CAST((20000 * nd + nt) // (2 * nt) AS BIGINT)
+                    AS score_bp
+                FROM d),
+              c AS (SELECT doc_id, source, nt,
+                  CAST(SUM(nt) OVER (ORDER BY score_bp DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) - nt AS BIGINT) AS cum
+                FROM sc),
+              t AS (SELECT GREATEST(1,
+                  CAST((SELECT SUM(nt) FROM d) AS BIGINT) // 4)
+                    AS budget),
+              p AS (SELECT CAST(cum // budget AS BIGINT) AS phase,
+                  source, nt
+                FROM c CROSS JOIN t),
+              pp AS (SELECT phase, CAST(SUM(nt) AS BIGINT)
+                    AS phase_tokens
+                FROM p GROUP BY 1)
+              SELECT p.phase, p.source, COUNT(*) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                CAST((20000 * SUM(nt) + phase_tokens)
+                  // (2 * phase_tokens) AS BIGINT) AS share_bp
+              FROM p JOIN pp ON pp.phase = p.phase
+              GROUP BY p.phase, p.source, pp.phase_tokens
+              ORDER BY p.phase, p.source"""))
   )
 
   /** q139's streaming bin-pack shard assignment as a reusable frame:

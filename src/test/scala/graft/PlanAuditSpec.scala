@@ -992,15 +992,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the bounded offset frame must broadcast:\n$p")
   }
 
-  test("q240: curriculum schedule rides the two-level prefix sum on the skinny score frame") {
-    val p = plan("q240_curriculum_phases")
-    assert(!p.contains("CartesianProduct"), s"q240 planned a cartesian:\n$p")
-    assert(p.contains("pid"),
-      s"q240's offsets must ride the two-level prefix sum:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the bounded offset frame must broadcast:\n$p")
-    assert(p.contains("partial_"),
-      s"the phase rollup must combine map-side:\n$p")
+  test("q240/q241: curriculum schedule rides the two-level prefix sum on the skinny score frame") {
+    for (q <- Seq("q240_curriculum_phases", "q241_phase_source_mix")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      assert(p.contains("pid"),
+        s"$q's offsets must ride the two-level prefix sum:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the bounded offset/phase frames must broadcast:\n$p")
+      assert(p.contains("partial_"),
+        s"the rollups must combine map-side:\n$p")
+    }
   }
 
   test("q232/q233: severity rides the posting join; the skew audit is two bounded aggs") {
