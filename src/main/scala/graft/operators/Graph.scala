@@ -163,6 +163,80 @@ object Graph {
       .orderBy("hop")
   }
 
+  /** Triangle census + global clustering over a directed edge list —
+    * one row: undirected node/edge counts, reciprocal directed pairs,
+    * wedge count Σ d(d−1)/2, triangle count, and 3·tri/wedges in
+    * half-up bp (0 on a wedge-free graph). Self-loops are dropped;
+    * direction is collapsed to the canonical (a < b) undirected set.
+    * Counting is COMPACT-FORWARD (Latapy 2008): each undirected edge
+    * is oriented from its (degree, id)-smaller endpoint, so every
+    * triangle is generated exactly once at its ≺-minimal vertex and
+    * the wedge join fans out from LOW-degree vertices only — a hub's
+    * d² wedge explosion never materializes (O(m^1.5) worst-case wedge
+    * rows, the listing optimum). All exchanges are hash exchanges at
+    * full parallelism (pivot u for wedges, the (v, w) pair for the
+    * closing semi-join); scalar rollups ride 1-row broadcasts.
+    * GraphSpec pins the motif arithmetic on a hand-built
+    * triangle/square/star/mutual-pair graph.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e2 = edges
+      .filter(col("src") =!= col("dst"))
+      .managedPersist
+    // canonical undirected edge set (a < b)
+    val und = e2
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .managedPersist
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // compact-forward orientation: u → v iff (d(u), u) < (d(v), v)
+    // — struct comparison is the total order, no global window;
+    // inner key structs share field names (d, n) so Spark's
+    // struct ordering applies (differing names = differing types)
+    val ka = struct(col("da").as("d"), col("a").as("n"))
+    val kb = struct(col("db").as("d"), col("b").as("n"))
+    val ov = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      .select(
+        when(ka < kb, struct(col("a").as("u"), col("b").as("v"),
+          kb.as("kv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            ka.as("kv")))
+          .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"),
+        col("o.kv").as("kv"))
+      .managedPersist
+    // wedges at the ≺-minimal pivot, closed against oriented edges
+    val lo = ov.select(col("u"), col("v").as("p"), col("kv").as("kp"))
+    val hi = ov.select(col("u"), col("v").as("q"), col("kv").as("kq"))
+    val tri = lo.join(hi, Seq("u"))
+      .filter(col("kp") < col("kq"))
+      .select(col("p").as("u"), col("q").as("v"))
+      .join(ov.select("u", "v"), Seq("u", "v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val recip = e2.as("x")
+      .join(e2.as("y"),
+        col("y.src") === col("x.dst") && col("y.dst") === col("x.src"),
+        "left_semi")
+      .agg(expr("count(1) div 2").as("n_recip"))
+    val wedges = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+    val ne = und.agg(count(lit(1)).as("n_edges"))
+    wedges.crossJoin(broadcast(ne))
+      .crossJoin(broadcast(recip))
+      .crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_recip"),
+        col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, 0L)
+          .otherwise(expr("(20000 * 3 * n_triangles + n_wedges)" +
+            " div (2 * n_wedges)"))
+          .as("gcc_bp"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // PageRank over the extracted link graph: rank in integer micros,
@@ -248,6 +322,65 @@ object Graph {
     // shuffle volume tracks frontier size × out-degree over a cached
     // edge scan (the Stress khop probe times the round phase
     // separately from the untimed edge build).
+    // q242: TRIANGLE census + global clustering over the same link
+    // graph — the motif-counting member of the graph family (q178
+    // authority, q237 reachability, q242 local structure): a crawl
+    // curator reads the triangle/wedge profile to distinguish organic
+    // community linkage from spam farms (link farms are wedge-rich,
+    // triangle-poor — exactly this report's gcc_bp). One row:
+    // undirected node/edge counts, reciprocal directed pairs, wedge
+    // count Σ d(d−1)/2, triangle count, and the global clustering
+    // coefficient 3·tri/wedges in half-up bp (q219 long-math idiom,
+    // empty-wedge guarded). Counting uses the COMPACT-FORWARD
+    // orientation (Latapy 2008; also Suri & Vassilvitskii 2011's
+    // MR adaptation): every undirected edge is oriented from the
+    // (degree, id)-smaller endpoint to the larger, so each triangle
+    // is generated exactly once at its ≺-minimal vertex and the wedge
+    // join fans out from LOW-degree vertices only — the hub's d²
+    // wedge explosion never materializes (worst case O(m^1.5) wedge
+    // rows, the listing optimum, vs O(Σd²) unoriented). Plan at
+    // 100 TB: the oriented edge list is skinny (two longs + a struct
+    // key), the wedge join shuffles on the pivot u, the closing join
+    // shuffles on the (v, w) pair — all hash exchanges at full
+    // parallelism; scalar rollups ride 1-row broadcasts. The oracle
+    // counts the same triangles by canonical (a < b) triple-join —
+    // orientation provably does not change the count, so the two
+    // formulations must hash-match.
+    "q242_graph_triangles" -> QueryDef(
+      (s, dir) => triangleStats(linkEdges(s, dir)),
+      Some(s"""WITH $linkFixtureSql,
+              edges AS (SELECT DISTINCT doc_id AS src,
+                  CAST(m AS BIGINT) AS dst
+                FROM (SELECT doc_id,
+                    UNNEST(regexp_extract_all(text2,
+                      'link->doc([0-9]+)', 1)) AS m
+                  FROM docs) q),
+              e2 AS (SELECT src, dst FROM edges WHERE src <> dst),
+              und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                  GREATEST(src, dst) AS b
+                FROM e2),
+              deg AS (SELECT node, COUNT(*) AS d
+                FROM (SELECT a AS node FROM und
+                  UNION ALL SELECT b FROM und) z
+                GROUP BY 1),
+              w AS (SELECT COUNT(*) AS n_nodes,
+                  CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+                    AS n_wedges
+                FROM deg),
+              tri AS (SELECT COUNT(*) AS n_triangles
+                FROM und e1
+                JOIN und ex ON ex.a = e1.a AND ex.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = ex.b),
+              rec AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS n_recip
+                FROM e2 x JOIN e2 y
+                  ON y.src = x.dst AND y.dst = x.src),
+              ne AS (SELECT COUNT(*) AS n_edges FROM und)
+              SELECT n_nodes, n_edges, n_recip, n_wedges, n_triangles,
+                CAST(CASE WHEN n_wedges = 0 THEN 0
+                  ELSE (20000 * 3 * n_triangles + n_wedges)
+                    // (2 * n_wedges) END AS BIGINT) AS gcc_bp
+              FROM w, ne, tri, rec""")),
+
     "q237_khop_reachability" -> QueryDef(
       (s, dir) => {
         val seeds = table(s, dir, "documents")

@@ -749,29 +749,10 @@ object Pipeline {
     "q238_packed_fill" -> QueryDef(
       (s, dir) => {
         val seqLen = 512L
-        // per-shard running offsets: the one Q.twoLevelPrefix
-        // definition over the skinny (doc_id, shard, nw) frame
-        val assigned = Q.twoLevelPrefix(
-          table(s, dir, "documents")
-            .select(col("doc_id"),
-              size(TextAnalysis.tokens(col("text"))).cast("long")
-                .as("nw"))
-            .withColumn("shard", pmod(col("doc_id"), lit(8))),
-          groupCols = Seq("shard"), orderCols = Seq(col("doc_id")),
-          valueCol = "nw")
-          .withColumnRenamed("cum_before", "cum")
-          .withColumn("b0", expr(s"cum div $seqLen"))
-          .withColumn("b1",
-            expr(s"if(nw = 0, b0, (cum + nw - 1) div $seqLen)"))
-          .managedPersist
-        val bins = assigned
-          .select(col("shard"), explode(expr(
-            s"""transform(sequence(b0, b1), b -> struct(b as seq,
-               |  least(cum + nw, (b + 1) * $seqLen)
-               |    - greatest(cum, b * $seqLen) as cnt))""".stripMargin))
-            .as("sl"))
-          .groupBy(col("shard"), col("sl.seq").as("seq"))
-          .agg(sum("sl.cnt").as("bt"))
+        val assigned = wordBinAssigned(s, dir, seqLen)
+        val bins = wordBinSlices(assigned, seqLen)
+          .groupBy(col("shard"), col("seq"))
+          .agg(sum("cnt").as("bt"))
         val perShard = bins.groupBy("shard")
           .agg(count(lit(1)).as("n_seqs"), sum("bt").as("n_words"),
             sum(when(col("bt") === seqLen, 1L).otherwise(0L))
@@ -788,22 +769,7 @@ object Pipeline {
             col("n_split_docs"))
           .orderBy("shard")
       },
-      Some("""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
-                  CAST(len(list_filter(string_split_regex(text, '\s+'),
-                    x -> x <> '')) AS BIGINT) AS nw
-                FROM documents),
-              c AS (SELECT doc_id, shard, nw,
-                  CAST(SUM(nw) OVER (PARTITION BY shard ORDER BY doc_id
-                    ROWS UNBOUNDED PRECEDING) - nw AS BIGINT) AS cum
-                FROM d),
-              a AS (SELECT *, CAST(cum // 512 AS BIGINT) AS b0,
-                  CAST(CASE WHEN nw = 0 THEN cum // 512
-                    ELSE (cum + nw - 1) // 512 END AS BIGINT) AS b1
-                FROM c),
-              sl AS (SELECT shard, b AS seq,
-                  LEAST(cum + nw, (b + 1) * 512)
-                    - GREATEST(cum, b * 512) AS cnt
-                FROM a, UNNEST(range(b0, b1 + 1)) AS u(b)),
+      Some(s"""WITH $wordBinSlicesSql,
               bins AS (SELECT shard, seq, SUM(cnt) AS bt
                 FROM sl GROUP BY 1, 2),
               ps AS (SELECT shard, COUNT(*) AS n_seqs,
@@ -841,28 +807,7 @@ object Pipeline {
     // one bounded per-phase rollup; no payload, no global window.
     "q240_curriculum_phases" -> QueryDef(
       (s, dir) => {
-        val toks = TextAnalysis.tokens(col("text"))
-        // running token offsets under the CURRICULUM total order
-        // (score desc, doc_id) — the one Q.twoLevelPrefix definition
-        val docs = Q.twoLevelPrefix(
-          table(s, dir, "documents")
-            .select(col("doc_id"), size(toks).cast("long").as("nt"),
-              size(array_distinct(toks)).cast("long").as("nd"))
-            .filter(col("nt") > 0)
-            .withColumn("score_bp",
-              expr("(20000 * nd + nt) div (2 * nt)")),
-          groupCols = Nil,
-          orderCols = Seq(col("score_bp").desc, col("doc_id")),
-          valueCol = "nt")
-          .managedPersist
-        // coalesce: an all-empty corpus leaves zero scored docs and a
-        // null sum — the oracle returns an empty frame there, so the
-        // engine must too, not NPE (the bandOccupancyStats guard class)
-        val total = docs.agg(coalesce(sum("nt"), lit(0L)))
-          .head().getLong(0)
-        val budget = math.max(1L, total / 4)
-        docs
-          .withColumn("phase", expr(s"cum_before div ${budget}L"))
+        curriculumPhased(s, dir, withSource = false)
           .groupBy("phase")
           .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
             min("score_bp").as("min_score_bp"),
@@ -907,24 +852,7 @@ object Pipeline {
     // per-phase totals frame is ≤ 5 rows and broadcast-joins back.
     "q241_phase_source_mix" -> QueryDef(
       (s, dir) => {
-        val toks = TextAnalysis.tokens(col("text"))
-        val docs = Q.twoLevelPrefix(
-          table(s, dir, "documents")
-            .select(col("doc_id"), col("source"),
-              size(toks).cast("long").as("nt"),
-              size(array_distinct(toks)).cast("long").as("nd"))
-            .filter(col("nt") > 0)
-            .withColumn("score_bp",
-              expr("(20000 * nd + nt) div (2 * nt)")),
-          groupCols = Nil,
-          orderCols = Seq(col("score_bp").desc, col("doc_id")),
-          valueCol = "nt")
-          .managedPersist
-        val total = docs.agg(coalesce(sum("nt"), lit(0L)))
-          .head().getLong(0)
-        val budget = math.max(1L, total / 4)
-        val phased = docs
-          .withColumn("phase", expr(s"cum_before div ${budget}L"))
+        val phased = curriculumPhased(s, dir, withSource = true)
         val perPhase = phased.groupBy("phase")
           .agg(sum("nt").as("phase_tokens"))
         phased.groupBy("phase", "source")
@@ -967,8 +895,273 @@ object Pipeline {
                   // (2 * phase_tokens) AS BIGINT) AS share_bp
               FROM p JOIN pp ON pp.phase = p.phase
               GROUP BY p.phase, p.source, pp.phase_tokens
-              ORDER BY p.phase, p.source"""))
+              ORDER BY p.phase, p.source""")),
+
+    // q243: packed-sequence CROSS-DOCUMENT attention audit — the cost
+    // report behind the q235/q238 packing decision: a dataloader that
+    // packs multiple documents into one fixed-length sequence without
+    // block-diagonal attention masking lets tokens attend across doc
+    // boundaries; the fraction of causal attention pairs that cross a
+    // boundary is exactly the contamination a training owner weighs
+    // against the fill win (q238's fill_bp) when choosing packing vs
+    // padding. At word grain over the same q238 bin arithmetic (ONE
+    // wordBinAssigned/wordBinSlices definition — the two audits can
+    // never disagree on the bins): per release shard, sequences, total
+    // causal pairs Σ L(L−1)/2, cross-doc pairs Σ (L(L−1)/2 − Σᵢ
+    // cᵢ(cᵢ−1)/2) (a doc occupies ONE contiguous slice per bin, so
+    // within-doc pairs are per-slice pairs), and the cross share in
+    // half-up bp. Plan at 100 TB: identical to q238 — skinny
+    // two-level prefix sum at defaultParallelism, in-row HOF slicing
+    // carrying counts only, one (shard, seq) partial agg, one bounded
+    // per-shard rollup; pair math is integer throughout (L ≤ 512 —
+    // no overflow anywhere near Long).
+    "q243_pack_attention_mix" -> QueryDef(
+      (s, dir) => {
+        val seqLen = 512L
+        val bins = wordBinSlices(wordBinAssigned(s, dir, seqLen), seqLen)
+          .groupBy(col("shard"), col("seq"))
+          .agg(sum("cnt").as("bl"),
+            sum(expr("cnt * (cnt - 1) div 2")).as("wd"))
+        bins.groupBy("shard")
+          .agg(count(lit(1)).as("n_seqs"),
+            sum(expr("bl * (bl - 1) div 2")).as("n_pairs"),
+            sum(expr("bl * (bl - 1) div 2 - wd")).as("n_cross"))
+          .select(col("shard"), col("n_seqs"), col("n_pairs"),
+            col("n_cross"),
+            when(col("n_pairs") === 0, 0L)
+              .otherwise(expr("(20000 * n_cross + n_pairs)" +
+                " div (2 * n_pairs)"))
+              .as("cross_bp"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH $wordBinSlicesSql,
+              bins AS (SELECT shard, seq,
+                  CAST(SUM(cnt) AS BIGINT) AS bl,
+                  CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT) AS wd
+                FROM sl GROUP BY 1, 2)
+              SELECT shard, COUNT(*) AS n_seqs,
+                CAST(SUM(bl * (bl - 1) // 2) AS BIGINT) AS n_pairs,
+                CAST(SUM(bl * (bl - 1) // 2 - wd) AS BIGINT) AS n_cross,
+                CAST(CASE WHEN SUM(bl * (bl - 1) // 2) = 0 THEN 0
+                  ELSE (20000 * SUM(bl * (bl - 1) // 2 - wd)
+                      + SUM(bl * (bl - 1) // 2))
+                    // (2 * SUM(bl * (bl - 1) // 2)) END AS BIGINT)
+                  AS cross_bp
+              FROM bins GROUP BY shard ORDER BY shard""")),
+
+    // q244: curriculum-phase DUPLICATION audit — the interaction
+    // report between the dedup family (q22's exact-dup survivorship)
+    // and the curriculum schedule (q240): does the quality ordering
+    // front-load duplicated text? A high-scoring template family
+    // (boilerplate scores deceptively well on some quality metrics)
+    // concentrates its copies in the early phases, and the model sees
+    // the same text many times in its highest-learning-rate window —
+    // the failure a curation owner checks BEFORE shipping a schedule,
+    // since q240's per-phase extremes can't see it. The synthetic
+    // corpus has ZERO exact duplicates at the gate SF, so copies are
+    // planted by the declared dupFixtureDocs arithmetic (doc_id ≡ 21
+    // mod 40 copies doc_id − 20 — the linkFixture discipline; an
+    // exact copy shares its donor's score and therefore its PHASE
+    // NEIGHBORHOOD, which is precisely the clustering this audit
+    // exists to surface). The schedule runs over the SAME augmented
+    // frame through the one curriculumPhasedOf definition. Dup mark =
+    // exact q22 semantics (survivor = min-doc_id per md5 group; both
+    // engines group on the digest); per phase: docs, dup docs,
+    // tokens, dup tokens, and the dup token share in half-up bp.
+    // Plan at 100 TB: the q240 skinny prefix-sum schedule + ONE
+    // digest groupBy (never all-pairs, the q22 shape) + one
+    // doc_id-keyed join; rollup is a ≤ 5-group partial agg.
+    "q244_phase_dup_rate" -> QueryDef(
+      (s, dir) => {
+        val base = dupFixtureDocs(s, dir).managedPersist
+        val docs = base.select(col("doc_id"), md5(col("text")).as("h"))
+        val dup = docs
+          .join(docs.groupBy("h").agg(min("doc_id").as("surv")), "h")
+          .select(col("doc_id"),
+            when(col("doc_id") > col("surv"), 1L).otherwise(0L)
+              .as("is_dup"))
+        curriculumPhasedOf(base, withSource = false)
+          .join(dup, "doc_id")
+          .groupBy("phase")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("is_dup").as("n_dup_docs"),
+            sum("nt").as("n_tokens"),
+            sum(expr("is_dup * nt")).as("dup_tokens"))
+          .select(col("phase"), col("n_docs"), col("n_dup_docs"),
+            col("n_tokens"), col("dup_tokens"),
+            expr("(20000 * dup_tokens + n_tokens)" +
+              " div (2 * n_tokens)").as("dup_bp"))
+          .orderBy("phase")
+      },
+      Some("""WITH base AS (SELECT d.doc_id,
+                  CASE WHEN d.doc_id % 40 = 21 AND o.text IS NOT NULL
+                    THEN o.text ELSE d.text END AS text
+                FROM documents d LEFT JOIN documents o
+                  ON o.doc_id = d.doc_id - 20 AND o.doc_id % 40 = 1),
+              d AS (SELECT doc_id,
+                  CAST(len(t) AS BIGINT) AS nt,
+                  CAST(len(list_distinct(t)) AS BIGINT) AS nd
+                FROM (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                      x -> x <> '') AS t
+                  FROM base) z
+                WHERE len(t) > 0),
+              sc AS (SELECT doc_id, nt,
+                  CAST((20000 * nd + nt) // (2 * nt) AS BIGINT)
+                    AS score_bp
+                FROM d),
+              c AS (SELECT doc_id, nt,
+                  CAST(SUM(nt) OVER (ORDER BY score_bp DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) - nt AS BIGINT) AS cum
+                FROM sc),
+              t AS (SELECT GREATEST(1,
+                  CAST((SELECT SUM(nt) FROM d) AS BIGINT) // 4)
+                    AS budget),
+              dup AS (SELECT doc_id,
+                  CASE WHEN doc_id > MIN(doc_id)
+                      OVER (PARTITION BY md5(text))
+                    THEN 1 ELSE 0 END AS is_dup
+                FROM base),
+              p AS (SELECT CAST(cum // budget AS BIGINT) AS phase,
+                  c.doc_id, nt, is_dup
+                FROM c CROSS JOIN t
+                JOIN dup ON dup.doc_id = c.doc_id)
+              SELECT phase, COUNT(*) AS n_docs,
+                CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+                CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                CAST(SUM(is_dup * nt) AS BIGINT) AS dup_tokens,
+                CAST((20000 * SUM(is_dup * nt) + SUM(nt))
+                  // (2 * SUM(nt)) AS BIGINT) AS dup_bp
+              FROM p GROUP BY phase ORDER BY phase"""))
   )
+
+  /** q238's word-grain release-shard bin assignment — per document:
+    * whitespace-token count `nw`, release shard (doc_id mod 8), the
+    * exclusive per-shard running offset `cum` (the one
+    * `Q.twoLevelPrefix` definition over the skinny frame), and the
+    * first/last bin the doc touches (`b0`/`b1`). Shared by the fill
+    * audit (q238) and the cross-doc attention audit (q243) so the two
+    * reports can never disagree on the bin arithmetic.
+    */
+  private def wordBinAssigned(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      seqLen: Long): org.apache.spark.sql.DataFrame =
+    Q.twoLevelPrefix(
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("nw"))
+        .withColumn("shard", pmod(col("doc_id"), lit(8))),
+      groupCols = Seq("shard"), orderCols = Seq(col("doc_id")),
+      valueCol = "nw")
+      .withColumnRenamed("cum_before", "cum")
+      .withColumn("b0", expr(s"cum div $seqLen"))
+      .withColumn("b1",
+        expr(s"if(nw = 0, b0, (cum + nw - 1) div $seqLen)"))
+      .managedPersist
+
+  /** One row per (doc, bin) SLICE of [[wordBinAssigned]] — the
+    * in-row HOF expansion carrying COUNTS only (no payload): `cnt` =
+    * how many of the doc's words land in bin `seq` of its shard.
+    */
+  private def wordBinSlices(
+      assigned: org.apache.spark.sql.DataFrame,
+      seqLen: Long): org.apache.spark.sql.DataFrame =
+    assigned
+      .select(col("shard"), explode(expr(
+        s"""transform(sequence(b0, b1), b -> struct(b as seq,
+           |  least(cum + nw, (b + 1) * $seqLen)
+           |    - greatest(cum, b * $seqLen) as cnt))""".stripMargin))
+        .as("sl"))
+      .select(col("shard"), col("sl.seq").as("seq"),
+        col("sl.cnt").as("cnt"))
+
+  /** The d/c/a/sl oracle CTE chain mirroring [[wordBinAssigned]] +
+    * [[wordBinSlices]] at `seqLen` 512 — shared verbatim by the q238
+    * and q243 oracles.
+    */
+  private def wordBinSlicesSql: String =
+    """d AS (SELECT doc_id, doc_id % 8 AS shard,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '')) AS BIGINT) AS nw
+                FROM documents),
+              c AS (SELECT doc_id, shard, nw,
+                  CAST(SUM(nw) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - nw AS BIGINT) AS cum
+                FROM d),
+              a AS (SELECT *, CAST(cum // 512 AS BIGINT) AS b0,
+                  CAST(CASE WHEN nw = 0 THEN cum // 512
+                    ELSE (cum + nw - 1) // 512 END AS BIGINT) AS b1
+                FROM c),
+              sl AS (SELECT shard, b AS seq,
+                  LEAST(cum + nw, (b + 1) * 512)
+                    - GREATEST(cum, b * 512) AS cnt
+                FROM a, UNNEST(range(b0, b1 + 1)) AS u(b))"""
+
+  /** The q240 curriculum schedule as a reusable frame — per non-empty
+    * document: token count `nt`, lexical-diversity `score_bp`, and the
+    * token-budget `phase` under the (score DESC, doc_id) total order
+    * (budget = total/4, integer). ONE definition shared by the phase
+    * report (q240), the source-mix audit (q241, which rides `source`
+    * along), and the duplication audit (q244) so the three reports can
+    * never disagree on the schedule. The single driver-side action is
+    * the 1-row token total (coalesce-guarded: an all-empty corpus
+    * yields an empty frame, not an NPE — the bandOccupancyStats guard
+    * class); everything else is the skinny two-level prefix sum at
+    * defaultParallelism.
+    */
+  private def curriculumPhased(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      withSource: Boolean): org.apache.spark.sql.DataFrame =
+    curriculumPhasedOf(table(s, dir, "documents"), withSource)
+
+  /** Df-based core of [[curriculumPhased]] — q244 schedules its
+    * dup-fixture-augmented corpus through the SAME definition.
+    */
+  private def curriculumPhasedOf(
+      docsIn: org.apache.spark.sql.DataFrame,
+      withSource: Boolean): org.apache.spark.sql.DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val srcCols = if (withSource) Seq(col("source")) else Nil
+    val docs = Q.twoLevelPrefix(
+      docsIn
+        .select((Seq(col("doc_id")) ++ srcCols ++ Seq(
+          size(toks).cast("long").as("nt"),
+          size(array_distinct(toks)).cast("long").as("nd"))): _*)
+        .filter(col("nt") > 0)
+        .withColumn("score_bp",
+          expr("(20000 * nd + nt) div (2 * nt)")),
+      groupCols = Nil,
+      orderCols = Seq(col("score_bp").desc, col("doc_id")),
+      valueCol = "nt")
+      .managedPersist
+    val total = docs.agg(coalesce(sum("nt"), lit(0L)))
+      .head().getLong(0)
+    val budget = math.max(1L, total / 4)
+    docs.withColumn("phase", expr(s"cum_before div ${budget}L"))
+  }
+
+  /** The declared exact-dup fixture for q244 (the linkFixture
+    * discipline — the synthetic corpus has zero exact duplicates at
+    * the gate SF, so copies are planted with declared arithmetic):
+    * every doc with doc_id ≡ 21 (mod 40) REPLACES its text with the
+    * text of doc_id − 20 (its donor, ≡ 1 mod 40 — never itself a
+    * target, so copy chains cannot form). Expressed as one doc_id-
+    * keyed equi-join against the filtered donor frame in both
+    * engines; a missing donor keeps the original text (declared,
+    * join-guarded).
+    */
+  private def dupFixtureDocs(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val raw = table(s, dir, "documents")
+    val donors = raw.filter(col("doc_id") % 40 === 1)
+      .select((col("doc_id") + 20).as("doc_id"), col("text").as("dtext"))
+    raw.join(donors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 40 === 21 && col("dtext").isNotNull,
+          col("dtext")).otherwise(col("text")).as("text"))
+  }
 
   /** q139's streaming bin-pack shard assignment as a reusable frame:
     * (doc_id, n_chars, shard) with shard = floor(exclusive-prefix-sum

@@ -93,4 +93,55 @@ class GraphSpec extends SparkSpec {
     assert(island == Seq((0L, 1L)), s"dead frontier must stop: $island")
     graft.operators.Q.releaseManaged()
   }
+
+  test("triangleStats: motif arithmetic on triangle/square/star/mutual-pair") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // one triangle {1,2,3}; one 4-cycle {4,5,6,7} (wedge-rich,
+    // triangle-free); a 5-leaf hub star at 10 (the d² shape the
+    // compact-forward orientation must NOT expand at the hub); one
+    // mutual pair 20<->21 (reciprocity, collapses to ONE undirected
+    // edge); a self-loop 30->30 (dropped by declaration)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L), (10L, 15L),
+      (20L, 21L), (21L, 20L),
+      (30L, 30L)
+    ).toDF("src", "dst")
+    val r = Graph.triangleStats(edges).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // nodes: 3 + 4 + 6 + 2 (the self-loop-only node 30 contributes no
+    // undirected edge, hence no degree row)
+    assert(row.getLong(0) === 15L, s"n_nodes: $row")
+    assert(row.getLong(1) === 13L, s"n_edges: $row") // 3 + 4 + 5 + 1
+    assert(row.getLong(2) === 1L, s"n_recip: $row")
+    // wedges: triangle 3·C(2,2)=3, square 4, star C(5,2)=10, pair 0
+    assert(row.getLong(3) === 17L, s"n_wedges: $row")
+    assert(row.getLong(4) === 1L, s"n_triangles: $row")
+    // gcc = 3·1/17 → (60000 + 17) div 34 = 1765 half-up bp
+    assert(row.getLong(5) === 1765L, s"gcc_bp: $row")
+    // orientation invariance: reversing every edge direction changes
+    // NOTHING the census reports (it is an undirected statistic
+    // except reciprocity, which is direction-symmetric)
+    val rev = Graph.triangleStats(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).collect()
+    assert(rev.head.toSeq === row.toSeq, s"direction leaked: ${rev.head}")
+    graft.operators.Q.releaseManaged()
+  }
+
+  test("triangleStats: wedge-free and empty graphs report zero, not null") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // single edge: 2 nodes, 1 edge, 0 wedges — gcc guard must emit 0
+    val one = Graph.triangleStats(Seq((1L, 2L)).toDF("src", "dst"))
+      .collect().head
+    assert(one.toSeq === Seq(2L, 1L, 0L, 0L, 0L, 0L), s"one-edge: $one")
+    // self-loops only → empty undirected set; every count is 0
+    val empty = Graph.triangleStats(Seq((5L, 5L)).toDF("src", "dst"))
+      .collect().head
+    assert(empty.toSeq === Seq(0L, 0L, 0L, 0L, 0L, 0L), s"empty: $empty")
+    graft.operators.Q.releaseManaged()
+  }
 }

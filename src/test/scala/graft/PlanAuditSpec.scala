@@ -1005,6 +1005,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q242: triangle census joins hash-exchange only; scalar rollups broadcast") {
+    val p = plan("q242_graph_triangles")
+    assert(!p.contains("CartesianProduct"), s"q242 planned a cartesian:\n$p")
+    // the closing and reciprocity joins are key-equi semi joins —
+    // nested loops over the edge set would be the d² explosion the
+    // compact-forward orientation exists to avoid (the 1-row scalar
+    // crossJoins DO plan as BroadcastNestedLoopJoin; they are bounded
+    // by construction, so the census is judged by its semi joins)
+    assert(p.contains("LeftSemi"),
+      s"q242's closing/reciprocity joins must be semi joins:\n$p")
+    assert(p.contains("partial_"),
+      s"the census aggregates must combine map-side:\n$p")
+  }
+
+  test("q243/q244: packing-attention and phase-dup ride the shared prefix-sum frames") {
+    for (q <- Seq("q243_pack_attention_mix", "q244_phase_dup_rate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      assert(p.contains("pid"),
+        s"$q's offsets must ride the two-level prefix sum:\n$p")
+      assert(p.contains("partial_"),
+        s"$q's rollups must combine map-side:\n$p")
+    }
+  }
+
   test("q232/q233: severity rides the posting join; the skew audit is two bounded aggs") {
     val p232 = plan("q232_contamination_severity")
     assert(!p232.contains("CartesianProduct"),
