@@ -220,7 +220,8 @@ object Stress {
         vocabSize = 64, maxPieceLen = 4, seedSize = 200, emIters = 1))
     else None
 
-    val khopEdges = if (selected("khop_rounds")) {
+    val khopEdges = if (selected("khop_rounds") ||
+        selected("triangle_census")) {
       // the ONE edge definition (Graph.linkEdgesOf) — a drifted copy
       // here would make the probe measure a different graph than q237
       val e = graft.operators.Graph.linkEdgesOf(documents)
@@ -1146,6 +1147,18 @@ object Stress {
           .select(col("doc_id").as("node")).distinct()
         graft.operators.Graph.khopCounts(khopEdges.get, seeds, 4)
           .agg(max("n_cum")).head().getLong(0)
+      },
+      // q242 shape: triangle census over the same cached edge list.
+      // The inflated graph is EXACTLY the adversarial case compact-
+      // forward exists for: salted sources keep out-degree ~2-3 while
+      // the < 400 fixture targets grow in-degree LINEARLY with the
+      // factor — unoriented wedge counting would grow ~factor² at the
+      // hub targets, the oriented join pivots at the low-degree
+      // sources and must stay ~linear; comparing factors reads that
+      // exponent directly
+      timed("triangle_census") {
+        graft.operators.Graph.triangleStats(khopEdges.get)
+          .head().getLong(4)
       })
 
     val ran = results.filter(_._2 >= 0.0)

@@ -237,6 +237,118 @@ object Graph {
           .as("gcc_bp"))
   }
 
+  /** Multi-source bounded-depth BFS — khopCounts generalized to carry
+    * WHICH seed reached a node: returns (seed, node, hop) for every
+    * (seed, node) pair with a path of length ≤ k, hop = the shortest
+    * such length (hop 0 = the seed itself). Same per-round discipline
+    * as khopCounts (frontier-only edge join, visited anti-join, both
+    * skinny frames localCheckpoint'd — O(1) plan depth in k); state
+    * and shuffle are bounded by |seeds| × reachable nodes, so the
+    * operator is declared for BOUNDED seed sets (a centrality probe
+    * panel, not all-pairs BFS — all-pairs at 100 TB is a different
+    * algorithm). The anti-join key is the (seed, node) PAIR: a node
+    * already reached by seed A must still be reached by seed B.
+    */
+  def multiSourceDistances(
+      edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    val preCached =
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val e = if (preCached) edges
+      else edges
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col("seed"))
+      .distinct()
+      .select(col("seed"), col("seed").as("node"))
+      .withColumn("hop", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select("seed", "node")
+    var h = 1
+    while (h <= k) {
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited
+        .union(next.withColumn("hop", lit(h.toLong)))
+        .localCheckpoint(true)
+      frontier = next
+      h += 1
+    }
+    if (!preCached) e.unpersist(blocking = false)
+    visited
+  }
+
+  /** Number of HITS iterations — fixed by declaration; the oracle
+    * unrolls the same count.
+    */
+  private val HitsIters = 4
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    * list, in the q178 integer-micros determinism discipline: scores
+    * live in integer micros, every step is integer arithmetic, and
+    * the standard L2 normalization is replaced by the declared
+    * MAX-normalization (after each half-step the vector is rescaled
+    * so its maximum is 1e6: `(1e6 · r) div max`, zero-max guarded) —
+    * same fixpoint direction, exactly representable cross-engine.
+    * Per iteration: authority(n) = Σ hub over in-edges, rescale;
+    * hub(n) = Σ authority over out-edges, rescale. Returns
+    * (node, auth_micro, hub_micro) for every node. Scale shape is
+    * q178's: the edge list is scanned from cache each half-step, the
+    * score frames are two longs per node and localCheckpoint'd, so
+    * plan depth stays O(1) in the iteration count; the per-step max
+    * is a 1-row broadcast, never a driver collect.
+    */
+  def hitsScores(edges: DataFrame, iters: Int = HitsIters): DataFrame = {
+    val e = edges.managedPersist
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .managedPersist
+    def rescale(raw: DataFrame): DataFrame = {
+      val m = raw.agg(coalesce(max("r"), lit(0L)).as("m"))
+      raw.crossJoin(broadcast(m))
+        .select(col("node"),
+          when(col("m") === 0, 0L)
+            .otherwise(expr("(1000000L * r) div m")).as("r"))
+        .localCheckpoint(true)
+    }
+    var hub = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
+    var auth = hub
+    for (_ <- 1 to iters) {
+      val ar = e.join(hub, e("src") === hub("node"))
+        .groupBy(e("dst").as("node")).agg(sum("r").as("s"))
+      auth = rescale(nodes.join(ar, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("r")))
+      val hr = e.join(auth, e("dst") === auth("node"))
+        .groupBy(e("src").as("node")).agg(sum("r").as("s"))
+      hub = rescale(nodes.join(hr, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("r")))
+    }
+    auth.withColumnRenamed("r", "auth_micro")
+      .join(hub.withColumnRenamed("r", "hub_micro"), "node")
+  }
+
+  /** One oracle HITS iteration, (a{k-1}, h{k-1}) → (a{k}, h{k}):
+    * raw sums over in/out edges, then the declared max-rescale
+    * (HUGEINT sums cast back before `//` — the q178 discipline).
+    */
+  private def hitsStepSql(k: Int): String =
+    s"""ar$k AS (SELECT n.node, CAST(COALESCE(i.s, 0) AS BIGINT) AS r
+                FROM nodes n LEFT JOIN
+                  (SELECT e.dst AS node, CAST(SUM(p.r) AS BIGINT) AS s
+                    FROM h${k - 1} p JOIN edges e ON e.src = p.node
+                    GROUP BY e.dst) i ON i.node = n.node),
+              a$k AS (SELECT node, CAST(CASE WHEN m = 0 THEN 0
+                    ELSE (1000000 * r) // m END AS BIGINT) AS r
+                FROM ar$k, (SELECT COALESCE(MAX(r), 0) AS m FROM ar$k)),
+              hr$k AS (SELECT n.node, CAST(COALESCE(i.s, 0) AS BIGINT) AS r
+                FROM nodes n LEFT JOIN
+                  (SELECT e.src AS node, CAST(SUM(p.r) AS BIGINT) AS s
+                    FROM a$k p JOIN edges e ON e.dst = p.node
+                    GROUP BY e.src) i ON i.node = n.node),
+              h$k AS (SELECT node, CAST(CASE WHEN m = 0 THEN 0
+                    ELSE (1000000 * r) // m END AS BIGINT) AS r
+                FROM hr$k, (SELECT COALESCE(MAX(r), 0) AS m FROM hr$k))"""
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // PageRank over the extracted link graph: rank in integer micros,
@@ -380,6 +492,115 @@ object Graph {
                   ELSE (20000 * 3 * n_triangles + n_wedges)
                     // (2 * n_wedges) END AS BIGINT) AS gcc_bp
               FROM w, ne, tri, rec""")),
+
+    // q245: HITS hubs & authorities over the same link graph — the
+    // second authority measure a crawl curator reads next to q178's
+    // PageRank: PageRank finds globally-endorsed pages, HITS separates
+    // DIRECTORY pages (hubs — they point at good content) from
+    // CANONICAL pages (authorities — good content points at them);
+    // seed-list curation wants hubs, dedup canonicalization wants
+    // authorities, and the two rankings genuinely differ (a hub can
+    // rank high with zero in-links). Integer micros + the declared
+    // max-normalization make all 4 iterations hash-exact cross-engine
+    // (hitsScores doc); report = top-20 by (authority DESC, node)
+    // with both scores and degrees; GraphSpec pins the hub/authority
+    // separation on a hand-built bipartite fan.
+    "q245_hits_scores" -> QueryDef(
+      (s, dir) => {
+        val edges = linkEdges(s, dir).managedPersist
+        val scores = hitsScores(edges)
+        val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("ol"))
+        val ideg = edges.groupBy(col("dst")).agg(count(lit(1)).as("il"))
+        scores
+          .join(odeg, scores("node") === odeg("src"), "left")
+          .join(ideg, scores("node") === ideg("dst"), "left")
+          .select(col("node"), col("auth_micro"), col("hub_micro"),
+            coalesce(col("ol"), lit(0L)).as("out_links"),
+            coalesce(col("il"), lit(0L)).as("in_links"))
+          .orderBy(desc("auth_micro"), asc("node"))
+          .limit(20)
+      },
+      Some(s"""WITH $linkFixtureSql,
+              edges AS (SELECT DISTINCT doc_id AS src,
+                  CAST(m AS BIGINT) AS dst
+                FROM (SELECT doc_id,
+                    UNNEST(regexp_extract_all(text2,
+                      'link->doc([0-9]+)', 1)) AS m
+                  FROM docs) q),
+              nodes AS (SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges),
+              h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r
+                FROM nodes),
+              ${(1 to HitsIters).map(hitsStepSql)
+                .mkString(",\n              ")},
+              odeg AS (SELECT src, COUNT(*) AS ol FROM edges
+                GROUP BY src),
+              ideg AS (SELECT dst, COUNT(*) AS il FROM edges
+                GROUP BY dst)
+              SELECT a.node, a.r AS auth_micro, h.r AS hub_micro,
+                COALESCE(o.ol, 0) AS out_links,
+                COALESCE(i.il, 0) AS in_links
+              FROM a$HitsIters a JOIN h$HitsIters h ON h.node = a.node
+              LEFT JOIN odeg o ON o.src = a.node
+              LEFT JOIN ideg i ON i.dst = a.node
+              ORDER BY auth_micro DESC, a.node LIMIT 20""")),
+
+    // q246: bounded-depth HARMONIC centrality from a seed panel — the
+    // distance-based importance measure next to the eigenvector pair
+    // (q178 PageRank, q245 HITS): harmonic centrality (Boldi & Vigna
+    // 2014) scores a node by Σ 1/d(seed, node) over the panel, so
+    // nodes CLOSE to many seeds rank high even with few in-links —
+    // the crawl-frontier "how many clicks from trusted starting
+    // points" question q237's global reachability counts can't answer
+    // (it forgets WHICH seed reached a node). Distances from
+    // multiSourceDistances (seed panel = every 100th doc, k = 4);
+    // score in integer micros: Σ (1e6 div hop) over hops 1..4 —
+    // exactly representable cross-engine; report = top-20 by
+    // (harmonic DESC, node) with the reaching-seed count. The oracle
+    // unrolls the same 4 labeled frontier/visited pairs with the
+    // (seed, node) PAIR anti-join. Plan at 100 TB: the khop round
+    // discipline with |seeds|-bounded state — declared for bounded
+    // panels; per-round shuffle tracks frontier × out-degree.
+    "q246_harmonic_centrality" -> QueryDef(
+      (s, dir) => {
+        val seeds = table(s, dir, "documents")
+          .filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("seed"))
+        multiSourceDistances(linkEdges(s, dir), seeds, 4)
+          .filter(col("hop") > 0)
+          .groupBy("node")
+          .agg(sum(expr("1000000L div hop")).as("harmonic_micro"),
+            count(lit(1)).as("n_seeds"))
+          .orderBy(desc("harmonic_micro"), asc("node"))
+          .limit(20)
+      },
+      Some {
+        def hopSql(h: Int): String =
+          s"""f$h AS (SELECT DISTINCT f.seed, e.dst AS node
+                FROM edges e JOIN f${h - 1} f ON e.src = f.node
+                LEFT JOIN v${h - 1} v
+                  ON v.seed = f.seed AND v.node = e.dst
+                WHERE v.node IS NULL),
+              v$h AS (SELECT seed, node, hop FROM v${h - 1}
+                UNION ALL SELECT seed, node, $h FROM f$h)"""
+        s"""WITH $linkFixtureSql,
+              edges AS (SELECT DISTINCT doc_id AS src,
+                  CAST(m AS BIGINT) AS dst
+                FROM (SELECT doc_id,
+                    UNNEST(regexp_extract_all(text2,
+                      'link->doc([0-9]+)', 1)) AS m
+                  FROM docs) q),
+              f0 AS (SELECT doc_id AS seed, doc_id AS node
+                FROM documents WHERE doc_id % 100 = 0),
+              v0 AS (SELECT seed, node, 0 AS hop FROM f0),
+              ${(1 to 4).map(hopSql).mkString(",\n              ")}
+              SELECT node,
+                CAST(SUM(1000000 // hop) AS BIGINT) AS harmonic_micro,
+                COUNT(*) AS n_seeds
+              FROM v4 WHERE hop > 0
+              GROUP BY node
+              ORDER BY harmonic_micro DESC, node LIMIT 20"""
+      }),
 
     "q237_khop_reachability" -> QueryDef(
       (s, dir) => {

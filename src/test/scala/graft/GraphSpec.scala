@@ -131,6 +131,59 @@ class GraphSpec extends SparkSpec {
     graft.operators.Q.releaseManaged()
   }
 
+  test("hitsScores: hub/authority separation on a bipartite fan") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // directories 1,2,3 point at content 10,11,12 with decreasing
+    // breadth — a pure bipartite fan, so hubs and authorities are
+    // DISJOINT node sets (the separation PageRank cannot express)
+    val edges = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L),
+      (3L, 10L)
+    ).toDF("src", "dst")
+    val r = Graph.hitsScores(edges).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // node 10 (most in-links from the best hubs) is the max authority
+    // at exactly the 1e6 normalization ceiling; node 1 the max hub
+    assert(r(10L)._1 === 1000000L, s"top authority: $r")
+    assert(r(1L)._2 === 1000000L, s"top hub: $r")
+    // authority strictly falls with fan-in; hub strictly with fan-out
+    assert(r(10L)._1 > r(11L)._1 && r(11L)._1 > r(12L)._1, s"$r")
+    assert(r(1L)._2 > r(2L)._2 && r(2L)._2 > r(3L)._2, s"$r")
+    // pure sources have zero authority; pure sinks zero hub
+    assert(Seq(1L, 2L, 3L).forall(r(_)._1 === 0L), s"$r")
+    assert(Seq(10L, 11L, 12L).forall(r(_)._2 === 0L), s"$r")
+    graft.operators.Q.releaseManaged()
+  }
+
+  test("multiSourceDistances: per-seed shortest hops; pair-keyed anti-join") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // chain 0->1->2->3 and a second seed 10->2: node 2 must carry
+    // BOTH distances (2 from seed 0, 1 from seed 10) — a global
+    // visited set would lose one of them
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 2L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 10L).toDF("seed")
+    val got = Graph.multiSourceDistances(edges, seeds, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val want = Map(
+      (0L, 0L) -> 0L, (0L, 1L) -> 1L, (0L, 2L) -> 2L, (0L, 3L) -> 3L,
+      (10L, 10L) -> 0L, (10L, 2L) -> 1L, (10L, 3L) -> 2L)
+    assert(got === want, s"distances drifted: $got")
+    // the harmonic rollup over these distances (the q246 arithmetic):
+    // node 2 = 1e6/2 + 1e6/1; node 3 = 1e6/3 + 1e6/2 (floor division)
+    val h = Graph.multiSourceDistances(edges, seeds, 4)
+      .filter(col("hop") > 0).groupBy("node")
+      .agg(sum(expr("1000000L div hop")).as("hm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(2L) === 1500000L && h(3L) === 833333L && h(1L) === 1000000L,
+      s"harmonic drifted: $h")
+    graft.operators.Q.releaseManaged()
+  }
+
   test("triangleStats: wedge-free and empty graphs report zero, not null") {
     import spark.implicits._
     import graft.operators.Graph

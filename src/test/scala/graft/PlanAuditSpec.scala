@@ -1019,6 +1019,28 @@ class PlanAuditSpec extends SparkSpec {
       s"the census aggregates must combine map-side:\n$p")
   }
 
+  test("q245: HITS iterations are node-keyed joins off localCheckpoints; max rescale broadcasts") {
+    val p = plan("q245_hits_scores")
+    assert(!p.contains("CartesianProduct"), s"q245 planned a cartesian:\n$p")
+    // localCheckpoint each half-step keeps plan depth O(1): the final
+    // plan must read checkpointed score RDDs, not an 8-deep join tree
+    assert(p.contains("Scan ExistingRDD"),
+      s"q245's scores must come from localCheckpoints:\n$p")
+    assert(p.contains("partial_"),
+      s"the degree rollups must combine map-side:\n$p")
+  }
+
+  test("q246: harmonic rollup reads checkpointed BFS state; top-k is TakeOrdered") {
+    val p = plan("q246_harmonic_centrality")
+    assert(!p.contains("CartesianProduct"), s"q246 planned a cartesian:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"q246's distances must come from the BFS localCheckpoints:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 must be TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("partial_"),
+      s"the harmonic rollup must combine map-side:\n$p")
+  }
+
   test("q243/q244: packing-attention and phase-dup ride the shared prefix-sum frames") {
     for (q <- Seq("q243_pack_attention_mix", "q244_phase_dup_rate")) {
       val p = plan(q)
