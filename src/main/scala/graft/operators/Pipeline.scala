@@ -1032,8 +1032,116 @@ object Pipeline {
                 CAST(SUM(is_dup * nt) AS BIGINT) AS dup_tokens,
                 CAST((20000 * SUM(is_dup * nt) + SUM(nt))
                   // (2 * SUM(nt)) AS BIGINT) AS dup_bp
-              FROM p GROUP BY phase ORDER BY phase"""))
+              FROM p GROUP BY phase ORDER BY phase""")),
+
+    // q248: SEQUENCE-LENGTH sizing sweep — the decision table BEHIND
+    // q235's SeqLen = 512 (the q206/q155 sweep discipline applied to
+    // the packer): for each candidate length {128, 256, 512, 1024},
+    // the three quantities a training owner trades off — fill (q238's
+    // accounting: with boundary cut only each shard's tail bin is
+    // partial, so fill rises with corpus/L), doc fragmentation (docs
+    // split across a bin boundary — rises with L), and the cross-doc
+    // attention share (q243's accounting — rises with L as more docs
+    // share a bin). One row per candidate, whole-corpus rollups.
+    // Plan at 100 TB: ONE two-level prefix-sum pass (cum/nw are
+    // L-independent — the sweep shares it), then a 4-way in-row
+    // explode over the candidate list; per candidate the same
+    // counts-only slice HOF and bounded partial aggs as q238/q243 —
+    // the sweep costs ~|candidates|× the single-L audit, never a new
+    // shuffle shape.
+    "q248_seqlen_sweep" -> QueryDef(
+      (s, dir) => {
+        // the L-independent prefix frame (doc_id, shard, nw, cum) —
+        // wordBinAssigned minus its 512-pinned b0/b1 columns
+        val assigned = Q.twoLevelPrefix(
+          table(s, dir, "documents")
+            .select(col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).cast("long")
+                .as("nw"))
+            .withColumn("shard", pmod(col("doc_id"), lit(8))),
+          groupCols = Seq("shard"), orderCols = Seq(col("doc_id")),
+          valueCol = "nw")
+          .withColumnRenamed("cum_before", "cum")
+          .withColumn("L",
+            explode(lit(SeqLenCandidates.toArray)))
+          .withColumn("b0", expr("cum div L"))
+          .withColumn("b1",
+            expr("if(nw = 0, b0, (cum + nw - 1) div L)"))
+          .managedPersist
+        val bins = assigned
+          .select(col("L"), col("shard"), explode(expr(
+            """transform(sequence(b0, b1), b -> struct(b as seq,
+              |  least(cum + nw, (b + 1) * L)
+              |    - greatest(cum, b * L) as cnt))""".stripMargin))
+            .as("sl"))
+          .groupBy(col("L"), col("shard"), col("sl.seq").as("seq"))
+          .agg(sum("sl.cnt").as("bl"),
+            sum(expr("sl.cnt * (sl.cnt - 1) div 2")).as("wd"))
+        val per = bins.groupBy("L")
+          .agg(count(lit(1)).as("n_seqs"), sum("bl").as("n_words"),
+            sum(expr("bl * (bl - 1) div 2")).as("n_pairs"),
+            sum(expr("bl * (bl - 1) div 2 - wd")).as("n_cross"))
+        val sp = assigned.groupBy("L")
+          .agg(sum(when(col("b1") > col("b0"), 1L).otherwise(0L))
+            .as("n_split_docs"))
+        per.join(sp, "L")
+          .select(col("L").as("seq_len"), col("n_seqs"),
+            expr("(20000 * n_words + n_seqs * L)" +
+              " div (2 * n_seqs * L)").as("fill_bp"),
+            col("n_split_docs"),
+            when(col("n_pairs") === 0, 0L)
+              .otherwise(expr("(20000 * n_cross + n_pairs)" +
+                " div (2 * n_pairs)"))
+              .as("cross_bp"))
+          .orderBy("seq_len")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '')) AS BIGINT) AS nw
+                FROM documents),
+              c AS (SELECT doc_id, shard, nw,
+                  CAST(SUM(nw) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - nw AS BIGINT) AS cum
+                FROM d),
+              ls AS (SELECT CAST(UNNEST([128, 256, 512, 1024])
+                    AS BIGINT) AS L),
+              a AS (SELECT c.*, L,
+                  CAST(cum // L AS BIGINT) AS b0,
+                  CAST(CASE WHEN nw = 0 THEN cum // L
+                    ELSE (cum + nw - 1) // L END AS BIGINT) AS b1
+                FROM c CROSS JOIN ls),
+              sl AS (SELECT L, shard, b AS seq,
+                  LEAST(cum + nw, (b + 1) * L)
+                    - GREATEST(cum, b * L) AS cnt
+                FROM a, UNNEST(range(b0, b1 + 1)) AS u(b)),
+              bins AS (SELECT L, shard, seq,
+                  CAST(SUM(cnt) AS BIGINT) AS bl,
+                  CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT) AS wd
+                FROM sl GROUP BY 1, 2, 3),
+              per AS (SELECT L, COUNT(*) AS n_seqs,
+                  CAST(SUM(bl) AS BIGINT) AS n_words,
+                  CAST(SUM(bl * (bl - 1) // 2) AS BIGINT) AS n_pairs,
+                  CAST(SUM(bl * (bl - 1) // 2 - wd) AS BIGINT)
+                    AS n_cross
+                FROM bins GROUP BY L),
+              sp AS (SELECT L, CAST(SUM(CASE WHEN b1 > b0 THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_split_docs
+                FROM a GROUP BY L)
+              SELECT per.L AS seq_len, n_seqs,
+                CAST((20000 * n_words + n_seqs * per.L)
+                  // (2 * n_seqs * per.L) AS BIGINT) AS fill_bp,
+                n_split_docs,
+                CAST(CASE WHEN n_pairs = 0 THEN 0
+                  ELSE (20000 * n_cross + n_pairs) // (2 * n_pairs)
+                  END AS BIGINT) AS cross_bp
+              FROM per JOIN sp ON sp.L = per.L
+              ORDER BY seq_len"""))
   )
+
+  /** q248's candidate sequence lengths — fixed by declaration; the
+    * oracle unnests the same list.
+    */
+  private val SeqLenCandidates = Seq(128L, 256L, 512L, 1024L)
 
   /** q238's word-grain release-shard bin assignment — per document:
     * whitespace-token count `nw`, release shard (doc_id mod 8), the

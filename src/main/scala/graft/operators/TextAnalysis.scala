@@ -1975,6 +1975,80 @@ object TextAnalysis {
                   AS global_waste_bp
               FROM per, g ORDER BY bucket""")),
 
+    // q247: PADDED-BATCH efficiency audit — the dataloader decision
+    // q187's per-bucket waste report feeds but does not settle: a
+    // padding (non-packing) loader pads every batch to its own max
+    // length, so batching docs in LENGTH order instead of arrival
+    // order collapses the per-batch max spread and recovers most of
+    // the padding — this query measures exactly that recovery on the
+    // real corpus. Both policies, one row each: docs batched 32 at a
+    // time under (nw DESC, doc_id) vs under doc_id arrival order; per
+    // policy the batch count, padded token volume Σ |batch|·max(nw),
+    // pad tokens Σ (|batch|·max − Σnw), and the pad share of padded
+    // volume in half-up bp. Plan at 100 TB: batch id = exclusive
+    // prefix COUNT div 32 — the q139 two-level prefix sum with a
+    // constant-1 value column (range-partitioned on the policy key at
+    // defaultParallelism, no global window, no payload); each policy
+    // is one skinny pass + a (batch) partial agg + a 1-row rollup.
+    "q247_batch_padding" -> QueryDef(
+      (s, dir) => {
+        val lens = table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("nw"))
+          .withColumn("one", lit(1L))
+        def policy(name: String, order: Seq[org.apache.spark.sql.Column])
+            : org.apache.spark.sql.DataFrame =
+          Q.twoLevelPrefix(lens, groupCols = Nil, orderCols = order,
+            valueCol = "one")
+            .withColumn("b", expr("cum_before div 32"))
+            .groupBy("b")
+            .agg(count(lit(1)).as("c"), max("nw").as("m"),
+              sum("nw").as("s"))
+            .agg(count(lit(1)).as("n_batches"),
+              sum(expr("c * m")).as("padded_volume"),
+              sum(expr("c * m - s")).as("pad_tokens"))
+            .select(lit(name).as("ordering"), col("n_batches"),
+              col("padded_volume"), col("pad_tokens"),
+              expr("(20000 * pad_tokens + padded_volume)" +
+                " div (2 * padded_volume)").as("pad_bp"))
+        policy("arrival", Seq(col("doc_id")))
+          .unionByName(
+            policy("length_sorted", Seq(col("nw").desc, col("doc_id"))))
+          .orderBy("ordering")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(LEN(list_filter(
+                    string_split_regex(text, '\s+'), x -> x <> ''))
+                    AS BIGINT) AS nw
+                FROM documents),
+              r1 AS (SELECT nw, CAST((ROW_NUMBER() OVER
+                    (ORDER BY doc_id) - 1) // 32 AS BIGINT) AS b
+                FROM d),
+              p1 AS (SELECT b, COUNT(*) AS c, MAX(nw) AS m,
+                  CAST(SUM(nw) AS BIGINT) AS s
+                FROM r1 GROUP BY b),
+              a1 AS (SELECT 'arrival' AS ordering,
+                  COUNT(*) AS n_batches,
+                  CAST(SUM(c * m) AS BIGINT) AS padded_volume,
+                  CAST(SUM(c * m - s) AS BIGINT) AS pad_tokens
+                FROM p1),
+              r2 AS (SELECT nw, CAST((ROW_NUMBER() OVER
+                    (ORDER BY nw DESC, doc_id) - 1) // 32 AS BIGINT)
+                    AS b
+                FROM d),
+              p2 AS (SELECT b, COUNT(*) AS c, MAX(nw) AS m,
+                  CAST(SUM(nw) AS BIGINT) AS s
+                FROM r2 GROUP BY b),
+              a2 AS (SELECT 'length_sorted' AS ordering,
+                  COUNT(*) AS n_batches,
+                  CAST(SUM(c * m) AS BIGINT) AS padded_volume,
+                  CAST(SUM(c * m - s) AS BIGINT) AS pad_tokens
+                FROM p2),
+              u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+              SELECT ordering, n_batches, padded_volume, pad_tokens,
+                CAST((20000 * pad_tokens + padded_volume)
+                  // (2 * padded_volume) AS BIGINT) AS pad_bp
+              FROM u ORDER BY ordering""")),
+
     // Tokenizer-coverage / OOV-rate report: rank the corpus vocabulary
     // by (count DESC, word), fix the top-K as the in-vocab set, then
     // per language report the token share that falls OUTSIDE it — the

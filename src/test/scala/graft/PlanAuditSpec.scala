@@ -1052,6 +1052,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q247/q248: batching audit and seqlen sweep ride the prefix sum; no cartesian") {
+    for (q <- Seq("q247_batch_padding", "q248_seqlen_sweep")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      assert(p.contains("pid"),
+        s"$q's ranks/offsets must ride the two-level prefix sum:\n$p")
+      assert(p.contains("partial_"),
+        s"$q's rollups must combine map-side:\n$p")
+    }
+    // the sweep must read ONE prefix pass shared across candidates —
+    // an InMemoryTableScan (the managed persist) feeds both rollups
+    assert(plan("q248_seqlen_sweep").contains("InMemoryTableScan") ||
+      plan("q248_seqlen_sweep").contains("Scan ExistingRDD"),
+      "q248 must share the L-independent prefix frame")
+  }
+
   test("q232/q233: severity rides the posting join; the skew audit is two bounded aggs") {
     val p232 = plan("q232_contamination_severity")
     assert(!p232.contains("CartesianProduct"),
