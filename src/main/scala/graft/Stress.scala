@@ -221,7 +221,8 @@ object Stress {
     else None
 
     val khopEdges = if (selected("khop_rounds") ||
-        selected("triangle_census")) {
+        selected("triangle_census") || selected("hits_iters") ||
+        selected("harmonic_panel")) {
       // the ONE edge definition (Graph.linkEdgesOf) — a drifted copy
       // here would make the probe measure a different graph than q237
       val e = graft.operators.Graph.linkEdgesOf(documents)
@@ -1159,6 +1160,30 @@ object Stress {
       timed("triangle_census") {
         graft.operators.Graph.triangleStats(khopEdges.get)
           .head().getLong(4)
+      },
+      // q245 shape: 4 HITS iterations (8 half-steps) over the cached
+      // edge list — per half-step cost is one edge-scan join + a
+      // node-keyed agg + a 1-row max broadcast, so wall must track
+      // the cached scan term linearly, never the in-degree skew (the
+      // hub targets' mass concentrates but the join stays key-equi)
+      timed("hits_iters") {
+        graft.operators.Graph.hitsScores(khopEdges.get)
+          .agg(max("auth_micro")).head().getLong(0)
+      },
+      // q246 shape: labeled multi-source BFS over a FIXED 10-seed
+      // panel — state is bounded by panel × reach (< 400 fixture
+      // targets), so per-round shuffle must stay factor-invariant
+      // like khop_rounds while the edge scan grows with the factor
+      timed("harmonic_panel") {
+        val seeds = Q.table(spark, sfDir, "documents")
+          .filter(col("doc_id") < 500 && col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("seed")).distinct()
+        graft.operators.Graph
+          .multiSourceDistances(khopEdges.get, seeds, 4)
+          .filter(col("hop") > 0)
+          .groupBy("node")
+          .agg(sum(expr("1000000L div hop")).as("hm"))
+          .agg(max("hm")).head().getLong(0)
       })
 
     val ran = results.filter(_._2 >= 0.0)
