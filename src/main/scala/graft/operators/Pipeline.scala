@@ -1039,10 +1039,12 @@ object Pipeline {
     // the packer): for each candidate length {128, 256, 512, 1024},
     // the three quantities a training owner trades off — fill (q238's
     // accounting: with boundary cut only each shard's tail bin is
-    // partial, so fill rises with corpus/L), doc fragmentation (docs
-    // split across a bin boundary — rises with L), and the cross-doc
-    // attention share (q243's accounting — rises with L as more docs
-    // share a bin). One row per candidate, whole-corpus rollups.
+    // partial, so fill falls as L grows toward the shard stream
+    // length), doc fragmentation (docs split across a bin boundary —
+    // FALLS with L, fewer boundaries to straddle), and the cross-doc
+    // attention share (q243's accounting — RISES with L as more docs
+    // share a bin). One row per candidate, whole-corpus rollups; the
+    // opposed directions are exactly why this is a sweep, not a rule.
     // Plan at 100 TB: ONE two-level prefix-sum pass (cum/nw are
     // L-independent — the sweep shares it), then a 4-way in-row
     // explode over the candidate list; per candidate the same
