@@ -303,12 +303,23 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .managedPersist
+    // the rescale product is widened to DECIMAL(38,0): raw r is
+    // bounded by in_degree × 1e6, so the Long product 1e6 · r would
+    // wrap silently past ~9.2e6 in-degree — well inside a 100 TB web
+    // graph's hub range. FLOOR of the scale-21 decimal quotient
+    // equals exact integer division here: the true quotient's
+    // fractional part is j/m ≥ 1/m ≥ 1e-19 when nonzero, four orders
+    // above the half-up rounding error at scale 21, so the floor
+    // cannot cross an integer boundary. The oracle mirrors with a
+    // HUGEINT product (hitsStepSql).
     def rescale(raw: DataFrame): DataFrame = {
       val m = raw.agg(coalesce(max("r"), lit(0L)).as("m"))
       raw.crossJoin(broadcast(m))
         .select(col("node"),
           when(col("m") === 0, 0L)
-            .otherwise(expr("(1000000L * r) div m")).as("r"))
+            .otherwise(expr(
+              "CAST(FLOOR((CAST(r AS DECIMAL(38,0)) * 1000000) / m)" +
+                " AS BIGINT)")).as("r"))
         .localCheckpoint(true)
     }
     var hub = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
@@ -338,7 +349,8 @@ object Graph {
                     FROM h${k - 1} p JOIN edges e ON e.src = p.node
                     GROUP BY e.dst) i ON i.node = n.node),
               a$k AS (SELECT node, CAST(CASE WHEN m = 0 THEN 0
-                    ELSE (1000000 * r) // m END AS BIGINT) AS r
+                    ELSE (CAST(1000000 AS HUGEINT) * r) // m END
+                    AS BIGINT) AS r
                 FROM ar$k, (SELECT COALESCE(MAX(r), 0) AS m FROM ar$k)),
               hr$k AS (SELECT n.node, CAST(COALESCE(i.s, 0) AS BIGINT) AS r
                 FROM nodes n LEFT JOIN
@@ -346,7 +358,8 @@ object Graph {
                     FROM a$k p JOIN edges e ON e.dst = p.node
                     GROUP BY e.src) i ON i.node = n.node),
               h$k AS (SELECT node, CAST(CASE WHEN m = 0 THEN 0
-                    ELSE (1000000 * r) // m END AS BIGINT) AS r
+                    ELSE (CAST(1000000 AS HUGEINT) * r) // m END
+                    AS BIGINT) AS r
                 FROM hr$k, (SELECT COALESCE(MAX(r), 0) AS m FROM hr$k))"""
 
   val defs: Seq[(String, QueryDef)] = Seq(

@@ -595,7 +595,11 @@ object Pipeline {
           groupCols = Nil, orderCols = Seq(col("doc_id")),
           valueCol = "n_chars")
           .managedPersist
-        val tot = docs.agg(sum("n_chars").as("m")).head().getLong(0)
+        // coalesce: the bandOccupancyStats guard class — an empty
+        // corpus sums to NULL and getLong would NPE instead of
+        // returning the empty sample the oracle returns
+        val tot = docs.agg(coalesce(sum("n_chars"), lit(0L)).as("m"))
+          .head().getLong(0)
         val step = math.max(1L, tot / target)
         docs
           // integer stride arithmetic: `/` on long Columns is DOUBLE
@@ -697,9 +701,14 @@ object Pipeline {
       (s, dir) => {
         val perShard = shardAssigned(s, dir)
           .groupBy("shard").agg(sum("n_chars").as("sc"))
+        // ONE rollup: the over-target count is a fifth aggregate, not
+        // a crossJoin'd second aggregation (which re-ran the whole
+        // prefix-sum + shard shuffle — the unpersisted frame's plan)
         perShard.agg(count(lit(1)).as("n_shards"),
             min("sc").as("min_chars"), max("sc").as("max_chars"),
-            sum("sc").as("total_chars"))
+            sum("sc").as("total_chars"),
+            sum(when(col("sc") * 2 > 3 * 65536L, 1L).otherwise(0L))
+              .as("n_over_150pct"))
           .select(col("n_shards"), col("min_chars"), col("max_chars"),
             // skew = max/mean in half-up bp via the q219 long-math
             // idiom. Overflow bound (ADVICE r15): the numerator is
@@ -709,10 +718,8 @@ object Pipeline {
             // shards ≈ 200 EB of corpus — comfortably past 100 TB.
             // Re-derive before shrinking the shard target below ~1 KiB.
             expr("(20000 * max_chars * n_shards + total_chars)" +
-              " div (2 * total_chars)").as("skew_bp"))
-          .crossJoin(broadcast(perShard
-            .agg(sum(when(col("sc") * 2 > 3 * 65536L, 1L).otherwise(0L))
-              .as("n_over_150pct"))))
+              " div (2 * total_chars)").as("skew_bp"),
+            col("n_over_150pct"))
       },
       Some("""WITH c AS (SELECT doc_id, n_chars,
                   SUM(n_chars) OVER (ORDER BY doc_id
@@ -750,7 +757,7 @@ object Pipeline {
       (s, dir) => {
         val seqLen = 512L
         val assigned = wordBinAssigned(s, dir, seqLen)
-        val bins = wordBinSlices(assigned, seqLen)
+        val bins = wordBinSlices(assigned)
           .groupBy(col("shard"), col("seq"))
           .agg(sum("cnt").as("bt"))
         val perShard = bins.groupBy("shard")
@@ -917,8 +924,7 @@ object Pipeline {
     // no overflow anywhere near Long).
     "q243_pack_attention_mix" -> QueryDef(
       (s, dir) => {
-        val seqLen = 512L
-        val bins = wordBinSlices(wordBinAssigned(s, dir, seqLen), seqLen)
+        val bins = wordBinSlices(wordBinAssigned(s, dir, 512L))
           .groupBy(col("shard"), col("seq"))
           .agg(sum("cnt").as("bl"),
             sum(expr("cnt * (cnt - 1) div 2")).as("wd"))
@@ -1053,32 +1059,17 @@ object Pipeline {
     // shuffle shape.
     "q248_seqlen_sweep" -> QueryDef(
       (s, dir) => {
-        // the L-independent prefix frame (doc_id, shard, nw, cum) —
-        // wordBinAssigned minus its 512-pinned b0/b1 columns
-        val assigned = Q.twoLevelPrefix(
-          table(s, dir, "documents")
-            .select(col("doc_id"),
-              size(TextAnalysis.tokens(col("text"))).cast("long")
-                .as("nw"))
-            .withColumn("shard", pmod(col("doc_id"), lit(8))),
-          groupCols = Seq("shard"), orderCols = Seq(col("doc_id")),
-          valueCol = "nw")
-          .withColumnRenamed("cum_before", "cum")
-          .withColumn("L",
-            explode(lit(SeqLenCandidates.toArray)))
-          .withColumn("b0", expr("cum div L"))
-          .withColumn("b1",
-            expr("if(nw = 0, b0, (cum + nw - 1) div L)"))
+        // ONE L-independent prefix pass, exploded over the candidate
+        // list, through the SAME binBounds/wordBinSlices definitions
+        // as q238/q243 — the sweep cannot disagree with the audits
+        val assigned = binBounds(
+          wordBinPrefix(s, dir)
+            .withColumn("L", explode(lit(SeqLenCandidates.toArray))))
           .managedPersist
-        val bins = assigned
-          .select(col("L"), col("shard"), explode(expr(
-            """transform(sequence(b0, b1), b -> struct(b as seq,
-              |  least(cum + nw, (b + 1) * L)
-              |    - greatest(cum, b * L) as cnt))""".stripMargin))
-            .as("sl"))
-          .groupBy(col("L"), col("shard"), col("sl.seq").as("seq"))
-          .agg(sum("sl.cnt").as("bl"),
-            sum(expr("sl.cnt * (sl.cnt - 1) div 2")).as("wd"))
+        val bins = wordBinSlices(assigned)
+          .groupBy(col("L"), col("shard"), col("seq"))
+          .agg(sum("cnt").as("bl"),
+            sum(expr("cnt * (cnt - 1) div 2")).as("wd"))
         val per = bins.groupBy("L")
           .agg(count(lit(1)).as("n_seqs"), sum("bl").as("n_words"),
             sum(expr("bl * (bl - 1) div 2")).as("n_pairs"),
@@ -1156,6 +1147,18 @@ object Pipeline {
   private def wordBinAssigned(
       s: org.apache.spark.sql.SparkSession, dir: String,
       seqLen: Long): org.apache.spark.sql.DataFrame =
+    binBounds(wordBinPrefix(s, dir).withColumn("L", lit(seqLen)))
+      .managedPersist
+
+  /** The L-INDEPENDENT half of the bin assignment — per document:
+    * whitespace-token count `nw`, release shard (doc_id mod 8), and
+    * the exclusive per-shard running offset `cum` (the one
+    * `Q.twoLevelPrefix` definition over the skinny frame). q248's
+    * sweep shares this single pass across all candidate lengths.
+    */
+  private def wordBinPrefix(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
     Q.twoLevelPrefix(
       table(s, dir, "documents")
         .select(col("doc_id"),
@@ -1165,25 +1168,31 @@ object Pipeline {
       groupCols = Seq("shard"), orderCols = Seq(col("doc_id")),
       valueCol = "nw")
       .withColumnRenamed("cum_before", "cum")
-      .withColumn("b0", expr(s"cum div $seqLen"))
-      .withColumn("b1",
-        expr(s"if(nw = 0, b0, (cum + nw - 1) div $seqLen)"))
-      .managedPersist
 
-  /** One row per (doc, bin) SLICE of [[wordBinAssigned]] — the
+  /** First/last bin a doc touches at its row's `L` column — the one
+    * boundary-cut definition shared by q238, q243, and q248.
+    */
+  private def binBounds(
+      df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.withColumn("b0", expr("cum div L"))
+      .withColumn("b1", expr("if(nw = 0, b0, (cum + nw - 1) div L)"))
+
+  /** One row per (doc, bin) SLICE of a [[binBounds]] frame — the
     * in-row HOF expansion carrying COUNTS only (no payload): `cnt` =
-    * how many of the doc's words land in bin `seq` of its shard.
+    * how many of the doc's words land in bin `seq` of its shard at
+    * the row's `L`.
     */
   private def wordBinSlices(
-      assigned: org.apache.spark.sql.DataFrame,
-      seqLen: Long): org.apache.spark.sql.DataFrame =
+      assigned: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     assigned
-      .select(col("shard"), explode(expr(
-        s"""transform(sequence(b0, b1), b -> struct(b as seq,
-           |  least(cum + nw, (b + 1) * $seqLen)
-           |    - greatest(cum, b * $seqLen) as cnt))""".stripMargin))
+      .select(col("L"), col("shard"), explode(expr(
+        """transform(sequence(b0, b1), b -> struct(b as seq,
+          |  least(cum + nw, (b + 1) * L)
+          |    - greatest(cum, b * L) as cnt))""".stripMargin))
         .as("sl"))
-      .select(col("shard"), col("sl.seq").as("seq"),
+      .select(col("L"), col("shard"), col("sl.seq").as("seq"),
         col("sl.cnt").as("cnt"))
 
   /** The d/c/a/sl oracle CTE chain mirroring [[wordBinAssigned]] +
