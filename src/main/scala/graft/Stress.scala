@@ -222,7 +222,7 @@ object Stress {
 
     val khopEdges = if (selected("khop_rounds") ||
         selected("triangle_census") || selected("hits_iters") ||
-        selected("harmonic_panel")) {
+        selected("harmonic_panel") || selected("cc_rounds")) {
       // the ONE edge definition (Graph.linkEdgesOf) — a drifted copy
       // here would make the probe measure a different graph than q237
       val e = graft.operators.Graph.linkEdgesOf(documents)
@@ -1184,6 +1184,21 @@ object Stress {
           .groupBy("node")
           .agg(sum(expr("1000000L div hop")).as("hm"))
           .agg(max("hm")).head().getLong(0)
+      },
+      // q249 shape: 8 large/small star rounds over the same cached
+      // edge list. Salted inflation DENSIFIES the < 400 fixture
+      // targets (in-degree grows with the factor), which is star
+      // contraction's easy direction — the giant component collapses
+      // in FEWER effective rounds as the factor grows, and converged
+      // tail rounds re-emit a fixpoint star set whose size tracks
+      // |nodes|; wall must track the edge scan ~linearly, with the
+      // converged census still cover_ok/converged_ok at every factor
+      // (the probe returns the packed contract bits to catch a factor
+      // that breaks them)
+      timed("cc_rounds") {
+        val r = graft.operators.Graph.componentCensus(khopEdges.get)
+          .head()
+        r.getLong(5) * 10 + r.getLong(6)
       })
 
     val ran = results.filter(_._2 >= 0.0)

@@ -179,16 +179,24 @@ object Graph {
     * GraphSpec pins the motif arithmetic on a hand-built
     * triangle/square/star/mutual-pair graph.
     */
+  /** Canonical undirected edge set (a < b) of a directed edge list:
+    * self-loops dropped, direction collapsed, duplicates removed — ONE
+    * definition shared by the triangle census and the component census
+    * so the two motif queries can never disagree on the graph.
+    */
+  private[graft] def undirectedOf(edges: DataFrame): DataFrame =
+    edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
   def triangleStats(edges: DataFrame): DataFrame = {
     val e2 = edges
       .filter(col("src") =!= col("dst"))
       .managedPersist
     // canonical undirected edge set (a < b)
-    val und = e2
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-      .managedPersist
+    val und = undirectedOf(e2).managedPersist
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -276,6 +284,151 @@ object Graph {
     if (!preCached) e.unpersist(blocking = false)
     visited
   }
+
+  /** Number of large-star/small-star rounds — fixed by declaration
+    * (the oracle unrolls the same count, the q178/q245 discipline);
+    * convergence is surfaced as the census's `converged_ok` contract
+    * bit instead of being driver-polled. 8 is 2 rounds past the
+    * fixture graph's measured worst case (6 at sf0.01; 3–4 at larger
+    * SFs — the algorithm's round count FALLS as the giant component
+    * densifies), and converged rounds are near-free (the star edge
+    * set is already a fixpoint, each phase re-emits it unchanged).
+    */
+  private val CcRounds = 8
+
+  /** One star-contraction phase of the Kiveris et al. 2014 MapReduce
+    * connected-components algorithm ("Connected Components in
+    * MapReduce and Beyond" — alternating large-star/small-star,
+    * O(log²n) rounds, and in practice 3–6 on web-shaped graphs vs
+    * DIAMETER rounds for naive min-label propagation, which measured
+    * 26 on the sparse sf0.01 fixture graph). Input/output are
+    * canonical (a < b) undirected edge frames. Large-star connects
+    * every neighbor LARGER than v to m = min(Γ(v) ∪ {v}); small-star
+    * connects every neighbor ≤ v (and v itself) to m. Both phases
+    * only ever point nodes at smaller ids, so the edge set descends
+    * monotonically to disjoint stars rooted at each component's
+    * minimum — no float, no tie to break, deterministic by
+    * construction. Shape: a union-both-directions adjacency, one
+    * groupBy-min on the node key, one key join back — skinny
+    * two-long rows, hash exchanges at full parallelism, nothing
+    * pairwise beyond the input degree.
+    */
+  private def ccPhase(e: DataFrame, large: Boolean): DataFrame = {
+    val adj = e.select(col("a").as("v"), col("b").as("u"))
+      .union(e.select(col("b").as("v"), col("a").as("u")))
+    val mins = adj.groupBy("v").agg(min("u").as("mu"))
+      .select(col("v"), least(col("v"), col("mu")).as("m"))
+    val side = if (large) adj
+      else adj.union(
+        adj.select(col("v")).distinct().select(col("v"), col("v").as("u")))
+    val keep = if (large) col("u") > col("v") else col("u") <= col("v")
+    side.join(mins, "v")
+      .filter(keep && col("u") =!= col("m"))
+      .select(col("m").as("a"), col("u").as("b"))
+      .distinct()
+  }
+
+  /** Run `rounds` large+small star rounds over a canonical undirected
+    * edge frame; returns (second-to-last, last) edge frames so the
+    * caller can derive the convergence bit in-plan (last == prev ⇔
+    * the stars are a fixpoint ⇔ the census counts true components).
+    * Each round's output is localCheckpoint'd (skinny, ≤ |nodes|−1
+    * rows once stars form) so plan depth stays O(1) in the round
+    * count — the q178/q237 fixpoint discipline.
+    */
+  private def ccStarEdges(
+      und: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    var e = und.localCheckpoint(true)
+    var prev = e
+    for (_ <- 1 to rounds) {
+      prev = e
+      e = ccPhase(ccPhase(e, large = true), large = false)
+        .localCheckpoint(true)
+    }
+    (prev, e)
+  }
+
+  /** Component labels (node, comp) for every node of the graph, comp =
+    * the component's minimum node id — the public operator API (the
+    * q45 dup-cluster fixpoint generalized to arbitrary edge lists).
+    * Derived from the star edges: members point at their root, roots
+    * label themselves.
+    */
+  def connectedComponents(
+      edges: DataFrame, rounds: Int = CcRounds): DataFrame = {
+    val fin = ccStarEdges(undirectedOf(edges), rounds)._2
+    fin.select(col("b").as("node"), col("a").as("comp"))
+      .union(fin.select(col("a"), col("a")).distinct())
+  }
+
+  /** One-row component census over a directed edge list: undirected
+    * node/edge counts, component count, largest component size, dust
+    * count (components of ≤ 8 nodes — the "disconnected crumbs" a
+    * crawl curator prunes), plus two contract bits: `cover_ok` (star
+    * sizes partition the node set — Σ csize == n_nodes) and
+    * `converged_ok` (one more round changes nothing, so the counts
+    * are TRUE components, not an unconverged snapshot). Rollups are
+    * all scalar 1-row broadcasts; the size frame is
+    * components-bounded.
+    */
+  def componentCensus(
+      edges: DataFrame, rounds: Int = CcRounds): DataFrame = {
+    val und = undirectedOf(edges).managedPersist
+    val (prev, fin) = ccStarEdges(und, rounds)
+    val nodes = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n"))).distinct()
+    val sizes = fin.groupBy("a")
+      .agg((count(lit(1)) + 1).as("csize"))
+    val cstats = sizes.agg(
+      count(lit(1)).as("n_components"),
+      coalesce(max("csize"), lit(0L)).as("max_csize"),
+      coalesce(sum(when(col("csize") <= 8, 1L).otherwise(0L)), lit(0L))
+        .as("n_dust"),
+      coalesce(sum("csize"), lit(0L)).as("sz_sum"))
+    val d1 = fin.join(prev, Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("x1"))
+    val d2 = prev.join(fin, Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("x2"))
+    nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(cstats))
+      .crossJoin(broadcast(d1))
+      .crossJoin(broadcast(d2))
+      .select(col("n_nodes"), col("n_edges"), col("n_components"),
+        col("max_csize"), col("n_dust"),
+        when(col("sz_sum") === col("n_nodes"), 1L).otherwise(0L)
+          .as("cover_ok"),
+        when(col("x1") + col("x2") === 0, 1L).otherwise(0L)
+          .as("converged_ok"))
+  }
+
+  /** One oracle large+small star round, e{k-1} → e{k} — the exact SQL
+    * mirror of [[ccPhase]] (adjacency both ways, LEAST-min per node,
+    * the side filter, DISTINCT canonical output). Every CTE is
+    * `AS MATERIALIZED`: DuckDB inlines plain CTEs at every reference
+    * site, and this chain references each round's frames ~6× — 8
+    * inlined rounds explode combinatorially (the un-hinted query never
+    * returned at sf0.001; materialized it reads in 0.2 s), unlike the
+    * q178/q245 chains whose per-step reference factor is small.
+    */
+  private def ccRoundSql(k: Int): String =
+    s"""la$k AS MATERIALIZED (SELECT a AS v, b AS u FROM e${k - 1}
+                UNION ALL SELECT b, a FROM e${k - 1}),
+              lm$k AS MATERIALIZED (SELECT v, LEAST(v, MIN(u)) AS m
+                FROM la$k GROUP BY v),
+              lg$k AS MATERIALIZED (SELECT DISTINCT m.m AS a, x.u AS b
+                FROM la$k x JOIN lm$k m ON m.v = x.v
+                WHERE x.u > x.v AND x.u <> m.m),
+              sn$k AS MATERIALIZED (SELECT a AS v FROM lg$k
+                UNION SELECT b FROM lg$k),
+              sa$k AS MATERIALIZED (SELECT a AS v, b AS u FROM lg$k
+                UNION ALL SELECT b, a FROM lg$k
+                UNION ALL SELECT v, v FROM sn$k),
+              sm$k AS MATERIALIZED (SELECT v, LEAST(v, MIN(u)) AS m
+                FROM sa$k GROUP BY v),
+              e$k AS MATERIALIZED (SELECT DISTINCT m.m AS a, x.u AS b
+                FROM sa$k x JOIN sm$k m ON m.v = x.v
+                WHERE x.u <= x.v AND x.u <> m.m)"""
 
   /** Number of HITS iterations — fixed by declaration; the oracle
     * unrolls the same count.
@@ -614,6 +767,148 @@ object Graph {
               GROUP BY node
               ORDER BY harmonic_micro DESC, node LIMIT 20"""
       }),
+
+    // q249: CONNECTED-COMPONENT census over the same link graph — the
+    // global-structure member that completes the family (q178
+    // importance, q245 hub/authority, q246 closeness, q237
+    // reachability, q242 local clustering, q249 global connectivity):
+    // a crawl curator reads the component profile before seeding —
+    // one giant component means the crawl can reach the corpus from
+    // few seeds; a long dust tail (tiny disconnected components)
+    // means isolated cliques no frontier will ever reach organically.
+    // One row: node/edge counts, component count, giant-component
+    // size, dust count (≤ 8 nodes), and two contract bits (cover_ok:
+    // star sizes partition the nodes; converged_ok: one more round is
+    // a no-op, so these are TRUE components). Algorithm is the
+    // alternating large-star/small-star contraction (Kiveris et al.
+    // 2014) — O(log²n) rounds (measured 6 at sf0.01, falling to 3 at
+    // larger SFs) vs DIAMETER rounds (26 measured) for naive label
+    // propagation; 8 rounds fixed by declaration, the oracle unrolls
+    // the same 8 (the q178/q245 unroll discipline), so every edge of
+    // every intermediate star set is hash-exact cross-engine. Plan at
+    // 100 TB: each phase is one groupBy-min + one key join over a
+    // skinny two-long edge frame that only ever SHRINKS toward
+    // |nodes|−1 star edges; per-round localCheckpoint keeps plan
+    // depth O(1); rollups are scalar 1-row broadcasts. No float, no
+    // tie-break, nothing pairwise beyond input degree.
+    "q249_graph_components" -> QueryDef(
+      (s, dir) => componentCensus(linkEdges(s, dir)),
+      Some(s"""WITH $linkFixtureSql,
+              edges AS (SELECT DISTINCT doc_id AS src,
+                  CAST(m AS BIGINT) AS dst
+                FROM (SELECT doc_id,
+                    UNNEST(regexp_extract_all(text2,
+                      'link->doc([0-9]+)', 1)) AS m
+                  FROM docs) q),
+              und AS MATERIALIZED (SELECT DISTINCT
+                  LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst),
+              e0 AS MATERIALIZED (SELECT a, b FROM und),
+              ${(1 to CcRounds).map(ccRoundSql)
+                .mkString(",\n              ")},
+              nodes AS (SELECT a AS n FROM und
+                UNION SELECT b FROM und),
+              sizes AS (SELECT a, COUNT(*) + 1 AS csize
+                FROM e$CcRounds GROUP BY a),
+              cst AS (SELECT COUNT(*) AS n_components,
+                  COALESCE(MAX(csize), 0) AS max_csize,
+                  COALESCE(SUM(CASE WHEN csize <= 8 THEN 1 ELSE 0 END),
+                    0) AS n_dust,
+                  COALESCE(SUM(csize), 0) AS sz_sum
+                FROM sizes),
+              d1 AS (SELECT COUNT(*) AS x1 FROM e$CcRounds f
+                WHERE NOT EXISTS (SELECT 1 FROM e${CcRounds - 1} p
+                  WHERE p.a = f.a AND p.b = f.b)),
+              d2 AS (SELECT COUNT(*) AS x2 FROM e${CcRounds - 1} p
+                WHERE NOT EXISTS (SELECT 1 FROM e$CcRounds f
+                  WHERE f.a = p.a AND f.b = p.b)),
+              base AS (SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+                  (SELECT COUNT(*) FROM und) AS n_edges)
+              SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                CAST(n_edges AS BIGINT) AS n_edges,
+                CAST(n_components AS BIGINT) AS n_components,
+                CAST(max_csize AS BIGINT) AS max_csize,
+                CAST(n_dust AS BIGINT) AS n_dust,
+                CAST(CASE WHEN sz_sum = n_nodes THEN 1 ELSE 0 END
+                  AS BIGINT) AS cover_ok,
+                CAST(CASE WHEN x1 + x2 = 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS converged_ok
+              FROM base, cst, d1, d2""")),
+
+    // q251: LINK-ISOLATION profile — q249's component structure joined
+    // back to the corpus, the curation report the census motivates: for
+    // every document, is it in the giant web (large, ≥ 64 nodes), a
+    // mid-size cluster (9–63), a dust crumb (≤ 8), or UNLINKED (no
+    // links in or out — invisible to every graph signal: no PageRank
+    // mass, no HITS score, unreachable from any seed)? Per class: doc
+    // count, total chars, and the doc share in half-up bp. The
+    // unlinked mass is the headline number — a source-weighting
+    // scheme built on link authority silently zeroes that whole
+    // slice. Composes the public connectedComponents labels API; the
+    // oracle unrolls the same 8 materialized star rounds and replays
+    // the size classification. Plan at 100 TB: the label frame is
+    // nodes-bounded and skinny, the size join is component-keyed, the
+    // corpus join is ONE doc_id-keyed left join (labels ⋘ corpus, so
+    // the label side broadcasts or shuffles cheaply), the rollup is a
+    // 4-key partial agg with a 1-row total broadcast.
+    "q251_link_isolation" -> QueryDef(
+      (s, dir) => {
+        val lbl = connectedComponents(linkEdges(s, dir))
+          .distinct().managedPersist
+        val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("csize"))
+        val cls = lbl.join(sizes, "comp")
+          .select(col("node"),
+            when(col("csize") >= 64, "large")
+              .when(col("csize") >= 9, "mid")
+              .otherwise("dust").as("cls"))
+        val byClass = table(s, dir, "documents")
+          .join(cls, col("doc_id") === col("node"), "left")
+          .select(coalesce(col("cls"), lit("unlinked")).as("link_class"),
+            col("n_chars"))
+          .groupBy("link_class")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"))
+        byClass
+          .crossJoin(broadcast(byClass.agg(sum("n_docs").as("tot"))))
+          .select(col("link_class"), col("n_docs"), col("total_chars"),
+            expr("(20000 * n_docs + tot) div (2 * tot)")
+              .as("doc_share_bp"))
+          .orderBy("link_class")
+      },
+      Some(s"""WITH $linkFixtureSql,
+              edges AS (SELECT DISTINCT doc_id AS src,
+                  CAST(m AS BIGINT) AS dst
+                FROM (SELECT doc_id,
+                    UNNEST(regexp_extract_all(text2,
+                      'link->doc([0-9]+)', 1)) AS m
+                  FROM docs) q),
+              und AS MATERIALIZED (SELECT DISTINCT
+                  LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst),
+              e0 AS MATERIALIZED (SELECT a, b FROM und),
+              ${(1 to CcRounds).map(ccRoundSql)
+                .mkString(",\n              ")},
+              labels AS MATERIALIZED (
+                SELECT b AS node, a AS comp FROM e$CcRounds
+                UNION SELECT a, a FROM e$CcRounds),
+              sizes AS (SELECT comp, COUNT(*) AS csize FROM labels
+                GROUP BY comp),
+              cls AS MATERIALIZED (SELECT l.node,
+                  CASE WHEN s.csize >= 64 THEN 'large'
+                    WHEN s.csize >= 9 THEN 'mid'
+                    ELSE 'dust' END AS cls
+                FROM labels l JOIN sizes s ON s.comp = l.comp),
+              j AS (SELECT COALESCE(c.cls, 'unlinked') AS link_class,
+                  d.n_chars
+                FROM documents d LEFT JOIN cls c ON c.node = d.doc_id),
+              g AS (SELECT link_class, COUNT(*) AS n_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+                FROM j GROUP BY 1),
+              t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM g)
+              SELECT link_class, n_docs, total_chars,
+                CAST((20000 * n_docs + tot) // (2 * tot) AS BIGINT)
+                  AS doc_share_bp
+              FROM g, t ORDER BY link_class""")),
 
     "q237_khop_reachability" -> QueryDef(
       (s, dir) => {

@@ -697,6 +697,72 @@ object Pipeline {
     // target). One groupBy over the assigned frame onto the shard key,
     // then a single-row rollup — the assignment itself reuses q139's
     // two-level prefix sum (no global window).
+    // q250: shard SOURCE-DIVERSITY audit — the companion check to
+    // q233's byte-skew on the same q139 streaming bin-pack: packing in
+    // doc_id order silently inherits whatever source clustering the id
+    // space carries, and a source-PURE shard is a training hazard (a
+    // dataloader reading shards in sequence sees one source for a
+    // whole shard's worth of steps). Per shard the Simpson diversity
+    // of its source char-mix — 1 − Σpᵢ² in half-up bp, the LOG-FREE
+    // diversity index (the q130 idiom: no entropy, no libm) — then ONE
+    // corpus row: shard count, source-pure shard count (div_bp = 0),
+    // min/mean diversity. Plan at 100 TB: the q139 skinny prefix sum
+    // assigns shards, ONE (shard, source) partial agg + a shard-keyed
+    // rollup + a 1-row reduce; the source column rides the skinny
+    // frame for free (the q241 discipline). Overflow: tot ≈ 2¹⁷ chars
+    // per 64 KiB shard ⇒ tot² ≈ 2³⁴ and 20000·tot² ≈ 2⁴⁸ — Long-safe
+    // to shard targets of ~2²⁰ chars; re-derive before raising the
+    // target past 1 MiB.
+    "q250_shard_source_mix" -> QueryDef(
+      (s, dir) => {
+        val assigned = Q.twoLevelPrefix(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          groupCols = Nil, orderCols = Seq(col("doc_id")),
+          valueCol = "n_chars")
+          .withColumn("shard", expr("cum_before div 65536"))
+        val perSrc = assigned.groupBy("shard", "source")
+          .agg(sum("n_chars").as("cnt"))
+        val perShard = perSrc.groupBy("shard")
+          .agg(sum("cnt").as("tot"), sum(expr("cnt * cnt")).as("s2"))
+          .select(col("shard"),
+            expr("(2 * 10000 * (tot * tot - s2) + tot * tot)" +
+              " div (2 * tot * tot)").as("div_bp"))
+        perShard.agg(count(lit(1)).as("n_shards"),
+          sum(when(col("div_bp") === 0, 1L).otherwise(0L))
+            .as("n_pure_shards"),
+          min("div_bp").as("min_div_bp"),
+          sum("div_bp").as("dsum"))
+          .select(col("n_shards"), col("n_pure_shards"),
+            col("min_div_bp"),
+            expr("(2 * dsum + n_shards) div (2 * n_shards)")
+              .as("mean_div_bp"))
+      },
+      Some("""WITH c AS (SELECT doc_id, source, n_chars,
+                  SUM(n_chars) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum_end
+                FROM documents),
+              a AS (SELECT (cum_end - n_chars) // 65536 AS shard,
+                  source, n_chars
+                FROM c),
+              ss AS (SELECT shard, source,
+                  CAST(SUM(n_chars) AS BIGINT) AS cnt
+                FROM a GROUP BY 1, 2),
+              ps AS (SELECT shard, CAST(SUM(cnt) AS BIGINT) AS tot,
+                  CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+                FROM ss GROUP BY 1),
+              dv AS (SELECT shard,
+                  (2 * 10000 * (tot * tot - s2) + tot * tot)
+                    // (2 * tot * tot) AS div_bp
+                FROM ps)
+              SELECT COUNT(*) AS n_shards,
+                CAST(SUM(CASE WHEN div_bp = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pure_shards,
+                CAST(MIN(div_bp) AS BIGINT) AS min_div_bp,
+                CAST((2 * SUM(div_bp) + COUNT(*)) // (2 * COUNT(*))
+                  AS BIGINT) AS mean_div_bp
+              FROM dv""")),
+
     "q233_shard_skew" -> QueryDef(
       (s, dir) => {
         val perShard = shardAssigned(s, dir)

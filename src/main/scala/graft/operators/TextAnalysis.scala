@@ -2049,6 +2049,140 @@ object TextAnalysis {
                   // (2 * padded_volume) AS BIGINT) AS pad_bp
               FROM u ORDER BY ordering""")),
 
+    // q252: BATCH SOURCE-MIX audit — the loader-shuffle adequacy check
+    // next to q247's padding economics: a training run never reads the
+    // corpus in arrival order, it reads a deterministic shuffle, and
+    // the thing the shuffle must deliver is per-BATCH source diversity
+    // (a batch drawn from one source is a correlated gradient step —
+    // the mixing literature's motivation for global shuffles over
+    // shard-local ones). Both policies, histogram rows (ordering,
+    // n_src → n_batches): docs batched 32 at a time in doc_id arrival
+    // order vs under the md5 hash shuffle (the q46 split idiom — the
+    // engine-portable stand-in for a seeded permutation; both engines
+    // hash the same decimal string). Plan at 100 TB: batch id =
+    // exclusive prefix COUNT div 32 — the q139/q247 two-level prefix
+    // sum with a constant-1 value column, range-partitioned on the
+    // policy key at defaultParallelism; per policy one skinny pass,
+    // one (batch) COUNT-DISTINCT agg over a 20-key source space, one
+    // bounded histogram agg. No global window, no payload.
+    "q252_batch_source_mix" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("one", lit(1L))
+          .withColumn("h", md5(col("doc_id").cast("string")))
+        def policy(name: String, order: Seq[org.apache.spark.sql.Column])
+            : org.apache.spark.sql.DataFrame =
+          Q.twoLevelPrefix(docs, groupCols = Nil, orderCols = order,
+            valueCol = "one")
+            .withColumn("b", expr("cum_before div 32"))
+            .groupBy("b")
+            .agg(countDistinct("source").as("n_src"))
+            .groupBy("n_src").agg(count(lit(1)).as("n_batches"))
+            .select(lit(name).as("ordering"), col("n_src"),
+              col("n_batches"))
+        policy("arrival", Seq(col("doc_id")))
+          .unionByName(
+            policy("hash_shuffled", Seq(col("h"), col("doc_id"))))
+          .orderBy("ordering", "n_src")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+              r1 AS (SELECT source, CAST((ROW_NUMBER() OVER
+                    (ORDER BY doc_id) - 1) // 32 AS BIGINT) AS b
+                FROM d),
+              g1 AS (SELECT b, COUNT(DISTINCT source) AS n_src
+                FROM r1 GROUP BY b),
+              a1 AS (SELECT 'arrival' AS ordering,
+                  CAST(n_src AS BIGINT) AS n_src,
+                  COUNT(*) AS n_batches
+                FROM g1 GROUP BY n_src),
+              r2 AS (SELECT source, CAST((ROW_NUMBER() OVER
+                    (ORDER BY h, doc_id) - 1) // 32 AS BIGINT) AS b
+                FROM d),
+              g2 AS (SELECT b, COUNT(DISTINCT source) AS n_src
+                FROM r2 GROUP BY b),
+              a2 AS (SELECT 'hash_shuffled' AS ordering,
+                  CAST(n_src AS BIGINT) AS n_src,
+                  COUNT(*) AS n_batches
+                FROM g2 GROUP BY n_src)
+              SELECT ordering, n_src, n_batches
+              FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) u
+              ORDER BY ordering, n_src""")),
+
+    // q253: quality-PROPORTIONAL soft sampling — the selection
+    // primitive between q91's hard gate (keep/drop at a threshold:
+    // cliff effects, a 0.459 doc dies while 0.461 lives) and q64's
+    // flat stratified rates: each doc survives with probability
+    // proportional to its quality score, the soft-filtering shape of
+    // the CCNet lineage (score-weighted retention keeps SOME low-end
+    // mass for diversity while thinning it). Deterministic and
+    // RNG-free: keep iff 10000·h3 < 4096·score_bp, where h3 is the
+    // first 3 md5 hex digits of doc_id (0..4095, the q64/q120 hash
+    // idiom) and score_bp is q240's lexical-diversity score — a pure
+    // integer cross-multiply, no modulo bias (P(keep) = score to
+    // 1/4096 granularity), identical in both engines. Per source:
+    // docs, kept docs, kept share and mean kept score in half-up bp —
+    // the report that shows soft sampling preserving the score
+    // ORDERING while flattening the cliff. Plan at 100 TB: map-only
+    // scoring + hash (no shuffle before the bounded source rollup);
+    // zero-kept sources emit 0, not null.
+    "q253_soft_quality_sample" -> QueryDef(
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val scored = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(toks).cast("long").as("nt"),
+            size(array_distinct(toks)).cast("long").as("nd"))
+          .filter(col("nt") > 0)
+          .withColumn("score_bp",
+            expr("(20000 * nd + nt) div (2 * nt)"))
+          .withColumn("h3",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 3),
+              16, 10).cast("long"))
+          .withColumn("keep",
+            when(expr("10000 * h3 < 4096 * score_bp"), 1L)
+              .otherwise(0L))
+        scored.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_kept"),
+            sum(expr("keep * score_bp")).as("ks"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            expr("(20000 * n_kept + n_docs) div (2 * n_docs)")
+              .as("kept_bp"),
+            when(col("n_kept") === 0, 0L)
+              .otherwise(expr("(2 * ks + n_kept) div (2 * n_kept)"))
+              .as("mean_kept_score_bp"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+                  CAST(len(t) AS BIGINT) AS nt,
+                  CAST(len(list_distinct(t)) AS BIGINT) AS nd
+                FROM (SELECT doc_id, source,
+                    list_filter(string_split_regex(text, '\s+'),
+                      x -> x <> '') AS t
+                  FROM documents) z
+                WHERE len(t) > 0),
+              sc AS (SELECT source,
+                  (20000 * nd + nt) // (2 * nt) AS score_bp,
+                  CAST(CAST('0x' ||
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+                    AS INTEGER) AS BIGINT) AS h3
+                FROM d),
+              k AS (SELECT source, score_bp,
+                  CASE WHEN 10000 * h3 < 4096 * score_bp
+                    THEN 1 ELSE 0 END AS keep
+                FROM sc)
+              SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(keep) AS BIGINT) AS n_kept,
+                CAST((20000 * SUM(keep) + COUNT(*)) // (2 * COUNT(*))
+                  AS BIGINT) AS kept_bp,
+                CAST(CASE WHEN SUM(keep) = 0 THEN 0
+                  ELSE (2 * SUM(keep * score_bp) + SUM(keep))
+                    // (2 * SUM(keep)) END AS BIGINT)
+                  AS mean_kept_score_bp
+              FROM k GROUP BY source ORDER BY source""")),
+
     // Tokenizer-coverage / OOV-rate report: rank the corpus vocabulary
     // by (count DESC, word), fix the top-K as the in-vocab set, then
     // per language report the token share that falls OUTSIDE it — the

@@ -184,6 +184,67 @@ class GraphSpec extends SparkSpec {
     graft.operators.Q.releaseManaged()
   }
 
+  test("componentCensus: motif graph census — cleaning, sizes, contract bits") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // two triangles and a pair; a duplicate reversed edge and a
+    // self-loop exercise the canonicalization
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (5L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L)
+    ).toDF("src", "dst")
+    val row = Graph.componentCensus(edges).collect().head
+    // n_nodes, n_edges, n_components, max_csize, n_dust, cover, conv
+    assert(row.toSeq === Seq(8L, 7L, 3L, 3L, 3L, 1L, 1L),
+      s"census drifted: $row")
+    graft.operators.Q.releaseManaged()
+  }
+
+  test("connectedComponents: min-id labels, direction invariance") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (20L, 21L)
+    ).toDF("src", "dst")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    val got = Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want, s"labels drifted: $got")
+    // reversing every edge is the same undirected graph
+    val rev = Graph.connectedComponents(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev === want, "labels must be direction-invariant")
+    graft.operators.Q.releaseManaged()
+  }
+
+  test("componentCensus: unconverged round budget trips converged_ok") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // a 30-node path needs several star rounds; ONE round cannot have
+    // reached the fixpoint, and the contract bit must say so
+    val path = (0L until 29L).map(i => (i, i + 1)).toDF("src", "dst")
+    val one = Graph.componentCensus(path, rounds = 1).collect().head
+    assert(one.getLong(6) === 0L, s"1 round must be unconverged: $one")
+    // the declared budget converges and finds the single component
+    val full = Graph.componentCensus(path).collect().head
+    assert(full.toSeq === Seq(30L, 29L, 1L, 30L, 0L, 1L, 1L),
+      s"path census drifted: $full")
+    graft.operators.Q.releaseManaged()
+  }
+
+  test("componentCensus: empty and self-loop-only graphs report zeros") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val empty = Graph.componentCensus(
+      Seq((5L, 5L)).toDF("src", "dst")).collect().head
+    assert(empty.toSeq === Seq(0L, 0L, 0L, 0L, 0L, 1L, 1L),
+      s"empty census: $empty")
+    graft.operators.Q.releaseManaged()
+  }
+
   test("triangleStats: wedge-free and empty graphs report zero, not null") {
     import spark.implicits._
     import graft.operators.Graph

@@ -1041,6 +1041,44 @@ class PlanAuditSpec extends SparkSpec {
       s"the harmonic rollup must combine map-side:\n$p")
   }
 
+  test("q249: component census reads checkpointed star edges; rollups broadcast") {
+    val p = plan("q249_graph_components")
+    assert(!p.contains("CartesianProduct"), s"q249 planned a cartesian:\n$p")
+    // each star round is localCheckpoint'd — the final census must
+    // read checkpointed edge RDDs, not a 16-phase join tree
+    assert(p.contains("Scan ExistingRDD"),
+      s"q249's star edges must come from localCheckpoints:\n$p")
+    assert(p.contains("partial_"),
+      s"the census rollups must combine map-side:\n$p")
+  }
+
+  test("q251: isolation profile joins labels by key; corpus joined once") {
+    val p = plan("q251_link_isolation")
+    assert(!p.contains("CartesianProduct"), s"q251 planned a cartesian:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"q251's labels must come from the component checkpoints:\n$p")
+    assert(p.contains("partial_"),
+      s"q251's class rollup must combine map-side:\n$p")
+  }
+
+  test("q250/q252: shard-diversity and batch-mix ride the prefix sum; no cartesian") {
+    for (q <- Seq("q250_shard_source_mix", "q252_batch_source_mix")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      assert(p.contains("pid"),
+        s"$q's offsets must ride the two-level prefix sum:\n$p")
+      assert(p.contains("partial_"),
+        s"$q's rollups must combine map-side:\n$p")
+    }
+  }
+
+  test("q253: soft sampling is map-only scoring — no join anywhere in the plan") {
+    val p = plan("q253_soft_quality_sample")
+    assert(!p.contains("Join"), s"q253 must not join:\n$p")
+    assert(p.contains("partial_"),
+      s"q253's source rollup must combine map-side:\n$p")
+  }
+
   test("q243/q244: packing-attention and phase-dup ride the shared prefix-sum frames") {
     for (q <- Seq("q243_pack_attention_mix", "q244_phase_dup_rate")) {
       val p = plan(q)
