@@ -402,6 +402,109 @@ object Graph {
           .as("converged_ok"))
   }
 
+  /** Fail-loud fixpoint check (the q45 CC cap discipline): the star
+    * set must be stationary — an unconverged merge would persist a
+    * state whose "components" are not components. Two scalar counts,
+    * driver-bounded by construction.
+    */
+  private def requireConverged(prev: DataFrame, fin: DataFrame): Unit = {
+    val n = fin.join(prev, Seq("a", "b"), "left_anti").count() +
+      prev.join(fin, Seq("a", "b"), "left_anti").count()
+    if (n != 0) throw new IllegalStateException(
+      s"component contraction did not converge in $CcRounds rounds" +
+        s" ($n star-edge diffs) — raise CcRounds for this graph shape")
+  }
+
+  /** Build the PERSISTENT component state from scratch: contract the
+    * edge list to its star fixpoint and write it as `<name>_stars`
+    * (plain parquet at `path/stars`, the IndexCatalog discipline).
+    * The star set is the whole state — two longs per non-singleton
+    * node — and it is exactly what [[mergeComponentStore]] needs to
+    * absorb future edge batches without ever re-reading raw history.
+    */
+  def writeComponentStore(
+      s: org.apache.spark.sql.SparkSession, edges: DataFrame,
+      name: String, path: String): Unit = {
+    val (prev, fin) = ccStarEdges(undirectedOf(edges), CcRounds)
+    requireConverged(prev, fin)
+    fin.write.mode("overwrite").parquet(s"$path/stars")
+    registerComponentStore(s, name, path)
+  }
+
+  /** Re-attach a component store in a new session — the parquet is
+    * the truth, the catalog entry is session state (the shared
+    * IndexCatalog discipline).
+    */
+  def registerComponentStore(
+      s: org.apache.spark.sql.SparkSession,
+      name: String, path: String): Unit =
+    IndexCatalog.registerPlain(s, s"${name}_stars", s"$path/stars")
+
+  /** Merge one batch of directed edges into the persistent component
+    * state — incremental connected components, the reason star
+    * contraction (not label propagation) is the engine's CC
+    * algorithm. Correctness rests on the merge identity: stars(G)
+    * preserves each component's connectivity and its full node set,
+    * so contract(stars(G) ∪ E₂) = stars(G ∪ E₂) EXACTLY — same
+    * components, same min-id roots, and the star set is determined by
+    * (component, root) alone. GraphSpec asserts the identity;
+    * replaying a batch is a no-op by the same argument (the ledger
+    * other ingest loops need is unnecessary here — the merge is
+    * idempotent by construction, so no replay bookkeeping exists to
+    * get wrong). Cost per batch tracks |stars| + |batch| — the
+    * accumulated RAW edge history (the 100 TB object) is never read
+    * again. The swap is the recutTokenCorpus write-aside discipline:
+    * contract into a tmp dir, rename live aside, rename tmp live —
+    * a crash at any point leaves a readable store.
+    */
+  def mergeComponentStore(
+      s: org.apache.spark.sql.SparkSession, batchEdges: DataFrame,
+      name: String, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$path/stars")
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val und = undirectedOf(batchEdges)
+    val base =
+      if (fs.exists(live)) s.read.parquet(live.toString).select("a", "b")
+      else und.limit(0)
+    val (prev, fin) = ccStarEdges(und.union(base), CcRounds)
+    requireConverged(prev, fin)
+    val tmp = new Path(s"$path/stars.merge.tmp")
+    val aside = new Path(s"$path/stars.pre-merge")
+    fs.delete(tmp, true)
+    // fin is localCheckpoint'd (eager), so writing tmp does not read
+    // the live files it is about to replace
+    fin.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(aside, true)
+    if (fs.exists(live) && !fs.rename(live, aside))
+      throw new java.io.IOException(s"rename $live -> $aside failed")
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"rename $tmp -> $live failed")
+    registerComponentStore(s, name, path)
+    s.catalog.refreshTable(s"${name}_stars")
+    fs.delete(aside, true)
+  }
+
+  /** q249's census columns read from the PERSISTED star store — no
+    * contraction, no convergence question (the store is a fixpoint by
+    * [[writeComponentStore]]/[[mergeComponentStore]]'s fail-loud
+    * gate): component count, node count, giant size, dust count from
+    * one component-keyed agg plus scalar broadcasts.
+    */
+  def storeCensus(
+      s: org.apache.spark.sql.SparkSession, name: String): DataFrame = {
+    val fin = s.table(s"${name}_stars")
+    val sizes = fin.groupBy("a").agg((count(lit(1)) + 1).as("csize"))
+    sizes.agg(
+      count(lit(1)).as("n_components"),
+      coalesce(sum("csize"), lit(0L)).as("n_nodes"),
+      coalesce(max("csize"), lit(0L)).as("max_csize"),
+      coalesce(sum(when(col("csize") <= 8, 1L).otherwise(0L)), lit(0L))
+        .as("n_dust"))
+      .select(col("n_nodes"), col("n_components"), col("max_csize"),
+        col("n_dust"))
+  }
+
   /** One oracle large+small star round, e{k-1} → e{k} — the exact SQL
     * mirror of [[ccPhase]] (adjacency both ways, LEAST-min per node,
     * the side filter, DISTINCT canonical output). Every CTE is
@@ -909,6 +1012,69 @@ object Graph {
                 CAST((20000 * n_docs + tot) // (2 * tot) AS BIGINT)
                   AS doc_share_bp
               FROM g, t ORDER BY link_class""")),
+
+    // q254: SOURCE-level citation profile — the link graph lifted to
+    // the source grain, the domain-level report a crawl curator reads
+    // next to the node-level rankings: per citing source, how many
+    // links it emits, how many stay INSIDE the source (self-citation —
+    // a high self share is the link-farm / template-navigation smell
+    // that q242's gcc_bp flags structurally), the self share in
+    // half-up bp, and how many DISTINCT other sources it reaches
+    // (citation breadth — a source that links everywhere is a
+    // directory, one that links nowhere but itself is a silo). Both
+    // endpoint sources come from the corpus by doc_id key join
+    // (targets are corpus ids by fixture construction, declared).
+    // Plan at 100 TB: two doc_id-keyed equi-joins of the skinny edge
+    // list against the (doc_id, source) projection — dimension-sized
+    // payloads, hash exchanges at full parallelism — then a
+    // sources-bounded partial agg; the distinct count runs over a
+    // |sources|² key space at worst.
+    "q254_source_citation" -> QueryDef(
+      (s, dir) => {
+        val src = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        val edges = linkEdges(s, dir)
+        edges
+          .join(src.select(col("doc_id"),
+            col("source").as("from_source")),
+            edges("src") === col("doc_id"))
+          .drop("doc_id")
+          .join(src.select(col("doc_id"),
+            col("source").as("to_source")),
+            col("dst") === col("doc_id"))
+          .groupBy("from_source")
+          .agg(count(lit(1)).as("n_links"),
+            sum(when(col("to_source") === col("from_source"), 1L)
+              .otherwise(0L)).as("n_self"),
+            countDistinct(when(col("to_source") =!= col("from_source"),
+              col("to_source"))).as("n_dst_sources"))
+          .select(col("from_source"), col("n_links"), col("n_self"),
+            expr("(20000 * n_self + n_links) div (2 * n_links)")
+              .as("self_bp"),
+            col("n_dst_sources"))
+          .orderBy("from_source")
+      },
+      Some(s"""WITH $linkFixtureSql,
+              edges AS (SELECT DISTINCT doc_id AS src,
+                  CAST(m AS BIGINT) AS dst
+                FROM (SELECT doc_id,
+                    UNNEST(regexp_extract_all(text2,
+                      'link->doc([0-9]+)', 1)) AS m
+                  FROM docs) q),
+              j AS (SELECT a.source AS from_source,
+                  b.source AS to_source
+                FROM edges e
+                JOIN documents a ON a.doc_id = e.src
+                JOIN documents b ON b.doc_id = e.dst)
+              SELECT from_source, COUNT(*) AS n_links,
+                CAST(SUM(CASE WHEN to_source = from_source
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_self,
+                CAST((20000 * SUM(CASE WHEN to_source = from_source
+                    THEN 1 ELSE 0 END) + COUNT(*)) // (2 * COUNT(*))
+                  AS BIGINT) AS self_bp,
+                CAST(COUNT(DISTINCT CASE WHEN to_source <> from_source
+                  THEN to_source END) AS BIGINT) AS n_dst_sources
+              FROM j GROUP BY from_source ORDER BY from_source""")),
 
     "q237_khop_reachability" -> QueryDef(
       (s, dir) => {

@@ -1254,6 +1254,44 @@ object StreamingOps {
     } finally fh.unpersist(blocking = false)
   }
 
+  /** Incremental connected-components maintenance over a stream of
+    * directed edges — the graph family's ingest-loop member (bands
+    * suppress near-dups, grams redundance, spans verbatim reuse; this
+    * keeps the LINK-GRAPH component state current as a crawl
+    * discovers edges). Per micro-batch the persistent star store
+    * absorbs the batch ([[graft.operators.Graph.mergeComponentStore]]
+    * — cost tracks |stars| + |batch|, the raw edge history is never
+    * re-read), then `onMerged` receives the post-merge census
+    * ([[graft.operators.Graph.storeCensus]]). UNIQUELY among the
+    * ingest loops this one needs NO replay ledger: the merge is
+    * idempotent by the star identity (contract(stars(G) ∪ E) =
+    * stars(G ∪ E), so re-merging an absorbed batch rewrites the
+    * byte-identical fixpoint) — there is no bookkeeping to get wrong,
+    * and StreamingSpec replays a batch to pin it.
+    */
+  def ccIngestStream(
+      edges: DataFrame,
+      storeName: String,
+      path: String,
+      onMerged: (DataFrame, Long) => Unit): streaming.StreamingQuery =
+    edges.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ccIngestBatch(batch.toDF(), id, storeName, path, onMerged)
+      }
+      .start()
+
+  /** One micro-batch of [[ccIngestStream]] — package-private so
+    * StreamingSpec can replay a batch under its original id.
+    */
+  private[graft] def ccIngestBatch(
+      batch: DataFrame, id: Long, storeName: String, path: String,
+      onMerged: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    graft.operators.Graph.mergeComponentStore(s, batch, storeName, path)
+    onMerged(graft.operators.Graph.storeCensus(s, storeName), id)
+  }
+
   def neardupProbeIndexStream(
       docs: DataFrame,
       indexName: String,

@@ -235,6 +235,34 @@ class GraphSpec extends SparkSpec {
     graft.operators.Q.releaseManaged()
   }
 
+  test("component store: merge ≡ contract-of-union; replay is a no-op") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ccstore")
+    val e1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val e2 = Seq((3L, 4L), (11L, 12L), (20L, 21L)).toDF("src", "dst")
+    try {
+      Graph.writeComponentStore(spark, e1, "cc_store_t", s"$tmp")
+      Graph.mergeComponentStore(spark, e2, "cc_store_t", s"$tmp")
+      // the merge identity: stars(G₁) ∪ E₂ contracts to stars(G₁∪E₂)
+      val store = spark.table("cc_store_t_stars")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Graph.connectedComponents(e1.unionByName(e2))
+        .filter(col("node") =!= col("comp"))
+        .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+      assert(store === full, "merged store must equal contract-of-union")
+      // census off the store: {1,2,3,4}, {10,11,12}, {20,21}
+      val c = Graph.storeCensus(spark, "cc_store_t").collect().head
+      assert(c.toSeq === Seq(9L, 3L, 4L, 3L), s"store census: $c")
+      // idempotency WITHOUT a ledger: re-merging an absorbed batch
+      // rewrites the identical fixpoint
+      Graph.mergeComponentStore(spark, e2, "cc_store_t", s"$tmp")
+      val store2 = spark.table("cc_store_t_stars")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(store2 === store, "replayed merge must be a no-op")
+    } finally spark.sql("DROP TABLE IF EXISTS cc_store_t_stars")
+  }
+
   test("componentCensus: empty and self-loop-only graphs report zeros") {
     import spark.implicits._
     import graft.operators.Graph

@@ -1844,4 +1844,52 @@ class StreamingSpec extends SparkSpec {
       graft.operators.Q.releaseManaged()
     }
   }
+
+  test("ccIngestStream: edge batches merge into the star store; census tracks; replay is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ccstream")
+    val input = MemoryStream[(Long, Long)]
+    val censuses =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val q = StreamingOps.ccIngestStream(
+      input.toDF().select(col("_1").as("src"), col("_2").as("dst")),
+      "cc_stream_t", s"$tmp",
+      (census, id) => censuses +=
+        id -> census.collect().head.toSeq.map(_.asInstanceOf[Long]))
+    try {
+      input.addData((1L, 2L), (2L, 3L))
+      q.processAllAvailable()
+      // after batch 0: {1,2,3}
+      assert(censuses.last._2 === Seq(3L, 1L, 3L, 1L),
+        s"batch-0 census: ${censuses.last}")
+      input.addData((3L, 4L), (10L, 11L))
+      q.processAllAvailable()
+      // after batch 1: {1,2,3,4} and {10,11} — the merge EXTENDED the
+      // existing component and opened a new one
+      assert(censuses.last._2 === Seq(6L, 2L, 4L, 2L),
+        s"batch-1 census: ${censuses.last}")
+      q.stop()
+      // the streamed state equals the one-shot batch contraction
+      val store = spark.table("cc_stream_t_stars")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = graft.operators.Graph.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst"))
+        .filter(col("node") =!= col("comp"))
+        .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+      assert(store === full, "stream ≡ batch contraction")
+      // foreachBatch retry: re-running batch 1's body must leave the
+      // store byte-identical — idempotent WITHOUT any ledger
+      StreamingOps.ccIngestBatch(
+        Seq((3L, 4L), (10L, 11L)).toDF("src", "dst"), 1L,
+        "cc_stream_t", s"$tmp", (_, _) => ())
+      val store2 = spark.table("cc_stream_t_stars")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(store2 === store, "replayed merge must be a no-op")
+    } finally {
+      if (q.isActive) q.stop()
+      spark.sql("DROP TABLE IF EXISTS cc_stream_t_stars")
+    }
+  }
 }
