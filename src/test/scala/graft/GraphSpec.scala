@@ -260,6 +260,19 @@ class GraphSpec extends SparkSpec {
       val store2 = spark.table("cc_store_t_stars")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(store2 === store, "replayed merge must be a no-op")
+      // fresh-session re-attach (the IndexCatalog discipline): the
+      // catalog entry is session state, the parquet is the truth
+      spark.sql("DROP TABLE IF EXISTS cc_store_t_stars")
+      Graph.registerComponentStore(spark, "cc_store_t", s"$tmp")
+      val c2 = Graph.storeCensus(spark, "cc_store_t").collect().head
+      assert(c2.toSeq === c.toSeq,
+        "re-attached store must serve the identical census")
+      // and a merge driven through the re-attached entry still works
+      Graph.mergeComponentStore(spark,
+        Seq((21L, 22L)).toDF("src", "dst"), "cc_store_t", s"$tmp")
+      val c3 = Graph.storeCensus(spark, "cc_store_t").collect().head
+      assert(c3.toSeq === Seq(10L, 3L, 4L, 3L),
+        s"post-re-attach merge census: $c3")
     } finally spark.sql("DROP TABLE IF EXISTS cc_store_t_stars")
   }
 
