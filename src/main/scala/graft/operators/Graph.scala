@@ -523,6 +523,105 @@ object Graph {
         col("n_dust"))
   }
 
+  /** Rounds cap for k-core peeling — fixed by declaration, oracle
+    * unrolls the same count. Peeling removes one "layer" per round, so
+    * the worst case is a long chain (the sf0.01 fixture's 2-core
+    * needs 18 — tail chains peel end-in one level at a time); 24
+    * leaves margin, and the early exit (monotonicity makes the probe
+    * one count) means converged graphs never pay the cap.
+    */
+  private val KcoreRounds = 24
+
+  /** One k-core peel round: degree over the canonical undirected edge
+    * frame, keep nodes with d ≥ k, keep edges with both endpoints
+    * kept. Two semi joins on the endpoint keys — skinny frames, hash
+    * exchanges, nothing pairwise.
+    */
+  private def peelRound(e: DataFrame, k: Int): DataFrame = {
+    val keep = e.select(col("a").as("v"))
+      .union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k).select("v")
+    e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+      .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+      .select("a", "b")
+  }
+
+  /** Iterated peel to the k-core fixpoint over a canonical undirected
+    * frame; returns (second-to-last, last) so the caller derives the
+    * convergence bit in-plan. Peeling is MONOTONE (eᵣ ⊆ eᵣ₋₁), so
+    * equal COUNTS prove equal sets — the stationarity probe is one
+    * count on a just-checkpointed frame (cheaper than the CC probe's
+    * anti-join pair, and exact by the subset structure).
+    */
+  private def kcorePeel(
+      und: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
+    var e = und.localCheckpoint(true)
+    var prev = e
+    var r = 0
+    var stationary = false
+    while (r < rounds && !stationary) {
+      prev = e
+      e = peelRound(e, k).localCheckpoint(true)
+      r += 1
+      if (r < rounds) stationary = e.count() == prev.count()
+    }
+    (prev, e)
+  }
+
+  /** k-core census over a directed edge list — one row per k:
+    * surviving core nodes/edges, the core's node share in half-up bp,
+    * and the converged_ok contract bit (the peel reached its
+    * fixpoint inside the declared round cap — an unconverged row is
+    * an over-estimate and says so). The k-core (Seidman 1983) is the
+    * graph family's DENSITY member: the 2-core strips every tree
+    * tendril (pages that merely hang off the web), the 3-core keeps
+    * only mutually-reinforcing clusters — a crawl curator reads
+    * core shares next to q242's clustering and q249's components to
+    * tell organic density from link-farm wedges.
+    */
+  def kcoreCensus(
+      edges: DataFrame, ks: Seq[Int] = Seq(2, 3),
+      rounds: Int = KcoreRounds): DataFrame = {
+    val und = undirectedOf(edges).managedPersist
+    val nn = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    ks.map { k =>
+      val (prev, fin) = kcorePeel(und, k, rounds)
+      val coreNodes = fin.select(col("a").as("v"))
+        .union(fin.select(col("b").as("v")))
+        .distinct().agg(count(lit(1)).as("n_core_nodes"))
+      coreNodes
+        .crossJoin(broadcast(fin.agg(count(lit(1)).as("n_core_edges"))))
+        .crossJoin(broadcast(prev.agg(count(lit(1)).as("prev_edges"))))
+        .crossJoin(broadcast(nn))
+        .select(lit(k.toLong).as("k"), col("n_core_nodes"),
+          col("n_core_edges"),
+          when(col("n_nodes") === 0, 0L)
+            .otherwise(expr(
+              "(20000 * n_core_nodes + n_nodes) div (2 * n_nodes)"))
+            .as("core_share_bp"),
+          when(col("n_core_edges") === col("prev_edges"), 1L)
+            .otherwise(0L).as("converged_ok"))
+    }.reduce(_.unionByName(_)).orderBy("k")
+  }
+
+  /** One oracle peel round for prefix `p`, threshold `k` — the SQL
+    * mirror of [[peelRound]], materialized for the same inlining
+    * reason as [[ccRoundSql]].
+    */
+  private def kcoreRoundSql(p: String, k: Int, r: Int): String =
+    s"""${p}d$r AS MATERIALIZED (SELECT v, COUNT(*) AS d
+                FROM (SELECT a AS v FROM ${p}e${r - 1}
+                  UNION ALL SELECT b FROM ${p}e${r - 1}) z GROUP BY v),
+              ${p}k$r AS MATERIALIZED (SELECT v FROM ${p}d$r
+                WHERE d >= $k),
+              ${p}e$r AS MATERIALIZED (SELECT e.a, e.b
+                FROM ${p}e${r - 1} e
+                JOIN ${p}k$r x ON x.v = e.a
+                JOIN ${p}k$r y ON y.v = e.b)"""
+
   /** One oracle large+small star round, e{k-1} → e{k} — the exact SQL
     * mirror of [[ccPhase]] (adjacency both ways, LEAST-min per node,
     * the side filter, DISTINCT canonical output). Every CTE is
@@ -1093,6 +1192,75 @@ object Graph {
                 CAST(COUNT(DISTINCT CASE WHEN to_source <> from_source
                   THEN to_source END) AS BIGINT) AS n_dst_sources
               FROM j GROUP BY from_source ORDER BY from_source""")),
+
+    // q255: k-CORE census — the graph family's DENSITY axis (q178
+    // importance, q242 local clustering, q249 global connectivity,
+    // q255 cohesive depth): the 2-core strips every tree tendril, the
+    // 3-core keeps only mutually-reinforcing clusters; the fixture
+    // reads a structural result — the id-arithmetic graph's 2-core
+    // holds the mod-400 target backbone while its 3-core is EMPTY (no
+    // triple-reinforced cluster exists, consistent with q242's low
+    // triangle count). Peeling (Seidman 1983) iterates
+    // degree-filter-project to a fixpoint; rounds capped at 24
+    // (declared — the sf0.01 fixture's 2-core needs 18: tail chains
+    // peel one level per round) with the monotone-count early exit,
+    // and the oracle unrolls the same 24 rounds per k (materialized
+    // CTEs, the q249 lesson). Plan at 100 TB: each round is one
+    // degree agg + two semi joins over a skinny edge frame that only
+    // SHRINKS; per-round localCheckpoint keeps plan depth O(1);
+    // rollups are 1-row broadcasts.
+    "q255_kcore_census" -> QueryDef(
+      (s, dir) => kcoreCensus(linkEdges(s, dir)),
+      Some {
+        val rounds = (1 to KcoreRounds)
+        s"""WITH $linkFixtureSql,
+              edges AS (SELECT DISTINCT doc_id AS src,
+                  CAST(m AS BIGINT) AS dst
+                FROM (SELECT doc_id,
+                    UNNEST(regexp_extract_all(text2,
+                      'link->doc([0-9]+)', 1)) AS m
+                  FROM docs) q),
+              und AS MATERIALIZED (SELECT DISTINCT
+                  LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst),
+              te0 AS MATERIALIZED (SELECT a, b FROM und),
+              ue0 AS MATERIALIZED (SELECT a, b FROM und),
+              ${rounds.map(r => kcoreRoundSql("t", 2, r))
+                .mkString(",\n              ")},
+              ${rounds.map(r => kcoreRoundSql("u", 3, r))
+                .mkString(",\n              ")},
+              nn AS (SELECT COUNT(*) AS n_nodes
+                FROM (SELECT a AS v FROM und
+                  UNION SELECT b FROM und) z),
+              ct AS (SELECT 2 AS k,
+                  (SELECT COUNT(*) FROM
+                    (SELECT a AS v FROM te$KcoreRounds
+                      UNION SELECT b FROM te$KcoreRounds) z)
+                    AS n_core_nodes,
+                  (SELECT COUNT(*) FROM te$KcoreRounds)
+                    AS n_core_edges,
+                  (SELECT COUNT(*) FROM te${KcoreRounds - 1})
+                    AS prev_edges),
+              cu AS (SELECT 3 AS k,
+                  (SELECT COUNT(*) FROM
+                    (SELECT a AS v FROM ue$KcoreRounds
+                      UNION SELECT b FROM ue$KcoreRounds) z)
+                    AS n_core_nodes,
+                  (SELECT COUNT(*) FROM ue$KcoreRounds)
+                    AS n_core_edges,
+                  (SELECT COUNT(*) FROM ue${KcoreRounds - 1})
+                    AS prev_edges),
+              u2 AS (SELECT * FROM ct UNION ALL SELECT * FROM cu)
+              SELECT CAST(k AS BIGINT) AS k,
+                CAST(n_core_nodes AS BIGINT) AS n_core_nodes,
+                CAST(n_core_edges AS BIGINT) AS n_core_edges,
+                CAST(CASE WHEN n_nodes = 0 THEN 0
+                  ELSE (20000 * n_core_nodes + n_nodes)
+                    // (2 * n_nodes) END AS BIGINT) AS core_share_bp,
+                CAST(CASE WHEN n_core_edges = prev_edges
+                  THEN 1 ELSE 0 END AS BIGINT) AS converged_ok
+              FROM u2, nn ORDER BY k"""
+      }),
 
     "q237_khop_reachability" -> QueryDef(
       (s, dir) => {

@@ -276,6 +276,27 @@ class GraphSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS cc_store_t_stars")
   }
 
+  test("kcoreCensus: triangle survives the 2-core, tendrils peel, 3-core empty") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // triangle {1,2,3} with a 2-hop tail 3-4-5: the 2-core strips the
+    // tail layer by layer, the 3-core strips everything
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val rows = Graph.kcoreCensus(edges).collect()
+    assert(rows(0).toSeq === Seq(2L, 3L, 3L, 6000L, 1L),
+      s"2-core row: ${rows(0)}")
+    assert(rows(1).toSeq === Seq(3L, 0L, 0L, 0L, 1L),
+      s"3-core row: ${rows(1)}")
+    // an exhausted round budget must trip converged_ok, not lie: one
+    // round on a 12-node path leaves an unfinished peel
+    val path = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val un = Graph.kcoreCensus(path, ks = Seq(2), rounds = 1)
+      .collect().head
+    assert(un.getLong(4) === 0L, s"1-round peel must be unconverged: $un")
+    graft.operators.Q.releaseManaged()
+  }
+
   test("componentCensus: empty and self-loop-only graphs report zeros") {
     import spark.implicits._
     import graft.operators.Graph

@@ -1079,6 +1079,15 @@ class PlanAuditSpec extends SparkSpec {
       s"q253's source rollup must combine map-side:\n$p")
   }
 
+  test("q255: k-core census reads checkpointed peel frames; rollups broadcast") {
+    val p = plan("q255_kcore_census")
+    assert(!p.contains("CartesianProduct"), s"q255 planned a cartesian:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"q255's cores must come from the peel localCheckpoints:\n$p")
+    assert(p.contains("partial_"),
+      s"the census rollups must combine map-side:\n$p")
+  }
+
   test("q243/q244: packing-attention and phase-dup ride the shared prefix-sum frames") {
     for (q <- Seq("q243_pack_attention_mix", "q244_phase_dup_rate")) {
       val p = plan(q)
