@@ -222,7 +222,8 @@ object Stress {
 
     val khopEdges = if (selected("khop_rounds") ||
         selected("triangle_census") || selected("hits_iters") ||
-        selected("harmonic_panel") || selected("cc_rounds")) {
+        selected("harmonic_panel") || selected("cc_rounds") ||
+        selected("kcore_peel")) {
       // the ONE edge definition (Graph.linkEdgesOf) — a drifted copy
       // here would make the probe measure a different graph than q237
       val e = graft.operators.Graph.linkEdgesOf(documents)
@@ -1199,6 +1200,17 @@ object Stress {
         val r = graft.operators.Graph.componentCensus(khopEdges.get)
           .head()
         r.getLong(5) * 10 + r.getLong(6)
+      },
+      // q255 shape: 2-core + 3-core peel over the same cached edge
+      // list. Inflation densifies the < 400 fixture targets, which
+      // SHORTENS the peel (high-degree backbones survive instantly,
+      // tendrils vanish in one round) — wall must stay flat-to-
+      // falling while the monotone early exit caps the round count;
+      // returns the packed converged bits for both k
+      timed("kcore_peel") {
+        val rs = graft.operators.Graph.kcoreCensus(khopEdges.get)
+          .collect()
+        rs.map(_.getLong(4)).sum * 100 + rs.length
       })
 
     val ran = results.filter(_._2 >= 0.0)

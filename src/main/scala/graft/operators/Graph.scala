@@ -607,6 +607,39 @@ object Graph {
     }.reduce(_.unionByName(_)).orderBy("k")
   }
 
+  /** Rich-club profile (Zhou & Mondragón 2004) over a directed edge
+    * list — one row per degree threshold k: club size (nodes with
+    * degree > k), internal edge count, and club density φ(k) =
+    * 2E/(N(N−1)) in half-up bp (guarded 0 for clubs of ≤ 1 node). No
+    * iteration: one degree agg, per-k two semi joins + scalar
+    * rollups; Long-safe to N ≈ 10⁹ club nodes (N² < 2⁶³).
+    */
+  def richClub(
+      edges: DataFrame, ks: Seq[Long] = Seq(2L, 4L, 8L)): DataFrame = {
+    val und = undirectedOf(edges).managedPersist
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .managedPersist
+    ks.map { k =>
+      val club = deg.filter(col("d") > k).select("v")
+      val ek = und
+        .join(club.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(club.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .agg(count(lit(1)).as("n_club_edges"))
+      club.agg(count(lit(1)).as("n_club_nodes"))
+        .crossJoin(broadcast(ek))
+        .select(lit(k).as("k"), col("n_club_nodes"),
+          col("n_club_edges"),
+          when(col("n_club_nodes") <= 1, 0L)
+            .otherwise(expr(
+              "(2 * 10000 * 2 * n_club_edges" +
+                " + n_club_nodes * (n_club_nodes - 1))" +
+                " div (2 * n_club_nodes * (n_club_nodes - 1))"))
+            .as("phi_bp"))
+    }.reduce(_.unionByName(_)).orderBy("k")
+  }
+
   /** One oracle peel round for prefix `p`, threshold `k` — the SQL
     * mirror of [[peelRound]], materialized for the same inlining
     * reason as [[ccRoundSql]].
@@ -1261,6 +1294,52 @@ object Graph {
                   THEN 1 ELSE 0 END AS BIGINT) AS converged_ok
               FROM u2, nn ORDER BY k"""
       }),
+
+    // q256: RICH-CLUB profile (Zhou & Mondragón 2004) — do the hubs
+    // interconnect? For each degree threshold k ∈ {2, 4, 8}: the club
+    // (nodes with degree > k), its internal edge count, and the club
+    // density φ(k) = 2E/(N(N−1)) in half-up bp. A rising φ(k) with k
+    // is the "rich club" (an oligarchy of mutually-linked hubs — in a
+    // crawl, a reciprocal-boost ring worth an editorial look); a flat
+    // low φ means hubs are independent directories. Complements q242
+    // (triangles say local closure, this says HUB-level closure) and
+    // q255 (the k-core is cohesion by peeling, the club is cohesion
+    // by raw degree). No iteration anywhere — one degree agg, per-k
+    // two semi joins + scalar rollups; Long-safe to N ≈ 10⁹ club
+    // nodes (N² < 2⁶³); phi guarded 0 for clubs of ≤ 1 node.
+    "q256_rich_club" -> QueryDef(
+      (s, dir) => richClub(linkEdges(s, dir)),
+      Some(s"""WITH $linkFixtureSql,
+              edges AS (SELECT DISTINCT doc_id AS src,
+                  CAST(m AS BIGINT) AS dst
+                FROM (SELECT doc_id,
+                    UNNEST(regexp_extract_all(text2,
+                      'link->doc([0-9]+)', 1)) AS m
+                  FROM docs) q),
+              und AS MATERIALIZED (SELECT DISTINCT
+                  LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst),
+              deg AS MATERIALIZED (SELECT v, COUNT(*) AS d
+                FROM (SELECT a AS v FROM und
+                  UNION ALL SELECT b FROM und) z GROUP BY v),
+              ks AS (SELECT CAST(k AS BIGINT) AS k
+                FROM (VALUES (2), (4), (8)) t(k)),
+              club AS MATERIALIZED (SELECT k.k, d.v
+                FROM ks k JOIN deg d ON d.d > k.k),
+              nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n
+                FROM club GROUP BY k),
+              ek AS (SELECT c1.k, CAST(COUNT(*) AS BIGINT) AS e
+                FROM und u
+                JOIN club c1 ON c1.v = u.a
+                JOIN club c2 ON c2.v = u.b AND c2.k = c1.k
+                GROUP BY c1.k)
+              SELECT k.k, COALESCE(n, 0) AS n_club_nodes,
+                COALESCE(e, 0) AS n_club_edges,
+                CAST(CASE WHEN COALESCE(n, 0) <= 1 THEN 0
+                  ELSE (2 * 10000 * 2 * COALESCE(e, 0) + n * (n - 1))
+                    // (2 * n * (n - 1)) END AS BIGINT) AS phi_bp
+              FROM ks k LEFT JOIN nk ON nk.k = k.k
+              LEFT JOIN ek ON ek.k = k.k ORDER BY k.k""")),
 
     "q237_khop_reachability" -> QueryDef(
       (s, dir) => {

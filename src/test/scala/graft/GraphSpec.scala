@@ -297,6 +297,29 @@ class GraphSpec extends SparkSpec {
     graft.operators.Q.releaseManaged()
   }
 
+  test("kcoreCensus/rich-club: interlinked hubs read as a rich club") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // two 5-leaf stars whose hubs share an edge: the only deg>2 nodes
+    // are the two hubs, and they are connected — a 2-node rich club
+    // at density 10000 bp; no node reaches degree 9
+    val edges = ((2L to 6L).map(l => (1L, l)) ++
+      (11L to 15L).map(l => (10L, l)) :+ (1L, 10L)).toDF("src", "dst")
+    val rows = graft.operators.Graph.kcoreCensus(edges, ks = Seq(2))
+      .collect()
+    // the 2-core of two bridged stars is empty (leaves peel, then the
+    // hubs' remaining degree-1 bridge peels too)
+    assert(rows(0).toSeq === Seq(2L, 0L, 0L, 0L, 1L),
+      s"bridged-star 2-core: ${rows(0)}")
+    val rc = Graph.richClub(edges).collect()
+    // deg>2 and deg>4 clubs are exactly the two hubs, and they link:
+    // a 2-node club at density 10000; nobody reaches degree 9
+    assert(rc(0).toSeq === Seq(2L, 2L, 1L, 10000L), s"k=2: ${rc(0)}")
+    assert(rc(1).toSeq === Seq(4L, 2L, 1L, 10000L), s"k=4: ${rc(1)}")
+    assert(rc(2).toSeq === Seq(8L, 0L, 0L, 0L), s"k=8: ${rc(2)}")
+    graft.operators.Q.releaseManaged()
+  }
+
   test("componentCensus: empty and self-loop-only graphs report zeros") {
     import spark.implicits._
     import graft.operators.Graph
