@@ -763,6 +763,89 @@ object Pipeline {
                   AS BIGINT) AS mean_div_bp
               FROM dv""")),
 
+    // q257: RELEASE CHANGELOG — the diff report a curation team signs
+    // between two corpus releases: docs added, removed, changed
+    // (same id, different text), unchanged, and the net token-budget
+    // delta the next training run must absorb. Without this report a
+    // release bump is a black box (q212 tracks the VOCAB drift, q89
+    // diffs generic snapshots — this is the corpus-grain changelog).
+    // The v2 release is a declared fixture (the linkFixture/q244
+    // discipline — one corpus ships in testdata, so v2 derives by
+    // arithmetic): ids ≡ 0 (mod 7) dropped, ids ≡ 3 (mod 11) get a
+    // ' v2rev' suffix, ids ≡ 5 (mod 13) re-enter as fresh docs at
+    // id + 1e6 with a ' fresh' suffix — all three classes overlap
+    // realistically (a changed id can also seed an added doc). Plan
+    // at 100 TB: two map-only projections with in-row token counts,
+    // ONE full-outer doc_id-keyed join (the only shuffle), a 1-row
+    // conditional rollup — no pairwise anything; text equality is
+    // byte equality in both engines.
+    "q257_release_changelog" -> QueryDef(
+      (s, dir) => {
+        def wc(c: org.apache.spark.sql.Column) =
+          size(TextAnalysis.tokens(c)).cast("long")
+        val v1 = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 3,
+              concat(col("text"), lit(" v2rev")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(v1.filter(col("doc_id") % 13 === 5)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" fresh")).as("text")))
+        v1.select(col("doc_id"), col("text").as("t1"),
+            wc(col("text")).as("k1"))
+          .join(v2.select(col("doc_id"), col("text").as("t2"),
+            wc(col("text")).as("k2")), Seq("doc_id"), "full_outer")
+          .agg(
+            sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_v1"),
+            sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_v2"),
+            sum(when(col("t1").isNull, 1L).otherwise(0L)).as("n_added"),
+            sum(when(col("t2").isNull, 1L).otherwise(0L))
+              .as("n_removed"),
+            sum(when(col("t1").isNotNull && col("t2").isNotNull &&
+              col("t1") =!= col("t2"), 1L).otherwise(0L))
+              .as("n_changed"),
+            sum(when(col("t1") === col("t2"), 1L).otherwise(0L))
+              .as("n_unchanged"),
+            (coalesce(sum("k2"), lit(0L)) -
+              coalesce(sum("k1"), lit(0L))).as("token_delta"))
+      },
+      Some("""WITH v2 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 11 = 3 THEN text || ' v2rev'
+                    ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' fresh'
+                FROM documents WHERE doc_id % 13 = 5),
+              a AS (SELECT doc_id, text AS t1,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '')) AS BIGINT) AS k1
+                FROM documents),
+              b AS (SELECT doc_id, text AS t2,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                    x -> x <> '')) AS BIGINT) AS k2
+                FROM v2),
+              j AS (SELECT a.t1, a.k1, b.t2, b.k2
+                FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id)
+              SELECT
+                CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_v1,
+                CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_v2,
+                CAST(SUM(CASE WHEN t1 IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_added,
+                CAST(SUM(CASE WHEN t2 IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_removed,
+                CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+                  AND t1 <> t2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_changed,
+                CAST(SUM(CASE WHEN t1 = t2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_unchanged,
+                CAST(COALESCE(SUM(k2), 0) - COALESCE(SUM(k1), 0)
+                  AS BIGINT) AS token_delta
+              FROM j""")),
+
     "q233_shard_skew" -> QueryDef(
       (s, dir) => {
         val perShard = shardAssigned(s, dir)

@@ -320,6 +320,61 @@ class GraphSpec extends SparkSpec {
     graft.operators.Q.releaseManaged()
   }
 
+  test("CC and k-core agree with sequential references on seeded random graphs") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // star contraction vs union-find, distributed peel vs sequential
+    // peel — the algorithmic-equivalence check the oracle's fixed
+    // fixture can't give (the DedupSpec/AnnSpec discipline); fixed
+    // seed keeps the suite deterministic
+    val rnd = new scala.util.Random(1234L)
+    for (trial <- 1 to 4) {
+      val n = 30 + rnd.nextInt(30)
+      val m = n + rnd.nextInt(2 * n)
+      val edges = (1 to m).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val df = edges.toDF("src", "dst")
+      // union-find ground truth (min-label per component)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        if (a != b) {
+          val ra = find(a.toInt); val rb = find(b.toInt)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      val present = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e._1.toInt, e._2.toInt)).toSet
+      val want = present.groupBy(find).values.flatMap { g =>
+        val root = g.min.toLong; g.map(_.toLong -> root)
+      }.toMap
+      val got = Graph.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial: CC drifted from union-find")
+      // sequential peel ground truth for the 2-core
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      var ref = und; var done = false
+      while (!done) {
+        val deg = ref.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).map { case (v, l) => v -> l.size }
+        val keep = deg.filter(_._2 >= 2).keySet
+        val ne = ref.filter(p => keep(p._1) && keep(p._2))
+        done = ne == ref; ref = ne
+      }
+      val row = Graph.kcoreCensus(df, ks = Seq(2)).collect().head
+      assert(row.getLong(2) === ref.size.toLong,
+        s"trial $trial: 2-core edge count drifted")
+      assert(row.getLong(1) ===
+        ref.flatMap(p => Seq(p._1, p._2)).size.toLong,
+        s"trial $trial: 2-core node count drifted")
+      assert(row.getLong(4) === 1L, s"trial $trial: peel must converge")
+      graft.operators.Q.releaseManaged()
+    }
+  }
+
   test("componentCensus: empty and self-loop-only graphs report zeros") {
     import spark.implicits._
     import graft.operators.Graph
