@@ -32,6 +32,24 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Partition-count hygiene for the skinny persisted/iterative
+      // frames (r17, guide §2.2 "let AQE coalesce small partitions"):
+      // with the default canChangeCachedPlanOutputPartitioning=false,
+      // every `managed` (persisted) fragment pins its pre-AQE output
+      // partitioning — 32 partitions of kilobytes for the fixpoint
+      // loops' node/edge frames — and every downstream stage pays 32
+      // near-empty tasks to read them (PageRank/HITS/CC/k-core, the
+      // shared shingle/gram caches). Allowing AQE inside cached-plan
+      // materialization coalesces those to size-appropriate counts
+      // (q245 measured 6.6 → 3.5 s from this line alone; a config
+      // matrix over parallelismFirst/advisorySize showed the Spark
+      // defaults for those two are best at BOTH ends — parallelism-
+      // first keeps mid-size CPU-heavy stages parallel locally, and
+      // at 100 TB shuffles exceed the advisory size anyway, so only
+      // this cached-plan setting moves the needle). Env-overridable
+      // for A/B runs.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED_REPART", "true"))
       .config("spark.ui.enabled", "false")
       // NO periodic-GC override (r11 set 1min): the ContextCleaner's
       // periodic System.gc() fires on its own thread, i.e. INSIDE

@@ -14,6 +14,12 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // same cached-plan AQE hygiene as Bench (r17): results are
+      // partitioning-independent by the order-free-exactness
+      // discipline, and the dump runs faster without 32-task stages
+      // over kilobyte persisted fixpoint frames
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED_REPART", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -103,7 +103,7 @@ object Graph {
     * the probe can never measure a different graph than q178/q237.
     */
   private[graft] def linkEdgesOf(docs: DataFrame): DataFrame =
-    docs
+    Q.spread(docs)
       .withColumn("text2", linkFixture(col("doc_id"), col("text")))
       .select(col("doc_id").as("src"),
         explode(expr(
@@ -359,9 +359,14 @@ object Graph {
       // oracle's full R-round unroll must agree bit-for-bit (the
       // correctness gate checks exactly that).
       if (k < rounds)
+        // ONE bounded job, not two: the union of the two anti-joins is
+        // empty iff both are, and isEmpty short-circuits on the first
+        // row instead of counting the whole diff (r17 opt: the probe
+        // cost two full count jobs per round on the hot fixpoint loop)
         stationary =
-          e.join(prev, Seq("a", "b"), "left_anti").count() == 0 &&
-            prev.join(e, Seq("a", "b"), "left_anti").count() == 0
+          e.join(prev, Seq("a", "b"), "left_anti")
+            .union(prev.join(e, Seq("a", "b"), "left_anti"))
+            .isEmpty
     }
     (prev, e)
   }
@@ -555,7 +560,8 @@ object Graph {
     * anti-join pair, and exact by the subset structure).
     */
   private def kcorePeel(
-      und: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
+      und: DataFrame, k: Int, rounds: Int)
+      : (DataFrame, DataFrame, Boolean) = {
     var e = und.localCheckpoint(true)
     var prev = e
     var r = 0
@@ -566,7 +572,7 @@ object Graph {
       r += 1
       if (r < rounds) stationary = e.count() == prev.count()
     }
-    (prev, e)
+    (prev, e, stationary)
   }
 
   /** k-core census over a directed edge list — one row per k:
@@ -587,8 +593,23 @@ object Graph {
     val nn = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .distinct().agg(count(lit(1)).as("n_nodes"))
+    // Ascending-k seeding (r17 opt): for k' > k the k'-core is a
+    // subgraph of the k-core, and the k-core is closed under peeling
+    // at k', so peeling k' FROM the k-core fixpoint reaches exactly
+    // the same fixpoint as peeling from scratch — the from-scratch
+    // prefix rounds that only strip sub-k layers are skipped (the
+    // sf0.1 2-core needs ~18 chain-peel rounds; the 3-peel then
+    // starts from ~1/4 of the edges instead of re-stripping them).
+    // Seeding only happens off a CONVERGED predecessor at a
+    // smaller-or-equal k; an unconverged or out-of-order step falls
+    // back to the full frame, preserving the declared semantics.
+    var seed = und
+    var seedK = Int.MinValue
     ks.map { k =>
-      val (prev, fin) = kcorePeel(und, k, rounds)
+      val base = if (k >= seedK) seed else und
+      val (prev, fin, conv) = kcorePeel(base, k, rounds)
+      if (conv) { seed = fin; seedK = k }
+      else { seed = und; seedK = Int.MinValue }
       val coreNodes = fin.select(col("a").as("v"))
         .union(fin.select(col("b").as("v")))
         .distinct().agg(count(lit(1)).as("n_core_nodes"))
@@ -719,14 +740,23 @@ object Graph {
     // cannot cross an integer boundary. The oracle mirrors with a
     // HUGEINT product (hitsStepSql).
     def rescale(raw: DataFrame): DataFrame = {
-      val m = raw.agg(coalesce(max("r"), lit(0L)).as("m"))
-      raw.crossJoin(broadcast(m))
+      // checkpoint the RAW sums FIRST: `raw` feeds both the max
+      // aggregation and the rescale projection, and without the cut the
+      // join+agg chain behind it was computed TWICE per half-step (the
+      // r17 HITS profile: 8 half-steps × 2 = 16 edge joins for 8
+      // declared). The checkpointed frame is node-sized (two longs),
+      // the rescale itself is then a cheap projection over it, and the
+      // projection needs no checkpoint of its own — the r0 cut already
+      // bounds plan depth (same O(1)-in-iters discipline, one fewer
+      // eager materialization per half-step).
+      val r0 = raw.localCheckpoint(true)
+      val m = r0.agg(coalesce(max("r"), lit(0L)).as("m"))
+      r0.crossJoin(broadcast(m))
         .select(col("node"),
           when(col("m") === 0, 0L)
             .otherwise(expr(
               "CAST(FLOOR((CAST(r AS DECIMAL(38,0)) * 1000000) / m)" +
                 " AS BIGINT)")).as("r"))
-        .localCheckpoint(true)
     }
     var hub = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
     var auth = hub

@@ -1678,8 +1678,14 @@ object Similarity {
     "q175_dim_covariance" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.types.DecimalType
-        val emb = table(s, dir, "embeddings")
+        // spread BEFORE the n·d²/2 generator: the embeddings parquet
+        // reads as one split (single row group), which serialized the
+        // whole pair-product explode + decimal partial agg onto one
+        // core (r17; the Q.spread no-op-at-scale contract)
+        val emb = spread(table(s, dir, "embeddings"))
           .withColumn("e", covFixture(col("embedding")))
+        // the 64-row moment frame feeds BOTH broadcast joins (p side
+        // and q side); without the cut the n·d moment scan ran twice
         val dims = emb
           .select(posexplode(col("e")))
           .select((col("pos") + 1).cast("long").as("p"),
@@ -1692,6 +1698,7 @@ object Similarity {
           .select(col("p"), col("n"), (col("s1") / col("n")).as("mean"),
             (col("s2") / col("n") -
               (col("s1") / col("n")) * (col("s1") / col("n"))).as("variance"))
+          .localCheckpoint(true)
         // the pair labels (p, q) are NOT carried per pair — the flat
         // product array explodes to (pos, xy) alone and the compact
         // triangular position joins its label back AFTER the 2016-key
@@ -1701,7 +1708,9 @@ object Similarity {
         // the remaining cost is the declared n·d²/2 generate + the
         // exact-decimal partial agg itself — linear in n, and the agg
         // collapses in-partition so the shuffle stays 2016 keys.
-        val dim = emb.select(size(col("e"))).head().getInt(0)
+        // d off the checkpointed moment frame (one tiny job) instead of
+        // a separate parquet scan + fixture evaluation for one row
+        val dim = dims.count().toInt
         val spine = broadcast(s.createDataFrame(
           (for {
             i <- 1 until dim; j <- (i + 1) to dim
@@ -1981,11 +1990,18 @@ object Similarity {
     * Spark and DuckDB multiply identical IEEE doubles.
     */
   private[graft] def covFixture(embedding: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    val e0 = transform(embedding, x => x.cast("double"))
-    transform(e0, (x, i) =>
-      when(i === size(e0) - 1, element_at(e0, 1) * 0.7).otherwise(x))
-  }
+      : org.apache.spark.sql.Column =
+    // ONE transform over the raw column (r17 opt): the previous
+    // two-level form re-evaluated `size(transform(...))` and
+    // `element_at(transform(...), 1)` inside the outer lambda — O(d)
+    // array builds per ROW just to read a length and one element.
+    // `size`/`element_at` on the raw column are O(1); the cast of the
+    // first element then the multiply produce bit-identical doubles to
+    // casting the whole array first (float→double cast is exact).
+    transform(embedding, (x, i) =>
+      when(i === size(embedding) - 1,
+        element_at(embedding, 1).cast("double") * 0.7)
+        .otherwise(x.cast("double")))
 
   /** Cell-local SemDeDup — the linear-time scale path of q135: assign
     * every vector to its IVF cell ([[Ann.coarseQuantizer]], the same
