@@ -962,6 +962,32 @@ object Ann {
   private val pqFitCache = scala.collection.concurrent.TrieMap
     .empty[String, (org.apache.spark.ml.clustering.KMeansModel, PqModel)]
 
+  /** Session memo for the bare coarse-quantizer fit — [[pqFitMemo]]'s
+    * discipline (frame derived HERE from (s, dir), fingerprint in the
+    * key) for the callers that need only the KMeans model (q98's
+    * recall gate, q122's cell-balance audit): the fit is a pure
+    * function of (corpus, params), and re-training it on every timed
+    * pass cost q98 ~30 driver-sequential KMeans jobs per pass (r17
+    * profile) for a bitwise-identical model. A racing double-compute
+    * is harmless (identical result).
+    */
+  private val coarseFitCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.ml.clustering.KMeansModel]
+
+  def coarseFitMemo(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      nlist: Int = 16,
+      seed: Long = 7L,
+      trainTarget: Long = 0L)
+      : org.apache.spark.ml.clustering.KMeansModel =
+    coarseFitCache.getOrElseUpdate(
+      dir + "#" + Q.tableFingerprint(s, dir, "embeddings") +
+        s"#$nlist#$seed#$trainTarget",
+      coarseQuantizer(
+        Q.table(s, dir, "embeddings").select("vec_id", "embedding"),
+        nlist, seed, trainTarget))
+
   def pqFitMemo(
       s: org.apache.spark.sql.SparkSession,
       dir: String,

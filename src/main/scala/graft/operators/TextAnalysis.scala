@@ -62,7 +62,7 @@ object TextAnalysis {
     * stopword hits — one definition so the "q31 signals" the gate
     * composes can never drift from q31 itself.
     */
-  private[graft] def qualitySignals(df: DataFrame): DataFrame = df
+  private[graft] def qualitySignals(df: DataFrame): DataFrame = Q.spread(df)
     .withColumn("toks", tokens(col("text")))
     .withColumn("n_tokens", size(col("toks")).cast("long"))
     .withColumn("n_chars_ns",
@@ -2856,7 +2856,10 @@ object TextAnalysis {
     // the per-lang rollup ends it.
     "q193_gopher_repetition" -> QueryDef(
       (s, dir) => {
-        val base = table(s, dir, "documents")
+        // spread the one-split scan before the per-row line/token HOF
+        // cascade (r17): the fixture + tokenize + bigram build below
+        // otherwise run single-task and the persist pins 1 partition
+        val base = Q.spread(table(s, dir, "documents"))
           .withColumn("lines", gopherRepFixture(col("doc_id"),
             c4Lines(col("doc_id"), col("text"))))
           .withColumn("nl", size(col("lines")).cast("long"))
@@ -3091,7 +3094,9 @@ object TextAnalysis {
     // as q22's exact dedup.
     "q173_line_dedup" -> QueryDef(
       (s, dir) => {
-        val withLines = table(s, dir, "documents")
+        // spread the one-split scan before the per-row line fixture +
+        // explode (r17; no-op at scale by the Q.spread contract)
+        val withLines = Q.spread(table(s, dir, "documents"))
           .withColumn("lines",
             lineDedupFixture(col("doc_id"),
               c4Lines(col("doc_id"), col("text"))))
