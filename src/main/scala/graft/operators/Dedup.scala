@@ -3488,7 +3488,9 @@ object Dedup {
   private[operators] def positionedGrams(
       docs: org.apache.spark.sql.DataFrame,
       seedLen: Int): org.apache.spark.sql.DataFrame =
-    docs.filter(size(col("toks")) >= seedLen)
+    // spread before the per-gram md5 explode (r17): callers hand this
+    // a tokenized projection straight off a one-split scan
+    Q.spread(docs).filter(size(col("toks")) >= seedLen)
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(1), size(col("toks")) - (seedLen - 1)),

@@ -1415,7 +1415,9 @@ object MultiModal {
     "q201_perceptual_dedup" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val ids = table(s, dir, "documents")
+        // spread the one-split id scan so the per-asset synth+decode
+        // below fans out (r17; no-op on well-partitioned inputs)
+        val ids = Q.spread(table(s, dir, "documents"))
           .select(col("doc_id")).filter(col("doc_id") < 40)
         val assets = ids
           .select(col("doc_id"),
@@ -1474,7 +1476,9 @@ object MultiModal {
     "q202_audio_perceptual_dedup" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val ids = table(s, dir, "documents")
+        // spread the one-split id scan so the per-asset synth+decode
+        // below fans out (r17; no-op on well-partitioned inputs)
+        val ids = Q.spread(table(s, dir, "documents"))
           .select(col("doc_id")).filter(col("doc_id") < 30)
         val assets = ids
           .select(col("doc_id"),
@@ -1537,7 +1541,9 @@ object MultiModal {
           tableFingerprint(s, dir, "documents"))
         val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
         val name = s"graft_q205_$tag"
-        val ids = table(s, dir, "documents")
+        // spread the one-split id scan so the per-asset synth+decode
+        // below fans out (r17; no-op on well-partitioned inputs)
+        val ids = Q.spread(table(s, dir, "documents"))
           .select(col("doc_id")).filter(col("doc_id") < 40)
         if (!s.catalog.tableExists(s"${name}_phash")) {
           val path = new java.io.File(
@@ -1599,7 +1605,9 @@ object MultiModal {
     "q206_perceptual_threshold_sweep" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val ids = table(s, dir, "documents")
+        // spread the one-split id scan so the per-asset synth+decode
+        // below fans out (r17; no-op on well-partitioned inputs)
+        val ids = Q.spread(table(s, dir, "documents"))
           .select(col("doc_id")).filter(col("doc_id") < 40)
         val assets = ids
           .select(col("doc_id"),
@@ -1786,7 +1794,9 @@ object MultiModal {
     "q209_video_frame_dedup" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val ids = table(s, dir, "documents")
+        // spread the one-split id scan so the per-asset synth+decode
+        // below fans out (r17; no-op on well-partitioned inputs)
+        val ids = Q.spread(table(s, dir, "documents"))
           .select(col("doc_id")).filter(col("doc_id") < 24)
         val assets = ids
           .select(col("doc_id"),
@@ -1875,7 +1885,9 @@ object MultiModal {
           tableFingerprint(s, dir, "documents"))
         val tag = s"${IndexCatalog.dirTag(dir)}_$fp"
         val name = s"graft_q210_$tag"
-        val ids = table(s, dir, "documents")
+        // spread the one-split id scan so the per-asset synth+decode
+        // below fans out (r17; no-op on well-partitioned inputs)
+        val ids = Q.spread(table(s, dir, "documents"))
           .select(col("doc_id")).filter(col("doc_id") < 24)
         def img(id: Long, f: Long, variant: Int = 0): Array[Byte] =
           synthImageBytes(2000L + id * 8 + f, variant)
@@ -1965,7 +1977,9 @@ object MultiModal {
     "q211_video_temporal_containment" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val ids = table(s, dir, "documents")
+        // spread the one-split id scan so the per-asset synth+decode
+        // below fans out (r17; no-op on well-partitioned inputs)
+        val ids = Q.spread(table(s, dir, "documents"))
           .select(col("doc_id")).filter(col("doc_id") < 24)
         val assets = ids
           .select(col("doc_id"),
@@ -2068,7 +2082,9 @@ object MultiModal {
     "q214_video_scene_runs" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val ids = table(s, dir, "documents")
+        // spread the one-split id scan so the per-asset synth+decode
+        // below fans out (r17; no-op on well-partitioned inputs)
+        val ids = Q.spread(table(s, dir, "documents"))
           .select(col("doc_id")).filter(col("doc_id") < 32)
         val assets = ids.as[Long].mapPartitions(_.map { id =>
           val sc = 1 + (id % 4).toInt
