@@ -2103,18 +2103,29 @@ object Similarity {
     val rowBytes = 32L + 8L * dim
     val targetBytes = 64L << 20
     val bMem = math.ceil(n.toDouble * rowBytes / targetBytes).toInt
-    val bPar = math.ceil(
-      math.sqrt(s.sparkContext.defaultParallelism.toDouble)).toInt
+    // B² tiles ≥ 4× parallelism so the (ba, bb) hash spreads over all
+    // cores without empty partitions (guide §2.5: many more distinct
+    // keys than partitions); bMem still governs at scale
+    val par = math.max(1, s.sparkContext.defaultParallelism)
+    val bPar = math.ceil(math.sqrt(4.0 * par)).toInt
     val B = math.min(256, math.max(1, math.max(bMem, bPar)))
     val blocks = array((0 until B).map(lit): _*)
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
       col("nsq").as("na"),
       pmod(col("vec_id"), lit(B)).cast("int").as("ba"),
       explode(blocks).as("bb"))
+      // EXPLICIT numbered repartition (never AQE-coalesced): the tile
+      // shuffle is only ~2nB skinny rows, so AQE sizes the post-join
+      // stage by those bytes and coalesces the (n/B)²-per-cell dot
+      // work onto a handful of tasks (r17: q27/q135/q185 ran the 2M
+      // dots on ~6 of 32 cores). The join's real cost is its OUTPUT,
+      // which AQE cannot see.
+      .repartition(par, col("ba"), col("bb"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
       col("nsq").as("nb"),
       pmod(col("vec_id"), lit(B)).cast("int").as("bb"),
       explode(blocks).as("ba"))
+      .repartition(par, col("ba"), col("bb"))
     a.join(b, Seq("ba", "bb"))
       .filter(col("va") < col("vb"))
       .select(col("va"), col("vb"),
